@@ -1,0 +1,291 @@
+"""Pydantic configuration models for the validation suite.
+
+Semantics mirror the reference's YAML surface
+(``/root/reference/datapact/config.py:20-251``): the same check knobs
+(count / row-hash / null / agg / uniqueness tolerances, filters, business
+metadata, custom tests), re-targeted from Unity-Catalog FQNs to Parquet
+paths, plus the transcript-engine checks required by BASELINE.json
+(ordering, referential integrity, distribution drift, column compare).
+
+Tolerances are ratios in [0, 1]; ``business_priority`` is normalized to
+upper-case from {Critical, High, Medium, Low}; custom check names must be
+unique per task even after slugging — all reference rules kept.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Literal
+
+from pydantic import BaseModel, Field, field_validator, model_validator
+
+from .identifiers import make_identifier
+
+
+class CustomCheck(BaseModel):
+    """A user-defined check run against both sides, result sets compared
+    for exact (order-insensitive) multiset equality.
+
+    ``sql`` is an ANSI SQL query executed by DuckDB against each side's
+    table registered as view ``t`` (templating: ``{{ table_fqn }}``,
+    ``{{ source_fqn }}`` / ``{{ target_fqn }}`` also resolve to ``t`` for
+    the corresponding side, mirroring the reference's render contexts at
+    ``/root/reference/datapact/sql_generator.py:26-84``). Results are
+    compared with EXCEPT-ALL-equivalent multiset diffs plus an
+    order-insensitive hash (``validation.sql.j2:257-301``).
+    """
+
+    name: str
+    sql: str
+    description: str | None = None
+
+    @field_validator("name")
+    @classmethod
+    def validate_name(cls, value: str) -> str:
+        trimmed = value.strip()
+        if not trimmed:
+            raise ValueError("Custom check name cannot be empty.")
+        if len(trimmed) > 128:
+            raise ValueError("Custom check name must be 128 characters or fewer.")
+        if not re.fullmatch(r"[A-Za-z0-9_\-\s]+", trimmed):
+            raise ValueError(
+                "Custom check name may only contain letters, numbers, spaces, "
+                "underscores, and hyphens."
+            )
+        return trimmed
+
+    @field_validator("sql")
+    @classmethod
+    def validate_sql(cls, value: str) -> str:
+        stripped = value.strip()
+        if not stripped:
+            raise ValueError("Custom SQL must be provided.")
+        if stripped.endswith(";"):
+            raise ValueError("Custom SQL should not include a trailing semicolon.")
+        return stripped
+
+    @property
+    def slug(self) -> str:
+        return make_identifier(self.name, prefix="custom_sql")
+
+
+class AggValidationDetail(BaseModel):
+    """One aggregate comparison: ``{agg: SUM|AVG|MIN|MAX, tolerance}``."""
+
+    agg: str
+    tolerance: float
+
+    @field_validator("agg")
+    @classmethod
+    def validate_agg(cls, value: str) -> str:
+        allowed = {"SUM", "AVG", "MIN", "MAX"}
+        up = value.strip().upper()
+        if up not in allowed:
+            raise ValueError(f"agg must be one of {sorted(allowed)}")
+        return up
+
+    @field_validator("tolerance")
+    @classmethod
+    def validate_tolerance(cls, v: float) -> float:
+        if not 0.0 <= v <= 1.0:
+            raise ValueError("Tolerance must be a float between 0.0 and 1.0")
+        return v
+
+
+class AggValidation(BaseModel):
+    """Aggregate validations for one column."""
+
+    column: str
+    validations: list[AggValidationDetail]
+
+
+class OrderingCheck(BaseModel):
+    """Per-group sequence validation (new vs reference; BASELINE north
+    star: turn_idx contiguity + ts monotonicity per conv_id under stable
+    turn ordering)."""
+
+    group_column: str = "conv_id"
+    index_column: str = "turn_idx"
+    ts_column: str | None = "ts"
+    require_contiguous: bool = True  # index == 0..n-1 after sort
+    require_monotonic_ts: bool = True  # ts non-decreasing in index order
+    sides: Literal["source", "target", "both"] = "both"
+
+
+class ReferentialCheck(BaseModel):
+    """Key containment: every value of ``columns`` in the fact side must
+    exist in ``ref_columns`` of the table at ``ref_path`` (anti-join
+    violations; Bloom-filter prefilter + exact recheck at scale)."""
+
+    columns: list[str]
+    ref_path: str
+    ref_columns: list[str] | None = None  # defaults to `columns`
+    side: Literal["source", "target", "both"] = "target"
+    tolerance: float = 0.0
+
+    @field_validator("tolerance")
+    @classmethod
+    def validate_tolerance(cls, v: float) -> float:
+        if not 0.0 <= v <= 1.0:
+            raise ValueError("Tolerance must be a float between 0.0 and 1.0")
+        return v
+
+
+class DriftCheck(BaseModel):
+    """Distribution drift between source and target for one column.
+
+    ``metric``: ``psi`` (population stability index over quantile bins of
+    the source distribution) or ``ks`` (two-sample Kolmogorov–Smirnov
+    statistic). Both are computed from mergeable t-digest sketches built
+    in the single-scan profile pass. ``derived: turn_count`` checks the
+    per-conversation turn-count distribution instead of a raw column.
+    """
+
+    column: str
+    metric: Literal["psi", "ks"] = "psi"
+    threshold: float = 0.2
+    bins: int = Field(default=10, ge=2, le=1000)
+    derived: Literal["value", "turn_count"] = "value"
+
+
+class ValidationTask(BaseModel):
+    """One source↔target comparison contract (reference:
+    ``/root/reference/datapact/config.py:95-238``)."""
+
+    task_key: str
+    source_path: str
+    target_path: str
+    primary_keys: list[str] | None = None
+    filter: str | None = None
+    count_tolerance: float | None = None
+    pk_row_hash_check: bool = False
+    pk_hash_tolerance: float | None = None
+    hash_columns: list[str] | None = None
+    null_validation_tolerance: float | None = None
+    null_validation_columns: list[str] | None = None
+    agg_validations: list[AggValidation] | None = None
+    uniqueness_columns: list[str] | None = None
+    uniqueness_tolerance: float | None = None
+    # Transcript-engine checks (new vs reference; BASELINE.json north star)
+    compare_columns: list[str] | None = None  # per-matched-pair equality (e.g. ["text"])
+    compare_tolerance: float = 0.0
+    ordering: OrderingCheck | None = None
+    referential: list[ReferentialCheck] | None = None
+    drift: list[DriftCheck] | None = None
+    # Business metadata (executive rollups)
+    business_domain: str | None = None
+    business_owner: str | None = None
+    business_priority: str | None = None
+    expected_sla_hours: float | None = None
+    estimated_impact_usd: float | None = None
+    custom_checks: list[CustomCheck] | None = None
+    # Engine knobs
+    max_violations_per_partition: int = Field(default=100, ge=0)
+
+    @field_validator("filter")
+    @classmethod
+    def validate_filter(cls, value: str | None) -> str | None:
+        if value is None:
+            return value
+        normalized = value.strip()
+        if not normalized:
+            raise ValueError("Filter cannot be empty or whitespace.")
+        if normalized.endswith(";"):
+            raise ValueError("Filter should not include a trailing semicolon.")
+        return normalized
+
+    @field_validator(
+        "count_tolerance",
+        "pk_hash_tolerance",
+        "null_validation_tolerance",
+        "uniqueness_tolerance",
+        "compare_tolerance",
+    )
+    @classmethod
+    def tolerance_must_be_a_ratio(cls, v: float | None) -> float | None:
+        if v is not None and not (0.0 <= v <= 1.0):
+            raise ValueError("Tolerance must be a float between 0.0 and 1.0")
+        return v
+
+    @field_validator("business_priority")
+    @classmethod
+    def validate_business_priority(cls, value: str | None) -> str | None:
+        if value is None:
+            return value
+        allowed = {"critical", "high", "medium", "low"}
+        normalized = value.strip().lower()
+        if normalized not in allowed:
+            raise ValueError("business_priority must be one of: Critical, High, Medium, Low")
+        return normalized.upper()
+
+    @field_validator("expected_sla_hours", "estimated_impact_usd")
+    @classmethod
+    def validate_non_negative(cls, value: float | None) -> float | None:
+        if value is not None and value < 0:
+            raise ValueError("value must be greater than or equal to 0")
+        return value
+
+    @model_validator(mode="after")
+    def validate_custom_checks(self) -> "ValidationTask":
+        tests = self.custom_checks or []
+        seen: set[str] = set()
+        slugs: dict[str, str] = {}
+        for test in tests:
+            lowered = test.name.lower()
+            if lowered in seen:
+                raise ValueError(
+                    f"Duplicate custom check name detected: '{test.name}'. "
+                    "Names must be unique per task."
+                )
+            seen.add(lowered)
+            slug = test.slug
+            collision = slugs.get(slug)
+            if collision:
+                raise ValueError(
+                    "Custom check names must remain unique even after "
+                    f"sanitization. '{test.name}' conflicts with '{collision}' "
+                    f"because both map to 'custom_sql_validation_{slug}'."
+                )
+            slugs[slug] = test.name
+        return self
+
+    @property
+    def has_any_check(self) -> bool:
+        return bool(
+            self.count_tolerance is not None
+            or (self.pk_row_hash_check and self.primary_keys)
+            or (self.null_validation_columns and self.null_validation_tolerance is not None)
+            or self.agg_validations
+            or (self.uniqueness_columns and self.uniqueness_tolerance is not None)
+            or self.custom_checks
+            or (self.compare_columns and self.primary_keys)
+            or self.ordering
+            or self.referential
+            or self.drift
+        )
+
+
+class ValidationSuite(BaseModel):
+    """Root model: ``validations: list[ValidationTask]`` (reference
+    ``DataPactConfig``, ``/root/reference/datapact/config.py:242-251``)."""
+
+    validations: list[ValidationTask]
+
+    @model_validator(mode="after")
+    def validate_unique_task_keys(self) -> "ValidationSuite":
+        seen: set[str] = set()
+        for t in self.validations:
+            if t.task_key in seen:
+                raise ValueError(f"Duplicate task_key: '{t.task_key}'")
+            seen.add(t.task_key)
+        return self
+
+
+def load_suite(path: str) -> ValidationSuite:
+    """Parse + validate a YAML suite file (reference
+    ``/root/reference/datapact/main.py:62-65``)."""
+    import yaml
+
+    with open(path, encoding="utf-8") as fh:
+        raw = yaml.safe_load(fh)
+    return ValidationSuite(**raw)

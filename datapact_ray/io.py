@@ -1,0 +1,76 @@
+"""Parquet source helpers: pruned, filter-pushed, deterministic reads.
+
+Mirrors the reference's source model (a named table scanned once per task,
+``validation.sql.j2:127-187``) with Ray Data: one ``read_parquet`` per
+side feeding fused downstream stages; only needed columns leave storage;
+simple predicates push down to Parquet row groups via Arrow dataset
+expressions.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from .expr import compile_filter, parse_filter, referenced_columns
+
+
+def list_parquet_files(path: str) -> list[str]:
+    """Deterministic (sorted) list of parquet files under a path.
+
+    Determinism matters for resumable partitioning: the lineage manifest
+    records this list, and resumes must see the same order.
+    """
+    if os.path.isfile(path):
+        return [path]
+    out: list[str] = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                out.append(os.path.join(root, f))
+    return sorted(out)
+
+
+def table_schema(path: str) -> pa.Schema:
+    files = list_parquet_files(path)
+    if not files:
+        raise FileNotFoundError(f"No parquet files under {path}")
+    return pq.read_schema(files[0])
+
+
+def count_rows(path: str) -> int:
+    """Exact row count from parquet footers (no data read)."""
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in list_parquet_files(path))
+
+
+def read_table(
+    path: str,
+    columns: list[str] | None = None,
+    filter_sql: str | None = None,
+    files: list[str] | None = None,
+) -> ray.data.Dataset:
+    """Read a logical table as a Ray Dataset with column pruning and
+    filter pushdown.
+
+    ``columns=None`` reads everything; ``filter_sql`` is the engine's
+    SQL-subset predicate (see ``expr.py``); ``files`` restricts the read
+    to a subset of the table's files (resume / shard scoping).
+    """
+    paths = files if files is not None else path
+    schema = table_schema(path)
+    expr = None
+    if filter_sql:
+        ast = parse_filter(filter_sql)
+        expr = compile_filter(filter_sql, schema)
+        if columns is not None:
+            needed = referenced_columns(ast)
+            columns = list(dict.fromkeys(list(columns) + [c for c in needed if c in schema.names]))
+    kwargs = {}
+    if columns is not None:
+        kwargs["columns"] = columns
+    if expr is not None:
+        kwargs["filter"] = expr
+    return ray.data.read_parquet(paths, **kwargs)

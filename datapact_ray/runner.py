@@ -1,0 +1,520 @@
+"""Validation runner: compiles a suite into fused Ray Data passes and
+executes it with per-partition checkpoints.
+
+Per-task lifecycle (Ray-Data-first translation of the reference's
+per-task SQL script, ``validation.sql.j2`` + SURVEY.md §3.4):
+
+1. **profile pass** — one fused scan per side (counts, nulls, agg
+   partials, drift t-digests, hot-key detection); checkpointed whole.
+2. **keyed pass** — one hash shuffle for everything key-shaped
+   (uniqueness, row-hash compare, null-over-matched-pairs, per-turn
+   column equality) with per-bucket checkpoints and violation rows.
+3. **conversation pass** — ordering / contiguity / turn-count
+   distribution with contiguous-range salting of hot keys.
+4. **referential pass** — broadcast key set / Bloom probe.
+5. **custom checks** — DuckDB on both sides, multiset diff compare.
+6. driver-side verdict assembly (reference tolerance arithmetic /
+   payload shape, see ``verdicts.py``), result row append, fail-fast
+   status (the ``RAISE_ERROR`` analog is a nonzero exit in the CLI).
+
+Checkpoint layout (resumable; FIXTURES.md F5)::
+
+    <results_dir>/checkpoint/run_id=<r>/task=<task_key>/
+        lineage.json                      # input files, partitioning spec
+        profile_source.pkl / profile_target.pkl  (+ .done markers)
+        keyed/bucket=<b>/{violations.parquet, metrics.pkl, _SUCCESS}
+        conv/bucket=<b>/...
+    <results_dir>/results/run_id=<r>/results.parquet
+    <results_dir>/violations/run_id=<r>/task=<task_key>/*.parquet
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import time
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from . import verdicts as V
+from .config import ValidationSuite, ValidationTask
+from .io import count_rows, list_parquet_files, read_table, table_schema
+from .sketches import ks_statistic, psi_statistic
+from .stages.conv import ConvSpec, run_conv_pass
+from .stages.custom import run_custom_check
+from .stages.keyed import KeyedSpec, _atomic_write, run_keyed_pass
+from .stages.profile import ProfileSpec, run_profile
+from .stages.referential import run_referential_pass
+
+RESULT_SCHEMA = pa.schema(
+    [
+        ("task_key", pa.string()),
+        ("status", pa.string()),
+        ("run_id", pa.int64()),
+        ("job_name", pa.string()),
+        ("job_start_ts", pa.timestamp("us")),
+        ("validation_begin_ts", pa.timestamp("us")),
+        ("validation_complete_ts", pa.timestamp("us")),
+        ("source_table", pa.string()),
+        ("target_table", pa.string()),
+        ("business_domain", pa.string()),
+        ("business_owner", pa.string()),
+        ("business_priority", pa.string()),
+        ("expected_sla_hours", pa.float64()),
+        ("estimated_impact_usd", pa.float64()),
+        ("result_payload", pa.string()),
+    ]
+)
+
+
+@dataclass
+class RunConfig:
+    results_dir: str
+    run_id: int = 1
+    job_name: str = "datapact-ray"
+    batch_size: int = 65536
+    num_buckets: int | None = None  # None -> sized from row counts
+    target_rows_per_bucket: int = 250_000
+    hot_key_threshold: int = 50_000
+    profile_concurrency: tuple[int, int] | int | None = (1, 16)
+    resume: bool = False
+    fail_fast: bool = False  # stop at first failing task
+
+
+@dataclass
+class RunSummary:
+    run_id: int
+    job_name: str
+    job_start_ts: datetime
+    results: list[V.TaskResult] = field(default_factory=list)
+    rows: list[dict] = field(default_factory=list)
+
+    @property
+    def failure_count(self) -> int:
+        return sum(1 for r in self.results if not r.passed)
+
+    @property
+    def failed_task_keys(self) -> list[str]:
+        return [r.task_key for r in self.results if not r.passed]
+
+
+def _now() -> datetime:
+    return datetime.now(timezone.utc).replace(tzinfo=None)
+
+
+class ValidationRunner:
+    def __init__(self, suite: ValidationSuite, config: RunConfig):
+        self.suite = suite
+        self.config = config
+
+    # ---- checkpoint helpers ----
+
+    def _task_ckpt(self, task_key: str) -> str:
+        return os.path.join(
+            self.config.results_dir,
+            "checkpoint",
+            f"run_id={self.config.run_id}",
+            f"task={task_key}",
+        )
+
+    def _load_or_run_profile(self, name: str, ckpt: str, fn):
+        """Coarse profile checkpoint: the profile pass is the cheap scan;
+        its merged partial (KBs) is checkpointed whole per side."""
+        path = os.path.join(ckpt, f"profile_{name}.pkl")
+        if self.config.resume and os.path.exists(path + ".done"):
+            with open(path, "rb") as fh:
+                return pickle.load(fh)
+        result = fn()
+        _atomic_write(path, pickle.dumps(result))
+        _atomic_write(path + ".done", b"")
+        return result
+
+    # ---- per-task execution ----
+
+    def run_task(self, task: ValidationTask) -> V.TaskResult:
+        cfg = self.config
+        begin = _now()
+        ckpt = self._task_ckpt(task.task_key)
+        os.makedirs(ckpt, exist_ok=True)
+
+        src_files = list_parquet_files(task.source_path)
+        tgt_files = list_parquet_files(task.target_path)
+        src_schema = table_schema(task.source_path)
+        lineage = {
+            "task_key": task.task_key,
+            "source_files": src_files,
+            "target_files": tgt_files,
+            "filter": task.filter,
+            "partitioning": {
+                "hash": "pandas-siphash/datapact-ray-0001",
+                "num_buckets": None,  # filled below
+            },
+        }
+
+        verdict_list: list[V.CheckVerdict] = []
+        pk = task.primary_keys or []
+        uniq_cols = task.uniqueness_columns or []
+        uniqueness_enabled = bool(uniq_cols) and task.uniqueness_tolerance is not None
+        nulls_enabled = bool(task.null_validation_columns) and (
+            task.null_validation_tolerance is not None
+        )
+        nulls_use_pk = nulls_enabled and bool(pk)
+        drift_checks = task.drift or []
+        value_drift_cols = [d.column for d in drift_checks if d.derived == "value"]
+        want_turn_count_drift = any(d.derived == "turn_count" for d in drift_checks)
+
+        # ---------- pass 1: fused profile (one scan per side) ----------
+        stats_needed = (
+            task.count_tolerance is not None
+            or task.agg_validations
+            or uniqueness_enabled
+            or (nulls_enabled and not pk)
+            or value_drift_cols
+        )
+        profile_cols: set[str] = set()
+        spec = ProfileSpec()
+        if nulls_enabled and not pk:
+            spec.null_columns = list(task.null_validation_columns)
+            profile_cols.update(spec.null_columns)
+        for av in task.agg_validations or []:
+            aggs = spec.agg_columns.setdefault(av.column, set())
+            aggs.update(v.agg for v in av.validations)
+            profile_cols.add(av.column)
+        spec.sketch_columns = list(dict.fromkeys(value_drift_cols))
+        profile_cols.update(spec.sketch_columns)
+        if task.ordering or want_turn_count_drift:
+            group_col = (task.ordering.group_column if task.ordering else "conv_id")
+            spec.heavy_hitter_column = group_col
+            profile_cols.add(group_col)
+
+        src_profile = tgt_profile = None
+        if stats_needed or spec.heavy_hitter_column:
+            columns = sorted(profile_cols) or None
+            src_profile = self._load_or_run_profile(
+                "source",
+                ckpt,
+                lambda: run_profile(
+                    read_table(task.source_path, columns=columns, filter_sql=task.filter),
+                    spec,
+                    batch_size=cfg.batch_size,
+                    concurrency=cfg.profile_concurrency,
+                ),
+            )
+            tgt_profile = self._load_or_run_profile(
+                "target",
+                ckpt,
+                lambda: run_profile(
+                    read_table(task.target_path, columns=columns, filter_sql=task.filter),
+                    spec,
+                    batch_size=cfg.batch_size,
+                    concurrency=cfg.profile_concurrency,
+                ),
+            )
+
+        # bucket sizing from parquet footers (no data read)
+        est_rows = max(count_rows(task.source_path), count_rows(task.target_path))
+        num_buckets = cfg.num_buckets or max(
+            16, min(4096, est_rows // cfg.target_rows_per_bucket + 1)
+        )
+        lineage["partitioning"]["num_buckets"] = num_buckets
+        _atomic_write(
+            os.path.join(ckpt, "lineage.json"), json.dumps(lineage, indent=1).encode()
+        )
+
+        # ---------- pass 2: keyed checks (one shuffle) ----------
+        row_hash_enabled = task.pk_row_hash_check and bool(pk)
+        compare_enabled = bool(task.compare_columns) and bool(pk)
+        uniq_same_as_pk = uniqueness_enabled and (uniq_cols == pk)
+        keyed_needed = (
+            row_hash_enabled or compare_enabled or nulls_use_pk or uniq_same_as_pk
+        )
+        keyed_metrics = None
+        if keyed_needed:
+            kspec = KeyedSpec(
+                key_columns=pk if pk else uniq_cols,
+                row_hash=row_hash_enabled,
+                hash_columns=task.hash_columns,
+                null_join_columns=(
+                    list(task.null_validation_columns) if nulls_use_pk else []
+                ),
+                compare_columns=list(task.compare_columns or []),
+                uniqueness=uniq_same_as_pk,
+                max_violations_per_bucket=task.max_violations_per_partition,
+                num_buckets=num_buckets,
+                checkpoint_dir=os.path.join(ckpt, "keyed"),
+            )
+            need_cols = set(kspec.key_columns) | set(kspec.null_join_columns) | set(
+                kspec.compare_columns
+            )
+            if row_hash_enabled:
+                need_cols |= set(
+                    task.hash_columns or [n for n in src_schema.names]
+                )
+            cols = sorted(need_cols)
+            keyed_metrics = run_keyed_pass(
+                read_table(task.source_path, columns=cols, filter_sql=task.filter),
+                read_table(task.target_path, columns=cols, filter_sql=task.filter),
+                kspec,
+                task.task_key,
+                batch_size=cfg.batch_size,
+            )
+
+        # separate uniqueness shuffle only when its key differs from the PK
+        uniq_metrics = keyed_metrics if uniq_same_as_pk else None
+        if uniqueness_enabled and not uniq_same_as_pk:
+            uspec = KeyedSpec(
+                key_columns=uniq_cols,
+                uniqueness=True,
+                max_violations_per_bucket=task.max_violations_per_partition,
+                num_buckets=num_buckets,
+                checkpoint_dir=os.path.join(ckpt, "uniq"),
+            )
+            uniq_metrics = run_keyed_pass(
+                read_table(task.source_path, columns=uniq_cols, filter_sql=task.filter),
+                read_table(task.target_path, columns=uniq_cols, filter_sql=task.filter),
+                uspec,
+                task.task_key,
+                batch_size=cfg.batch_size,
+            )
+
+        # ---------- pass 3: conversation pass ----------
+        conv_metrics = None
+        if task.ordering or want_turn_count_drift:
+            o = task.ordering
+            hot = {}
+            if src_profile and src_profile.heavy_hitters:
+                hot = src_profile.heavy_hitters.hot_keys(cfg.hot_key_threshold)
+            if tgt_profile and tgt_profile.heavy_hitters:
+                hot.update(tgt_profile.heavy_hitters.hot_keys(cfg.hot_key_threshold))
+            cspec = ConvSpec(
+                group_column=o.group_column if o else "conv_id",
+                index_column=o.index_column if o else "turn_idx",
+                ts_column=(o.ts_column if o else "ts"),
+                require_contiguous=o.require_contiguous if o else False,
+                require_monotonic_ts=o.require_monotonic_ts if o else False,
+                turn_count_digest=want_turn_count_drift,
+                hot_keys=hot,
+                num_buckets=num_buckets,
+                max_violations_per_bucket=task.max_violations_per_partition,
+                checkpoint_dir=os.path.join(ckpt, "conv"),
+            )
+            ccols = [cspec.group_column, cspec.index_column] + (
+                [cspec.ts_column] if cspec.ts_column else []
+            )
+            conv_metrics = run_conv_pass(
+                read_table(task.source_path, columns=ccols, filter_sql=task.filter),
+                read_table(task.target_path, columns=ccols, filter_sql=task.filter),
+                cspec,
+                task.task_key,
+                batch_size=cfg.batch_size * 2,
+            )
+
+        # ---------- verdict assembly (reference payload order) ----------
+        if task.count_tolerance is not None:
+            verdict_list.append(
+                V.count_verdict(
+                    src_profile.count, tgt_profile.count, task.count_tolerance
+                )
+            )
+        if row_hash_enabled:
+            verdict_list.append(
+                V.row_hash_verdict(
+                    keyed_metrics.total_compared_rows,
+                    keyed_metrics.mismatch_count,
+                    task.pk_hash_tolerance,
+                )
+            )
+        if nulls_enabled:
+            for col in task.null_validation_columns:
+                if nulls_use_pk:
+                    s_n, t_n = keyed_metrics.null_join.get(col, [0, 0])
+                else:
+                    s_n = src_profile.nulls.get(col, 0)
+                    t_n = tgt_profile.nulls.get(col, 0)
+                verdict_list.append(
+                    V.null_verdict(
+                        col, s_n, t_n, task.null_validation_tolerance, bool(pk)
+                    )
+                )
+        for av in task.agg_validations or []:
+            for d in av.validations:
+                verdict_list.append(
+                    V.agg_verdict(
+                        av.column,
+                        d.agg,
+                        src_profile.agg_value(av.column, d.agg),
+                        tgt_profile.agg_value(av.column, d.agg),
+                        d.tolerance,
+                    )
+                )
+        if uniqueness_enabled:
+            verdict_list.append(
+                V.uniqueness_verdict(
+                    uniq_cols,
+                    uniq_metrics.uniq_count[0],
+                    uniq_metrics.uniq_distinct[0],
+                    uniq_metrics.uniq_count[1],
+                    uniq_metrics.uniq_distinct[1],
+                    task.uniqueness_tolerance,
+                )
+            )
+        for custom in task.custom_checks or []:
+            cm = run_custom_check(custom.sql, src_files, tgt_files)
+            verdict_list.append(
+                V.custom_check_verdict(
+                    custom.slug,
+                    custom.name,
+                    custom.description,
+                    custom.sql,
+                    cm.rendered_source_sql,
+                    cm.rendered_target_sql,
+                    cm.source_row_count,
+                    cm.target_row_count,
+                    cm.rows_missing_in_target,
+                    cm.rows_missing_in_source,
+                    cm.sample_missing_in_target,
+                    cm.sample_missing_in_source,
+                    cm.source_hash,
+                    cm.target_hash,
+                )
+            )
+        if compare_enabled:
+            for col in task.compare_columns:
+                verdict_list.append(
+                    V.compare_columns_verdict(
+                        [col],
+                        keyed_metrics.total_compared_rows,
+                        keyed_metrics.compare_mismatches.get(col, 0),
+                        task.compare_tolerance,
+                    )
+                )
+        if task.ordering:
+            verdict_list.append(
+                V.ordering_verdict(
+                    task.ordering.group_column,
+                    sum(conv_metrics.groups_checked),
+                    sum(conv_metrics.contiguity_violations),
+                    sum(conv_metrics.monotonicity_violations),
+                )
+            )
+        for ref in task.referential or []:
+            sides = ["source", "target"] if ref.side == "both" else [ref.side]
+            for side in sides:
+                path = task.source_path if side == "source" else task.target_path
+                rm = run_referential_pass(
+                    read_table(path, columns=ref.columns, filter_sql=task.filter),
+                    read_table(ref.ref_path, columns=ref.ref_columns or ref.columns),
+                    ref.columns,
+                    ref.ref_columns or ref.columns,
+                    cap=task.max_violations_per_partition,
+                )
+                verdict_list.append(
+                    V.referential_verdict(
+                        ref.columns, side, rm.probed_rows, rm.orphan_rows, ref.tolerance
+                    )
+                )
+                if rm.violations:
+                    self._write_referential_violations(task.task_key, ref, side, rm)
+        for d in drift_checks:
+            if d.derived == "turn_count":
+                s_dig, t_dig = conv_metrics.digests
+            else:
+                s_dig = src_profile.digests.get(d.column)
+                t_dig = tgt_profile.digests.get(d.column)
+            if s_dig is None or t_dig is None:
+                stat = 0.0
+            elif d.metric == "ks":
+                stat = ks_statistic(s_dig, t_dig)
+            else:
+                stat = psi_statistic(s_dig, t_dig, bins=d.bins)
+            verdict_list.append(
+                V.drift_verdict(d.column, d.metric, stat, d.threshold, d.derived)
+            )
+
+        payload, passed = V.assemble_payload(
+            task.task_key, task.filter, task.primary_keys, verdict_list
+        )
+        result = V.TaskResult(
+            task_key=task.task_key,
+            status="SUCCESS" if passed else "FAILURE",
+            payload=payload,
+            passed=passed,
+            verdicts=verdict_list,
+        )
+        result.begin_ts = begin  # type: ignore[attr-defined]
+        result.complete_ts = _now()  # type: ignore[attr-defined]
+        return result
+
+    def _write_referential_violations(self, task_key, ref, side, rm) -> None:
+        vdir = os.path.join(
+            self.config.results_dir,
+            "violations",
+            f"run_id={self.config.run_id}",
+            f"task={task_key}",
+        )
+        os.makedirs(vdir, exist_ok=True)
+        df = pd.DataFrame(rm.violations)
+        df.insert(0, "task_key", task_key)
+        df.insert(
+            1,
+            "check_alias",
+            "referential_validation_%s_%s" % (side, "_".join(ref.columns)),
+        )
+        pq.write_table(
+            pa.Table.from_pandas(df, preserve_index=False),
+            os.path.join(vdir, f"referential_{side}_{'_'.join(ref.columns)}.parquet"),
+        )
+
+    # ---- whole-suite execution ----
+
+    def run(self) -> RunSummary:
+        cfg = self.config
+        summary = RunSummary(
+            run_id=cfg.run_id, job_name=cfg.job_name, job_start_ts=_now()
+        )
+        for task in self.suite.validations:
+            result = self.run_task(task)
+            summary.results.append(result)
+            summary.rows.append(self._result_row(task, result, summary))
+            if cfg.fail_fast and not result.passed:
+                break
+        self._write_results(summary)
+        return summary
+
+    def _result_row(self, task: ValidationTask, result: V.TaskResult, summary) -> dict:
+        return {
+            "task_key": task.task_key,
+            "status": result.status,
+            "run_id": self.config.run_id,
+            "job_name": self.config.job_name,
+            "job_start_ts": summary.job_start_ts,
+            "validation_begin_ts": result.begin_ts,
+            "validation_complete_ts": result.complete_ts,
+            "source_table": task.source_path,
+            "target_table": task.target_path,
+            "business_domain": task.business_domain,
+            "business_owner": task.business_owner,
+            "business_priority": task.business_priority,
+            "expected_sla_hours": task.expected_sla_hours,
+            "estimated_impact_usd": task.estimated_impact_usd,
+            "result_payload": json.dumps(result.payload),
+        }
+
+    def _write_results(self, summary: RunSummary) -> None:
+        rdir = os.path.join(
+            self.config.results_dir, "results", f"run_id={self.config.run_id}"
+        )
+        os.makedirs(rdir, exist_ok=True)
+        table = pa.Table.from_pylist(summary.rows, schema=RESULT_SCHEMA)
+        pq.write_table(table, os.path.join(rdir, "results.parquet"))
+
+
+def run_suite(
+    suite: ValidationSuite, config: RunConfig
+) -> RunSummary:
+    return ValidationRunner(suite, config).run()

@@ -1,0 +1,215 @@
+"""Fused single-scan profile pass.
+
+One ``map_batches`` actor-pool stage per table side computes everything
+scan-shaped in a single pass — the Ray equivalent of the reference's
+shared stats CTEs ("1 scan per side per task",
+``/root/reference/CHANGELOG.md:14``,
+``validation.sql.j2:127-187``):
+
+* row count (G1) and per-column null counts (G2),
+* SUM/AVG/MIN/MAX partials per configured aggregate column (G3),
+* t-digest sketch per drift column (quantiles, KS/PSI inputs),
+* HyperLogLog per configured key set (approximate distinct, G4 prefilter),
+* approximate heavy-hitter counts of the group key (hot-key salting input).
+
+Each batch yields one tiny partial row (pickled dict); the driver merges
+partials — all sketch types are mergeable monoids. Batches stay zero-copy
+Arrow; per-batch math is pyarrow.compute / numpy kernels.
+"""
+
+from __future__ import annotations
+
+import pickle
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..sketches import HyperLogLog, TDigest, TopKCounter, hash_columns_u64
+
+
+@dataclass
+class ProfileSpec:
+    """What the profile pass must compute for one table side."""
+
+    null_columns: list[str] = field(default_factory=list)
+    agg_columns: dict[str, set[str]] = field(default_factory=dict)  # col -> {SUM,AVG,MIN,MAX}
+    sketch_columns: list[str] = field(default_factory=list)  # t-digest per column
+    hll_key_sets: list[tuple[str, ...]] = field(default_factory=list)
+    heavy_hitter_column: str | None = None
+    heavy_hitter_k: int = 64
+
+
+@dataclass
+class ProfileResult:
+    count: int = 0
+    nulls: dict[str, int] = field(default_factory=dict)
+    # per column: dict(sum=float|None, nonnull=int, min=..., max=...)
+    aggs: dict[str, dict] = field(default_factory=dict)
+    digests: dict[str, TDigest] = field(default_factory=dict)
+    hlls: dict[tuple[str, ...], HyperLogLog] = field(default_factory=dict)
+    heavy_hitters: TopKCounter | None = None
+
+    def agg_value(self, column: str, agg: str) -> float | None:
+        """SQL aggregate semantics: SUM/AVG NULL over zero non-null rows;
+        MIN/MAX ignore nulls. Matches ``TRY_CAST(AGG(col) AS DECIMAL)`` in
+        ``validation.sql.j2:146`` with float64 instead of decimal
+        (documented deviation, SURVEY.md §1.3)."""
+        a = self.aggs.get(column)
+        if a is None:
+            return None
+        if agg == "SUM":
+            return a["sum"] if a["nonnull"] else None
+        if agg == "AVG":
+            return (a["sum"] / a["nonnull"]) if a["nonnull"] else None
+        if agg == "MIN":
+            return a["min"]
+        if agg == "MAX":
+            return a["max"]
+        raise ValueError(f"Unsupported agg {agg}")
+
+
+def _numeric_view(col: pa.ChunkedArray | pa.Array) -> np.ndarray | None:
+    """Float64 view of a column for sketching: numerics directly,
+    timestamps as epoch microseconds, others None."""
+    typ = col.type
+    if pa.types.is_timestamp(typ):
+        col = col.cast(pa.int64())
+        typ = col.type
+    if pa.types.is_integer(typ) or pa.types.is_floating(typ):
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        return arr.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    return None
+
+
+def _scalar(value: pa.Scalar):
+    v = value.as_py()
+    if v is None:
+        return None
+    if hasattr(v, "timestamp"):  # datetime -> epoch seconds float for comparisons
+        return v.timestamp()
+    return float(v) if isinstance(v, (int, float, bool)) else v
+
+
+class ProfileActor:
+    """Actor-pool batch profiler: spec parsing happens once per actor in
+    ``__init__``; each ``__call__`` emits one pickled partial row."""
+
+    def __init__(self, spec: ProfileSpec):
+        self.spec = spec
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        spec = self.spec
+        out = ProfileResult(count=batch.num_rows)
+        for col in spec.null_columns:
+            out.nulls[col] = batch.column(col).null_count
+        for col, aggs in spec.agg_columns.items():
+            arr = batch.column(col)
+            nonnull = batch.num_rows - arr.null_count
+            entry: dict = {"sum": None, "nonnull": nonnull, "min": None, "max": None}
+            if nonnull:
+                want_minmax = "MIN" in aggs or "MAX" in aggs
+                if pa.types.is_timestamp(arr.type):
+                    # SUM/AVG of a timestamp TRY_CASTs to NULL in the
+                    # reference (validation.sql.j2:146); MIN/MAX compare fine.
+                    if want_minmax:
+                        mm = pc.min_max(arr)
+                        entry["min"] = _scalar(mm["min"])
+                        entry["max"] = _scalar(mm["max"])
+                    entry["nonnull"] = 0  # forces SUM/AVG -> None
+                else:
+                    if "SUM" in aggs or "AVG" in aggs:
+                        entry["sum"] = _scalar(pc.sum(arr))
+                    if want_minmax:
+                        mm = pc.min_max(arr)
+                        entry["min"] = _scalar(mm["min"])
+                        entry["max"] = _scalar(mm["max"])
+            out.aggs[col] = entry
+        for col in spec.sketch_columns:
+            vals = _numeric_view(batch.column(col))
+            if vals is not None:
+                d = TDigest()
+                d.add(vals)
+                out.digests[col] = d
+        df = None
+        for keyset in spec.hll_key_sets:
+            if df is None:
+                df = batch.select(
+                    sorted({c for ks in spec.hll_key_sets for c in ks})
+                ).to_pandas()
+            h = HyperLogLog()
+            h.add_hashes(hash_columns_u64(df, list(keyset)))
+            out.hlls[keyset] = h
+        if spec.heavy_hitter_column:
+            vc = pc.value_counts(batch.column(spec.heavy_hitter_column))
+            keys = vc.field("values").to_numpy(zero_copy_only=False)
+            counts = vc.field("counts").to_numpy(zero_copy_only=False)
+            tk = TopKCounter(spec.heavy_hitter_k)
+            tk.add_value_counts(keys, counts)
+            out.heavy_hitters = tk
+        return pa.table({"partial": [pickle.dumps(out)]})
+
+
+def merge_profiles(partials: list[ProfileResult]) -> ProfileResult:
+    out = ProfileResult()
+    for p in partials:
+        out.count += p.count
+        for col, n in p.nulls.items():
+            out.nulls[col] = out.nulls.get(col, 0) + n
+        for col, a in p.aggs.items():
+            cur = out.aggs.setdefault(
+                col, {"sum": None, "nonnull": 0, "min": None, "max": None}
+            )
+            cur["nonnull"] += a["nonnull"]
+            if a["sum"] is not None:
+                cur["sum"] = a["sum"] if cur["sum"] is None else cur["sum"] + a["sum"]
+            for k, op in (("min", min), ("max", max)):
+                if a[k] is not None:
+                    cur[k] = a[k] if cur[k] is None else op(cur[k], a[k])
+        for col, d in p.digests.items():
+            out.digests[col] = d if col not in out.digests else out.digests[col].merge(d)
+        for ks, h in p.hlls.items():
+            out.hlls[ks] = h if ks not in out.hlls else out.hlls[ks].merge(h)
+        if p.heavy_hitters is not None:
+            out.heavy_hitters = (
+                p.heavy_hitters
+                if out.heavy_hitters is None
+                else out.heavy_hitters.merge(p.heavy_hitters)
+            )
+    return out
+
+
+def run_profile(
+    ds: ray.data.Dataset,
+    spec: ProfileSpec,
+    *,
+    batch_size: int = 65536,
+    concurrency: int | tuple[int, int] | None = (1, 16),
+) -> ProfileResult:
+    """Execute the profile pass and merge partials on the driver.
+
+    With ``concurrency`` set the profiler runs as an autoscaling actor
+    pool (spec parsing / sketch setup amortized per actor); ``None``
+    falls back to stateless tasks. The partials dataset is tiny (one ~KB
+    row per input batch), so ``take_all`` here is not a materialization
+    of the input."""
+    if concurrency is None:
+        partial_ds = ds.map_batches(
+            ProfileActor(spec),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            zero_copy_batch=True,
+        )
+    else:
+        partial_ds = ds.map_batches(
+            ProfileActor,
+            fn_constructor_args=(spec,),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            zero_copy_batch=True,
+            concurrency=concurrency,
+        )
+    partials = [pickle.loads(row["partial"]) for row in partial_ds.take_all()]
+    return merge_profiles(partials)

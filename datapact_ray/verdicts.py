@@ -1,0 +1,351 @@
+"""Verdict arithmetic + payload assembly, faithful to the reference.
+
+Every tolerance rule, NULL-propagation quirk, payload alias and formatted
+string reproduces ``/root/reference/datapact/templates/validation.sql.j2``
+(cited per function). Deliberately-kept reference quirks:
+
+* count check: relative diff uses the **source** count as denominator and
+  ``COALESCE(.. / NULLIF(source,0), 0)`` — so ``source == 0`` PASSES even
+  when target has rows (``validation.sql.j2:334-336,440``).
+* agg check: if either side's aggregate is NULL the diff is NULL which
+  coalesces to 0 → PASS (``validation.sql.j2:39-48,461``).
+* null check has two modes — with PKs (exact-zero rule, diff vs source,
+  ``:370-375``) and without PKs (COALESCE form with 100% display when
+  exactly one side is zero, ``:367,375,453-455``).
+* row-hash compare counts mismatches over the INNER join only; rows
+  missing on either side are not mismatches (``:195-219``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from .identifiers import fmt_number, fmt_percent
+
+PASS = "PASS"
+FAIL = "FAIL"
+
+
+@dataclass
+class CheckVerdict:
+    alias: str
+    passed: bool
+    payload: dict[str, Any]
+
+
+def _status(ok: bool) -> str:
+    return PASS if ok else FAIL
+
+
+def count_verdict(source_count: int, target_count: int, tolerance: float) -> CheckVerdict:
+    """``validation.sql.j2:329-337,440`` — denominator = source, s=0 ⇒ 0."""
+    rel = abs(source_count - target_count) / source_count if source_count else 0.0
+    ok = rel <= tolerance
+    return CheckVerdict(
+        alias="count_validation",
+        passed=ok,
+        payload={
+            "source_count": fmt_number(source_count, 0),
+            "target_count": fmt_number(target_count, 0),
+            "relative_diff_percent": fmt_percent(rel),
+            "tolerance_percent": fmt_percent(tolerance),
+            "status": _status(ok),
+        },
+    )
+
+
+def row_hash_verdict(
+    total_compared_rows: int, mismatch_count: int, tolerance: float | None
+) -> CheckVerdict:
+    """``validation.sql.j2:341-349,443`` — tolerance defaults to 0.0."""
+    tol = tolerance if tolerance is not None else 0.0
+    rel = mismatch_count / total_compared_rows if total_compared_rows else 0.0
+    ok = rel <= tol
+    return CheckVerdict(
+        alias="row_hash_validation",
+        passed=ok,
+        payload={
+            "compared_rows": fmt_number(total_compared_rows, 0),
+            "mismatch_count": fmt_number(mismatch_count, 0),
+            "mismatch_percent": fmt_percent(rel),
+            "tolerance_percent": fmt_percent(tol),
+            "status": _status(ok),
+        },
+    )
+
+
+def null_verdict(
+    column: str,
+    source_nulls: int,
+    target_nulls: int,
+    tolerance: float,
+    with_primary_keys: bool,
+) -> CheckVerdict:
+    """Dual-mode null rule, ``validation.sql.j2:353-378,445-457``."""
+    if with_primary_keys:
+        # `:360-365` display; `:370-375` pass rule
+        if source_nulls == 0:
+            rel_display = 0.0 if target_nulls == 0 else 1.0
+            ok = target_nulls == 0
+        else:
+            rel = abs(source_nulls - target_nulls) / source_nulls
+            rel_display = rel
+            ok = rel <= tolerance
+    else:
+        # `:367` display; `:375,453-455` pass rule
+        if source_nulls == 0 and target_nulls > 0:
+            rel_display = 1.0
+        elif target_nulls == 0 and source_nulls > 0:
+            rel_display = 1.0
+        else:
+            rel_display = (
+                abs(target_nulls - source_nulls) / source_nulls if source_nulls else 0.0
+            )
+        if source_nulls == 0:
+            ok = target_nulls == 0
+        else:
+            ok = abs(target_nulls - source_nulls) / source_nulls <= tolerance
+    return CheckVerdict(
+        alias=f"null_validation_{column}",
+        passed=ok,
+        payload={
+            "source_nulls": fmt_number(source_nulls, 0),
+            "target_nulls": fmt_number(target_nulls, 0),
+            "relative_diff_percent": fmt_percent(rel_display),
+            "tolerance_percent": fmt_percent(tolerance),
+            "status": _status(ok),
+        },
+    )
+
+
+def agg_rel_diff(source_value: float | None, target_value: float | None) -> float | None:
+    """Symmetric relative diff, ``validation.sql.j2:39-48``.
+
+    NULL if either side NULL; 0 if equal or both magnitudes zero; else
+    ``abs(s - t) / max(abs(s), abs(t))``.
+    """
+    if source_value is None or target_value is None:
+        return None
+    if source_value == target_value:
+        return 0.0
+    denom = max(abs(source_value), abs(target_value))
+    if denom == 0:
+        return 0.0
+    return abs(source_value - target_value) / denom
+
+
+def agg_verdict(
+    column: str,
+    agg: str,
+    source_value: float | None,
+    target_value: float | None,
+    tolerance: float,
+) -> CheckVerdict:
+    """``validation.sql.j2:381-394,458-464`` — NULL diff coalesces to 0 ⇒ PASS."""
+    rel = agg_rel_diff(source_value, target_value)
+    ok = (rel if rel is not None else 0.0) <= tolerance
+    return CheckVerdict(
+        alias=f"agg_validation_{column}_{agg.upper()}",
+        passed=ok,
+        payload={
+            "source_value": fmt_number(source_value, 2),
+            "target_value": fmt_number(target_value, 2),
+            "relative_diff_percent": fmt_percent(rel),
+            "tolerance_percent": fmt_percent(tolerance),
+            "status": _status(ok),
+        },
+    )
+
+
+def uniqueness_verdict(
+    columns: list[str],
+    source_count: int,
+    source_distinct: int,
+    target_count: int,
+    target_distinct: int,
+    tolerance: float,
+) -> CheckVerdict:
+    """``validation.sql.j2:397-411,465-470`` — both sides' dupe ratio ≤ tol."""
+    src_dupes = source_count - source_distinct
+    tgt_dupes = target_count - target_distinct
+    src_ratio = src_dupes / source_count if source_count else 0.0
+    tgt_ratio = tgt_dupes / target_count if target_count else 0.0
+    ok = src_ratio <= tolerance and tgt_ratio <= tolerance
+    return CheckVerdict(
+        alias="uniqueness_validation_" + "_".join(columns),
+        passed=ok,
+        payload={
+            "source_duplicates": fmt_number(src_dupes, 0),
+            "target_duplicates": fmt_number(tgt_dupes, 0),
+            "source_dupe_percent": fmt_percent(src_ratio),
+            "target_dupe_percent": fmt_percent(tgt_ratio),
+            "tolerance_percent": fmt_percent(tolerance),
+            "status": _status(ok),
+        },
+    )
+
+
+def custom_check_verdict(
+    slug: str,
+    name: str,
+    description: str | None,
+    input_sql_template: str,
+    rendered_source_sql: str,
+    rendered_target_sql: str,
+    source_row_count: int,
+    target_row_count: int,
+    rows_missing_in_target: int,
+    rows_missing_in_source: int,
+    sample_missing_in_target: str | None,
+    sample_missing_in_source: str | None,
+    source_hash: str,
+    target_hash: str,
+) -> CheckVerdict:
+    """``validation.sql.j2:414-433,471-476``."""
+    ok = (
+        rows_missing_in_target == 0
+        and rows_missing_in_source == 0
+        and (source_hash or "EMPTY") == (target_hash or "EMPTY")
+    )
+    return CheckVerdict(
+        alias=f"custom_sql_validation_{slug}",
+        passed=ok,
+        payload={
+            "name": name,
+            "description": description,
+            "input_sql_template": input_sql_template,
+            "rendered_source_sql": rendered_source_sql,
+            "rendered_target_sql": rendered_target_sql,
+            "source_row_count": fmt_number(source_row_count, 0),
+            "target_row_count": fmt_number(target_row_count, 0),
+            "rows_missing_in_target": fmt_number(rows_missing_in_target, 0),
+            "rows_missing_in_source": fmt_number(rows_missing_in_source, 0),
+            "sample_missing_in_target": sample_missing_in_target,
+            "sample_missing_in_source": sample_missing_in_source,
+            "status": _status(ok),
+        },
+    )
+
+
+# ---- transcript-engine checks (new vs reference; BASELINE.json) ----
+
+
+def compare_columns_verdict(
+    columns: list[str],
+    total_compared_rows: int,
+    mismatch_count: int,
+    tolerance: float,
+) -> CheckVerdict:
+    """Per-matched-pair column equality (e.g. per-turn text equality under
+    stable (conv_id, turn_idx) ordering). Same arithmetic as row-hash."""
+    rel = mismatch_count / total_compared_rows if total_compared_rows else 0.0
+    ok = rel <= tolerance
+    return CheckVerdict(
+        alias="compare_validation_" + "_".join(columns),
+        passed=ok,
+        payload={
+            "compared_rows": fmt_number(total_compared_rows, 0),
+            "mismatch_count": fmt_number(mismatch_count, 0),
+            "mismatch_percent": fmt_percent(rel),
+            "tolerance_percent": fmt_percent(tolerance),
+            "status": _status(ok),
+        },
+    )
+
+
+def ordering_verdict(
+    group_column: str,
+    groups_checked: int,
+    contiguity_violations: int,
+    monotonicity_violations: int,
+) -> CheckVerdict:
+    bad = contiguity_violations + monotonicity_violations
+    ok = bad == 0
+    return CheckVerdict(
+        alias=f"ordering_validation_{group_column}",
+        passed=ok,
+        payload={
+            "groups_checked": fmt_number(groups_checked, 0),
+            "contiguity_violations": fmt_number(contiguity_violations, 0),
+            "monotonicity_violations": fmt_number(monotonicity_violations, 0),
+            "status": _status(ok),
+        },
+    )
+
+
+def referential_verdict(
+    columns: list[str],
+    side: str,
+    probed_rows: int,
+    orphan_rows: int,
+    tolerance: float,
+) -> CheckVerdict:
+    rel = orphan_rows / probed_rows if probed_rows else 0.0
+    ok = rel <= tolerance
+    return CheckVerdict(
+        alias=f"referential_validation_{side}_" + "_".join(columns),
+        passed=ok,
+        payload={
+            "probed_rows": fmt_number(probed_rows, 0),
+            "orphan_rows": fmt_number(orphan_rows, 0),
+            "orphan_percent": fmt_percent(rel),
+            "tolerance_percent": fmt_percent(tolerance),
+            "status": _status(ok),
+        },
+    )
+
+
+def drift_verdict(
+    column: str,
+    metric: str,
+    statistic: float,
+    threshold: float,
+    derived: str = "value",
+) -> CheckVerdict:
+    ok = statistic <= threshold
+    suffix = f"{column}_{metric}" if derived == "value" else f"{derived}_{metric}"
+    return CheckVerdict(
+        alias=f"drift_validation_{suffix}",
+        passed=ok,
+        payload={
+            "metric": metric.upper(),
+            "statistic": f"{statistic:.6f}",
+            "threshold": f"{threshold:.6f}",
+            "status": _status(ok),
+        },
+    )
+
+
+@dataclass
+class TaskResult:
+    """Assembled per-task result mirroring the reference result row
+    (``/root/reference/datapact/client.py:306-317``) + violation refs."""
+
+    task_key: str
+    status: str
+    payload: dict[str, Any]
+    passed: bool
+    verdicts: list[CheckVerdict] = field(default_factory=list)
+
+
+def assemble_payload(
+    task_key: str,
+    applied_filter: str | None,
+    primary_keys: list[str] | None,
+    verdicts: list[CheckVerdict],
+) -> tuple[dict[str, Any], bool]:
+    """Payload struct ordering and top-level keys per
+    ``validation.sql.j2:322-436``; empty-suite message per ``:94-98``."""
+    payload: dict[str, Any] = {
+        "applied_filter": applied_filter,
+        "configured_primary_keys": ", ".join(primary_keys) if primary_keys else None,
+    }
+    if not verdicts:
+        payload["message"] = f"No validations configured for task {task_key}"
+        return payload, True
+    overall = True
+    for v in verdicts:
+        payload[v.alias] = v.payload
+        overall = overall and v.passed
+    return payload, overall
