@@ -1,0 +1,455 @@
+"""Operator demonstrations over the driver's TPC-H-ish tables.
+
+Each function here is one ``queries()`` entry in ``__ray_entry__.py``,
+exercising an engine operator from SURVEY.md §2 against
+``/root/testdata/sf*`` with an exact DuckDB-SQL oracle counterpart
+(FIXTURES.md F4). Column names match the oracle SQL exactly; floats are
+rounded to 4 decimals on both sides so the driver's value-hash compares
+stably.
+
+All pipelines are Ray-Data-first: pruned ``read_parquet``, vectorized
+``map_batches`` partials, small driver-side finalization — no
+``take_all`` on raw inputs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from ..io import read_table
+from ..stages.keyed import KeyedSpec, run_keyed_pass
+from ..stages.profile import ProfileSpec, run_profile
+from ..stages.referential import run_referential_pass
+
+
+def _r4(x: float | None) -> float | None:
+    return None if x is None else float(np.round(x, 4))
+
+
+def profile_orders(sf_dir: str) -> pd.DataFrame:
+    """G1/G2/G3 fused profile over orders (one scan)."""
+    ds = read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderstatus", "o_totalprice"]
+    )
+    spec = ProfileSpec(
+        null_columns=["o_orderstatus"],
+        agg_columns={"o_totalprice": {"SUM", "AVG", "MIN", "MAX"}},
+    )
+    p = run_profile(ds, spec)
+    return pd.DataFrame(
+        {
+            "order_count": [p.count],
+            "status_nulls": [p.nulls["o_orderstatus"]],
+            "sum_total": [_r4(p.agg_value("o_totalprice", "SUM"))],
+            "avg_total": [_r4(p.agg_value("o_totalprice", "AVG"))],
+            "min_total": [_r4(p.agg_value("o_totalprice", "MIN"))],
+            "max_total": [_r4(p.agg_value("o_totalprice", "MAX"))],
+        }
+    )
+
+
+def agg_lineitem(sf_dir: str) -> pd.DataFrame:
+    """G3 aggregates over two lineitem columns in one fused scan."""
+    ds = read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice", "l_quantity"]
+    )
+    spec = ProfileSpec(
+        agg_columns={
+            "l_extendedprice": {"SUM", "AVG", "MIN", "MAX"},
+            "l_quantity": {"SUM", "AVG"},
+        }
+    )
+    p = run_profile(ds, spec)
+    return pd.DataFrame(
+        {
+            "sum_price": [_r4(p.agg_value("l_extendedprice", "SUM"))],
+            "avg_price": [_r4(p.agg_value("l_extendedprice", "AVG"))],
+            "min_price": [_r4(p.agg_value("l_extendedprice", "MIN"))],
+            "max_price": [_r4(p.agg_value("l_extendedprice", "MAX"))],
+            "sum_qty": [_r4(p.agg_value("l_quantity", "SUM"))],
+            "avg_qty": [_r4(p.agg_value("l_quantity", "AVG"))],
+        }
+    )
+
+
+def uniqueness_lineitem(sf_dir: str) -> pd.DataFrame:
+    """G4/E3 composite-key uniqueness via the bucketed keyed pass."""
+    keys = ["l_orderkey", "l_linenumber"]
+    ds = read_table(f"{sf_dir}/lineitem.parquet", columns=keys)
+    spec = KeyedSpec(key_columns=keys, uniqueness=True, num_buckets=32)
+    m = run_keyed_pass(ds, None, spec, task_key="uniqueness_lineitem")
+    return pd.DataFrame(
+        {
+            "row_count": [m.uniq_count[0]],
+            "distinct_keys": [m.uniq_distinct[0]],
+            "duplicate_rows": [m.uniq_count[0] - m.uniq_distinct[0]],
+        }
+    )
+
+
+def referential_orders_customer(sf_dir: str) -> pd.DataFrame:
+    """J2/A2 referential: every o_custkey must exist in customer."""
+    probe = read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    dim = read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    m = run_referential_pass(probe, dim, ["o_custkey"], ["c_custkey"])
+    return pd.DataFrame(
+        {"probed_rows": [m.probed_rows], "orphan_rows": [m.orphan_rows]}
+    )
+
+
+def referential_lineitem_orders(sf_dir: str) -> pd.DataFrame:
+    probe = read_table(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+    dim = read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+    m = run_referential_pass(probe, dim, ["l_orderkey"], ["o_orderkey"])
+    return pd.DataFrame(
+        {"probed_rows": [m.probed_rows], "orphan_rows": [m.orphan_rows]}
+    )
+
+
+FILTER_EVENTS = "event_type = 'click' AND value > 10"
+
+
+def filter_events_agg(sf_dir: str) -> pd.DataFrame:
+    """S2/M3 filter pushdown to Parquet row groups + fused profile."""
+    ds = read_table(
+        f"{sf_dir}/events.parquet", columns=["value"], filter_sql=FILTER_EVENTS
+    )
+    p = run_profile(ds, ProfileSpec(agg_columns={"value": {"SUM", "AVG"}}))
+    return pd.DataFrame(
+        {
+            "n_events": [p.count],
+            "sum_value": [_r4(p.agg_value("value", "SUM"))],
+            "avg_value": [_r4(p.agg_value("value", "AVG"))],
+        }
+    )
+
+
+def ts_stats_events(sf_dir: str) -> pd.DataFrame:
+    """Timestamp stats as epoch microseconds (drift-check inputs)."""
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        e = batch.column("ts").cast(pa.int64())
+        return pd.DataFrame(
+            {
+                "n": [batch.num_rows],
+                "mn": [pc.min(e).as_py()],
+                "mx": [pc.max(e).as_py()],
+                "sm": [pc.sum(e).as_py()],
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    df = parts.to_pandas()
+    n = int(df["n"].sum())
+    return pd.DataFrame(
+        {
+            "n_events": [n],
+            "min_epoch_us": [int(df["mn"].min())],
+            "max_epoch_us": [int(df["mx"].max())],
+            "avg_epoch_us": [_r4(float(df["sm"].sum()) / n)],
+        }
+    )
+
+
+def rowhash_customer_self(sf_dir: str) -> pd.DataFrame:
+    """J1 PK row-hash compare of a table with itself ⇒ 0 mismatches."""
+    path = f"{sf_dir}/customer.parquet"
+    ds1 = read_table(path)
+    ds2 = read_table(path)
+    spec = KeyedSpec(key_columns=["c_custkey"], row_hash=True, num_buckets=32)
+    m = run_keyed_pass(ds1, ds2, spec, task_key="rowhash_customer_self")
+    return pd.DataFrame(
+        {
+            "compared_rows": [m.total_compared_rows],
+            "mismatch_count": [m.mismatch_count],
+        }
+    )
+
+
+def groupby_lineitem_returnflag(sf_dir: str) -> pd.DataFrame:
+    """Wide groupby rollup (Ray native hash aggregate)."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+    out = (
+        ds.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Mean("l_extendedprice", alias_name="avg_price"),
+            Count(alias_name="cnt"),
+        )
+        .to_pandas()
+    )
+    out["sum_qty"] = out["sum_qty"].map(_r4)
+    out["avg_price"] = out["avg_price"].map(_r4)
+    out["cnt"] = out["cnt"].astype("int64")
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def topk_orders(sf_dir: str) -> pd.DataFrame:
+    """O2 sort + limit: top 10 orders by total price (deterministic
+    tie-break on o_orderkey)."""
+    ds = read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    top = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+    df = top.to_pandas()
+    df["o_totalprice"] = df["o_totalprice"].map(_r4)
+    return df
+
+
+def distinct_event_types(sf_dir: str) -> pd.DataFrame:
+    """E4 distinct values via shuffle groupby."""
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["event_type"])
+    vals = sorted(ds.unique("event_type"))
+    return pd.DataFrame({"event_type": vals})
+
+
+def nations_per_region(sf_dir: str) -> pd.DataFrame:
+    """Broadcast join: tiny dim (region) shipped once via ray.put, looked
+    up inside map_batches — no shuffle (SURVEY.md §2.4 guidance)."""
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    lookup_ref = ray.put(dict(zip(region["r_regionkey"], region["r_name"])))
+
+    def join_batch(batch: pa.Table) -> pd.DataFrame:
+        lookup = ray.get(lookup_ref)
+        df = batch.to_pandas()
+        df["r_name"] = df["n_regionkey"].map(lookup)
+        return df[["r_name"]]
+
+    ds = read_table(f"{sf_dir}/nation.parquet", columns=["n_regionkey"])
+    out = (
+        ds.map_batches(join_batch, batch_format="pyarrow")
+        .groupby("r_name")
+        .count()
+        .to_pandas()
+    )
+    out = out.rename(columns={"count()": "n_nations"})
+    out["n_nations"] = out["n_nations"].astype("int64")
+    return out.sort_values("r_name").reset_index(drop=True)
+
+
+def drift_psi_events(sf_dir: str) -> pd.DataFrame:
+    """Exact fixed-bin PSI between the 'click' and 'view' populations of
+    events.value — the SQL-checkable variant of the drift check (the
+    engine's t-digest PSI is the streaming variant; this one uses exact
+    histogram counts so DuckDB can replicate it bit-for-bit).
+
+    Formula: 10 equal-width bins over the global [min, max] of value;
+    p/q clipped to 1e-6; psi = Σ (p - q) * ln(p / q).
+    """
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    p = run_profile(ds, ProfileSpec(agg_columns={"value": {"MIN", "MAX"}}))
+    lo, hi = p.agg_value("value", "MIN"), p.agg_value("value", "MAX")
+    width = (hi - lo) / 10.0
+
+    def hist(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        out = []
+        for etype in ("click", "view"):
+            v = df.loc[df["event_type"] == etype, "value"].to_numpy()
+            if len(v) == 0:
+                continue
+            b = np.clip(((v - lo) / width).astype(np.int64), 0, 9)
+            cnt = np.bincount(b, minlength=10)
+            out.append(
+                pd.DataFrame(
+                    {"etype": etype, "bin": np.arange(10), "cnt": cnt}
+                )
+            )
+        if not out:
+            return pd.DataFrame({"etype": [], "bin": [], "cnt": []})
+        return pd.concat(out, ignore_index=True)
+
+    from ray.data.aggregate import Sum
+
+    hists = (
+        ds.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["etype", "bin"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    piv = hists.pivot_table(index="bin", columns="etype", values="cnt", fill_value=0)
+    pa_ = np.clip(
+        piv.get("click", pd.Series(0, index=piv.index)).to_numpy(float)
+        / max(piv.get("click", pd.Series(0)).sum(), 1),
+        1e-6,
+        None,
+    )
+    pb_ = np.clip(
+        piv.get("view", pd.Series(0, index=piv.index)).to_numpy(float)
+        / max(piv.get("view", pd.Series(0)).sum(), 1),
+        1e-6,
+        None,
+    )
+    psi = float(np.sum((pa_ - pb_) * np.log(pa_ / pb_)))
+    return pd.DataFrame({"psi": [_r4(psi)]})
+
+
+def custom_orders_by_status(sf_dir: str) -> pd.DataFrame:
+    """J3/E1 custom-check multiset diff: same query on the same table on
+    both sides ⇒ zero diffs and equal hashes."""
+    from ..stages.custom import run_custom_check
+
+    files = [f"{sf_dir}/orders.parquet"]
+    m = run_custom_check(
+        "SELECT o_orderstatus, COUNT(*) AS n FROM {{ table_fqn }} "
+        "GROUP BY o_orderstatus",
+        files,
+        files,
+    )
+    return pd.DataFrame(
+        {
+            "source_row_count": [m.source_row_count],
+            "target_row_count": [m.target_row_count],
+            "rows_missing_in_target": [m.rows_missing_in_target],
+            "rows_missing_in_source": [m.rows_missing_in_source],
+            "hashes_equal": [int(m.source_hash == m.target_hash)],
+        }
+    )
+
+
+ORACLE_SQL: dict[str, str] = {
+    "profile_orders": """
+        SELECT COUNT(*) AS order_count,
+               SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS status_nulls,
+               ROUND(SUM(o_totalprice), 4) AS sum_total,
+               ROUND(AVG(o_totalprice), 4) AS avg_total,
+               ROUND(MIN(o_totalprice), 4) AS min_total,
+               ROUND(MAX(o_totalprice), 4) AS max_total
+        FROM orders
+    """,
+    "agg_lineitem": """
+        SELECT ROUND(SUM(l_extendedprice), 4) AS sum_price,
+               ROUND(AVG(l_extendedprice), 4) AS avg_price,
+               ROUND(MIN(l_extendedprice), 4) AS min_price,
+               ROUND(MAX(l_extendedprice), 4) AS max_price,
+               ROUND(SUM(l_quantity), 4) AS sum_qty,
+               ROUND(AVG(l_quantity), 4) AS avg_qty
+        FROM lineitem
+    """,
+    "uniqueness_lineitem": """
+        SELECT COUNT(*) AS row_count,
+               COUNT(DISTINCT (l_orderkey, l_linenumber)) AS distinct_keys,
+               COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS duplicate_rows
+        FROM lineitem
+    """,
+    "referential_orders_customer": """
+        SELECT (SELECT COUNT(*) FROM orders) AS probed_rows,
+               (SELECT COUNT(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey)) AS orphan_rows
+    """,
+    "referential_lineitem_orders": """
+        SELECT (SELECT COUNT(*) FROM lineitem) AS probed_rows,
+               (SELECT COUNT(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey)) AS orphan_rows
+    """,
+    "filter_events_agg": f"""
+        SELECT COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS sum_value,
+               ROUND(AVG(value), 4) AS avg_value
+        FROM events WHERE {FILTER_EVENTS}
+    """,
+    "ts_stats_events": """
+        SELECT COUNT(*) AS n_events,
+               MIN(epoch_us(ts)) AS min_epoch_us,
+               MAX(epoch_us(ts)) AS max_epoch_us,
+               ROUND(AVG(epoch_us(ts)), 4) AS avg_epoch_us
+        FROM events
+    """,
+    "rowhash_customer_self": """
+        SELECT COUNT(*) AS compared_rows,
+               SUM(CASE WHEN a.c_name IS DISTINCT FROM b.c_name
+                         OR a.c_nationkey IS DISTINCT FROM b.c_nationkey
+                         OR a.c_acctbal IS DISTINCT FROM b.c_acctbal
+                         OR a.c_mktsegment IS DISTINCT FROM b.c_mktsegment
+                    THEN 1 ELSE 0 END) AS mismatch_count
+        FROM customer a JOIN customer b ON a.c_custkey = b.c_custkey
+    """,
+    "groupby_lineitem_returnflag": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 4) AS sum_qty,
+               ROUND(AVG(l_extendedprice), 4) AS avg_price,
+               COUNT(*) AS cnt
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "topk_orders": """
+        SELECT o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 10
+    """,
+    "distinct_event_types": """
+        SELECT DISTINCT event_type FROM events ORDER BY event_type
+    """,
+    "nations_per_region": """
+        SELECT r.r_name, COUNT(*) AS n_nations
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name ORDER BY r.r_name
+    """,
+    "drift_psi_events": """
+        WITH bounds AS (
+            SELECT MIN(value) AS lo, MAX(value) AS hi,
+                   (MAX(value) - MIN(value)) / 10.0 AS width
+            FROM events
+        ),
+        binned AS (
+            SELECT event_type,
+                   LEAST(GREATEST(CAST(FLOOR((value - lo) / width) AS BIGINT), 0), 9) AS bin
+            FROM events, bounds
+            WHERE event_type IN ('click', 'view')
+        ),
+        counts AS (
+            SELECT b.bin,
+                   SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c_click,
+                   SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c_view
+            FROM binned b GROUP BY b.bin
+        ),
+        probs AS (
+            SELECT GREATEST(c_click * 1.0 / (SELECT SUM(c_click) FROM counts), 0.000001) AS p,
+                   GREATEST(c_view * 1.0 / (SELECT SUM(c_view) FROM counts), 0.000001) AS q
+            FROM counts
+        )
+        SELECT ROUND(SUM((p - q) * LN(p / q)), 4) AS psi FROM probs
+    """,
+    "custom_orders_by_status": """
+        SELECT (SELECT COUNT(*) FROM (SELECT o_orderstatus, COUNT(*) AS n
+                                      FROM orders GROUP BY o_orderstatus)) AS source_row_count,
+               (SELECT COUNT(*) FROM (SELECT o_orderstatus, COUNT(*) AS n
+                                      FROM orders GROUP BY o_orderstatus)) AS target_row_count,
+               0 AS rows_missing_in_target,
+               0 AS rows_missing_in_source,
+               1 AS hashes_equal
+    """,
+}
+
+QUERIES = {
+    "profile_orders": profile_orders,
+    "agg_lineitem": agg_lineitem,
+    "uniqueness_lineitem": uniqueness_lineitem,
+    "referential_orders_customer": referential_orders_customer,
+    "referential_lineitem_orders": referential_lineitem_orders,
+    "filter_events_agg": filter_events_agg,
+    "ts_stats_events": ts_stats_events,
+    "rowhash_customer_self": rowhash_customer_self,
+    "groupby_lineitem_returnflag": groupby_lineitem_returnflag,
+    "topk_orders": topk_orders,
+    "distinct_event_types": distinct_event_types,
+    "nations_per_region": nations_per_region,
+    "drift_psi_events": drift_psi_events,
+    "custom_orders_by_status": custom_orders_by_status,
+}
