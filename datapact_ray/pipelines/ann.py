@@ -1,0 +1,134 @@
+"""Similarity search over the ``embeddings`` table.
+
+* ``ann_topk_embeddings`` — exact brute-force cosine top-k: the query
+  vector is broadcast via ``ray.put`` once; each batch does one numpy
+  matmul and emits its local top-k; a tiny global sort+limit finishes.
+  DuckDB oracle via ``list_cosine_similarity``.
+* ``ann_lsh_embeddings`` — the scale path: hyperplane-LSH bucketing
+  restricts the scan to the query's bucket neighborhood (rows-only
+  check; recall measured against the brute-force baseline).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+from ..io import read_table
+
+
+def _query_vector(sf_dir: str, vec_id: int = 0) -> np.ndarray:
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = t.to_pandas()
+    row = df[df["vec_id"] == vec_id].iloc[0]
+    return np.asarray(row["embedding"], dtype=np.float64)
+
+
+class BruteForceScorer:
+    """Actor: query matrix fetched from the object store once per actor;
+    per-batch scoring is one matmul."""
+
+    def __init__(self, query_ref, k: int, exclude_id: int):
+        self.q = ray.get(query_ref)
+        self.qn = np.linalg.norm(self.q)
+        self.k = k
+        self.exclude_id = exclude_id
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1).clip(min=1e-12)
+        cos = (mat @ self.q) / (norms * self.qn)
+        out = pd.DataFrame(
+            {"vec_id": df["vec_id"], "cos": np.round(cos, 4)}
+        )
+        out = out[out["vec_id"] != self.exclude_id]
+        # local top-k: only k rows per batch reach the global sort
+        return out.sort_values(["cos", "vec_id"], ascending=[False, True]).head(self.k)
+
+
+def ann_topk_embeddings(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Exact cosine top-k for the vec_id=0 query vector."""
+    q_ref = ray.put(_query_vector(sf_dir, 0))
+    ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    scored = ds.map_batches(
+        BruteForceScorer,
+        fn_constructor_args=(q_ref, k, 0),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=8192,
+        concurrency=(1, 8),
+    )
+    top = scored.sort(["cos", "vec_id"], descending=[True, False]).limit(k)
+    df = top.to_pandas().reset_index(drop=True)
+    df["vec_id"] = df["vec_id"].astype("int64")
+    return df
+
+
+def ann_lsh_embeddings(sf_dir: str, k: int = 10, bits: int = 8) -> pd.DataFrame:
+    """LSH-restricted ANN (rows-only): score only vectors whose
+    hyperplane signature is within Hamming distance 1 of the query's;
+    report recall@k vs the exact baseline."""
+    rng = np.random.default_rng(777)
+    q = _query_vector(sf_dir, 0)
+    planes = rng.standard_normal((len(q), bits))
+    q_sig = int((q @ planes > 0).astype(np.uint32) @ (1 << np.arange(bits, dtype=np.uint32)))
+    near = {q_sig} | {q_sig ^ (1 << b) for b in range(bits)}
+    q_ref = ray.put(q)
+    planes_ref = ray.put(planes)
+
+    class LshScorer:
+        def __init__(self):
+            self.q = ray.get(q_ref)
+            self.planes = ray.get(planes_ref)
+            self.qn = np.linalg.norm(self.q)
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            df = batch.to_pandas()
+            mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            sig = (mat @ self.planes > 0).astype(np.uint32) @ (
+                1 << np.arange(self.planes.shape[1], dtype=np.uint32)
+            )
+            mask = np.isin(sig, list(near)) & (df["vec_id"].to_numpy() != 0)
+            if not mask.any():
+                return pd.DataFrame({"vec_id": [], "cos": []})
+            sub = mat[mask]
+            norms = np.linalg.norm(sub, axis=1).clip(min=1e-12)
+            cos = (sub @ self.q) / (norms * self.qn)
+            return pd.DataFrame(
+                {"vec_id": df["vec_id"].to_numpy()[mask], "cos": np.round(cos, 4)}
+            ).sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
+
+    ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    scored = ds.map_batches(
+        LshScorer, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=8192, concurrency=(1, 4),
+    )
+    approx = scored.sort(["cos", "vec_id"], descending=[True, False]).limit(k).to_pandas()
+    exact = ann_topk_embeddings(sf_dir, k)
+    recall = len(set(approx["vec_id"]).intersection(exact["vec_id"])) / max(k, 1)
+    return pd.DataFrame(
+        {"scanned_topk": [len(approx)], "recall_at_k": [round(recall, 4)]}
+    )
+
+
+QUERIES = {
+    "ann_topk_embeddings": ann_topk_embeddings,
+    "ann_lsh_embeddings": ann_lsh_embeddings,
+}
+
+ORACLE_SQL = {
+    "ann_topk_embeddings": """
+        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id,
+               ROUND(list_cosine_similarity(embedding, (SELECT qe FROM q)), 4) AS cos
+        FROM embeddings
+        WHERE vec_id <> 0
+        ORDER BY cos DESC, vec_id ASC
+        LIMIT 10
+    """,
+    # ann_lsh_embeddings: approximate engine-defined op, rows-only.
+}

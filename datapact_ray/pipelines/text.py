@@ -1,0 +1,233 @@
+"""Text-analysis stages for large-scale training-data pipelines.
+
+Actor-pool ``map_batches`` stages over the ``documents`` table: token
+counting (whitespace + a BPE-ish regex), quality scoring (length / punct
+/ stopword ratios), language-ID (stopword n-gram heuristic), and
+document fingerprinting (rolling-hash winnowing). Regexes compile once
+per actor in ``__init__``; per-batch work uses pandas' C string kernels.
+
+SQL-checkable definitions (kept deliberately oracle-matching):
+
+* ``ws_tokens`` = number of single-space separators + 1
+  (= ``LENGTH(text) - LENGTH(REPLACE(text,' ','')) + 1``)
+* ``re_tokens`` = count of ``\\w+|[^\\w\\s]`` matches
+  (= ``len(regexp_extract_all(text, ...))``)
+* ``punct_chars`` = count of ``[^\\w\\s]`` characters.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..io import read_table
+
+_TOKEN_RE = r"\w+|[^\w\s]"
+_PUNCT_RE = r"[^\w\s]"
+
+STOPWORDS = {
+    "en": {"the", "a", "and", "of", "to", "in", "is", "it", "that", "for"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "zu", "den", "mit", "von"},
+    "fr": {"le", "la", "les", "et", "de", "un", "une", "est", "que", "pour"},
+    "es": {"el", "la", "los", "y", "de", "un", "una", "es", "que", "por"},
+}
+
+
+class TextFeaturizer:
+    """Stateful featurizer: regexes + stopword sets compiled once per
+    actor; batches flow through vectorized pandas string kernels."""
+
+    def __init__(self):
+        self.token_re = re.compile(_TOKEN_RE)
+        self.word_re = re.compile(r"\w+")
+        self.stop = {lang: frozenset(ws) for lang, ws in STOPWORDS.items()}
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        text = df["text"].astype(str)
+        out = pd.DataFrame({"doc_id": df["doc_id"]})
+        if "lang" in df.columns:
+            out["lang"] = df["lang"]
+        if "source" in df.columns:
+            out["source"] = df["source"]
+        out["n_chars"] = text.str.len().astype("int64")
+        out["ws_tokens"] = (text.str.count(" ") + 1).astype("int64")
+        out["re_tokens"] = text.str.count(_TOKEN_RE).astype("int64")
+        out["punct_chars"] = text.str.count(_PUNCT_RE).astype("int64")
+        # stopword ratio + langid: one pass over lowered word lists
+        words = text.str.lower().str.findall(self.word_re)
+        ratios = np.zeros(len(df))
+        langs = []
+        for i, ws in enumerate(words):
+            n = max(1, len(ws))
+            best_lang, best_hits, total_hits = "unk", 0, 0
+            for lang, sw in self.stop.items():
+                hits = sum(1 for w in ws if w in sw)
+                total_hits += hits
+                if hits > best_hits:
+                    best_lang, best_hits = lang, hits
+            ratios[i] = total_hits / n
+            langs.append(best_lang if best_hits > 0 else "unk")
+        out["stop_ratio"] = ratios
+        out["lang_pred"] = langs
+        # quality score: bounded combination of length/punct/stopword signals
+        length_score = np.clip(out["n_chars"] / 500.0, 0, 1)
+        punct_pen = np.clip(
+            out["punct_chars"] / out["n_chars"].clip(lower=1), 0, 1
+        )
+        out["quality_score"] = np.round(
+            0.5 * length_score + 0.3 * (1 - punct_pen) + 0.2 * np.clip(ratios * 5, 0, 1),
+            6,
+        )
+        return out
+
+
+class Fingerprinter:
+    """Rolling-hash document fingerprint (winnowing-lite): crc32 over
+    5-token shingles, fingerprint = minimum shingle hash. Deterministic
+    across processes (crc32, not PYTHONHASHSEED)."""
+
+    def __init__(self, shingle: int = 5):
+        self.shingle = shingle
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        fps = np.empty(len(df), dtype=np.int64)
+        w = self.shingle
+        for i, t in enumerate(df["text"].astype(str)):
+            toks = t.split()
+            if len(toks) < w:
+                fps[i] = zlib.crc32(" ".join(toks).encode())
+            else:
+                fps[i] = min(
+                    zlib.crc32(" ".join(toks[j : j + w]).encode())
+                    for j in range(len(toks) - w + 1)
+                )
+        return pd.DataFrame({"doc_id": df["doc_id"], "fingerprint": fps})
+
+
+def _featurized(sf_dir: str, columns: list[str]):
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=columns)
+    return ds.map_batches(
+        TextFeaturizer,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+
+
+def text_stats_documents(sf_dir: str) -> pd.DataFrame:
+    """Per-language doc/token/char stats (oracle-matching definitions)."""
+    from ray.data.aggregate import Count, Sum
+
+    feats = _featurized(sf_dir, ["doc_id", "text", "lang"])
+    out = (
+        feats.groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("ws_tokens", alias_name="sum_tokens"),
+            Sum("n_chars", alias_name="sum_chars"),
+        )
+        .to_pandas()
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["sum_tokens"] = out["sum_tokens"].astype("int64")
+    out["avg_chars"] = np.round(out["sum_chars"] / out["n_docs"], 4)
+    out = out.drop(columns=["sum_chars"])
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def token_counts_documents(sf_dir: str) -> pd.DataFrame:
+    """Corpus token totals: whitespace + BPE-ish regex tokenization."""
+    from ray.data.aggregate import Sum
+
+    feats = _featurized(sf_dir, ["doc_id", "text"])
+    row = (
+        feats.aggregate(
+            Sum("ws_tokens", alias_name="total_ws_tokens"),
+            Sum("re_tokens", alias_name="total_re_tokens"),
+            Sum("punct_chars", alias_name="total_punct_chars"),
+        )
+    )
+    return pd.DataFrame(
+        {
+            "total_ws_tokens": [int(row["total_ws_tokens"])],
+            "total_re_tokens": [int(row["total_re_tokens"])],
+            "total_punct_chars": [int(row["total_punct_chars"])],
+        }
+    )
+
+
+def langid_documents(sf_dir: str) -> pd.DataFrame:
+    """Predicted-language distribution (heuristic; rows-only check —
+    the synthetic corpus has no real language signal)."""
+    feats = _featurized(sf_dir, ["doc_id", "text"])
+    out = feats.groupby("lang_pred").count().to_pandas()
+    out = out.rename(columns={"count()": "n_docs"})
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values("lang_pred").reset_index(drop=True)
+
+
+def quality_documents(sf_dir: str) -> pd.DataFrame:
+    """Mean quality score per source (rows-only; score is engine-defined)."""
+    from ray.data.aggregate import Count, Mean
+
+    feats = _featurized(sf_dir, ["doc_id", "text", "source"])
+    out = (
+        feats.groupby("source")
+        .aggregate(
+            Count(alias_name="n_docs"), Mean("quality_score", alias_name="avg_quality")
+        )
+        .to_pandas()
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["avg_quality"] = np.round(out["avg_quality"], 4)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def fingerprint_documents(sf_dir: str) -> pd.DataFrame:
+    """Distinct rolling-hash fingerprints (rows-only)."""
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    fps = ds.map_batches(
+        Fingerprinter,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+    distinct = fps.unique("fingerprint")
+    n_docs = fps.count()
+    return pd.DataFrame(
+        {"n_docs": [n_docs], "distinct_fingerprints": [len(distinct)]}
+    )
+
+
+QUERIES = {
+    "text_stats_documents": text_stats_documents,
+    "token_counts_documents": token_counts_documents,
+    "langid_documents": langid_documents,
+    "quality_documents": quality_documents,
+    "fingerprint_documents": fingerprint_documents,
+}
+
+ORACLE_SQL = {
+    "text_stats_documents": """
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS sum_tokens,
+               ROUND(SUM(LENGTH(text)) * 1.0 / COUNT(*), 4) AS avg_chars
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "token_counts_documents": r"""
+        SELECT SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS total_ws_tokens,
+               SUM(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS total_re_tokens,
+               SUM(len(regexp_extract_all(text, '[^\w\s]'))) AS total_punct_chars
+        FROM documents
+    """,
+    # langid / quality / fingerprint: engine-defined, not SQL-expressible
+}
