@@ -1,0 +1,211 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline transcript-validation suite + operator
+queries over $GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "e2e_validation_sec", "value": <total sec>, "unit": "sec",
+   "queries": {...per-stage sec...}, "sf": <sf>, "num_cpus": N,
+   "turns": T, "turns_per_sec": R}
+
+--scaling: runs the same bench in two fresh processes at
+RAY_GRAFT_CPUS=8 and 32 and reports throughput at both plus the scaling
+efficiency eff = (t8/t32)/(32/8)  (1.0 = linear). Evidence protocol for
+the north rule's two-cluster-size criterion (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_ROOT = os.environ.get("DATAPACT_BENCH_DIR", "/tmp/datapact_bench")
+
+
+def _sf_value() -> float:
+    base = os.path.basename(SF_DIR.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _ensure_transcripts(sf: float) -> dict[str, str]:
+    """Deterministic synthetic transcript pair sized ~10M*sf turns
+    (generation is cached and untimed)."""
+    from datapact_ray.datagen import write_fixture_pair
+
+    turns = max(10_000, int(10_000_000 * sf))
+    convs = turns // 8
+    out_dir = os.path.join(BENCH_ROOT, f"transcripts_{turns}")
+    marker = os.path.join(out_dir, "_READY")
+    paths = {
+        name: os.path.join(out_dir, name) for name in ("source", "target", "dim")
+    }
+    if not os.path.exists(marker):
+        write_fixture_pair(
+            out_dir,
+            n_convs=convs,
+            turns_per_conv=8,
+            hot_convs=2,
+            hot_turns=50_000,
+            n_files=32,
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return paths
+
+
+def _transcript_suite(paths: dict[str, str], results_dir: str):
+    from datapact_ray.config import (
+        DriftCheck,
+        OrderingCheck,
+        ReferentialCheck,
+        ValidationSuite,
+        ValidationTask,
+    )
+    from datapact_ray.runner import RunConfig, run_suite
+
+    suite = ValidationSuite(
+        validations=[
+            ValidationTask(
+                task_key="transcripts_bench",
+                source_path=paths["source"],
+                target_path=paths["target"],
+                primary_keys=["conv_id", "turn_idx"],
+                count_tolerance=0.01,
+                pk_row_hash_check=True,
+                hash_columns=["role", "text", "tool"],
+                null_validation_tolerance=1.0,
+                null_validation_columns=["tool"],
+                uniqueness_columns=["conv_id", "turn_idx"],
+                uniqueness_tolerance=1.0,
+                compare_columns=["text"],
+                ordering=OrderingCheck(),
+                referential=[
+                    ReferentialCheck(columns=["conv_id"], ref_path=paths["dim"],
+                                     tolerance=1.0)
+                ],
+                drift=[
+                    DriftCheck(column="ts", metric="psi", threshold=1.0),
+                    DriftCheck(column="ts", metric="ks", threshold=1.0),
+                ],
+            )
+        ]
+    )
+    return run_suite(suite, RunConfig(results_dir=results_dir, run_id=1))
+
+
+def run_bench() -> dict:
+    import ray
+    from ray.data import DataContext
+
+    sf = _sf_value()
+    paths = _ensure_transcripts(sf)
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from datapact_ray.io import count_rows
+    from datapact_ray.pipelines import ann, dedup, relational, text
+
+    turns = count_rows(paths["source"])
+
+    # warm OS page cache (untimed) so we measure compute + shuffle
+    count_rows(paths["target"])
+    for f in (f"{SF_DIR}/lineitem.parquet", f"{SF_DIR}/orders.parquet"):
+        with open(f, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn, *args):
+        t0 = time.perf_counter()
+        fn(*args)
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    results_dir = os.path.join(BENCH_ROOT, f"out_{NUM_CPUS}_{int(time.time())}")
+    timed("transcript_suite", _transcript_suite, paths, results_dir)
+
+    timed("profile_orders", relational.profile_orders, SF_DIR)
+    timed("agg_lineitem", relational.agg_lineitem, SF_DIR)
+    timed("uniqueness_lineitem", relational.uniqueness_lineitem, SF_DIR)
+    timed("referential_lineitem_orders", relational.referential_lineitem_orders, SF_DIR)
+    timed("groupby_lineitem_returnflag", relational.groupby_lineitem_returnflag, SF_DIR)
+    timed("topk_orders", relational.topk_orders, SF_DIR)
+    timed("drift_psi_events", relational.drift_psi_events, SF_DIR)
+    timed("text_stats_documents", text.text_stats_documents, SF_DIR)
+    timed("dedup_exact_documents", dedup.dedup_exact_documents, SF_DIR)
+    timed("minhash_dedup_documents", dedup.minhash_dedup_documents, SF_DIR)
+    timed("ann_topk_embeddings", ann.ann_topk_embeddings, SF_DIR)
+
+    ray.shutdown()
+
+    total = round(sum(timings.values()), 3)
+    suite_sec = timings["transcript_suite"]
+    return {
+        "metric": "e2e_validation_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "turns": int(turns),
+        "turns_per_sec": round(turns / suite_sec, 1) if suite_sec else None,
+    }
+
+
+def run_scaling() -> dict:
+    """Same job at two parallelism levels in fresh processes."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), PYTHONPATH=REPO)
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    thr_lo = lo["turns"] / lo["queries"]["transcript_suite"]
+    thr_hi = hi["turns"] / hi["queries"]["transcript_suite"]
+    eff_suite = (thr_hi / thr_lo) / (32 / 8)
+    eff_total = (lo["value"] / hi["value"]) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "suite_sec_8": lo["queries"]["transcript_suite"],
+        "suite_sec_32": hi["queries"]["transcript_suite"],
+        "turns_per_sec_8": round(thr_lo, 1),
+        "turns_per_sec_32": round(thr_hi, 1),
+        "scaling_efficiency_suite": round(eff_suite, 3),
+        "scaling_efficiency_total": round(eff_total, 3),
+        "sf": lo["sf"],
+        "turns": lo["turns"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,189 @@
+"""CLI: ``run`` / ``plan`` / ``init`` (reference
+``/root/reference/datapact/main.py:89-182``).
+
+* ``run`` executes a suite; exits nonzero when any task FAILs — the
+  engine's analog of the reference's per-task + aggregate ``RAISE_ERROR``
+  fail-fast (``validation.sql.j2:493``,
+  ``aggregate_results.sql.j2:223-228``). Also usable via
+  ``ray job submit -- python -m datapact_ray.cli run ...``.
+* ``plan`` validates the YAML and prints the compiled check plan
+  (stages, shuffle keys, estimated passes) without touching Ray.
+* ``init`` writes a transcript-oriented starter YAML (refuses to
+  overwrite without ``--force``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+DEFAULT_CONFIG_TEMPLATE = """\
+# datapact_ray validation suite
+# Each task compares a source parquet table against a target parquet table.
+validations:
+  - task_key: transcripts_core
+    source_path: /data/transcripts/source
+    target_path: /data/transcripts/target
+    primary_keys: [conv_id, turn_idx]
+    count_tolerance: 0.001
+    pk_row_hash_check: true
+    hash_columns: [role, text, tool]
+    null_validation_tolerance: 0.0
+    null_validation_columns: [tool]
+    uniqueness_columns: [conv_id, turn_idx]
+    uniqueness_tolerance: 0.0
+    compare_columns: [text]          # per-turn text equality
+    ordering:
+      group_column: conv_id
+      index_column: turn_idx
+      ts_column: ts
+    referential:
+      - columns: [conv_id]
+        ref_path: /data/conversations_dim
+    drift:
+      - {column: ts, metric: psi, threshold: 0.2}
+      - {column: ts, metric: ks, threshold: 0.1}
+    business_domain: AI Platform
+    business_owner: Data Quality
+    business_priority: Critical
+    expected_sla_hours: 4
+    estimated_impact_usd: 250000
+"""
+
+
+def _plan_lines(suite) -> list[str]:
+    lines = []
+    for t in suite.validations:
+        lines.append(f"task {t.task_key}: {t.source_path} vs {t.target_path}")
+        if t.filter:
+            lines.append(f"  filter: {t.filter} (pushed to parquet row groups)")
+        scan = []
+        if t.count_tolerance is not None:
+            scan.append("count")
+        if t.null_validation_columns and not t.primary_keys:
+            scan.append(f"nulls({','.join(t.null_validation_columns)})")
+        for av in t.agg_validations or []:
+            scan.append(f"agg({av.column}:{','.join(v.agg for v in av.validations)})")
+        for d in t.drift or []:
+            scan.append(f"sketch({d.column}:{d.metric})")
+        if scan:
+            lines.append(f"  pass 1 (fused single scan/side): {' '.join(scan)}")
+        keyed = []
+        if t.pk_row_hash_check and t.primary_keys:
+            keyed.append("row-hash")
+        if t.compare_columns and t.primary_keys:
+            keyed.append(f"compare({','.join(t.compare_columns)})")
+        if t.null_validation_columns and t.primary_keys:
+            keyed.append("null-join")
+        if t.uniqueness_columns and t.uniqueness_tolerance is not None:
+            keyed.append(f"uniqueness({','.join(t.uniqueness_columns)})")
+        if keyed:
+            key = t.primary_keys or t.uniqueness_columns
+            lines.append(
+                f"  pass 2 (hash shuffle on {key}): {' '.join(keyed)}"
+            )
+        if t.ordering:
+            lines.append(
+                f"  pass 3 (conv shuffle on {t.ordering.group_column}, salted hot keys):"
+                " ordering/contiguity"
+            )
+        for ref in t.referential or []:
+            lines.append(
+                f"  referential: {ref.columns} ⊆ {ref.ref_path} (broadcast keyset/Bloom)"
+            )
+        for c in t.custom_checks or []:
+            lines.append(f"  custom check: {c.name} (DuckDB both sides, multiset diff)")
+    return lines
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="datapact-ray", description="Ray-Data-native validation engine"
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_run = sub.add_parser("run", help="execute a validation suite")
+    p_run.add_argument("--config", "-c", required=True)
+    p_run.add_argument("--results-dir", required=True)
+    p_run.add_argument("--run-id", type=int, default=1)
+    p_run.add_argument("--job-name", default="datapact-ray")
+    p_run.add_argument("--resume", action="store_true",
+                       help="skip partitions with completed checkpoints")
+    p_run.add_argument("--num-cpus", type=int, default=None)
+    p_run.add_argument("--dry-run", action="store_true")
+
+    p_plan = sub.add_parser("plan", help="validate config and print the plan")
+    p_plan.add_argument("--config", "-c", required=True)
+
+    p_init = sub.add_parser("init", help="write a starter config")
+    p_init.add_argument("--output", "-o", default="validation_config.yml")
+    p_init.add_argument("--force", action="store_true")
+
+    args = parser.parse_args(argv)
+
+    if args.command == "init":
+        import os
+
+        if os.path.exists(args.output) and not args.force:
+            print(
+                f"Refusing to overwrite {args.output} (use --force).",
+                file=sys.stderr,
+            )
+            return 1
+        with open(args.output, "w", encoding="utf-8") as fh:
+            fh.write(DEFAULT_CONFIG_TEMPLATE)
+        print(f"Wrote starter config to {args.output}")
+        return 0
+
+    from .config import load_suite
+
+    suite = load_suite(args.config)
+
+    if args.command == "plan" or getattr(args, "dry_run", False):
+        print(f"Suite OK: {len(suite.validations)} task(s)")
+        for line in _plan_lines(suite):
+            print(line)
+        return 0
+
+    import ray
+
+    owns_ray = not ray.is_initialized()
+    if owns_ray:
+        kwargs = {"include_dashboard": False, "ignore_reinit_error": True}
+        if args.num_cpus:
+            kwargs["num_cpus"] = args.num_cpus
+        ray.init(address="local", logging_level="ERROR", **kwargs)
+    try:
+        from .runner import RunConfig, run_suite
+
+        summary = run_suite(
+            suite,
+            RunConfig(
+                results_dir=args.results_dir,
+                run_id=args.run_id,
+                job_name=args.job_name,
+                resume=args.resume,
+            ),
+        )
+        for r in summary.results:
+            print(f"[{r.status}] {r.task_key}")
+            if not r.passed:
+                print(json.dumps(r.payload, indent=1))
+        if summary.failure_count:
+            print(
+                f"datapact-ray validation tasks failed: "
+                f"{summary.failure_count} of {len(summary.results)} "
+                f"({', '.join(summary.failed_task_keys)})",
+                file=sys.stderr,
+            )
+            return 1
+        print(f"All {len(summary.results)} validation task(s) passed.")
+        return 0
+    finally:
+        if owns_ray:
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -512,6 +512,12 @@ class ValidationRunner:
         os.makedirs(rdir, exist_ok=True)
         table = pa.Table.from_pylist(summary.rows, schema=RESULT_SCHEMA)
         pq.write_table(table, os.path.join(rdir, "results.parquet"))
+        if summary.rows:
+            from .rollup import write_exec_tables
+
+            write_exec_tables(
+                table.to_pandas(), self.config.results_dir, self.config.run_id
+            )
 
 
 def run_suite(

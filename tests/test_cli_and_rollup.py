@@ -1,0 +1,131 @@
+import glob
+import json
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from datapact_ray.cli import main as cli_main
+
+
+def test_cli_init_and_refuse_overwrite(tmp_path, capsys):
+    out = tmp_path / "cfg.yml"
+    assert cli_main(["init", "--output", str(out)]) == 0
+    assert out.exists()
+    assert cli_main(["init", "--output", str(out)]) == 1
+    assert cli_main(["init", "--output", str(out), "--force"]) == 0
+
+
+def test_cli_plan(tmp_path, capsys):
+    cfg = tmp_path / "cfg.yml"
+    cli_main(["init", "--output", str(cfg)])
+    assert cli_main(["plan", "--config", str(cfg)]) == 0
+    text = capsys.readouterr().out
+    assert "Suite OK: 1 task(s)" in text
+    assert "pass 2 (hash shuffle" in text
+    assert "fused single scan" in text
+
+
+def test_cli_run_fail_fast_exit(tmp_path, fixture_pair, capsys):
+    cfg = tmp_path / "suite.yml"
+    cfg.write_text(
+        f"""
+validations:
+  - task_key: failing
+    source_path: {fixture_pair['source']}
+    target_path: {fixture_pair['target']}
+    count_tolerance: 0.0
+  - task_key: passing
+    source_path: {fixture_pair['source']}
+    target_path: {fixture_pair['source']}
+    count_tolerance: 0.0
+"""
+    )
+    rc = cli_main(
+        ["run", "--config", str(cfg), "--results-dir", str(tmp_path / "out"),
+         "--run-id", "3"]
+    )
+    assert rc == 1  # RAISE_ERROR analog: nonzero exit on any failure
+    out = capsys.readouterr()
+    assert "[FAILURE] failing" in out.out
+    assert "[SUCCESS] passing" in out.out
+    assert "validation tasks failed: 1 of 2" in out.err
+
+
+def test_exec_rollups_written(tmp_path, fixture_pair):
+    from datapact_ray.config import ValidationSuite, ValidationTask
+    from datapact_ray.runner import RunConfig, run_suite
+
+    suite = ValidationSuite(
+        validations=[
+            ValidationTask(
+                task_key="a",
+                source_path=fixture_pair["source"],
+                target_path=fixture_pair["target"],
+                count_tolerance=0.0,
+                business_domain="Sales",
+                business_priority="Critical",
+                estimated_impact_usd=1000.0,
+            ),
+            ValidationTask(
+                task_key="b",
+                source_path=fixture_pair["source"],
+                target_path=fixture_pair["source"],
+                count_tolerance=0.0,
+                business_domain=" Sales ",
+                estimated_impact_usd=50.0,
+            ),
+            ValidationTask(
+                task_key="c",
+                source_path=fixture_pair["source"],
+                target_path=fixture_pair["source"],
+                count_tolerance=0.0,
+            ),
+        ]
+    )
+    out = str(tmp_path / "res")
+    run_suite(suite, RunConfig(results_dir=out, run_id=5))
+    base = f"{out}/exec/run_id=5"
+    summary = pq.read_table(f"{base}/exec_run_summary.parquet").to_pylist()[0]
+    assert summary["total_tasks"] == 3
+    assert summary["failure_count"] == 1
+    assert summary["success_rate_percent"] == pytest.approx(66.67)
+    assert summary["data_quality_score"] == pytest.approx(0.6667)
+    assert summary["critical_failures"] == 1
+    assert summary["potential_impact_usd"] == pytest.approx(1050.0)
+    assert summary["realized_impact_usd"] == pytest.approx(1000.0)
+    assert summary["failed_task_keys"] == ["a"]
+    dom = pq.read_table(f"{base}/exec_domain_breakdown.parquet").to_pandas()
+    # trimmed-coalesced dimension: ' Sales ' folds into 'Sales'
+    assert set(dom["business_domain"]) == {"Sales", "Unspecified"}
+    sales = dom[dom["business_domain"] == "Sales"].iloc[0]
+    assert sales["total_validations"] == 2 and sales["failed_validations"] == 1
+    prio = pq.read_table(f"{base}/exec_priority_breakdown.parquet").to_pandas()
+    assert set(prio["business_priority"]) == {"CRITICAL", "UNSPECIFIED"}
+    metrics = pq.read_table(f"{base}/run_metrics.parquet").to_pylist()[0]
+    assert metrics["total_tasks"] == 3 and metrics["peak_parallel_tasks"] >= 1
+
+
+def test_multimodal_plumbing(tmp_path):
+    import ray.data
+
+    from datapact_ray.pipelines.multimodal import (
+        MediaFeaturizer,
+        fake_decode,
+        featurize_media,
+        make_synthetic_media,
+    )
+
+    table = make_synthetic_media(64)
+    ds = ray.data.from_arrow(table)
+    out = featurize_media(ds, batch_size=16).to_pandas()
+    assert len(out) == 64
+    assert {"n_bytes", "mean_byte", "entropy_proxy"} <= set(out.columns)
+    assert "payload" not in out.columns  # binary never enters a shuffle
+    # determinism + stub gating
+    f1 = fake_decode(b"abc123", "image/png")
+    f2 = fake_decode(b"abc123", "image/png")
+    assert f1 == f2 and f1["n_bytes"] == 6
+    with pytest.raises(NotImplementedError):
+        MediaFeaturizer(decoder="real")
