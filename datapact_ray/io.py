@@ -18,6 +18,34 @@ import ray.data
 from .expr import compile_filter, parse_filter, referenced_columns
 
 
+def _stub_fsspec_http() -> None:
+    """Make ``fsspec.implementations.http`` import deterministic.
+
+    That module needs aiohttp (absent here); Ray's path resolution
+    re-imports it on every ``read_parquet`` and only catches
+    ModuleNotFoundError — under concurrent dataset construction the
+    failed-import race surfaces as a plain ImportError instead. Register
+    a sentinel module once so every import succeeds and the isinstance
+    check it feeds is trivially False.
+    """
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+    except Exception:
+        import sys
+        import types
+
+        mod = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # sentinel: nothing is ever an instance
+            pass
+
+        mod.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = mod
+
+
+_stub_fsspec_http()
+
+
 def list_parquet_files(path: str) -> list[str]:
     """Deterministic (sorted) list of parquet files under a path.
 

@@ -33,7 +33,6 @@ from __future__ import annotations
 import json
 import os
 import pickle
-import time
 from dataclasses import dataclass, field
 from datetime import datetime, timezone
 
@@ -48,7 +47,7 @@ from .sketches import ks_statistic, psi_statistic
 from .stages.conv import ConvSpec, run_conv_pass
 from .stages.custom import run_custom_check
 from .stages.keyed import KeyedSpec, _atomic_write, run_keyed_pass
-from .stages.profile import ProfileSpec, run_profile
+from .stages.profile import ProfileSpec, run_profile, run_profile_pair
 from .stages.referential import run_referential_pass
 
 RESULT_SCHEMA = pa.schema(
@@ -195,26 +194,29 @@ class ValidationRunner:
         src_profile = tgt_profile = None
         if stats_needed or spec.heavy_hitter_column:
             columns = sorted(profile_cols) or None
-            src_profile = self._load_or_run_profile(
-                "source",
-                ckpt,
-                lambda: run_profile(
+            src_path = os.path.join(ckpt, "profile_source.pkl")
+            tgt_path = os.path.join(ckpt, "profile_target.pkl")
+            if (
+                cfg.resume
+                and os.path.exists(src_path + ".done")
+                and os.path.exists(tgt_path + ".done")
+            ):
+                with open(src_path, "rb") as fh:
+                    src_profile = pickle.load(fh)
+                with open(tgt_path, "rb") as fh:
+                    tgt_profile = pickle.load(fh)
+            else:
+                # both sides in ONE streaming execution (union of partial streams)
+                src_profile, tgt_profile = run_profile_pair(
                     read_table(task.source_path, columns=columns, filter_sql=task.filter),
-                    spec,
-                    batch_size=cfg.batch_size,
-                    concurrency=cfg.profile_concurrency,
-                ),
-            )
-            tgt_profile = self._load_or_run_profile(
-                "target",
-                ckpt,
-                lambda: run_profile(
                     read_table(task.target_path, columns=columns, filter_sql=task.filter),
                     spec,
                     batch_size=cfg.batch_size,
                     concurrency=cfg.profile_concurrency,
-                ),
-            )
+                )
+                for path, prof in ((src_path, src_profile), (tgt_path, tgt_profile)):
+                    _atomic_write(path, pickle.dumps(prof))
+                    _atomic_write(path + ".done", b"")
 
         # bucket sizing from parquet footers (no data read)
         est_rows = max(count_rows(task.source_path), count_rows(task.target_path))
@@ -233,7 +235,12 @@ class ValidationRunner:
         keyed_needed = (
             row_hash_enabled or compare_enabled or nulls_use_pk or uniq_same_as_pk
         )
-        keyed_metrics = None
+        # Passes 2..N are independent of each other (only the conv pass
+        # consumes profile output, already computed) — run them as
+        # concurrent driver threads so their Ray pipelines overlap and
+        # keep the cluster busy instead of executing serially.
+        jobs: dict[str, object] = {}
+
         if keyed_needed:
             kspec = KeyedSpec(
                 key_columns=pk if pk else uniq_cols,
@@ -256,7 +263,7 @@ class ValidationRunner:
                     task.hash_columns or [n for n in src_schema.names]
                 )
             cols = sorted(need_cols)
-            keyed_metrics = run_keyed_pass(
+            jobs["keyed"] = lambda: run_keyed_pass(
                 read_table(task.source_path, columns=cols, filter_sql=task.filter),
                 read_table(task.target_path, columns=cols, filter_sql=task.filter),
                 kspec,
@@ -265,7 +272,6 @@ class ValidationRunner:
             )
 
         # separate uniqueness shuffle only when its key differs from the PK
-        uniq_metrics = keyed_metrics if uniq_same_as_pk else None
         if uniqueness_enabled and not uniq_same_as_pk:
             uspec = KeyedSpec(
                 key_columns=uniq_cols,
@@ -274,7 +280,7 @@ class ValidationRunner:
                 num_buckets=num_buckets,
                 checkpoint_dir=os.path.join(ckpt, "uniq"),
             )
-            uniq_metrics = run_keyed_pass(
+            jobs["uniq"] = lambda: run_keyed_pass(
                 read_table(task.source_path, columns=uniq_cols, filter_sql=task.filter),
                 read_table(task.target_path, columns=uniq_cols, filter_sql=task.filter),
                 uspec,
@@ -282,8 +288,6 @@ class ValidationRunner:
                 batch_size=cfg.batch_size,
             )
 
-        # ---------- pass 3: conversation pass ----------
-        conv_metrics = None
         if task.ordering or want_turn_count_drift:
             o = task.ordering
             hot = {}
@@ -306,13 +310,48 @@ class ValidationRunner:
             ccols = [cspec.group_column, cspec.index_column] + (
                 [cspec.ts_column] if cspec.ts_column else []
             )
-            conv_metrics = run_conv_pass(
+            jobs["conv"] = lambda: run_conv_pass(
                 read_table(task.source_path, columns=ccols, filter_sql=task.filter),
                 read_table(task.target_path, columns=ccols, filter_sql=task.filter),
                 cspec,
                 task.task_key,
                 batch_size=cfg.batch_size * 2,
             )
+
+        for ri, ref in enumerate(task.referential or []):
+            sides = ["source", "target"] if ref.side == "both" else [ref.side]
+            for side in sides:
+                path = task.source_path if side == "source" else task.target_path
+                jobs[f"ref:{ri}:{side}"] = (
+                    lambda path=path, ref=ref: run_referential_pass(
+                        read_table(path, columns=ref.columns, filter_sql=task.filter),
+                        read_table(ref.ref_path, columns=ref.ref_columns or ref.columns),
+                        ref.columns,
+                        ref.ref_columns or ref.columns,
+                        cap=task.max_violations_per_partition,
+                        ref_files=list_parquet_files(ref.ref_path),
+                    )
+                )
+
+        for ci, custom in enumerate(task.custom_checks or []):
+            jobs[f"custom:{ci}"] = (
+                lambda custom=custom: run_custom_check(
+                    custom.sql, src_files, tgt_files
+                )
+            )
+
+        results: dict[str, object] = {}
+        if jobs:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(4, len(jobs))) as pool:
+                futures = {name: pool.submit(fn) for name, fn in jobs.items()}
+                for name, fut in futures.items():
+                    results[name] = fut.result()
+
+        keyed_metrics = results.get("keyed")
+        uniq_metrics = keyed_metrics if uniq_same_as_pk else results.get("uniq")
+        conv_metrics = results.get("conv")
 
         # ---------- verdict assembly (reference payload order) ----------
         if task.count_tolerance is not None:
@@ -363,8 +402,8 @@ class ValidationRunner:
                     task.uniqueness_tolerance,
                 )
             )
-        for custom in task.custom_checks or []:
-            cm = run_custom_check(custom.sql, src_files, tgt_files)
+        for ci, custom in enumerate(task.custom_checks or []):
+            cm = results[f"custom:{ci}"]
             verdict_list.append(
                 V.custom_check_verdict(
                     custom.slug,
@@ -402,17 +441,10 @@ class ValidationRunner:
                     sum(conv_metrics.monotonicity_violations),
                 )
             )
-        for ref in task.referential or []:
+        for ri, ref in enumerate(task.referential or []):
             sides = ["source", "target"] if ref.side == "both" else [ref.side]
             for side in sides:
-                path = task.source_path if side == "source" else task.target_path
-                rm = run_referential_pass(
-                    read_table(path, columns=ref.columns, filter_sql=task.filter),
-                    read_table(ref.ref_path, columns=ref.ref_columns or ref.columns),
-                    ref.columns,
-                    ref.ref_columns or ref.columns,
-                    cap=task.max_violations_per_partition,
-                )
+                rm = results[f"ref:{ri}:{side}"]
                 verdict_list.append(
                     V.referential_verdict(
                         ref.columns, side, rm.probed_rows, rm.orphan_rows, ref.tolerance

@@ -122,6 +122,10 @@ class _Projector:
         )
         df = batch.select(need).to_pandas()
         out = df[spec.key_columns].copy()
+        # one deterministic uint64 key hash drives BOTH bucketing and the
+        # per-bucket join/groupby (int64 merge ≫ multi-column string merge)
+        kh = hash_columns_u64(df, spec.key_columns)
+        out["__kh"] = kh
         if self.hash_cols:
             out["__rh"] = hash_columns_u64(df, self.hash_cols)
         for c in spec.compare_columns:
@@ -129,9 +133,7 @@ class _Projector:
         for c in spec.null_join_columns:
             out[f"__nl_{c}"] = df[c].isna().to_numpy(dtype=np.int8)
         out["__side"] = np.int8(self.side)
-        out["__bucket"] = (
-            hash_columns_u64(out, spec.key_columns) % np.uint64(spec.num_buckets)
-        ).astype(np.int32)
+        out["__bucket"] = (kh % np.uint64(spec.num_buckets)).astype(np.int32)
         if self.skip_buckets:
             mask = ~out["__bucket"].isin(list(self.skip_buckets)).to_numpy()
             out = out[mask]
@@ -156,57 +158,80 @@ class _BucketChecker:
         src = group[group["__side"] == SIDE_SOURCE]
         tgt = group[group["__side"] == SIDE_TARGET]
 
-        def key_repr(frame: pd.DataFrame) -> pd.Series:
-            it = zip(*(frame[c].astype(str) for c in key_cols))
-            return pd.Series(["|".join(t) for t in it], index=frame.index)
-
         cap = spec.max_violations_per_bucket
 
         if spec.uniqueness:
             for side_idx, frame in ((0, src), (1, tgt)):
                 if len(frame) == 0:
                     continue
-                sizes = frame.groupby(key_cols, sort=False, dropna=False).size()
+                sizes = frame["__kh"].value_counts(sort=False)
                 m.uniq_count[side_idx] += int(sizes.sum())
                 m.uniq_distinct[side_idx] += int(len(sizes))
-                dupes = sizes[sizes > 1]
-                if len(dupes):
-                    # stable key order for deterministic violation output
-                    dupes = dupes.sort_index()
-                    for key_vals, n in dupes.head(cap).items():
-                        if not isinstance(key_vals, tuple):
-                            key_vals = (key_vals,)
+                dup_kh = sizes[sizes > 1]
+                if len(dup_kh):
+                    # map hashes back to key values for violation reporting
+                    # (no iterrows: it would upcast uint64 hashes to float)
+                    reps = (
+                        frame[frame["__kh"].isin(dup_kh.index)]
+                        .drop_duplicates("__kh")
+                        .sort_values(key_cols)
+                        .head(cap)
+                    )
+                    occurrences = dup_kh.loc[reps["__kh"].to_numpy()].to_numpy()
+                    key_strs = [reps[c].astype(str).tolist() for c in key_cols]
+                    for row_i in range(len(reps)):
                         violations.append(
                             {
                                 "check_alias": "uniqueness_validation_"
                                 + "_".join(key_cols),
                                 "key": json.dumps(
-                                    dict(zip(key_cols, map(str, key_vals)))
+                                    {
+                                        c: key_strs[ci][row_i]
+                                        for ci, c in enumerate(key_cols)
+                                    }
                                 ),
                                 "side": "source" if side_idx == 0 else "target",
-                                "detail": json.dumps({"occurrences": int(n)}),
+                                "detail": json.dumps(
+                                    {"occurrences": int(occurrences[row_i])}
+                                ),
                             }
                         )
 
         join_needed = spec.row_hash or spec.compare_columns or spec.null_join_columns
         if join_needed and len(src) and len(tgt):
-            joined = src.merge(tgt, on=key_cols, how="inner", suffixes=("_s", "_t"))
+            keep_s = ["__kh"] + key_cols + [
+                c for c in src.columns if c.startswith(("__rh", "__cmp_", "__nl_"))
+            ]
+            keep_t = ["__kh"] + [
+                c for c in tgt.columns if c.startswith(("__rh", "__cmp_", "__nl_"))
+            ]
+            joined = src[keep_s].merge(
+                tgt[keep_t], on="__kh", how="inner", suffixes=("_s", "_t")
+            )
             m.total_compared_rows += len(joined)
+
+            def emit(bad: np.ndarray, alias: str, detail: dict) -> None:
+                rows = joined.loc[bad, key_cols].sort_values(key_cols).head(cap)
+                payload = json.dumps(detail)
+                key_strs = [rows[c].astype(str).tolist() for c in key_cols]
+                for row_i in range(len(rows)):
+                    violations.append(
+                        {
+                            "check_alias": alias,
+                            "key": json.dumps(
+                                {c: key_strs[ci][row_i] for ci, c in enumerate(key_cols)}
+                            ),
+                            "side": "both",
+                            "detail": payload,
+                        }
+                    )
+
             if spec.row_hash:
                 bad = joined["__rh_s"].to_numpy() != joined["__rh_t"].to_numpy()
                 nbad = int(bad.sum())
                 m.mismatch_count += nbad
                 if nbad:
-                    rows = joined.loc[bad, key_cols].sort_values(key_cols).head(cap)
-                    for _, r in rows.iterrows():
-                        violations.append(
-                            {
-                                "check_alias": "row_hash_validation",
-                                "key": json.dumps({c: str(r[c]) for c in key_cols}),
-                                "side": "both",
-                                "detail": json.dumps({"reason": "row_hash_mismatch"}),
-                            }
-                        )
+                    emit(bad, "row_hash_validation", {"reason": "row_hash_mismatch"})
             for c in spec.compare_columns:
                 bad = (
                     joined[f"__cmp_{c}_s"].to_numpy()
@@ -215,16 +240,7 @@ class _BucketChecker:
                 nbad = int(bad.sum())
                 m.compare_mismatches[c] = m.compare_mismatches.get(c, 0) + nbad
                 if nbad:
-                    rows = joined.loc[bad, key_cols].sort_values(key_cols).head(cap)
-                    for _, r in rows.iterrows():
-                        violations.append(
-                            {
-                                "check_alias": "compare_validation_" + c,
-                                "key": json.dumps({c2: str(r[c2]) for c2 in key_cols}),
-                                "side": "both",
-                                "detail": json.dumps({"column": c}),
-                            }
-                        )
+                    emit(bad, "compare_validation_" + c, {"column": c})
             for c in spec.null_join_columns:
                 cur = m.null_join.setdefault(c, [0, 0])
                 cur[0] += int(joined[f"__nl_{c}_s"].sum())

@@ -181,6 +181,47 @@ def merge_profiles(partials: list[ProfileResult]) -> ProfileResult:
     return out
 
 
+def run_profile_pair(
+    source: ray.data.Dataset,
+    target: ray.data.Dataset,
+    spec: ProfileSpec,
+    *,
+    batch_size: int = 65536,
+    concurrency: int | tuple[int, int] | None = (1, 16),
+) -> tuple[ProfileResult, ProfileResult]:
+    """Profile BOTH sides in one streaming execution (union of the two
+    per-side partial streams), halving fixed per-execution overhead; the
+    reference's '1 scan per side' becomes one pipelined job."""
+
+    def staged(ds: ray.data.Dataset, side: int) -> ray.data.Dataset:
+        if concurrency is None:
+            mapped = ds.map_batches(
+                ProfileActor(spec),
+                batch_format="pyarrow",
+                batch_size=batch_size,
+                zero_copy_batch=True,
+            )
+        else:
+            mapped = ds.map_batches(
+                ProfileActor,
+                fn_constructor_args=(spec,),
+                batch_format="pyarrow",
+                batch_size=batch_size,
+                zero_copy_batch=True,
+                concurrency=concurrency,
+            )
+        return mapped.map_batches(
+            lambda t, s=side: t.append_column("side", pa.array([s] * t.num_rows, pa.int8())),
+            batch_format="pyarrow",
+        )
+
+    combined = staged(source, 0).union(staged(target, 1))
+    partials: dict[int, list[ProfileResult]] = {0: [], 1: []}
+    for row in combined.take_all():
+        partials[row["side"]].append(pickle.loads(row["partial"]))
+    return merge_profiles(partials[0]), merge_profiles(partials[1])
+
+
 def run_profile(
     ds: ray.data.Dataset,
     spec: ProfileSpec,

@@ -17,6 +17,7 @@ negatives are definite orphans, positives get the exact recheck).
 from __future__ import annotations
 
 import json
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -109,6 +110,18 @@ class _ProbeActor:
         )
 
 
+def _distinct_key_hashes_local(
+    ref_files: list[str], columns: list[str]
+) -> np.ndarray:
+    """Small-dim fast path: read the key columns with pyarrow on the
+    driver (skips a whole Ray job for dims of a few hundred MB)."""
+    import pyarrow.parquet as pq
+
+    frames = [pq.read_table(f, columns=columns).to_pandas() for f in ref_files]
+    df = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+    return np.unique(hash_columns_u64(df, columns))
+
+
 def run_referential_pass(
     probe: ray.data.Dataset,
     ref_table: ray.data.Dataset,
@@ -119,8 +132,15 @@ def run_referential_pass(
     bloom_threshold: int = 20_000_000,
     bloom_fpp: float = 0.001,
     concurrency: int | tuple[int, int] = (1, 16),
+    ref_files: list[str] | None = None,
+    small_dim_bytes: int = 256 << 20,
 ) -> ReferentialMetrics:
-    keys = _distinct_key_hashes(ref_table, ref_columns)
+    if ref_files is not None and (
+        sum(os.path.getsize(f) for f in ref_files) <= small_dim_bytes
+    ):
+        keys = _distinct_key_hashes_local(ref_files, ref_columns)
+    else:
+        keys = _distinct_key_hashes(ref_table, ref_columns)
     if len(keys) <= bloom_threshold:
         broadcast = ray.put(np.sort(keys))
         exact = True
@@ -130,13 +150,22 @@ def run_referential_pass(
         broadcast = ray.put(bloom.to_bytes())
         exact = False
 
-    out = probe.map_batches(
-        _ProbeActor,
-        fn_constructor_args=(broadcast, probe_columns, probe_columns, cap),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=concurrency,
-    )
+    if len(keys) < 1_000_000:
+        # small keyset: stateless tasks (instance) beat actor-pool spin-up;
+        # the sorted array still ships once via the object store
+        out = probe.map_batches(
+            _ProbeActor(broadcast, probe_columns, probe_columns, cap),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    else:
+        out = probe.map_batches(
+            _ProbeActor,
+            fn_constructor_args=(broadcast, probe_columns, probe_columns, cap),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=concurrency,
+        )
     metrics = ReferentialMetrics(violations=[])
     maybe_all: set[int] = set()
     for row in out.take_all():
