@@ -1,0 +1,92 @@
+"""Resumability (north rule): an interrupted run resumes without
+recomputing validated partitions, and produces identical verdicts."""
+
+import glob
+import os
+import time
+
+import pytest
+
+from datapact_ray.config import OrderingCheck, ValidationSuite, ValidationTask
+from datapact_ray.runner import RunConfig, run_suite
+
+
+@pytest.fixture(scope="module")
+def suite(fixture_pair):
+    return ValidationSuite(
+        validations=[
+            ValidationTask(
+                task_key="t",
+                source_path=fixture_pair["source"],
+                target_path=fixture_pair["target"],
+                primary_keys=["conv_id", "turn_idx"],
+                count_tolerance=0.001,
+                pk_row_hash_check=True,
+                uniqueness_columns=["conv_id", "turn_idx"],
+                uniqueness_tolerance=0.0,
+                compare_columns=["text"],
+                ordering=OrderingCheck(),
+            )
+        ]
+    )
+
+
+def test_resume_identical_and_partial_recompute(suite, tmp_path):
+    out = str(tmp_path / "res")
+    cfg = RunConfig(results_dir=out, run_id=11, num_buckets=8)
+    s1 = run_suite(suite, cfg)
+    p1 = s1.results[0].payload
+
+    ck = f"{out}/checkpoint/run_id=11/task=t"
+    keyed_markers = sorted(glob.glob(f"{ck}/keyed/bucket=*/_SUCCESS"))
+    conv_markers = sorted(glob.glob(f"{ck}/conv/bucket=*/_SUCCESS"))
+    assert keyed_markers and conv_markers
+
+    # simulate an interrupted run: one keyed bucket + one conv bucket lost
+    os.remove(keyed_markers[0])
+    os.remove(conv_markers[0])
+    kept_marker = keyed_markers[1]
+    kept_mtime_before = os.path.getmtime(
+        os.path.join(os.path.dirname(kept_marker), "metrics.pkl")
+    )
+    time.sleep(0.05)
+
+    s2 = run_suite(suite, RunConfig(results_dir=out, run_id=11, num_buckets=8,
+                                    resume=True))
+    p2 = s2.results[0].payload
+    assert p1 == p2  # identical verdicts after resume
+
+    # the completed bucket was NOT recomputed (its checkpoint untouched)
+    kept_mtime_after = os.path.getmtime(
+        os.path.join(os.path.dirname(kept_marker), "metrics.pkl")
+    )
+    assert kept_mtime_after == kept_mtime_before
+    # the deleted bucket was recomputed (marker rewritten)
+    assert os.path.exists(keyed_markers[0])
+    assert os.path.exists(conv_markers[0])
+
+
+def test_profile_checkpoint_reused(suite, tmp_path):
+    out = str(tmp_path / "res2")
+    cfg = RunConfig(results_dir=out, run_id=12, num_buckets=8)
+    run_suite(suite, cfg)
+    prof = f"{out}/checkpoint/run_id=12/task=t/profile_source.pkl"
+    mtime = os.path.getmtime(prof)
+    time.sleep(0.05)
+    run_suite(suite, RunConfig(results_dir=out, run_id=12, num_buckets=8, resume=True))
+    assert os.path.getmtime(prof) == mtime  # loaded, not recomputed
+
+
+def test_lineage_manifest_written(suite, tmp_path, fixture_pair):
+    import json
+
+    out = str(tmp_path / "res3")
+    run_suite(suite, RunConfig(results_dir=out, run_id=13, num_buckets=8))
+    with open(f"{out}/checkpoint/run_id=13/task=t/lineage.json") as fh:
+        lineage = json.load(fh)
+    assert lineage["task_key"] == "t"
+    assert lineage["partitioning"]["num_buckets"] == 8
+    assert all(
+        f.startswith(fixture_pair["source"]) for f in lineage["source_files"]
+    )
+    assert lineage["source_files"] == sorted(lineage["source_files"])
