@@ -118,6 +118,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out.update(ANN)
     except ImportError:
         pass
+    try:
+        from datapact_ray.pipelines.windows import QUERIES as WIN
+
+        out.update(WIN)
+    except ImportError:
+        pass
     return out
 
 
@@ -144,6 +150,12 @@ def oracle_sql() -> dict[str, str]:
         from datapact_ray.pipelines.ann import ORACLE_SQL as ANN
 
         out.update(ANN)
+    except ImportError:
+        pass
+    try:
+        from datapact_ray.pipelines.windows import ORACLE_SQL as WIN
+
+        out.update(WIN)
     except ImportError:
         pass
     return out

@@ -1,0 +1,210 @@
+"""Stream-shaped operators over the ``events`` log table.
+
+Ray Data is a batch engine (the reference has no streaming operators
+either — SURVEY.md §2.9); stream semantics are expressed as batch
+pipelines over an ordered, partitioned log:
+
+* **Tumbling window aggregate** — event-time windows are a pure
+  projection (``window = floor(ts)``), so they ride a vectorized
+  ``map_batches`` + one hash-aggregate shuffle. No watermarks needed for
+  complete (closed) historical windows.
+* **Session windows** (gap-based) — requires per-key ordering: partition
+  by ``user_id`` (hash groupby), sort each group by ``ts``, and split
+  sessions where the gap exceeds the threshold — vectorized inside each
+  group via pandas ``diff``/``cumsum``. The ordering assumption is
+  per-user within-group sort, not global order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..io import read_table
+
+
+def windowed_events_daily(sf_dir: str) -> pd.DataFrame:
+    """Tumbling 1-day event-time windows per event_type: count + sum."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        return batch.append_column("window_day", day.cast(pa.timestamp("us")))
+
+    out = (
+        ds.map_batches(add_window, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["window_day", "event_type"])
+        .aggregate(
+            Count(alias_name="n_events"), Sum("value", alias_name="sum_value")
+        )
+        .to_pandas()
+    )
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_value"] = np.round(out["sum_value"], 4)
+    return out.sort_values(["window_day", "event_type"]).reset_index(drop=True)
+
+
+def sessionize_events(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """Gap-based session windows per user: a new session starts when the
+    gap since the previous event exceeds ``gap_minutes``. Returns the
+    session-count summary (total sessions, avg events/session)."""
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def add_bucket(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "ts": df["ts"].astype("int64"),
+                "bucket": (df["user_id"] % 64).astype("int32"),
+            }
+        )
+
+    def sessions_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="stable")
+        new_user = g["user_id"] != g["user_id"].shift()
+        gap = g["ts"].diff() > gap_us
+        starts = (new_user | gap).astype(int)
+        n_sessions = int(starts.sum())
+        return pd.DataFrame({"sessions": [n_sessions], "events": [len(g)]})
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    parts = bucketed.groupby("bucket").map_groups(
+        sessions_per_bucket, batch_format="pandas"
+    ).to_pandas()
+    total_sessions = int(parts["sessions"].sum())
+    total_events = int(parts["events"].sum())
+    return pd.DataFrame(
+        {
+            "total_sessions": [total_sessions],
+            "total_events": [total_events],
+            "avg_events_per_session": [
+                float(np.round(total_events / total_sessions, 4))
+                if total_sessions
+                else 0.0
+            ],
+        }
+    )
+
+
+def asof_value_per_order(sf_dir: str) -> pd.DataFrame:
+    """As-of join: for each order, the FIRST event at-or-after the order
+    date in the matching key bucket — demonstrates the sort-within-bucket
+    + ``merge_asof`` pattern (forward direction; the orders predate the
+    event log). Summary output: orders matched + rounded value sum."""
+    orders = read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    events = read_table(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+
+    def o_project(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        return pd.DataFrame(
+            {
+                "side": np.int8(0),
+                "key": (df["o_custkey"] % 100).astype("int64"),
+                "t": df["o_orderdate"].astype("int64"),
+                "value": np.zeros(len(df)),
+            }
+        )
+
+    def e_project(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        return pd.DataFrame(
+            {
+                "side": np.int8(1),
+                "key": (df["user_id"] % 100).astype("int64"),
+                "t": df["ts"].astype("int64"),
+                "value": df["value"].astype("float64"),
+            }
+        )
+
+    left = orders.map_batches(o_project, batch_format="pyarrow", zero_copy_batch=True)
+    right = events.map_batches(e_project, batch_format="pyarrow", zero_copy_batch=True)
+
+    def asof_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 0].sort_values("t", kind="stable")
+        # collapse same-timestamp events to MAX(value) so tie-breaking is
+        # deterministic and oracle-matching
+        e = (
+            g[g["side"] == 1]
+            .groupby("t", as_index=False)["value"]
+            .max()
+            .sort_values("t", kind="stable")
+        )
+        if len(o) == 0 or len(e) == 0:
+            return pd.DataFrame({"matched": [0], "sum_value": [0.0]})
+        joined = pd.merge_asof(
+            o[["t"]], e[["t", "value"]], on="t", direction="forward"
+        )
+        matched = joined["value"].notna()
+        return pd.DataFrame(
+            {
+                "matched": [int(matched.sum())],
+                "sum_value": [float(joined.loc[matched, "value"].sum())],
+            }
+        )
+
+    parts = (
+        left.union(right)
+        .groupby("key")
+        .map_groups(asof_in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "matched_orders": [int(parts["matched"].sum())],
+            "sum_matched_value": [float(np.round(parts["sum_value"].sum(), 2))],
+        }
+    )
+
+
+QUERIES = {
+    "windowed_events_daily": windowed_events_daily,
+    "sessionize_events": sessionize_events,
+    "asof_value_per_order": asof_value_per_order,
+}
+
+ORACLE_SQL = {
+    "windowed_events_daily": """
+        SELECT date_trunc('day', ts) AS window_day, event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM events
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "sessionize_events": """
+        WITH gaps AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             > INTERVAL 30 MINUTE
+                         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        THEN 1 ELSE 0 END AS is_start
+            FROM events
+        )
+        SELECT SUM(is_start) AS total_sessions,
+               COUNT(*) AS total_events,
+               ROUND(COUNT(*) * 1.0 / SUM(is_start), 4) AS avg_events_per_session
+        FROM gaps
+    """,
+    "asof_value_per_order": """
+        WITH o AS (SELECT o_orderkey, o_custkey % 100 AS key,
+                          epoch_us(o_orderdate) AS t FROM orders),
+             e AS (SELECT user_id % 100 AS key, epoch_us(ts) AS t,
+                          MAX(value) AS value
+                   FROM events GROUP BY 1, 2)
+        SELECT COUNT(*) AS matched_orders,
+               ROUND(SUM(v), 2) AS sum_matched_value
+        FROM (
+            SELECT (SELECT e.value FROM e
+                    WHERE e.key = o.key AND e.t >= o.t
+                    ORDER BY e.t ASC LIMIT 1) AS v
+            FROM o
+        ) WHERE v IS NOT NULL
+    """,
+}

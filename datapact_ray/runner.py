@@ -44,7 +44,6 @@ from . import verdicts as V
 from .config import ValidationSuite, ValidationTask
 from .io import count_rows, list_parquet_files, read_table, table_schema
 from .sketches import ks_statistic, psi_statistic
-from .stages.conv import ConvSpec, run_conv_pass
 from .stages.custom import run_custom_check
 from .stages.keyed import KeyedSpec, _atomic_write, run_keyed_pass
 from .stages.profile import ProfileSpec, run_profile, run_profile_pair
@@ -218,10 +217,18 @@ class ValidationRunner:
                     _atomic_write(path, pickle.dumps(prof))
                     _atomic_write(path + ".done", b"")
 
-        # bucket sizing from parquet footers (no data read)
+        # bucket sizing from parquet footers (no data read): enough buckets
+        # to (a) bound per-bucket memory and (b) keep every core busy in
+        # the post-shuffle verify stage
+        import ray as _ray
+
+        cluster_cpus = int(_ray.cluster_resources().get("CPU", 8)) if (
+            _ray.is_initialized()
+        ) else 8
         est_rows = max(count_rows(task.source_path), count_rows(task.target_path))
         num_buckets = cfg.num_buckets or max(
-            16, min(4096, est_rows // cfg.target_rows_per_bucket + 1)
+            4 * cluster_cpus,
+            min(4096, est_rows // cfg.target_rows_per_bucket + 1),
         )
         lineage["partitioning"]["num_buckets"] = num_buckets
         _atomic_write(
@@ -235,15 +242,39 @@ class ValidationRunner:
         keyed_needed = (
             row_hash_enabled or compare_enabled or nulls_use_pk or uniq_same_as_pk
         )
-        # Passes 2..N are independent of each other (only the conv pass
+        # Passes 2..N are independent of each other (only hot-key salting
         # consumes profile output, already computed) — run them as
         # concurrent driver threads so their Ray pipelines overlap and
         # keep the cluster busy instead of executing serially.
         jobs: dict[str, object] = {}
 
+        conv_needed = bool(task.ordering or want_turn_count_drift)
+        o = task.ordering
+        conv_group = o.group_column if o else "conv_id"
+        conv_index = o.index_column if o else "turn_idx"
+        conv_ts = o.ts_column if o else "ts"
+        hot = {}
+        if conv_needed:
+            if src_profile and src_profile.heavy_hitters:
+                hot = src_profile.heavy_hitters.hot_keys(cfg.hot_key_threshold)
+            if tgt_profile and tgt_profile.heavy_hitters:
+                hot.update(tgt_profile.heavy_hitters.hot_keys(cfg.hot_key_threshold))
+
+        keyed_key_cols = pk if pk else uniq_cols
+        # conversation checks ride the keyed shuffle when the group/index
+        # columns are part of the key (bucket = hash(group, shard) keeps
+        # both whole conversations AND identical composite keys bucket-
+        # local — ONE partitioning key reused across all checks)
+        conv_folded = (
+            conv_needed
+            and keyed_needed
+            and conv_group in keyed_key_cols
+            and conv_index in keyed_key_cols
+        )
+
         if keyed_needed:
             kspec = KeyedSpec(
-                key_columns=pk if pk else uniq_cols,
+                key_columns=keyed_key_cols,
                 row_hash=row_hash_enabled,
                 hash_columns=task.hash_columns,
                 null_join_columns=(
@@ -251,6 +282,17 @@ class ValidationRunner:
                 ),
                 compare_columns=list(task.compare_columns or []),
                 uniqueness=uniq_same_as_pk,
+                group_column=conv_group if conv_folded else None,
+                index_column=conv_index if conv_folded else None,
+                ts_column=conv_ts if conv_folded else None,
+                require_contiguous=(
+                    o.require_contiguous if (conv_folded and o) else False
+                ),
+                require_monotonic_ts=(
+                    o.require_monotonic_ts if (conv_folded and o) else False
+                ),
+                turn_count_digest=conv_folded and want_turn_count_drift,
+                hot_keys=hot if conv_folded else {},
                 max_violations_per_bucket=task.max_violations_per_partition,
                 num_buckets=num_buckets,
                 checkpoint_dir=os.path.join(ckpt, "keyed"),
@@ -262,6 +304,8 @@ class ValidationRunner:
                 need_cols |= set(
                     task.hash_columns or [n for n in src_schema.names]
                 )
+            if conv_folded and conv_ts:
+                need_cols.add(conv_ts)
             cols = sorted(need_cols)
             jobs["keyed"] = lambda: run_keyed_pass(
                 read_table(task.source_path, columns=cols, filter_sql=task.filter),
@@ -288,29 +332,24 @@ class ValidationRunner:
                 batch_size=cfg.batch_size,
             )
 
-        if task.ordering or want_turn_count_drift:
-            o = task.ordering
-            hot = {}
-            if src_profile and src_profile.heavy_hitters:
-                hot = src_profile.heavy_hitters.hot_keys(cfg.hot_key_threshold)
-            if tgt_profile and tgt_profile.heavy_hitters:
-                hot.update(tgt_profile.heavy_hitters.hot_keys(cfg.hot_key_threshold))
-            cspec = ConvSpec(
-                group_column=o.group_column if o else "conv_id",
-                index_column=o.index_column if o else "turn_idx",
-                ts_column=(o.ts_column if o else "ts"),
+        # standalone conversation pass only when it cannot ride the keyed
+        # shuffle (no PK checks, or a different group column)
+        if conv_needed and not conv_folded:
+            cspec = KeyedSpec(
+                key_columns=[conv_group, conv_index],
+                group_column=conv_group,
+                index_column=conv_index,
+                ts_column=conv_ts,
                 require_contiguous=o.require_contiguous if o else False,
                 require_monotonic_ts=o.require_monotonic_ts if o else False,
                 turn_count_digest=want_turn_count_drift,
                 hot_keys=hot,
-                num_buckets=num_buckets,
                 max_violations_per_bucket=task.max_violations_per_partition,
+                num_buckets=num_buckets,
                 checkpoint_dir=os.path.join(ckpt, "conv"),
             )
-            ccols = [cspec.group_column, cspec.index_column] + (
-                [cspec.ts_column] if cspec.ts_column else []
-            )
-            jobs["conv"] = lambda: run_conv_pass(
+            ccols = [conv_group, conv_index] + ([conv_ts] if conv_ts else [])
+            jobs["conv"] = lambda: run_keyed_pass(
                 read_table(task.source_path, columns=ccols, filter_sql=task.filter),
                 read_table(task.target_path, columns=ccols, filter_sql=task.filter),
                 cspec,
@@ -351,7 +390,7 @@ class ValidationRunner:
 
         keyed_metrics = results.get("keyed")
         uniq_metrics = keyed_metrics if uniq_same_as_pk else results.get("uniq")
-        conv_metrics = results.get("conv")
+        conv_metrics = keyed_metrics if conv_folded else results.get("conv")
 
         # ---------- verdict assembly (reference payload order) ----------
         if task.count_tolerance is not None:

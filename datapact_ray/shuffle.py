@@ -1,0 +1,95 @@
+"""Explicit two-phase hash shuffle for bucketed verification passes.
+
+Ray Data's ``groupby`` uses a sort-based shuffle: at 1M+ rows the global
+sort dominated the keyed pass (~8.5s of 8.8s, flat from 8→32 CPUs). The
+bucketed passes don't need a sort — the partition id (``__bucket``) is
+already computed in the pre-shuffle projection — so this module shuffles
+explicitly with raw Ray tasks (SURVEY.md guidance: drop to Ray core only
+where the Dataset API can't express the semantics efficiently):
+
+* **map phase** — per projected block, one task splits rows by bucket id
+  (one vectorized take per block) and returns ``num_buckets`` sub-tables
+  straight into the object store;
+* **reduce phase** — one task per bucket fetches its shards from every
+  map output, concatenates, and runs the verification callable.
+
+The exchange is all-to-all through the object store with no sort, no
+sample stage and no barriers beyond the natural shard dependencies; on a
+multi-node cluster the same code moves shards over the network. Skew is
+bounded by construction: bucket ids are a uniform hash of the
+(composite/salted) key.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _split_by_bucket(table: pa.Table, num_buckets: int) -> list[pa.Table]:
+    """Split one block into per-bucket sub-tables (vectorized sort+slice)."""
+    if table.num_rows == 0:
+        return [table.slice(0, 0)] * num_buckets
+    buckets = table.column("__bucket").to_numpy(zero_copy_only=False)
+    order = np.argsort(buckets, kind="stable")
+    sorted_buckets = buckets[order]
+    bounds = np.searchsorted(sorted_buckets, np.arange(num_buckets + 1))
+    indices = pa.array(order)
+    taken = table.take(indices)
+    return [
+        taken.slice(bounds[b], bounds[b + 1] - bounds[b])
+        for b in range(num_buckets)
+    ]
+
+
+def _reduce_bucket(checker_fn: Callable, *shards: pa.Table) -> bytes | None:
+    """Concatenate a bucket's shards and run the verification callable.
+
+    Returns the checker's pickled metrics blob (or None for an empty
+    bucket)."""
+    tables = [s for s in shards if s.num_rows]
+    if not tables:
+        return None
+    df = pa.concat_tables(tables).to_pandas()
+    out = checker_fn(df)
+    if len(out) == 0:
+        return None
+    return out["blob"].iloc[0]
+
+
+def bucket_shuffle(
+    parts: list[ray.data.Dataset],
+    num_buckets: int,
+    checker_fn: Callable[[pd.DataFrame], pd.DataFrame],
+) -> list[bytes]:
+    """Run projected datasets through the explicit shuffle; returns the
+    non-empty buckets' metric blobs.
+
+    ``parts`` must already carry an int ``__bucket`` column in
+    ``[0, num_buckets)``. The projected blocks are materialized into the
+    object store (they are the compact hash/key representation, a small
+    fraction of the raw input) and never touch the driver.
+    """
+    split_task = ray.remote(num_returns=num_buckets)(_split_by_bucket)
+    reduce_task = ray.remote(_reduce_bucket)
+    checker_ref = ray.put(checker_fn)
+
+    shard_lists: list = []
+    for part in parts:
+        for block_ref in part.to_arrow_refs():
+            result = split_task.remote(block_ref, num_buckets)
+            if num_buckets == 1:
+                result = [result]
+            shard_lists.append(result)
+
+    blobs = []
+    for b in range(num_buckets):
+        blobs.append(
+            reduce_task.remote(checker_ref, *[shards[b] for shards in shard_lists])
+        )
+    return [blob for blob in ray.get(blobs) if blob is not None]

@@ -73,12 +73,18 @@ def _canonical_row_md5(df: pd.DataFrame) -> list[str]:
 
 
 def _jsonable(v):
+    import numpy as np
+
     if pd.isna(v) if not isinstance(v, (list, dict, tuple)) else False:
         return None
     if hasattr(v, "isoformat"):
         return v.isoformat()
     if isinstance(v, (bytes, bytearray)):
         return v.hex()
+    if isinstance(v, np.integer):
+        return int(v)
+    if isinstance(v, np.floating):
+        return float(v)
     return v
 
 

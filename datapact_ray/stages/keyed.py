@@ -1,31 +1,36 @@
-"""Bucketed keyed pass: every key-shaped check in ONE hash shuffle.
+"""Bucketed keyed pass: every key-shaped AND group-shaped check in ONE
+explicit hash shuffle.
 
 Replaces the reference's PK joins and COUNT(DISTINCT) scans
-(``validation.sql.j2:135-142,195-241``) with an explicitly-partitioned
-Ray Data pipeline:
+(``validation.sql.j2:135-142,195-241``) and adds the transcript checks
+(ordering, turn-count distribution) on the same exchange:
 
-1. **Pre-shuffle projection** (stateless ``map_batches``, zero-copy
-   Arrow→pandas only for hashing): each side is reduced to its key
-   columns plus *fixed-width hashes* — a row hash over ``hash_columns``,
-   one hash per compare column (e.g. ``text``), one null-flag per
-   null-join column — so the all-to-all exchange ships ~8 bytes per
-   check per row instead of wide text payloads, and a deterministic
-   ``__bucket = rowhash(key) % B`` partition id. Bucketing the
-   *composite* key ``(conv_id, turn_idx)`` spreads hot conversations
-   across buckets naturally (the salting requirement of the north rule
-   for composite-key uniqueness: identical composite keys still land in
-   exactly one bucket).
-2. **One hash shuffle**: ``union(source, target).groupby("__bucket")``.
-3. **Per-bucket vectorized verification** (``map_groups``, pandas):
-   inner-join on the key (mismatches counted over matched pairs only —
-   the reference's INNER JOIN semantics), per-side duplicate detection,
-   null counts over matched pairs, per-compare-column inequality — all
-   C-level pandas ops, no Python-per-row.  Each bucket writes its
-   violation rows + metrics to a checkpoint partition
-   (``.../bucket=<b>/{violations.parquet,metrics.pkl,_SUCCESS}``) and
-   returns only a tiny metrics row; a resumed run filters completed
-   buckets out *before* the shuffle and merges their checkpointed
-   metrics instead of recomputing (north rule resumability).
+1. **Pre-shuffle projection** (stateless ``map_batches``): each side is
+   reduced to its key columns plus *fixed-width hashes* — a row hash
+   over ``hash_columns``, one hash per compare column (e.g. ``text``),
+   null flags — so the all-to-all ships ~8 bytes per check per row
+   instead of wide text payloads. Per-column hashes are computed once
+   and combined, so ``text`` is hashed a single time even when it feeds
+   both the row hash and the compare check.
+2. **One partitioning key reused by every check**: the bucket id is
+   ``hash(group, shard) % B`` where ``group`` is the conversation key
+   and ``shard = turn_idx // span`` for *hot* conversations (detected by
+   the profile pass), else 0. Identical composite keys always land in
+   one bucket (same turn ⇒ same shard) so uniqueness and the PK join
+   stay exact, whole cold conversations stay bucket-local for ordering,
+   and hot conversations are salted into contiguous index ranges whose
+   partials merge exactly on the driver (north-rule skew handling).
+   Without a group column the bucket is the composite-key hash.
+3. **Explicit two-phase shuffle** (``shuffle.bucket_shuffle``): map
+   tasks split projected blocks by bucket; one reduce task per bucket
+   concatenates its shards and runs the vectorized pandas verification —
+   inner-join on the uint64 key hash (the reference's INNER JOIN
+   semantics: rows missing on either side are not mismatches), per-side
+   duplicate detection, null counts over matched pairs, per-column
+   equality, turn_idx contiguity, ts monotonicity, turn-count t-digest.
+   Each bucket checkpoints its violations + metrics
+   (``bucket=<b>/{violations.parquet,metrics.pkl,_SUCCESS}``); resumed
+   runs filter completed buckets out *before* the shuffle.
 """
 
 from __future__ import annotations
@@ -41,10 +46,21 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from ..sketches import hash_columns_u64
+from ..sketches import TDigest, hash_columns_u64
 
 SIDE_SOURCE = 0
 SIDE_TARGET = 1
+SIDE_NAMES = ("source", "target")
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _combine_hashes(cols: list[np.ndarray]) -> np.ndarray:
+    """Order-sensitive mix of per-column uint64 hashes (boost-style)."""
+    out = cols[0].copy()
+    for h in cols[1:]:
+        out ^= h + _MIX + (out << np.uint64(6)) + (out >> np.uint64(2))
+    return out
 
 
 @dataclass
@@ -55,9 +71,29 @@ class KeyedSpec:
     null_join_columns: list[str] = field(default_factory=list)
     compare_columns: list[str] = field(default_factory=list)
     uniqueness: bool = False  # uniqueness over key_columns, both sides
+    # conversation/group checks riding the same shuffle
+    group_column: str | None = None  # e.g. conv_id; enables group bucketing
+    index_column: str | None = None  # e.g. turn_idx
+    ts_column: str | None = None
+    require_contiguous: bool = False
+    require_monotonic_ts: bool = False
+    turn_count_digest: bool = False
+    hot_keys: dict = field(default_factory=dict)  # group key -> approx count
+    hot_shard_span: int = 8192
     max_violations_per_bucket: int = 100
     num_buckets: int = 64
     checkpoint_dir: str | None = None  # per-bucket checkpoints when set
+
+    @property
+    def group_checks(self) -> bool:
+        return bool(
+            self.group_column
+            and (
+                self.require_contiguous
+                or self.require_monotonic_ts
+                or self.turn_count_digest
+            )
+        )
 
 
 @dataclass
@@ -68,6 +104,12 @@ class KeyedMetrics:
     null_join: dict[str, list[int]] = field(default_factory=dict)  # col -> [src, tgt]
     uniq_count: list[int] = field(default_factory=lambda: [0, 0])
     uniq_distinct: list[int] = field(default_factory=lambda: [0, 0])
+    # group/ordering checks
+    groups_checked: list[int] = field(default_factory=lambda: [0, 0])
+    contiguity_violations: list[int] = field(default_factory=lambda: [0, 0])
+    monotonicity_violations: list[int] = field(default_factory=lambda: [0, 0])
+    digests: list[TDigest | None] = field(default_factory=lambda: [None, None])
+    hot_partials: dict = field(default_factory=dict)  # (side, group) -> [shard dicts]
     violations: int = 0
 
     def merge(self, other: "KeyedMetrics") -> "KeyedMetrics":
@@ -82,6 +124,17 @@ class KeyedMetrics:
         for i in (0, 1):
             self.uniq_count[i] += other.uniq_count[i]
             self.uniq_distinct[i] += other.uniq_distinct[i]
+            self.groups_checked[i] += other.groups_checked[i]
+            self.contiguity_violations[i] += other.contiguity_violations[i]
+            self.monotonicity_violations[i] += other.monotonicity_violations[i]
+            if other.digests[i] is not None:
+                self.digests[i] = (
+                    other.digests[i]
+                    if self.digests[i] is None
+                    else self.digests[i].merge(other.digests[i])
+                )
+        for k, shards in other.hot_partials.items():
+            self.hot_partials.setdefault(k, []).extend(shards)
         self.violations += other.violations
         return self
 
@@ -118,22 +171,53 @@ class _Projector:
                 + (self.hash_cols or [])
                 + spec.compare_columns
                 + spec.null_join_columns
+                + ([spec.ts_column] if spec.ts_column and spec.group_checks else [])
             )
         )
-        df = batch.select(need).to_pandas()
+        df = batch.select([c for c in need if c in batch.column_names]).to_pandas()
         out = df[spec.key_columns].copy()
-        # one deterministic uint64 key hash drives BOTH bucketing and the
-        # per-bucket join/groupby (int64 merge ≫ multi-column string merge)
-        kh = hash_columns_u64(df, spec.key_columns)
+        # hash each referenced column ONCE; combine for multi-column hashes
+        col_cache: dict[str, np.ndarray] = {}
+
+        def col_hash(c: str) -> np.ndarray:
+            if c not in col_cache:
+                col_cache[c] = hash_columns_u64(df, [c])
+            return col_cache[c]
+
+        kh = _combine_hashes([col_hash(c) for c in spec.key_columns])
         out["__kh"] = kh
         if self.hash_cols:
-            out["__rh"] = hash_columns_u64(df, self.hash_cols)
+            out["__rh"] = _combine_hashes([col_hash(c) for c in self.hash_cols])
         for c in spec.compare_columns:
-            out[f"__cmp_{c}"] = hash_columns_u64(df, [c])
+            out[f"__cmp_{c}"] = col_hash(c)
         for c in spec.null_join_columns:
             out[f"__nl_{c}"] = df[c].isna().to_numpy(dtype=np.int8)
+        if spec.group_checks and spec.ts_column:
+            ts = df[spec.ts_column]
+            out["__ts"] = (
+                ts.astype("int64")
+                if np.issubdtype(ts.dtype, np.datetime64)
+                else ts.astype("float64")
+            )
         out["__side"] = np.int8(self.side)
-        out["__bucket"] = (kh % np.uint64(spec.num_buckets)).astype(np.int32)
+        if spec.group_column and spec.group_column in out.columns and (
+            spec.group_checks or spec.hot_keys
+        ):
+            gh = col_hash(spec.group_column)
+            shard = np.zeros(len(out), dtype=np.int64)
+            if spec.hot_keys and spec.index_column:
+                hot_mask = df[spec.group_column].isin(list(spec.hot_keys)).to_numpy()
+                if hot_mask.any():
+                    shard[hot_mask] = (
+                        df[spec.index_column].to_numpy()[hot_mask]
+                        // spec.hot_shard_span
+                    )
+            out["__shard"] = shard
+            bucket_h = _combine_hashes([gh, shard.astype(np.uint64)])
+        else:
+            out["__shard"] = np.int64(0)
+            bucket_h = kh
+        out["__bucket"] = (bucket_h % np.uint64(spec.num_buckets)).astype(np.int32)
         if self.skip_buckets:
             mask = ~out["__bucket"].isin(list(self.skip_buckets)).to_numpy()
             out = out[mask]
@@ -141,7 +225,7 @@ class _Projector:
 
 
 class _BucketChecker:
-    """Per-bucket verification; runs once per bucket via map_groups."""
+    """Per-bucket verification; runs once per bucket in the reduce task."""
 
     def __init__(self, spec: KeyedSpec, task_key: str):
         self.spec = spec
@@ -155,117 +239,271 @@ class _BucketChecker:
         m = KeyedMetrics()
         violations: list[dict] = []
         key_cols = spec.key_columns
+        cap = spec.max_violations_per_bucket
         src = group[group["__side"] == SIDE_SOURCE]
         tgt = group[group["__side"] == SIDE_TARGET]
 
-        cap = spec.max_violations_per_bucket
-
         if spec.uniqueness:
-            for side_idx, frame in ((0, src), (1, tgt)):
-                if len(frame) == 0:
-                    continue
-                sizes = frame["__kh"].value_counts(sort=False)
-                m.uniq_count[side_idx] += int(sizes.sum())
-                m.uniq_distinct[side_idx] += int(len(sizes))
-                dup_kh = sizes[sizes > 1]
-                if len(dup_kh):
-                    # map hashes back to key values for violation reporting
-                    # (no iterrows: it would upcast uint64 hashes to float)
-                    reps = (
-                        frame[frame["__kh"].isin(dup_kh.index)]
-                        .drop_duplicates("__kh")
-                        .sort_values(key_cols)
-                        .head(cap)
-                    )
-                    occurrences = dup_kh.loc[reps["__kh"].to_numpy()].to_numpy()
-                    key_strs = [reps[c].astype(str).tolist() for c in key_cols]
-                    for row_i in range(len(reps)):
-                        violations.append(
-                            {
-                                "check_alias": "uniqueness_validation_"
-                                + "_".join(key_cols),
-                                "key": json.dumps(
-                                    {
-                                        c: key_strs[ci][row_i]
-                                        for ci, c in enumerate(key_cols)
-                                    }
-                                ),
-                                "side": "source" if side_idx == 0 else "target",
-                                "detail": json.dumps(
-                                    {"occurrences": int(occurrences[row_i])}
-                                ),
-                            }
-                        )
+            self._uniqueness(m, violations, src, tgt, key_cols, cap)
 
         join_needed = spec.row_hash or spec.compare_columns or spec.null_join_columns
         if join_needed and len(src) and len(tgt):
-            keep_s = ["__kh"] + key_cols + [
-                c for c in src.columns if c.startswith(("__rh", "__cmp_", "__nl_"))
-            ]
-            keep_t = ["__kh"] + [
-                c for c in tgt.columns if c.startswith(("__rh", "__cmp_", "__nl_"))
-            ]
-            joined = src[keep_s].merge(
-                tgt[keep_t], on="__kh", how="inner", suffixes=("_s", "_t")
-            )
-            m.total_compared_rows += len(joined)
-
-            def emit(bad: np.ndarray, alias: str, detail: dict) -> None:
-                rows = joined.loc[bad, key_cols].sort_values(key_cols).head(cap)
-                payload = json.dumps(detail)
-                key_strs = [rows[c].astype(str).tolist() for c in key_cols]
-                for row_i in range(len(rows)):
-                    violations.append(
-                        {
-                            "check_alias": alias,
-                            "key": json.dumps(
-                                {c: key_strs[ci][row_i] for ci, c in enumerate(key_cols)}
-                            ),
-                            "side": "both",
-                            "detail": payload,
-                        }
-                    )
-
-            if spec.row_hash:
-                bad = joined["__rh_s"].to_numpy() != joined["__rh_t"].to_numpy()
-                nbad = int(bad.sum())
-                m.mismatch_count += nbad
-                if nbad:
-                    emit(bad, "row_hash_validation", {"reason": "row_hash_mismatch"})
-            for c in spec.compare_columns:
-                bad = (
-                    joined[f"__cmp_{c}_s"].to_numpy()
-                    != joined[f"__cmp_{c}_t"].to_numpy()
-                )
-                nbad = int(bad.sum())
-                m.compare_mismatches[c] = m.compare_mismatches.get(c, 0) + nbad
-                if nbad:
-                    emit(bad, "compare_validation_" + c, {"column": c})
-            for c in spec.null_join_columns:
-                cur = m.null_join.setdefault(c, [0, 0])
-                cur[0] += int(joined[f"__nl_{c}_s"].sum())
-                cur[1] += int(joined[f"__nl_{c}_t"].sum())
+            self._join_checks(m, violations, src, tgt, key_cols, cap)
         elif join_needed:
             for c in spec.null_join_columns:
                 m.null_join.setdefault(c, [0, 0])
 
+        if spec.group_checks:
+            self._group_checks(m, violations, src, tgt, cap)
+
         m.violations = len(violations)
         if spec.checkpoint_dir:
-            bdir = os.path.join(spec.checkpoint_dir, f"bucket={bucket}")
-            os.makedirs(bdir, exist_ok=True)
-            vdf = pd.DataFrame(
-                violations, columns=["check_alias", "key", "side", "detail"]
-            )
-            vdf.insert(0, "task_key", self.task_key)
-            import pyarrow.parquet as pq
-
-            fd, tmp = tempfile.mkstemp(dir=bdir, suffix=".parquet")
-            os.close(fd)
-            pq.write_table(pa.Table.from_pandas(vdf, preserve_index=False), tmp)
-            os.replace(tmp, os.path.join(bdir, "violations.parquet"))
-            _atomic_write(os.path.join(bdir, "metrics.pkl"), pickle.dumps(m))
-            _atomic_write(os.path.join(bdir, "_SUCCESS"), b"")
+            self._checkpoint(bucket, m, violations)
         return pd.DataFrame({"bucket": [bucket], "blob": [pickle.dumps(m)]})
+
+    # ---- check groups ----
+
+    def _uniqueness(self, m, violations, src, tgt, key_cols, cap) -> None:
+        for side_idx, frame in ((0, src), (1, tgt)):
+            if len(frame) == 0:
+                continue
+            sizes = frame["__kh"].value_counts(sort=False)
+            m.uniq_count[side_idx] += int(sizes.sum())
+            m.uniq_distinct[side_idx] += int(len(sizes))
+            dup_kh = sizes[sizes > 1]
+            if len(dup_kh):
+                # map hashes back to key values for violation reporting
+                # (no iterrows: it would upcast uint64 hashes to float)
+                reps = (
+                    frame[frame["__kh"].isin(dup_kh.index)]
+                    .drop_duplicates("__kh")
+                    .sort_values(key_cols)
+                    .head(cap)
+                )
+                occurrences = dup_kh.loc[reps["__kh"].to_numpy()].to_numpy()
+                key_strs = [reps[c].astype(str).tolist() for c in key_cols]
+                for row_i in range(len(reps)):
+                    violations.append(
+                        {
+                            "check_alias": "uniqueness_validation_"
+                            + "_".join(key_cols),
+                            "key": json.dumps(
+                                {
+                                    c: key_strs[ci][row_i]
+                                    for ci, c in enumerate(key_cols)
+                                }
+                            ),
+                            "side": SIDE_NAMES[side_idx],
+                            "detail": json.dumps(
+                                {"occurrences": int(occurrences[row_i])}
+                            ),
+                        }
+                    )
+
+    def _join_checks(self, m, violations, src, tgt, key_cols, cap) -> None:
+        spec = self.spec
+        keep_s = ["__kh"] + key_cols + [
+            c for c in src.columns if c.startswith(("__rh", "__cmp_", "__nl_"))
+        ]
+        keep_t = ["__kh"] + [
+            c for c in tgt.columns if c.startswith(("__rh", "__cmp_", "__nl_"))
+        ]
+        joined = src[keep_s].merge(
+            tgt[keep_t], on="__kh", how="inner", suffixes=("_s", "_t")
+        )
+        m.total_compared_rows += len(joined)
+
+        def emit(bad: np.ndarray, alias: str, detail: dict) -> None:
+            rows = joined.loc[bad, key_cols].sort_values(key_cols).head(cap)
+            payload = json.dumps(detail)
+            key_strs = [rows[c].astype(str).tolist() for c in key_cols]
+            for row_i in range(len(rows)):
+                violations.append(
+                    {
+                        "check_alias": alias,
+                        "key": json.dumps(
+                            {c: key_strs[ci][row_i] for ci, c in enumerate(key_cols)}
+                        ),
+                        "side": "both",
+                        "detail": payload,
+                    }
+                )
+
+        if spec.row_hash:
+            bad = joined["__rh_s"].to_numpy() != joined["__rh_t"].to_numpy()
+            nbad = int(bad.sum())
+            m.mismatch_count += nbad
+            if nbad:
+                emit(bad, "row_hash_validation", {"reason": "row_hash_mismatch"})
+        for c in spec.compare_columns:
+            bad = (
+                joined[f"__cmp_{c}_s"].to_numpy() != joined[f"__cmp_{c}_t"].to_numpy()
+            )
+            nbad = int(bad.sum())
+            m.compare_mismatches[c] = m.compare_mismatches.get(c, 0) + nbad
+            if nbad:
+                emit(bad, "compare_validation_" + c, {"column": c})
+        for c in spec.null_join_columns:
+            cur = m.null_join.setdefault(c, [0, 0])
+            cur[0] += int(joined[f"__nl_{c}_s"].sum())
+            cur[1] += int(joined[f"__nl_{c}_t"].sum())
+
+    def _group_checks(self, m, violations, src, tgt, cap) -> None:
+        """Ordering / contiguity / turn-count over (group, index[, ts]).
+
+        Vectorized pandas groupby over all of the bucket's conversations;
+        hot conversations return shard partials stitched by the driver
+        (contiguous index ranges ⇒ exact merge)."""
+        spec = self.spec
+        g_col, i_col = spec.group_column, spec.index_column
+        has_ts = "__ts" in src.columns or "__ts" in tgt.columns
+        hot = spec.hot_keys
+        for side in (0, 1):
+            part = (src, tgt)[side]
+            if len(part) == 0:
+                continue
+            cols = [g_col, i_col, "__shard"] + (["__ts"] if has_ts else [])
+            part = part[cols].sort_values([g_col, "__shard", i_col], kind="stable")
+            gb = part.groupby([g_col, "__shard"], sort=False)
+            agg_kw = {
+                "n": (i_col, "size"),
+                "imin": (i_col, "min"),
+                "imax": (i_col, "max"),
+                "inuniq": (i_col, "nunique"),
+            }
+            if has_ts:
+                agg_kw.update({"tfirst": ("__ts", "first"), "tlast": ("__ts", "last")})
+            summary = gb.agg(**agg_kw)
+            if has_ts:
+                tv = part["__ts"].to_numpy()
+                new_grp = (
+                    (part[g_col] != part[g_col].shift()).to_numpy()
+                    | (part["__shard"] != part["__shard"].shift()).to_numpy()
+                )
+                bad_step = np.zeros(len(part), dtype=bool)
+                if len(part) > 1:
+                    bad_step[1:] = tv[1:] < tv[:-1]
+                bad_step &= ~new_grp
+                summary["ts_sorted"] = ~(
+                    pd.Series(bad_step, index=part.index)
+                    .groupby([part[g_col], part["__shard"]], sort=False)
+                    .any()
+                )
+            else:
+                summary["ts_sorted"] = True
+            summary = summary.reset_index()
+            is_hot = (
+                summary[g_col].isin(list(hot))
+                if hot
+                else pd.Series(False, index=summary.index)
+            )
+            hot_cols = [g_col, "__shard", "n", "imin", "imax", "inuniq", "ts_sorted"]
+            if has_ts:
+                hot_cols += ["tfirst", "tlast"]
+            for tup in summary.loc[is_hot, hot_cols].itertuples(
+                index=False, name=None
+            ):
+                g_val, shard, n, imin, imax, nuniq, ts_sorted = tup[:7]
+                m.hot_partials.setdefault((side, g_val), []).append(
+                    {
+                        "shard": int(shard),
+                        "n": int(n),
+                        "imin": int(imin),
+                        "imax": int(imax),
+                        "nuniq": int(nuniq),
+                        "tfirst": int(tup[7]) if has_ts else None,
+                        "tlast": int(tup[8]) if has_ts else None,
+                        "ts_sorted": bool(ts_sorted),
+                    }
+                )
+            cold = summary[~is_hot]
+            if len(cold):
+                m.groups_checked[side] += len(cold)
+                contiguous = (
+                    (cold["imin"] == 0)
+                    & (cold["imax"] == cold["n"] - 1)
+                    & (cold["inuniq"] == cold["n"])
+                )
+                mono = cold["ts_sorted"].astype(bool)
+                if spec.require_contiguous:
+                    bad_c = cold[~contiguous]
+                    m.contiguity_violations[side] += len(bad_c)
+                    for g in bad_c[g_col].astype(str).head(cap):
+                        violations.append(
+                            {
+                                "check_alias": f"ordering_validation_{g_col}",
+                                "key": json.dumps({g_col: g}),
+                                "side": SIDE_NAMES[side],
+                                "detail": json.dumps(
+                                    {"reason": "non_contiguous_turn_idx"}
+                                ),
+                            }
+                        )
+                if spec.require_monotonic_ts and has_ts:
+                    bad_m = cold[contiguous & ~mono]
+                    m.monotonicity_violations[side] += len(bad_m)
+                    for g in bad_m[g_col].astype(str).head(cap):
+                        violations.append(
+                            {
+                                "check_alias": f"ordering_validation_{g_col}",
+                                "key": json.dumps({g_col: g}),
+                                "side": SIDE_NAMES[side],
+                                "detail": json.dumps({"reason": "non_monotonic_ts"}),
+                            }
+                        )
+                if spec.turn_count_digest:
+                    d = m.digests[side] or TDigest()
+                    d.add(cold["n"].to_numpy(dtype=np.float64))
+                    m.digests[side] = d
+
+    def _checkpoint(self, bucket: int, m: KeyedMetrics, violations: list) -> None:
+        import pyarrow.parquet as pq
+
+        bdir = os.path.join(self.spec.checkpoint_dir, f"bucket={bucket}")
+        os.makedirs(bdir, exist_ok=True)
+        vdf = pd.DataFrame(violations, columns=["check_alias", "key", "side", "detail"])
+        vdf.insert(0, "task_key", self.task_key)
+        fd, tmp = tempfile.mkstemp(dir=bdir, suffix=".parquet")
+        os.close(fd)
+        pq.write_table(pa.Table.from_pandas(vdf, preserve_index=False), tmp)
+        os.replace(tmp, os.path.join(bdir, "violations.parquet"))
+        _atomic_write(os.path.join(bdir, "metrics.pkl"), pickle.dumps(m))
+        _atomic_write(os.path.join(bdir, "_SUCCESS"), b"")
+
+
+def _stitch_hot(metrics: KeyedMetrics, spec: KeyedSpec) -> None:
+    """Fold hot-conversation shard partials into whole-conversation
+    verdicts. Shards hold disjoint contiguous index ranges, so the merge
+    (counts, min/max, uniqueness, boundary ts comparisons) is exact."""
+    for (side, g), shards in sorted(
+        metrics.hot_partials.items(), key=lambda kv: (kv[0][0], str(kv[0][1]))
+    ):
+        shards = sorted(shards, key=lambda s: s["shard"])
+        metrics.groups_checked[side] += 1
+        n = sum(s["n"] for s in shards)
+        imin = min(s["imin"] for s in shards)
+        imax = max(s["imax"] for s in shards)
+        nuniq = sum(s["nuniq"] for s in shards)
+        contiguous = imin == 0 and imax == n - 1 and nuniq == n
+        mono = all(s["ts_sorted"] for s in shards)
+        if mono and shards[0]["tlast"] is not None:
+            for a, b in zip(shards, shards[1:]):
+                if (
+                    a["tlast"] is not None
+                    and b["tfirst"] is not None
+                    and b["tfirst"] < a["tlast"]
+                ):
+                    mono = False
+                    break
+        if spec.require_contiguous and not contiguous:
+            metrics.contiguity_violations[side] += 1
+        elif spec.require_monotonic_ts and not mono:
+            metrics.monotonicity_violations[side] += 1
+        if spec.turn_count_digest:
+            d = metrics.digests[side] or TDigest()
+            d.add(np.array([float(n)]))
+            metrics.digests[side] = d
+    metrics.hot_partials = {}
 
 
 def completed_buckets(checkpoint_dir: str | None) -> frozenset[int]:
@@ -286,7 +524,7 @@ def run_keyed_pass(
     spec: KeyedSpec,
     task_key: str,
     *,
-    batch_size: int = 65536,
+    batch_size: int | None = 65536,
 ) -> KeyedMetrics:
     """Execute the keyed pass; resume-aware when ``spec.checkpoint_dir``.
 
@@ -312,22 +550,18 @@ def run_keyed_pass(
                 zero_copy_batch=True,
             )
         )
-    unioned = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
     checker = _BucketChecker(spec, task_key)
-
-    def check_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        return checker(group)
-
-    result = unioned.groupby("__bucket").map_groups(
-        check_bucket, batch_format="pandas"
-    )
     merged = KeyedMetrics()
-    for row in result.take_all():
-        merged.merge(pickle.loads(row["blob"]))
+    from ..shuffle import bucket_shuffle
+
+    for blob in bucket_shuffle(parts, spec.num_buckets, checker):
+        merged.merge(pickle.loads(blob))
     # fold in checkpointed buckets that were skipped this run
     for b in sorted(done):
         with open(
             os.path.join(spec.checkpoint_dir, f"bucket={b}", "metrics.pkl"), "rb"
         ) as fh:
             merged.merge(pickle.load(fh))
+    if spec.group_checks:
+        _stitch_hot(merged, spec)
     return merged

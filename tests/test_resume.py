@@ -39,12 +39,11 @@ def test_resume_identical_and_partial_recompute(suite, tmp_path):
 
     ck = f"{out}/checkpoint/run_id=11/task=t"
     keyed_markers = sorted(glob.glob(f"{ck}/keyed/bucket=*/_SUCCESS"))
-    conv_markers = sorted(glob.glob(f"{ck}/conv/bucket=*/_SUCCESS"))
-    assert keyed_markers and conv_markers
+    assert len(keyed_markers) >= 2  # ordering checks ride the keyed shuffle
 
-    # simulate an interrupted run: one keyed bucket + one conv bucket lost
+    # simulate an interrupted run: two keyed buckets lost
     os.remove(keyed_markers[0])
-    os.remove(conv_markers[0])
+    os.remove(keyed_markers[-1])
     kept_marker = keyed_markers[1]
     kept_mtime_before = os.path.getmtime(
         os.path.join(os.path.dirname(kept_marker), "metrics.pkl")
@@ -61,9 +60,9 @@ def test_resume_identical_and_partial_recompute(suite, tmp_path):
         os.path.join(os.path.dirname(kept_marker), "metrics.pkl")
     )
     assert kept_mtime_after == kept_mtime_before
-    # the deleted bucket was recomputed (marker rewritten)
+    # the deleted buckets were recomputed (markers rewritten)
     assert os.path.exists(keyed_markers[0])
-    assert os.path.exists(conv_markers[0])
+    assert os.path.exists(keyed_markers[-1])
 
 
 def test_profile_checkpoint_reused(suite, tmp_path):
