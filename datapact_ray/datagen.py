@@ -55,15 +55,25 @@ def make_source(
     )
     lengths = 3 + (rng.integers(0, 40, n) ** 2) // 40  # 3..~42 words
     row_id = np.arange(n)
-    fillers = word_bank[(row_id % len(word_bank))]
     reps = np.clip(lengths, 1, None)
-    text = np.array(
+    # vectorized text assembly: the (filler word × repeat count) tail space
+    # is tiny, so precompute it and index, instead of joining per row
+    max_rep = int(reps.max())
+    tails = np.array(
         [
-            f"msg {c} {t} " + " ".join([str(f)] * int(r))
-            for c, t, f, r in zip(conv_id, turn_idx, fillers, reps)
+            [" ".join([w] * r) for r in range(max_rep + 1)]
+            for w in word_bank
         ],
         dtype=object,
     )
+    tail_arr = tails[row_id % len(word_bank), reps]
+    prefix = np.char.add(
+        np.char.add(
+            np.char.add("msg ", conv_id.astype("U")), " "
+        ),
+        turn_idx.astype("U"),
+    ).astype(object)
+    text = prefix + " " + tail_arr
     tool = np.where(role == "tool", TOOLS[row_id % 3], None)
     conv_offset = (conv_idx.astype(np.int64) * 3600) * 1_000_000
     ts = EPOCH_US + conv_offset + turn_idx.astype(np.int64) * 7_000_000

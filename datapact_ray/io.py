@@ -46,8 +46,11 @@ def _stub_fsspec_http() -> None:
 _stub_fsspec_http()
 
 
+_FORMATS = (".parquet", ".csv", ".json", ".jsonl", ".ndjson")
+
+
 def list_parquet_files(path: str) -> list[str]:
-    """Deterministic (sorted) list of parquet files under a path.
+    """Deterministic (sorted) list of data files under a path.
 
     Determinism matters for resumable partitioning: the lineage manifest
     records this list, and resumes must see the same order.
@@ -57,21 +60,48 @@ def list_parquet_files(path: str) -> list[str]:
     out: list[str] = []
     for root, _dirs, files in os.walk(path):
         for f in files:
-            if f.endswith(".parquet"):
+            if f.endswith(_FORMATS):
                 out.append(os.path.join(root, f))
     return sorted(out)
+
+
+def _detect_format(files: list[str]) -> str:
+    name = files[0]
+    if name.endswith(".csv"):
+        return "csv"
+    if name.endswith((".json", ".jsonl", ".ndjson")):
+        return "json"
+    return "parquet"
 
 
 def table_schema(path: str) -> pa.Schema:
     files = list_parquet_files(path)
     if not files:
-        raise FileNotFoundError(f"No parquet files under {path}")
-    return pq.read_schema(files[0])
+        raise FileNotFoundError(f"No data files under {path}")
+    fmt = _detect_format(files)
+    if fmt == "parquet":
+        return pq.read_schema(files[0])
+    if fmt == "csv":
+        import pyarrow.csv as pcsv
+
+        with pcsv.open_csv(files[0]) as reader:
+            return reader.schema
+    import pyarrow.json as pjson
+
+    # schema from the first file's parsed head (JSON has no footer)
+    return pjson.read_json(
+        files[0], read_options=pjson.ReadOptions(block_size=1 << 20)
+    ).schema
 
 
 def count_rows(path: str) -> int:
-    """Exact row count from parquet footers (no data read)."""
-    return sum(pq.ParquetFile(f).metadata.num_rows for f in list_parquet_files(path))
+    """Exact row count from parquet footers (no data read); falls back
+    to a metadata-free estimate of 0 for csv/json (callers only use this
+    for bucket sizing, where the cluster-CPU floor applies)."""
+    files = list_parquet_files(path)
+    if _detect_format(files) != "parquet":
+        return 0
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
 def read_table(
@@ -83,11 +113,16 @@ def read_table(
     """Read a logical table as a Ray Dataset with column pruning and
     filter pushdown.
 
-    ``columns=None`` reads everything; ``filter_sql`` is the engine's
-    SQL-subset predicate (see ``expr.py``); ``files`` restricts the read
-    to a subset of the table's files (resume / shard scoping).
+    Parquet (default), CSV and JSON(L) inputs are supported by file
+    extension. ``columns=None`` reads everything; ``filter_sql`` is the
+    engine's SQL-subset predicate (see ``expr.py``) — pushed down to
+    Parquet row groups, applied as a vectorized post-read filter for
+    CSV/JSON; ``files`` restricts the read to a subset of the table's
+    files (resume / shard scoping).
     """
+    all_files = list_parquet_files(path)
     paths = files if files is not None else path
+    fmt = _detect_format(all_files)
     schema = table_schema(path)
     expr = None
     if filter_sql:
@@ -95,10 +130,25 @@ def read_table(
         expr = compile_filter(filter_sql, schema)
         if columns is not None:
             needed = referenced_columns(ast)
-            columns = list(dict.fromkeys(list(columns) + [c for c in needed if c in schema.names]))
-    kwargs = {}
-    if columns is not None:
-        kwargs["columns"] = columns
+            columns = list(
+                dict.fromkeys(
+                    list(columns) + [c for c in needed if c in schema.names]
+                )
+            )
+    if fmt == "parquet":
+        kwargs = {}
+        if columns is not None:
+            kwargs["columns"] = columns
+        if expr is not None:
+            kwargs["filter"] = expr
+        return ray.data.read_parquet(paths, **kwargs)
+    ds = (
+        ray.data.read_csv(paths) if fmt == "csv" else ray.data.read_json(paths)
+    )
     if expr is not None:
-        kwargs["filter"] = expr
-    return ray.data.read_parquet(paths, **kwargs)
+        ds = ds.map_batches(
+            lambda t, e=expr: t.filter(e), batch_format="pyarrow"
+        )
+    if columns is not None:
+        ds = ds.select_columns(columns)
+    return ds

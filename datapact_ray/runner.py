@@ -79,7 +79,7 @@ class RunConfig:
     num_buckets: int | None = None  # None -> sized from row counts
     target_rows_per_bucket: int = 250_000
     hot_key_threshold: int = 50_000
-    profile_concurrency: tuple[int, int] | int | None = (1, 16)
+    profile_concurrency: tuple[int, int] | int | None = None
     resume: bool = False
     fail_fast: bool = False  # stop at first failing task
 

@@ -79,9 +79,20 @@ def bucket_shuffle(
     reduce_task = ray.remote(_reduce_bucket)
     checker_ref = ray.put(checker_fn)
 
+    # materialize all projected parts CONCURRENTLY (each .to_arrow_refs is
+    # a blocking Ray Data execution; serializing them doubles the fixed
+    # per-execution overhead)
+    if len(parts) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(parts)) as pool:
+            ref_lists = list(pool.map(lambda p: p.to_arrow_refs(), parts))
+    else:
+        ref_lists = [parts[0].to_arrow_refs()]
+
     shard_lists: list = []
-    for part in parts:
-        for block_ref in part.to_arrow_refs():
+    for block_refs in ref_lists:
+        for block_ref in block_refs:
             result = split_task.remote(block_ref, num_buckets)
             if num_buckets == 1:
                 result = [result]

@@ -163,19 +163,18 @@ class _Projector:
         else:
             self.hash_cols = None
 
-    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+    def __call__(self, batch: pa.Table) -> pa.Table:
         spec = self.spec
+        n = batch.num_rows
         need = list(
             dict.fromkeys(
                 spec.key_columns
                 + (self.hash_cols or [])
                 + spec.compare_columns
                 + spec.null_join_columns
-                + ([spec.ts_column] if spec.ts_column and spec.group_checks else [])
             )
         )
         df = batch.select([c for c in need if c in batch.column_names]).to_pandas()
-        out = df[spec.key_columns].copy()
         # hash each referenced column ONCE; combine for multi-column hashes
         col_cache: dict[str, np.ndarray] = {}
 
@@ -184,27 +183,32 @@ class _Projector:
                 col_cache[c] = hash_columns_u64(df, [c])
             return col_cache[c]
 
+        # output stays Arrow end-to-end: key columns are taken zero-copy
+        # from the input batch, everything else is fixed-width numpy
+        cols: dict[str, object] = {c: batch.column(c) for c in spec.key_columns}
         kh = _combine_hashes([col_hash(c) for c in spec.key_columns])
-        out["__kh"] = kh
+        cols["__kh"] = pa.array(kh)
         if self.hash_cols:
-            out["__rh"] = _combine_hashes([col_hash(c) for c in self.hash_cols])
-        for c in spec.compare_columns:
-            out[f"__cmp_{c}"] = col_hash(c)
-        for c in spec.null_join_columns:
-            out[f"__nl_{c}"] = df[c].isna().to_numpy(dtype=np.int8)
-        if spec.group_checks and spec.ts_column:
-            ts = df[spec.ts_column]
-            out["__ts"] = (
-                ts.astype("int64")
-                if np.issubdtype(ts.dtype, np.datetime64)
-                else ts.astype("float64")
+            cols["__rh"] = pa.array(
+                _combine_hashes([col_hash(c) for c in self.hash_cols])
             )
-        out["__side"] = np.int8(self.side)
-        if spec.group_column and spec.group_column in out.columns and (
+        for c in spec.compare_columns:
+            cols[f"__cmp_{c}"] = pa.array(col_hash(c))
+        for c in spec.null_join_columns:
+            cols[f"__nl_{c}"] = pa.array(df[c].isna().to_numpy(dtype=np.int8))
+        if spec.group_checks and spec.ts_column:
+            ts = batch.column(spec.ts_column)
+            cols["__ts"] = (
+                ts.cast(pa.int64())
+                if pa.types.is_timestamp(ts.type)
+                else ts.cast(pa.float64())
+            )
+        cols["__side"] = pa.array(np.full(n, self.side, dtype=np.int8))
+        if spec.group_column and spec.group_column in spec.key_columns and (
             spec.group_checks or spec.hot_keys
         ):
             gh = col_hash(spec.group_column)
-            shard = np.zeros(len(out), dtype=np.int64)
+            shard = np.zeros(n, dtype=np.int64)
             if spec.hot_keys and spec.index_column:
                 hot_mask = df[spec.group_column].isin(list(spec.hot_keys)).to_numpy()
                 if hot_mask.any():
@@ -212,15 +216,17 @@ class _Projector:
                         df[spec.index_column].to_numpy()[hot_mask]
                         // spec.hot_shard_span
                     )
-            out["__shard"] = shard
+            cols["__shard"] = pa.array(shard)
             bucket_h = _combine_hashes([gh, shard.astype(np.uint64)])
         else:
-            out["__shard"] = np.int64(0)
+            cols["__shard"] = pa.array(np.zeros(n, dtype=np.int64))
             bucket_h = kh
-        out["__bucket"] = (bucket_h % np.uint64(spec.num_buckets)).astype(np.int32)
+        bucket = (bucket_h % np.uint64(spec.num_buckets)).astype(np.int32)
+        cols["__bucket"] = pa.array(bucket)
+        out = pa.table(cols)
         if self.skip_buckets:
-            mask = ~out["__bucket"].isin(list(self.skip_buckets)).to_numpy()
-            out = out[mask]
+            mask = ~np.isin(bucket, list(self.skip_buckets))
+            out = out.filter(pa.array(mask))
         return out
 
 

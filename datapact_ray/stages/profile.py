@@ -94,11 +94,14 @@ def _scalar(value: pa.Scalar):
 
 
 class ProfileActor:
-    """Actor-pool batch profiler: spec parsing happens once per actor in
-    ``__init__``; each ``__call__`` emits one pickled partial row."""
+    """Batch profiler: runs as stateless tasks (a pickled instance — Ray
+    reuses warm worker processes, no pool spin-up) or as an actor pool
+    when ``concurrency`` is set; each ``__call__`` emits one pickled
+    partial row tagged with the table side."""
 
-    def __init__(self, spec: ProfileSpec):
+    def __init__(self, spec: ProfileSpec, side: int = 0):
         self.spec = spec
+        self.side = side
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         spec = self.spec
@@ -149,7 +152,9 @@ class ProfileActor:
             tk = TopKCounter(spec.heavy_hitter_k)
             tk.add_value_counts(keys, counts)
             out.heavy_hitters = tk
-        return pa.table({"partial": [pickle.dumps(out)]})
+        return pa.table(
+            {"side": [self.side], "partial": [pickle.dumps(out)]}
+        )
 
 
 def merge_profiles(partials: list[ProfileResult]) -> ProfileResult:
@@ -181,41 +186,44 @@ def merge_profiles(partials: list[ProfileResult]) -> ProfileResult:
     return out
 
 
+def _profile_stage(
+    ds: ray.data.Dataset,
+    spec: ProfileSpec,
+    side: int,
+    batch_size: int,
+    concurrency,
+) -> ray.data.Dataset:
+    if concurrency is None:
+        return ds.map_batches(
+            ProfileActor(spec, side),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            zero_copy_batch=True,
+        )
+    return ds.map_batches(
+        ProfileActor,
+        fn_constructor_args=(spec, side),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+
+
 def run_profile_pair(
     source: ray.data.Dataset,
     target: ray.data.Dataset,
     spec: ProfileSpec,
     *,
     batch_size: int = 65536,
-    concurrency: int | tuple[int, int] | None = (1, 16),
+    concurrency: int | tuple[int, int] | None = None,
 ) -> tuple[ProfileResult, ProfileResult]:
     """Profile BOTH sides in one streaming execution (union of the two
     per-side partial streams), halving fixed per-execution overhead; the
     reference's '1 scan per side' becomes one pipelined job."""
-
-    def staged(ds: ray.data.Dataset, side: int) -> ray.data.Dataset:
-        if concurrency is None:
-            mapped = ds.map_batches(
-                ProfileActor(spec),
-                batch_format="pyarrow",
-                batch_size=batch_size,
-                zero_copy_batch=True,
-            )
-        else:
-            mapped = ds.map_batches(
-                ProfileActor,
-                fn_constructor_args=(spec,),
-                batch_format="pyarrow",
-                batch_size=batch_size,
-                zero_copy_batch=True,
-                concurrency=concurrency,
-            )
-        return mapped.map_batches(
-            lambda t, s=side: t.append_column("side", pa.array([s] * t.num_rows, pa.int8())),
-            batch_format="pyarrow",
-        )
-
-    combined = staged(source, 0).union(staged(target, 1))
+    combined = _profile_stage(source, spec, 0, batch_size, concurrency).union(
+        _profile_stage(target, spec, 1, batch_size, concurrency)
+    )
     partials: dict[int, list[ProfileResult]] = {0: [], 1: []}
     for row in combined.take_all():
         partials[row["side"]].append(pickle.loads(row["partial"]))
@@ -227,30 +235,15 @@ def run_profile(
     spec: ProfileSpec,
     *,
     batch_size: int = 65536,
-    concurrency: int | tuple[int, int] | None = (1, 16),
+    concurrency: int | tuple[int, int] | None = None,
 ) -> ProfileResult:
     """Execute the profile pass and merge partials on the driver.
 
-    With ``concurrency`` set the profiler runs as an autoscaling actor
-    pool (spec parsing / sketch setup amortized per actor); ``None``
-    falls back to stateless tasks. The partials dataset is tiny (one ~KB
+    ``concurrency=None`` (default) runs stateless tasks on warm workers;
+    set it to run an autoscaling actor pool (useful when the spec adds
+    expensive per-actor setup). The partials dataset is tiny (one ~KB
     row per input batch), so ``take_all`` here is not a materialization
     of the input."""
-    if concurrency is None:
-        partial_ds = ds.map_batches(
-            ProfileActor(spec),
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            zero_copy_batch=True,
-        )
-    else:
-        partial_ds = ds.map_batches(
-            ProfileActor,
-            fn_constructor_args=(spec,),
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            zero_copy_batch=True,
-            concurrency=concurrency,
-        )
+    partial_ds = _profile_stage(ds, spec, 0, batch_size, concurrency)
     partials = [pickle.loads(row["partial"]) for row in partial_ds.take_all()]
     return merge_profiles(partials)
