@@ -81,9 +81,15 @@ def agg_lineitem(sf_dir: str) -> pd.DataFrame:
 def uniqueness_lineitem(sf_dir: str) -> pd.DataFrame:
     """G4/E3 composite-key uniqueness via the bucketed keyed pass."""
     keys = ["l_orderkey", "l_linenumber"]
-    ds = read_table(f"{sf_dir}/lineitem.parquet", columns=keys)
     spec = KeyedSpec(key_columns=keys, uniqueness=True, num_buckets=32)
-    m = run_keyed_pass(ds, None, spec, task_key="uniqueness_lineitem")
+    m = run_keyed_pass(
+        None,
+        None,
+        spec,
+        task_key="uniqueness_lineitem",
+        source_files=[f"{sf_dir}/lineitem.parquet"],
+        columns=keys,
+    )
     return pd.DataFrame(
         {
             "row_count": [m.uniq_count[0]],
@@ -161,10 +167,18 @@ def ts_stats_events(sf_dir: str) -> pd.DataFrame:
 def rowhash_customer_self(sf_dir: str) -> pd.DataFrame:
     """J1 PK row-hash compare of a table with itself ⇒ 0 mismatches."""
     path = f"{sf_dir}/customer.parquet"
-    ds1 = read_table(path)
-    ds2 = read_table(path)
+    from ..io import table_schema
+
     spec = KeyedSpec(key_columns=["c_custkey"], row_hash=True, num_buckets=32)
-    m = run_keyed_pass(ds1, ds2, spec, task_key="rowhash_customer_self")
+    m = run_keyed_pass(
+        None,
+        None,
+        spec,
+        task_key="rowhash_customer_self",
+        source_files=[path],
+        target_files=[path],
+        columns=list(table_schema(path).names),
+    )
     return pd.DataFrame(
         {
             "compared_rows": [m.total_compared_rows],

@@ -42,6 +42,7 @@ import pyarrow.parquet as pq
 
 from . import verdicts as V
 from .config import ValidationSuite, ValidationTask
+from .expr import compile_filter
 from .io import count_rows, list_parquet_files, read_table, table_schema
 from .sketches import ks_statistic, psi_statistic
 from .stages.custom import run_custom_check
@@ -226,8 +227,13 @@ class ValidationRunner:
             _ray.is_initialized()
         ) else 8
         est_rows = max(count_rows(task.source_path), count_rows(task.target_path))
+        # one reduce wave per core, growing with data so per-bucket frames
+        # stay ~target_rows_per_bucket; NOT a multiple of cores — each map
+        # task materializes num_buckets return objects, and oversized B
+        # floods the object store with tiny objects (measured 3x slowdown
+        # at B=4*cpus vs B=cpus on 4M rows)
         num_buckets = cfg.num_buckets or max(
-            4 * cluster_cpus,
+            cluster_cpus,
             min(4096, est_rows // cfg.target_rows_per_bucket + 1),
         )
         lineage["partitioning"]["num_buckets"] = num_buckets
@@ -247,6 +253,35 @@ class ValidationRunner:
         # concurrent driver threads so their Ray pipelines overlap and
         # keep the cluster busy instead of executing serially.
         jobs: dict[str, object] = {}
+
+        all_parquet = all(
+            f.endswith(".parquet") for f in src_files + tgt_files
+        )
+        filter_expr = (
+            compile_filter(task.filter, src_schema) if task.filter else None
+        )
+
+        def keyed_job(spec_obj, cols_list, batch_mult=1):
+            """Pass runner: parquet inputs go through the fused
+            read+project+split map tasks; other formats via Datasets."""
+            if all_parquet:
+                return lambda: run_keyed_pass(
+                    None,
+                    None,
+                    spec_obj,
+                    task.task_key,
+                    source_files=src_files,
+                    target_files=tgt_files,
+                    columns=cols_list,
+                    filter_expr=filter_expr,
+                )
+            return lambda: run_keyed_pass(
+                read_table(task.source_path, columns=cols_list, filter_sql=task.filter),
+                read_table(task.target_path, columns=cols_list, filter_sql=task.filter),
+                spec_obj,
+                task.task_key,
+                batch_size=cfg.batch_size * batch_mult,
+            )
 
         conv_needed = bool(task.ordering or want_turn_count_drift)
         o = task.ordering
@@ -307,13 +342,7 @@ class ValidationRunner:
             if conv_folded and conv_ts:
                 need_cols.add(conv_ts)
             cols = sorted(need_cols)
-            jobs["keyed"] = lambda: run_keyed_pass(
-                read_table(task.source_path, columns=cols, filter_sql=task.filter),
-                read_table(task.target_path, columns=cols, filter_sql=task.filter),
-                kspec,
-                task.task_key,
-                batch_size=cfg.batch_size,
-            )
+            jobs["keyed"] = keyed_job(kspec, cols)
 
         # separate uniqueness shuffle only when its key differs from the PK
         if uniqueness_enabled and not uniq_same_as_pk:
@@ -324,13 +353,7 @@ class ValidationRunner:
                 num_buckets=num_buckets,
                 checkpoint_dir=os.path.join(ckpt, "uniq"),
             )
-            jobs["uniq"] = lambda: run_keyed_pass(
-                read_table(task.source_path, columns=uniq_cols, filter_sql=task.filter),
-                read_table(task.target_path, columns=uniq_cols, filter_sql=task.filter),
-                uspec,
-                task.task_key,
-                batch_size=cfg.batch_size,
-            )
+            jobs["uniq"] = keyed_job(uspec, uniq_cols)
 
         # standalone conversation pass only when it cannot ride the keyed
         # shuffle (no PK checks, or a different group column)
@@ -349,13 +372,7 @@ class ValidationRunner:
                 checkpoint_dir=os.path.join(ckpt, "conv"),
             )
             ccols = [conv_group, conv_index] + ([conv_ts] if conv_ts else [])
-            jobs["conv"] = lambda: run_keyed_pass(
-                read_table(task.source_path, columns=ccols, filter_sql=task.filter),
-                read_table(task.target_path, columns=ccols, filter_sql=task.filter),
-                cspec,
-                task.task_key,
-                batch_size=cfg.batch_size * 2,
-            )
+            jobs["conv"] = keyed_job(cspec, ccols, batch_mult=2)
 
         for ri, ref in enumerate(task.referential or []):
             sides = ["source", "target"] if ref.side == "both" else [ref.side]

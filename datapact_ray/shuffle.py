@@ -62,6 +62,90 @@ def _reduce_bucket(checker_fn: Callable, *shards: pa.Table) -> bytes | None:
     return out["blob"].iloc[0]
 
 
+def _scan_units(files: list[str], target_bytes: int = 96 << 20) -> list[tuple]:
+    """Deterministic map-task units: (file, [row_group_ids]) chunks of
+    ~target_bytes compressed, splitting big files by row group so
+    single-file tables still fan out."""
+    import pyarrow.parquet as pq
+
+    units: list[tuple] = []
+    for f in sorted(files):
+        meta = pq.ParquetFile(f).metadata
+        groups: list[int] = []
+        size = 0
+        for rg in range(meta.num_row_groups):
+            groups.append(rg)
+            size += meta.row_group(rg).total_byte_size
+            if size >= target_bytes:
+                units.append((f, groups))
+                groups, size = [], 0
+        if groups:
+            units.append((f, groups))
+    return units
+
+
+def _map_project_split(
+    unit: tuple,
+    columns: list[str] | None,
+    filter_expr_pickle: bytes | None,
+    projector,
+    num_buckets: int,
+) -> list[pa.Table]:
+    """Fused map task: read a file chunk → project → split by bucket.
+
+    One task does the whole map side for its chunk — no intermediate
+    materialization barrier between read, hash projection and shard
+    emission."""
+    import pickle
+
+    import pyarrow.parquet as pq
+
+    path, row_groups = unit
+    pf = pq.ParquetFile(path)
+    table = pf.read_row_groups(row_groups, columns=columns)
+    if filter_expr_pickle is not None:
+        table = table.filter(pickle.loads(filter_expr_pickle))
+    projected = projector(table)
+    return _split_by_bucket(projected, num_buckets)
+
+
+def parquet_bucket_shuffle(
+    sides: list[tuple[list[str], object]],  # (files, projector) per side
+    columns: list[str] | None,
+    filter_expr,
+    num_buckets: int,
+    checker_fn: Callable[[pd.DataFrame], pd.DataFrame],
+) -> list[bytes]:
+    """Fully-explicit shuffle over parquet inputs: fused
+    read+project+split map tasks at file/row-group granularity, then one
+    reduce per bucket. Used by the keyed pass when the inputs are
+    parquet; other formats go through :func:`bucket_shuffle`."""
+    import pickle
+
+    expr_pickle = pickle.dumps(filter_expr) if filter_expr is not None else None
+    map_task = ray.remote(num_returns=num_buckets)(_map_project_split)
+    reduce_task = ray.remote(_reduce_bucket)
+    checker_ref = ray.put(checker_fn)
+
+    shard_lists: list = []
+    for files, projector in sides:
+        proj_ref = ray.put(projector)
+        for unit in _scan_units(files):
+            result = map_task.remote(
+                unit, columns, expr_pickle, proj_ref, num_buckets
+            )
+            if num_buckets == 1:
+                result = [result]
+            shard_lists.append(result)
+
+    blobs = []
+    for b in range(num_buckets):
+        blobs.append(
+            reduce_task.remote(checker_ref, *[shards[b] for shards in shard_lists])
+        )
+    return [blob for blob in ray.get(blobs) if blob is not None]
+
+
 def bucket_shuffle(
     parts: list[ray.data.Dataset],
     num_buckets: int,

@@ -525,42 +525,73 @@ def completed_buckets(checkpoint_dir: str | None) -> frozenset[int]:
 
 
 def run_keyed_pass(
-    source: ray.data.Dataset,
+    source: ray.data.Dataset | None,
     target: ray.data.Dataset | None,
     spec: KeyedSpec,
     task_key: str,
     *,
     batch_size: int | None = 65536,
+    source_files: list[str] | None = None,
+    target_files: list[str] | None = None,
+    columns: list[str] | None = None,
+    filter_expr=None,
 ) -> KeyedMetrics:
     """Execute the keyed pass; resume-aware when ``spec.checkpoint_dir``.
 
-    ``target=None`` runs a single-side pass (uniqueness only).
+    Two execution paths:
+
+    * **parquet fast path** (``source_files``/``target_files`` given,
+      all parquet): fused read+project+split map tasks at file/row-group
+      granularity — no materialization barrier between phases.
+    * **Dataset path** (any Ray Dataset, e.g. CSV/JSON sources): project
+      via ``map_batches`` then shuffle the materialized blocks.
+
+    ``target=None``/``target_files=None`` runs a single-side pass
+    (uniqueness only).
     """
     done = completed_buckets(spec.checkpoint_dir)
-    src_cols = list(source.schema().names)
-    parts = [
-        source.map_batches(
-            _Projector(spec, SIDE_SOURCE, src_cols, done),
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            zero_copy_batch=True,
+    checker = _BucketChecker(spec, task_key)
+    merged = KeyedMetrics()
+
+    use_files = source_files is not None and all(
+        f.endswith(".parquet") for f in source_files + (target_files or [])
+    )
+    if use_files:
+        from ..shuffle import parquet_bucket_shuffle
+
+        sides = [(source_files, _Projector(spec, SIDE_SOURCE, columns or [], done))]
+        if target_files is not None:
+            sides.append(
+                (target_files, _Projector(spec, SIDE_TARGET, columns or [], done))
+            )
+        blobs = parquet_bucket_shuffle(
+            sides, columns, filter_expr, spec.num_buckets, checker
         )
-    ]
-    if target is not None:
-        tgt_cols = list(target.schema().names)
-        parts.append(
-            target.map_batches(
-                _Projector(spec, SIDE_TARGET, tgt_cols, done),
+    else:
+        from ..shuffle import bucket_shuffle
+
+        src_cols = list(source.schema().names)
+        parts = [
+            source.map_batches(
+                _Projector(spec, SIDE_SOURCE, src_cols, done),
                 batch_format="pyarrow",
                 batch_size=batch_size,
                 zero_copy_batch=True,
             )
-        )
-    checker = _BucketChecker(spec, task_key)
-    merged = KeyedMetrics()
-    from ..shuffle import bucket_shuffle
+        ]
+        if target is not None:
+            tgt_cols = list(target.schema().names)
+            parts.append(
+                target.map_batches(
+                    _Projector(spec, SIDE_TARGET, tgt_cols, done),
+                    batch_format="pyarrow",
+                    batch_size=batch_size,
+                    zero_copy_batch=True,
+                )
+            )
+        blobs = bucket_shuffle(parts, spec.num_buckets, checker)
 
-    for blob in bucket_shuffle(parts, spec.num_buckets, checker):
+    for blob in blobs:
         merged.merge(pickle.loads(blob))
     # fold in checkpointed buckets that were skipped this run
     for b in sorted(done):
