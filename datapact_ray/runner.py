@@ -47,7 +47,12 @@ from .io import count_rows, list_parquet_files, read_table, table_schema
 from .sketches import ks_statistic, psi_statistic
 from .stages.custom import run_custom_check
 from .stages.keyed import KeyedSpec, _atomic_write, run_keyed_pass
-from .stages.profile import ProfileSpec, run_profile, run_profile_pair
+from .stages.profile import (
+    ProfileSpec,
+    run_profile,
+    run_profile_pair,
+    run_profile_pair_files,
+)
 from .stages.referential import run_referential_pass
 
 RESULT_SCHEMA = pa.schema(
@@ -191,6 +196,13 @@ class ValidationRunner:
             spec.heavy_hitter_column = group_col
             profile_cols.add(group_col)
 
+        all_parquet = all(
+            f.endswith(".parquet") for f in src_files + tgt_files
+        )
+        filter_expr = (
+            compile_filter(task.filter, src_schema) if task.filter else None
+        )
+
         src_profile = tgt_profile = None
         if stats_needed or spec.heavy_hitter_column:
             columns = sorted(profile_cols) or None
@@ -206,14 +218,24 @@ class ValidationRunner:
                 with open(tgt_path, "rb") as fh:
                     tgt_profile = pickle.load(fh)
             else:
-                # both sides in ONE streaming execution (union of partial streams)
-                src_profile, tgt_profile = run_profile_pair(
-                    read_table(task.source_path, columns=columns, filter_sql=task.filter),
-                    read_table(task.target_path, columns=columns, filter_sql=task.filter),
-                    spec,
-                    batch_size=cfg.batch_size,
-                    concurrency=cfg.profile_concurrency,
-                )
+                if all_parquet:
+                    # fused raw-task path: one wave of read+profile chunks
+                    src_profile, tgt_profile = run_profile_pair_files(
+                        src_files, tgt_files, spec, columns, filter_expr
+                    )
+                else:
+                    # both sides in ONE streaming execution (union of streams)
+                    src_profile, tgt_profile = run_profile_pair(
+                        read_table(
+                            task.source_path, columns=columns, filter_sql=task.filter
+                        ),
+                        read_table(
+                            task.target_path, columns=columns, filter_sql=task.filter
+                        ),
+                        spec,
+                        batch_size=cfg.batch_size,
+                        concurrency=cfg.profile_concurrency,
+                    )
                 for path, prof in ((src_path, src_profile), (tgt_path, tgt_profile)):
                     _atomic_write(path, pickle.dumps(prof))
                     _atomic_write(path + ".done", b"")
@@ -253,13 +275,6 @@ class ValidationRunner:
         # concurrent driver threads so their Ray pipelines overlap and
         # keep the cluster busy instead of executing serially.
         jobs: dict[str, object] = {}
-
-        all_parquet = all(
-            f.endswith(".parquet") for f in src_files + tgt_files
-        )
-        filter_expr = (
-            compile_filter(task.filter, src_schema) if task.filter else None
-        )
 
         def keyed_job(spec_obj, cols_list, batch_mult=1):
             """Pass runner: parquet inputs go through the fused
@@ -378,14 +393,23 @@ class ValidationRunner:
             sides = ["source", "target"] if ref.side == "both" else [ref.side]
             for side in sides:
                 path = task.source_path if side == "source" else task.target_path
+                pfiles = list_parquet_files(path)
+                use_probe_files = all(f.endswith(".parquet") for f in pfiles)
                 jobs[f"ref:{ri}:{side}"] = (
-                    lambda path=path, ref=ref: run_referential_pass(
-                        read_table(path, columns=ref.columns, filter_sql=task.filter),
+                    lambda path=path, ref=ref, pfiles=pfiles,
+                    upf=use_probe_files: run_referential_pass(
+                        None
+                        if upf
+                        else read_table(
+                            path, columns=ref.columns, filter_sql=task.filter
+                        ),
                         read_table(ref.ref_path, columns=ref.ref_columns or ref.columns),
                         ref.columns,
                         ref.ref_columns or ref.columns,
                         cap=task.max_violations_per_partition,
                         ref_files=list_parquet_files(ref.ref_path),
+                        probe_files=pfiles if upf else None,
+                        filter_expr=filter_expr,
                     )
                 )
 

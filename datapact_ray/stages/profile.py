@@ -186,6 +186,51 @@ def merge_profiles(partials: list[ProfileResult]) -> ProfileResult:
     return out
 
 
+def _profile_unit(
+    unit: tuple,
+    columns: list[str] | None,
+    filter_expr_pickle: bytes | None,
+    spec: ProfileSpec,
+    side: int,
+) -> bytes:
+    """Fused map task for parquet inputs: read a file/row-group chunk,
+    apply the filter, compute one partial — no Dataset pipeline, no
+    inter-stage handoff."""
+    import pyarrow.parquet as pq
+
+    path, row_groups = unit
+    table = pq.ParquetFile(path).read_row_groups(row_groups, columns=columns)
+    if filter_expr_pickle is not None:
+        table = table.filter(pickle.loads(filter_expr_pickle))
+    out = ProfileActor(spec, side)(table)
+    return out.column("partial")[0].as_py()
+
+
+def run_profile_pair_files(
+    source_files: list[str],
+    target_files: list[str],
+    spec: ProfileSpec,
+    columns: list[str] | None = None,
+    filter_expr=None,
+) -> tuple[ProfileResult, ProfileResult]:
+    """Parquet fast path: both sides' chunks as one wave of raw Ray
+    tasks; the driver merges partials per side."""
+    from ..shuffle import _scan_units
+
+    expr_pickle = pickle.dumps(filter_expr) if filter_expr is not None else None
+    task = ray.remote(_profile_unit)
+    refs: list = []
+    sides: list[int] = []
+    for side, files in ((0, source_files), (1, target_files)):
+        for unit in _scan_units(files):
+            refs.append(task.remote(unit, columns, expr_pickle, spec, side))
+            sides.append(side)
+    partials: dict[int, list[ProfileResult]] = {0: [], 1: []}
+    for side, blob in zip(sides, ray.get(refs)):
+        partials[side].append(pickle.loads(blob))
+    return merge_profiles(partials[0]), merge_profiles(partials[1])
+
+
 def _profile_stage(
     ds: ray.data.Dataset,
     spec: ProfileSpec,

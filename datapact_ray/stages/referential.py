@@ -65,7 +65,7 @@ class _ProbeActor:
 
     def __init__(self, ref, columns: list[str], key_display_columns: list[str],
                  cap: int):
-        obj = ray.get(ref)
+        obj = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
         if isinstance(obj, bytes):
             self.bloom = BloomFilter.from_bytes(obj)
             self.keyset = None
@@ -122,9 +122,28 @@ def _distinct_key_hashes_local(
     return np.unique(hash_columns_u64(df, columns))
 
 
+def _probe_unit(
+    unit: tuple,
+    columns: list[str],
+    filter_expr_pickle: bytes | None,
+    broadcast,
+    cap: int,
+) -> pd.DataFrame:
+    """Fused raw-task probe over one parquet file/row-group chunk."""
+    import pickle
+
+    import pyarrow.parquet as pq
+
+    path, row_groups = unit
+    table = pq.ParquetFile(path).read_row_groups(row_groups, columns=columns)
+    if filter_expr_pickle is not None:
+        table = table.filter(pickle.loads(filter_expr_pickle))
+    return _ProbeActor(broadcast, columns, columns, cap)(table)
+
+
 def run_referential_pass(
-    probe: ray.data.Dataset,
-    ref_table: ray.data.Dataset,
+    probe: ray.data.Dataset | None,
+    ref_table: ray.data.Dataset | None,
     probe_columns: list[str],
     ref_columns: list[str],
     *,
@@ -133,6 +152,8 @@ def run_referential_pass(
     bloom_fpp: float = 0.001,
     concurrency: int | tuple[int, int] = (1, 16),
     ref_files: list[str] | None = None,
+    probe_files: list[str] | None = None,
+    filter_expr=None,
     small_dim_bytes: int = 256 << 20,
 ) -> ReferentialMetrics:
     if ref_files is not None and (
@@ -150,7 +171,22 @@ def run_referential_pass(
         broadcast = ray.put(bloom.to_bytes())
         exact = False
 
-    if len(keys) < 1_000_000:
+    if probe_files is not None and all(f.endswith(".parquet") for f in probe_files):
+        # fused raw-task probe: one wave of read+probe chunks
+        import pickle as _pickle
+
+        from ..shuffle import _scan_units
+
+        expr_pickle = _pickle.dumps(filter_expr) if filter_expr is not None else None
+        task = ray.remote(_probe_unit)
+        rows = ray.get(
+            [
+                task.remote(unit, probe_columns, expr_pickle, broadcast, cap)
+                for unit in _scan_units(probe_files)
+            ]
+        )
+        rows = [r.iloc[0] for r in rows if len(r)]
+    elif len(keys) < 1_000_000:
         # small keyset: stateless tasks (instance) beat actor-pool spin-up;
         # the sorted array still ships once via the object store
         out = probe.map_batches(
@@ -158,6 +194,7 @@ def run_referential_pass(
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
+        rows = out.take_all()
     else:
         out = probe.map_batches(
             _ProbeActor,
@@ -166,9 +203,10 @@ def run_referential_pass(
             zero_copy_batch=True,
             concurrency=concurrency,
         )
+        rows = out.take_all()
     metrics = ReferentialMetrics(violations=[])
     maybe_all: set[int] = set()
-    for row in out.take_all():
+    for row in rows:
         metrics.probed_rows += int(row["probed"])
         metrics.orphan_rows += int(row["orphans"])
         for s in json.loads(row["sample"]):
