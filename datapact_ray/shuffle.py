@@ -48,15 +48,13 @@ def _split_by_bucket(table: pa.Table, num_buckets: int) -> list[pa.Table]:
 
 
 def _reduce_bucket(checker_fn: Callable, *shards: pa.Table) -> bytes | None:
-    """Concatenate a bucket's shards and run the verification callable.
-
-    Returns the checker's pickled metrics blob (or None for an empty
-    bucket)."""
+    """Concatenate a bucket's shards (staying Arrow — the checker only
+    converts fixed-width helper columns) and run the verification
+    callable. Returns the pickled metrics blob (None for empty)."""
     tables = [s for s in shards if s.num_rows]
     if not tables:
         return None
-    df = pa.concat_tables(tables).to_pandas()
-    out = checker_fn(df)
+    out = checker_fn(pa.concat_tables(tables))
     if len(out) == 0:
         return None
     return out["blob"].iloc[0]

@@ -33,6 +33,44 @@ def hash_columns_u64(df, columns: list[str]) -> np.ndarray:
     )
 
 
+_POLARS_SEED = 20260817  # pinned; polars hashes are process-stable per version
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def combine_hashes_u64(cols: list[np.ndarray]) -> np.ndarray:
+    """Order-sensitive mix of per-column uint64 hashes (boost-style)."""
+    out = cols[0].copy()
+    for h in cols[1:]:
+        out ^= h + _MIX + (out << np.uint64(6)) + (out >> np.uint64(2))
+    return out
+
+
+def hash_arrow_column_u64(column) -> np.ndarray:
+    """Deterministic uint64 hash of one Arrow column WITHOUT creating
+    Python objects.
+
+    ``Table.to_pandas`` on string columns allocates millions of PyObjects
+    and was the dominant (and badly concurrency-scaling) cost of the
+    pre-shuffle projection; polars hashes the Arrow buffers in Rust.
+    Record the polars version in lineage manifests: hashes are stable
+    across processes for a given version, not across versions.
+    """
+    import polars as pl
+
+    s = pl.from_arrow(column)
+    if isinstance(s, pl.DataFrame):  # chunked arrays may arrive as 1-col frames
+        s = s.to_series()
+    return s.hash(seed=_POLARS_SEED).to_numpy().astype(np.uint64, copy=False)
+
+
+def hash_arrow_u64(table, columns: list[str]) -> np.ndarray:
+    """Combined per-row hash of selected Arrow table columns."""
+    return combine_hashes_u64(
+        [hash_arrow_column_u64(table.column(c)) for c in columns]
+    )
+
+
 # ---------------------------------------------------------------------------
 # t-digest
 # ---------------------------------------------------------------------------

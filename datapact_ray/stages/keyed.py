@@ -46,21 +46,13 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from ..sketches import TDigest, hash_columns_u64
+import pyarrow.compute as pc
+
+from ..sketches import TDigest, combine_hashes_u64, hash_arrow_column_u64
 
 SIDE_SOURCE = 0
 SIDE_TARGET = 1
 SIDE_NAMES = ("source", "target")
-
-_MIX = np.uint64(0x9E3779B97F4A7C15)
-
-
-def _combine_hashes(cols: list[np.ndarray]) -> np.ndarray:
-    """Order-sensitive mix of per-column uint64 hashes (boost-style)."""
-    out = cols[0].copy()
-    for h in cols[1:]:
-        out ^= h + _MIX + (out << np.uint64(6)) + (out >> np.uint64(2))
-    return out
 
 
 @dataclass
@@ -166,36 +158,29 @@ class _Projector:
     def __call__(self, batch: pa.Table) -> pa.Table:
         spec = self.spec
         n = batch.num_rows
-        need = list(
-            dict.fromkeys(
-                spec.key_columns
-                + (self.hash_cols or [])
-                + spec.compare_columns
-                + spec.null_join_columns
-            )
-        )
-        df = batch.select([c for c in need if c in batch.column_names]).to_pandas()
-        # hash each referenced column ONCE; combine for multi-column hashes
+        # hash each referenced column ONCE, straight off the Arrow buffers
+        # (no to_pandas: Python-object creation for text columns was the
+        # dominant projection cost and degraded badly under concurrency)
         col_cache: dict[str, np.ndarray] = {}
 
         def col_hash(c: str) -> np.ndarray:
             if c not in col_cache:
-                col_cache[c] = hash_columns_u64(df, [c])
+                col_cache[c] = hash_arrow_column_u64(batch.column(c))
             return col_cache[c]
 
         # output stays Arrow end-to-end: key columns are taken zero-copy
         # from the input batch, everything else is fixed-width numpy
         cols: dict[str, object] = {c: batch.column(c) for c in spec.key_columns}
-        kh = _combine_hashes([col_hash(c) for c in spec.key_columns])
+        kh = combine_hashes_u64([col_hash(c) for c in spec.key_columns])
         cols["__kh"] = pa.array(kh)
         if self.hash_cols:
             cols["__rh"] = pa.array(
-                _combine_hashes([col_hash(c) for c in self.hash_cols])
+                combine_hashes_u64([col_hash(c) for c in self.hash_cols])
             )
         for c in spec.compare_columns:
             cols[f"__cmp_{c}"] = pa.array(col_hash(c))
         for c in spec.null_join_columns:
-            cols[f"__nl_{c}"] = pa.array(df[c].isna().to_numpy(dtype=np.int8))
+            cols[f"__nl_{c}"] = pc.is_null(batch.column(c)).cast(pa.int8())
         if spec.group_checks and spec.ts_column:
             ts = batch.column(spec.ts_column)
             cols["__ts"] = (
@@ -208,16 +193,20 @@ class _Projector:
             spec.group_checks or spec.hot_keys
         ):
             gh = col_hash(spec.group_column)
+            cols["__gh"] = pa.array(gh)
             shard = np.zeros(n, dtype=np.int64)
             if spec.hot_keys and spec.index_column:
-                hot_mask = df[spec.group_column].isin(list(spec.hot_keys)).to_numpy()
+                hot_mask = pc.is_in(
+                    batch.column(spec.group_column),
+                    value_set=pa.array(list(spec.hot_keys)),
+                ).to_numpy(zero_copy_only=False)
                 if hot_mask.any():
-                    shard[hot_mask] = (
-                        df[spec.index_column].to_numpy()[hot_mask]
-                        // spec.hot_shard_span
+                    idx_vals = batch.column(spec.index_column).to_numpy(
+                        zero_copy_only=False
                     )
+                    shard[hot_mask] = idx_vals[hot_mask] // spec.hot_shard_span
             cols["__shard"] = pa.array(shard)
-            bucket_h = _combine_hashes([gh, shard.astype(np.uint64)])
+            bucket_h = combine_hashes_u64([gh, shard.astype(np.uint64)])
         else:
             cols["__shard"] = pa.array(np.zeros(n, dtype=np.int64))
             bucket_h = kh
@@ -231,36 +220,69 @@ class _Projector:
 
 
 class _BucketChecker:
-    """Per-bucket verification; runs once per bucket in the reduce task."""
+    """Per-bucket verification; runs once per bucket in the reduce task.
+
+    Input is the bucket's Arrow table. Only fixed-width helper columns
+    (hashes, flags, the numeric index) are converted to pandas — the
+    string key columns stay in Arrow and are fetched by row position
+    only for the capped violation rows, so no Python-object churn."""
 
     def __init__(self, spec: KeyedSpec, task_key: str):
         self.spec = spec
         self.task_key = task_key
 
-    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, table: pa.Table) -> pd.DataFrame:
         spec = self.spec
-        if len(group) == 0:
+        if table.num_rows == 0:
             return pd.DataFrame({"bucket": pd.Series([], dtype="int32"), "blob": []})
-        bucket = int(group["__bucket"].iloc[0])
+        numeric = [c for c in table.column_names if c.startswith("__")]
+        if spec.group_checks and spec.index_column in table.column_names:
+            numeric = list(dict.fromkeys(numeric + [spec.index_column]))
+        df = table.select(numeric).to_pandas()
+        df["__pos"] = np.arange(len(df))
+        bucket = int(df["__bucket"].iloc[0])
         m = KeyedMetrics()
         violations: list[dict] = []
-        key_cols = spec.key_columns
         cap = spec.max_violations_per_bucket
-        src = group[group["__side"] == SIDE_SOURCE]
-        tgt = group[group["__side"] == SIDE_TARGET]
+        src = df[df["__side"] == SIDE_SOURCE]
+        tgt = df[df["__side"] == SIDE_TARGET]
+
+        def emit_keys(alias: str, side: str, positions, details) -> None:
+            """Fetch key values for the given row positions from Arrow,
+            emit violations in deterministic (key-sorted) order."""
+            positions = list(positions)
+            sub = table.select(spec.key_columns).take(pa.array(positions))
+            cols = {c: sub.column(c).to_pylist() for c in spec.key_columns}
+            rows = [
+                (
+                    tuple(str(cols[c][i]) for c in spec.key_columns),
+                    details[i] if isinstance(details, list) else details,
+                )
+                for i in range(len(positions))
+            ]
+            rows.sort(key=lambda r: r[0])
+            for key_tuple, detail in rows[:cap]:
+                violations.append(
+                    {
+                        "check_alias": alias,
+                        "key": json.dumps(dict(zip(spec.key_columns, key_tuple))),
+                        "side": side,
+                        "detail": json.dumps(detail),
+                    }
+                )
 
         if spec.uniqueness:
-            self._uniqueness(m, violations, src, tgt, key_cols, cap)
+            self._uniqueness(m, src, tgt, cap, emit_keys)
 
         join_needed = spec.row_hash or spec.compare_columns or spec.null_join_columns
         if join_needed and len(src) and len(tgt):
-            self._join_checks(m, violations, src, tgt, key_cols, cap)
+            self._join_checks(m, src, tgt, cap, emit_keys)
         elif join_needed:
             for c in spec.null_join_columns:
                 m.null_join.setdefault(c, [0, 0])
 
         if spec.group_checks:
-            self._group_checks(m, violations, src, tgt, cap)
+            self._group_checks(m, violations, src, tgt, cap, table)
 
         m.violations = len(violations)
         if spec.checkpoint_dir:
@@ -269,7 +291,8 @@ class _BucketChecker:
 
     # ---- check groups ----
 
-    def _uniqueness(self, m, violations, src, tgt, key_cols, cap) -> None:
+    def _uniqueness(self, m, src, tgt, cap, emit_keys) -> None:
+        key_cols = self.spec.key_columns
         for side_idx, frame in ((0, src), (1, tgt)):
             if len(frame) == 0:
                 continue
@@ -278,62 +301,34 @@ class _BucketChecker:
             m.uniq_distinct[side_idx] += int(len(sizes))
             dup_kh = sizes[sizes > 1]
             if len(dup_kh):
-                # map hashes back to key values for violation reporting
-                # (no iterrows: it would upcast uint64 hashes to float)
-                reps = (
-                    frame[frame["__kh"].isin(dup_kh.index)]
-                    .drop_duplicates("__kh")
-                    .sort_values(key_cols)
-                    .head(cap)
+                reps = frame[frame["__kh"].isin(dup_kh.index)].drop_duplicates(
+                    "__kh"
                 )
-                occurrences = dup_kh.loc[reps["__kh"].to_numpy()].to_numpy()
-                key_strs = [reps[c].astype(str).tolist() for c in key_cols]
-                for row_i in range(len(reps)):
-                    violations.append(
-                        {
-                            "check_alias": "uniqueness_validation_"
-                            + "_".join(key_cols),
-                            "key": json.dumps(
-                                {
-                                    c: key_strs[ci][row_i]
-                                    for ci, c in enumerate(key_cols)
-                                }
-                            ),
-                            "side": SIDE_NAMES[side_idx],
-                            "detail": json.dumps(
-                                {"occurrences": int(occurrences[row_i])}
-                            ),
-                        }
-                    )
+                if len(reps) > 4 * cap:  # deterministic pre-cap by hash order
+                    reps = reps.sort_values("__kh").head(4 * cap)
+                occ = dup_kh.loc[reps["__kh"].to_numpy()].to_numpy()
+                emit_keys(
+                    "uniqueness_validation_" + "_".join(key_cols),
+                    SIDE_NAMES[side_idx],
+                    reps["__pos"].to_numpy(),
+                    [{"occurrences": int(o)} for o in occ],
+                )
 
-    def _join_checks(self, m, violations, src, tgt, key_cols, cap) -> None:
+    def _join_checks(self, m, src, tgt, cap, emit_keys) -> None:
         spec = self.spec
-        keep_s = ["__kh"] + key_cols + [
+        helper = [
             c for c in src.columns if c.startswith(("__rh", "__cmp_", "__nl_"))
         ]
-        keep_t = ["__kh"] + [
-            c for c in tgt.columns if c.startswith(("__rh", "__cmp_", "__nl_"))
-        ]
-        joined = src[keep_s].merge(
-            tgt[keep_t], on="__kh", how="inner", suffixes=("_s", "_t")
+        joined = src[["__kh", "__pos"] + helper].merge(
+            tgt[["__kh"] + helper], on="__kh", how="inner", suffixes=("_s", "_t")
         )
         m.total_compared_rows += len(joined)
 
         def emit(bad: np.ndarray, alias: str, detail: dict) -> None:
-            rows = joined.loc[bad, key_cols].sort_values(key_cols).head(cap)
-            payload = json.dumps(detail)
-            key_strs = [rows[c].astype(str).tolist() for c in key_cols]
-            for row_i in range(len(rows)):
-                violations.append(
-                    {
-                        "check_alias": alias,
-                        "key": json.dumps(
-                            {c: key_strs[ci][row_i] for ci, c in enumerate(key_cols)}
-                        ),
-                        "side": "both",
-                        "detail": payload,
-                    }
-                )
+            pos = joined.loc[bad, "__pos"].to_numpy()
+            if len(pos) > 4 * cap:
+                pos = np.sort(pos)[: 4 * cap]
+            emit_keys(alias, "both", pos, detail)
 
         if spec.row_hash:
             bad = joined["__rh_s"].to_numpy() != joined["__rh_t"].to_numpy()
@@ -354,28 +349,34 @@ class _BucketChecker:
             cur[0] += int(joined[f"__nl_{c}_s"].sum())
             cur[1] += int(joined[f"__nl_{c}_t"].sum())
 
-    def _group_checks(self, m, violations, src, tgt, cap) -> None:
-        """Ordering / contiguity / turn-count over (group, index[, ts]).
+    def _group_checks(self, m, violations, src, tgt, cap, table) -> None:
+        """Ordering / contiguity / turn-count over (group-hash, index[, ts]).
 
-        Vectorized pandas groupby over all of the bucket's conversations;
-        hot conversations return shard partials stitched by the driver
-        (contiguous index ranges ⇒ exact merge)."""
+        Vectorized pandas groupby on the numeric group hash; hot
+        conversations return shard partials stitched by the driver
+        (contiguous index ranges ⇒ exact merge). Group display names for
+        violations are fetched from Arrow by row position."""
         spec = self.spec
         g_col, i_col = spec.group_column, spec.index_column
-        has_ts = "__ts" in src.columns or "__ts" in tgt.columns
-        hot = spec.hot_keys
+        hot_hashes = None
+        if spec.hot_keys:
+            hot_hashes = set(
+                hash_arrow_column_u64(pa.array(list(spec.hot_keys))).tolist()
+            )
         for side in (0, 1):
             part = (src, tgt)[side]
             if len(part) == 0:
                 continue
-            cols = [g_col, i_col, "__shard"] + (["__ts"] if has_ts else [])
-            part = part[cols].sort_values([g_col, "__shard", i_col], kind="stable")
-            gb = part.groupby([g_col, "__shard"], sort=False)
+            has_ts = "__ts" in part.columns
+            cols = ["__gh", i_col, "__shard", "__pos"] + (["__ts"] if has_ts else [])
+            part = part[cols].sort_values(["__gh", "__shard", i_col], kind="stable")
+            gb = part.groupby(["__gh", "__shard"], sort=False)
             agg_kw = {
                 "n": (i_col, "size"),
                 "imin": (i_col, "min"),
                 "imax": (i_col, "max"),
                 "inuniq": (i_col, "nunique"),
+                "pos": ("__pos", "first"),
             }
             if has_ts:
                 agg_kw.update({"tfirst": ("__ts", "first"), "tlast": ("__ts", "last")})
@@ -383,7 +384,7 @@ class _BucketChecker:
             if has_ts:
                 tv = part["__ts"].to_numpy()
                 new_grp = (
-                    (part[g_col] != part[g_col].shift()).to_numpy()
+                    (part["__gh"] != part["__gh"].shift()).to_numpy()
                     | (part["__shard"] != part["__shard"].shift()).to_numpy()
                 )
                 bad_step = np.zeros(len(part), dtype=bool)
@@ -392,25 +393,25 @@ class _BucketChecker:
                 bad_step &= ~new_grp
                 summary["ts_sorted"] = ~(
                     pd.Series(bad_step, index=part.index)
-                    .groupby([part[g_col], part["__shard"]], sort=False)
+                    .groupby([part["__gh"], part["__shard"]], sort=False)
                     .any()
                 )
             else:
                 summary["ts_sorted"] = True
             summary = summary.reset_index()
             is_hot = (
-                summary[g_col].isin(list(hot))
-                if hot
+                summary["__gh"].isin(hot_hashes)
+                if hot_hashes
                 else pd.Series(False, index=summary.index)
             )
-            hot_cols = [g_col, "__shard", "n", "imin", "imax", "inuniq", "ts_sorted"]
+            hot_cols = ["__gh", "__shard", "n", "imin", "imax", "inuniq", "ts_sorted"]
             if has_ts:
                 hot_cols += ["tfirst", "tlast"]
             for tup in summary.loc[is_hot, hot_cols].itertuples(
                 index=False, name=None
             ):
                 g_val, shard, n, imin, imax, nuniq, ts_sorted = tup[:7]
-                m.hot_partials.setdefault((side, g_val), []).append(
+                m.hot_partials.setdefault((side, int(g_val)), []).append(
                     {
                         "shard": int(shard),
                         "n": int(n),
@@ -431,32 +432,34 @@ class _BucketChecker:
                     & (cold["inuniq"] == cold["n"])
                 )
                 mono = cold["ts_sorted"].astype(bool)
+
+                def emit_groups(frame, reason):
+                    pos = frame["pos"].to_numpy()
+                    if len(pos) > cap:
+                        pos = np.sort(pos)[:cap]
+                    names = (
+                        table.select([g_col]).take(pa.array(pos)).column(0).to_pylist()
+                    )
+                    for name in sorted(str(v) for v in names):
+                        violations.append(
+                            {
+                                "check_alias": f"ordering_validation_{g_col}",
+                                "key": json.dumps({g_col: name}),
+                                "side": SIDE_NAMES[side],
+                                "detail": json.dumps({"reason": reason}),
+                            }
+                        )
+
                 if spec.require_contiguous:
                     bad_c = cold[~contiguous]
                     m.contiguity_violations[side] += len(bad_c)
-                    for g in bad_c[g_col].astype(str).head(cap):
-                        violations.append(
-                            {
-                                "check_alias": f"ordering_validation_{g_col}",
-                                "key": json.dumps({g_col: g}),
-                                "side": SIDE_NAMES[side],
-                                "detail": json.dumps(
-                                    {"reason": "non_contiguous_turn_idx"}
-                                ),
-                            }
-                        )
+                    if len(bad_c):
+                        emit_groups(bad_c, "non_contiguous_turn_idx")
                 if spec.require_monotonic_ts and has_ts:
                     bad_m = cold[contiguous & ~mono]
                     m.monotonicity_violations[side] += len(bad_m)
-                    for g in bad_m[g_col].astype(str).head(cap):
-                        violations.append(
-                            {
-                                "check_alias": f"ordering_validation_{g_col}",
-                                "key": json.dumps({g_col: g}),
-                                "side": SIDE_NAMES[side],
-                                "detail": json.dumps({"reason": "non_monotonic_ts"}),
-                            }
-                        )
+                    if len(bad_m):
+                        emit_groups(bad_m, "non_monotonic_ts")
                 if spec.turn_count_digest:
                     d = m.digests[side] or TDigest()
                     d.add(cold["n"].to_numpy(dtype=np.float64))

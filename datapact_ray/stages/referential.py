@@ -26,7 +26,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..sketches import BloomFilter, hash_columns_u64
+from ..sketches import BloomFilter, hash_arrow_u64
 
 
 @dataclass
@@ -46,8 +46,7 @@ def _distinct_key_hashes(ds: ray.data.Dataset, columns: list[str]) -> np.ndarray
     """
 
     def batch_hashes(batch: pa.Table) -> pd.DataFrame:
-        df = batch.select(columns).to_pandas()
-        return pd.DataFrame({"h": np.unique(hash_columns_u64(df, columns))})
+        return pd.DataFrame({"h": np.unique(hash_arrow_u64(batch, columns))})
 
     parts = ds.map_batches(batch_hashes, batch_format="pyarrow", zero_copy_batch=True)
     chunks = [
@@ -77,8 +76,7 @@ class _ProbeActor:
         self.cap = cap
 
     def __call__(self, batch: pa.Table) -> pd.DataFrame:
-        df = batch.select(self.columns).to_pandas()
-        h = hash_columns_u64(df, self.columns)
+        h = hash_arrow_u64(batch, self.columns)
         if self.keyset is not None:
             idx = np.searchsorted(self.keyset, h)
             idx[idx >= len(self.keyset)] = len(self.keyset) - 1 if len(self.keyset) else 0
@@ -92,17 +90,22 @@ class _ProbeActor:
         sample: list[str] = []
         maybe: list[int] = []
         if n_miss:
-            rows = df.loc[miss, self.key_display_columns].head(self.cap)
+            # only the capped sample rows are ever converted to Python
+            pos = np.nonzero(miss)[0][: self.cap]
+            sub = batch.select(self.key_display_columns).take(pa.array(pos))
+            cols = {c: sub.column(c).to_pylist() for c in self.key_display_columns}
             sample = [
-                json.dumps({c: str(v) for c, v in zip(self.key_display_columns, tup)})
-                for tup in rows.itertuples(index=False, name=None)
+                json.dumps(
+                    {c: str(cols[c][i]) for c in self.key_display_columns}
+                )
+                for i in range(len(pos))
             ]
         if self.bloom is not None:
             # bloom positives need exact recheck; ship their hashes
             maybe = np.unique(h[present]).tolist()
         return pd.DataFrame(
             {
-                "probed": [len(df)],
+                "probed": [batch.num_rows],
                 "orphans": [n_miss],
                 "sample": [json.dumps(sample)],
                 "maybe": [json.dumps(maybe)],
@@ -117,9 +120,9 @@ def _distinct_key_hashes_local(
     driver (skips a whole Ray job for dims of a few hundred MB)."""
     import pyarrow.parquet as pq
 
-    frames = [pq.read_table(f, columns=columns).to_pandas() for f in ref_files]
-    df = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
-    return np.unique(hash_columns_u64(df, columns))
+    tables = [pq.read_table(f, columns=columns) for f in ref_files]
+    table = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
+    return np.unique(hash_arrow_u64(table, columns))
 
 
 def _probe_unit(
