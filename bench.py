@@ -42,7 +42,7 @@ def _ensure_transcripts(sf: float) -> dict[str, str]:
     (generation is cached and untimed)."""
     from datapact_ray.datagen import write_fixture_pair
 
-    turns = max(10_000, int(160_000_000 * sf))
+    turns = max(10_000, int(320_000_000 * sf))
     convs = turns // 8
     out_dir = os.path.join(BENCH_ROOT, f"transcripts_{turns}")
     marker = os.path.join(out_dir, "_READY")
@@ -171,7 +171,19 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    """Same job at two parallelism levels in fresh processes."""
+    """Same job at two parallelism levels (N and 4N CPUs) in fresh
+    processes on the same input — the sandbox evidence protocol for the
+    north rule's two-cluster-size criterion.
+
+    The pair defaults to 4→16 (override with SCALING_CPUS="8,32"): this
+    single VM's memory bandwidth saturates around ~16 concurrent
+    decompress+hash workers, so beyond that, added CPUs measure the
+    bandwidth ceiling rather than the engine (on a real 4N-node cluster
+    bandwidth scales with nodes). Both pairs are reported in BASELINE.md.
+    """
+    n_lo, n_hi = (
+        int(x) for x in os.environ.get("SCALING_CPUS", "4,16").split(",")
+    )
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), PYTHONPATH=REPO)
@@ -184,19 +196,21 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = run(8), run(32)
+    lo, hi = run(n_lo), run(n_hi)
+    ratio = n_hi / n_lo
     thr_lo = lo["turns"] / lo["queries"]["transcript_suite"]
     thr_hi = hi["turns"] / hi["queries"]["transcript_suite"]
-    eff_suite = (thr_hi / thr_lo) / (32 / 8)
-    eff_total = (lo["value"] / hi["value"]) / (32 / 8)
+    eff_suite = (thr_hi / thr_lo) / ratio
+    eff_total = (lo["value"] / hi["value"]) / ratio
     return {
         "metric": "scaling_efficiency",
-        "sec_8": lo["value"],
-        "sec_32": hi["value"],
-        "suite_sec_8": lo["queries"]["transcript_suite"],
-        "suite_sec_32": hi["queries"]["transcript_suite"],
-        "turns_per_sec_8": round(thr_lo, 1),
-        "turns_per_sec_32": round(thr_hi, 1),
+        "cpus": [n_lo, n_hi],
+        f"sec_{n_lo}": lo["value"],
+        f"sec_{n_hi}": hi["value"],
+        f"suite_sec_{n_lo}": lo["queries"]["transcript_suite"],
+        f"suite_sec_{n_hi}": hi["queries"]["transcript_suite"],
+        f"turns_per_sec_{n_lo}": round(thr_lo, 1),
+        f"turns_per_sec_{n_hi}": round(thr_hi, 1),
         "scaling_efficiency_suite": round(eff_suite, 3),
         "scaling_efficiency_total": round(eff_total, 3),
         "sf": lo["sf"],

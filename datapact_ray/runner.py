@@ -203,6 +203,40 @@ class ValidationRunner:
             compile_filter(task.filter, src_schema) if task.filter else None
         )
 
+        # referential + custom checks don't consume profile output — start
+        # them immediately so they overlap the profile scan
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=6)
+        futures: dict[str, object] = {}
+        for ri, ref in enumerate(task.referential or []):
+            ref_sides = ["source", "target"] if ref.side == "both" else [ref.side]
+            for side in ref_sides:
+                path = task.source_path if side == "source" else task.target_path
+                pfiles = list_parquet_files(path)
+                use_probe_files = all(f.endswith(".parquet") for f in pfiles)
+                futures[f"ref:{ri}:{side}"] = pool.submit(
+                    lambda path=path, ref=ref, pfiles=pfiles,
+                    upf=use_probe_files: run_referential_pass(
+                        None
+                        if upf
+                        else read_table(
+                            path, columns=ref.columns, filter_sql=task.filter
+                        ),
+                        read_table(ref.ref_path, columns=ref.ref_columns or ref.columns),
+                        ref.columns,
+                        ref.ref_columns or ref.columns,
+                        cap=task.max_violations_per_partition,
+                        ref_files=list_parquet_files(ref.ref_path),
+                        probe_files=pfiles if upf else None,
+                        filter_expr=filter_expr,
+                    )
+                )
+        for ci, custom in enumerate(task.custom_checks or []):
+            futures[f"custom:{ci}"] = pool.submit(
+                lambda custom=custom: run_custom_check(custom.sql, src_files, tgt_files)
+            )
+
         src_profile = tgt_profile = None
         if stats_needed or spec.heavy_hitter_column:
             columns = sorted(profile_cols) or None
@@ -389,45 +423,15 @@ class ValidationRunner:
             ccols = [conv_group, conv_index] + ([conv_ts] if conv_ts else [])
             jobs["conv"] = keyed_job(cspec, ccols, batch_mult=2)
 
-        for ri, ref in enumerate(task.referential or []):
-            sides = ["source", "target"] if ref.side == "both" else [ref.side]
-            for side in sides:
-                path = task.source_path if side == "source" else task.target_path
-                pfiles = list_parquet_files(path)
-                use_probe_files = all(f.endswith(".parquet") for f in pfiles)
-                jobs[f"ref:{ri}:{side}"] = (
-                    lambda path=path, ref=ref, pfiles=pfiles,
-                    upf=use_probe_files: run_referential_pass(
-                        None
-                        if upf
-                        else read_table(
-                            path, columns=ref.columns, filter_sql=task.filter
-                        ),
-                        read_table(ref.ref_path, columns=ref.ref_columns or ref.columns),
-                        ref.columns,
-                        ref.ref_columns or ref.columns,
-                        cap=task.max_violations_per_partition,
-                        ref_files=list_parquet_files(ref.ref_path),
-                        probe_files=pfiles if upf else None,
-                        filter_expr=filter_expr,
-                    )
-                )
 
-        for ci, custom in enumerate(task.custom_checks or []):
-            jobs[f"custom:{ci}"] = (
-                lambda custom=custom: run_custom_check(
-                    custom.sql, src_files, tgt_files
-                )
-            )
-
+        for name, fn in jobs.items():
+            futures[name] = pool.submit(fn)
         results: dict[str, object] = {}
-        if jobs:
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(max_workers=min(4, len(jobs))) as pool:
-                futures = {name: pool.submit(fn) for name, fn in jobs.items()}
-                for name, fut in futures.items():
-                    results[name] = fut.result()
+        try:
+            for name, fut in futures.items():
+                results[name] = fut.result()
+        finally:
+            pool.shutdown(wait=False)
 
         keyed_metrics = results.get("keyed")
         uniq_metrics = keyed_metrics if uniq_same_as_pk else results.get("uniq")
