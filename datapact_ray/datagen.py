@@ -75,7 +75,9 @@ def make_source(
     ).astype(object)
     text = prefix + " " + tail_arr
     tool = np.where(role == "tool", TOOLS[row_id % 3], None)
-    conv_offset = (conv_idx.astype(np.int64) * 3600) * 1_000_000
+    # wrap conversation start offsets so timestamps stay inside pandas'
+    # ns-representable range at any conversation count
+    conv_offset = ((conv_idx.astype(np.int64) % 50_000) * 3600) * 1_000_000
     ts = EPOCH_US + conv_offset + turn_idx.astype(np.int64) * 7_000_000
     return pa.table(
         {

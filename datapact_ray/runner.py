@@ -155,7 +155,10 @@ class ValidationRunner:
             "target_files": tgt_files,
             "filter": task.filter,
             "partitioning": {
-                "hash": "pandas-siphash/datapact-ray-0001",
+                # bucket ids come from polars' column hash (stable per
+                # version+seed); a resume must run the same version
+                "hash": "polars-%s/seed-20260817"
+                % __import__("polars").__version__,
                 "num_buckets": None,  # filled below
             },
         }
