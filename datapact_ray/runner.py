@@ -206,6 +206,34 @@ class ValidationRunner:
             compile_filter(task.filter, src_schema) if task.filter else None
         )
 
+        # bucket sizing from parquet footers (no data read): enough buckets
+        # to (a) bound per-bucket memory and (b) keep every core busy in
+        # the post-shuffle verify stage
+        import ray as _ray
+
+        cluster_cpus = int(_ray.cluster_resources().get("CPU", 8)) if (
+            _ray.is_initialized()
+        ) else 8
+        est_rows = max(count_rows(task.source_path), count_rows(task.target_path))
+        # one reduce wave per core, growing with data so per-bucket frames
+        # stay ~target_rows_per_bucket; NOT a multiple of cores — each map
+        # task materializes num_buckets return objects, and oversized B
+        # floods the object store with tiny objects (measured 3x slowdown
+        # at B=4*cpus vs B=cpus on 4M rows)
+        num_buckets = cfg.num_buckets or max(
+            cluster_cpus,
+            min(4096, est_rows // cfg.target_rows_per_bucket + 1),
+        )
+        # salting only pays when one conversation would dominate a bucket;
+        # below that, hash bucketing absorbs the skew on its own
+        hot_threshold = max(
+            cfg.hot_key_threshold, 2 * (est_rows // num_buckets) if est_rows else 0
+        )
+        lineage["partitioning"]["num_buckets"] = num_buckets
+        _atomic_write(
+            os.path.join(ckpt, "lineage.json"), json.dumps(lineage, indent=1).encode()
+        )
+
         # referential + custom checks don't consume profile output — start
         # them immediately so they overlap the profile scan
         from concurrent.futures import ThreadPoolExecutor
@@ -277,28 +305,6 @@ class ValidationRunner:
                     _atomic_write(path, pickle.dumps(prof))
                     _atomic_write(path + ".done", b"")
 
-        # bucket sizing from parquet footers (no data read): enough buckets
-        # to (a) bound per-bucket memory and (b) keep every core busy in
-        # the post-shuffle verify stage
-        import ray as _ray
-
-        cluster_cpus = int(_ray.cluster_resources().get("CPU", 8)) if (
-            _ray.is_initialized()
-        ) else 8
-        est_rows = max(count_rows(task.source_path), count_rows(task.target_path))
-        # one reduce wave per core, growing with data so per-bucket frames
-        # stay ~target_rows_per_bucket; NOT a multiple of cores — each map
-        # task materializes num_buckets return objects, and oversized B
-        # floods the object store with tiny objects (measured 3x slowdown
-        # at B=4*cpus vs B=cpus on 4M rows)
-        num_buckets = cfg.num_buckets or max(
-            cluster_cpus,
-            min(4096, est_rows // cfg.target_rows_per_bucket + 1),
-        )
-        lineage["partitioning"]["num_buckets"] = num_buckets
-        _atomic_write(
-            os.path.join(ckpt, "lineage.json"), json.dumps(lineage, indent=1).encode()
-        )
 
         # ---------- pass 2: keyed checks (one shuffle) ----------
         row_hash_enabled = task.pk_row_hash_check and bool(pk)
@@ -343,9 +349,9 @@ class ValidationRunner:
         hot = {}
         if conv_needed:
             if src_profile and src_profile.heavy_hitters:
-                hot = src_profile.heavy_hitters.hot_keys(cfg.hot_key_threshold)
+                hot = src_profile.heavy_hitters.hot_keys(hot_threshold)
             if tgt_profile and tgt_profile.heavy_hitters:
-                hot.update(tgt_profile.heavy_hitters.hot_keys(cfg.hot_key_threshold))
+                hot.update(tgt_profile.heavy_hitters.hot_keys(hot_threshold))
 
         keyed_key_cols = pk if pk else uniq_cols
         # conversation checks ride the keyed shuffle when the group/index

@@ -76,6 +76,19 @@ class KeyedSpec:
     num_buckets: int = 64
     checkpoint_dir: str | None = None  # per-bucket checkpoints when set
 
+    def hot_hash_array(self) -> np.ndarray:
+        """Hot-key identities as uint64 column hashes. Accepts either raw
+        hash keys (from the profile's hash-space heavy hitters) or string
+        key values (tests / manual configuration)."""
+        if not self.hot_keys:
+            return np.empty(0, dtype=np.uint64)
+        from ..sketches import hash_arrow_column_u64
+
+        raw = list(self.hot_keys)
+        if all(isinstance(k, (int, np.integer)) for k in raw):
+            return np.array(raw, dtype=np.uint64)
+        return hash_arrow_column_u64(pa.array([str(k) for k in raw]))
+
     @property
     def group_checks(self) -> bool:
         return bool(
@@ -196,10 +209,7 @@ class _Projector:
             cols["__gh"] = pa.array(gh)
             shard = np.zeros(n, dtype=np.int64)
             if spec.hot_keys and spec.index_column:
-                hot_mask = pc.is_in(
-                    batch.column(spec.group_column),
-                    value_set=pa.array(list(spec.hot_keys)),
-                ).to_numpy(zero_copy_only=False)
+                hot_mask = np.isin(gh, spec.hot_hash_array())
                 if hot_mask.any():
                     idx_vals = batch.column(spec.index_column).to_numpy(
                         zero_copy_only=False
@@ -360,9 +370,7 @@ class _BucketChecker:
         g_col, i_col = spec.group_column, spec.index_column
         hot_hashes = None
         if spec.hot_keys:
-            hot_hashes = set(
-                hash_arrow_column_u64(pa.array(list(spec.hot_keys))).tolist()
-            )
+            hot_hashes = set(spec.hot_hash_array().tolist())
         for side in (0, 1):
             part = (src, tgt)[side]
             if len(part) == 0:

@@ -146,9 +146,12 @@ class ProfileActor:
             h.add_hashes(hash_columns_u64(df, list(keyset)))
             out.hlls[keyset] = h
         if spec.heavy_hitter_column:
-            vc = pc.value_counts(batch.column(spec.heavy_hitter_column))
-            keys = vc.field("values").to_numpy(zero_copy_only=False)
-            counts = vc.field("counts").to_numpy(zero_copy_only=False)
+            # count in hash space (uint64 np.unique ≫ string value_counts);
+            # hot keys are identified by their deterministic column hash
+            from ..sketches import hash_arrow_column_u64
+
+            gh = hash_arrow_column_u64(batch.column(spec.heavy_hitter_column))
+            keys, counts = np.unique(gh, return_counts=True)
             tk = TopKCounter(spec.heavy_hitter_k)
             tk.add_value_counts(keys, counts)
             out.heavy_hitters = tk
