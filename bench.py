@@ -185,7 +185,7 @@ def run_scaling() -> dict:
         int(x) for x in os.environ.get("SCALING_CPUS", "4,16").split(",")
     )
 
-    def run(ncpu: int) -> dict:
+    def run_once(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), PYTHONPATH=REPO)
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
@@ -195,6 +195,14 @@ def run_scaling() -> dict:
             check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
+
+    def run(ncpu: int) -> dict:
+        # best-of-2 per leg: this shared VM shows ±40% wall-time swings
+        # from neighbors; min is the standard noise-robust estimator
+        a, b = run_once(ncpu), run_once(ncpu)
+        return a if (
+            a["queries"]["transcript_suite"] <= b["queries"]["transcript_suite"]
+        ) else b
 
     lo, hi = run(n_lo), run(n_hi)
     ratio = n_hi / n_lo
