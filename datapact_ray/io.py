@@ -104,6 +104,42 @@ def count_rows(path: str) -> int:
     return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
+def detect_hot_keys_from_footers(
+    files: list[str], column: str, rows_threshold: int
+) -> dict[str, int]:
+    """Hot-key (skewed conversation) detection from parquet footers only.
+
+    A conversation large enough to matter for shuffle skew spans whole
+    row groups; clustered writers (including this engine's own outputs)
+    then produce row groups whose min==max statistics pin the value.
+    Summing ``num_rows`` over such row groups finds every conversation
+    bigger than ~2 row groups without reading any data — so the keyed
+    pass needs no profile scan before it can salt. Conversations
+    scattered randomly across row groups are not detected, but scattered
+    layout also means no row-group-level skew to mitigate; the profile
+    pass's heavy-hitter sketch remains the fallback for non-parquet
+    sources.
+    """
+    counts: dict[str, int] = {}
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        schema_names = meta.schema.names
+        if column not in schema_names:
+            continue
+        ci = schema_names.index(column)
+        for rg in range(meta.num_row_groups):
+            col = meta.row_group(rg).column(ci)
+            stats = col.statistics
+            if stats is None or not stats.has_min_max:
+                continue
+            if stats.min == stats.max:
+                key = stats.min
+                if isinstance(key, bytes):
+                    key = key.decode("utf-8", "replace")
+                counts[key] = counts.get(key, 0) + meta.row_group(rg).num_rows
+    return {k: v for k, v in counts.items() if v >= rows_threshold}
+
+
 def read_table(
     path: str,
     columns: list[str] | None = None,

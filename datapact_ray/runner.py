@@ -43,7 +43,13 @@ import pyarrow.parquet as pq
 from . import verdicts as V
 from .config import ValidationSuite, ValidationTask
 from .expr import compile_filter
-from .io import count_rows, list_parquet_files, read_table, table_schema
+from .io import (
+    count_rows,
+    detect_hot_keys_from_footers,
+    list_parquet_files,
+    read_table,
+    table_schema,
+)
 from .sketches import ks_statistic, psi_statistic
 from .stages.custom import run_custom_check
 from .stages.keyed import KeyedSpec, _atomic_write, run_keyed_pass
@@ -175,6 +181,13 @@ class ValidationRunner:
         value_drift_cols = [d.column for d in drift_checks if d.derived == "value"]
         want_turn_count_drift = any(d.derived == "turn_count" for d in drift_checks)
 
+        all_parquet = all(
+            f.endswith(".parquet") for f in src_files + tgt_files
+        )
+        filter_expr = (
+            compile_filter(task.filter, src_schema) if task.filter else None
+        )
+
         # ---------- pass 1: fused profile (one scan per side) ----------
         stats_needed = (
             task.count_tolerance is not None
@@ -194,17 +207,12 @@ class ValidationRunner:
             profile_cols.add(av.column)
         spec.sketch_columns = list(dict.fromkeys(value_drift_cols))
         profile_cols.update(spec.sketch_columns)
-        if task.ordering or want_turn_count_drift:
+        if (task.ordering or want_turn_count_drift) and not all_parquet:
+            # parquet inputs get hot keys from footer statistics instead
+            # (detect_hot_keys_from_footers) — no scan on the critical path
             group_col = (task.ordering.group_column if task.ordering else "conv_id")
             spec.heavy_hitter_column = group_col
             profile_cols.add(group_col)
-
-        all_parquet = all(
-            f.endswith(".parquet") for f in src_files + tgt_files
-        )
-        filter_expr = (
-            compile_filter(task.filter, src_schema) if task.filter else None
-        )
 
         # bucket sizing from parquet footers (no data read): enough buckets
         # to (a) bound per-bucket memory and (b) keep every core busy in
@@ -269,7 +277,9 @@ class ValidationRunner:
             )
 
         src_profile = tgt_profile = None
-        if stats_needed or spec.heavy_hitter_column:
+        profile_wanted = stats_needed or spec.heavy_hitter_column
+
+        def run_profiles() -> tuple:
             columns = sorted(profile_cols) or None
             src_path = os.path.join(ckpt, "profile_source.pkl")
             tgt_path = os.path.join(ckpt, "profile_target.pkl")
@@ -279,31 +289,40 @@ class ValidationRunner:
                 and os.path.exists(tgt_path + ".done")
             ):
                 with open(src_path, "rb") as fh:
-                    src_profile = pickle.load(fh)
+                    sp = pickle.load(fh)
                 with open(tgt_path, "rb") as fh:
-                    tgt_profile = pickle.load(fh)
+                    tp = pickle.load(fh)
+                return sp, tp
+            if all_parquet:
+                # fused raw-task path: one wave of read+profile chunks
+                sp, tp = run_profile_pair_files(
+                    src_files, tgt_files, spec, columns, filter_expr
+                )
             else:
-                if all_parquet:
-                    # fused raw-task path: one wave of read+profile chunks
-                    src_profile, tgt_profile = run_profile_pair_files(
-                        src_files, tgt_files, spec, columns, filter_expr
-                    )
-                else:
-                    # both sides in ONE streaming execution (union of streams)
-                    src_profile, tgt_profile = run_profile_pair(
-                        read_table(
-                            task.source_path, columns=columns, filter_sql=task.filter
-                        ),
-                        read_table(
-                            task.target_path, columns=columns, filter_sql=task.filter
-                        ),
-                        spec,
-                        batch_size=cfg.batch_size,
-                        concurrency=cfg.profile_concurrency,
-                    )
-                for path, prof in ((src_path, src_profile), (tgt_path, tgt_profile)):
-                    _atomic_write(path, pickle.dumps(prof))
-                    _atomic_write(path + ".done", b"")
+                # both sides in ONE streaming execution (union of streams)
+                sp, tp = run_profile_pair(
+                    read_table(
+                        task.source_path, columns=columns, filter_sql=task.filter
+                    ),
+                    read_table(
+                        task.target_path, columns=columns, filter_sql=task.filter
+                    ),
+                    spec,
+                    batch_size=cfg.batch_size,
+                    concurrency=cfg.profile_concurrency,
+                )
+            for path, prof in ((src_path, sp), (tgt_path, tp)):
+                _atomic_write(path, pickle.dumps(prof))
+                _atomic_write(path + ".done", b"")
+            return sp, tp
+
+        if profile_wanted:
+            if all_parquet:
+                # hot keys come from footers, so nothing downstream blocks
+                # on the profile — overlap it with the keyed shuffle
+                futures["profile"] = pool.submit(run_profiles)
+            else:
+                src_profile, tgt_profile = run_profiles()
 
 
         # ---------- pass 2: keyed checks (one shuffle) ----------
@@ -348,10 +367,21 @@ class ValidationRunner:
         conv_ts = o.ts_column if o else "ts"
         hot = {}
         if conv_needed:
-            if src_profile and src_profile.heavy_hitters:
-                hot = src_profile.heavy_hitters.hot_keys(hot_threshold)
-            if tgt_profile and tgt_profile.heavy_hitters:
-                hot.update(tgt_profile.heavy_hitters.hot_keys(hot_threshold))
+            if all_parquet:
+                # footer-statistics detection: no data scan, no profile
+                # dependency on the keyed pass's critical path
+                hot = detect_hot_keys_from_footers(
+                    src_files, conv_group, hot_threshold
+                )
+                for k, v in detect_hot_keys_from_footers(
+                    tgt_files, conv_group, hot_threshold
+                ).items():
+                    hot[k] = max(hot.get(k, 0), v)
+            else:
+                if src_profile and src_profile.heavy_hitters:
+                    hot = src_profile.heavy_hitters.hot_keys(hot_threshold)
+                if tgt_profile and tgt_profile.heavy_hitters:
+                    hot.update(tgt_profile.heavy_hitters.hot_keys(hot_threshold))
 
         keyed_key_cols = pk if pk else uniq_cols
         # conversation checks ride the keyed shuffle when the group/index
@@ -441,6 +471,8 @@ class ValidationRunner:
                 results[name] = fut.result()
         finally:
             pool.shutdown(wait=False)
+        if "profile" in results:
+            src_profile, tgt_profile = results["profile"]
 
         keyed_metrics = results.get("keyed")
         uniq_metrics = keyed_metrics if uniq_same_as_pk else results.get("uniq")

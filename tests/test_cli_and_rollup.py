@@ -129,3 +129,17 @@ def test_multimodal_plumbing(tmp_path):
     assert f1 == f2 and f1["n_bytes"] == 6
     with pytest.raises(NotImplementedError):
         MediaFeaturizer(decoder="real")
+
+
+def test_roi_throughput_grading():
+    from datapact_ray.roi import grade_throughput, processing_speed
+
+    assert grade_throughput(1_500_000).startswith("Enterprise Elite")
+    assert grade_throughput(100_000).startswith("Enterprise Standard")
+    assert grade_throughput(50_000).startswith("Business")
+    assert grade_throughput(1_000).startswith("Department")
+    assert grade_throughput(10).startswith("Development")
+    speed = processing_speed(1_000_000, 10.0)
+    assert speed["records_per_second"] == 100_000.0
+    assert speed["millions_per_hour"] == 360.0
+    assert processing_speed(5, 0)["throughput_grade"] == "N/A"
