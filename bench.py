@@ -42,7 +42,7 @@ def _ensure_transcripts(sf: float) -> dict[str, str]:
     (generation is cached and untimed)."""
     from datapact_ray.datagen import write_fixture_pair
 
-    turns = max(10_000, int(320_000_000 * sf))
+    turns = max(10_000, int(160_000_000 * sf))
     convs = turns // 8
     out_dir = os.path.join(BENCH_ROOT, f"transcripts_{turns}")
     marker = os.path.join(out_dir, "_READY")
