@@ -253,6 +253,38 @@ def nations_per_region(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("r_name").reset_index(drop=True)
 
 
+def join_orders_customer(sf_dir: str) -> pd.DataFrame:
+    """Large-side equi-join via Ray's native hash-partitioned
+    ``Dataset.join`` (both sides shuffle on the key), then a grouped
+    rollup — the big-big join path; small sides use the broadcast
+    pattern (``nations_per_region``) instead."""
+    from ray.data.aggregate import Count, Sum
+
+    orders = read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    customer = read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    joined = orders.join(
+        customer,
+        join_type="inner",
+        num_partitions=8,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    out = (
+        joined.groupby("c_mktsegment")
+        .aggregate(
+            Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="sum_total")
+        )
+        .to_pandas()
+    )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["sum_total"] = out["sum_total"].map(_r4)
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
 def drift_psi_events(sf_dir: str) -> pd.DataFrame:
     """Exact fixed-bin PSI between the 'click' and 'view' populations of
     events.value — the SQL-checkable variant of the drift check (the
@@ -415,6 +447,13 @@ ORACLE_SQL: dict[str, str] = {
         FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
         GROUP BY r.r_name ORDER BY r.r_name
     """,
+    "join_orders_customer": """
+        SELECT c_mktsegment,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 4) AS sum_total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
     "drift_psi_events": """
         WITH bounds AS (
             SELECT MIN(value) AS lo, MAX(value) AS hi,
@@ -464,6 +503,7 @@ QUERIES = {
     "topk_orders": topk_orders,
     "distinct_event_types": distinct_event_types,
     "nations_per_region": nations_per_region,
+    "join_orders_customer": join_orders_customer,
     "drift_psi_events": drift_psi_events,
     "custom_orders_by_status": custom_orders_by_status,
 }

@@ -48,6 +48,48 @@ def windowed_events_daily(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["window_day", "event_type"]).reset_index(drop=True)
 
 
+def sliding_events_weekly(sf_dir: str) -> pd.DataFrame:
+    """Sliding event-time windows: 7-day windows stepping 1 day. Each
+    event is expanded to its 7 containing window starts inside the batch
+    transform (vectorized repeat), partial-aggregated per batch, then one
+    small hash aggregate — the overlap factor multiplies only the compact
+    (window, type) partials, never the raw rows. Summary output keeps the
+    oracle small: number of windows + max single-window event count."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    day_us = 86_400_000_000
+
+    def expand(batch: pa.Table) -> pd.DataFrame:
+        day = pc.floor_temporal(batch.column("ts"), unit="day").cast(pa.int64())
+        days = day.to_numpy(zero_copy_only=False)
+        etype = batch.column("event_type").to_pandas()
+        offsets = np.arange(7) * day_us
+        starts = np.repeat(days, 7) - np.tile(offsets, len(days))
+        part = pd.DataFrame(
+            {
+                "window_start": starts,
+                "event_type": np.repeat(etype.to_numpy(), 7),
+            }
+        )
+        out = part.groupby(["window_start", "event_type"], sort=False).size()
+        return out.rename("cnt").reset_index()
+
+    totals = (
+        ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["window_start", "event_type"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "n_windows": [int(totals["window_start"].nunique())],
+            "max_window_events": [int(totals["cnt"].max())],
+            "total_window_rows": [int(len(totals))],
+        }
+    )
+
+
 def sessionize_events(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     """Gap-based session windows per user: a new session starts when the
     gap since the previous event exceeds ``gap_minutes``. Returns the
@@ -166,6 +208,7 @@ def asof_value_per_order(sf_dir: str) -> pd.DataFrame:
 
 QUERIES = {
     "windowed_events_daily": windowed_events_daily,
+    "sliding_events_weekly": sliding_events_weekly,
     "sessionize_events": sessionize_events,
     "asof_value_per_order": asof_value_per_order,
 }
@@ -177,6 +220,22 @@ ORACLE_SQL = {
                ROUND(SUM(value), 4) AS sum_value
         FROM events
         GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "sliding_events_weekly": """
+        WITH expanded AS (
+            SELECT date_trunc('day', ts) - d.d * INTERVAL '1 day' AS window_start,
+                   event_type
+            FROM events
+            CROSS JOIN (SELECT unnest(range(7)) AS d) d
+        ),
+        totals AS (
+            SELECT window_start, event_type, COUNT(*) AS cnt
+            FROM expanded GROUP BY 1, 2
+        )
+        SELECT COUNT(DISTINCT window_start) AS n_windows,
+               MAX(cnt) AS max_window_events,
+               COUNT(*) AS total_window_rows
+        FROM totals
     """,
     "sessionize_events": """
         WITH gaps AS (
