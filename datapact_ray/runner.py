@@ -670,11 +670,24 @@ class ValidationRunner:
         table = pa.Table.from_pylist(summary.rows, schema=RESULT_SCHEMA)
         pq.write_table(table, os.path.join(rdir, "results.parquet"))
         if summary.rows:
+            from .genie import genie_current_status, genie_issues, genie_table_quality
             from .rollup import write_exec_tables
 
-            write_exec_tables(
-                table.to_pandas(), self.config.results_dir, self.config.run_id
+            df = table.to_pandas()
+            write_exec_tables(df, self.config.results_dir, self.config.run_id)
+            gdir = os.path.join(
+                self.config.results_dir, "genie", f"run_id={self.config.run_id}"
             )
+            os.makedirs(gdir, exist_ok=True)
+            for name, frame in (
+                ("genie_current_status", genie_current_status(df)),
+                ("genie_table_quality", genie_table_quality(df)),
+                ("genie_issues", genie_issues(df)),
+            ):
+                pq.write_table(
+                    pa.Table.from_pandas(frame, preserve_index=False),
+                    os.path.join(gdir, f"{name}.parquet"),
+                )
 
 
 def run_suite(
