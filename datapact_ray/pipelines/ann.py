@@ -18,13 +18,20 @@ import pyarrow.parquet as pq
 import ray
 
 from ..io import read_table
+from ._util import round_duck
 
 
 def _query_vector(sf_dir: str, vec_id: int = 0) -> np.ndarray:
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    df = t.to_pandas()
-    row = df[df["vec_id"] == vec_id].iloc[0]
-    return np.asarray(row["embedding"], dtype=np.float64)
+    """Fetch ONE query vector with a pushed-down row filter — only the
+    row groups whose footer stats may contain vec_id are decoded."""
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "==", vec_id)],
+    )
+    if t.num_rows == 0:
+        raise KeyError(f"vec_id={vec_id} not found")
+    return np.asarray(t.column("embedding")[0].as_py(), dtype=np.float64)
 
 
 class BruteForceScorer:
@@ -43,7 +50,7 @@ class BruteForceScorer:
         norms = np.linalg.norm(mat, axis=1).clip(min=1e-12)
         cos = (mat @ self.q) / (norms * self.qn)
         out = pd.DataFrame(
-            {"vec_id": df["vec_id"], "cos": np.round(cos, 4)}
+            {"vec_id": df["vec_id"], "cos": round_duck(cos, 4)}
         )
         out = out[out["vec_id"] != self.exclude_id]
         # local top-k: only k rows per batch reach the global sort
@@ -99,7 +106,7 @@ def ann_lsh_embeddings(sf_dir: str, k: int = 10, bits: int = 8) -> pd.DataFrame:
             norms = np.linalg.norm(sub, axis=1).clip(min=1e-12)
             cos = (sub @ self.q) / (norms * self.qn)
             return pd.DataFrame(
-                {"vec_id": df["vec_id"].to_numpy()[mask], "cos": np.round(cos, 4)}
+                {"vec_id": df["vec_id"].to_numpy()[mask], "cos": round_duck(cos, 4)}
             ).sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
 
     ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])

@@ -28,8 +28,20 @@ from ..stages.profile import ProfileSpec, run_profile
 from ..stages.referential import run_referential_pass
 
 
+from ._util import round_duck
+
+
 def _r4(x: float | None) -> float | None:
-    return None if x is None else float(np.round(x, 4))
+    return None if x is None else float(round_duck(x, 4))
+
+
+def _r2(x: float | None) -> float | None:
+    """2-dp rounding for large-magnitude float SUMs. At sum ≈ 1e9 the
+    float64 ULP is ~5e-7 and accumulation-order noise between any two
+    engines is ~1e-6, so 4-dp equality is luck; 2-dp leaves >1000×
+    headroom. Both sides accumulate compensated (engine: fsum of
+    per-batch partials; oracle: DuckDB ``fsum``)."""
+    return None if x is None else float(round_duck(x, 2))
 
 
 def profile_orders(sf_dir: str) -> pd.DataFrame:
@@ -46,7 +58,7 @@ def profile_orders(sf_dir: str) -> pd.DataFrame:
         {
             "order_count": [p.count],
             "status_nulls": [p.nulls["o_orderstatus"]],
-            "sum_total": [_r4(p.agg_value("o_totalprice", "SUM"))],
+            "sum_total": [_r2(p.agg_value("o_totalprice", "SUM"))],
             "avg_total": [_r4(p.agg_value("o_totalprice", "AVG"))],
             "min_total": [_r4(p.agg_value("o_totalprice", "MIN"))],
             "max_total": [_r4(p.agg_value("o_totalprice", "MAX"))],
@@ -68,7 +80,7 @@ def agg_lineitem(sf_dir: str) -> pd.DataFrame:
     p = run_profile(ds, spec)
     return pd.DataFrame(
         {
-            "sum_price": [_r4(p.agg_value("l_extendedprice", "SUM"))],
+            "sum_price": [_r2(p.agg_value("l_extendedprice", "SUM"))],
             "avg_price": [_r4(p.agg_value("l_extendedprice", "AVG"))],
             "min_price": [_r4(p.agg_value("l_extendedprice", "MIN"))],
             "max_price": [_r4(p.agg_value("l_extendedprice", "MAX"))],
@@ -137,29 +149,38 @@ def filter_events_agg(sf_dir: str) -> pd.DataFrame:
 
 
 def ts_stats_events(sf_dir: str) -> pd.DataFrame:
-    """Timestamp stats as epoch microseconds (drift-check inputs)."""
+    """Timestamp stats as epoch microseconds (drift-check inputs).
+
+    Epoch-µs values are ~1.7e15, so an int64 running sum overflows past
+    ~5000 rows and a float64 mean has a 0.25-µs ULP. Each batch emits the
+    exact sum split into 32-bit halves (each half-sum fits int64 up to
+    ~2e13 rows); the driver recombines with Python big ints and the
+    average is an exact integer floor division on both sides."""
     ds = read_table(f"{sf_dir}/events.parquet", columns=["ts"])
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         e = batch.column("ts").cast(pa.int64())
+        arr = e.to_numpy(zero_copy_only=False)
         return pd.DataFrame(
             {
                 "n": [batch.num_rows],
                 "mn": [pc.min(e).as_py()],
                 "mx": [pc.max(e).as_py()],
-                "sm": [pc.sum(e).as_py()],
+                "sm_hi": [int((arr >> 32).sum())],
+                "sm_lo": [int((arr & 0xFFFFFFFF).sum())],
             }
         )
 
     parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     df = parts.to_pandas()
     n = int(df["n"].sum())
+    total = (int(df["sm_hi"].sum()) << 32) + int(df["sm_lo"].sum())
     return pd.DataFrame(
         {
             "n_events": [n],
             "min_epoch_us": [int(df["mn"].min())],
             "max_epoch_us": [int(df["mx"].max())],
-            "avg_epoch_us": [_r4(float(df["sm"].sum()) / n)],
+            "avg_epoch_us": [total // n],
         }
     )
 
@@ -281,7 +302,7 @@ def join_orders_customer(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     out["n_orders"] = out["n_orders"].astype("int64")
-    out["sum_total"] = out["sum_total"].map(_r4)
+    out["sum_total"] = out["sum_total"].map(_r2)
     return out.sort_values("c_mktsegment").reset_index(drop=True)
 
 
@@ -368,20 +389,21 @@ def custom_orders_by_status(sf_dir: str) -> pd.DataFrame:
 ORACLE_SQL: dict[str, str] = {
     "profile_orders": """
         SELECT COUNT(*) AS order_count,
-               SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS status_nulls,
-               ROUND(SUM(o_totalprice), 4) AS sum_total,
-               ROUND(AVG(o_totalprice), 4) AS avg_total,
+               CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS status_nulls,
+               ROUND(fsum(o_totalprice), 2) AS sum_total,
+               ROUND(fsum(o_totalprice) / COUNT(o_totalprice), 4) AS avg_total,
                ROUND(MIN(o_totalprice), 4) AS min_total,
                ROUND(MAX(o_totalprice), 4) AS max_total
         FROM orders
     """,
     "agg_lineitem": """
-        SELECT ROUND(SUM(l_extendedprice), 4) AS sum_price,
-               ROUND(AVG(l_extendedprice), 4) AS avg_price,
+        SELECT ROUND(fsum(l_extendedprice), 2) AS sum_price,
+               ROUND(fsum(l_extendedprice) / COUNT(l_extendedprice), 4) AS avg_price,
                ROUND(MIN(l_extendedprice), 4) AS min_price,
                ROUND(MAX(l_extendedprice), 4) AS max_price,
-               ROUND(SUM(l_quantity), 4) AS sum_qty,
-               ROUND(AVG(l_quantity), 4) AS avg_qty
+               ROUND(fsum(l_quantity), 4) AS sum_qty,
+               ROUND(fsum(l_quantity) / COUNT(l_quantity), 4) AS avg_qty
         FROM lineitem
     """,
     "uniqueness_lineitem": """
@@ -412,16 +434,16 @@ ORACLE_SQL: dict[str, str] = {
         SELECT COUNT(*) AS n_events,
                MIN(epoch_us(ts)) AS min_epoch_us,
                MAX(epoch_us(ts)) AS max_epoch_us,
-               ROUND(AVG(epoch_us(ts)), 4) AS avg_epoch_us
+               CAST(SUM(epoch_us(ts)) // COUNT(*) AS BIGINT) AS avg_epoch_us
         FROM events
     """,
     "rowhash_customer_self": """
         SELECT COUNT(*) AS compared_rows,
-               SUM(CASE WHEN a.c_name IS DISTINCT FROM b.c_name
+               CAST(SUM(CASE WHEN a.c_name IS DISTINCT FROM b.c_name
                          OR a.c_nationkey IS DISTINCT FROM b.c_nationkey
                          OR a.c_acctbal IS DISTINCT FROM b.c_acctbal
                          OR a.c_mktsegment IS DISTINCT FROM b.c_mktsegment
-                    THEN 1 ELSE 0 END) AS mismatch_count
+                    THEN 1 ELSE 0 END) AS BIGINT) AS mismatch_count
         FROM customer a JOIN customer b ON a.c_custkey = b.c_custkey
     """,
     "groupby_lineitem_returnflag": """
@@ -450,7 +472,7 @@ ORACLE_SQL: dict[str, str] = {
     "join_orders_customer": """
         SELECT c_mktsegment,
                COUNT(*) AS n_orders,
-               ROUND(SUM(o_totalprice), 4) AS sum_total
+               ROUND(SUM(o_totalprice), 2) AS sum_total
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,

@@ -135,9 +135,11 @@ def text_stats_documents(sf_dir: str) -> pd.DataFrame:
         )
         .to_pandas()
     )
+    from ._util import round_duck
+
     out["n_docs"] = out["n_docs"].astype("int64")
     out["sum_tokens"] = out["sum_tokens"].astype("int64")
-    out["avg_chars"] = np.round(out["sum_chars"] / out["n_docs"], 4)
+    out["avg_chars"] = round_duck(out["sum_chars"] / out["n_docs"], 4)
     out = out.drop(columns=["sum_chars"])
     return out.sort_values("lang").reset_index(drop=True)
 
@@ -216,17 +218,24 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    # NOTE: DuckDB SUM(int) returns HUGEINT which pandas renders as
+    # float64 — every integer sum must be CAST AS BIGINT so the driver's
+    # value-hash sees the same int64 dtype the engine emits.
     "text_stats_documents": """
         SELECT lang,
                COUNT(*) AS n_docs,
-               SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS sum_tokens,
+               CAST(SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)
+                    AS BIGINT) AS sum_tokens,
                ROUND(SUM(LENGTH(text)) * 1.0 / COUNT(*), 4) AS avg_chars
         FROM documents GROUP BY lang ORDER BY lang
     """,
     "token_counts_documents": r"""
-        SELECT SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS total_ws_tokens,
-               SUM(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS total_re_tokens,
-               SUM(len(regexp_extract_all(text, '[^\w\s]'))) AS total_punct_chars
+        SELECT CAST(SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)
+                    AS BIGINT) AS total_ws_tokens,
+               CAST(SUM(len(regexp_extract_all(text, '\w+|[^\w\s]')))
+                    AS BIGINT) AS total_re_tokens,
+               CAST(SUM(len(regexp_extract_all(text, '[^\w\s]')))
+                    AS BIGINT) AS total_punct_chars
         FROM documents
     """,
     # langid / quality / fingerprint: engine-defined, not SQL-expressible

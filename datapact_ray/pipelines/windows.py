@@ -23,6 +23,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..io import read_table
+from ._util import round_duck
 
 
 def windowed_events_daily(sf_dir: str) -> pd.DataFrame:
@@ -44,7 +45,7 @@ def windowed_events_daily(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     out["n_events"] = out["n_events"].astype("int64")
-    out["sum_value"] = np.round(out["sum_value"], 4)
+    out["sum_value"] = round_duck(out["sum_value"], 4)
     return out.sort_values(["window_day", "event_type"]).reset_index(drop=True)
 
 
@@ -126,7 +127,7 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
             "total_sessions": [total_sessions],
             "total_events": [total_events],
             "avg_events_per_session": [
-                float(np.round(total_events / total_sessions, 4))
+                float(round_duck(total_events / total_sessions, 4))
                 if total_sessions
                 else 0.0
             ],
@@ -201,7 +202,7 @@ def asof_value_per_order(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(
         {
             "matched_orders": [int(parts["matched"].sum())],
-            "sum_matched_value": [float(np.round(parts["sum_value"].sum(), 2))],
+            "sum_matched_value": [float(round_duck(parts["sum_value"].sum(), 2))],
         }
     )
 
@@ -246,7 +247,7 @@ ORACLE_SQL = {
                         THEN 1 ELSE 0 END AS is_start
             FROM events
         )
-        SELECT SUM(is_start) AS total_sessions,
+        SELECT CAST(SUM(is_start) AS BIGINT) AS total_sessions,
                COUNT(*) AS total_events,
                ROUND(COUNT(*) * 1.0 / SUM(is_start), 4) AS avg_events_per_session
         FROM gaps

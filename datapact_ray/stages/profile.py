@@ -124,7 +124,9 @@ class ProfileActor:
                     entry["nonnull"] = 0  # forces SUM/AVG -> None
                 else:
                     if "SUM" in aggs or "AVG" in aggs:
-                        entry["sum"] = _scalar(pc.sum(arr))
+                        # keep integer sums as exact ints (merged with
+                        # Python big-int addition); floats merge via fsum
+                        entry["sum"] = pc.sum(arr).as_py()
                     if want_minmax:
                         mm = pc.min_max(arr)
                         entry["min"] = _scalar(mm["min"])
@@ -161,7 +163,10 @@ class ProfileActor:
 
 
 def merge_profiles(partials: list[ProfileResult]) -> ProfileResult:
+    import math
+
     out = ProfileResult()
+    sums: dict[str, list[float]] = {}
     for p in partials:
         out.count += p.count
         for col, n in p.nulls.items():
@@ -172,7 +177,10 @@ def merge_profiles(partials: list[ProfileResult]) -> ProfileResult:
             )
             cur["nonnull"] += a["nonnull"]
             if a["sum"] is not None:
-                cur["sum"] = a["sum"] if cur["sum"] is None else cur["sum"] + a["sum"]
+                # collect partial sums and fsum them below: compensated
+                # accumulation keeps the merged float SUM within ~1 ULP of
+                # exact regardless of partial count / arrival order
+                sums.setdefault(col, []).append(a["sum"])
             for k, op in (("min", min), ("max", max)):
                 if a[k] is not None:
                     cur[k] = a[k] if cur[k] is None else op(cur[k], a[k])
@@ -186,6 +194,11 @@ def merge_profiles(partials: list[ProfileResult]) -> ProfileResult:
                 if out.heavy_hitters is None
                 else out.heavy_hitters.merge(p.heavy_hitters)
             )
+    for col, parts in sums.items():
+        if all(isinstance(s, int) for s in parts):
+            out.aggs[col]["sum"] = sum(parts)  # exact big-int path
+        else:
+            out.aggs[col]["sum"] = math.fsum(parts)
     return out
 
 
