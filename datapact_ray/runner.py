@@ -150,6 +150,13 @@ class ValidationRunner:
         cfg = self.config
         begin = _now()
         ckpt = self._task_ckpt(task.task_key)
+        if not cfg.resume and os.path.isdir(ckpt):
+            # a fresh (non-resume) run must never see a previous run's
+            # bucket checkpoints for the same run_id — stale metrics would
+            # silently merge into this run's verdicts
+            import shutil
+
+            shutil.rmtree(ckpt, ignore_errors=True)
         os.makedirs(ckpt, exist_ok=True)
 
         src_files = list_parquet_files(task.source_path)
@@ -187,6 +194,15 @@ class ValidationRunner:
         filter_expr = (
             compile_filter(task.filter, src_schema) if task.filter else None
         )
+        # the fused parquet paths apply the filter AFTER the projected
+        # read, so every column the filter references must be read too
+        # (read_table does this internally; the raw-task paths must not
+        # be narrower or table.filter raises 'No match for FieldRef')
+        filter_cols: set[str] = set()
+        if task.filter:
+            from .expr import parse_filter, referenced_columns
+
+            filter_cols = referenced_columns(parse_filter(task.filter))
 
         # ---------- pass 1: fused profile (one scan per side) ----------
         stats_needed = (
@@ -237,10 +253,35 @@ class ValidationRunner:
         hot_threshold = max(
             cfg.hot_key_threshold, 2 * (est_rows // num_buckets) if est_rows else 0
         )
+        # resume: bucket ids depend on num_buckets (sized from the LIVE
+        # cluster above) and on the hash version — a resumed run must use
+        # the ORIGINAL bucketing and identical inputs, or checkpointed
+        # buckets are incompatible with freshly computed ones
+        lineage_path = os.path.join(ckpt, "lineage.json")
+        if cfg.resume and os.path.exists(lineage_path):
+            with open(lineage_path) as fh:
+                prev_lineage = json.load(fh)
+            mismatched = [
+                k
+                for k in ("source_files", "target_files", "filter")
+                if prev_lineage.get(k) != lineage[k]
+            ]
+            prev_part = prev_lineage.get("partitioning", {})
+            if prev_part.get("hash") != lineage["partitioning"]["hash"]:
+                mismatched.append("partitioning.hash")
+            prev_buckets = prev_part.get("num_buckets")
+            if cfg.num_buckets and prev_buckets and cfg.num_buckets != prev_buckets:
+                mismatched.append("num_buckets")
+            if mismatched:
+                raise ValueError(
+                    f"resume refused for task '{task.task_key}': lineage "
+                    f"mismatch on {mismatched} vs the checkpointed run. "
+                    "Clear the checkpoint directory or use a new run_id."
+                )
+            if prev_buckets:
+                num_buckets = prev_buckets
         lineage["partitioning"]["num_buckets"] = num_buckets
-        _atomic_write(
-            os.path.join(ckpt, "lineage.json"), json.dumps(lineage, indent=1).encode()
-        )
+        _atomic_write(lineage_path, json.dumps(lineage, indent=1).encode())
 
         # referential + custom checks don't consume profile output — start
         # them immediately so they overlap the profile scan
@@ -269,6 +310,7 @@ class ValidationRunner:
                         ref_files=list_parquet_files(ref.ref_path),
                         probe_files=pfiles if upf else None,
                         filter_expr=filter_expr,
+                        filter_columns=filter_cols,
                     )
                 )
         for ci, custom in enumerate(task.custom_checks or []):
@@ -280,7 +322,7 @@ class ValidationRunner:
         profile_wanted = stats_needed or spec.heavy_hitter_column
 
         def run_profiles() -> tuple:
-            columns = sorted(profile_cols) or None
+            columns = sorted(profile_cols | filter_cols) or None
             src_path = os.path.join(ckpt, "profile_source.pkl")
             tgt_path = os.path.join(ckpt, "profile_target.pkl")
             if (
@@ -349,7 +391,7 @@ class ValidationRunner:
                     task.task_key,
                     source_files=src_files,
                     target_files=tgt_files,
-                    columns=cols_list,
+                    columns=sorted(set(cols_list) | filter_cols),
                     filter_expr=filter_expr,
                 )
             return lambda: run_keyed_pass(
@@ -419,6 +461,7 @@ class ValidationRunner:
                 max_violations_per_bucket=task.max_violations_per_partition,
                 num_buckets=num_buckets,
                 checkpoint_dir=os.path.join(ckpt, "keyed"),
+                resume=cfg.resume,
             )
             need_cols = set(kspec.key_columns) | set(kspec.null_join_columns) | set(
                 kspec.compare_columns
@@ -440,6 +483,7 @@ class ValidationRunner:
                 max_violations_per_bucket=task.max_violations_per_partition,
                 num_buckets=num_buckets,
                 checkpoint_dir=os.path.join(ckpt, "uniq"),
+                resume=cfg.resume,
             )
             jobs["uniq"] = keyed_job(uspec, uniq_cols)
 
@@ -458,6 +502,7 @@ class ValidationRunner:
                 max_violations_per_bucket=task.max_violations_per_partition,
                 num_buckets=num_buckets,
                 checkpoint_dir=os.path.join(ckpt, "conv"),
+                resume=cfg.resume,
             )
             ccols = [conv_group, conv_index] + ([conv_ts] if conv_ts else [])
             jobs["conv"] = keyed_job(cspec, ccols, batch_mult=2)

@@ -10,20 +10,25 @@ source and the target table, then the two result sets are compared with
 * an order-insensitive hash: sha256 over the sorted list of per-row md5s
   of canonical JSON, ``'EMPTY'`` for empty results (``:267-292``).
 
-Execution engine: DuckDB on the driver over the side's parquet files
-(registered as view ``t``). Custom SQL results are aggregates by
-construction in the reference's usage, so they are small; the heavy
-scan work stays inside DuckDB's vectorized reader. Template placeholders
-``{{ table_fqn }}`` / ``{{ source_fqn }}`` / ``{{ target_fqn }}`` resolve
-to the view name for the side being executed, mirroring the dual render
-contexts of ``/root/reference/datapact/sql_generator.py:26-84``.
+Execution engine: DuckDB on the driver, with BOTH sides' parquet files
+registered in ONE connection (views ``src`` and ``tgt``). Custom SQL
+results are aggregates by construction in the reference's usage, so they
+are small; the heavy scan work stays inside DuckDB's vectorized reader.
+
+Template rendering mirrors the reference's dual render contexts
+(``/root/reference/datapact/sql_generator.py:56-84``): each custom query
+is rendered TWICE — once as the "source" role, once as the "target"
+role. ``{{ table_fqn }}``/``{{ table_name }}``/``{{ rendered_role }}``
+flip per role, while ``{{ source_fqn }}``/``{{ target_fqn }}`` (and the
+``declared_*`` variants) ALWAYS resolve to the real source/target view —
+so a single query can join the two sides, exactly as in the reference.
 """
 
 from __future__ import annotations
 
 import hashlib
 import json
-import re
+import os
 from dataclasses import dataclass
 
 import pandas as pd
@@ -43,19 +48,60 @@ class CustomCheckMetrics:
     rendered_target_sql: str
 
 
-_PLACEHOLDER = re.compile(r"\{\{\s*(table_fqn|source_fqn|target_fqn)\s*\}\}")
+SOURCE_VIEW = "src"
+TARGET_VIEW = "tgt"
 
 
-def render_custom_sql(sql: str, side: str) -> str:
-    """Resolve template placeholders for one side. ``table_fqn`` always
-    points at the current side; ``source_fqn``/``target_fqn`` resolve to
-    the view only when they match the side (cross-side references are not
-    supported by the local executor — same restriction documented)."""
+def _table_name(files: list[str] | None) -> str:
+    if not files:
+        return ""
+    base = os.path.basename(files[0])
+    return base[:-8] if base.endswith(".parquet") else base
 
-    def sub(m: re.Match) -> str:
-        return "t"
 
-    return _PLACEHOLDER.sub(sub, sql)
+def render_custom_sql(
+    sql: str,
+    side: str,
+    source_files: list[str] | None = None,
+    target_files: list[str] | None = None,
+) -> str:
+    """Render one side's SQL with the reference's context variables
+    (``sql_generator.py:26-72``): ``source_fqn``/``target_fqn`` are
+    role-independent; ``table_*``/``rendered_role`` follow ``side``.
+    Catalog/schema have no Databricks analog here — they render to the
+    local pseudo-catalog and the file's directory."""
+    import jinja2
+
+    src_name = _table_name(source_files)
+    tgt_name = _table_name(target_files)
+    common = {
+        "source_catalog": "local",
+        "source_schema": os.path.dirname(source_files[0]) if source_files else "",
+        "source_table": src_name,
+        "source_fqn": SOURCE_VIEW,
+        "target_catalog": "local",
+        "target_schema": os.path.dirname(target_files[0]) if target_files else "",
+        "target_table": tgt_name,
+        "target_fqn": TARGET_VIEW,
+        "declared_source_catalog": "local",
+        "declared_source_schema": (
+            os.path.dirname(source_files[0]) if source_files else ""
+        ),
+        "declared_source_table": src_name,
+        "declared_target_catalog": "local",
+        "declared_target_schema": (
+            os.path.dirname(target_files[0]) if target_files else ""
+        ),
+        "declared_target_table": tgt_name,
+    }
+    per_side = {
+        "table_catalog": common[f"{side}_catalog"],
+        "table_schema": common[f"{side}_schema"],
+        "table_name": common[f"{side}_table"],
+        "table_fqn": SOURCE_VIEW if side == "source" else TARGET_VIEW,
+        "rendered_role": side,
+    }
+    return jinja2.Template(sql).render(**common, **per_side).strip()
 
 
 def _canonical_row_md5(df: pd.DataFrame) -> list[str]:
@@ -140,21 +186,22 @@ def run_custom_check(
 ) -> CustomCheckMetrics:
     import duckdb
 
-    rendered_src = render_custom_sql(sql, "source")
-    rendered_tgt = render_custom_sql(sql, "target")
+    rendered_src = render_custom_sql(sql, "source", source_files, target_files)
+    rendered_tgt = render_custom_sql(sql, "target", source_files, target_files)
 
-    def execute(files: list[str], q: str) -> pd.DataFrame:
-        con = duckdb.connect()
-        try:
-            con.register_filesystem  # noqa: B018 - presence check only
+    con = duckdb.connect()
+    try:
+        # BOTH sides live in one connection so a single query can
+        # reference {{ source_fqn }} and {{ target_fqn }} together
+        for view, files in ((SOURCE_VIEW, source_files), (TARGET_VIEW, target_files)):
             file_list = ", ".join(f"'{f}'" for f in files)
-            con.execute(f"CREATE VIEW t AS SELECT * FROM read_parquet([{file_list}])")
-            return con.execute(q).fetchdf()
-        finally:
-            con.close()
-
-    sdf = execute(source_files, rendered_src)
-    tdf = execute(target_files, rendered_tgt)
+            con.execute(
+                f"CREATE VIEW {view} AS SELECT * FROM read_parquet([{file_list}])"
+            )
+        sdf = con.execute(rendered_src).fetchdf()
+        tdf = con.execute(rendered_tgt).fetchdf()
+    finally:
+        con.close()
     mt, ms, sample_t, sample_s = multiset_diff(sdf, tdf)
     return CustomCheckMetrics(
         source_row_count=len(sdf),

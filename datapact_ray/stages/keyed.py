@@ -75,6 +75,10 @@ class KeyedSpec:
     max_violations_per_bucket: int = 100
     num_buckets: int = 64
     checkpoint_dir: str | None = None  # per-bucket checkpoints when set
+    # completed-bucket checkpoints are only REUSED when resume is set;
+    # a fresh run still writes them but never skips work based on stale
+    # files from an earlier run (the runner clears the dir on non-resume)
+    resume: bool = False
 
     def hot_hash_array(self) -> np.ndarray:
         """Hot-key identities as uint64 column hashes. Accepts either raw
@@ -464,7 +468,13 @@ class _BucketChecker:
                     if len(bad_c):
                         emit_groups(bad_c, "non_contiguous_turn_idx")
                 if spec.require_monotonic_ts and has_ts:
-                    bad_m = cold[contiguous & ~mono]
+                    # same rule as the hot path (_stitch_hot): a group
+                    # counts one violation — contiguity first when that
+                    # check is enforced, else monotonicity on its own
+                    if spec.require_contiguous:
+                        bad_m = cold[contiguous & ~mono]
+                    else:
+                        bad_m = cold[~mono]
                     m.monotonicity_violations[side] += len(bad_m)
                     if len(bad_m):
                         emit_groups(bad_m, "non_monotonic_ts")
@@ -560,7 +570,7 @@ def run_keyed_pass(
     ``target=None``/``target_files=None`` runs a single-side pass
     (uniqueness only).
     """
-    done = completed_buckets(spec.checkpoint_dir)
+    done = completed_buckets(spec.checkpoint_dir) if spec.resume else frozenset()
     checker = _BucketChecker(spec, task_key)
     merged = KeyedMetrics()
 

@@ -128,17 +128,20 @@ def _distinct_key_hashes_local(
 def _probe_unit(
     unit: tuple,
     columns: list[str],
+    read_columns: list[str],
     filter_expr_pickle: bytes | None,
     broadcast,
     cap: int,
 ) -> pd.DataFrame:
-    """Fused raw-task probe over one parquet file/row-group chunk."""
+    """Fused raw-task probe over one parquet file/row-group chunk.
+    ``read_columns`` ⊇ ``columns``: the filter may reference columns the
+    probe itself does not hash."""
     import pickle
 
     import pyarrow.parquet as pq
 
     path, row_groups = unit
-    table = pq.ParquetFile(path).read_row_groups(row_groups, columns=columns)
+    table = pq.ParquetFile(path).read_row_groups(row_groups, columns=read_columns)
     if filter_expr_pickle is not None:
         table = table.filter(pickle.loads(filter_expr_pickle))
     return _ProbeActor(broadcast, columns, columns, cap)(table)
@@ -157,6 +160,7 @@ def run_referential_pass(
     ref_files: list[str] | None = None,
     probe_files: list[str] | None = None,
     filter_expr=None,
+    filter_columns: set[str] | None = None,
     small_dim_bytes: int = 256 << 20,
 ) -> ReferentialMetrics:
     if ref_files is not None and (
@@ -181,10 +185,11 @@ def run_referential_pass(
         from ..shuffle import _scan_units
 
         expr_pickle = _pickle.dumps(filter_expr) if filter_expr is not None else None
+        read_cols = sorted(set(probe_columns) | (filter_columns or set()))
         task = ray.remote(_probe_unit)
         rows = ray.get(
             [
-                task.remote(unit, probe_columns, expr_pickle, broadcast, cap)
+                task.remote(unit, probe_columns, read_cols, expr_pickle, broadcast, cap)
                 for unit in _scan_units(probe_files)
             ]
         )

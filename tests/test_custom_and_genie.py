@@ -55,8 +55,38 @@ def test_run_custom_check_detects_diff(tmp_path):
     assert m.rows_missing_in_source == 2
     assert m.source_hash != m.target_hash
     assert render_custom_sql("SELECT * FROM {{ source_fqn }}", "source") == (
-        "SELECT * FROM t"
+        "SELECT * FROM src"
     )
+
+
+def test_custom_check_cross_side_references(tmp_path):
+    """Reference semantics (sql_generator.py:56-84): source_fqn/target_fqn
+    resolve to the REAL source/target in both render contexts, so one
+    query can compare the two sides; table_fqn/rendered_role flip."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src.parquet"
+    tgt = tmp_path / "tgt.parquet"
+    pq.write_table(pa.table({"v": [1, 2, 3]}), str(src))
+    pq.write_table(pa.table({"v": [1, 2]}), str(tgt))
+    sql = (
+        "SELECT (SELECT COUNT(*) FROM {{ source_fqn }}) AS n_src, "
+        "(SELECT COUNT(*) FROM {{ target_fqn }}) AS n_tgt"
+    )
+    m = run_custom_check(sql, [str(src)], [str(tgt)])
+    # both renders read the same cross-side counts -> identical results
+    assert m.rendered_source_sql == m.rendered_target_sql
+    assert m.source_hash == m.target_hash
+    assert m.rows_missing_in_target == 0 and m.rows_missing_in_source == 0
+    # role-dependent variables DO flip between the two contexts
+    roled = render_custom_sql(
+        "SELECT '{{ rendered_role }}' AS role FROM {{ table_fqn }}",
+        "target",
+        [str(src)],
+        [str(tgt)],
+    )
+    assert roled == "SELECT 'target' AS role FROM tgt"
 
 
 @pytest.fixture

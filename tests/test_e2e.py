@@ -310,3 +310,38 @@ def test_empty_pair_semantics(tmp_path_factory):
     p = s.results[0].payload
     assert p["count_validation"]["status"] == "PASS"
     assert p["agg_validation_x_SUM"]["source_value"] is None
+
+
+def test_filter_outside_projected_columns(fixture_pair, tmp_path, oracle):
+    """A row filter referencing a column that is NOT in hash_columns /
+    profile columns must still work on the fused parquet paths (the read
+    has to include filter-referenced columns before applying it)."""
+    src, _, _ = oracle
+    task = ValidationTask(
+        task_key="filtered",
+        source_path=fixture_pair["source"],
+        target_path=fixture_pair["source"],
+        primary_keys=["conv_id", "turn_idx"],
+        filter="role = 'user'",
+        count_tolerance=0.0,
+        pk_row_hash_check=True,
+        hash_columns=["text"],  # filter column 'role' is deliberately absent
+        null_validation_tolerance=0.0,
+        null_validation_columns=["text"],
+        referential=[
+            ReferentialCheck(
+                columns=["conv_id"],
+                ref_path=fixture_pair["dim"],
+                ref_columns=["conv_id"],
+                side="source",
+            )
+        ],
+    )
+    s = run_suite(
+        ValidationSuite(validations=[task]),
+        RunConfig(results_dir=str(tmp_path / "flt"), run_id=1, num_buckets=4),
+    )
+    r = s.results[0]
+    assert r.status == "SUCCESS"
+    expect = int((src["role"] == "user").sum())
+    assert r.payload["count_validation"]["source_count"] == f"{expect:,}"

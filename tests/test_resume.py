@@ -76,6 +76,71 @@ def test_profile_checkpoint_reused(suite, tmp_path):
     assert os.path.getmtime(prof) == mtime  # loaded, not recomputed
 
 
+def test_non_resume_rerun_ignores_stale_checkpoints(tmp_path, fixture_pair):
+    """A fresh run with the same results_dir/run_id after the DATA changed
+    must report fresh verdicts — stale bucket checkpoints may not merge in
+    (they are cleared when resume is not requested)."""
+    out = str(tmp_path / "res4")
+
+    def task_for(target):
+        return ValidationSuite(
+            validations=[
+                ValidationTask(
+                    task_key="t",
+                    source_path=fixture_pair["source"],
+                    target_path=target,
+                    primary_keys=["conv_id", "turn_idx"],
+                    count_tolerance=0.001,
+                    pk_row_hash_check=True,
+                    compare_columns=["text"],
+                )
+            ]
+        )
+
+    # run 1: corrupted pair -> FAILURE; run 2 (no resume): self-pair -> SUCCESS
+    s1 = run_suite(task_for(fixture_pair["target"]),
+                   RunConfig(results_dir=out, run_id=14, num_buckets=8))
+    assert s1.results[0].status == "FAILURE"
+    s2 = run_suite(task_for(fixture_pair["source"]),
+                   RunConfig(results_dir=out, run_id=14, num_buckets=8))
+    assert s2.results[0].status == "SUCCESS"
+    rh = s2.results[0].payload["row_hash_validation"]
+    assert rh["mismatch_count"] == "0"
+
+
+def test_resume_refuses_lineage_mismatch(suite, tmp_path, fixture_pair):
+    """Resuming against checkpoints from different inputs or a different
+    bucketing must fail loudly, not mix incompatible bucket metrics."""
+    out = str(tmp_path / "res5")
+    run_suite(suite, RunConfig(results_dir=out, run_id=15, num_buckets=8))
+
+    changed = ValidationSuite(
+        validations=[
+            ValidationTask(
+                task_key="t",
+                source_path=fixture_pair["source"],
+                target_path=fixture_pair["source"],  # different input set
+                primary_keys=["conv_id", "turn_idx"],
+                count_tolerance=0.001,
+                pk_row_hash_check=True,
+                uniqueness_columns=["conv_id", "turn_idx"],
+                uniqueness_tolerance=0.0,
+                compare_columns=["text"],
+                ordering=OrderingCheck(),
+            )
+        ]
+    )
+    with pytest.raises(ValueError, match="lineage"):
+        run_suite(changed, RunConfig(results_dir=out, run_id=15, num_buckets=8,
+                                     resume=True))
+    with pytest.raises(ValueError, match="lineage"):
+        run_suite(suite, RunConfig(results_dir=out, run_id=15, num_buckets=4,
+                                   resume=True))
+    # resume without an explicit bucket count adopts the checkpointed one
+    s = run_suite(suite, RunConfig(results_dir=out, run_id=15, resume=True))
+    assert s.results[0].status in ("SUCCESS", "FAILURE")
+
+
 def test_lineage_manifest_written(suite, tmp_path, fixture_pair):
     import json
 
