@@ -104,6 +104,26 @@ def count_rows(path: str) -> int:
     return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
+def footer_column_minmax(files: list[str], column: str):
+    """Exact global (min, max) of a column from parquet row-group footer
+    statistics — no data read. Returns None when any row group lacks
+    min/max stats (caller falls back to a profile scan)."""
+    lo = hi = None
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        names = meta.schema.names
+        if column not in names:
+            return None
+        ci = names.index(column)
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                return None
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+    return None if lo is None else (lo, hi)
+
+
 def detect_hot_keys_from_footers(
     files: list[str], column: str, rows_threshold: int
 ) -> dict[str, int]:

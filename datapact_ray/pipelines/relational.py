@@ -250,21 +250,36 @@ def distinct_event_types(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"event_type": vals})
 
 
+class _BroadcastLookup:
+    """Actor-pool broadcast join: the dim lookup is fetched from the
+    object store ONCE per actor in ``__init__`` (local-store hit, but the
+    deserialized dict is also built once instead of per batch)."""
+
+    def __init__(self, lookup_ref, key: str, out_col: str):
+        self.lookup = ray.get(lookup_ref)
+        self.key = key
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df[self.out_col] = df[self.key].map(self.lookup)
+        return df[[self.out_col]]
+
+
 def nations_per_region(sf_dir: str) -> pd.DataFrame:
     """Broadcast join: tiny dim (region) shipped once via ray.put, looked
     up inside map_batches — no shuffle (SURVEY.md §2.4 guidance)."""
     region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
     lookup_ref = ray.put(dict(zip(region["r_regionkey"], region["r_name"])))
 
-    def join_batch(batch: pa.Table) -> pd.DataFrame:
-        lookup = ray.get(lookup_ref)
-        df = batch.to_pandas()
-        df["r_name"] = df["n_regionkey"].map(lookup)
-        return df[["r_name"]]
-
     ds = read_table(f"{sf_dir}/nation.parquet", columns=["n_regionkey"])
     out = (
-        ds.map_batches(join_batch, batch_format="pyarrow")
+        ds.map_batches(
+            _BroadcastLookup,
+            fn_constructor_args=(lookup_ref, "n_regionkey", "r_name"),
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
         .groupby("r_name")
         .count()
         .to_pandas()
@@ -314,10 +329,20 @@ def drift_psi_events(sf_dir: str) -> pd.DataFrame:
 
     Formula: 10 equal-width bins over the global [min, max] of value;
     p/q clipped to 1e-6; psi = Σ (p - q) * ln(p / q).
+
+    Single-scan: the bin bounds come from parquet row-group footer
+    statistics (exact global min/max, no data read), so the only data
+    scan is the histogram pass; a profile scan is the fallback for
+    inputs without footer stats.
     """
+    from ..io import footer_column_minmax, list_parquet_files
+
     ds = read_table(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
-    p = run_profile(ds, ProfileSpec(agg_columns={"value": {"MIN", "MAX"}}))
-    lo, hi = p.agg_value("value", "MIN"), p.agg_value("value", "MAX")
+    mm = footer_column_minmax(list_parquet_files(f"{sf_dir}/events.parquet"), "value")
+    if mm is None:
+        p = run_profile(ds, ProfileSpec(agg_columns={"value": {"MIN", "MAX"}}))
+        mm = (p.agg_value("value", "MIN"), p.agg_value("value", "MAX"))
+    lo, hi = float(mm[0]), float(mm[1])
     width = (hi - lo) / 10.0
 
     def hist(batch: pa.Table) -> pd.DataFrame:

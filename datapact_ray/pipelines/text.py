@@ -39,14 +39,19 @@ STOPWORDS = {
 
 class TextFeaturizer:
     """Stateful featurizer: regexes + stopword sets compiled once per
-    actor; batches flow through vectorized pandas string kernels."""
+    actor; batches flow through vectorized pandas string kernels. The
+    stopword/lang-ID pass is one flat exploded-word membership test per
+    language plus a per-doc segment sum — no per-document Python loop."""
 
     def __init__(self):
         self.token_re = re.compile(_TOKEN_RE)
         self.word_re = re.compile(r"\w+")
+        self.langs = list(STOPWORDS)  # order fixes argmax tie-breaking
         self.stop = {lang: frozenset(ws) for lang, ws in STOPWORDS.items()}
 
     def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        from ._tokens import flat_tokens, segment_reduce
+
         df = batch.to_pandas()
         text = df["text"].astype(str)
         out = pd.DataFrame({"doc_id": df["doc_id"]})
@@ -58,22 +63,20 @@ class TextFeaturizer:
         out["ws_tokens"] = (text.str.count(" ") + 1).astype("int64")
         out["re_tokens"] = text.str.count(_TOKEN_RE).astype("int64")
         out["punct_chars"] = text.str.count(_PUNCT_RE).astype("int64")
-        # stopword ratio + langid: one pass over lowered word lists
-        words = text.str.lower().str.findall(self.word_re)
-        ratios = np.zeros(len(df))
-        langs = []
-        for i, ws in enumerate(words):
-            n = max(1, len(ws))
-            best_lang, best_hits, total_hits = "unk", 0, 0
-            for lang, sw in self.stop.items():
-                hits = sum(1 for w in ws if w in sw)
-                total_hits += hits
-                if hits > best_hits:
-                    best_lang, best_hits = lang, hits
-            ratios[i] = total_hits / n
-            langs.append(best_lang if best_hits > 0 else "unk")
-        out["stop_ratio"] = ratios
-        out["lang_pred"] = langs
+        # stopword ratio + langid over the flat word array
+        flat, counts = flat_tokens(text, lowercase=True, word_re=r"\w+")
+        hit_mat = np.empty((len(df), len(self.langs)), dtype=np.int64)
+        for li, lang in enumerate(self.langs):
+            hits = flat.isin(self.stop[lang]).to_numpy().astype(np.int64)
+            hit_mat[:, li] = segment_reduce(hits, counts, np.add, empty=0)
+        total_hits = hit_mat.sum(axis=1)
+        out["stop_ratio"] = total_hits / np.maximum(counts, 1)
+        best = np.argmax(hit_mat, axis=1)  # first max wins, like dict order
+        best_hits = hit_mat[np.arange(len(df)), best]
+        out["lang_pred"] = np.where(
+            best_hits > 0, np.asarray(self.langs, dtype=object)[best], "unk"
+        )
+        ratios = out["stop_ratio"].to_numpy()
         # quality score: bounded combination of length/punct/stopword signals
         length_score = np.clip(out["n_chars"] / 500.0, 0, 1)
         punct_pen = np.clip(
@@ -83,31 +86,38 @@ class TextFeaturizer:
             0.5 * length_score + 0.3 * (1 - punct_pen) + 0.2 * np.clip(ratios * 5, 0, 1),
             6,
         )
-        return out
+        # Arrow-typed output with NO schema metadata: Ray hashes block
+        # schemas for dedup, and the pandas-metadata dict from
+        # from_pandas is unhashable ("Failed to hash the schemas" noise)
+        return pa.Table.from_pandas(
+            out, preserve_index=False
+        ).replace_schema_metadata(None)
 
 
 class Fingerprinter:
-    """Rolling-hash document fingerprint (winnowing-lite): crc32 over
-    5-token shingles, fingerprint = minimum shingle hash. Deterministic
-    across processes (crc32, not PYTHONHASHSEED)."""
+    """Rolling-hash document fingerprint (winnowing-lite): fingerprint =
+    minimum 5-token shingle hash. Vectorized: flat siphash token hashes +
+    rolling polynomial shingles + per-doc segment min (deterministic
+    across processes — pinned siphash key, not PYTHONHASHSEED)."""
 
     def __init__(self, shingle: int = 5):
         self.shingle = shingle
 
     def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        from ._tokens import (
+            flat_tokens,
+            segment_reduce,
+            shingle_hashes,
+            token_hashes,
+        )
+
         df = batch.to_pandas()
-        fps = np.empty(len(df), dtype=np.int64)
-        w = self.shingle
-        for i, t in enumerate(df["text"].astype(str)):
-            toks = t.split()
-            if len(toks) < w:
-                fps[i] = zlib.crc32(" ".join(toks).encode())
-            else:
-                fps[i] = min(
-                    zlib.crc32(" ".join(toks[j : j + w]).encode())
-                    for j in range(len(toks) - w + 1)
-                )
-        return pd.DataFrame({"doc_id": df["doc_id"], "fingerprint": fps})
+        flat, counts = flat_tokens(df["text"].astype(str))
+        sh, shc = shingle_hashes(token_hashes(flat), counts, self.shingle)
+        fps = segment_reduce(sh, shc, np.minimum, empty=0)
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "fingerprint": fps.view(np.int64)}
+        )
 
 
 def _featurized(sf_dir: str, columns: list[str]):

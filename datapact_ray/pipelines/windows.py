@@ -22,8 +22,30 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..io import read_table
+from ..io import count_rows, read_table
 from ._util import round_duck
+
+_SPREAD = np.uint64(0x9E3779B97F4A7C15)  # Fibonacci multiplier: spreads
+# sequential ids across buckets so modulo never aliases id patterns
+
+
+def scaled_num_buckets(
+    n_rows: int, target_rows: int = 250_000, hi: int = 4096
+) -> int:
+    """Partition count ∝ data size (same sizing rule as the keyed pass,
+    runner.py): one reduce wave per core on small data, growing so
+    per-bucket frames stay ~target_rows — never a fixed fan-out."""
+    import ray as _ray
+
+    cpus = (
+        int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    )
+    return max(cpus, min(hi, n_rows // target_rows + 1))
+
+
+def _bucket_of(ids: np.ndarray, num_buckets: int) -> np.ndarray:
+    h = ids.astype(np.uint64) * _SPREAD
+    return ((h >> np.uint64(32)) % np.uint64(num_buckets)).astype(np.int32)
 
 
 def windowed_events_daily(sf_dir: str) -> pd.DataFrame:
@@ -91,12 +113,22 @@ def sliding_events_weekly(sf_dir: str) -> pd.DataFrame:
     )
 
 
-def sessionize_events(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+def sessionize_events(
+    sf_dir: str, gap_minutes: int = 30, num_buckets: int | None = None
+) -> pd.DataFrame:
     """Gap-based session windows per user: a new session starts when the
     gap since the previous event exceeds ``gap_minutes``. Returns the
-    session-count summary (total sessions, avg events/session)."""
-    ds = read_table(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    session-count summary (total sessions, avg events/session).
+
+    Partitioning: bucket = spread-hash(user_id) % B with B sized from the
+    input row count (footer metadata) — per-bucket frames stay bounded at
+    any scale; the per-bucket work is one vectorized sort + diff. The
+    result is bucket-count-invariant (each user lands wholly in one
+    bucket), which ``tests/test_windows_scaling.py`` asserts at two B."""
+    path = f"{sf_dir}/events.parquet"
+    ds = read_table(path, columns=["user_id", "ts"])
     gap_us = gap_minutes * 60 * 1_000_000
+    n_buckets = num_buckets or scaled_num_buckets(count_rows(path))
 
     def add_bucket(batch: pa.Table) -> pd.DataFrame:
         df = batch.to_pandas()
@@ -104,7 +136,7 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
             {
                 "user_id": df["user_id"],
                 "ts": df["ts"].astype("int64"),
-                "bucket": (df["user_id"] % 64).astype("int32"),
+                "bucket": _bucket_of(df["user_id"].to_numpy(), n_buckets),
             }
         )
 
@@ -135,55 +167,73 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     )
 
 
-def asof_value_per_order(sf_dir: str) -> pd.DataFrame:
+def asof_value_per_order(
+    sf_dir: str, num_buckets: int | None = None
+) -> pd.DataFrame:
     """As-of join: for each order, the FIRST event at-or-after the order
-    date in the matching key bucket — demonstrates the sort-within-bucket
-    + ``merge_asof`` pattern (forward direction; the orders predate the
-    event log). Summary output: orders matched + rounded value sum."""
-    orders = read_table(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    date whose (coarse) user key matches. Summary output: orders matched
+    + rounded value sum.
+
+    Partitioning is decoupled from the join key: rows are bucketed by
+    spread-hash(key) % B with B sized from the input row count, and each
+    bucket runs ONE vectorized ``pd.merge_asof(..., by="key")`` over all
+    the keys it holds — no per-key Python loop, no fixed fan-out. Events
+    are pre-aggregated to MAX(value) per (key, t) inside the batch
+    transform, so the shuffle ships at most one row per distinct
+    (key, timestamp). The partitioning assumption: one key's rows fit in
+    one bucket (inherent to an as-of join; splitting a key would need
+    time-sliced stitching)."""
+    o_path, e_path = f"{sf_dir}/orders.parquet", f"{sf_dir}/events.parquet"
+    orders = read_table(o_path, columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    events = read_table(e_path, columns=["user_id", "ts", "value"])
+    n_buckets = num_buckets or scaled_num_buckets(
+        count_rows(o_path) + count_rows(e_path)
     )
-    events = read_table(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
 
     def o_project(batch: pa.Table) -> pd.DataFrame:
         df = batch.to_pandas()
+        key = (df["o_custkey"] % 100).astype("int64")
         return pd.DataFrame(
             {
                 "side": np.int8(0),
-                "key": (df["o_custkey"] % 100).astype("int64"),
+                "key": key,
                 "t": df["o_orderdate"].astype("int64"),
                 "value": np.zeros(len(df)),
+                "bucket": _bucket_of(key.to_numpy(), n_buckets),
             }
         )
 
     def e_project(batch: pa.Table) -> pd.DataFrame:
         df = batch.to_pandas()
-        return pd.DataFrame(
+        part = pd.DataFrame(
             {
-                "side": np.int8(1),
                 "key": (df["user_id"] % 100).astype("int64"),
                 "t": df["ts"].astype("int64"),
                 "value": df["value"].astype("float64"),
             }
         )
+        # per-batch combiner: one row per distinct (key, t) enters the
+        # shuffle (MAX keeps tie-breaking deterministic + oracle-matching)
+        part = part.groupby(["key", "t"], as_index=False)["value"].max()
+        part.insert(0, "side", np.int8(1))
+        part["bucket"] = _bucket_of(part["key"].to_numpy(), n_buckets)
+        return part[["side", "key", "t", "value", "bucket"]]
 
     left = orders.map_batches(o_project, batch_format="pyarrow", zero_copy_batch=True)
     right = events.map_batches(e_project, batch_format="pyarrow", zero_copy_batch=True)
 
     def asof_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        o = g[g["side"] == 0].sort_values("t", kind="stable")
-        # collapse same-timestamp events to MAX(value) so tie-breaking is
-        # deterministic and oracle-matching
+        o = g[g["side"] == 0][["key", "t"]].sort_values("t", kind="stable")
         e = (
             g[g["side"] == 1]
-            .groupby("t", as_index=False)["value"]
+            .groupby(["key", "t"], as_index=False)["value"]
             .max()
             .sort_values("t", kind="stable")
         )
         if len(o) == 0 or len(e) == 0:
             return pd.DataFrame({"matched": [0], "sum_value": [0.0]})
         joined = pd.merge_asof(
-            o[["t"]], e[["t", "value"]], on="t", direction="forward"
+            o, e, on="t", by="key", direction="forward"
         )
         matched = joined["value"].notna()
         return pd.DataFrame(
@@ -195,7 +245,7 @@ def asof_value_per_order(sf_dir: str) -> pd.DataFrame:
 
     parts = (
         left.union(right)
-        .groupby("key")
+        .groupby("bucket")
         .map_groups(asof_in_bucket, batch_format="pandas")
         .to_pandas()
     )

@@ -1,0 +1,34 @@
+"""Data-scaled partitioning for the stream-shaped operators: results
+must be invariant to the bucket count (each key lands wholly in one
+bucket), so the fan-out can grow with data size without changing
+semantics."""
+
+import pandas as pd
+
+from datapact_ray.pipelines.windows import (
+    asof_value_per_order,
+    scaled_num_buckets,
+    sessionize_events,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_sessionize_bucket_count_invariant():
+    a = sessionize_events(SF_DIR, num_buckets=3)
+    b = sessionize_events(SF_DIR, num_buckets=16)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_asof_bucket_count_invariant():
+    a = asof_value_per_order(SF_DIR, num_buckets=2)
+    b = asof_value_per_order(SF_DIR, num_buckets=11)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_scaled_num_buckets_grows_with_data():
+    small = scaled_num_buckets(10_000)
+    big = scaled_num_buckets(1_000_000_000)
+    assert small < big
+    assert big == 4001  # 1e9 rows / 250k target + 1
+    assert scaled_num_buckets(10**12) == 4096  # capped
