@@ -4,14 +4,26 @@ Equivalent of the reference's PK-join machinery applied as an anti-join
 (SURVEY.md §2.4 J2 / §2.3 A2): every key of the probe side must exist in
 the reference (dimension) table.
 
-Scale design: the dimension side is collected once — per-batch distinct
-inside ``map_batches``, union on the driver — and **broadcast via
-``ray.put``** (read once per probe actor, never re-shipped per batch).
-When the dimension key set exceeds ``bloom_threshold`` distinct keys, a
-Bloom filter is broadcast instead and Bloom-positive probe keys are
-re-checked **exactly** against a hash-partitioned key-set join, so
-violation rows stay exact (Bloom false positives cannot hide orphans:
-negatives are definite orphans, positives get the exact recheck).
+Two scale regimes, chosen from the dimension's parquet footer row count
+(no data read):
+
+* **small dim** (≤ ``bloom_threshold`` rows): the distinct key-hash set
+  is collected once (driver-side pyarrow read for small files, else a
+  per-batch-distinct map wave) and **broadcast via ``ray.put``** as a
+  sorted array — exact membership, zero shuffle.
+* **large dim** (north-star "partitioned Bloom filters"): nothing is
+  ever materialized on the driver. A dim scan wave hash-partitions the
+  distinct key hashes into P sorted arrays that stay in the object
+  store; one build task per partition produces that partition's Bloom
+  filter. Probe tasks route each row's key hash to its partition's
+  Bloom: **negatives are definite orphans** (counted + sampled with
+  display values on the spot); positives ship only ``(key_hash,
+  row_count)`` pairs to a per-partition exact recheck against the sorted
+  key array — so ``orphan_rows`` is row-exact even under Bloom false
+  positives, and the recheck exchange carries distinct keys, not rows.
+  FP-discovered orphans are counted exactly but not sampled (their
+  display values would need one extra probe pass; definite orphans
+  provide the samples).
 """
 
 from __future__ import annotations
@@ -59,36 +71,28 @@ def _distinct_key_hashes(ds: ray.data.Dataset, columns: list[str]) -> np.ndarray
 
 
 class _ProbeActor:
-    """Actor-pool probe: deserializes the broadcast key structure once per
-    actor (``__init__``), probes batches vectorized."""
+    """Actor-pool probe (exact path): deserializes the broadcast sorted
+    key-hash array once per actor (``__init__``), probes batches via
+    vectorized searchsorted membership."""
 
     def __init__(self, ref, columns: list[str], key_display_columns: list[str],
                  cap: int):
         obj = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-        if isinstance(obj, bytes):
-            self.bloom = BloomFilter.from_bytes(obj)
-            self.keyset = None
-        else:
-            self.bloom = None
-            self.keyset = obj  # sorted uint64 array -> searchsorted membership
+        self.keyset = obj  # sorted uint64 array
         self.columns = columns
         self.key_display_columns = key_display_columns
         self.cap = cap
 
     def __call__(self, batch: pa.Table) -> pd.DataFrame:
         h = hash_arrow_u64(batch, self.columns)
-        if self.keyset is not None:
-            idx = np.searchsorted(self.keyset, h)
-            idx[idx >= len(self.keyset)] = len(self.keyset) - 1 if len(self.keyset) else 0
-            present = (
-                self.keyset[idx] == h if len(self.keyset) else np.zeros(len(h), bool)
-            )
-        else:
-            present = self.bloom.contains_hashes(h)
+        idx = np.searchsorted(self.keyset, h)
+        idx[idx >= len(self.keyset)] = len(self.keyset) - 1 if len(self.keyset) else 0
+        present = (
+            self.keyset[idx] == h if len(self.keyset) else np.zeros(len(h), bool)
+        )
         miss = ~present
         n_miss = int(miss.sum())
         sample: list[str] = []
-        maybe: list[int] = []
         if n_miss:
             # only the capped sample rows are ever converted to Python
             pos = np.nonzero(miss)[0][: self.cap]
@@ -100,15 +104,11 @@ class _ProbeActor:
                 )
                 for i in range(len(pos))
             ]
-        if self.bloom is not None:
-            # bloom positives need exact recheck; ship their hashes
-            maybe = np.unique(h[present]).tolist()
         return pd.DataFrame(
             {
                 "probed": [batch.num_rows],
                 "orphans": [n_miss],
                 "sample": [json.dumps(sample)],
-                "maybe": [json.dumps(maybe)],
             }
         )
 
@@ -147,6 +147,179 @@ def _probe_unit(
     return _ProbeActor(broadcast, columns, columns, cap)(table)
 
 
+def _dim_chunk_partitions(
+    unit: tuple, columns: list[str], num_partitions: int
+) -> list[np.ndarray]:
+    """Dim scan map task: one parquet chunk -> P sorted unique key-hash
+    arrays (hash-partitioned). Fixed-width uint64 only."""
+    import pyarrow.parquet as pq
+
+    path, row_groups = unit
+    table = pq.ParquetFile(path).read_row_groups(row_groups, columns=columns)
+    h = np.unique(hash_arrow_u64(table, columns))
+    part = (h % np.uint64(num_partitions)).astype(np.int64)
+    order = np.argsort(part, kind="stable")
+    h, part = h[order], part[order]
+    bounds = np.searchsorted(part, np.arange(num_partitions + 1))
+    return [h[bounds[p] : bounds[p + 1]] for p in range(num_partitions)]
+
+
+def _dim_partition_build(capacity: int, fpp: float, *chunks: np.ndarray):
+    """Per-partition reduce: union the chunk key arrays (sorted unique)
+    and build this partition's Bloom filter. Returns (keys, bloom_bytes);
+    the keys array stays in the object store for the exact recheck."""
+    keys = (
+        np.unique(np.concatenate(chunks)) if chunks else np.empty(0, np.uint64)
+    )
+    bloom = BloomFilter(max(len(keys), capacity), fpp)
+    bloom.add_hashes(keys)
+    return keys, bloom.to_bytes()
+
+
+def _probe_chunk_partitioned(
+    unit: tuple,
+    columns: list[str],
+    read_columns: list[str],
+    filter_expr_pickle: bytes | None,
+    blooms_ref,
+    num_partitions: int,
+    cap: int,
+):
+    """Probe map task (scale path). Returns ``num_partitions + 1``
+    values: a summary dict (rows probed, definite orphans, key samples)
+    followed by one ``(key_hashes, row_counts)`` pair per partition for
+    the Bloom-positive keys routed there."""
+    import json as _json
+    import pickle as _pickle
+
+    import pyarrow.parquet as pq
+
+    path, row_groups = unit
+    table = pq.ParquetFile(path).read_row_groups(row_groups, columns=read_columns)
+    if filter_expr_pickle is not None:
+        table = table.filter(_pickle.loads(filter_expr_pickle))
+    # blooms_ref arrives as [ObjectRef] (nested refs are not auto-resolved
+    # by Ray, so the bloom list ships once via the object store, not once
+    # per task argument)
+    blooms = [BloomFilter.from_bytes(b) for b in ray.get(blooms_ref[0])]
+    h = hash_arrow_u64(table, columns)
+    part = (h % np.uint64(num_partitions)).astype(np.int64)
+    present = np.zeros(len(h), dtype=bool)
+    for p in range(num_partitions):
+        sel = part == p
+        if sel.any():
+            present[sel] = blooms[p].contains_hashes(h[sel])
+    miss = ~present
+    n_miss = int(miss.sum())
+    sample: list[str] = []
+    if n_miss:
+        pos = np.nonzero(miss)[0][:cap]
+        sub = table.select(columns).take(pa.array(pos))
+        cols = {c: sub.column(c).to_pylist() for c in columns}
+        sample = [
+            _json.dumps({c: str(cols[c][i]) for c in columns})
+            for i in range(len(pos))
+        ]
+    summary = {"probed": table.num_rows, "orphans": n_miss, "sample": sample}
+    out = [summary]
+    hp, pp = h[present], part[present]
+    for p in range(num_partitions):
+        sel = pp == p
+        keys, counts = np.unique(hp[sel], return_counts=True)
+        out.append((keys, counts.astype(np.int64)))
+    return tuple(out)
+
+
+def _recheck_partition(dim_keys: np.ndarray, *maybe: tuple) -> int:
+    """Per-partition exact recheck: total probe ROWS whose key is not in
+    the dim partition (Bloom false positives), summed from row counts."""
+    orphan_rows = 0
+    for keys, counts in maybe:
+        if len(keys) == 0:
+            continue
+        idx = np.searchsorted(dim_keys, keys)
+        idx[idx >= len(dim_keys)] = max(len(dim_keys) - 1, 0)
+        hit = dim_keys[idx] == keys if len(dim_keys) else np.zeros(len(keys), bool)
+        orphan_rows += int(counts[~hit].sum())
+    return orphan_rows
+
+
+def _run_partitioned_referential(
+    probe_files: list[str],
+    ref_files: list[str],
+    probe_columns: list[str],
+    ref_columns: list[str],
+    est_ref_rows: int,
+    *,
+    cap: int,
+    bloom_fpp: float,
+    filter_expr,
+    filter_columns: set[str] | None,
+    num_partitions: int | None = None,
+) -> ReferentialMetrics:
+    """North-star scale path: partitioned Bloom filters + exact recheck,
+    nothing key-sized on the driver (only P Bloom byte strings)."""
+    import pickle as _pickle
+
+    from ..shuffle import _scan_units
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(cpus, min(512, est_ref_rows // 16_000_000 + 1))
+    P = num_partitions
+
+    dim_task = ray.remote(num_returns=P)(_dim_chunk_partitions)
+    dim_units = _scan_units(ref_files)
+    chunk_refs = [dim_task.remote(u, ref_columns, P) for u in dim_units]
+    if P == 1:
+        chunk_refs = [[r] for r in chunk_refs]
+
+    build_task = ray.remote(num_returns=2)(_dim_partition_build)
+    per_part_capacity = max(1024, est_ref_rows // P)
+    key_refs, bloom_refs = [], []
+    for p in range(P):
+        kref, bref = build_task.remote(
+            per_part_capacity, bloom_fpp, *[c[p] for c in chunk_refs]
+        )
+        key_refs.append(kref)
+        bloom_refs.append(bref)
+    blooms_ref = ray.put(ray.get(bloom_refs))  # P bloom byte strings
+
+    probe_task = ray.remote(num_returns=P + 1)(_probe_chunk_partitioned)
+    expr_pickle = _pickle.dumps(filter_expr) if filter_expr is not None else None
+    read_cols = sorted(set(probe_columns) | (filter_columns or set()))
+    probe_out = [
+        probe_task.remote(
+            u, probe_columns, read_cols, expr_pickle, [blooms_ref], P, cap
+        )
+        for u in _scan_units(probe_files)
+    ]
+    if P + 1 == 1:  # pragma: no cover - P >= 1 always
+        probe_out = [[r] for r in probe_out]
+
+    recheck_task = ray.remote(_recheck_partition)
+    recheck_refs = [
+        recheck_task.remote(key_refs[p], *[chunk[p + 1] for chunk in probe_out])
+        for p in range(P)
+    ]
+
+    metrics = ReferentialMetrics(violations=[])
+    for summary in ray.get([chunk[0] for chunk in probe_out]):
+        metrics.probed_rows += summary["probed"]
+        metrics.orphan_rows += summary["orphans"]
+        for s in summary["sample"]:
+            if len(metrics.violations) < cap:
+                metrics.violations.append(
+                    {
+                        "key": s,
+                        "side": "probe",
+                        "detail": json.dumps({"reason": "orphan_key"}),
+                    }
+                )
+    metrics.orphan_rows += sum(ray.get(recheck_refs))
+    return metrics
+
+
 def run_referential_pass(
     probe: ray.data.Dataset | None,
     ref_table: ray.data.Dataset | None,
@@ -162,23 +335,44 @@ def run_referential_pass(
     filter_expr=None,
     filter_columns: set[str] | None = None,
     small_dim_bytes: int = 256 << 20,
+    num_partitions: int | None = None,
 ) -> ReferentialMetrics:
-    if ref_files is not None and (
+    import pyarrow.parquet as pq
+
+    probe_parquet = probe_files is not None and all(
+        f.endswith(".parquet") for f in probe_files
+    )
+    ref_parquet = ref_files is not None and all(
+        f.endswith(".parquet") for f in ref_files
+    )
+    if ref_parquet:
+        # route by footer row count BEFORE any key materialization: the
+        # scale path must never build the full key set on the driver
+        est_ref_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in ref_files)
+        if est_ref_rows > bloom_threshold and probe_parquet:
+            return _run_partitioned_referential(
+                probe_files,
+                ref_files,
+                probe_columns,
+                ref_columns,
+                est_ref_rows,
+                cap=cap,
+                bloom_fpp=bloom_fpp,
+                filter_expr=filter_expr,
+                filter_columns=filter_columns,
+                num_partitions=num_partitions,
+            )
+
+    # exact broadcast path: small dim (or non-parquet inputs)
+    if ref_files is not None and ref_parquet and (
         sum(os.path.getsize(f) for f in ref_files) <= small_dim_bytes
     ):
         keys = _distinct_key_hashes_local(ref_files, ref_columns)
     else:
         keys = _distinct_key_hashes(ref_table, ref_columns)
-    if len(keys) <= bloom_threshold:
-        broadcast = ray.put(np.sort(keys))
-        exact = True
-    else:  # pragma: no cover - exercised only at scale
-        bloom = BloomFilter(len(keys), bloom_fpp)
-        bloom.add_hashes(keys)
-        broadcast = ray.put(bloom.to_bytes())
-        exact = False
+    broadcast = ray.put(np.sort(keys))
 
-    if probe_files is not None and all(f.endswith(".parquet") for f in probe_files):
+    if probe_parquet:
         # fused raw-task probe: one wave of read+probe chunks
         import pickle as _pickle
 
@@ -213,7 +407,6 @@ def run_referential_pass(
         )
         rows = out.take_all()
     metrics = ReferentialMetrics(violations=[])
-    maybe_all: set[int] = set()
     for row in rows:
         metrics.probed_rows += int(row["probed"])
         metrics.orphan_rows += int(row["orphans"])
@@ -222,13 +415,4 @@ def run_referential_pass(
                 metrics.violations.append(
                     {"key": s, "side": "probe", "detail": json.dumps({"reason": "orphan_key"})}
                 )
-        maybe_all.update(json.loads(row["maybe"]))
-    if not exact and maybe_all:  # pragma: no cover - scale path
-        # exact recheck of Bloom positives against the true key-hash set
-        key_set = set(keys.tolist())
-        false_pos = [h for h in maybe_all if h not in key_set]
-        # each false-positive key's rows were counted as present; they are
-        # orphans. Re-probe counts for exactness would need a second pass;
-        # record the key-level correction.
-        metrics.orphan_rows += len(false_pos)
     return metrics

@@ -1,0 +1,79 @@
+"""Partitioned-Bloom referential scale path: must produce ROW-exact
+orphan counts identical to the exact broadcast path, including under a
+deliberately terrible Bloom FPP (false positives are re-checked exactly
+per partition), and must never materialize dim keys on the driver."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from datapact_ray.stages.referential import run_referential_pass
+
+
+@pytest.fixture(scope="module")
+def tables(tmp_path_factory):
+    out = tmp_path_factory.mktemp("refscale")
+    rng = np.random.default_rng(7)
+    # probe: 5000 rows over keys 0..999, keys 900..999 are orphans with
+    # VARYING row counts (the r1 bug: FP correction counted keys, not rows)
+    keys = rng.integers(0, 1000, 5000)
+    probe = str(out / "probe.parquet")
+    pq.write_table(pa.table({"k": keys}), probe)
+    dim = str(out / "dim.parquet")
+    pq.write_table(pa.table({"k": np.arange(900)}), dim)
+    expected_orphans = int((keys >= 900).sum())
+    return probe, dim, expected_orphans
+
+
+def test_partitioned_path_matches_exact(tables):
+    probe, dim, expected = tables
+    exact = run_referential_pass(
+        None, None, ["k"], ["k"], ref_files=[dim], probe_files=[probe]
+    )
+    assert exact.orphan_rows == expected
+
+    part = run_referential_pass(
+        None,
+        None,
+        ["k"],
+        ["k"],
+        ref_files=[dim],
+        probe_files=[probe],
+        bloom_threshold=10,  # force the scale path
+        num_partitions=5,
+    )
+    assert part.probed_rows == exact.probed_rows == 5000
+    assert part.orphan_rows == expected
+    assert part.violations  # definite orphans sampled with display values
+
+
+def test_partitioned_exact_under_heavy_false_positives(tables):
+    probe, dim, expected = tables
+    m = run_referential_pass(
+        None,
+        None,
+        ["k"],
+        ["k"],
+        ref_files=[dim],
+        probe_files=[probe],
+        bloom_threshold=10,
+        bloom_fpp=0.5,  # every other negative is a false positive
+        num_partitions=3,
+    )
+    assert m.orphan_rows == expected  # recheck makes counts row-exact
+
+
+def test_partitioned_no_orphans(tables):
+    probe, dim, _ = tables
+    m = run_referential_pass(
+        None,
+        None,
+        ["k"],
+        ["k"],
+        ref_files=[probe],  # dim == probe keys superset
+        probe_files=[probe],
+        bloom_threshold=10,
+        num_partitions=4,
+    )
+    assert m.orphan_rows == 0 and m.probed_rows == 5000
