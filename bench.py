@@ -38,11 +38,13 @@ def _sf_value() -> float:
 
 
 def _ensure_transcripts(sf: float) -> dict[str, str]:
-    """Deterministic synthetic transcript pair sized ~10M*sf turns
-    (generation is cached and untimed)."""
+    """Deterministic synthetic transcript pair sized ~160M*sf turns
+    (override with GRAFT_TURNS; generation is cached and untimed)."""
     from datapact_ray.datagen import write_fixture_pair
 
-    turns = max(10_000, int(160_000_000 * sf))
+    turns = int(
+        os.environ.get("GRAFT_TURNS", max(10_000, int(160_000_000 * sf)))
+    )
     convs = turns // 8
     out_dir = os.path.join(BENCH_ROOT, f"transcripts_{turns}")
     marker = os.path.join(out_dir, "_READY")
@@ -131,6 +133,14 @@ def run_bench() -> dict:
         with open(f, "rb") as fh:
             while fh.read(1 << 24):
                 pass
+
+    # warm the Ray worker pool (untimed): steady-state throughput should
+    # not charge one-time worker-process spawn to the first timed wave
+    @ray.remote
+    def _noop() -> int:
+        return 0
+
+    ray.get([_noop.remote() for _ in range(NUM_CPUS)])
 
     timings: dict[str, float] = {}
 

@@ -120,7 +120,20 @@ def main(argv: list[str] | None = None) -> int:
     p_init.add_argument("--output", "-o", default="validation_config.yml")
     p_init.add_argument("--force", action="store_true")
 
+    p_rep = sub.add_parser(
+        "report", help="(re)render report.md/report.html for a finished run"
+    )
+    p_rep.add_argument("--results-dir", required=True)
+    p_rep.add_argument("--run-id", type=int, default=1)
+
     args = parser.parse_args(argv)
+
+    if args.command == "report":
+        from .report import write_report
+
+        paths = write_report(args.results_dir, args.run_id)
+        print(f"Wrote {paths['md']} and {paths['html']}")
+        return 0
 
     if args.command == "init":
         import os

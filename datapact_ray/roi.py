@@ -1,14 +1,108 @@
-"""Throughput grading / processing-speed metrics.
+"""Throughput grading / ROI narrative metrics.
 
-Parity with the reference's ``PerformanceBenchmarker``
-(``/root/reference/datapact/roi_calculator.py:123-151``): the same
-records/sec → grade thresholds, fed by this engine's own run metrics
-(rows validated per task runtime). The surrounding ROI-narrative
-calculators (savings projections, industry benchmarks) are dashboard
-storytelling, out of engine scope — the grading is kept because it is
-the reference's published performance yardstick (BASELINE.md)."""
+Parity with the reference's ``roi_calculator.py``:
+
+* ``PerformanceBenchmarker`` grading (``roi_calculator.py:123-151``) —
+  the same records/sec → grade thresholds, fed by this engine's own run
+  metrics (rows validated per task runtime).
+* The ROI narrative (``roi_calculator.py:13-118``): quality KPIs,
+  monthly savings projection and annual ROI, with the reference's cost
+  assumptions as defaults. These feed the run report (``report.py``),
+  the analog of the reference's dashboard summary panels."""
 
 from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass
+class QualityMetrics:
+    """Run-level quality KPIs (``roi_calculator.py:13-42``)."""
+
+    total_validations: int
+    passed_validations: int
+    failed_validations: int
+    critical_failures: int
+    tables_validated: int
+    records_processed: int
+    avg_runtime_seconds: float
+    data_quality_score: float
+
+    @property
+    def success_rate(self) -> float:
+        if self.total_validations == 0:
+            return 0.0
+        return self.passed_validations / self.total_validations * 100
+
+    @property
+    def failure_rate(self) -> float:
+        return 100 - self.success_rate
+
+    @property
+    def critical_failure_rate(self) -> float:
+        if self.total_validations == 0:
+            return 0.0
+        return self.critical_failures / self.total_validations * 100
+
+
+@dataclass
+class RoiAssumptions:
+    """Cost-model assumptions (reference defaults,
+    ``roi_calculator.py:46-62``)."""
+
+    avg_data_incident_cost: float = 150_000.0
+    manual_validation_hour_cost: float = 125.0
+    compliance_violation_cost: float = 500_000.0
+    manual_validation_hours_weekly: float = 40.0
+    annual_revenue: float = 1_000_000_000.0
+    data_dependent_revenue_pct: float = 0.30
+
+
+def monthly_savings(
+    m: QualityMetrics, a: RoiAssumptions | None = None
+) -> dict[str, float]:
+    """``roi_calculator.py:64-101`` formulas."""
+    a = a or RoiAssumptions()
+    labor = a.manual_validation_hours_weekly * 4.33 * a.manual_validation_hour_cost
+    incidents_prevented = m.critical_failures * 0.8
+    incident_prevention = incidents_prevented * a.avg_data_incident_cost
+    compliance = (
+        a.compliance_violation_cost / 12 * 0.1 if m.data_quality_score >= 95 else 0.0
+    )
+    revenue_at_risk_monthly = a.annual_revenue * a.data_dependent_revenue_pct / 12
+    revenue_protection = revenue_at_risk_monthly * (m.failure_rate / 100) * 0.05
+    return {
+        "labor_savings": labor,
+        "incident_prevention": incident_prevention,
+        "compliance_savings": compliance,
+        "revenue_protection": revenue_protection,
+        "total_monthly_savings": labor
+        + incident_prevention
+        + compliance
+        + revenue_protection,
+    }
+
+
+def annual_roi(
+    m: QualityMetrics,
+    annual_license_cost: float = 250_000.0,
+    a: RoiAssumptions | None = None,
+) -> dict[str, float]:
+    """``roi_calculator.py:99-118`` formulas."""
+    monthly = monthly_savings(m, a)["total_monthly_savings"]
+    annual_savings = monthly * 12
+    return {
+        "annual_savings": annual_savings,
+        "annual_cost": annual_license_cost,
+        "net_benefit": annual_savings - annual_license_cost,
+        "roi_percentage": (annual_savings - annual_license_cost)
+        / annual_license_cost
+        * 100,
+        "payback_period_months": (
+            annual_license_cost / monthly if monthly else float("inf")
+        ),
+        "five_year_value": (annual_savings - annual_license_cost) * 5,
+    }
 
 
 def grade_throughput(records_per_second: float) -> str:

@@ -733,6 +733,10 @@ class ValidationRunner:
                     pa.Table.from_pandas(frame, preserve_index=False),
                     os.path.join(gdir, f"{name}.parquet"),
                 )
+            # static run report (dashboard analog): report.md + report.html
+            from .report import write_report
+
+            write_report(self.config.results_dir, self.config.run_id)
 
 
 def run_suite(

@@ -143,3 +143,59 @@ def test_roi_throughput_grading():
     assert speed["records_per_second"] == 100_000.0
     assert speed["millions_per_hour"] == 360.0
     assert processing_speed(5, 0)["throughput_grade"] == "N/A"
+
+
+def test_run_report_written_and_cli_rerender(tmp_path, fixture_pair, capsys):
+    """Every run renders report.md/report.html (dashboard analog) next to
+    the results parquet; `cli report` re-renders on demand."""
+    from datapact_ray.config import ValidationSuite, ValidationTask
+    from datapact_ray.runner import RunConfig, run_suite
+
+    out = str(tmp_path / "rep")
+    suite = ValidationSuite(
+        validations=[
+            ValidationTask(
+                task_key="t",
+                source_path=fixture_pair["source"],
+                target_path=fixture_pair["target"],
+                primary_keys=["conv_id", "turn_idx"],
+                count_tolerance=0.001,
+                pk_row_hash_check=True,
+                business_priority="Critical",
+                business_domain="AI Platform",
+                estimated_impact_usd=100000,
+            )
+        ]
+    )
+    run_suite(suite, RunConfig(results_dir=out, run_id=3, num_buckets=4))
+    rdir = f"{out}/results/run_id=3"
+    md = open(f"{rdir}/report.md").read()
+    assert "# datapact-ray run report" in md
+    assert "row_hash_validation" in md and "count_validation" in md
+    assert "ROI narrative" in md and "throughput_grade" in md
+    html_text = open(f"{rdir}/report.html").read()
+    assert "<table>" in html_text and "datapact-ray" in html_text
+    # CLI re-render
+    os.remove(f"{rdir}/report.md")
+    assert cli_main(["report", "--results-dir", out, "--run-id", "3"]) == 0
+    assert os.path.exists(f"{rdir}/report.md")
+
+
+def test_roi_narrative_formulas():
+    """ROI math parity with reference roi_calculator.py:64-118."""
+    from datapact_ray.roi import QualityMetrics, annual_roi, monthly_savings
+
+    m = QualityMetrics(
+        total_validations=10, passed_validations=9, failed_validations=1,
+        critical_failures=2, tables_validated=5, records_processed=1_000_000,
+        avg_runtime_seconds=10.0, data_quality_score=96.0,
+    )
+    s = monthly_savings(m)
+    assert s["labor_savings"] == 40.0 * 4.33 * 125.0
+    assert s["incident_prevention"] == 2 * 0.8 * 150_000.0
+    assert s["compliance_savings"] == 500_000.0 / 12 * 0.1  # score >= 95
+    expected_rev = 1_000_000_000 * 0.30 / 12 * (10.0 / 100) * 0.05
+    assert abs(s["revenue_protection"] - expected_rev) < 1e-6
+    r = annual_roi(m)
+    assert r["annual_savings"] == s["total_monthly_savings"] * 12
+    assert r["net_benefit"] == r["annual_savings"] - 250_000.0
