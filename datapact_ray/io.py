@@ -160,6 +160,19 @@ def detect_hot_keys_from_footers(
     return {k: v for k, v in counts.items() if v >= rows_threshold}
 
 
+def _strip_schema_metadata(batch: "pa.Table") -> "pa.Table":
+    """Drop pandas writer metadata from read blocks (zero-copy).
+
+    Files written by pandas carry a ``b'pandas'`` schema-metadata blob
+    that makes ``hash(pa.Schema)`` raise (``unhashable type: 'dict'``),
+    which defeats Ray Data's schema-deduplication fast path and spams
+    "Failed to hash the schemas" warnings from every map worker. This
+    fuses with the read task and touches only the schema object."""
+    if batch.schema.metadata:
+        return batch.replace_schema_metadata(None)
+    return batch
+
+
 def read_table(
     path: str,
     columns: list[str] | None = None,
@@ -197,7 +210,12 @@ def read_table(
             kwargs["columns"] = columns
         if expr is not None:
             kwargs["filter"] = expr
-        return ray.data.read_parquet(paths, **kwargs)
+        return ray.data.read_parquet(paths, **kwargs).map_batches(
+            _strip_schema_metadata,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=None,
+        )
     ds = (
         ray.data.read_csv(paths) if fmt == "csv" else ray.data.read_json(paths)
     )
