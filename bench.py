@@ -162,6 +162,8 @@ def run_bench() -> dict:
     timed("text_stats_documents", text.text_stats_documents, SF_DIR)
     timed("dedup_exact_documents", dedup.dedup_exact_documents, SF_DIR)
     timed("minhash_dedup_documents", dedup.minhash_dedup_documents, SF_DIR)
+    timed("jaccard_pairs_documents", dedup.jaccard_pairs_documents, SF_DIR)
+    timed("embedding_exact_pairs", dedup.embedding_exact_pairs, SF_DIR)
     timed("ann_topk_embeddings", ann.ann_topk_embeddings, SF_DIR)
 
     ray.shutdown()

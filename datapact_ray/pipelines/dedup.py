@@ -344,6 +344,124 @@ def ngram_jaccard_documents(sf_dir: str, threshold: float = 0.3) -> pd.DataFrame
     )
 
 
+class _ShingleRows:
+    """Map stage for the exact Jaccard join: distinct shingle hashes per
+    document as fixed-width rows ``(shingle int64, doc_id int64, n_doc
+    int64, __bucket)``. The per-doc distinct-shingle count rides on every
+    row so the reduce side never needs a second shuffle. Fully
+    vectorized: one lexsort over the batch's flat shingle array."""
+
+    def __init__(self, num_buckets: int, shingle_k: int = SHINGLE_K):
+        self.num_buckets = num_buckets
+        self.shingle_k = shingle_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        flat, counts = flat_tokens(df["text"].astype(str))
+        sh, shc = shingle_hashes(token_hashes(flat), counts, self.shingle_k)
+        n = len(df)
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), shc)
+        order = np.lexsort((sh, doc_of))
+        d_s, s_s = doc_of[order], sh[order]
+        keep = np.ones(len(s_s), dtype=bool)
+        keep[1:] = (d_s[1:] != d_s[:-1]) | (s_s[1:] != s_s[:-1])
+        d_u, s_u = d_s[keep], s_s[keep]
+        n_doc = np.bincount(d_u, minlength=n)
+        doc_ids = df["doc_id"].to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "shingle": pa.array(s_u.view(np.int64)),
+                "doc_id": pa.array(doc_ids[d_u]),
+                "n_doc": pa.array(n_doc[d_u]),
+                "__bucket": pa.array(
+                    (s_u % np.uint64(self.num_buckets)).astype(np.int32)
+                ),
+            }
+        )
+
+
+def _bucket_intersections(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-bucket reduce: for every shingle shared by >=2 docs emit the
+    co-occurring doc pairs, then pre-aggregate the intersection counts
+    WITHIN the bucket (partial combine before the tiny driver-side
+    merge). Fully vectorized: one self-merge on the shingle column — no
+    per-group Python loop."""
+    sizes = df.groupby("shingle")["doc_id"].transform("size")
+    df = df[sizes >= 2]
+    if df.empty:
+        return pd.DataFrame()
+    m = df.merge(df, on="shingle", suffixes=("_a", "_b"))
+    m = m[m["doc_id_a"] < m["doc_id_b"]]
+    if m.empty:
+        return pd.DataFrame()
+    return (
+        m.groupby(["doc_id_a", "doc_id_b"], as_index=False)
+        .agg(
+            inter=("shingle", "size"),
+            na=("n_doc_a", "first"),
+            nb=("n_doc_b", "first"),
+        )
+        .rename(columns={"doc_id_a": "a", "doc_id_b": "b"})
+    )
+
+
+def jaccard_pairs_documents(sf_dir: str, threshold: float = 0.3) -> pd.DataFrame:
+    """EXACT all-pairs n-gram Jaccard via a distributed inverted-index
+    join (shingle-hash partitioned): pairs sharing >=1 shingle get their
+    intersection counted shingle-locally, per-bucket partial-aggregated,
+    and combined on the driver (the pair list is proportional to the
+    corpus' similarity structure, not its size).
+
+    This is the oracle-checkable exact baseline; ``minhash_dedup`` /
+    ``ngram_jaccard`` are the approximate scale path. Scale assumption
+    (documented): shingle document-frequency is bounded — a shingle
+    shared by m docs emits m(m-1)/2 pair rows, so boilerplate-heavy
+    corpora need a df cutoff (the MinHash path has none of this)."""
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    num_buckets = _dedup_buckets()
+    rows = ds.map_batches(
+        _ShingleRows,
+        fn_constructor_args=(num_buckets,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=2048,
+        concurrency=(1, 8),
+    )
+    pairs = _grouped_frames(rows, num_buckets, _bucket_intersections)
+    if pairs.empty or "a" not in pairs.columns:
+        return pd.DataFrame(
+            {
+                "pairs_sharing_shingle": [0],
+                "pairs_ge_threshold": [0],
+                "docs_ge_threshold": [0],
+            }
+        )
+    # combine per-bucket partials: sort-based numpy merge (a pandas
+    # groupby here costs ~5s at 1M pairs; lexsort+reduceat is ~100ms)
+    a = pairs["a"].to_numpy(dtype=np.int64)
+    b = pairs["b"].to_numpy(dtype=np.int64)
+    inter = pairs["inter"].to_numpy(dtype=np.int64)
+    na = pairs["na"].to_numpy(dtype=np.int64)
+    nb = pairs["nb"].to_numpy(dtype=np.int64)
+    order = np.lexsort((b, a))
+    a, b, inter, na, nb = a[order], b[order], inter[order], na[order], nb[order]
+    starts = np.ones(len(a), dtype=bool)
+    starts[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    idx = np.nonzero(starts)[0]
+    inter_sum = np.add.reduceat(inter, idx)
+    a_u, b_u, na_u, nb_u = a[idx], b[idx], na[idx], nb[idx]
+    jac = inter_sum / (na_u + nb_u - inter_sum)
+    hit = jac >= threshold
+    docs = np.unique(np.concatenate([a_u[hit], b_u[hit]]))
+    return pd.DataFrame(
+        {
+            "pairs_sharing_shingle": [len(a_u)],
+            "pairs_ge_threshold": [int(hit.sum())],
+            "docs_ge_threshold": [len(docs)],
+        }
+    )
+
+
 class SimHasher:
     """64-bit SimHash per doc + 4×16-bit band blocking for Hamming≤3
     search (pigeonhole: any pair within distance 3 shares ≥1 band).
@@ -556,12 +674,127 @@ def embedding_neardup_documents(sf_dir: str, threshold: float = 0.95) -> pd.Data
     )
 
 
+class _ExactPairCounter:
+    """Brute-force cosine pair counter: the full (id, matrix) table is
+    pulled from OBJECT-STORE BLOCK REFS once per actor (driver holds only
+    refs, never the matrix); each batch is one matmul against it."""
+
+    def __init__(self, block_refs, threshold: float):
+        tables = ray.get(list(block_refs))
+        ids, mats = [], []
+        for t in tables:
+            df = t.to_pandas()
+            ids.append(df["vec_id"].to_numpy(dtype=np.int64))
+            mats.append(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+        self.ids = np.concatenate(ids)
+        self.mat = np.vstack(mats)
+        self.norms = np.linalg.norm(self.mat, axis=1).clip(min=1e-12)
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        a_ids = df["vec_id"].to_numpy(dtype=np.int64)
+        a = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        a_norms = np.linalg.norm(a, axis=1).clip(min=1e-12)
+        # dot first, then divide by the norm product (DuckDB
+        # list_cosine_similarity evaluation order, up to sqrt(ab) ulp)
+        sims = (a @ self.mat.T) / np.outer(a_norms, self.norms)
+        hit = sims >= self.threshold
+        not_self = a_ids[:, None] != self.ids[None, :]
+        pairs = int((hit & not_self & (a_ids[:, None] < self.ids[None, :])).sum())
+        vecs = int((hit & not_self).any(axis=1).sum())
+        return pd.DataFrame({"dup_pairs": [pairs], "dup_vecs": [vecs]})
+
+
+def embedding_exact_pairs(sf_dir: str, threshold: float = 0.95) -> pd.DataFrame:
+    """Exact all-pairs cosine near-dup count over the embeddings table —
+    the brute-force baseline the LSH path (``embedding_neardup``) is
+    measured against; O(n^2 / p) flops as one matmul per batch.
+
+    Scale assumption (documented): ONE side of the cross product fits in
+    the object store as a broadcast (~0.5 GB per 10^6 x 64-d float64);
+    beyond that the LSH-bucketed variant is the scale path."""
+    ds = read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    block_refs = ds.materialize().to_arrow_refs()
+    out = (
+        ds.map_batches(
+            _ExactPairCounter,
+            fn_constructor_args=(block_refs, threshold),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=4096,
+            concurrency=(1, 8),
+        )
+        .to_pandas()
+        .sum()
+    )
+    return pd.DataFrame(
+        {"dup_pairs": [int(out["dup_pairs"])], "dup_vecs": [int(out["dup_vecs"])]}
+    )
+
+
+_EMBEDDING_EXACT_SQL = """
+    WITH p AS (
+        SELECT x.vec_id AS a, y.vec_id AS b,
+               list_cosine_similarity(x.embedding::DOUBLE[],
+                                      y.embedding::DOUBLE[]) AS cos
+        FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+    )
+    SELECT CAST(COUNT(*) FILTER (cos >= 0.95) AS BIGINT) AS dup_pairs,
+           CAST((SELECT COUNT(DISTINCT d) FROM (
+                   SELECT a AS d FROM p WHERE cos >= 0.95
+                   UNION ALL SELECT b AS d FROM p WHERE cos >= 0.95))
+                AS BIGINT) AS dup_vecs
+    FROM p
+"""
+
+
+_JACCARD_PAIRS_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+    ), sh AS (
+        -- 3-token shingles; docs shorter than 3 tokens contribute ONE
+        -- shingle combining all their tokens (engine short-doc rule)
+        SELECT doc_id, CASE WHEN len(t) >= 3
+            THEN list_transform(range(1, len(t) - 1),
+                                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+            ELSE [array_to_string(t, ' ')] END AS shingles
+        FROM toks
+    ), ex AS (
+        SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh
+    ), cnt AS (
+        SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id
+    ), pairs AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+        FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id
+    ), j AS (
+        SELECT p.a, p.b, p.inter * 1.0 / (ca.n + cb.n - p.inter) AS jac
+        FROM pairs p
+        JOIN cnt ca ON ca.doc_id = p.a
+        JOIN cnt cb ON cb.doc_id = p.b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS pairs_sharing_shingle,
+           CAST(COUNT(*) FILTER (jac >= 0.3) AS BIGINT) AS pairs_ge_threshold,
+           CAST((SELECT COUNT(DISTINCT d) FROM (
+                   SELECT a AS d FROM j WHERE jac >= 0.3
+                   UNION ALL SELECT b AS d FROM j WHERE jac >= 0.3))
+                AS BIGINT) AS docs_ge_threshold
+    FROM j
+"""
+
+
 QUERIES = {
     "dedup_exact_documents": dedup_exact_documents,
+    "jaccard_pairs_documents": jaccard_pairs_documents,
     "minhash_dedup_documents": minhash_dedup_documents,
     "ngram_jaccard_documents": ngram_jaccard_documents,
     "simhash_dedup_documents": simhash_dedup_documents,
     "embedding_neardup_documents": embedding_neardup_documents,
+    "embedding_exact_pairs": embedding_exact_pairs,
 }
 
 ORACLE_SQL = {
@@ -571,6 +804,12 @@ ORACLE_SQL = {
                COUNT(*) - COUNT(DISTINCT text) AS dup_docs
         FROM documents
     """,
-    # minhash / simhash / ngram-jaccard / embedding near-dup are
+    # exact Jaccard join: string shingles in SQL == 64-bit-hashed
+    # shingles in the engine (whitespace tokens contain no spaces, so the
+    # space-joined shingle string is injective; hash collisions are
+    # ~|shingles|^2 / 2^65, negligible at oracle scale)
+    "jaccard_pairs_documents": _JACCARD_PAIRS_SQL,
+    "embedding_exact_pairs": _EMBEDDING_EXACT_SQL,
+    # minhash / simhash / ngram-jaccard / embedding-LSH near-dup are
     # engine-defined approximate ops: rows-only checks.
 }

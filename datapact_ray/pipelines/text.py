@@ -82,7 +82,9 @@ class TextFeaturizer:
         punct_pen = np.clip(
             out["punct_chars"] / out["n_chars"].clip(lower=1), 0, 1
         )
-        out["quality_score"] = np.round(
+        from ._util import round_duck
+
+        out["quality_score"] = round_duck(
             0.5 * length_score + 0.3 * (1 - punct_pen) + 0.2 * np.clip(ratios * 5, 0, 1),
             6,
         )
@@ -176,8 +178,8 @@ def token_counts_documents(sf_dir: str) -> pd.DataFrame:
 
 
 def langid_documents(sf_dir: str) -> pd.DataFrame:
-    """Predicted-language distribution (heuristic; rows-only check —
-    the synthetic corpus has no real language signal)."""
+    """Predicted-language distribution. The stopword-hit heuristic is
+    SQL-expressible, so this is oracle-checked (``_LANGID_SQL``)."""
     feats = _featurized(sf_dir, ["doc_id", "text"])
     out = feats.groupby("lang_pred").count().to_pandas()
     out = out.rename(columns={"count()": "n_docs"})
@@ -186,7 +188,8 @@ def langid_documents(sf_dir: str) -> pd.DataFrame:
 
 
 def quality_documents(sf_dir: str) -> pd.DataFrame:
-    """Mean quality score per source (rows-only; score is engine-defined)."""
+    """Mean quality score per source, oracle-checked (``_QUALITY_SQL``
+    reproduces the score formula in the engine's evaluation order)."""
     from ray.data.aggregate import Count, Mean
 
     feats = _featurized(sf_dir, ["doc_id", "text", "source"])
@@ -197,8 +200,10 @@ def quality_documents(sf_dir: str) -> pd.DataFrame:
         )
         .to_pandas()
     )
+    from ._util import round_duck
+
     out["n_docs"] = out["n_docs"].astype("int64")
-    out["avg_quality"] = np.round(out["avg_quality"], 4)
+    out["avg_quality"] = round_duck(out["avg_quality"], 4)
     return out.sort_values("source").reset_index(drop=True)
 
 
@@ -217,6 +222,67 @@ def fingerprint_documents(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(
         {"n_docs": [n_docs], "distinct_fingerprints": [len(distinct)]}
     )
+
+
+def _sql_stoplist(lang: str) -> str:
+    """The engine's stopword set as a DuckDB list literal (sorted for a
+    stable rendering; membership tests are order-independent)."""
+    return "[" + ", ".join(f"'{w}'" for w in sorted(STOPWORDS[lang])) + "]"
+
+
+def _sql_hits(lang: str) -> str:
+    return (
+        "len(list_filter(words, w -> list_contains("
+        + _sql_stoplist(lang)
+        + ", w)))"
+    )
+
+
+_QUALITY_SQL = rf"""
+    WITH f AS (
+        SELECT source,
+               LENGTH(text) AS n_chars,
+               len(regexp_extract_all(text, '[^\w\s]')) AS punct,
+               regexp_extract_all(lower(text), '\w+') AS words
+        FROM documents
+    ), h AS (
+        SELECT source, n_chars, punct, len(words) AS nw,
+               {_sql_hits('en')} + {_sql_hits('de')}
+             + {_sql_hits('fr')} + {_sql_hits('es')} AS hits
+        FROM f
+    ), q AS (
+        SELECT source,
+               ROUND(0.5 * LEAST(n_chars / 500.0, 1.0)
+                   + 0.3 * (1.0 - LEAST(punct * 1.0 / GREATEST(n_chars, 1), 1.0))
+                   + 0.2 * LEAST((hits * 1.0 / GREATEST(nw, 1)) * 5.0, 1.0),
+                   6) AS qs
+        FROM h
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(qs), 4) AS avg_quality
+    FROM q GROUP BY source ORDER BY source
+"""
+
+_LANGID_SQL = rf"""
+    WITH f AS (
+        SELECT regexp_extract_all(lower(text), '\w+') AS words FROM documents
+    ), h AS (
+        SELECT {_sql_hits('en')} AS h_en, {_sql_hits('de')} AS h_de,
+               {_sql_hits('fr')} AS h_fr, {_sql_hits('es')} AS h_es
+        FROM f
+    ), p AS (
+        -- first-max-wins in the engine's language order (en, de, fr, es)
+        SELECT CASE
+            WHEN GREATEST(h_en, h_de, h_fr, h_es) = 0 THEN 'unk'
+            WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+            WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+            WHEN h_fr >= h_es THEN 'fr'
+            ELSE 'es' END AS lang_pred
+        FROM h
+    )
+    SELECT lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM p GROUP BY lang_pred ORDER BY lang_pred
+"""
 
 
 QUERIES = {
@@ -248,5 +314,11 @@ ORACLE_SQL = {
                     AS BIGINT) AS total_punct_chars
         FROM documents
     """,
-    # langid / quality / fingerprint: engine-defined, not SQL-expressible
+    # quality / langid: the heuristics are deliberately SQL-expressible
+    # (DuckDB list lambdas over regexp-extracted words); per-doc rounding
+    # uses half-away-from-zero on both sides (round_duck <-> ROUND) and
+    # arithmetic is written in the engine's evaluation order.
+    "quality_documents": _QUALITY_SQL,
+    "langid_documents": _LANGID_SQL,
+    # fingerprint: pinned-siphash rolling hash, not SQL-expressible
 }
