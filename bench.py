@@ -152,6 +152,22 @@ def run_bench() -> dict:
     results_dir = os.path.join(BENCH_ROOT, f"out_{NUM_CPUS}_{int(time.time())}")
     timed("transcript_suite", _transcript_suite, paths, results_dir)
 
+    if os.environ.get("GRAFT_SUITE_ONLY"):
+        # scaling legs time the headline pipeline only: the per-query
+        # sf0.1 sweep adds ~1 min of unrelated wall per leg
+        ray.shutdown()
+        suite_sec = timings["transcript_suite"]
+        return {
+            "metric": "e2e_validation_sec",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "num_cpus": NUM_CPUS,
+            "turns": int(turns),
+            "turns_per_sec": round(turns / suite_sec, 1) if suite_sec else None,
+        }
+
     timed("profile_orders", relational.profile_orders, SF_DIR)
     timed("agg_lineitem", relational.agg_lineitem, SF_DIR)
     timed("uniqueness_lineitem", relational.uniqueness_lineitem, SF_DIR)
@@ -198,7 +214,12 @@ def run_scaling() -> dict:
     )
 
     def run_once(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), PYTHONPATH=REPO)
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            PYTHONPATH=REPO,
+            GRAFT_SUITE_ONLY="1",
+        )
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env,

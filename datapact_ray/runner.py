@@ -89,7 +89,12 @@ class RunConfig:
     job_name: str = "datapact-ray"
     batch_size: int = 65536
     num_buckets: int | None = None  # None -> sized from row counts
-    target_rows_per_bucket: int = 250_000
+    # per-bucket reduce frames are FIXED-WIDTH (hashes/keys, ~40 B/row):
+    # 4M rows ≈ 160 MB per reduce task. Small buckets are not "safer" —
+    # every map task materializes num_buckets plasma objects, and the
+    # per-object cost (~2.4 ms through the single raylet/owner, measured)
+    # makes M×B object count the dominant serial term of the shuffle.
+    target_rows_per_bucket: int = 4_000_000
     hot_key_threshold: int = 50_000
     profile_concurrency: tuple[int, int] | int | None = None
     resume: bool = False

@@ -60,47 +60,82 @@ def _reduce_bucket(checker_fn: Callable, *shards: pa.Table) -> bytes | None:
     return out["blob"].iloc[0]
 
 
-def _scan_units(files: list[str], target_bytes: int = 96 << 20) -> list[tuple]:
-    """Deterministic map-task units: (file, [row_group_ids]) chunks of
-    ~target_bytes compressed, splitting big files by row group so
-    single-file tables still fan out."""
+def _scan_units(files: list[str], target_bytes: int = 96 << 20) -> list[list[tuple]]:
+    """Deterministic map-task units: each unit is a list of
+    ``(file, [row_group_ids])`` fragments packed to ~target_bytes
+    compressed — big files split by row group so single-file tables still
+    fan out, small files MERGE into one unit so the map-task count (and
+    with it the M×B shuffle-object count) doesn't scale with file count."""
     import pyarrow.parquet as pq
 
-    units: list[tuple] = []
+    units: list[list[tuple]] = []
+    cur: list[tuple] = []
+    cur_size = 0
+
+    def flush():
+        nonlocal cur, cur_size
+        if cur:
+            units.append(cur)
+            cur, cur_size = [], 0
+
     for f in sorted(files):
         meta = pq.ParquetFile(f).metadata
         groups: list[int] = []
-        size = 0
         for rg in range(meta.num_row_groups):
             groups.append(rg)
-            size += meta.row_group(rg).total_byte_size
-            if size >= target_bytes:
-                units.append((f, groups))
-                groups, size = [], 0
+            cur_size += meta.row_group(rg).total_byte_size
+            if cur_size >= target_bytes:
+                cur.append((f, groups))
+                groups = []
+                flush()
         if groups:
-            units.append((f, groups))
+            cur.append((f, groups))
+    flush()
     return units
 
 
+def read_unit(unit: list[tuple], columns: list[str] | None) -> pa.Table:
+    """Read one scan unit (list of ``(file, [row_group_ids])`` fragments)
+    as a single Arrow table."""
+    import pyarrow.parquet as pq
+
+    pieces = [
+        pq.ParquetFile(path).read_row_groups(row_groups, columns=columns)
+        for path, row_groups in unit
+    ]
+    return pieces[0] if len(pieces) == 1 else pa.concat_tables(pieces)
+
+
+def _shuffle_target_bytes(files_per_side: list[list[str]]) -> int:
+    """Size map units so the map wave is ~3 tasks per core across all
+    sides (bounded to [64 MB, 256 MB] compressed): fewer, larger units
+    keep the M×B object count — the shuffle's serial cost — low without
+    starving the scan of parallelism."""
+    import os
+
+    total = sum(
+        os.path.getsize(f) for files in files_per_side for f in files
+    )
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return int(min(256 << 20, max(64 << 20, total // max(1, 3 * cpus))))
+
+
 def _map_project_split(
-    unit: tuple,
+    unit: list[tuple],
     columns: list[str] | None,
     filter_expr_pickle: bytes | None,
     projector,
     num_buckets: int,
 ) -> list[pa.Table]:
-    """Fused map task: read a file chunk → project → split by bucket.
+    """Fused map task: read the unit's file fragments → project → split
+    by bucket.
 
-    One task does the whole map side for its chunk — no intermediate
+    One task does the whole map side for its fragments — no intermediate
     materialization barrier between read, hash projection and shard
     emission."""
     import pickle
 
-    import pyarrow.parquet as pq
-
-    path, row_groups = unit
-    pf = pq.ParquetFile(path)
-    table = pf.read_row_groups(row_groups, columns=columns)
+    table = read_unit(unit, columns)
     if filter_expr_pickle is not None:
         table = table.filter(pickle.loads(filter_expr_pickle))
     projected = projector(table)
@@ -124,11 +159,12 @@ def parquet_bucket_shuffle(
     map_task = ray.remote(num_returns=num_buckets)(_map_project_split)
     reduce_task = ray.remote(_reduce_bucket)
     checker_ref = ray.put(checker_fn)
+    target_bytes = _shuffle_target_bytes([files for files, _ in sides])
 
     shard_lists: list = []
     for files, projector in sides:
         proj_ref = ray.put(projector)
-        for unit in _scan_units(files):
+        for unit in _scan_units(files, target_bytes):
             result = map_task.remote(
                 unit, columns, expr_pickle, proj_ref, num_buckets
             )

@@ -212,10 +212,9 @@ def _profile_unit(
     """Fused map task for parquet inputs: read a file/row-group chunk,
     apply the filter, compute one partial — no Dataset pipeline, no
     inter-stage handoff."""
-    import pyarrow.parquet as pq
+    from ..shuffle import read_unit
 
-    path, row_groups = unit
-    table = pq.ParquetFile(path).read_row_groups(row_groups, columns=columns)
+    table = read_unit(unit, columns)
     if filter_expr_pickle is not None:
         table = table.filter(pickle.loads(filter_expr_pickle))
     out = ProfileActor(spec, side)(table)

@@ -138,10 +138,9 @@ def _probe_unit(
     probe itself does not hash."""
     import pickle
 
-    import pyarrow.parquet as pq
+    from ..shuffle import read_unit
 
-    path, row_groups = unit
-    table = pq.ParquetFile(path).read_row_groups(row_groups, columns=read_columns)
+    table = read_unit(unit, read_columns)
     if filter_expr_pickle is not None:
         table = table.filter(pickle.loads(filter_expr_pickle))
     return _ProbeActor(broadcast, columns, columns, cap)(table)
@@ -152,10 +151,9 @@ def _dim_chunk_partitions(
 ) -> list[np.ndarray]:
     """Dim scan map task: one parquet chunk -> P sorted unique key-hash
     arrays (hash-partitioned). Fixed-width uint64 only."""
-    import pyarrow.parquet as pq
+    from ..shuffle import read_unit
 
-    path, row_groups = unit
-    table = pq.ParquetFile(path).read_row_groups(row_groups, columns=columns)
+    table = read_unit(unit, columns)
     h = np.unique(hash_arrow_u64(table, columns))
     part = (h % np.uint64(num_partitions)).astype(np.int64)
     order = np.argsort(part, kind="stable")
@@ -192,10 +190,9 @@ def _probe_chunk_partitioned(
     import json as _json
     import pickle as _pickle
 
-    import pyarrow.parquet as pq
+    from ..shuffle import read_unit
 
-    path, row_groups = unit
-    table = pq.ParquetFile(path).read_row_groups(row_groups, columns=read_columns)
+    table = read_unit(unit, read_columns)
     if filter_expr_pickle is not None:
         table = table.filter(_pickle.loads(filter_expr_pickle))
     # blooms_ref arrives as [ObjectRef] (nested refs are not auto-resolved
