@@ -131,7 +131,7 @@ ORACLE_SQL = {
     "ann_topk_embeddings": """
         WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
         SELECT vec_id,
-               ROUND(list_cosine_similarity(embedding, (SELECT qe FROM q)), 4) AS cos
+               ROUND(list_cosine_similarity(embedding::DOUBLE[], (SELECT qe FROM q)::DOUBLE[]), 4) AS cos
         FROM embeddings
         WHERE vec_id <> 0
         ORDER BY cos DESC, vec_id ASC
