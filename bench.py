@@ -110,7 +110,6 @@ def run_bench() -> dict:
     from ray.data import DataContext
 
     sf = _sf_value()
-    paths = _ensure_transcripts(sf)
 
     ray.init(
         address="local",
@@ -121,6 +120,11 @@ def run_bench() -> dict:
     )
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+
+    # generation (cached, untimed) fans out as Ray tasks now that a
+    # session is up — a serial 16M-row build hits this VM's first-touch
+    # page-fault stalls for ~40 min
+    paths = _ensure_transcripts(sf)
 
     from datapact_ray.io import count_rows
     from datapact_ray.pipelines import ann, dedup, relational, text
