@@ -33,6 +33,8 @@ from __future__ import annotations
 import json
 import os
 import pickle
+import sys
+import time
 from dataclasses import dataclass, field
 from datetime import datetime, timezone
 
@@ -516,9 +518,17 @@ class ValidationRunner:
         for name, fn in jobs.items():
             futures[name] = pool.submit(fn)
         results: dict[str, object] = {}
+        _timing = os.environ.get("DATAPACT_TIMING")
+        _t0 = time.perf_counter()
         try:
             for name, fut in futures.items():
                 results[name] = fut.result()
+                if _timing:
+                    print(
+                        f"[timing] {task.task_key}:{name} done at "
+                        f"{time.perf_counter() - _t0:.2f}s",
+                        file=sys.stderr, flush=True,
+                    )
         finally:
             pool.shutdown(wait=False)
         if "profile" in results:

@@ -108,16 +108,19 @@ def read_unit(unit: list[tuple], columns: list[str] | None) -> pa.Table:
 
 def _shuffle_target_bytes(files_per_side: list[list[str]]) -> int:
     """Size map units so the map wave is ~3 tasks per core across all
-    sides (bounded to [64 MB, 256 MB] compressed): fewer, larger units
-    keep the M×B object count — the shuffle's serial cost — low without
-    starving the scan of parallelism."""
+    sides (bounded to [8 MB, 256 MB] compressed). The upper bound keeps
+    the M×B shuffle-object count — the exchange's serial cost — from
+    scaling with file count; the lower bound only guards against
+    pathological tiny-task floods (a 64 MB floor measured 2× worse: it
+    capped a 695 MB input at 11 map tasks on 32 cores, starving the
+    decompress+hash wave that dominates wall time)."""
     import os
 
     total = sum(
         os.path.getsize(f) for files in files_per_side for f in files
     )
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    return int(min(256 << 20, max(64 << 20, total // max(1, 3 * cpus))))
+    return int(min(256 << 20, max(8 << 20, total // max(1, 3 * cpus))))
 
 
 def _map_project_split(
