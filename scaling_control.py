@@ -94,7 +94,61 @@ def run_leg(ncpu: int) -> dict:
             "rows_per_sec": round(rows / wall, 1)}
 
 
+def _spin_worker(q) -> None:
+    import time
+
+    import numpy as np
+
+    buf = np.arange(65536, dtype=np.uint64)  # 512 KB, cache-resident
+    tmp = np.empty_like(buf)
+    c, s = np.uint64(0x9E3779B97F4A7C15), np.uint64(29)
+    t0 = time.perf_counter()
+    it = 0
+    while time.perf_counter() - t0 < 6.0:
+        np.multiply(buf, c, out=buf)
+        np.right_shift(buf, s, out=tmp)
+        np.bitwise_xor(buf, tmp, out=buf)
+        it += 1
+    q.put(it)
+
+
+def run_spin() -> None:
+    """--spin: host-capability ceiling probe. Strictly in-place, cache-
+    resident hash loops in N independent processes — zero engine code,
+    zero shared memory, zero allocation. Whatever efficiency THIS shows
+    from N to 4N workers is the most any engine can show on this VM
+    (measured ~0.75: the hypervisor grants ~24 effective cores for 32
+    vCPUs)."""
+    import multiprocessing as mp
+
+    n_lo, n_hi = (
+        int(x) for x in os.environ.get("SCALING_CPUS", "8,32").split(",")
+    )
+
+    def run(n: int) -> int:
+        q = mp.Queue()
+        ps = [mp.Process(target=_spin_worker, args=(q,)) for _ in range(n)]
+        [p.start() for p in ps]
+        tot = sum(q.get() for _ in ps)
+        [p.join() for p in ps]
+        return tot
+
+    lo1, hi1, lo2, hi2 = run(n_lo), run(n_hi), run(n_lo), run(n_hi)
+    lo, hi = max(lo1, lo2), max(hi1, hi2)
+    print(json.dumps({
+        "metric": "host_compute_ceiling",
+        "workload": "in-place cache-resident hash loop, independent processes",
+        "cpus": [n_lo, n_hi],
+        f"iters_{n_lo}": [lo1, lo2],
+        f"iters_{n_hi}": [hi1, hi2],
+        "scaling_efficiency": round((hi / lo) / (n_hi / n_lo), 3),
+    }))
+
+
 def main() -> None:
+    if "--spin" in sys.argv:
+        run_spin()
+        return
     if "--leg" in sys.argv:
         ncpu = int(sys.argv[sys.argv.index("--leg") + 1])
         print(json.dumps(run_leg(ncpu)))
@@ -102,31 +156,46 @@ def main() -> None:
     n_lo, n_hi = (
         int(x) for x in os.environ.get("SCALING_CPUS", "2,8").split(",")
     )
+    rounds = int(os.environ.get("SCALING_ROUNDS", "3"))
 
-    def leg(ncpu: int) -> dict:
-        def once() -> dict:
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--leg", str(ncpu)],
-                capture_output=True, text=True, check=True,
-                env=dict(os.environ, PYTHONPATH=REPO),
-            ).stdout
-            return json.loads(out.strip().splitlines()[-1])
+    def once(ncpu: int) -> dict:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--leg", str(ncpu)],
+            capture_output=True, text=True, check=True,
+            env=dict(os.environ, PYTHONPATH=REPO),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
 
-        a, b = once(), once()  # best-of-2: shared-VM noise
-        return a if a["sec"] <= b["sec"] else b
-
-    lo, hi = leg(n_lo), leg(n_hi)
-    eff = (hi["rows_per_sec"] / lo["rows_per_sec"]) / (n_hi / n_lo)
+    # INTERLEAVED rounds (lo,hi,lo,hi,...): this burstable VM's memory
+    # subsystem stalls in multi-minute phases (50× wall swings measured
+    # on a fixed numpy kernel) — sequential best-of-2 legs measure the
+    # host's phase, not the engine; interleaving decorrelates the phase
+    # from the CPU-count treatment and the median pairwise efficiency is
+    # the reported statistic
+    lo_secs, hi_secs, pair_effs, rows = [], [], [], None
+    ratio = n_hi / n_lo
+    for _ in range(rounds):
+        lo = once(n_lo)
+        hi = once(n_hi)
+        rows = lo["rows"]
+        lo_secs.append(lo["sec"])
+        hi_secs.append(hi["sec"])
+        pair_effs.append(round((lo["sec"] / hi["sec"]) / ratio, 3))
+    med = sorted(pair_effs)[len(pair_effs) // 2]
+    best = round((min(lo_secs) / min(hi_secs)) / ratio, 3)
     print(json.dumps({
         "metric": "control_scaling_efficiency",
         "workload": "in-memory fixed-width bucket shuffle + verify (no file IO)",
         "cpus": [n_lo, n_hi],
-        f"sec_{n_lo}": lo["sec"],
-        f"sec_{n_hi}": hi["sec"],
-        f"rows_per_sec_{n_lo}": lo["rows_per_sec"],
-        f"rows_per_sec_{n_hi}": hi["rows_per_sec"],
-        "scaling_efficiency": round(eff, 3),
-        "rows": lo["rows"],
+        "rounds": rounds,
+        f"secs_{n_lo}": lo_secs,
+        f"secs_{n_hi}": hi_secs,
+        f"rows_per_sec_{n_lo}": round(rows / min(lo_secs), 1),
+        f"rows_per_sec_{n_hi}": round(rows / min(hi_secs), 1),
+        "pairwise_efficiencies": pair_effs,
+        "scaling_efficiency": med,
+        "scaling_efficiency_best_leg": best,
+        "rows": rows,
     }))
 
 
