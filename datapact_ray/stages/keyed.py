@@ -498,10 +498,35 @@ class _BucketChecker:
         _atomic_write(os.path.join(bdir, "_SUCCESS"), b"")
 
 
-def _stitch_hot(metrics: KeyedMetrics, spec: KeyedSpec) -> None:
+def _stitch_hot(metrics: KeyedMetrics, spec: KeyedSpec) -> list[dict]:
     """Fold hot-conversation shard partials into whole-conversation
     verdicts. Shards hold disjoint contiguous index ranges, so the merge
-    (counts, min/max, uniqueness, boundary ts comparisons) is exact."""
+    (counts, min/max, uniqueness, boundary ts comparisons) is exact.
+
+    Returns violation rows (same shape as the cold path's) so flagged
+    hot conversations appear in the violations table, not just in the
+    counts. Hot partials are keyed by group hash; map back to the
+    configured key string when one exists, else report the hash."""
+    from ..sketches import hash_arrow_column_u64
+
+    g_col = spec.group_column or "group"
+    label_of: dict[int, str] = {}
+    str_keys = [str(k) for k in spec.hot_keys if not isinstance(k, (int, np.integer))]
+    if str_keys:
+        hashes = hash_arrow_column_u64(pa.array(str_keys))
+        label_of = {int(h): k for h, k in zip(hashes.tolist(), str_keys)}
+    violations: list[dict] = []
+
+    def emit(side: int, g: int, reason: str) -> None:
+        violations.append(
+            {
+                "check_alias": f"ordering_validation_{g_col}",
+                "key": json.dumps({g_col: label_of.get(int(g), str(int(g)))}),
+                "side": SIDE_NAMES[side],
+                "detail": json.dumps({"reason": reason, "hot": True}),
+            }
+        )
+
     for (side, g), shards in sorted(
         metrics.hot_partials.items(), key=lambda kv: (kv[0][0], str(kv[0][1]))
     ):
@@ -524,13 +549,16 @@ def _stitch_hot(metrics: KeyedMetrics, spec: KeyedSpec) -> None:
                     break
         if spec.require_contiguous and not contiguous:
             metrics.contiguity_violations[side] += 1
+            emit(side, g, "non_contiguous_turn_idx")
         elif spec.require_monotonic_ts and not mono:
             metrics.monotonicity_violations[side] += 1
+            emit(side, g, "non_monotonic_ts")
         if spec.turn_count_digest:
             d = metrics.digests[side] or TDigest()
             d.add(np.array([float(n)]))
             metrics.digests[side] = d
     metrics.hot_partials = {}
+    return violations
 
 
 def completed_buckets(checkpoint_dir: str | None) -> frozenset[int]:
@@ -621,5 +649,21 @@ def run_keyed_pass(
         ) as fh:
             merged.merge(pickle.load(fh))
     if spec.group_checks:
-        _stitch_hot(merged, spec)
+        hot_violations = _stitch_hot(merged, spec)
+        if hot_violations and spec.checkpoint_dir:
+            # hot verdicts are re-stitched from merged partials every run
+            # (cheap: one row per hot conversation), so this file is
+            # simply rewritten — it is NOT a resumable bucket checkpoint
+            import pyarrow.parquet as pq
+
+            hdir = os.path.join(spec.checkpoint_dir, "hot")
+            os.makedirs(hdir, exist_ok=True)
+            vdf = pd.DataFrame(
+                hot_violations, columns=["check_alias", "key", "side", "detail"]
+            )
+            vdf.insert(0, "task_key", task_key)
+            fd, tmp = tempfile.mkstemp(dir=hdir, suffix=".parquet")
+            os.close(fd)
+            pq.write_table(pa.Table.from_pandas(vdf, preserve_index=False), tmp)
+            os.replace(tmp, os.path.join(hdir, "violations.parquet"))
     return merged

@@ -20,10 +20,11 @@ def hot_pair(tmp_path_factory):
     return paths
 
 
-def _metrics(paths, hot_keys, span=1024):
+def _metrics(paths, hot_keys, span=1024, checkpoint_dir=None):
     import glob
 
     spec = KeyedSpec(
+        checkpoint_dir=checkpoint_dir,
         key_columns=["conv_id", "turn_idx"],
         row_hash=True,
         hash_columns=["role", "text", "tool"],
@@ -88,7 +89,19 @@ def test_salted_detects_hot_conv_corruption(tmp_path):
     pq.write_table(src, str(sdir / "p.parquet"))
     pq.write_table(tgt, str(tdir / "p.parquet"))
     paths = {"source": str(sdir), "target": str(tdir)}
-    m = _metrics(paths, hot_keys={hot_conv: 5_000}, span=512)
+    ckpt = str(tmp_path / "ckpt")
+    m = _metrics(paths, hot_keys={hot_conv: 5_000}, span=512, checkpoint_dir=ckpt)
     # source hot conv is fine; target hot conv lost turn 2500 -> 1 violation
     assert m.contiguity_violations == [0, 1]
     assert m.groups_checked == [21, 21]
+    # the stitched hot verdict must also materialize as a violation ROW
+    import json
+
+    import pyarrow.parquet as pq
+
+    v = pq.read_table(f"{ckpt}/hot/violations.parquet").to_pandas()
+    assert len(v) == 1
+    assert v.iloc[0]["check_alias"] == "ordering_validation_conv_id"
+    assert json.loads(v.iloc[0]["key"]) == {"conv_id": hot_conv}
+    assert v.iloc[0]["side"] == "target"
+    assert json.loads(v.iloc[0]["detail"])["reason"] == "non_contiguous_turn_idx"
