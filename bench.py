@@ -105,6 +105,29 @@ def _transcript_suite(paths: dict[str, str], results_dir: str):
     return run_suite(suite, RunConfig(results_dir=results_dir, run_id=1))
 
 
+def _host_probe(seconds: float = 0.5) -> float:
+    """Single-core host-capability calibration: iterations/sec of the
+    same strictly in-place cache-resident hash loop as
+    ``scaling_control.py --spin``. Recorded alongside every timing so a
+    bench number carries the host phase it ran in — this burstable VM
+    swings 3–50× between phases (CPU-credit throttling + first-touch
+    page-fault storms), which would otherwise read as engine regressions
+    between rounds."""
+    import numpy as np
+
+    buf = np.arange(65536, dtype=np.uint64)
+    tmp = np.empty_like(buf)
+    c, s = np.uint64(0x9E3779B97F4A7C15), np.uint64(29)
+    t0 = time.perf_counter()
+    it = 0
+    while time.perf_counter() - t0 < seconds:
+        np.multiply(buf, c, out=buf)
+        np.right_shift(buf, s, out=tmp)
+        np.bitwise_xor(buf, tmp, out=buf)
+        it += 1
+    return round(it / (time.perf_counter() - t0), 1)
+
+
 def run_bench() -> dict:
     import ray
     from ray.data import DataContext
@@ -146,6 +169,7 @@ def run_bench() -> dict:
 
     ray.get([_noop.remote() for _ in range(NUM_CPUS)])
 
+    spin_before = _host_probe()
     timings: dict[str, float] = {}
 
     def timed(name: str, fn, *args):
@@ -170,6 +194,8 @@ def run_bench() -> dict:
             "num_cpus": NUM_CPUS,
             "turns": int(turns),
             "turns_per_sec": round(turns / suite_sec, 1) if suite_sec else None,
+            "host_spin_before": spin_before,
+            "host_spin_after": _host_probe(),
         }
 
     timed("profile_orders", relational.profile_orders, SF_DIR)
@@ -202,6 +228,8 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "turns": int(turns),
         "turns_per_sec": round(turns / suite_sec, 1) if suite_sec else None,
+        "host_spin_before": spin_before,
+        "host_spin_after": _host_probe(),
     }
 
 
@@ -241,7 +269,7 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     ratio = n_hi / n_lo
-    lo_secs, hi_secs, pair_effs = [], [], []
+    lo_secs, hi_secs, pair_effs, spins = [], [], [], []
     turns = sf = None
     for _ in range(rounds):
         lo = run_once(n_lo)
@@ -252,6 +280,11 @@ def run_scaling() -> dict:
         lo_secs.append(sl)
         hi_secs.append(sh)
         pair_effs.append(round((sl / sh) / ratio, 3))
+        # single-core host calibration per leg: exposes which legs ran
+        # in a throttled host phase
+        spins.append(
+            [lo.get("host_spin_before"), hi.get("host_spin_before")]
+        )
 
     med = sorted(pair_effs)[len(pair_effs) // 2]
     best_eff = round((min(lo_secs) / min(hi_secs)) / ratio, 3)
@@ -268,6 +301,7 @@ def run_scaling() -> dict:
         "pairwise_efficiencies": pair_effs,
         "scaling_efficiency_suite": med,
         "scaling_efficiency_best_leg": best_eff,
+        "host_spin_per_round": spins,
         "sf": sf,
         "turns": turns,
     }
