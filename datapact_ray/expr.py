@@ -18,12 +18,24 @@ Supported grammar::
                | col BETWEEN literal AND literal
                | col [NOT] LIKE 'pattern'
     op        := = | == | != | <> | < | <= | > | >=
-    literal   := number | 'string' | TRUE | FALSE | NULL
+    literal   := date_term [ ('+'|'-') INTERVAL number unit ]
+    date_term := number | 'string' | TRUE | FALSE | NULL
                | TIMESTAMP 'iso' | DATE 'iso'
+               | CURRENT_DATE['()'] | CURRENT_TIMESTAMP['()'] | NOW'()'
+               | DATE_SUB '(' date_term ',' number ')'
+               | DATE_ADD '(' date_term ',' number ')'
+    unit      := DAY[S] | WEEK[S] | HOUR[S] | MINUTE[S] | SECOND[S]
 
 String literals compared against timestamp/date columns are coerced using
 the table schema. The original string is preserved verbatim for the DuckDB
 oracle side.
+
+Relative-date terms (``current_date() - INTERVAL 7 DAY``,
+``date_sub(current_date(), 60)`` — the forms the reference demo's task
+filters use, ``demo/demo_config.yml:75-76,344-345,381-383``) are folded
+to a concrete literal at PLAN time, mirroring warehouse constant folding.
+"Now" is ``datetime.now(UTC)`` unless the ``DATAPACT_NOW`` env var pins
+an ISO instant (tests / reproducible runs / the DuckDB oracle side).
 """
 
 from __future__ import annotations
@@ -40,6 +52,7 @@ _TOKEN_RE = re.compile(
         (?P<string>'(?:[^']|'')*')
       | (?P<number>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
       | (?P<op><=|>=|<>|!=|==|=|<|>)
+      | (?P<arith>[+-])
       | (?P<lparen>\()
       | (?P<rparen>\))
       | (?P<comma>,)
@@ -51,13 +64,51 @@ _TOKEN_RE = re.compile(
 _KEYWORDS = {
     "AND", "OR", "NOT", "IS", "NULL", "IN", "BETWEEN", "LIKE",
     "TRUE", "FALSE", "TIMESTAMP", "DATE",
+    "CURRENT_DATE", "CURRENT_TIMESTAMP", "NOW", "INTERVAL",
+    "DATE_SUB", "DATE_ADD",
+}
+
+_INTERVAL_UNITS = {
+    "DAY": 86400.0, "DAYS": 86400.0,
+    "WEEK": 604800.0, "WEEKS": 604800.0,
+    "HOUR": 3600.0, "HOURS": 3600.0,
+    "MINUTE": 60.0, "MINUTES": 60.0,
+    "SECOND": 1.0, "SECONDS": 1.0,
 }
 
 
 @dataclass
 class _Tok:
-    kind: str  # string|number|op|lparen|rparen|comma|ident|kw
+    kind: str  # string|number|op|arith|lparen|rparen|comma|ident|kw
     value: str
+
+
+def _now() -> datetime:
+    """Plan-time 'now' (naive UTC, like the fixture timestamps).
+    ``DATAPACT_NOW`` (ISO-8601) pins it for reproducible runs and for
+    rendering the identical constant into oracle SQL."""
+    import os
+
+    pinned = os.environ.get("DATAPACT_NOW")
+    if pinned:
+        return datetime.fromisoformat(pinned)
+    from datetime import timezone
+
+    return datetime.now(timezone.utc).replace(tzinfo=None)
+
+
+def _shift_lit(lit: Lit, seconds: float) -> Lit:
+    """Fold ``date/timestamp literal ± seconds`` into a new literal.
+    Whole-day shifts of a DATE stay a DATE (Spark date_sub semantics);
+    anything else promotes to timestamp."""
+    if not isinstance(lit.value, str) or lit.hint not in ("date", "timestamp"):
+        raise ValueError("INTERVAL/date arithmetic needs a DATE/TIMESTAMP operand")
+    from datetime import timedelta
+
+    dt = datetime.fromisoformat(lit.value) + timedelta(seconds=seconds)
+    if lit.hint == "date" and seconds == int(seconds) and int(seconds) % 86400 == 0:
+        return Lit(dt.date().isoformat(), hint="date")
+    return Lit(dt.isoformat(), hint="timestamp")
 
 
 def _tokenize(text: str) -> list[_Tok]:
@@ -202,6 +253,9 @@ class _Parser:
         return Col(name)
 
     def _literal(self) -> Lit:
+        return self._maybe_interval(self._date_term())
+
+    def _date_term(self) -> Lit:
         tok = self.next()
         if tok.kind == "number":
             text = tok.value
@@ -220,7 +274,54 @@ class _Parser:
                 if s.kind != "string":
                     raise ValueError(f"Expected string after {tok.value}")
                 return Lit(s.value[1:-1], hint=tok.value.lower())
+            if tok.value in ("CURRENT_DATE", "CURRENT_TIMESTAMP", "NOW"):
+                self._skip_empty_parens(required=tok.value == "NOW")
+                now = _now()
+                if tok.value == "CURRENT_DATE":
+                    day = now.replace(hour=0, minute=0, second=0, microsecond=0)
+                    return Lit(day.isoformat(), hint="date")
+                return Lit(now.isoformat(), hint="timestamp")
+            if tok.value in ("DATE_SUB", "DATE_ADD"):
+                # Spark form: date_sub(d, n_days)
+                if self.next().kind != "lparen":
+                    raise ValueError(f"Expected '(' after {tok.value}")
+                base = self._date_term()
+                if self.next().kind != "comma":
+                    raise ValueError(f"Expected ',' in {tok.value}(...)")
+                days = self._date_term()
+                if self.next().kind != "rparen":
+                    raise ValueError(f"Expected ')' to close {tok.value}(...)")
+                if not isinstance(days.value, int):
+                    raise ValueError(f"{tok.value} day count must be an integer")
+                sign = -1 if tok.value == "DATE_SUB" else 1
+                return _shift_lit(base, sign * days.value * 86400.0)
         raise ValueError(f"Expected literal, got {tok.value!r}")
+
+    def _skip_empty_parens(self, required: bool) -> None:
+        t = self.peek()
+        if t and t.kind == "lparen":
+            self.next()
+            if self.next().kind != "rparen":
+                raise ValueError("Expected '()'")
+        elif required:
+            raise ValueError("Expected '()'")
+
+    def _maybe_interval(self, lit: Lit) -> Lit:
+        t = self.peek()
+        if not (t and t.kind == "arith"):
+            return lit
+        sign = -1 if t.value == "-" else 1
+        self.next()
+        self.expect_kw("INTERVAL")
+        n = self.next()
+        if n.kind != "number":
+            raise ValueError("Expected number after INTERVAL")
+        unit = self.next()
+        key = unit.value.upper() if unit.kind == "ident" else ""
+        if key not in _INTERVAL_UNITS:
+            raise ValueError(f"Unsupported INTERVAL unit {unit.value!r}")
+        seconds = sign * float(n.value) * _INTERVAL_UNITS[key]
+        return self._maybe_interval(_shift_lit(lit, seconds))
 
     def parse_predicate(self):
         col = self._ident()

@@ -40,6 +40,9 @@ PREDICATES = [
     "t >= TIMESTAMP '2023-11-15 00:00:00'",
     "t >= '2023-11-15 00:00:00'",
     "a != 5 AND (b = 1 OR b = 2.0)",
+    # interval folding vs DuckDB's native INTERVAL arithmetic
+    "t >= DATE '2023-11-20' - INTERVAL 48 HOUR",
+    "t < TIMESTAMP '2023-11-15 00:00:00' + INTERVAL 2 DAYS",
 ]
 
 
@@ -52,6 +55,45 @@ def test_filter_matches_duckdb(table, pred):
     want = con.execute(f"SELECT COUNT(*) FROM t0 WHERE {pred}").fetchone()[0]
     con.close()
     assert got == want, pred
+
+
+def test_relative_now_filters(table, monkeypatch):
+    """current_date()/current_timestamp()/date_sub fold at plan time
+    against the DATAPACT_NOW pin (reference demo filter forms,
+    demo/demo_config.yml:75-76,344-345)."""
+    monkeypatch.setenv("DATAPACT_NOW", "2023-11-16 12:00:00")
+    con = duckdb.connect()
+    con.register("t0", table)
+
+    for pred, duck_pred in [
+        (
+            "t >= current_timestamp() - INTERVAL 100 HOUR",
+            "t >= TIMESTAMP '2023-11-16 12:00:00' - INTERVAL 100 HOUR",
+        ),
+        (
+            "t >= date_sub(current_date(), 1)",
+            "t >= DATE '2023-11-15'",
+        ),
+        (
+            "t < date_add(current_date, 2) AND a >= 0",
+            "t < DATE '2023-11-18' AND a >= 0",
+        ),
+        (
+            "t BETWEEN now() - INTERVAL 1 DAY AND now()",
+            "t BETWEEN TIMESTAMP '2023-11-15 12:00:00' AND TIMESTAMP '2023-11-16 12:00:00'",
+        ),
+    ]:
+        got = table.filter(compile_filter(pred, table.schema)).num_rows
+        want = con.execute(f"SELECT COUNT(*) FROM t0 WHERE {duck_pred}").fetchone()[0]
+        assert got == want, pred
+    con.close()
+
+
+def test_interval_requires_temporal_operand():
+    with pytest.raises(ValueError):
+        parse_filter("a > 5 - INTERVAL 1 DAY")
+    with pytest.raises(ValueError):
+        parse_filter("t > CURRENT_DATE - INTERVAL 1 FORTNIGHT")
 
 
 def test_referenced_columns():
