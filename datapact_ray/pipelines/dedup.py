@@ -417,6 +417,25 @@ def jaccard_pairs_documents(sf_dir: str, threshold: float = 0.3) -> pd.DataFrame
     (documented): shingle document-frequency is bounded — a shingle
     shared by m docs emits m(m-1)/2 pair rows, so boilerplate-heavy
     corpora need a df cutoff (the MinHash path has none of this)."""
+    a_u, b_u, jac = _exact_jaccard_pair_arrays(sf_dir)
+    hit = jac >= threshold
+    docs = np.unique(np.concatenate([a_u[hit], b_u[hit]]))
+    return pd.DataFrame(
+        {
+            "pairs_sharing_shingle": [len(a_u)],
+            "pairs_ge_threshold": [int(hit.sum())],
+            "docs_ge_threshold": [len(docs)],
+        }
+    )
+
+
+def _exact_jaccard_pair_arrays(
+    sf_dir: str,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All doc pairs sharing ≥1 shingle, with their exact Jaccard:
+    distributed inverted-index join, per-bucket partial intersection
+    counts, driver merge. Returns ``(a, b, jaccard)`` sorted by (a, b)
+    — sized by the corpus' similarity structure, not its row count."""
     ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     num_buckets = _dedup_buckets()
     rows = ds.map_batches(
@@ -429,13 +448,8 @@ def jaccard_pairs_documents(sf_dir: str, threshold: float = 0.3) -> pd.DataFrame
     )
     pairs = _grouped_frames(rows, num_buckets, _bucket_intersections)
     if pairs.empty or "a" not in pairs.columns:
-        return pd.DataFrame(
-            {
-                "pairs_sharing_shingle": [0],
-                "pairs_ge_threshold": [0],
-                "docs_ge_threshold": [0],
-            }
-        )
+        empty = np.empty(0, dtype=np.int64)
+        return empty, empty, np.empty(0, dtype=np.float64)
     # combine per-bucket partials: sort-based numpy merge (a pandas
     # groupby here costs ~5s at 1M pairs; lexsort+reduceat is ~100ms)
     a = pairs["a"].to_numpy(dtype=np.int64)
@@ -451,15 +465,7 @@ def jaccard_pairs_documents(sf_dir: str, threshold: float = 0.3) -> pd.DataFrame
     inter_sum = np.add.reduceat(inter, idx)
     a_u, b_u, na_u, nb_u = a[idx], b[idx], na[idx], nb[idx]
     jac = inter_sum / (na_u + nb_u - inter_sum)
-    hit = jac >= threshold
-    docs = np.unique(np.concatenate([a_u[hit], b_u[hit]]))
-    return pd.DataFrame(
-        {
-            "pairs_sharing_shingle": [len(a_u)],
-            "pairs_ge_threshold": [int(hit.sum())],
-            "docs_ge_threshold": [len(docs)],
-        }
-    )
+    return a_u, b_u, jac
 
 
 class SimHasher:
@@ -751,6 +757,126 @@ _EMBEDDING_EXACT_SQL = """
 """
 
 
+def _cc_union_find(a: np.ndarray, b: np.ndarray) -> dict[int, int]:
+    """Connected components over an edge list on the driver: path-halving
+    union-find, O(E α). Used when the (similarity-structure-sized) pair
+    list fits the driver; the distributed path is ``_cc_hash_to_min``."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = parent.setdefault(x, x)
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in zip(a.tolist(), b.tolist()):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {x: find(x) for x in parent}
+
+
+def _cc_hash_to_min(
+    a: np.ndarray, b: np.ndarray, num_buckets: int, max_rounds: int = 32
+) -> dict[int, int]:
+    """Distributed connected components: hash-to-min label propagation
+    (Rastogi et al., "Finding Connected Components in Map-Reduce in
+    Logarithmic Rounds", ICDE 2013) over the explicit bucket shuffle.
+
+    State: rows ``(node, member)`` meaning *member is in node's candidate
+    cluster*. Each round buckets rows by ``hash(node)``, then per node
+    sends the full member set to the minimum member and the minimum to
+    every other member; converges in O(log diameter) rounds (near-dup
+    clusters are shallow, so 2–4 in practice). Per-round state is
+    O(cluster_size) rows per node — bounded by the same similarity
+    structure that bounds the pair list itself.
+
+    Rounds synchronize through the driver (each round's deduped state is
+    re-dispatched); state is edge-sized, not corpus-sized, so this is
+    the same driver budget the pair merge already assumes. Returns
+    {doc_id: component_min} for every endpoint."""
+    import ray.data
+
+    state = pd.DataFrame(
+        {
+            "node": np.concatenate([a, b, a, b]),
+            "member": np.concatenate([b, a, a, b]),  # C(v) = {v} ∪ N(v)
+        }
+    ).drop_duplicates()
+
+    def propagate(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node")["member"]
+        mins = g.min().rename("m")
+        j = df.merge(mins, left_on="node", right_index=True)
+        # min -> gets every member; every member -> gets the min
+        out = pd.concat(
+            [
+                pd.DataFrame({"node": j["m"], "member": j["member"]}),
+                pd.DataFrame({"node": j["member"], "member": j["m"]}),
+            ],
+            ignore_index=True,
+        )
+        return out.drop_duplicates()
+
+    prev_labels: pd.Series | None = None
+    for _ in range(max_rounds):
+        state["__bucket"] = (
+            state["node"].to_numpy().astype(np.uint64)
+            * np.uint64(0x9E3779B97F4A7C15)
+            % np.uint64(num_buckets)
+        ).astype(np.int32)
+        ds = ray.data.from_pandas(state)
+        state = _grouped_frames(ds, num_buckets, propagate)
+        labels = state.groupby("node")["member"].min()
+        if prev_labels is not None and labels.equals(prev_labels):
+            break
+        prev_labels = labels
+    return {int(k): int(v) for k, v in prev_labels.items()}
+
+
+def dedup_clusters_documents(
+    sf_dir: str, threshold: float = 0.3, distributed: bool | None = None
+) -> pd.DataFrame:
+    """Duplicate-cluster labeling: exact n-gram-Jaccard pairs at
+    ``threshold`` → connected components → cluster summary. This is the
+    step a dedup pipeline needs between pair emission and row dropping
+    (keep ONE representative per component, not per pair).
+
+    ``docs_removable`` = docs_in_clusters − n_clusters: dropping all but
+    the min-doc_id representative of each component."""
+    a_u, b_u, jac = _exact_jaccard_pair_arrays(sf_dir)
+    hit = jac >= threshold
+    a_h, b_h = a_u[hit], b_u[hit]
+    if len(a_h) == 0:
+        return pd.DataFrame(
+            {
+                "n_clusters": [0],
+                "docs_in_clusters": [0],
+                "largest_cluster": [0],
+                "docs_removable": [0],
+            }
+        )
+    if distributed is None:
+        distributed = len(a_h) > 5_000_000  # driver UF budget
+    labels = (
+        _cc_hash_to_min(a_h, b_h, _dedup_buckets())
+        if distributed
+        else _cc_union_find(a_h, b_h)
+    )
+    lab = np.fromiter(labels.values(), dtype=np.int64, count=len(labels))
+    _, sizes = np.unique(lab, return_counts=True)
+    return pd.DataFrame(
+        {
+            "n_clusters": [int(len(sizes))],
+            "docs_in_clusters": [int(sizes.sum())],
+            "largest_cluster": [int(sizes.max())],
+            "docs_removable": [int(sizes.sum() - len(sizes))],
+        }
+    )
+
+
 _JACCARD_PAIRS_SQL = r"""
     WITH toks AS (
         SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
@@ -787,8 +913,55 @@ _JACCARD_PAIRS_SQL = r"""
 """
 
 
+_DEDUP_CLUSTERS_SQL = r"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, CASE WHEN len(t) >= 3
+            THEN list_transform(range(1, len(t) - 1),
+                                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+            ELSE [array_to_string(t, ' ')] END AS shingles
+        FROM toks
+    ), ex AS (
+        SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh
+    ), cnt AS (
+        SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id
+    ), p AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+        FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id
+    ), pairs AS (
+        SELECT p.a, p.b FROM p
+        JOIN cnt ca ON ca.doc_id = p.a
+        JOIN cnt cb ON cb.doc_id = p.b
+        WHERE p.inter * 1.0 / (ca.n + cb.n - p.inter) >= 0.3
+    ), edges AS (
+        SELECT a AS u, b AS v FROM pairs
+        UNION ALL SELECT b, a FROM pairs
+    ), reach(node, label) AS (
+        -- min-label reachability: component id = min doc_id reachable
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.v, r.label FROM reach r
+        JOIN edges e ON e.u = r.node
+        WHERE r.label < e.v
+    ), comp AS (
+        SELECT node, MIN(label) AS comp FROM reach GROUP BY node
+    ), sizes AS (
+        SELECT comp, COUNT(*) AS sz FROM comp GROUP BY comp
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(COALESCE(SUM(sz), 0) AS BIGINT) AS docs_in_clusters,
+           CAST(COALESCE(MAX(sz), 0) AS BIGINT) AS largest_cluster,
+           CAST(COALESCE(SUM(sz) - COUNT(*), 0) AS BIGINT) AS docs_removable
+    FROM sizes
+"""
+
+
 QUERIES = {
     "dedup_exact_documents": dedup_exact_documents,
+    "dedup_clusters_documents": dedup_clusters_documents,
     "jaccard_pairs_documents": jaccard_pairs_documents,
     "minhash_dedup_documents": minhash_dedup_documents,
     "ngram_jaccard_documents": ngram_jaccard_documents,
@@ -809,6 +982,7 @@ ORACLE_SQL = {
     # space-joined shingle string is injective; hash collisions are
     # ~|shingles|^2 / 2^65, negligible at oracle scale)
     "jaccard_pairs_documents": _JACCARD_PAIRS_SQL,
+    "dedup_clusters_documents": _DEDUP_CLUSTERS_SQL,
     "embedding_exact_pairs": _EMBEDDING_EXACT_SQL,
     # minhash / simhash / ngram-jaccard / embedding-LSH near-dup are
     # engine-defined approximate ops: rows-only checks.
