@@ -227,10 +227,15 @@ def _probe_chunk_partitioned(
     return tuple(out)
 
 
-def _recheck_partition(dim_keys: np.ndarray, *maybe: tuple) -> int:
+def _recheck_partition(
+    dim_keys: np.ndarray, cap: int, *maybe: tuple
+) -> tuple[int, np.ndarray]:
     """Per-partition exact recheck: total probe ROWS whose key is not in
-    the dim partition (Bloom false positives), summed from row counts."""
+    the dim partition (Bloom false positives), summed from row counts.
+    Also returns up to ``cap`` of the false-positive key hashes so the
+    driver can fetch display samples for them."""
     orphan_rows = 0
+    fp_keys: list[np.ndarray] = []
     for keys, counts in maybe:
         if len(keys) == 0:
             continue
@@ -238,7 +243,48 @@ def _recheck_partition(dim_keys: np.ndarray, *maybe: tuple) -> int:
         idx[idx >= len(dim_keys)] = max(len(dim_keys) - 1, 0)
         hit = dim_keys[idx] == keys if len(dim_keys) else np.zeros(len(keys), bool)
         orphan_rows += int(counts[~hit].sum())
-    return orphan_rows
+        if (~hit).any():
+            fp_keys.append(keys[~hit])
+    fp = (
+        np.unique(np.concatenate(fp_keys))[:cap]
+        if fp_keys
+        else np.empty(0, np.uint64)
+    )
+    return orphan_rows, fp
+
+
+def _fp_sample_unit(
+    unit: tuple,
+    columns: list[str],
+    read_columns: list[str],
+    filter_expr_pickle: bytes | None,
+    fp_set: np.ndarray,  # ObjectRef at call site; Ray auto-resolves args
+    cap: int,
+) -> list[str]:
+    """Targeted re-probe for Bloom-false-positive keys: display-value
+    samples for rows whose key hash is in the (small, broadcast) FP set.
+    Only dispatched when FP orphans exist AND the definite-orphan
+    samples did not fill the violation cap — at a 0.1% FPP this wave
+    almost never runs."""
+    import json as _json
+    import pickle as _pickle
+
+    from ..shuffle import read_unit
+
+    table = read_unit(unit, read_columns)
+    if filter_expr_pickle is not None:
+        table = table.filter(_pickle.loads(filter_expr_pickle))
+    h = hash_arrow_u64(table, columns)
+    mask = np.isin(h, fp_set)
+    if not mask.any():
+        return []
+    pos = np.nonzero(mask)[0][:cap]
+    sub = table.select(columns).take(pa.array(pos))
+    cols = {c: sub.column(c).to_pylist() for c in columns}
+    return [
+        _json.dumps({c: str(cols[c][i]) for c in columns})
+        for i in range(len(pos))
+    ]
 
 
 def _run_partitioned_referential(
@@ -294,9 +340,9 @@ def _run_partitioned_referential(
     if P + 1 == 1:  # pragma: no cover - P >= 1 always
         probe_out = [[r] for r in probe_out]
 
-    recheck_task = ray.remote(_recheck_partition)
+    recheck_task = ray.remote(num_returns=2)(_recheck_partition)
     recheck_refs = [
-        recheck_task.remote(key_refs[p], *[chunk[p + 1] for chunk in probe_out])
+        recheck_task.remote(key_refs[p], cap, *[chunk[p + 1] for chunk in probe_out])
         for p in range(P)
     ]
 
@@ -313,7 +359,36 @@ def _run_partitioned_referential(
                         "detail": json.dumps({"reason": "orphan_key"}),
                     }
                 )
-    metrics.orphan_rows += sum(ray.get(recheck_refs))
+    fp_rows = sum(ray.get([r[0] for r in recheck_refs]))
+    metrics.orphan_rows += fp_rows
+    if fp_rows and len(metrics.violations) < cap:
+        # targeted sample wave for FP-discovered orphan keys (rare: needs
+        # real orphans that collided with the Bloom AND spare cap budget)
+        fp_keys = np.unique(
+            np.concatenate(ray.get([r[1] for r in recheck_refs]))
+        )
+        fp_ref = ray.put(fp_keys)
+        sample_task = ray.remote(_fp_sample_unit)
+        budget = cap - len(metrics.violations)
+        for samples in ray.get(
+            [
+                sample_task.remote(
+                    u, probe_columns, read_cols, expr_pickle, fp_ref, budget
+                )
+                for u in _scan_units(probe_files)
+            ]
+        ):
+            for s in samples:
+                if len(metrics.violations) < cap:
+                    metrics.violations.append(
+                        {
+                            "key": s,
+                            "side": "probe",
+                            "detail": json.dumps(
+                                {"reason": "orphan_key", "bloom_fp": True}
+                            ),
+                        }
+                    )
     return metrics
 
 

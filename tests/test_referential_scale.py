@@ -60,8 +60,18 @@ def test_partitioned_exact_under_heavy_false_positives(tables):
         bloom_threshold=10,
         bloom_fpp=0.5,  # every other negative is a false positive
         num_partitions=3,
+        cap=2000,  # leave sample budget after the ~250 definite orphans
     )
     assert m.orphan_rows == expected  # recheck makes counts row-exact
+    # FP-discovered orphan keys must also surface as display-value
+    # samples: under fpp=0.5 half the orphan keys pass the Bloom and are
+    # caught only by the recheck — those must appear as violations with
+    # a bloom_fp marker (P[no FP among 100 keys] = 2^-100)
+    import json
+
+    sampled = {json.loads(v["key"])["k"] for v in m.violations}
+    assert sampled and all(int(k) >= 900 for k in sampled)  # real orphans only
+    assert any(json.loads(v["detail"]).get("bloom_fp") for v in m.violations)
 
 
 def test_partitioned_no_orphans(tables):
