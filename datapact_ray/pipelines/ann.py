@@ -1,8 +1,9 @@
 """Similarity search over the ``embeddings`` table.
 
 * ``ann_topk_embeddings`` — exact brute-force cosine top-k: the query
-  vector is broadcast via ``ray.put`` once; each batch does one numpy
-  matmul and emits its local top-k; a tiny global sort+limit finishes.
+  vector rides in the pickled map fn (exported to the object store once
+  per execution — the broadcast); each batch does one numpy matmul and
+  emits its local top-k; a tiny global sort+limit finishes.
   DuckDB oracle via ``list_cosine_similarity``.
 * ``ann_lsh_embeddings`` — the scale path: hyperplane-LSH bucketing
   restricts the scan to the query's bucket neighborhood (rows-only
@@ -15,7 +16,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
-import ray
 
 from ..io import read_table
 from ._util import round_duck
@@ -35,11 +35,14 @@ def _query_vector(sf_dir: str, vec_id: int = 0) -> np.ndarray:
 
 
 class BruteForceScorer:
-    """Actor: query matrix fetched from the object store once per actor;
-    per-batch scoring is one matmul."""
+    """Pickled instance on warm workers: the 512-B query vector rides in
+    the pickled fn, which Ray exports to the object store once per
+    execution and each worker fetches once — the broadcast, without an
+    actor pool (pools paid multi-second spin-up per query; see
+    ``stages/profile.py``). Per-batch scoring is one matmul."""
 
-    def __init__(self, query_ref, k: int, exclude_id: int):
-        self.q = ray.get(query_ref)
+    def __init__(self, query: np.ndarray, k: int, exclude_id: int):
+        self.q = query
         self.qn = np.linalg.norm(self.q)
         self.k = k
         self.exclude_id = exclude_id
@@ -59,15 +62,12 @@ class BruteForceScorer:
 
 def ann_topk_embeddings(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Exact cosine top-k for the vec_id=0 query vector."""
-    q_ref = ray.put(_query_vector(sf_dir, 0))
     ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     scored = ds.map_batches(
-        BruteForceScorer,
-        fn_constructor_args=(q_ref, k, 0),
+        BruteForceScorer(_query_vector(sf_dir, 0), k, 0),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=8192,
-        concurrency=(1, 8),
     )
     top = scored.sort(["cos", "vec_id"], descending=[True, False]).limit(k)
     df = top.to_pandas().reset_index(drop=True)
@@ -84,13 +84,11 @@ def ann_lsh_embeddings(sf_dir: str, k: int = 10, bits: int = 8) -> pd.DataFrame:
     planes = rng.standard_normal((len(q), bits))
     q_sig = int((q @ planes > 0).astype(np.uint32) @ (1 << np.arange(bits, dtype=np.uint32)))
     near = {q_sig} | {q_sig ^ (1 << b) for b in range(bits)}
-    q_ref = ray.put(q)
-    planes_ref = ray.put(planes)
 
     class LshScorer:
         def __init__(self):
-            self.q = ray.get(q_ref)
-            self.planes = ray.get(planes_ref)
+            self.q = q
+            self.planes = planes
             self.qn = np.linalg.norm(self.q)
 
         def __call__(self, batch: pa.Table) -> pd.DataFrame:
@@ -111,8 +109,8 @@ def ann_lsh_embeddings(sf_dir: str, k: int = 10, bits: int = 8) -> pd.DataFrame:
 
     ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     scored = ds.map_batches(
-        LshScorer, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=8192, concurrency=(1, 4),
+        LshScorer(), batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=8192,
     )
     approx = scored.sort(["cos", "vec_id"], descending=[True, False]).limit(k).to_pandas()
     exact = ann_topk_embeddings(sf_dir, k)
@@ -162,8 +160,8 @@ def ann_ivf_embeddings(
     ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     class PartialSums:
-        def __init__(self, cent_ref):
-            self.cent = ray.get(cent_ref)
+        def __init__(self, cent: np.ndarray):
+            self.cent = cent
 
         def __call__(self, batch: pa.Table) -> pd.DataFrame:
             df = batch.to_pandas()
@@ -182,15 +180,14 @@ def ann_ivf_embeddings(
                 }
             )
 
+    # the centroid matrix (n_lists × dim float64, ~8 KB) rides in the
+    # pickled fn — Ray exports it once per execution; workers fetch once
     for _ in range(train_iters):
-        cent_ref = ray.put(cent)
         partials = ds.map_batches(
-            PartialSums,
-            fn_constructor_args=(cent_ref,),
+            PartialSums(cent),
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=8192,
-            concurrency=(1, 8),
         ).to_pandas()
         dim = cent.shape[1]
         sums = np.zeros((n_lists, dim))
@@ -205,12 +202,11 @@ def ann_ivf_embeddings(
     q = _query_vector(sf_dir, 0)
     qn = q / np.linalg.norm(q).clip(min=1e-12)
     probed = set(np.argsort(-(cent @ qn))[:n_probe].tolist())
-    q_ref, cent_ref = ray.put(q), ray.put(cent)
 
     class IvfScorer:
         def __init__(self):
-            self.q = ray.get(q_ref)
-            self.cent = ray.get(cent_ref)
+            self.q = q
+            self.cent = cent
             self.qn = np.linalg.norm(self.q)
 
         def __call__(self, batch: pa.Table) -> pd.DataFrame:
@@ -227,8 +223,8 @@ def ann_ivf_embeddings(
             ).sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
 
     scored = ds.map_batches(
-        IvfScorer, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=8192, concurrency=(1, 8),
+        IvfScorer(), batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=8192,
     ).to_pandas()
     approx = scored.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
     exact = ann_topk_embeddings(sf_dir, k)

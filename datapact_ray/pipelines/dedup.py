@@ -174,17 +174,22 @@ def _est_pairs_from_band(g: pd.DataFrame, max_group: int) -> pd.DataFrame:
 
 class _CandidateShingles:
     """Second-pass map stage: recompute shingle sets ONLY for candidate
-    documents (id set broadcast once per actor) and key every pair
-    participant by its pair id for the verify shuffle."""
+    documents (id set broadcast once, memoized per worker process) and
+    key every pair participant by its pair id for the verify shuffle."""
 
     def __init__(self, doc_pairs_ref, num_buckets: int, shingle_k: int = SHINGLE_K):
-        self.doc_pairs: dict[int, list[int]] = ray.get(doc_pairs_ref)
+        self.doc_pairs_ref = doc_pairs_ref
         self.num_buckets = num_buckets
         self.shingle_k = shingle_k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..warmcache import get_or_build
+
+        doc_pairs: dict[int, list[int]] = get_or_build(
+            self.doc_pairs_ref, lambda: ray.get(self.doc_pairs_ref)
+        )
         df = batch.to_pandas()
-        mask = df["doc_id"].isin(self.doc_pairs.keys())
+        mask = df["doc_id"].isin(doc_pairs.keys())
         df = df[mask]
         out = {"pair_id": [], "doc_id": [], "shingles": []}
         if len(df):
@@ -193,7 +198,7 @@ class _CandidateShingles:
             bounds = np.cumsum(shc) - shc
             for i, doc_id in enumerate(df["doc_id"].to_numpy()):
                 blob = np.unique(sh[bounds[i] : bounds[i] + shc[i]]).tobytes()
-                for pid in self.doc_pairs[int(doc_id)]:
+                for pid in doc_pairs[int(doc_id)]:
                     out["pair_id"].append(pid)
                     out["doc_id"].append(int(doc_id))
                     out["shingles"].append(blob)
@@ -239,13 +244,13 @@ def minhash_candidate_pairs(
     small fraction of the corpus, which LSH banding at τ≈0.5 enforces."""
     ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     num_buckets = _dedup_buckets()
+    # pickled instance on warm workers (profile precedent): the hash
+    # coefficients are <1 KB of seeded numpy state, not worth a pool
     banded = ds.map_batches(
-        MinHasher,
-        fn_constructor_args=(64, 16, SHINGLE_K, num_buckets),
+        MinHasher(64, 16, SHINGLE_K, num_buckets),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=2048,
-        concurrency=(1, 8),
     )
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
@@ -288,12 +293,10 @@ def minhash_candidate_pairs(
     doc_pairs_ref = ray.put(doc_pairs)
 
     shingle_rows = ds.map_batches(
-        _CandidateShingles,
-        fn_constructor_args=(doc_pairs_ref, num_buckets),
+        _CandidateShingles(doc_pairs_ref, num_buckets),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=2048,
-        concurrency=(1, 8),
     )
 
     def bucket_verify(df: pd.DataFrame) -> pd.DataFrame:
@@ -439,12 +442,10 @@ def _exact_jaccard_pair_arrays(
     ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     num_buckets = _dedup_buckets()
     rows = ds.map_batches(
-        _ShingleRows,
-        fn_constructor_args=(num_buckets,),
+        _ShingleRows(num_buckets),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=2048,
-        concurrency=(1, 8),
     )
     pairs = _grouped_frames(rows, num_buckets, _bucket_intersections)
     if pairs.empty or "a" not in pairs.columns:
@@ -508,12 +509,10 @@ def simhash_dedup_documents(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     num_buckets = _dedup_buckets()
     banded = ds.map_batches(
-        SimHasher,
-        fn_constructor_args=(4, num_buckets),
+        SimHasher(4, num_buckets),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=2048,
-        concurrency=(1, 8),
     )
 
     def pairs_fn(g: pd.DataFrame) -> pd.DataFrame:
@@ -624,12 +623,10 @@ def embedding_neardup_documents(sf_dir: str, threshold: float = 0.95) -> pd.Data
     ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     num_buckets = _dedup_buckets()
     bucketed = ds.map_batches(
-        HyperplaneLSH,
-        fn_constructor_args=(64, 12, num_buckets),
+        HyperplaneLSH(64, 12, num_buckets),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=4096,
-        concurrency=(1, 8),
     )
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
@@ -682,22 +679,33 @@ def embedding_neardup_documents(sf_dir: str, threshold: float = 0.95) -> pd.Data
 
 class _ExactPairCounter:
     """Brute-force cosine pair counter: the full (id, matrix) table is
-    pulled from OBJECT-STORE BLOCK REFS once per actor (driver holds only
-    refs, never the matrix); each batch is one matmul against it."""
+    pulled from OBJECT-STORE BLOCK REFS once per worker process (driver
+    holds only refs, never the matrix; the built matrix is memoized in
+    ``warmcache`` so every task on a warm worker reuses it); each batch
+    is one matmul against it."""
 
     def __init__(self, block_refs, threshold: float):
-        tables = ray.get(list(block_refs))
-        ids, mats = [], []
-        for t in tables:
-            df = t.to_pandas()
-            ids.append(df["vec_id"].to_numpy(dtype=np.int64))
-            mats.append(np.stack(df["embedding"].to_numpy()).astype(np.float64))
-        self.ids = np.concatenate(ids)
-        self.mat = np.vstack(mats)
-        self.norms = np.linalg.norm(self.mat, axis=1).clip(min=1e-12)
+        self.block_refs = list(block_refs)
         self.threshold = threshold
 
+    def _state(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        def build():
+            tables = ray.get(self.block_refs)
+            ids, mats = [], []
+            for t in tables:
+                df = t.to_pandas()
+                ids.append(df["vec_id"].to_numpy(dtype=np.int64))
+                mats.append(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+            all_ids = np.concatenate(ids)
+            mat = np.vstack(mats)
+            return all_ids, mat, np.linalg.norm(mat, axis=1).clip(min=1e-12)
+
+        from ..warmcache import get_or_build
+
+        return get_or_build(("exact_pairs", *self.block_refs), build)
+
     def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        self.ids, self.mat, self.norms = self._state()
         df = batch.to_pandas()
         a_ids = df["vec_id"].to_numpy(dtype=np.int64)
         a = np.stack(df["embedding"].to_numpy()).astype(np.float64)
@@ -720,18 +728,18 @@ def embedding_exact_pairs(sf_dir: str, threshold: float = 0.95) -> pd.DataFrame:
     Scale assumption (documented): ONE side of the cross product fits in
     the object store as a broadcast (~0.5 GB per 10^6 x 64-d float64);
     beyond that the LSH-bucketed variant is the scale path."""
-    ds = read_table(
+    from ..shuffle import arrow_block_refs
+
+    mat = read_table(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
-    block_refs = ds.materialize().to_arrow_refs()
+    ).materialize()
+    block_refs = arrow_block_refs(mat)
     out = (
-        ds.map_batches(
-            _ExactPairCounter,
-            fn_constructor_args=(block_refs, threshold),
+        mat.map_batches(
+            _ExactPairCounter(block_refs, threshold),
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=4096,
-            concurrency=(1, 8),
         )
         .to_pandas()
         .sum()
@@ -827,7 +835,10 @@ def _cc_hash_to_min(
             * np.uint64(0x9E3779B97F4A7C15)
             % np.uint64(num_buckets)
         ).astype(np.int32)
-        ds = ray.data.from_pandas(state)
+        # from_arrow, not from_pandas: the explicit shuffle's split task
+        # consumes Arrow blocks (arrow_block_refs skips the conversion
+        # probe to_arrow_refs used to pay a full re-execution for)
+        ds = ray.data.from_arrow(pa.Table.from_pandas(state, preserve_index=False))
         state = _grouped_frames(ds, num_buckets, propagate)
         labels = state.groupby("node")["member"].min()
         if prev_labels is not None and labels.equals(prev_labels):

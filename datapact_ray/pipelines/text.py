@@ -124,12 +124,13 @@ class Fingerprinter:
 
 def _featurized(sf_dir: str, columns: list[str]):
     ds = read_table(f"{sf_dir}/documents.parquet", columns=columns)
+    # pickled instance on warm workers (stages/profile.py precedent):
+    # state is two compiled regexes + stopword frozensets, no pool needed
     return ds.map_batches(
-        TextFeaturizer,
+        TextFeaturizer(),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=4096,
-        concurrency=(1, 8),
     )
 
 
@@ -211,11 +212,10 @@ def fingerprint_documents(sf_dir: str) -> pd.DataFrame:
     """Distinct rolling-hash fingerprints (rows-only)."""
     ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     fps = ds.map_batches(
-        Fingerprinter,
+        Fingerprinter(),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=4096,
-        concurrency=(1, 8),
     )
     distinct = fps.unique("fingerprint")
     n_docs = fps.count()

@@ -33,6 +33,8 @@ import ray.data
 
 def _split_by_bucket(table: pa.Table, num_buckets: int) -> list[pa.Table]:
     """Split one block into per-bucket sub-tables (vectorized sort+slice)."""
+    if isinstance(table, pd.DataFrame):  # block from a pandas producer
+        table = pa.Table.from_pandas(table, preserve_index=False)
     if table.num_rows == 0:
         return [table.slice(0, 0)] * num_buckets
     buckets = table.column("__bucket").to_numpy(zero_copy_only=False)
@@ -183,6 +185,25 @@ def parquet_bucket_shuffle(
     return [blob for blob in ray.get(blobs) if blob is not None]
 
 
+def arrow_block_refs(ds: ray.data.Dataset) -> list:
+    """Execute the dataset and collect its block ObjectRefs directly from
+    the internal ref bundles.
+
+    ``Dataset.to_arrow_refs()`` in Ray 2.49 calls
+    ``self.schema(fetch_if_missing=True)`` AFTER consuming the ref
+    bundles; post-consumption the schema is no longer cached, so that
+    call re-plans and re-executes the ENTIRE upstream pipeline under a
+    ``limit=1`` (including actor-pool spin-up) — every shuffle paid the
+    pipeline twice. All callers here feed blocks produced by
+    ``batch_format="pyarrow"`` stages, so the blocks are Arrow tables
+    already and the schema probe (which only guards a pandas->Arrow
+    conversion path) is dead weight we skip."""
+    refs: list = []
+    for bundle in ds.iter_internal_ref_bundles():
+        refs.extend(bundle.block_refs)
+    return refs
+
+
 def bucket_shuffle(
     parts: list[ray.data.Dataset],
     num_buckets: int,
@@ -200,16 +221,16 @@ def bucket_shuffle(
     reduce_task = ray.remote(_reduce_bucket)
     checker_ref = ray.put(checker_fn)
 
-    # materialize all projected parts CONCURRENTLY (each .to_arrow_refs is
-    # a blocking Ray Data execution; serializing them doubles the fixed
-    # per-execution overhead)
+    # materialize all projected parts CONCURRENTLY (each arrow_block_refs
+    # is a blocking Ray Data execution; serializing them doubles the
+    # fixed per-execution overhead)
     if len(parts) > 1:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=len(parts)) as pool:
-            ref_lists = list(pool.map(lambda p: p.to_arrow_refs(), parts))
+            ref_lists = list(pool.map(arrow_block_refs, parts))
     else:
-        ref_lists = [parts[0].to_arrow_refs()]
+        ref_lists = [arrow_block_refs(parts[0])]
 
     shard_lists: list = []
     for block_refs in ref_lists:
