@@ -81,6 +81,7 @@ _INTERVAL_UNITS = {
 class _Tok:
     kind: str  # string|number|op|arith|lparen|rparen|comma|ident|kw
     value: str
+    raw: str = ""  # original spelling (kw tokens: pre-uppercase text)
 
 
 def _now() -> datetime:
@@ -124,7 +125,7 @@ def _tokenize(text: str) -> list[_Tok]:
         kind = m.lastgroup
         value = m.group(kind)
         if kind == "ident" and value.upper() in _KEYWORDS:
-            toks.append(_Tok("kw", value.upper()))
+            toks.append(_Tok("kw", value.upper(), raw=value))
         else:
             toks.append(_Tok(kind, value))
     return toks
@@ -243,8 +244,19 @@ class _Parser:
             return node
         return self.parse_predicate()
 
+    _COLUMN_OK_KEYWORDS = frozenset(
+        # function-like / literal-prefix keywords are unambiguous in
+        # column position (a column named `interval` or `now` is legal in
+        # event schemas); structural keywords (AND, NOT, IS, ...) stay
+        # reserved. Backtick quoting remains the escape hatch for those.
+        {"CURRENT_DATE", "CURRENT_TIMESTAMP", "NOW", "INTERVAL",
+         "DATE_SUB", "DATE_ADD", "TIMESTAMP", "DATE"}
+    )
+
     def _ident(self) -> Col:
         tok = self.next()
+        if tok.kind == "kw" and tok.value in self._COLUMN_OK_KEYWORDS:
+            return Col(tok.raw)  # original spelling — columns are case-sensitive
         if tok.kind != "ident":
             raise ValueError(f"Expected column name, got {tok.value!r}")
         name = tok.value

@@ -3,14 +3,16 @@ embedding-cosine near-dup.
 
 All are Ray-Data-first and obey the repo's shuffle rule: **only
 fixed-width artifacts enter an exchange**. The LSH stage ships
-``(band_id, band_key, doc_id, sig)`` — 8-byte keys plus the 512-byte
-signature — never shingles or text. Exact-Jaccard verification runs as a
-SECOND pass restricted to candidate documents: the candidate doc-id set
-is broadcast, only those documents' shingle sets are recomputed (a
-vanishing fraction of the corpus), and each candidate pair is joined to
-its two shingle sets through one small shuffle keyed on pair id. At
-10^12-doc scale the LSH exchange is ~600 B/doc and the verify exchange
-is proportional to the near-duplicate rate, not the corpus.
+``(band_id, band_key, doc_id)`` — 20 bytes per band row, ~320 B/doc at
+16 bands — never signatures, shingles or text. Exact-Jaccard
+verification (and the MinHash estimate) runs as a SECOND pass
+restricted to candidate documents: the candidate doc-id set is
+broadcast, only those documents' shingle sets and signatures are
+recomputed (a vanishing fraction of the corpus), and each candidate
+pair is joined to its two shingle sets through one small shuffle keyed
+on pair id. At 10^12-doc scale the LSH exchange is ~320 B/doc and the
+verify exchange is proportional to the near-duplicate rate, not the
+corpus.
 
 Group-size caps are never silent: pair generation over an LSH collision
 group caps the per-group doc count, and the number of docs dropped by
@@ -43,6 +45,19 @@ from ._tokens import (
 )
 
 SHINGLE_K = 3
+
+
+def _minhash_coeffs(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
+    """Seeded multiply-add MinHash coefficients — shared by the LSH map
+    stage and the verify pass (which recomputes candidate signatures so
+    they never have to ride the band shuffle). Odd multipliers ->
+    bijective wrapping multiply-add hashes."""
+    rng = np.random.default_rng(1234)
+    a = (
+        rng.integers(1, 1 << 62, num_perm).astype(np.uint64) << np.uint64(1)
+    ) | np.uint64(1)
+    b = rng.integers(0, 1 << 63, num_perm).astype(np.uint64)
+    return a, b
 
 
 def _dedup_buckets() -> int:
@@ -100,12 +115,7 @@ class MinHasher:
         shingle_k: int = SHINGLE_K,
         num_buckets: int = 64,
     ):
-        rng = np.random.default_rng(1234)
-        # odd multipliers -> bijective wrapping multiply-add hashes
-        self.a = (
-            rng.integers(1, 1 << 62, num_perm).astype(np.uint64) << np.uint64(1)
-        ) | np.uint64(1)
-        self.b = rng.integers(0, 1 << 63, num_perm).astype(np.uint64)
+        self.a, self.b = _minhash_coeffs(num_perm)
         self.num_perm = num_perm
         self.bands = bands
         self.shingle_k = shingle_k
@@ -120,67 +130,74 @@ class MinHasher:
         bk = band_keys(sig, self.bands)  # (n, bands) int64
         n = len(df)
         doc_ids = df["doc_id"].to_numpy(dtype=np.int64)
-        sig_bytes = [sig[i].tobytes() for i in range(n)]
         band_ids = np.tile(np.arange(self.bands, dtype=np.uint64), n)
         bucket = (
             (bk.ravel().view(np.uint64) * np.uint64(0x9E3779B97F4A7C15) + band_ids)
             % np.uint64(self.num_buckets)
         ).astype(np.int32)
+        # 20 B/row fixed width — the signature does NOT enter the band
+        # shuffle (it used to ride every one of the `bands` rows, making
+        # the exchange ~8.5 KB/doc; estimates are now computed in the
+        # candidate-only verify pass from recomputed signatures)
         return pa.table(
             {
                 "band_id": pa.array(band_ids.astype(np.int32)),
                 "band_key": pa.array(bk.ravel()),
                 "doc_id": pa.array(np.repeat(doc_ids, self.bands)),
-                "sig": pa.array(
-                    [s for s in sig_bytes for _ in range(self.bands)],
-                    type=pa.binary(),
-                ),
                 "__bucket": pa.array(bucket),
             }
         )
 
 
-def _est_pairs_from_band(g: pd.DataFrame, max_group: int) -> pd.DataFrame:
-    """All pairs within one (band_id, band_key) collision group with the
-    MinHash Jaccard estimate — vectorized signature comparison. Groups
-    larger than ``max_group`` are capped with explicit accounting
-    (``capped`` column carries the dropped-doc count on one marker row).
-    """
-    cols = {"a": [], "b": [], "est_jaccard": [], "capped": []}
-    g = g.drop_duplicates("doc_id")
-    dropped = max(0, len(g) - max_group)
-    g = g.sort_values("doc_id", kind="stable").head(max_group)
+def _pairs_from_band(g: pd.DataFrame, max_group: int) -> pd.DataFrame:
+    """All candidate pairs within one (band_id, band_key) collision
+    group. Groups larger than ``max_group`` are capped with explicit
+    accounting: each dropped doc's id is emitted on a marker row
+    (``a=-1, b=doc_id, capped=1``) so the driver can count DISTINCT
+    dropped docs across bands — summing per-band drop counts would
+    overstate the loss up to bands× (the same doc drops from the same
+    oversized group in every band)."""
+    cols = {"a": [], "b": [], "capped": []}
+    g = g.drop_duplicates("doc_id").sort_values("doc_id", kind="stable")
+    dropped_ids = g["doc_id"].to_numpy()[max_group:]
+    g = g.head(max_group)
     m = len(g)
     if m < 2:
         out = pd.DataFrame(cols)
     else:
-        sig = np.frombuffer(b"".join(g["sig"]), dtype=np.uint64).reshape(m, -1)
-        est = (sig[:, None, :] == sig[None, :, :]).mean(axis=2)
         ii, jj = np.triu_indices(m, k=1)
         ids = g["doc_id"].to_numpy()
         a = np.minimum(ids[ii], ids[jj])
         b = np.maximum(ids[ii], ids[jj])
-        out = pd.DataFrame(
-            {"a": a, "b": b, "est_jaccard": est[ii, jj], "capped": 0}
-        )
-    if dropped:
+        out = pd.DataFrame({"a": a, "b": b, "capped": 0})
+    if len(dropped_ids):
         out = pd.concat(
-            [out, pd.DataFrame({"a": [-1], "b": [-1], "est_jaccard": [0.0],
-                                "capped": [dropped]})],
+            [out, pd.DataFrame({"a": -1, "b": dropped_ids, "capped": 1})],
             ignore_index=True,
         )
     return out
 
 
 class _CandidateShingles:
-    """Second-pass map stage: recompute shingle sets ONLY for candidate
-    documents (id set broadcast once, memoized per worker process) and
-    key every pair participant by its pair id for the verify shuffle."""
+    """Second-pass map stage: recompute shingle sets AND MinHash
+    signatures ONLY for candidate documents (id set broadcast once,
+    memoized per worker process) and key every pair participant by its
+    pair id for the verify shuffle. Signatures are recomputed here (same
+    seeded coefficients as the LSH stage) rather than shipped through
+    the band shuffle — verify traffic is candidate-sized, not
+    corpus-sized."""
 
-    def __init__(self, doc_pairs_ref, num_buckets: int, shingle_k: int = SHINGLE_K):
+    def __init__(
+        self,
+        doc_pairs_ref,
+        num_buckets: int,
+        shingle_k: int = SHINGLE_K,
+        num_perm: int = 64,
+    ):
         self.doc_pairs_ref = doc_pairs_ref
         self.num_buckets = num_buckets
         self.shingle_k = shingle_k
+        self.num_perm = num_perm
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..warmcache import get_or_build
@@ -191,23 +208,28 @@ class _CandidateShingles:
         df = batch.to_pandas()
         mask = df["doc_id"].isin(doc_pairs.keys())
         df = df[mask]
-        out = {"pair_id": [], "doc_id": [], "shingles": []}
+        out = {"pair_id": [], "doc_id": [], "shingles": [], "sig": []}
         if len(df):
+            ca, cb = _minhash_coeffs(self.num_perm)
             flat, counts = flat_tokens(df["text"].astype(str))
             sh, shc = shingle_hashes(token_hashes(flat), counts, self.shingle_k)
+            sig = minhash_signatures(sh, shc, ca, cb)
             bounds = np.cumsum(shc) - shc
             for i, doc_id in enumerate(df["doc_id"].to_numpy()):
                 blob = np.unique(sh[bounds[i] : bounds[i] + shc[i]]).tobytes()
+                sig_blob = sig[i].tobytes()
                 for pid in doc_pairs[int(doc_id)]:
                     out["pair_id"].append(pid)
                     out["doc_id"].append(int(doc_id))
                     out["shingles"].append(blob)
+                    out["sig"].append(sig_blob)
         pair_ids = np.asarray(out["pair_id"], dtype=np.int64)
         return pa.table(
             {
                 "pair_id": pa.array(pair_ids),
                 "doc_id": pa.array(np.asarray(out["doc_id"], dtype=np.int64)),
                 "shingles": pa.array(out["shingles"], type=pa.binary()),
+                "sig": pa.array(out["sig"], type=pa.binary()),
                 "__bucket": pa.array(
                     (pair_ids % self.num_buckets).astype(np.int32)
                 ),
@@ -218,15 +240,18 @@ class _CandidateShingles:
 def _exact_jaccard_of_pair(g: pd.DataFrame) -> pd.DataFrame:
     rows = g.drop_duplicates("doc_id")
     if len(rows) != 2:
-        return pd.DataFrame({"pair_id": [], "jaccard": []})
+        return pd.DataFrame({"pair_id": [], "jaccard": [], "est_jaccard": []})
     sa = np.frombuffer(rows["shingles"].iloc[0], dtype=np.uint64)
     sb = np.frombuffer(rows["shingles"].iloc[1], dtype=np.uint64)
     inter = len(np.intersect1d(sa, sb, assume_unique=True))
     union = len(sa) + len(sb) - inter
+    siga = np.frombuffer(rows["sig"].iloc[0], dtype=np.uint64)
+    sigb = np.frombuffer(rows["sig"].iloc[1], dtype=np.uint64)
     return pd.DataFrame(
         {
             "pair_id": [int(g["pair_id"].iloc[0])],
             "jaccard": [inter / union if union else 1.0],
+            "est_jaccard": [float((siga == sigb).mean())],
         }
     )
 
@@ -258,7 +283,7 @@ def minhash_candidate_pairs(
         sizes = df.groupby(["band_id", "band_key"])["doc_id"].transform("size")
         df = df[sizes >= 2]
         frames = [
-            _est_pairs_from_band(g, max_group)
+            _pairs_from_band(g, max_group)
             for _, g in df.groupby(["band_id", "band_key"], sort=False)
         ]
         return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
@@ -272,16 +297,19 @@ def minhash_candidate_pairs(
             ),
             0,
         )
-    capped_docs = int(pairs["capped"].sum())
+    # DISTINCT docs dropped by a group cap (a doc capped out of the same
+    # oversized group in all 16 bands counts once, not 16 times)
+    capped_docs = int(pairs.loc[pairs["capped"] == 1, "b"].nunique())
     pairs = pairs[pairs["a"] >= 0]
-    # dedupe pairs discovered by multiple bands (keep max estimate; the
-    # estimate is identical across bands anyway — same signatures)
+    # dedupe pairs discovered by multiple bands
     pairs = (
-        pairs.groupby(["a", "b"], as_index=False)["est_jaccard"].max()
+        pairs[["a", "b"]]
+        .drop_duplicates()
         .sort_values(["a", "b"], kind="stable")
         .reset_index(drop=True)
     )
     if len(pairs) == 0:
+        pairs["est_jaccard"] = pd.Series([], dtype="float64")
         pairs["jaccard"] = pd.Series([], dtype="float64")
         return pairs, capped_docs
 
@@ -309,10 +337,14 @@ def minhash_candidate_pairs(
     verified = _grouped_frames(shingle_rows, num_buckets, bucket_verify)
     if verified.empty:
         verified = pd.DataFrame({"pair_id": pd.Series([], dtype="int64"),
-                                 "jaccard": pd.Series([], dtype="float64")})
+                                 "jaccard": pd.Series([], dtype="float64"),
+                                 "est_jaccard": pd.Series([], dtype="float64")})
     pairs = pairs.merge(verified, on="pair_id", how="left")
     pairs["jaccard"] = pairs["jaccard"].fillna(0.0)
-    return pairs.drop(columns=["pair_id"]), capped_docs
+    pairs["est_jaccard"] = pairs["est_jaccard"].fillna(0.0)
+    return pairs.drop(columns=["pair_id"])[
+        ["a", "b", "est_jaccard", "jaccard"]
+    ], capped_docs
 
 
 def minhash_dedup_documents(sf_dir: str) -> pd.DataFrame:
@@ -517,7 +549,7 @@ def simhash_dedup_documents(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
 
     def pairs_fn(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates("doc_id").sort_values("doc_id", kind="stable")
-        dropped = max(0, len(g) - 512)
+        dropped_ids = g["doc_id"].to_numpy()[512:]
         g = g.head(512)
         ids = g["doc_id"].to_numpy()
         hs = g["simhash"].to_numpy().view(np.uint64)
@@ -532,10 +564,12 @@ def simhash_dedup_documents(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
                 out["hamming"].append(int(ham[off]))
         df = pd.DataFrame(out)
         df["capped"] = 0
-        if dropped:
+        if len(dropped_ids):
+            # one marker row per dropped doc id -> driver counts DISTINCT
+            # dropped docs (summing per-band counts overstated ×bands)
             df = pd.concat(
-                [df, pd.DataFrame({"a": [-1], "b": [-1], "hamming": [0],
-                                   "capped": [dropped]})],
+                [df, pd.DataFrame({"a": -1, "b": dropped_ids, "hamming": 0,
+                                   "capped": 1})],
                 ignore_index=True,
             )
         return df
@@ -553,7 +587,7 @@ def simhash_dedup_documents(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
         return pd.DataFrame(
             {"dup_pairs": [0], "dup_docs": [0], "capped_docs": [0]}
         )
-    capped = int(df["capped"].sum())
+    capped = int(df.loc[df["capped"] == 1, "b"].nunique())
     df = df[df["a"] >= 0].drop_duplicates(["a", "b"])
     dup_docs = set(df["a"]).union(df["b"]) if len(df) else set()
     return pd.DataFrame(
@@ -632,7 +666,7 @@ def embedding_neardup_documents(sf_dir: str, threshold: float = 0.95) -> pd.Data
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         out = {"a": [], "b": [], "cos": [], "capped": []}
         g = g.drop_duplicates("vec_id").sort_values("vec_id", kind="stable")
-        dropped = max(0, len(g) - 500)
+        dropped_ids = g["vec_id"].to_numpy()[500:]
         g = g.head(500)
         if len(g) < 2:
             df = pd.DataFrame(out)
@@ -652,10 +686,10 @@ def embedding_neardup_documents(sf_dir: str, threshold: float = 0.95) -> pd.Data
                 out["cos"].append(float(np.round(sims[i, j], 4)))
                 out["capped"].append(0)
             df = pd.DataFrame(out)
-        if dropped:
+        if len(dropped_ids):
             df = pd.concat(
-                [df, pd.DataFrame({"a": [-1], "b": [-1], "cos": [0.0],
-                                   "capped": [dropped]})],
+                [df, pd.DataFrame({"a": -1, "b": dropped_ids, "cos": 0.0,
+                                   "capped": 1})],
                 ignore_index=True,
             )
         return df
@@ -669,7 +703,7 @@ def embedding_neardup_documents(sf_dir: str, threshold: float = 0.95) -> pd.Data
     df = _grouped_frames(bucketed, num_buckets, bucket_verify)
     if df.empty or "a" not in df.columns:  # zero candidate pairs anywhere
         return pd.DataFrame({"dup_pairs": [0], "dup_vecs": [0], "capped_vecs": [0]})
-    capped = int(df["capped"].sum())
+    capped = int(df.loc[df["capped"] == 1, "b"].nunique())
     df = df[df["a"] >= 0].drop_duplicates(["a", "b"])
     dup_docs = set(df["a"]).union(df["b"]) if len(df) else set()
     return pd.DataFrame(

@@ -255,11 +255,6 @@ class ValidationRunner:
             cluster_cpus,
             min(4096, est_rows // cfg.target_rows_per_bucket + 1),
         )
-        # salting only pays when one conversation would dominate a bucket;
-        # below that, hash bucketing absorbs the skew on its own
-        hot_threshold = max(
-            cfg.hot_key_threshold, 2 * (est_rows // num_buckets) if est_rows else 0
-        )
         # resume: bucket ids depend on num_buckets (sized from the LIVE
         # cluster above) and on the hash version — a resumed run must use
         # the ORIGINAL bucketing and identical inputs, or checkpointed
@@ -288,6 +283,16 @@ class ValidationRunner:
             if prev_buckets:
                 num_buckets = prev_buckets
         lineage["partitioning"]["num_buckets"] = num_buckets
+        # salting only pays when one conversation would dominate a bucket;
+        # below that, hash bucketing absorbs the skew on its own.
+        # Computed AFTER resume adopts the checkpointed num_buckets: the
+        # hot/cold split decides each row's bucket routing, so a resumed
+        # run on a different-size cluster must derive it from the SAME
+        # bucket count as the original run or reused checkpoints would
+        # mix incompatible routings.
+        hot_threshold = max(
+            cfg.hot_key_threshold, 2 * (est_rows // num_buckets) if est_rows else 0
+        )
         _atomic_write(lineage_path, json.dumps(lineage, indent=1).encode())
 
         # referential + custom checks don't consume profile output — start

@@ -85,7 +85,15 @@ def _scan_units(files: list[str], target_bytes: int = 96 << 20) -> list[list[tup
         groups: list[int] = []
         for rg in range(meta.num_row_groups):
             groups.append(rg)
-            cur_size += meta.row_group(rg).total_byte_size
+            # COMPRESSED bytes, to match the on-disk-derived target:
+            # total_byte_size is uncompressed, which at a typical 3x
+            # snappy ratio flushed units 3x early and tripled the map
+            # fan-out (and with it the M×B shuffle-object count)
+            rg_meta = meta.row_group(rg)
+            cur_size += sum(
+                rg_meta.column(c).total_compressed_size
+                for c in range(rg_meta.num_columns)
+            )
             if cur_size >= target_bytes:
                 cur.append((f, groups))
                 groups = []

@@ -101,7 +101,17 @@ def render_custom_sql(
         "table_fqn": SOURCE_VIEW if side == "source" else TARGET_VIEW,
         "rendered_role": side,
     }
-    return jinja2.Template(sql).render(**common, **per_side).strip()
+    # StrictUndefined: a typo'd placeholder ({{ source_fq }}) must fail
+    # at render with the variable name, not render to '' and surface as
+    # an unrelated DuckDB syntax error (or a silently wrong query)
+    template = jinja2.Template(sql, undefined=jinja2.StrictUndefined)
+    try:
+        return template.render(**common, **per_side).strip()
+    except jinja2.UndefinedError as exc:
+        raise ValueError(
+            f"custom SQL references an unknown template variable: {exc}. "
+            f"Available: {sorted({**common, **per_side})}"
+        ) from None
 
 
 def _canonical_row_md5(df: pd.DataFrame) -> list[str]:

@@ -197,8 +197,15 @@ def _probe_chunk_partitioned(
         table = table.filter(_pickle.loads(filter_expr_pickle))
     # blooms_ref arrives as [ObjectRef] (nested refs are not auto-resolved
     # by Ray, so the bloom list ships once via the object store, not once
-    # per task argument)
-    blooms = [BloomFilter.from_bytes(b) for b in ray.get(blooms_ref[0])]
+    # per task argument). Deserialization is memoized per worker process:
+    # at est_ref_rows=1e9 / fpp=1e-3 the P Blooms total ~1.8 GB, and
+    # paying from_bytes in EVERY probe task would dominate the wave.
+    from ..warmcache import get_or_build
+
+    blooms = get_or_build(
+        blooms_ref[0],
+        lambda: [BloomFilter.from_bytes(b) for b in ray.get(blooms_ref[0])],
+    )
     h = hash_arrow_u64(table, columns)
     part = (h % np.uint64(num_partitions)).astype(np.int64)
     present = np.zeros(len(h), dtype=bool)

@@ -159,3 +159,10 @@ def test_genie_latest_run_dedup_and_issue_types(history):
     assert len(issues) == 2
     adesc = issues[issues["validation_name"] == "a"].iloc[0]["issue_description"]
     assert adesc == "Expected 100 rows but found 90"
+
+
+def test_unknown_template_variable_fails_loudly():
+    # a typo'd placeholder must raise with the variable name, not render
+    # to '' and surface as an unrelated DuckDB syntax error
+    with pytest.raises(ValueError, match="source_fq"):
+        render_custom_sql("SELECT * FROM {{ source_fq }}", "source")

@@ -110,3 +110,24 @@ def test_bad_filters_raise():
 def test_blank_returns_none():
     assert compile_filter(None) is None
     assert compile_filter("  ") is None
+
+
+def test_keyword_named_columns_parse():
+    # function-like/literal-prefix keywords are legal in column position
+    # (a column named `interval` or `now` is plausible in event schemas);
+    # original spelling is preserved (columns are case-sensitive)
+    from datapact_ray.expr import Cmp, Col
+
+    ast = parse_filter("Interval = 3")
+    assert ast == Cmp("=", Col("Interval"), ast.lit)
+    assert parse_filter("now > 5").col.name == "now"
+    assert parse_filter("`interval` = 3").col.name == "interval"
+    # structural keywords stay reserved
+    with pytest.raises(ValueError):
+        parse_filter("and = 1")
+
+
+def test_keyword_column_vs_function_use():
+    # the same spelling still works as a literal on the right-hand side
+    ast = parse_filter("ts >= current_date() - INTERVAL 1 DAY")
+    assert ast.col.name == "ts"
