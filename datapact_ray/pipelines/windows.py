@@ -257,11 +257,112 @@ def asof_value_per_order(
     )
 
 
+def range_join_orders_lineitem(
+    sf_dir: str, window_days: int = 7, num_buckets: int | None = None
+) -> pd.DataFrame:
+    """Equi-key + time-range join: every (order, lineitem) pair where
+    the lineitem's (coarse) supplier key matches the order's customer
+    key AND the ship date falls inside ``[o_orderdate, o_orderdate +
+    window_days)``. Summary output: pair count, orders with >=1 match,
+    rounded extended-price sum.
+
+    Partitioning mirrors the as-of join: both sides bucket by
+    spread-hash(key) % B with B sized from the input rows; within a
+    bucket, lineitems are sorted by (key, ship_ts) once and each key's
+    orders resolve their window with two vectorized ``np.searchsorted``
+    calls against the key's slice — pair counts are ``hi - lo`` and
+    value sums come from a prefix-sum, so the (potentially quadratic)
+    pair list is never materialized. The loop is over DISTINCT keys in
+    the bucket (vectorized inside), and the partitioning assumption is
+    the as-of join's: one key's rows fit in one bucket."""
+    o_path, l_path = f"{sf_dir}/orders.parquet", f"{sf_dir}/lineitem.parquet"
+    orders = read_table(o_path, columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    items = read_table(
+        l_path, columns=["l_suppkey", "l_shipdate", "l_extendedprice"]
+    )
+    n_buckets = num_buckets or scaled_num_buckets(
+        count_rows(o_path) + count_rows(l_path)
+    )
+    window_us = np.int64(window_days) * 86_400_000_000
+
+    def o_project(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        key = (df["o_custkey"] % 100).astype("int64")
+        return pd.DataFrame(
+            {
+                "side": np.int8(0),
+                "key": key,
+                "t": df["o_orderdate"].astype("int64"),
+                "value": np.zeros(len(df)),
+                "bucket": _bucket_of(key.to_numpy(), n_buckets),
+            }
+        )
+
+    def l_project(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        key = (df["l_suppkey"] % 100).astype("int64")
+        return pd.DataFrame(
+            {
+                "side": np.int8(1),
+                "key": key,
+                "t": df["l_shipdate"].astype("int64"),
+                "value": df["l_extendedprice"].astype("float64"),
+                "bucket": _bucket_of(key.to_numpy(), n_buckets),
+            }
+        )
+
+    left = orders.map_batches(o_project, batch_format="pyarrow", zero_copy_batch=True)
+    right = items.map_batches(l_project, batch_format="pyarrow", zero_copy_batch=True)
+
+    def range_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 0]
+        e = g[g["side"] == 1].sort_values(["key", "t"], kind="stable")
+        if len(o) == 0 or len(e) == 0:
+            return pd.DataFrame(
+                {"pairs": [0], "matched": [0], "sum_value": [0.0]}
+            )
+        e_key = e["key"].to_numpy()
+        e_t = e["t"].to_numpy()
+        csum = np.concatenate([[0.0], np.cumsum(e["value"].to_numpy())])
+        pairs = 0
+        matched = 0
+        sum_value = 0.0
+        for key, og in o.groupby("key", sort=False):
+            k0, k1 = np.searchsorted(e_key, [key, key + 1])
+            if k0 == k1:
+                continue
+            start = og["t"].to_numpy()
+            lo = k0 + np.searchsorted(e_t[k0:k1], start, side="left")
+            hi = k0 + np.searchsorted(e_t[k0:k1], start + window_us, side="left")
+            cnt = hi - lo
+            pairs += int(cnt.sum())
+            matched += int((cnt > 0).sum())
+            sum_value += float((csum[hi] - csum[lo]).sum())
+        return pd.DataFrame(
+            {"pairs": [pairs], "matched": [matched], "sum_value": [sum_value]}
+        )
+
+    parts = (
+        left.union(right)
+        .groupby("bucket")
+        .map_groups(range_in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "pair_count": [int(parts["pairs"].sum())],
+            "orders_matched": [int(parts["matched"].sum())],
+            "sum_value": [float(round_duck(parts["sum_value"].sum(), 2))],
+        }
+    )
+
+
 QUERIES = {
     "windowed_events_daily": windowed_events_daily,
     "sliding_events_weekly": sliding_events_weekly,
     "sessionize_events": sessionize_events,
     "asof_value_per_order": asof_value_per_order,
+    "range_join_orders_lineitem": range_join_orders_lineitem,
 }
 
 ORACLE_SQL = {
@@ -316,5 +417,18 @@ ORACLE_SQL = {
                     ORDER BY e.t ASC LIMIT 1) AS v
             FROM o
         ) WHERE v IS NOT NULL
+    """,
+    "range_join_orders_lineitem": """
+        WITH j AS (
+            SELECT o.o_orderkey, l.l_extendedprice AS value
+            FROM orders o JOIN lineitem l
+              ON (o.o_custkey % 100) = (l.l_suppkey % 100)
+             AND l.l_shipdate >= o.o_orderdate
+             AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS pair_count,
+               CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS orders_matched,
+               ROUND(COALESCE(SUM(value), 0), 2) AS sum_value
+        FROM j
     """,
 }
