@@ -154,3 +154,71 @@ def test_lineage_manifest_written(suite, tmp_path, fixture_pair):
         f.startswith(fixture_pair["source"]) for f in lineage["source_files"]
     )
     assert lineage["source_files"] == sorted(lineage["source_files"])
+
+
+def test_resume_on_different_cluster_size_keeps_routing(tmp_path, monkeypatch):
+    """Resuming on a different-size cluster must derive the hot/cold
+    salting threshold from the CHECKPOINTED bucket count, not the live
+    CPU count — otherwise a conversation can flip hot->cold between the
+    original run and the resume, routing its rows differently than the
+    reused checkpoints assume.
+
+    Fixture geometry: 5000 small convs (40k rows) dominate est_rows, and
+    one 8300-turn conv spans TWO salt shards (span 8192), so hot routing
+    (combine(gh, shard)) differs from cold routing for its tail rows;
+    12 shards keep two whole files inside the conv so footer statistics
+    detect it.
+    At 32 CPUs the threshold is 2*48.3k/32 ≈ 3k -> conv HOT; a fresh
+    4-CPU sizing would give 2*48.3k/4 ≈ 24k -> conv COLD."""
+    import ray
+
+    from datapact_ray.datagen import write_fixture_pair
+
+    paths = write_fixture_pair(
+        str(tmp_path / "hotres"), n_convs=5000, turns_per_conv=8,
+        hot_convs=1, hot_turns=8300, n_files=12,
+    )
+    hot_suite = ValidationSuite(
+        validations=[
+            ValidationTask(
+                task_key="t",
+                source_path=paths["source"],
+                target_path=paths["target"],
+                primary_keys=["conv_id", "turn_idx"],
+                count_tolerance=0.001,
+                pk_row_hash_check=True,
+                uniqueness_columns=["conv_id", "turn_idx"],
+                uniqueness_tolerance=0.0,
+                compare_columns=["text"],
+                ordering=OrderingCheck(),
+            )
+        ]
+    )
+    out = str(tmp_path / "res_cluster")
+
+    monkeypatch.setattr(ray, "cluster_resources", lambda: {"CPU": 32.0})
+    cfg = RunConfig(results_dir=out, run_id=13, hot_key_threshold=20)
+    p1 = run_suite(hot_suite, cfg).results[0].payload
+
+    # the hot conv's two shards land in two distinct buckets; losing
+    # exactly ONE of them is the adversarial case — a resume that
+    # re-derives a different hot/cold split re-routes the conv's rows
+    # and either double-counts them (recomputed cold bucket gets ALL
+    # rows while the kept shard checkpoint still holds its slice) or
+    # loses the tail shard entirely
+    import pickle
+
+    ck = f"{out}/checkpoint/run_id=13/task=t"
+    shard_buckets = []
+    for mp in sorted(glob.glob(f"{ck}/keyed/bucket=*/metrics.pkl")):
+        if pickle.load(open(mp, "rb")).hot_partials:
+            shard_buckets.append(os.path.dirname(mp))
+    assert len(shard_buckets) >= 2, "conv must span >=2 salt-shard buckets"
+    os.remove(os.path.join(shard_buckets[0], "_SUCCESS"))
+
+    monkeypatch.setattr(ray, "cluster_resources", lambda: {"CPU": 4.0})
+    p2 = run_suite(
+        hot_suite,
+        RunConfig(results_dir=out, run_id=13, hot_key_threshold=20, resume=True),
+    ).results[0].payload
+    assert p1 == p2
