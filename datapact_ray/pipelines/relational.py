@@ -174,7 +174,12 @@ def ts_stats_events(sf_dir: str) -> pd.DataFrame:
     parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     df = parts.to_pandas()
     n = int(df["n"].sum())
-    total = (int(df["sm_hi"].sum()) << 32) + int(df["sm_lo"].sum())
+    # Python big-int sums: the low halves average ~2^31 per ROW, so a
+    # numpy int64 sum of the partials would wrap at ~4.3e9 rows — the
+    # whole point of the split-sum is exactness past that
+    sm_hi = sum(int(v) for v in df["sm_hi"])
+    sm_lo = sum(int(v) for v in df["sm_lo"])
+    total = (sm_hi << 32) + sm_lo
     return pd.DataFrame(
         {
             "n_events": [n],

@@ -30,11 +30,14 @@ _SPREAD = np.uint64(0x9E3779B97F4A7C15)  # Fibonacci multiplier: spreads
 
 
 def scaled_num_buckets(
-    n_rows: int, target_rows: int = 250_000, hi: int = 4096
+    n_rows: int, target_rows: int = 4_000_000, hi: int = 4096
 ) -> int:
-    """Partition count ∝ data size (same sizing rule as the keyed pass,
-    runner.py): one reduce wave per core on small data, growing so
-    per-bucket frames stay ~target_rows — never a fixed fan-out."""
+    """Partition count ∝ data size (same sizing rule AND constant as the
+    keyed pass — runner.py target_rows_per_bucket; a 16x-smaller target
+    here re-created the many-tiny-objects overhead the keyed pass
+    measured at ~2.4 ms/object): one reduce wave per core on small data,
+    growing so per-bucket frames stay ~target_rows — never a fixed
+    fan-out."""
     import ray as _ray
 
     cpus = (

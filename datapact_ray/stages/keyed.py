@@ -650,6 +650,13 @@ def run_keyed_pass(
             merged.merge(pickle.load(fh))
     if spec.group_checks:
         hot_violations = _stitch_hot(merged, spec)
+        if spec.checkpoint_dir and not hot_violations:
+            # a previous run's hot violations must not survive a run that
+            # produced none — the file is this run's output, not a
+            # resumable checkpoint
+            stale = os.path.join(spec.checkpoint_dir, "hot", "violations.parquet")
+            if os.path.exists(stale):
+                os.remove(stale)
         if hot_violations and spec.checkpoint_dir:
             # hot verdicts are re-stitched from merged partials every run
             # (cheap: one row per hot conversation), so this file is

@@ -166,6 +166,9 @@ def _dim_partition_build(capacity: int, fpp: float, *chunks: np.ndarray):
     """Per-partition reduce: union the chunk key arrays (sorted unique)
     and build this partition's Bloom filter. Returns (keys, bloom_bytes);
     the keys array stays in the object store for the exact recheck."""
+    # num_partitions=1: Ray does not unpack num_returns=1, so each chunk
+    # arrives as the map task's whole 1-element list — unwrap it
+    chunks = tuple(c[0] if isinstance(c, list) else c for c in chunks)
     keys = (
         np.unique(np.concatenate(chunks)) if chunks else np.empty(0, np.uint64)
     )
@@ -206,13 +209,34 @@ def _probe_chunk_partitioned(
         blooms_ref[0],
         lambda: [BloomFilter.from_bytes(b) for b in ray.get(blooms_ref[0])],
     )
+    return _probe_table_partitioned(table, columns, blooms, num_partitions, cap)
+
+
+def _probe_table_partitioned(
+    table: pa.Table,
+    columns: list[str],
+    blooms: list,
+    num_partitions: int,
+    cap: int,
+) -> tuple:
+    """Shared partitioned-Bloom probe over one Arrow table: returns a
+    summary dict followed by one ``(key_hashes, row_counts)`` pair per
+    partition for the Bloom-positive keys routed there."""
+    import json as _json
+
     h = hash_arrow_u64(table, columns)
     part = (h % np.uint64(num_partitions)).astype(np.int64)
+    # one argsort + per-partition slices (the _dim_chunk_partitions
+    # pattern) instead of P full-array masks — the mask loop was O(P*n)
+    # per chunk, seconds of pure overhead at P=512, n=1M
+    order = np.argsort(part, kind="stable")
+    part_sorted = part[order]
+    bounds = np.searchsorted(part_sorted, np.arange(num_partitions + 1))
     present = np.zeros(len(h), dtype=bool)
     for p in range(num_partitions):
-        sel = part == p
-        if sel.any():
-            present[sel] = blooms[p].contains_hashes(h[sel])
+        sl = order[bounds[p] : bounds[p + 1]]
+        if len(sl):
+            present[sl] = blooms[p].contains_hashes(h[sl])
     miss = ~present
     n_miss = int(miss.sum())
     sample: list[str] = []
@@ -227,11 +251,53 @@ def _probe_chunk_partitioned(
     summary = {"probed": table.num_rows, "orphans": n_miss, "sample": sample}
     out = [summary]
     hp, pp = h[present], part[present]
+    p_order = np.argsort(pp, kind="stable")
+    hp_sorted, pp_sorted = hp[p_order], pp[p_order]
+    p_bounds = np.searchsorted(pp_sorted, np.arange(num_partitions + 1))
     for p in range(num_partitions):
-        sel = pp == p
-        keys, counts = np.unique(hp[sel], return_counts=True)
+        keys, counts = np.unique(
+            hp_sorted[p_bounds[p] : p_bounds[p + 1]], return_counts=True
+        )
         out.append((keys, counts.astype(np.int64)))
     return tuple(out)
+
+
+class _DatasetBloomProber:
+    """Big-dim probe for NON-parquet probe inputs: workers hold only the
+    P partition Bloom filters (~1.8 GB per 1e9 keys at fpp=1e-3), never
+    the full key array. Definite orphans (Bloom miss — no false
+    negatives) are counted and sampled per batch; Bloom-positive keys are
+    emitted as per-partition ``(keys, counts)`` partials for the
+    row-exact recheck against that partition's sorted key array."""
+
+    def __init__(self, blooms_ref, columns: list[str], num_partitions: int,
+                 cap: int):
+        self.blooms_ref = blooms_ref
+        self.columns = columns
+        self.num_partitions = num_partitions
+        self.cap = cap
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        import pickle as _pickle
+
+        from ..warmcache import get_or_build
+
+        blooms = get_or_build(
+            self.blooms_ref,
+            lambda: [BloomFilter.from_bytes(b) for b in ray.get(self.blooms_ref)],
+        )
+        out = _probe_table_partitioned(
+            batch, self.columns, blooms, self.num_partitions, self.cap
+        )
+        summary, maybe = out[0], out[1:]
+        return pd.DataFrame(
+            {
+                "probed": [summary["probed"]],
+                "orphans": [summary["orphans"]],
+                "sample": [json.dumps(summary["sample"])],
+                "maybe": [_pickle.dumps(maybe)],
+            }
+        )
 
 
 def _recheck_partition(
@@ -344,9 +410,6 @@ def _run_partitioned_referential(
         )
         for u in _scan_units(probe_files)
     ]
-    if P + 1 == 1:  # pragma: no cover - P >= 1 always
-        probe_out = [[r] for r in probe_out]
-
     recheck_task = ray.remote(num_returns=2)(_recheck_partition)
     recheck_refs = [
         recheck_task.remote(key_refs[p], cap, *[chunk[p + 1] for chunk in probe_out])
@@ -396,6 +459,73 @@ def _run_partitioned_referential(
                             ),
                         }
                     )
+    return metrics
+
+
+def _dataset_probe_partitioned_bloom(
+    probe: ray.data.Dataset,
+    keys: np.ndarray,
+    probe_columns: list[str],
+    cap: int,
+    fpp: float,
+) -> ReferentialMetrics:
+    """Big dim + NON-parquet probe: same partitioned-Bloom + row-exact
+    recheck contract as the parquet scale path, driven from a Dataset.
+    Workers hold only the P Bloom filters; the full key array exists
+    transiently on the driver (a non-parquet dim cannot be partition-
+    scanned by footers — documented limitation of this input class) and
+    is split into P object-store partitions for the recheck. Bloom-FP
+    orphan keys are counted row-exactly but not display-sampled (that
+    would need a second probe scan); definite-orphan samples still fill
+    the violation cap."""
+    import pickle as _pickle
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    P = max(cpus, min(512, len(keys) // 16_000_000 + 1))
+    part = (keys % np.uint64(P)).astype(np.int64)
+    order = np.argsort(part, kind="stable")
+    ks, ps = keys[order], part[order]
+    bounds = np.searchsorted(ps, np.arange(P + 1))
+    key_refs, bloom_bytes = [], []
+    for p in range(P):
+        kp = np.sort(ks[bounds[p] : bounds[p + 1]])
+        key_refs.append(ray.put(kp))
+        bloom = BloomFilter(max(len(kp), 1024), fpp)
+        bloom.add_hashes(kp)
+        bloom_bytes.append(bloom.to_bytes())
+    blooms_ref = ray.put(bloom_bytes)
+
+    rows = probe.map_batches(
+        _DatasetBloomProber(blooms_ref, probe_columns, P, cap),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all()
+
+    metrics = ReferentialMetrics(violations=[])
+    per_part: list[list] = [[] for _ in range(P)]
+    for row in rows:
+        metrics.probed_rows += int(row["probed"])
+        metrics.orphan_rows += int(row["orphans"])
+        for s in json.loads(row["sample"]):
+            if len(metrics.violations) < cap:
+                metrics.violations.append(
+                    {
+                        "key": s,
+                        "side": "probe",
+                        "detail": json.dumps({"reason": "orphan_key"}),
+                    }
+                )
+        for p, pair in enumerate(_pickle.loads(row["maybe"])):
+            if len(pair[0]):
+                per_part[p].append(pair)
+    recheck_task = ray.remote(num_returns=2)(_recheck_partition)
+    recheck_refs = [
+        recheck_task.remote(key_refs[p], cap, *per_part[p])
+        for p in range(P)
+        if per_part[p]
+    ]
+    if recheck_refs:
+        metrics.orphan_rows += sum(ray.get([r[0] for r in recheck_refs]))
     return metrics
 
 
@@ -449,6 +579,17 @@ def run_referential_pass(
         keys = _distinct_key_hashes_local(ref_files, ref_columns)
     else:
         keys = _distinct_key_hashes(ref_table, ref_columns)
+    if not probe_parquet and probe is not None and len(keys) > bloom_threshold:
+        # big dim + non-parquet probe: broadcasting the full sorted key
+        # array would pin len(keys)*8 bytes in every node's object store
+        # — use the partitioned-Bloom + exact-recheck contract instead.
+        # (A parquet probe with a big NON-parquet ref keeps the sorted-
+        # array broadcast below: numpy ray.get is zero-copy from plasma,
+        # one copy per node, and that combo cannot reuse the footer-
+        # partitioned scan.)
+        return _dataset_probe_partitioned_bloom(
+            probe, keys, probe_columns, cap, bloom_fpp
+        )
     broadcast = ray.put(np.sort(keys))
 
     if probe_parquet:

@@ -87,3 +87,50 @@ def test_partitioned_no_orphans(tables):
         num_partitions=4,
     )
     assert m.orphan_rows == 0 and m.probed_rows == 5000
+
+
+def test_dataset_probe_bloom_path_matches_exact(tables, ray_session):
+    """Big dim + NON-parquet probe (a Dataset): the partitioned-Bloom +
+    recheck path must produce the same row-exact orphan counts as the
+    sorted-array broadcast, even at a terrible FPP."""
+    import ray.data
+
+    probe, dim, expected = tables
+    probe_ds = ray.data.read_parquet(probe)  # stands in for CSV/JSON input
+    m = run_referential_pass(
+        probe_ds,
+        None,
+        ["k"],
+        ["k"],
+        ref_files=[dim],
+        probe_files=None,  # non-parquet probe: no footer scan units
+        bloom_threshold=10,  # force the Bloom path (900 keys > 10)
+        bloom_fpp=0.5,
+        num_partitions=None,
+    )
+    assert m.probed_rows == 5000
+    assert m.orphan_rows == expected
+    assert m.violations  # definite orphans sampled
+
+
+def test_partitioned_single_partition(tables):
+    """num_partitions=1: Ray does not unpack num_returns=1 map results;
+    the build task must unwrap the whole-list chunks."""
+    probe, dim, expected = tables
+    m = run_referential_pass(
+        None, None, ["k"], ["k"],
+        ref_files=[dim], probe_files=[probe],
+        bloom_threshold=10, num_partitions=1,
+    )
+    assert m.orphan_rows == expected
+
+
+def test_dim_partition_build_unwraps_p1_lists():
+    """With num_returns=1 Ray hands the build task each map task's WHOLE
+    1-element list; ragged chunk lengths must still concatenate."""
+    from datapact_ray.stages.referential import _dim_partition_build
+
+    k1 = np.array([1, 2, 3], np.uint64)
+    k2 = np.array([3, 4], np.uint64)  # ragged vs k1
+    keys, bloom = _dim_partition_build(8, 0.01, [k1], [k2])
+    assert keys.tolist() == [1, 2, 3, 4]

@@ -30,5 +30,5 @@ def test_scaled_num_buckets_grows_with_data():
     small = scaled_num_buckets(10_000)
     big = scaled_num_buckets(1_000_000_000)
     assert small < big
-    assert big == 4001  # 1e9 rows / 250k target + 1
+    assert big == 251  # 1e9 rows / 4M target + 1 (runner.py's constant)
     assert scaled_num_buckets(10**12) == 4096  # capped
