@@ -107,6 +107,164 @@ def featurize_media(
     )
 
 
+class MediaResizer:
+    """Actor-pool stage: payload → payload transform (image resize).
+
+    ``resize_fn(payload, media_type, width, height) -> bytes`` is
+    injected once per actor (the codec load point); the fake decoder
+    deterministically re-tiles the byte stream to ``width*height`` bytes
+    (truncate or cyclic-pad) so output sizes are exactly what a real
+    w×h single-channel decode would produce. Output rows keep the
+    (resized) payload — a resize is a map stage, and the payload still
+    never enters a shuffle downstream (callers project features out
+    first, same contract as MediaFeaturizer)."""
+
+    def __init__(
+        self,
+        width: int,
+        height: int,
+        resize_fn: Callable[[bytes, str, int, int], bytes] | None = None,
+        decoder: str = "fake",
+    ):
+        self.width = width
+        self.height = height
+        if resize_fn is not None:
+            self.resize = resize_fn
+        elif decoder == "fake":
+            self.resize = self._fake_resize
+        else:
+            raise NotImplementedError(
+                "real image resizing requires Pillow/libvips not present in "
+                "this container; pass resize_fn explicitly"
+            )
+
+    @staticmethod
+    def _fake_resize(payload: bytes, media_type: str, w: int, h: int) -> bytes:
+        target = w * h
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        if arr.size == 0:
+            return b"\x00" * target
+        reps = -(-target // arr.size)  # ceil
+        return np.tile(arr, reps)[:target].tobytes()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        resized = [
+            self.resize(p.as_py(), t.as_py(), self.width, self.height)
+            for p, t in zip(batch.column("payload"), batch.column("media_type"))
+        ]
+        n = batch.num_rows
+        out = batch.drop_columns(["payload", "width", "height"])
+        out = out.append_column("payload", pa.array(resized, type=pa.binary()))
+        out = out.append_column(
+            "width", pa.array(np.full(n, self.width, dtype=np.int32))
+        )
+        return out.append_column(
+            "height", pa.array(np.full(n, self.height, dtype=np.int32))
+        )
+
+
+class FrameSampler:
+    """Flat-map stage: one output row per sampled video frame.
+
+    ``sample_fn(payload, media_type, every_ms) -> list[bytes]`` is the
+    real-codec injection point (ffmpeg keyframe extraction); the fake
+    decoder slices the payload into fixed-size stripes and keeps every
+    ``stride``-th one. Emits ``(media_id, frame_idx, payload)`` — the
+    fan-out happens INSIDE the map task, so block sizes stay bounded by
+    ``batch_size`` × frames-per-item and the source payload is dropped."""
+
+    def __init__(
+        self,
+        every_ms: int = 1000,
+        frame_bytes: int = 256,
+        stride: int = 4,
+        sample_fn: Callable[[bytes, str, int], list] | None = None,
+        decoder: str = "fake",
+    ):
+        self.every_ms = every_ms
+        self.frame_bytes = frame_bytes
+        self.stride = stride
+        if sample_fn is not None:
+            self.sample = sample_fn
+        elif decoder == "fake":
+            self.sample = self._fake_sample
+        else:
+            raise NotImplementedError(
+                "real frame sampling requires ffmpeg not present in this "
+                "container; pass sample_fn explicitly"
+            )
+
+    def _fake_sample(self, payload: bytes, media_type: str, every_ms: int) -> list:
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        n_frames = max(1, arr.size // self.frame_bytes)
+        return [
+            arr[i * self.frame_bytes : (i + 1) * self.frame_bytes].tobytes()
+            for i in range(0, n_frames, self.stride)
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, idxs, frames = [], [], []
+        for mid, p, t in zip(
+            batch.column("media_id"),
+            batch.column("payload"),
+            batch.column("media_type"),
+        ):
+            for i, frame in enumerate(
+                self.sample(p.as_py(), t.as_py(), self.every_ms)
+            ):
+                ids.append(mid.as_py())
+                idxs.append(i)
+                frames.append(frame)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "frame_idx": pa.array(idxs, type=pa.int32()),
+                "payload": pa.array(frames, type=pa.binary()),
+            }
+        )
+
+
+def resize_media(
+    ds: ray.data.Dataset,
+    width: int,
+    height: int,
+    *,
+    resize_fn: Callable | None = None,
+    batch_size: int = 64,
+    concurrency: int | tuple[int, int] = (1, 8),
+) -> ray.data.Dataset:
+    """Image-resize stage with binary-payload-aware sizing."""
+    return ds.map_batches(
+        MediaResizer,
+        fn_constructor_kwargs={
+            "width": width, "height": height, "resize_fn": resize_fn,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def sample_frames(
+    ds: ray.data.Dataset,
+    *,
+    every_ms: int = 1000,
+    sample_fn: Callable | None = None,
+    batch_size: int = 16,
+    concurrency: int | tuple[int, int] = (1, 8),
+) -> ray.data.Dataset:
+    """Frame-sampling stage: smaller batches — output fans out per row."""
+    return ds.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"every_ms": every_ms, "sample_fn": sample_fn},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def make_synthetic_media(n: int = 256, seed: int = 7) -> pa.Table:
     """Deterministic synthetic media table for tests."""
     rng = np.random.default_rng(seed)

@@ -131,6 +131,42 @@ def test_multimodal_plumbing(tmp_path):
         MediaFeaturizer(decoder="real")
 
 
+def test_multimodal_resize_and_frame_sample(tmp_path):
+    import ray.data
+
+    from datapact_ray.pipelines.multimodal import (
+        FrameSampler,
+        MediaResizer,
+        make_synthetic_media,
+        resize_media,
+        sample_frames,
+    )
+
+    table = make_synthetic_media(48)
+    ds = ray.data.from_arrow(table)
+
+    resized = resize_media(ds, 32, 24, batch_size=16).to_pandas()
+    assert len(resized) == 48
+    assert (resized["width"] == 32).all() and (resized["height"] == 24).all()
+    # fake decode contract: output payload is exactly w*h bytes
+    assert resized["payload"].map(len).eq(32 * 24).all()
+
+    frames = sample_frames(ds, batch_size=16).to_pandas()
+    # one row per sampled frame; idx dense from 0 per media item
+    assert set(frames.columns) == {"media_id", "frame_idx", "payload"}
+    assert frames.groupby("media_id")["frame_idx"].min().eq(0).all()
+    per_item = frames.groupby("media_id").size()
+    assert per_item.ge(1).all()
+    # determinism of the fake samplers
+    f1 = FrameSampler()._fake_sample(b"x" * 2048, "video/mp4", 1000)
+    f2 = FrameSampler()._fake_sample(b"x" * 2048, "video/mp4", 1000)
+    assert f1 == f2 and len(f1) == 2  # 8 frames / stride 4
+    with pytest.raises(NotImplementedError):
+        MediaResizer(2, 2, decoder="real")
+    with pytest.raises(NotImplementedError):
+        FrameSampler(decoder="real")
+
+
 def test_roi_throughput_grading():
     from datapact_ray.roi import grade_throughput, processing_speed
 

@@ -97,3 +97,17 @@ def test_topk_counter():
     t2.add_value_counts(np.array(["a", "d"]), np.array([50, 2]))
     merged = t.merge(t2)
     assert merged.hot_keys(120) == {"a": 150}
+
+
+def test_warmcache_builds_once():
+    from datapact_ray import warmcache
+
+    calls = []
+    k = object()
+    assert warmcache.get_or_build(k, lambda: calls.append(1) or "v") == "v"
+    assert warmcache.get_or_build(k, lambda: calls.append(1) or "v2") == "v"
+    assert len(calls) == 1
+    # overflow drops the map rather than evicting piecemeal
+    for i in range(warmcache._MAX_ENTRIES + 1):
+        warmcache.get_or_build(("k", i), lambda: i)
+    assert len(warmcache._CACHE) <= warmcache._MAX_ENTRIES
