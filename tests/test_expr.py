@@ -131,3 +131,69 @@ def test_keyword_column_vs_function_use():
     # the same spelling still works as a literal on the right-hand side
     ast = parse_filter("ts >= current_date() - INTERVAL 1 DAY")
     assert ast.col.name == "ts"
+
+
+# ---- property-based parity fuzz (hypothesis) ----
+
+from hypothesis import given, settings, strategies as st
+
+_num_op = st.sampled_from(["=", "!=", "<", "<=", ">", ">="])
+_int_lit = st.integers(min_value=-50, max_value=1050)
+_float_lit = st.sampled_from(["0.0", "1.5", "3.0", "6.5", "2"])
+_str_lit = st.sampled_from(["'v0'", "'v1'", "'v4'", "'zz'", "''"])
+_like_pat = st.sampled_from(["'v%'", "'%1'", "'v_'", "'%'", "'x%'"])
+
+
+def _atom() -> st.SearchStrategy[str]:
+    return st.one_of(
+        st.tuples(_num_op, _int_lit).map(lambda t: f"a {t[0]} {t[1]}"),
+        st.tuples(_num_op, _float_lit).map(lambda t: f"b {t[0]} {t[1]}"),
+        st.tuples(st.sampled_from(["=", "!="]), _str_lit).map(
+            lambda t: f"s {t[0]} {t[1]}"
+        ),
+        _like_pat.map(lambda p: f"s LIKE {p}"),
+        _like_pat.map(lambda p: f"s NOT LIKE {p}"),
+        st.just("nullable IS NULL"),
+        st.just("nullable IS NOT NULL"),
+        st.tuples(_int_lit, _int_lit).map(
+            lambda t: f"a BETWEEN {min(t)} AND {max(t)}"
+        ),
+        st.lists(_str_lit, min_size=1, max_size=3).map(
+            lambda ls: f"s IN ({', '.join(ls)})"
+        ),
+        st.tuples(_num_op, _int_lit).map(
+            lambda t: f"nullable {t[0]} {t[1]}"
+        ),
+    )
+
+
+def _pred(depth: int) -> st.SearchStrategy[str]:
+    if depth == 0:
+        return _atom()
+    sub = _pred(depth - 1)
+    return st.one_of(
+        _atom(),
+        st.tuples(sub, sub).map(lambda t: f"({t[0]} AND {t[1]})"),
+        st.tuples(sub, sub).map(lambda t: f"({t[0]} OR {t[1]})"),
+        sub.map(lambda p: f"NOT ({p})"),
+    )
+
+
+@settings(max_examples=120, deadline=None)
+@given(pred=_pred(2))
+def test_fuzzed_filter_matches_duckdb(table, pred):
+    """Any predicate the grammar can produce must select EXACTLY the
+    rows DuckDB selects for the identical string (3-valued NULL logic
+    included — NOT over a NULL comparison must not resurrect rows)."""
+    expr = compile_filter(pred, table.schema)
+    got = table.filter(expr)
+    con = duckdb.connect()
+    con.register("t0", table)
+    want_n, want_sum = con.execute(
+        f"SELECT COUNT(*), COALESCE(SUM(a), 0) FROM t0 WHERE {pred}"
+    ).fetchone()
+    con.close()
+    import pyarrow.compute as pc
+
+    got_sum = pc.sum(got.column("a")).as_py() or 0
+    assert (got.num_rows, got_sum) == (want_n, int(want_sum)), pred
