@@ -217,6 +217,10 @@ def fingerprint_documents(sf_dir: str) -> pd.DataFrame:
         zero_copy_batch=True,
         batch_size=4096,
     )
+    # materialize once: .unique() and .count() would otherwise EACH
+    # re-execute the whole fingerprint pipeline (the hash pass is tiny
+    # fixed-width rows, a safe pin; count() is then O(1) from metadata)
+    fps = fps.materialize()
     distinct = fps.unique("fingerprint")
     n_docs = fps.count()
     return pd.DataFrame(
