@@ -415,21 +415,42 @@ class _ShingleRows:
         )
 
 
-def _bucket_intersections(df: pd.DataFrame) -> pd.DataFrame:
+def _bucket_intersections(
+    df: pd.DataFrame, max_df: int | None = None
+) -> pd.DataFrame:
     """Per-bucket reduce: for every shingle shared by >=2 docs emit the
     co-occurring doc pairs, then pre-aggregate the intersection counts
     WITHIN the bucket (partial combine before the tiny driver-side
     merge). Fully vectorized: one self-merge on the shingle column — no
-    per-group Python loop."""
+    per-group Python loop.
+
+    ``max_df`` caps shingle document-frequency: a shingle shared by m
+    docs emits m(m-1)/2 pair rows, so boilerplate shingles are the one
+    quadratic hazard of the inverted-index join. Shingles are
+    hash-partitioned, so df is exact within the bucket; skipped hot
+    shingles are surfaced on a marker row (``a=-1, inter=count``), never
+    silent. Default None keeps the join exact (the oracle-checked
+    configuration)."""
     sizes = df.groupby("shingle")["doc_id"].transform("size")
-    df = df[sizes >= 2]
+    skipped = 0
+    if max_df is not None:
+        skipped = int((df.loc[sizes > max_df, "shingle"]).nunique())
+        df = df[(sizes >= 2) & (sizes <= max_df)]
+    else:
+        df = df[sizes >= 2]
+    marker = (
+        pd.DataFrame({"a": [-1], "b": [-1], "inter": [skipped],
+                      "na": [0], "nb": [0]})
+        if skipped
+        else None
+    )
     if df.empty:
-        return pd.DataFrame()
+        return marker if marker is not None else pd.DataFrame()
     m = df.merge(df, on="shingle", suffixes=("_a", "_b"))
     m = m[m["doc_id_a"] < m["doc_id_b"]]
     if m.empty:
-        return pd.DataFrame()
-    return (
+        return marker if marker is not None else pd.DataFrame()
+    out = (
         m.groupby(["doc_id_a", "doc_id_b"], as_index=False)
         .agg(
             inter=("shingle", "size"),
@@ -438,9 +459,14 @@ def _bucket_intersections(df: pd.DataFrame) -> pd.DataFrame:
         )
         .rename(columns={"doc_id_a": "a", "doc_id_b": "b"})
     )
+    if marker is not None:
+        out = pd.concat([out, marker], ignore_index=True)
+    return out
 
 
-def jaccard_pairs_documents(sf_dir: str, threshold: float = 0.3) -> pd.DataFrame:
+def jaccard_pairs_documents(
+    sf_dir: str, threshold: float = 0.3, max_df: int | None = None
+) -> pd.DataFrame:
     """EXACT all-pairs n-gram Jaccard via a distributed inverted-index
     join (shingle-hash partitioned): pairs sharing >=1 shingle get their
     intersection counted shingle-locally, per-bucket partial-aggregated,
@@ -448,29 +474,40 @@ def jaccard_pairs_documents(sf_dir: str, threshold: float = 0.3) -> pd.DataFrame
     corpus' similarity structure, not its size).
 
     This is the oracle-checkable exact baseline; ``minhash_dedup`` /
-    ``ngram_jaccard`` are the approximate scale path. Scale assumption
-    (documented): shingle document-frequency is bounded — a shingle
-    shared by m docs emits m(m-1)/2 pair rows, so boilerplate-heavy
-    corpora need a df cutoff (the MinHash path has none of this)."""
-    a_u, b_u, jac = _exact_jaccard_pair_arrays(sf_dir)
+    ``ngram_jaccard`` are the approximate scale path. A shingle shared
+    by m docs emits m(m-1)/2 pair rows — the one quadratic hazard —
+    so ``max_df`` drops boilerplate shingles ABOVE that doc-frequency
+    with the skipped count surfaced (``skipped_hot_shingles``); the
+    default (None) is fully exact and is the oracle-checked
+    configuration (the MinHash path needs no such cutoff)."""
+    a_u, b_u, jac, skipped = _exact_jaccard_pair_arrays(sf_dir, max_df=max_df)
     hit = jac >= threshold
-    docs = np.unique(np.concatenate([a_u[hit], b_u[hit]]))
+    docs = (
+        np.unique(np.concatenate([a_u[hit], b_u[hit]]))
+        if hit.any()
+        else np.empty(0, np.int64)
+    )
     return pd.DataFrame(
         {
             "pairs_sharing_shingle": [len(a_u)],
             "pairs_ge_threshold": [int(hit.sum())],
             "docs_ge_threshold": [len(docs)],
+            "skipped_hot_shingles": [skipped],
         }
     )
 
 
 def _exact_jaccard_pair_arrays(
-    sf_dir: str,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    sf_dir: str, max_df: int | None = None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
     """All doc pairs sharing ≥1 shingle, with their exact Jaccard:
     distributed inverted-index join, per-bucket partial intersection
-    counts, driver merge. Returns ``(a, b, jaccard)`` sorted by (a, b)
-    — sized by the corpus' similarity structure, not its row count."""
+    counts, driver merge. Returns ``(a, b, jaccard, skipped_shingles)``
+    sorted by (a, b) — sized by the corpus' similarity structure, not
+    its row count. ``max_df`` (the scale lever for boilerplate-heavy
+    corpora) drops shingles shared by more than that many docs, with the
+    dropped-shingle count returned — the resulting Jaccards are then
+    lower bounds for affected pairs."""
     ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     num_buckets = _dedup_buckets()
     rows = ds.map_batches(
@@ -479,10 +516,19 @@ def _exact_jaccard_pair_arrays(
         zero_copy_batch=True,
         batch_size=2048,
     )
-    pairs = _grouped_frames(rows, num_buckets, _bucket_intersections)
+    import functools
+
+    pairs = _grouped_frames(
+        rows, num_buckets, functools.partial(_bucket_intersections, max_df=max_df)
+    )
     if pairs.empty or "a" not in pairs.columns:
         empty = np.empty(0, dtype=np.int64)
-        return empty, empty, np.empty(0, dtype=np.float64)
+        return empty, empty, np.empty(0, dtype=np.float64), 0
+    skipped = int(pairs.loc[pairs["a"] < 0, "inter"].sum())
+    pairs = pairs[pairs["a"] >= 0]
+    if pairs.empty:
+        empty = np.empty(0, dtype=np.int64)
+        return empty, empty, np.empty(0, dtype=np.float64), skipped
     # combine per-bucket partials: sort-based numpy merge (a pandas
     # groupby here costs ~5s at 1M pairs; lexsort+reduceat is ~100ms)
     a = pairs["a"].to_numpy(dtype=np.int64)
@@ -498,7 +544,7 @@ def _exact_jaccard_pair_arrays(
     inter_sum = np.add.reduceat(inter, idx)
     a_u, b_u, na_u, nb_u = a[idx], b[idx], na[idx], nb[idx]
     jac = inter_sum / (na_u + nb_u - inter_sum)
-    return a_u, b_u, jac
+    return a_u, b_u, jac, skipped
 
 
 class SimHasher:
@@ -891,7 +937,7 @@ def dedup_clusters_documents(
 
     ``docs_removable`` = docs_in_clusters − n_clusters: dropping all but
     the min-doc_id representative of each component."""
-    a_u, b_u, jac = _exact_jaccard_pair_arrays(sf_dir)
+    a_u, b_u, jac, _ = _exact_jaccard_pair_arrays(sf_dir)
     hit = jac >= threshold
     a_h, b_h = a_u[hit], b_u[hit]
     if len(a_h) == 0:
@@ -949,6 +995,7 @@ _JACCARD_PAIRS_SQL = r"""
         JOIN cnt cb ON cb.doc_id = p.b
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS pairs_sharing_shingle,
+           CAST(0 AS BIGINT) AS skipped_hot_shingles,
            CAST(COUNT(*) FILTER (jac >= 0.3) AS BIGINT) AS pairs_ge_threshold,
            CAST((SELECT COUNT(DISTINCT d) FROM (
                    SELECT a AS d FROM j WHERE jac >= 0.3

@@ -65,3 +65,18 @@ def test_capped_docs_counts_distinct_not_per_band(capped_corpus):
     dup = pairs[pairs["jaccard"] >= 0.99]
     assert len(dup) == 8 * 7 // 2  # C(8,2) pairs among kept identical docs
     assert (dup["est_jaccard"] == 1.0).all()
+
+
+def test_jaccard_pairs_max_df_cutoff(capped_corpus):
+    from datapact_ray.pipelines.dedup import jaccard_pairs_documents
+
+    exact = jaccard_pairs_documents(capped_corpus)
+    assert exact["skipped_hot_shingles"].iloc[0] == 0  # default is exact
+    # the 12 identical docs share every shingle at df=12 -> a df cutoff
+    # below that drops those shingles, surfaced never silent
+    capped = jaccard_pairs_documents(capped_corpus, max_df=8)
+    assert capped["skipped_hot_shingles"].iloc[0] > 0
+    assert (
+        capped["pairs_sharing_shingle"].iloc[0]
+        <= exact["pairs_sharing_shingle"].iloc[0]
+    )
