@@ -642,22 +642,33 @@ def simhash_dedup_documents(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
 
 
 def dedup_exact_documents(sf_dir: str) -> pd.DataFrame:
-    """Exact dedup: content-hash per batch → hash-partitioned first-wins.
-    Oracle: COUNT(DISTINCT text)."""
+    """Exact dedup: content-hash per batch → hash-partitioned distinct
+    count through the explicit fixed-width bucket shuffle (same h ⇒ same
+    bucket, so per-bucket nunique sums are exact; only 8-byte hashes
+    move, and the shuffle's constant beats the generic sort-based
+    groupby). Oracle: COUNT(DISTINCT text)."""
     ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    num_buckets = _dedup_buckets()
 
     def hash_batch(batch: pa.Table) -> pd.DataFrame:
         df = batch.to_pandas()
         from ..sketches import hash_columns_u64
 
+        h = hash_columns_u64(df, ["text"])
         return pd.DataFrame(
-            {"doc_id": df["doc_id"], "h": hash_columns_u64(df, ["text"])}
+            {"h": h, "__bucket": (h % np.uint64(num_buckets)).astype(np.int32)}
         )
 
     hashed = ds.map_batches(hash_batch, batch_format="pyarrow", zero_copy_batch=True)
-    groups = hashed.groupby("h").count().to_pandas()
-    total = int(groups["count()"].sum())
-    distinct = len(groups)
+
+    def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"total": [len(df)], "distinct": [int(df["h"].nunique())]}
+        )
+
+    parts = _grouped_frames(hashed, num_buckets, bucket_counts)
+    total = int(parts["total"].sum()) if len(parts) else 0
+    distinct = int(parts["distinct"].sum()) if len(parts) else 0
     return pd.DataFrame(
         {
             "total_docs": [total],
