@@ -170,6 +170,7 @@ def run_bench() -> dict:
     ray.get([_noop.remote() for _ in range(NUM_CPUS)])
 
     spin_before = _host_probe()
+    load_before = round(os.getloadavg()[0], 2)
     timings: dict[str, float] = {}
 
     def timed(name: str, fn, *args):
@@ -196,6 +197,12 @@ def run_bench() -> dict:
             "turns_per_sec": round(turns / suite_sec, 1) if suite_sec else None,
             "host_spin_before": spin_before,
             "host_spin_after": _host_probe(),
+            # co-tenant multi-core load the single-core spin probe cannot
+            # see (observed: consistent spin yet 2x leg swings under
+            # neighbor load) — loadavg is the tie-breaker between "host
+            # is throttled" and "host is contended"
+            "loadavg_before": load_before,
+            "loadavg_after": round(os.getloadavg()[0], 2),
         }
 
     timed("profile_orders", relational.profile_orders, SF_DIR)
@@ -230,6 +237,8 @@ def run_bench() -> dict:
         "turns_per_sec": round(turns / suite_sec, 1) if suite_sec else None,
         "host_spin_before": spin_before,
         "host_spin_after": _host_probe(),
+        "loadavg_before": load_before,
+        "loadavg_after": round(os.getloadavg()[0], 2),
     }
 
 
@@ -269,7 +278,7 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     ratio = n_hi / n_lo
-    lo_secs, hi_secs, pair_effs, spins = [], [], [], []
+    lo_secs, hi_secs, pair_effs, spins, loads = [], [], [], [], []
     turns = sf = None
     for _ in range(rounds):
         lo = run_once(n_lo)
@@ -284,6 +293,9 @@ def run_scaling() -> dict:
         # in a throttled host phase
         spins.append(
             [lo.get("host_spin_before"), hi.get("host_spin_before")]
+        )
+        loads.append(
+            [lo.get("loadavg_before"), hi.get("loadavg_before")]
         )
 
     med = sorted(pair_effs)[len(pair_effs) // 2]
@@ -302,6 +314,7 @@ def run_scaling() -> dict:
         "scaling_efficiency_suite": med,
         "scaling_efficiency_best_leg": best_eff,
         "host_spin_per_round": spins,
+        "loadavg_per_round": loads,
         "sf": sf,
         "turns": turns,
     }

@@ -18,7 +18,6 @@ SQL-checkable definitions (kept deliberately oracle-matching):
 from __future__ import annotations
 
 import re
-import zlib
 
 import numpy as np
 import pandas as pd
