@@ -278,10 +278,16 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     ratio = n_hi / n_lo
+    settle = float(os.environ.get("SCALING_SETTLE", "30"))
     lo_secs, hi_secs, pair_effs, spins, loads = [], [], [], [], []
     turns = sf = None
     for _ in range(rounds):
+        # settle between legs: a leg's worker burst lingers in the NEXT
+        # leg's 1-minute loadavg (and page cache churn), contaminating
+        # both the telemetry and the measurement
+        time.sleep(settle)
         lo = run_once(n_lo)
+        time.sleep(settle)
         hi = run_once(n_hi)
         turns, sf = lo["turns"], lo["sf"]
         sl = lo["queries"]["transcript_suite"]
