@@ -419,6 +419,85 @@ def custom_orders_by_status(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def group_topk_orders(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Per-group top-k (``ROW_NUMBER() OVER (PARTITION BY ...) <= k``
+    equivalent) without a global sort: each map task prunes its batch to
+    its LOCAL per-group top-k (sort within the batch, ``head(k)`` per
+    group), so the finalize sees at most k × n_groups × n_tasks candidate
+    rows — independent of table size. The pruned candidate set is merged
+    on the driver like the profile partials (bounded small), where the
+    exact per-group top-k is re-selected with the same deterministic
+    tie-break (price desc, key asc)."""
+    ds = read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderkey", "o_totalprice"],
+    )
+
+    def local_prune(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df = df.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="stable"
+        )
+        return df.groupby("o_orderpriority", sort=False).head(k)
+
+    cand = ds.map_batches(
+        local_prune, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    cand = cand.sort_values(
+        ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="stable"
+    )
+    top = cand.groupby("o_orderpriority", sort=False).head(k).copy()
+    top["rnk"] = (top.groupby("o_orderpriority").cumcount() + 1).astype("int64")
+    top["o_totalprice"] = top["o_totalprice"].map(_r4)
+    cols = ["o_orderpriority", "rnk", "o_orderkey", "o_totalprice"]
+    return top[cols].sort_values(["o_orderpriority", "rnk"]).reset_index(drop=True)
+
+
+def pivot_lineitem_status(sf_dir: str) -> pd.DataFrame:
+    """Grouped pivot: per return-flag sums of extended price split across
+    the two line-status columns. One fused scan computes per-batch
+    per-(flag,status) compensated partial sums (``math.fsum``); the tiny
+    (≤ 6 × n_tasks rows) partial frame merges on the driver with a second
+    fsum, then pivots — no shuffle, no full-table groupby."""
+    import math
+
+    ds = read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice"],
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        rows = [
+            (flag, status, math.fsum(vals.to_numpy()), np.int64(len(vals)))
+            for (flag, status), vals in df.groupby(
+                ["l_returnflag", "l_linestatus"], sort=False
+            )["l_extendedprice"]
+        ]
+        return pd.DataFrame(rows, columns=["flag", "status", "s", "n"]).astype(
+            {"flag": str, "status": str, "s": "float64", "n": "int64"}
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    out_rows = []
+    for flag, g in parts.groupby("flag", sort=True):
+        f_mask, o_mask = g["status"] == "F", g["status"] == "O"
+        out_rows.append(
+            (
+                flag,
+                _r2(math.fsum(g.loc[f_mask, "s"])),
+                _r2(math.fsum(g.loc[o_mask, "s"])),
+                int(g.loc[f_mask, "n"].sum()),
+                int(g.loc[o_mask, "n"].sum()),
+            )
+        )
+    return pd.DataFrame(
+        out_rows, columns=["l_returnflag", "sum_f", "sum_o", "cnt_f", "cnt_o"]
+    ).astype({"cnt_f": "int64", "cnt_o": "int64"})
+
+
 ORACLE_SQL: dict[str, str] = {
     "profile_orders": """
         SELECT COUNT(*) AS order_count,
@@ -543,6 +622,29 @@ ORACLE_SQL: dict[str, str] = {
                0 AS rows_missing_in_source,
                1 AS hashes_equal
     """,
+    "group_topk_orders": """
+        SELECT o_orderpriority, CAST(rnk AS BIGINT) AS rnk,
+               o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice
+        FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                     ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY o_totalprice DESC,
+                                                 o_orderkey ASC) AS rnk
+              FROM orders)
+        WHERE rnk <= 3
+        ORDER BY o_orderpriority, rnk
+    """,
+    "pivot_lineitem_status": """
+        SELECT l_returnflag,
+               ROUND(fsum(CASE WHEN l_linestatus = 'F'
+                          THEN l_extendedprice ELSE 0 END), 2) AS sum_f,
+               ROUND(fsum(CASE WHEN l_linestatus = 'O'
+                          THEN l_extendedprice ELSE 0 END), 2) AS sum_o,
+               CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cnt_f,
+               CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cnt_o
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
 }
 
 QUERIES = {
@@ -561,4 +663,6 @@ QUERIES = {
     "join_orders_customer": join_orders_customer,
     "drift_psi_events": drift_psi_events,
     "custom_orders_by_status": custom_orders_by_status,
+    "group_topk_orders": group_topk_orders,
+    "pivot_lineitem_status": pivot_lineitem_status,
 }

@@ -227,6 +227,83 @@ def fingerprint_documents(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def vocab_top_terms_documents(sf_dir: str, k: int = 25) -> pd.DataFrame:
+    """Vocabulary / term-frequency builder: top-k corpus terms by count.
+
+    The classic pre-aggregation shape: each map task computes a PARTIAL
+    per-token count for its batch (pandas ``split → explode →
+    value_counts``, C string kernels), so what enters the shuffle is one
+    (token, cnt) row per DISTINCT token per task — vocabulary-sized, not
+    corpus-sized. A Ray native hash aggregate sums the partials per token
+    and a distributed sort + limit takes the top k with a deterministic
+    tie-break (count desc, token asc)."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial_counts(batch: pa.Table) -> pd.DataFrame:
+        text = batch.column("text").to_pandas().astype(str)
+        vc = text.str.split(" ").explode().value_counts()
+        return pd.DataFrame(
+            {
+                "token": vc.index.to_numpy().astype(str),
+                "cnt": vc.to_numpy().astype("int64"),
+            }
+        )
+
+    top = (
+        ds.map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .sort(["cnt", "token"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    top["cnt"] = top["cnt"].astype("int64")
+    return top[["token", "cnt"]]
+
+
+def sample_documents_hash(sf_dir: str, rate_pct: int = 10) -> pd.DataFrame:
+    """Deterministic hash sampling (O5 extension): keep a document iff
+    ``(doc_id * 2654435761) mod 2^32 mod 100 < rate_pct`` — a Knuth
+    multiplicative hash expressible in plain SQL arithmetic, so the
+    sample is reproducible across engines and runs (no RNG state). The
+    sampled stats are per-batch partial (lang, count, char-sum) rows
+    summed by a Ray hash aggregate; the filter is vectorized uint64
+    numpy arithmetic inside the scan task, so unsampled rows never leave
+    the reader."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    m, b32, h = np.uint64(2654435761), np.uint64(4294967296), np.uint64(100)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        hashed = df["doc_id"].to_numpy().astype(np.uint64) * m % b32 % h
+        keep = df.loc[hashed < np.uint64(rate_pct)]
+        g = (
+            keep.groupby("lang", sort=False)
+            .agg(n_sampled=("doc_id", "size"), sum_chars=("n_chars", "sum"))
+            .reset_index()
+        )
+        return g.astype({"lang": str, "n_sampled": "int64", "sum_chars": "int64"})
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .aggregate(
+            Sum("n_sampled", alias_name="n_sampled"),
+            Sum("sum_chars", alias_name="sum_chars"),
+        )
+        .to_pandas()
+    )
+    out["n_sampled"] = out["n_sampled"].astype("int64")
+    out["sum_chars"] = out["sum_chars"].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 def _sql_stoplist(lang: str) -> str:
     """The engine's stopword set as a DuckDB list literal (sorted for a
     stable rendering; membership tests are order-independent)."""
@@ -294,6 +371,8 @@ QUERIES = {
     "langid_documents": langid_documents,
     "quality_documents": quality_documents,
     "fingerprint_documents": fingerprint_documents,
+    "vocab_top_terms_documents": vocab_top_terms_documents,
+    "sample_documents_hash": sample_documents_hash,
 }
 
 ORACLE_SQL = {
@@ -324,4 +403,21 @@ ORACLE_SQL = {
     "quality_documents": _QUALITY_SQL,
     "langid_documents": _LANGID_SQL,
     # fingerprint: pinned-siphash rolling hash, not SQL-expressible
+    # vocab: documents.text is single-space separated, so string_split on
+    # ' ' and the engine's pandas split produce identical token streams.
+    "vocab_top_terms_documents": """
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token
+        ORDER BY cnt DESC, token ASC
+        LIMIT 25
+    """,
+    "sample_documents_hash": """
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_sampled,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE (CAST(doc_id AS UBIGINT) * 2654435761) % 4294967296 % 100 < 10
+        GROUP BY lang ORDER BY lang
+    """,
 }
