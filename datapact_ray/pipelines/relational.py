@@ -14,6 +14,8 @@ All pipelines are Ray-Data-first: pruned ``read_parquet``, vectorized
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -459,8 +461,6 @@ def pivot_lineitem_status(sf_dir: str) -> pd.DataFrame:
     per-(flag,status) compensated partial sums (``math.fsum``); the tiny
     (≤ 6 × n_tasks rows) partial frame merges on the driver with a second
     fsum, then pivots — no shuffle, no full-table groupby."""
-    import math
-
     ds = read_table(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_extendedprice"],
@@ -496,6 +496,54 @@ def pivot_lineitem_status(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(
         out_rows, columns=["l_returnflag", "sum_f", "sum_o", "cnt_f", "cnt_o"]
     ).astype({"cnt_f": "int64", "cnt_o": "int64"})
+
+
+def grouped_quantile_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Exact distributed grouped quantiles (median + p95) over a
+    low-cardinality numeric column WITHOUT sorting the table: each map
+    task emits per-(group, value) partial counts, a Ray hash aggregate
+    sums them — shuffle rows = n_groups × n_distinct_values, independent
+    of table size — and the driver interpolates ``quantile_cont`` from
+    each group's cumulative distribution. (For high-cardinality columns
+    the engine's t-digest sketch is the approximate scale path; this is
+    the exact path when the value domain is bounded.)"""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        g = (
+            df.groupby(["l_returnflag", "l_quantity"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        return g.astype({"c": "int64"})
+
+    dist = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_quantity"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    rows = []
+    for flag, g in dist.groupby("l_returnflag", sort=True):
+        g = g.sort_values("l_quantity")
+        v = g["l_quantity"].to_numpy(dtype=np.float64)
+        cum = np.cumsum(g["c"].to_numpy(dtype=np.int64))
+        n = int(cum[-1])
+
+        def q_at(q: float) -> float:
+            # value at 0-indexed rank j is v[searchsorted(cum, j, 'right')]
+            h = (n - 1) * q
+            lo = v[int(np.searchsorted(cum, math.floor(h), side="right"))]
+            hi = v[int(np.searchsorted(cum, math.ceil(h), side="right"))]
+            return lo + (hi - lo) * (h - math.floor(h))
+
+        rows.append((flag, _r4(q_at(0.5)), _r4(q_at(0.95))))
+    return pd.DataFrame(rows, columns=["l_returnflag", "median_qty", "p95_qty"])
 
 
 ORACLE_SQL: dict[str, str] = {
@@ -645,6 +693,12 @@ ORACLE_SQL: dict[str, str] = {
                     AS BIGINT) AS cnt_o
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
+    "grouped_quantile_lineitem": """
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+               ROUND(quantile_cont(l_quantity, 0.95), 4) AS p95_qty
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
 }
 
 QUERIES = {
@@ -665,4 +719,5 @@ QUERIES = {
     "custom_orders_by_status": custom_orders_by_status,
     "group_topk_orders": group_topk_orders,
     "pivot_lineitem_status": pivot_lineitem_status,
+    "grouped_quantile_lineitem": grouped_quantile_lineitem,
 }
