@@ -211,6 +211,9 @@ def run_bench() -> dict:
     timed("referential_lineitem_orders", relational.referential_lineitem_orders, SF_DIR)
     timed("groupby_lineitem_returnflag", relational.groupby_lineitem_returnflag, SF_DIR)
     timed("topk_orders", relational.topk_orders, SF_DIR)
+    timed("group_topk_orders", relational.group_topk_orders, SF_DIR)
+    timed("grouped_quantile_lineitem", relational.grouped_quantile_lineitem, SF_DIR)
+    timed("vocab_top_terms_documents", text.vocab_top_terms_documents, SF_DIR)
     timed("drift_psi_events", relational.drift_psi_events, SF_DIR)
     timed("text_stats_documents", text.text_stats_documents, SF_DIR)
     timed("dedup_exact_documents", dedup.dedup_exact_documents, SF_DIR)

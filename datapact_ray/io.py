@@ -160,19 +160,6 @@ def detect_hot_keys_from_footers(
     return {k: v for k, v in counts.items() if v >= rows_threshold}
 
 
-def _strip_schema_metadata(batch: "pa.Table") -> "pa.Table":
-    """Drop pandas writer metadata from read blocks (zero-copy).
-
-    Files written by pandas carry a ``b'pandas'`` schema-metadata blob
-    that makes ``hash(pa.Schema)`` raise (``unhashable type: 'dict'``),
-    which defeats Ray Data's schema-deduplication fast path and spams
-    "Failed to hash the schemas" warnings from every map worker. This
-    fuses with the read task and touches only the schema object."""
-    if batch.schema.metadata:
-        return batch.replace_schema_metadata(None)
-    return batch
-
-
 def read_table(
     path: str,
     columns: list[str] | None = None,
@@ -206,16 +193,21 @@ def read_table(
             )
     if fmt == "parquet":
         kwargs = {}
+        # Explicit metadata-free schema: files written by pandas carry a
+        # b'pandas' schema-metadata blob that makes hash(pa.Schema) raise
+        # (unhashable dict), defeating Ray Data's schema-dedup fast path
+        # and spamming "Failed to hash the schemas" from every read task.
+        # Overriding the schema at the read (pruned to the projection)
+        # keeps every downstream block metadata-free with no extra stage.
+        sel = columns if columns is not None else list(schema.names)
+        kwargs["schema"] = pa.schema(
+            [schema.field(c) for c in sel]
+        ).remove_metadata()
         if columns is not None:
             kwargs["columns"] = columns
         if expr is not None:
             kwargs["filter"] = expr
-        return ray.data.read_parquet(paths, **kwargs).map_batches(
-            _strip_schema_metadata,
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-            batch_size=None,
-        )
+        return ray.data.read_parquet(paths, **kwargs)
     ds = (
         ray.data.read_csv(paths) if fmt == "csv" else ray.data.read_json(paths)
     )
