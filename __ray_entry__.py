@@ -124,6 +124,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out.update(WIN)
     except ImportError:
         pass
+    try:
+        from datapact_ray.pipelines.multimodal import QUERIES as MM
+
+        out.update(MM)
+    except ImportError:
+        pass
     return out
 
 
@@ -156,6 +162,12 @@ def oracle_sql() -> dict[str, str]:
         from datapact_ray.pipelines.windows import ORACLE_SQL as WIN
 
         out.update(WIN)
+    except ImportError:
+        pass
+    try:
+        from datapact_ray.pipelines.multimodal import ORACLE_SQL as MM
+
+        out.update(MM)
     except ImportError:
         pass
     return out

@@ -281,3 +281,85 @@ def make_synthetic_media(n: int = 256, seed: int = 7) -> pa.Table:
             "duration_ms": pa.array(np.zeros(n, dtype=np.int32)),
         }
     )
+
+
+def binary_payload_stats_documents(sf_dir: str) -> "pd.DataFrame":
+    """Oracle-checked binary-column plumbing: treat each document's UTF-8
+    bytes as an opaque ``binary`` payload (the same shape an image/audio
+    blob would have) and compute per-lang payload statistics.
+
+    The payload column is materialized INSIDE the scan task (zero-copy
+    cast), reduced to fixed-width per-batch partial stats in the same
+    task, and only the partials — one row per (lang, task) — reach the
+    shuffle; the payload bytes never leave the map task, per this
+    module's rule that binary columns stay out of wide operations."""
+    import pandas as pd
+
+    from ..io import read_table
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        import pyarrow.compute as pc
+
+        payload = pc.cast(batch.column("text"), pa.binary())
+        nbytes = pc.binary_length(payload).to_numpy().astype("int64")
+        df = pd.DataFrame(
+            {
+                "lang": batch.column("lang").to_pandas(),
+                "b": nbytes,
+                "large": (nbytes > 150).astype("int64"),
+            }
+        )
+        out = (
+            df.groupby("lang", sort=False)
+            .agg(
+                n_payloads=("b", "size"),
+                total_bytes=("b", "sum"),
+                max_bytes=("b", "max"),
+                n_large=("large", "sum"),
+            )
+            .reset_index()
+        )
+        return out.astype(
+            {
+                "n_payloads": "int64",
+                "total_bytes": "int64",
+                "max_bytes": "int64",
+                "n_large": "int64",
+            }
+        )
+
+    from ray.data.aggregate import Max, Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .aggregate(
+            Sum("n_payloads", alias_name="n_payloads"),
+            Sum("total_bytes", alias_name="total_bytes"),
+            Max("max_bytes", alias_name="max_bytes"),
+            Sum("n_large", alias_name="n_large"),
+        )
+        .to_pandas()
+    )
+    for c in ("n_payloads", "total_bytes", "max_bytes", "n_large"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+QUERIES = {
+    "binary_payload_stats_documents": binary_payload_stats_documents,
+}
+
+ORACLE_SQL = {
+    "binary_payload_stats_documents": """
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_payloads,
+               CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+               CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes,
+               CAST(SUM(CASE WHEN octet_length(encode(text)) > 150
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_large
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+}
