@@ -130,6 +130,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out.update(MM)
     except ImportError:
         pass
+    try:
+        from datapact_ray.pipelines.selection import QUERIES as SEL
+
+        out.update(SEL)
+    except ImportError:
+        pass
     return out
 
 
@@ -168,6 +174,12 @@ def oracle_sql() -> dict[str, str]:
         from datapact_ray.pipelines.multimodal import ORACLE_SQL as MM
 
         out.update(MM)
+    except ImportError:
+        pass
+    try:
+        from datapact_ray.pipelines.selection import ORACLE_SQL as SEL
+
+        out.update(SEL)
     except ImportError:
         pass
     return out

@@ -213,6 +213,13 @@ def run_bench() -> dict:
     timed("topk_orders", relational.topk_orders, SF_DIR)
     timed("group_topk_orders", relational.group_topk_orders, SF_DIR)
     timed("grouped_quantile_lineitem", relational.grouped_quantile_lineitem, SF_DIR)
+    from datapact_ray.pipelines import selection
+
+    timed(
+        "exact_quantile_extendedprice",
+        selection.exact_quantile_extendedprice,
+        SF_DIR,
+    )
     timed("vocab_top_terms_documents", text.vocab_top_terms_documents, SF_DIR)
     timed("drift_psi_events", relational.drift_psi_events, SF_DIR)
     timed("text_stats_documents", text.text_stats_documents, SF_DIR)
