@@ -304,6 +304,57 @@ def sample_documents_hash(sf_dir: str, rate_pct: int = 10) -> pd.DataFrame:
     return out.sort_values("lang").reset_index(drop=True)
 
 
+def redact_digits_customer(sf_dir: str) -> pd.DataFrame:
+    """PII-style redaction: mask every digit in an identifier column and
+    report masking stats plus the distinct-pattern count.
+
+    Each map task groups its batch BY THE REDACTED VALUE first, so the
+    exchange carries one row per distinct pattern per task —
+    pattern-cardinality, not row-cardinality (after redaction the
+    pattern space is tiny; that collapse is exactly what redaction is
+    for). Vectorized pandas regex kernels; oracle uses the equivalent
+    DuckDB regexp_replace/regexp_matches expressions."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(f"{sf_dir}/customer.parquet", columns=["c_name"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        s = batch.column("c_name").to_pandas().astype(str)
+        d = s.str.count(r"\d").astype("int64")
+        df = pd.DataFrame(
+            {
+                "red": s.str.replace(r"\d", "#", regex=True),
+                "n": np.int64(1),
+                "rows_with": (d > 0).astype("int64"),
+                "digits": d,
+            }
+        )
+        return (
+            df.groupby("red", sort=False)
+            .agg(n=("n", "sum"), rows_with=("rows_with", "sum"), digits=("digits", "sum"))
+            .reset_index()
+        )
+
+    pats = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("red")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("rows_with", alias_name="rows_with"),
+            Sum("digits", alias_name="digits"),
+        )
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "n_rows": [int(pats["n"].sum())],
+            "rows_with_digits": [int(pats["rows_with"].sum())],
+            "digits_masked": [int(pats["digits"].sum())],
+            "distinct_redacted": [int(len(pats))],
+        }
+    ).astype("int64")
+
+
 def _sql_stoplist(lang: str) -> str:
     """The engine's stopword set as a DuckDB list literal (sorted for a
     stable rendering; membership tests are order-independent)."""
@@ -373,6 +424,7 @@ QUERIES = {
     "fingerprint_documents": fingerprint_documents,
     "vocab_top_terms_documents": vocab_top_terms_documents,
     "sample_documents_hash": sample_documents_hash,
+    "redact_digits_customer": redact_digits_customer,
 }
 
 ORACLE_SQL = {
@@ -419,5 +471,16 @@ ORACLE_SQL = {
         FROM documents
         WHERE (CAST(doc_id AS UBIGINT) * 2654435761) % 4294967296 % 100 < 10
         GROUP BY lang ORDER BY lang
+    """,
+    "redact_digits_customer": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN regexp_matches(c_name, '[0-9]')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS rows_with_digits,
+               CAST(SUM(LENGTH(c_name)
+                        - LENGTH(regexp_replace(c_name, '[0-9]', '', 'g')))
+                    AS BIGINT) AS digits_masked,
+               CAST(COUNT(DISTINCT regexp_replace(c_name, '[0-9]', '#', 'g'))
+                    AS BIGINT) AS distinct_redacted
+        FROM customer
     """,
 }
