@@ -590,6 +590,76 @@ def grouped_quantile_lineitem(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["l_returnflag", "median_qty", "p95_qty"])
 
 
+def distinct_users_events(sf_dir: str) -> pd.DataFrame:
+    """Exact COUNT(DISTINCT int key) at scale: spread-hash bucket the
+    8-byte key column through the explicit fixed-width shuffle (same
+    value ⇒ same bucket, so per-bucket ``nunique`` sums are exact — and
+    unlike content-hash dedup there is no collision caveat, the raw
+    values themselves are compared). Only the key column ever moves.
+    ``hll_users_events`` is the one-pass approximate companion."""
+    from .dedup import _dedup_buckets, _grouped_frames
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["user_id"])
+    num_buckets = _dedup_buckets()
+
+    def key_batch(batch: pa.Table) -> pd.DataFrame:
+        u = batch.column("user_id").to_pandas().dropna().to_numpy(np.int64)
+        spread = u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return pd.DataFrame(
+            {
+                "h": u,
+                "__bucket": (spread % np.uint64(num_buckets)).astype(np.int32),
+            }
+        )
+
+    keyed = ds.map_batches(key_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"distinct": [int(df["h"].nunique())]})
+
+    parts = _grouped_frames(keyed, num_buckets, bucket_counts)
+    distinct = int(parts["distinct"].sum()) if len(parts) else 0
+    return pd.DataFrame({"distinct_users": [distinct]}).astype("int64")
+
+
+def hll_users_events(sf_dir: str, p: int = 14) -> pd.DataFrame:
+    """Approximate distinct via HyperLogLog — the one-pass, shuffle-free
+    scale path (per-batch register partials, driver merge; registers are
+    2^p bytes regardless of input size). Rows-only check: reports the
+    estimate NEXT TO the exact bucket-shuffle count and the relative
+    error, so the approximation is self-audited (expected |err| ≈
+    1.04/√2^p ≈ 0.8% at p=14)."""
+    from ..sketches import HyperLogLog, hash_columns_u64
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        import pickle
+
+        df = batch.to_pandas()
+        hll = HyperLogLog(p=p)
+        hll.add_hashes(hash_columns_u64(df, ["user_id"]))
+        return pd.DataFrame({"blob": [pickle.dumps(hll)]})
+
+    import pickle
+
+    merged = HyperLogLog(p=p)
+    for blob in (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()["blob"]
+    ):
+        merged = merged.merge(pickle.loads(blob))
+    exact = int(distinct_users_events(sf_dir)["distinct_users"].iloc[0])
+    est = float(merged.estimate())
+    return pd.DataFrame(
+        {
+            "exact_distinct": [exact],
+            "hll_estimate": [round(est, 1)],
+            "rel_err": [round(abs(est - exact) / max(exact, 1), 4)],
+        }
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     "profile_orders": """
         SELECT COUNT(*) AS order_count,
@@ -743,6 +813,12 @@ ORACLE_SQL: dict[str, str] = {
                ROUND(quantile_cont(l_quantity, 0.95), 4) AS p95_qty
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
+    "distinct_users_events": """
+        SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+        FROM events
+    """,
+    # hll_users_events: sketch estimate, not SQL-expressible (rows-only;
+    # self-audited against the exact bucket-shuffle count)
 }
 
 QUERIES = {
@@ -764,4 +840,6 @@ QUERIES = {
     "group_topk_orders": group_topk_orders,
     "pivot_lineitem_status": pivot_lineitem_status,
     "grouped_quantile_lineitem": grouped_quantile_lineitem,
+    "distinct_users_events": distinct_users_events,
+    "hll_users_events": hll_users_events,
 }
