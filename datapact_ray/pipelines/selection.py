@@ -317,8 +317,58 @@ def exact_quantile_extendedprice(sf_dir: str, q: float = 0.5) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["l_returnflag", "median_price"])
 
 
+def tdigest_quantile_extendedprice(sf_dir: str, q: float = 0.5) -> pd.DataFrame:
+    """Approximate grouped quantile via the engine's t-digest sketch —
+    the ONE-scan path when refinement passes are too expensive or the
+    quantile rides an existing profile pass. Rows-only check, but
+    self-audited: reports the sketch estimate NEXT TO the exact
+    selection result and the relative error, so the approximation
+    quality is measured, not assumed."""
+    from ..sketches import TDigest
+
+    path = f"{sf_dir}/lineitem.parquet"
+    ds = read_table(path, columns=["l_returnflag", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        import pickle
+
+        df = batch.to_pandas().dropna(subset=["l_extendedprice"])
+        rows = []
+        for grp, g in df.groupby("l_returnflag", sort=False):
+            td = TDigest()
+            td.add(g["l_extendedprice"].to_numpy(np.float64))
+            rows.append((grp, pickle.dumps(td)))
+        return pd.DataFrame(rows, columns=["grp", "blob"])
+
+    import pickle
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    exact = exact_quantile_extendedprice(sf_dir, q).set_index("l_returnflag")[
+        "median_price"
+    ]
+    rows = []
+    for grp, g in parts.groupby("grp", sort=True):
+        merged = None
+        for blob in g["blob"]:
+            td = pickle.loads(blob)
+            merged = td if merged is None else merged.merge(td)
+        est = float(merged.quantile(np.array([q]))[0])
+        ex = float(exact.loc[grp])
+        rows.append(
+            (grp, round(est, 4), ex, round(abs(est - ex) / max(abs(ex), 1e-12), 6))
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["l_returnflag", "tdigest_median", "exact_median", "rel_err"],
+    )
+
+
 QUERIES = {
     "exact_quantile_extendedprice": exact_quantile_extendedprice,
+    "tdigest_quantile_extendedprice": tdigest_quantile_extendedprice,
 }
 
 ORACLE_SQL = {
