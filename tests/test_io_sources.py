@@ -64,3 +64,31 @@ def test_suite_runs_on_csv_inputs(tables, tmp_path):
         RunConfig(results_dir=str(tmp_path / "o"), run_id=1, num_buckets=4),
     )
     assert s.results[0].status == "SUCCESS", s.results[0].payload
+
+
+def test_parquet_blocks_metadata_free_and_pruned(tmp_path):
+    """Pandas-written parquet carries a b'pandas' schema-metadata blob
+    that breaks hash(pa.Schema) and Ray's schema-dedup fast path;
+    read_table must emit metadata-free blocks in the requested column
+    order, including when a filter references a column outside the
+    projection."""
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {"a": range(50), "b": [float(i) for i in range(50)], "c": ["x"] * 50}
+    )
+    df.to_parquet(tmp_path / "t.parquet")  # pandas writer => metadata blob
+    assert pq.read_schema(tmp_path / "t.parquet").metadata  # precondition
+
+    ds = read_table(str(tmp_path / "t.parquet"), columns=["c", "a"])
+    batch = next(iter(ds.iter_batches(batch_format="pyarrow")))
+    assert not batch.schema.metadata
+    assert batch.schema.names == ["c", "a"]
+
+    ds2 = read_table(
+        str(tmp_path / "t.parquet"), columns=["c"], filter_sql="a >= 40"
+    )
+    got = ds2.to_pandas()
+    assert len(got) == 10 and "c" in got.columns
+    for b in ds2.iter_batches(batch_format="pyarrow"):
+        assert not b.schema.metadata
