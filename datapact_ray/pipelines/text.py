@@ -304,6 +304,66 @@ def sample_documents_hash(sf_dir: str, rate_pct: int = 10) -> pd.DataFrame:
     return out.sort_values("lang").reset_index(drop=True)
 
 
+def heavy_hitter_terms_documents(sf_dir: str, k: int = 64, top: int = 10) -> pd.DataFrame:
+    """Heavy-hitter terms via a mergeable Misra–Gries summary — the
+    bounded-memory path for when even the vocabulary doesn't fit a
+    shuffle (each partial is ≤ k counters regardless of input size, vs
+    ``vocab_top_terms_documents`` whose exchange is vocabulary-sized).
+
+    Rows-only but SELF-AUDITED: joins the sketch's top terms against the
+    exact counts and reports per-term (est ≤ exact ≤ est + offset)
+    bound satisfaction — the Misra–Gries guarantee, checked live."""
+    from ray.data.aggregate import Sum
+
+    from ..sketches import MisraGries
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        text = batch.column("text").to_pandas().astype(str)
+        vc = text.str.split(" ").explode().value_counts()
+        mg = MisraGries(k=k)
+        mg.add_value_counts(vc.index.to_numpy(), vc.to_numpy())
+        return pd.DataFrame({"blob": [mg.to_bytes()]})
+
+    merged = MisraGries(k=k)
+    for blob in (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()["blob"]
+    ):
+        merged = merged.merge(MisraGries.from_bytes(blob))
+    found = merged.items_with_bounds()[:top]
+
+    # exact audit: true counts for the found terms (vocabulary-sized
+    # aggregate, the same machinery the exact query uses)
+    def exact_partial(batch: pa.Table) -> pd.DataFrame:
+        text = batch.column("text").to_pandas().astype(str)
+        vc = text.str.split(" ").explode().value_counts()
+        return pd.DataFrame(
+            {
+                "token": vc.index.to_numpy().astype(str),
+                "cnt": vc.to_numpy().astype("int64"),
+            }
+        )
+
+    exact = (
+        read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+        .map_batches(exact_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .set_index("token")["cnt"]
+    )
+    rows = []
+    for token, est, upper in found:
+        ex = int(exact.get(token, 0))
+        rows.append((token, int(est), int(upper), ex, bool(est <= ex <= upper)))
+    return pd.DataFrame(
+        rows,
+        columns=["token", "est_count", "upper_count", "exact_count", "within_bounds"],
+    )
+
+
 def redact_digits_customer(sf_dir: str) -> pd.DataFrame:
     """PII-style redaction: mask every digit in an identifier column and
     report masking stats plus the distinct-pattern count.
@@ -425,6 +485,7 @@ QUERIES = {
     "vocab_top_terms_documents": vocab_top_terms_documents,
     "sample_documents_hash": sample_documents_hash,
     "redact_digits_customer": redact_digits_customer,
+    "heavy_hitter_terms_documents": heavy_hitter_terms_documents,
 }
 
 ORACLE_SQL = {

@@ -360,3 +360,66 @@ class TopKCounter:
 
     def hot_keys(self, min_count: int) -> dict:
         return {k: c for k, c in self.counts.items() if c >= min_count}
+
+
+class MisraGries:
+    """Misra–Gries heavy-hitters summary with a tracked error bound
+    (Misra & Gries 1982; merge rule from Agarwal et al. 2012,
+    "Mergeable Summaries").
+
+    Holds at most ``k`` counters. ``offset`` accumulates the total
+    decrement applied, giving the two-sided guarantee per present key
+    ``est ≤ true ≤ est + offset``, and every key whose true count
+    exceeds ``offset`` is guaranteed PRESENT — unlike ``TopKCounter``
+    (the skew-detection heuristic above), which truncates per batch and
+    can silently drop a globally-heavy key that is cold in every batch.
+    """
+
+    __slots__ = ("k", "counts", "offset")
+
+    def __init__(self, k: int = 64):
+        self.k = k
+        self.counts: dict = {}
+        self.offset = 0
+
+    def _shrink(self) -> None:
+        if len(self.counts) <= self.k:
+            return
+        vals = sorted(self.counts.values(), reverse=True)
+        med = vals[self.k]  # (k+1)-th largest
+        self.counts = {
+            key: c - med for key, c in self.counts.items() if c > med
+        }
+        self.offset += med
+
+    def add_value_counts(self, keys, counts) -> None:
+        """Add a batch's exact (key, count) pairs (e.g. value_counts)."""
+        for key, c in zip(list(keys), list(counts)):
+            self.counts[key] = self.counts.get(key, 0) + int(c)
+        self._shrink()
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        out = MisraGries(self.k)
+        out.counts = dict(self.counts)
+        for key, c in other.counts.items():
+            out.counts[key] = out.counts.get(key, 0) + c
+        out.offset = self.offset + other.offset
+        out._shrink()
+        return out
+
+    def items_with_bounds(self) -> list:
+        """[(key, est, est + offset)] sorted by est desc, key asc."""
+        return [
+            (key, c, c + self.offset)
+            for key, c in sorted(self.counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        ]
+
+    def to_bytes(self) -> bytes:
+        return pickle.dumps((self.k, self.counts, self.offset))
+
+    @classmethod
+    def from_bytes(cls, raw: bytes) -> "MisraGries":
+        k, counts, offset = pickle.loads(raw)
+        out = cls(k)
+        out.counts, out.offset = counts, offset
+        return out
