@@ -590,6 +590,55 @@ def grouped_quantile_lineitem(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["l_returnflag", "median_qty", "p95_qty"])
 
 
+def rollup_lineitem_cube(sf_dir: str) -> pd.DataFrame:
+    """Multi-level rollup (SQL ``GROUP BY GROUPING SETS ((f,s),(f),())``)
+    from ONE scan: map tasks emit finest-granularity fsum partials only;
+    the coarser levels are derived on the driver by re-aggregating the
+    tiny partial frame — n_levels × the data is never scanned, and
+    nothing wider than (groups × tasks) rows moves."""
+    ds = read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice"],
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        rows = [
+            (flag, status, math.fsum(g.to_numpy()), np.int64(len(g)))
+            for (flag, status), g in df.groupby(
+                ["l_returnflag", "l_linestatus"], sort=False
+            )["l_extendedprice"]
+        ]
+        return pd.DataFrame(rows, columns=["f", "s", "sp", "n"]).astype(
+            {"f": str, "s": str, "sp": "float64", "n": "int64"}
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+
+    def level(keys: list[str]) -> list[tuple]:
+        rows = []
+        grouped = parts.groupby(keys, sort=True) if keys else [((), parts)]
+        for key, g in grouped:
+            key = key if isinstance(key, tuple) else (key,)
+            named = dict(zip(keys, key))
+            rows.append(
+                (
+                    named.get("f", "ALL"),
+                    named.get("s", "ALL"),
+                    _r2(math.fsum(g["sp"])),
+                    int(g["n"].sum()),
+                )
+            )
+        return rows
+
+    out = level(["f", "s"]) + level(["f"]) + level([])
+    return pd.DataFrame(
+        out, columns=["l_returnflag", "l_linestatus", "sum_price", "cnt"]
+    ).astype({"cnt": "int64"})
+
+
 def distinct_users_events(sf_dir: str) -> pd.DataFrame:
     """Exact COUNT(DISTINCT int key) at scale: spread-hash bucket the
     8-byte key column through the explicit fixed-width shuffle (same
@@ -817,6 +866,16 @@ ORACLE_SQL: dict[str, str] = {
         SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
         FROM events
     """,
+    "rollup_lineitem_cube": """
+        SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+               COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+               ROUND(fsum(l_extendedprice), 2) AS sum_price,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        ORDER BY l_returnflag, l_linestatus
+    """,
     # hll_users_events: sketch estimate, not SQL-expressible (rows-only;
     # self-audited against the exact bucket-shuffle count)
 }
@@ -842,4 +901,5 @@ QUERIES = {
     "grouped_quantile_lineitem": grouped_quantile_lineitem,
     "distinct_users_events": distinct_users_events,
     "hll_users_events": hll_users_events,
+    "rollup_lineitem_cube": rollup_lineitem_cube,
 }
