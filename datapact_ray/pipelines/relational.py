@@ -230,21 +230,26 @@ def groupby_lineitem_returnflag(sf_dir: str) -> pd.DataFrame:
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         df = batch.to_pandas()
+        # SQL NULL semantics: SUM/AVG skip NULLs (fsum over NaN would
+        # poison the total); COUNT(*) counts every row; AVG divides by
+        # the NON-NULL count, carried separately
         rows = [
             (
                 flag,
                 status,
-                math.fsum(g["l_quantity"].to_numpy()),
-                math.fsum(g["l_extendedprice"].to_numpy()),
+                math.fsum(g["l_quantity"].dropna().to_numpy()),
+                math.fsum(g["l_extendedprice"].dropna().to_numpy()),
                 len(g),
+                int(g["l_extendedprice"].notna().sum()),
             )
             for (flag, status), g in df.groupby(
                 ["l_returnflag", "l_linestatus"], sort=False
             )
         ]
         return pd.DataFrame(
-            rows, columns=["l_returnflag", "l_linestatus", "sq", "sp", "n"]
-        ).astype({"sq": "float64", "sp": "float64", "n": "int64"})
+            rows,
+            columns=["l_returnflag", "l_linestatus", "sq", "sp", "n", "np"],
+        ).astype({"sq": "float64", "sp": "float64", "n": "int64", "np": "int64"})
 
     parts = ds.map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
@@ -254,9 +259,9 @@ def groupby_lineitem_returnflag(sf_dir: str) -> pd.DataFrame:
         ["l_returnflag", "l_linestatus"], sort=True
     ):
         n = int(g["n"].sum())
-        out_rows.append(
-            (flag, status, _r4(math.fsum(g["sq"])), _r4(math.fsum(g["sp"]) / n), n)
-        )
+        n_price = int(g["np"].sum())
+        avg = _r4(math.fsum(g["sp"]) / n_price) if n_price else None
+        out_rows.append((flag, status, _r4(math.fsum(g["sq"])), avg, n))
     return pd.DataFrame(
         out_rows,
         columns=["l_returnflag", "l_linestatus", "sum_qty", "avg_price", "cnt"],
@@ -275,7 +280,10 @@ def topk_orders(sf_dir: str) -> pd.DataFrame:
     )
 
     def local_topk(batch: pa.Table) -> pd.DataFrame:
-        df = batch.to_pandas()
+        # NULL prices sort last under ORDER BY ... DESC (NULLS LAST) and
+        # can never reach a top-10 of a non-empty table — and NaN would
+        # poison np.partition's threshold — so drop them first
+        df = batch.to_pandas().dropna(subset=["o_totalprice"])
         if len(df) > 10:
             v = df["o_totalprice"].to_numpy()
             thr = np.partition(v, len(v) - 10)[len(v) - 10]  # 10th largest
@@ -480,7 +488,10 @@ def group_topk_orders(sf_dir: str, k: int = 3) -> pd.DataFrame:
     )
 
     def local_prune(batch: pa.Table) -> pd.DataFrame:
-        df = batch.to_pandas()
+        # NULL prices sort last (DESC NULLS LAST) — never in a top-k of
+        # a group with ≥ k non-null rows; dropping them keeps the
+        # pandas sort (NaN-last) and the SQL window ordering aligned
+        df = batch.to_pandas().dropna(subset=["o_totalprice"])
         df = df.sort_values(
             ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="stable"
         )
@@ -512,8 +523,9 @@ def pivot_lineitem_status(sf_dir: str) -> pd.DataFrame:
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         df = batch.to_pandas()
+        # SUM skips NULLs; the count column counts every row (CASE ... 1)
         rows = [
-            (flag, status, math.fsum(vals.to_numpy()), np.int64(len(vals)))
+            (flag, status, math.fsum(vals.dropna().to_numpy()), np.int64(len(vals)))
             for (flag, status), vals in df.groupby(
                 ["l_returnflag", "l_linestatus"], sort=False
             )["l_extendedprice"]
@@ -603,8 +615,9 @@ def rollup_lineitem_cube(sf_dir: str) -> pd.DataFrame:
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         df = batch.to_pandas()
+        # SUM skips NULLs; COUNT(*) counts every row
         rows = [
-            (flag, status, math.fsum(g.to_numpy()), np.int64(len(g)))
+            (flag, status, math.fsum(g.dropna().to_numpy()), np.int64(len(g)))
             for (flag, status), g in df.groupby(
                 ["l_returnflag", "l_linestatus"], sort=False
             )["l_extendedprice"]

@@ -1,0 +1,129 @@
+"""NULL semantics of the partial-aggregation operators, vs DuckDB on
+null-injected data: SUM/AVG skip NULLs (a NaN reaching fsum poisons the
+whole total), COUNT(*) counts every row, ORDER BY DESC puts NULLs last.
+The driver fixture has no NULLs in these columns, so this is the only
+place these paths are exercised."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from datapact_ray.pipelines.relational import (
+    group_topk_orders,
+    groupby_lineitem_returnflag,
+    grouped_quantile_lineitem,
+    pivot_lineitem_status,
+    rollup_lineitem_cube,
+    topk_orders,
+)
+from datapact_ray.pipelines.selection import exact_quantile_extendedprice
+
+
+@pytest.fixture(scope="module")
+def null_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("nulls")
+    rng = np.random.default_rng(17)
+    n = 6000
+    li = pd.DataFrame(
+        {
+            "l_returnflag": np.array(["A", "N", "R"])[rng.integers(0, 3, n)],
+            "l_linestatus": np.array(["F", "O"])[rng.integers(0, 2, n)],
+            "l_quantity": rng.integers(1, 51, n).astype("float64"),
+            "l_extendedprice": np.round(rng.uniform(900, 105000, n), 2),
+        }
+    )
+    li.loc[rng.random(n) < 0.15, "l_quantity"] = np.nan
+    li.loc[rng.random(n) < 0.15, "l_extendedprice"] = np.nan
+    li.to_parquet(d / "lineitem.parquet", row_group_size=512)
+
+    m = 4000
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(m, dtype="int64"),
+            "o_orderpriority": np.array(["1-URGENT", "2-HIGH"])[
+                rng.integers(0, 2, m)
+            ],
+            "o_totalprice": np.round(rng.uniform(1000, 400000, m), 2),
+        }
+    )
+    orders.loc[rng.random(m) < 0.2, "o_totalprice"] = np.nan
+    orders.to_parquet(d / "orders.parquet", row_group_size=512)
+    return str(d)
+
+
+def _duck(sql: str, d: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    try:
+        return con.execute(sql).fetchdf()
+    finally:
+        con.close()
+
+
+def _assert_eq(got: pd.DataFrame, want: pd.DataFrame, name: str):
+    got = got.reset_index(drop=True)
+    want = want.reset_index(drop=True)
+    assert list(got.columns) == list(want.columns), name
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-9)
+
+
+def test_groupby_nulls(null_dir):
+    import __ray_entry__ as m
+
+    got = groupby_lineitem_returnflag(null_dir)
+    want = _duck(m.oracle_sql()["groupby_lineitem_returnflag"], null_dir)
+    _assert_eq(got, want, "groupby")
+
+
+def test_pivot_nulls(null_dir):
+    import __ray_entry__ as m
+
+    got = pivot_lineitem_status(null_dir)
+    want = _duck(m.oracle_sql()["pivot_lineitem_status"], null_dir)
+    _assert_eq(got, want, "pivot")
+
+
+def test_rollup_cube_nulls(null_dir):
+    import __ray_entry__ as m
+
+    got = rollup_lineitem_cube(null_dir).sort_values(
+        ["l_returnflag", "l_linestatus"]
+    )
+    want = _duck(m.oracle_sql()["rollup_lineitem_cube"], null_dir)
+    _assert_eq(got, want, "rollup_cube")
+
+
+def test_topk_nulls(null_dir):
+    import __ray_entry__ as m
+
+    got = topk_orders(null_dir)
+    want = _duck(m.oracle_sql()["topk_orders"], null_dir)
+    _assert_eq(got, want, "topk")
+
+
+def test_group_topk_nulls(null_dir):
+    import __ray_entry__ as m
+
+    got = group_topk_orders(null_dir)
+    want = _duck(m.oracle_sql()["group_topk_orders"], null_dir)
+    _assert_eq(got, want, "group_topk")
+
+
+def test_grouped_quantile_nulls(null_dir):
+    import __ray_entry__ as m
+
+    got = grouped_quantile_lineitem(null_dir)
+    want = _duck(m.oracle_sql()["grouped_quantile_lineitem"], null_dir)
+    _assert_eq(got, want, "grouped_quantile")
+
+
+def test_exact_quantile_nulls(null_dir):
+    import __ray_entry__ as m
+
+    got = exact_quantile_extendedprice(null_dir)
+    want = _duck(m.oracle_sql()["exact_quantile_extendedprice"], null_dir)
+    _assert_eq(got, want, "exact_quantile")
