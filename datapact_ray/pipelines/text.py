@@ -242,7 +242,9 @@ def vocab_top_terms_documents(sf_dir: str, k: int = 25) -> pd.DataFrame:
     ds = read_table(f"{sf_dir}/documents.parquet", columns=["text"])
 
     def partial_counts(batch: pa.Table) -> pd.DataFrame:
-        text = batch.column("text").to_pandas().astype(str)
+        # dropna BEFORE astype(str): a NULL text would otherwise become
+        # the literal token "None" (SQL string_split(NULL) yields no rows)
+        text = batch.column("text").to_pandas().dropna().astype(str)
         vc = text.str.split(" ").explode().value_counts()
         return pd.DataFrame(
             {
@@ -280,7 +282,7 @@ def sample_documents_hash(sf_dir: str, rate_pct: int = 10) -> pd.DataFrame:
     m, b32, h = np.uint64(2654435761), np.uint64(4294967296), np.uint64(100)
 
     def partial(batch: pa.Table) -> pd.DataFrame:
-        df = batch.to_pandas()
+        df = batch.to_pandas().dropna(subset=["doc_id"])
         hashed = df["doc_id"].to_numpy().astype(np.uint64) * m % b32 % h
         keep = df.loc[hashed < np.uint64(rate_pct)]
         g = (
@@ -320,7 +322,7 @@ def heavy_hitter_terms_documents(sf_dir: str, k: int = 64, top: int = 10) -> pd.
     ds = read_table(f"{sf_dir}/documents.parquet", columns=["text"])
 
     def partial(batch: pa.Table) -> pd.DataFrame:
-        text = batch.column("text").to_pandas().astype(str)
+        text = batch.column("text").to_pandas().dropna().astype(str)
         vc = text.str.split(" ").explode().value_counts()
         mg = MisraGries(k=k)
         mg.add_value_counts(vc.index.to_numpy(), vc.to_numpy())
@@ -337,7 +339,7 @@ def heavy_hitter_terms_documents(sf_dir: str, k: int = 64, top: int = 10) -> pd.
     # exact audit: true counts for the found terms (vocabulary-sized
     # aggregate, the same machinery the exact query uses)
     def exact_partial(batch: pa.Table) -> pd.DataFrame:
-        text = batch.column("text").to_pandas().astype(str)
+        text = batch.column("text").to_pandas().dropna().astype(str)
         vc = text.str.split(" ").explode().value_counts()
         return pd.DataFrame(
             {
@@ -379,7 +381,8 @@ def redact_digits_customer(sf_dir: str) -> pd.DataFrame:
     ds = read_table(f"{sf_dir}/customer.parquet", columns=["c_name"])
 
     def partial(batch: pa.Table) -> pd.DataFrame:
-        s = batch.column("c_name").to_pandas().astype(str)
+        s_all = batch.column("c_name").to_pandas()
+        s = s_all.dropna().astype(str)
         d = s.str.count(r"\d").astype("int64")
         df = pd.DataFrame(
             {
@@ -387,17 +390,34 @@ def redact_digits_customer(sf_dir: str) -> pd.DataFrame:
                 "n": np.int64(1),
                 "rows_with": (d > 0).astype("int64"),
                 "digits": d,
+                "nullrow": np.int64(0),
             }
         )
-        return (
-            df.groupby("red", sort=False)
+        out = (
+            df.groupby(["red", "nullrow"], sort=False)
             .agg(n=("n", "sum"), rows_with=("rows_with", "sum"), digits=("digits", "sum"))
             .reset_index()
         )
+        n_null = int(s_all.isna().sum())
+        if n_null:
+            # COUNT(*) counts NULL rows; COUNT(DISTINCT ...) excludes
+            # them — carry them as a marker row outside the pattern space
+            out = pd.concat(
+                [
+                    out,
+                    pd.DataFrame(
+                        [{"red": "", "nullrow": np.int64(1), "n": n_null,
+                          "rows_with": 0, "digits": 0}]
+                    ),
+                ],
+                ignore_index=True,
+            ).astype({"n": "int64", "rows_with": "int64", "digits": "int64",
+                      "nullrow": "int64"})
+        return out
 
     pats = (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("red")
+        .groupby(["red", "nullrow"])
         .aggregate(
             Sum("n", alias_name="n"),
             Sum("rows_with", alias_name="rows_with"),
@@ -410,7 +430,7 @@ def redact_digits_customer(sf_dir: str) -> pd.DataFrame:
             "n_rows": [int(pats["n"].sum())],
             "rows_with_digits": [int(pats["rows_with"].sum())],
             "digits_masked": [int(pats["digits"].sum())],
-            "distinct_redacted": [int(len(pats))],
+            "distinct_redacted": [int((pats["nullrow"] == 0).sum())],
         }
     ).astype("int64")
 

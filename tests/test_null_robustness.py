@@ -127,3 +127,66 @@ def test_exact_quantile_nulls(null_dir):
     got = exact_quantile_extendedprice(null_dir)
     want = _duck(m.oracle_sql()["exact_quantile_extendedprice"], null_dir)
     _assert_eq(got, want, "exact_quantile")
+
+
+@pytest.fixture(scope="module")
+def null_text_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("null_text")
+    rng = np.random.default_rng(5)
+    names = pd.Series([f"Cust#{i:04d}" for i in range(800)], dtype=object)
+    names[rng.random(800) < 0.2] = None
+    pd.DataFrame({"c_name": names}).to_parquet(
+        f"{d}/customer.parquet", row_group_size=128
+    )
+    texts = pd.Series([f"tok{i % 7} tok{i % 3}" for i in range(500)], dtype=object)
+    texts[rng.random(500) < 0.2] = None
+    pd.DataFrame({"text": texts}).to_parquet(
+        f"{d}/documents.parquet", row_group_size=128
+    )
+    return str(d)
+
+
+def test_redact_nulls(null_text_dir):
+    """COUNT(*) includes NULL rows; COUNT(DISTINCT redacted) excludes
+    them; a NULL name must not become the literal pattern 'None'."""
+    from datapact_ray.pipelines.text import redact_digits_customer
+
+    got = redact_digits_customer(null_text_dir)
+    want = _duck_text(
+        """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN regexp_matches(c_name,'[0-9]') THEN 1 ELSE 0 END)
+                AS BIGINT) AS rows_with_digits,
+           CAST(SUM(LENGTH(c_name)-LENGTH(regexp_replace(c_name,'[0-9]','','g')))
+                AS BIGINT) AS digits_masked,
+           CAST(COUNT(DISTINCT regexp_replace(c_name,'[0-9]','#','g'))
+                AS BIGINT) AS distinct_redacted FROM customer""",
+        null_text_dir,
+    )
+    assert got.values.tolist() == want.values.tolist()
+
+
+def test_vocab_nulls(null_text_dir):
+    """string_split(NULL) yields no rows — a NULL text must not become
+    the literal token 'None'."""
+    from datapact_ray.pipelines.text import vocab_top_terms_documents
+
+    got = vocab_top_terms_documents(null_text_dir, k=10)
+    want = _duck_text(
+        """SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents)
+           GROUP BY token ORDER BY cnt DESC, token LIMIT 10""",
+        null_text_dir,
+    )
+    assert got.values.tolist() == want.values.tolist()
+
+
+def _duck_text(sql: str, d: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in ("customer", "documents"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    try:
+        return con.execute(sql).fetchdf()
+    finally:
+        con.close()
