@@ -698,7 +698,8 @@ def hll_users_events(sf_dir: str, p: int = 14) -> pd.DataFrame:
     def partial(batch: pa.Table) -> pd.DataFrame:
         import pickle
 
-        df = batch.to_pandas()
+        # COUNT(DISTINCT) excludes NULLs — so must the sketch
+        df = batch.to_pandas().dropna(subset=["user_id"])
         hll = HyperLogLog(p=p)
         hll.add_hashes(hash_columns_u64(df, ["user_id"]))
         return pd.DataFrame({"blob": [pickle.dumps(hll)]})
