@@ -366,6 +366,52 @@ def heavy_hitter_terms_documents(sf_dir: str, k: int = 64, top: int = 10) -> pd.
     )
 
 
+def bigram_top_terms_documents(sf_dir: str, k: int = 25) -> pd.DataFrame:
+    """N-gram frequency beyond unigrams: top-k corpus bigrams. Same
+    pre-aggregation shape as the vocab builder — adjacent-token pairs
+    are formed INSIDE the map task with one vectorized shift over the
+    exploded token array (no per-doc Python loop), counted per batch,
+    and only (bigram, cnt) partials — bigram-vocabulary-sized — enter
+    the shuffle."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial_counts(batch: pa.Table) -> pd.DataFrame:
+        text = batch.column("text").to_pandas().dropna().astype(str)
+        toks = text.str.split(" ").explode()
+        flat = toks.to_numpy().astype(object)
+        # doc boundary: index changes between consecutive exploded rows
+        doc = toks.index.to_numpy()
+        if len(flat) < 2:
+            return pd.DataFrame(
+                {
+                    "bigram": pd.Series([], dtype=object),
+                    "cnt": pd.Series([], dtype="int64"),
+                }
+            )
+        same_doc = doc[1:] == doc[:-1]
+        pairs = pd.Series(flat[:-1][same_doc]) + " " + pd.Series(flat[1:][same_doc])
+        vc = pairs.value_counts()
+        return pd.DataFrame(
+            {
+                "bigram": vc.index.to_numpy().astype(str),
+                "cnt": vc.to_numpy().astype("int64"),
+            }
+        )
+
+    top = (
+        ds.map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bigram")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .sort(["cnt", "bigram"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    top["cnt"] = top["cnt"].astype("int64")
+    return top[["bigram", "cnt"]]
+
+
 def redact_digits_customer(sf_dir: str) -> pd.DataFrame:
     """PII-style redaction: mask every digit in an identifier column and
     report masking stats plus the distinct-pattern count.
@@ -506,6 +552,7 @@ QUERIES = {
     "sample_documents_hash": sample_documents_hash,
     "redact_digits_customer": redact_digits_customer,
     "heavy_hitter_terms_documents": heavy_hitter_terms_documents,
+    "bigram_top_terms_documents": bigram_top_terms_documents,
 }
 
 ORACLE_SQL = {
@@ -552,6 +599,17 @@ ORACLE_SQL = {
         FROM documents
         WHERE (CAST(doc_id AS UBIGINT) * 2654435761) % 4294967296 % 100 < 10
         GROUP BY lang ORDER BY lang
+    """,
+    "bigram_top_terms_documents": """
+        WITH toks AS (
+            SELECT doc_id,
+                   generate_subscripts(string_split(text, ' '), 1) AS i,
+                   unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        )
+        SELECT a.tok || ' ' || b.tok AS bigram, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        GROUP BY bigram ORDER BY cnt DESC, bigram ASC LIMIT 25
     """,
     "redact_digits_customer": """
         SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
