@@ -602,6 +602,60 @@ def grouped_quantile_lineitem(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["l_returnflag", "median_qty", "p95_qty"])
 
 
+def last_event_per_user(sf_dir: str) -> pd.DataFrame:
+    """Per-key argmax (each user's LAST event by (ts, event_id), the
+    deterministic log-compaction reduction): two-level reduce. Level 1
+    runs inside each map task — per-user argmax over the batch, so one
+    row per (user, task) leaves the scan. Level 2 routes those partials
+    through the explicit hash bucket shuffle (same user ⇒ same bucket)
+    and re-argmaxes per user vectorized in the bucket. Output is the
+    per-last-event-type user count (bounded), not the per-user table."""
+    from .dedup import _dedup_buckets, _grouped_frames
+
+    ds = read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+    num_buckets = _dedup_buckets()
+
+    def _argmax_last(df: pd.DataFrame) -> pd.DataFrame:
+        # idxmax over lexicographic (ts, event_id): sort once, keep tail
+        d = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        return d.groupby("user_id", sort=False).tail(1)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["user_id", "ts"])
+        last = _argmax_last(df)
+        u = last["user_id"].to_numpy().astype(np.uint64)
+        spread = u * np.uint64(0x9E3779B97F4A7C15)
+        out = last[["user_id", "ts", "event_id", "event_type"]].copy()
+        out["__bucket"] = (spread % np.uint64(num_buckets)).astype(np.int32)
+        return out
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def bucket_last(df: pd.DataFrame) -> pd.DataFrame:
+        last = _argmax_last(df)
+        vc = last["event_type"].value_counts()
+        return pd.DataFrame(
+            {
+                "event_type": vc.index.to_numpy().astype(str),
+                "n_users": vc.to_numpy().astype("int64"),
+            }
+        )
+
+    parts = _grouped_frames(partials, num_buckets, bucket_last)
+    out = (
+        parts.groupby("event_type", as_index=False)["n_users"]
+        .sum()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    out["n_users"] = out["n_users"].astype("int64")
+    return out
+
+
 def rollup_lineitem_cube(sf_dir: str) -> pd.DataFrame:
     """Multi-level rollup (SQL ``GROUP BY GROUPING SETS ((f,s),(f),())``)
     from ONE scan: map tasks emit finest-granularity fsum partials only;
@@ -890,6 +944,17 @@ ORACLE_SQL: dict[str, str] = {
                                 (l_returnflag), ())
         ORDER BY l_returnflag, l_linestatus
     """,
+    "last_event_per_user": """
+        WITH last AS (
+            SELECT user_id, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        )
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM last WHERE rn = 1
+        GROUP BY event_type ORDER BY event_type
+    """,
     # hll_users_events: sketch estimate, not SQL-expressible (rows-only;
     # self-audited against the exact bucket-shuffle count)
 }
@@ -916,4 +981,5 @@ QUERIES = {
     "distinct_users_events": distinct_users_events,
     "hll_users_events": hll_users_events,
     "rollup_lineitem_cube": rollup_lineitem_cube,
+    "last_event_per_user": last_event_per_user,
 }
