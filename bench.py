@@ -225,6 +225,8 @@ def run_bench() -> dict:
     timed("text_stats_documents", text.text_stats_documents, SF_DIR)
     timed("redact_digits_customer", text.redact_digits_customer, SF_DIR)
     timed("distinct_users_events", relational.distinct_users_events, SF_DIR)
+    timed("last_event_per_user", relational.last_event_per_user, SF_DIR)
+    timed("bigram_top_terms_documents", text.bigram_top_terms_documents, SF_DIR)
     timed("dedup_exact_documents", dedup.dedup_exact_documents, SF_DIR)
     timed("minhash_dedup_documents", dedup.minhash_dedup_documents, SF_DIR)
     timed("ann_topk_embeddings", ann.ann_topk_embeddings, SF_DIR)
