@@ -391,11 +391,17 @@ def bigram_top_terms_documents(sf_dir: str, k: int = 25) -> pd.DataFrame:
                 }
             )
         same_doc = doc[1:] == doc[:-1]
-        pairs = pd.Series(flat[:-1][same_doc]) + " " + pd.Series(flat[1:][same_doc])
-        vc = pairs.value_counts()
+        # factorize once, count int-encoded pairs, build the pair STRING
+        # only for the distinct pairs (vocabulary-sized) — the per-row
+        # object-string concat was 2-3x the whole stage's cost
+        codes, uniques = pd.factorize(pd.Series(flat))
+        pair = (codes[:-1][same_doc].astype(np.int64) << 32) | codes[1:][same_doc]
+        vc = pd.Series(pair).value_counts()
+        left = uniques[(vc.index.to_numpy() >> 32)].astype(str)
+        right = uniques[(vc.index.to_numpy() & 0xFFFFFFFF)].astype(str)
         return pd.DataFrame(
             {
-                "bigram": vc.index.to_numpy().astype(str),
+                "bigram": pd.Series(left) + " " + pd.Series(right),
                 "cnt": vc.to_numpy().astype("int64"),
             }
         )
