@@ -602,6 +602,97 @@ def grouped_quantile_lineitem(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["l_returnflag", "median_qty", "p95_qty"])
 
 
+def customer_order_profile(sf_dir: str) -> pd.DataFrame:
+    """LEFT OUTER join at scale (completes the join inventory next to
+    inner/anti/semi): per market segment, how many customers exist, how
+    many have NO orders, and the total order count.
+
+    Shape: the orders side is pre-aggregated per batch to (custkey, n)
+    partials — order rows never shuffle, only per-key counts do — then
+    both sides route through the explicit hash bucket shuffle (same
+    custkey ⇒ same bucket) and each bucket does a vectorized left merge
+    + per-segment reduce; only segment-sized frames leave the bucket."""
+    from .dedup import _dedup_buckets, _grouped_frames
+
+    customers = read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    orders = read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    num_buckets = _dedup_buckets()
+    mult = np.uint64(0x9E3779B97F4A7C15)
+
+    def _bucket(keys: np.ndarray) -> np.ndarray:
+        return (
+            keys.astype(np.uint64) * mult % np.uint64(num_buckets)
+        ).astype(np.int32)
+
+    def cust_rows(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["c_custkey"])
+        key = df["c_custkey"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "side": np.int8(0),
+                "key": key,
+                "seg": df["c_mktsegment"].astype(str),
+                "n": np.int64(0),
+                "__bucket": _bucket(key),
+            }
+        )
+
+    def order_partials(batch: pa.Table) -> pd.DataFrame:
+        vc = batch.column("o_custkey").to_pandas().dropna().value_counts()
+        key = vc.index.to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "side": np.int8(1),
+                "key": key,
+                "seg": "",
+                "n": vc.to_numpy().astype("int64"),
+                "__bucket": _bucket(key),
+            }
+        )
+
+    both = customers.map_batches(
+        cust_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        orders.map_batches(
+            order_partials, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def bucket_join(df: pd.DataFrame) -> pd.DataFrame:
+        cust = df[df["side"] == 0]
+        ords = (
+            df[df["side"] == 1].groupby("key", as_index=False)["n"].sum()
+        )
+        merged = cust[["key", "seg"]].merge(ords, on="key", how="left")
+        merged["n"] = merged["n"].fillna(0).astype("int64")
+        g = merged.groupby("seg", sort=False)
+        return pd.DataFrame(
+            {
+                "n_customers": g.size(),
+                "n_without_orders": g["n"].apply(lambda s: int((s == 0).sum())),
+                "total_orders": g["n"].sum(),
+            }
+        ).reset_index()
+
+    parts = _grouped_frames(both, num_buckets, bucket_join)
+    out = (
+        parts.groupby("seg", as_index=False)
+        .agg(
+            n_customers=("n_customers", "sum"),
+            n_without_orders=("n_without_orders", "sum"),
+            total_orders=("total_orders", "sum"),
+        )
+        .rename(columns={"seg": "c_mktsegment"})
+        .sort_values("c_mktsegment")
+        .reset_index(drop=True)
+    )
+    for c in ("n_customers", "n_without_orders", "total_orders"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def last_event_per_user(sf_dir: str) -> pd.DataFrame:
     """Per-key argmax (each user's LAST event by (ts, event_id), the
     deterministic log-compaction reduction): two-level reduce. Level 1
@@ -944,6 +1035,18 @@ ORACLE_SQL: dict[str, str] = {
                                 (l_returnflag), ())
         ORDER BY l_returnflag, l_linestatus
     """,
+    "customer_order_profile": """
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(CASE WHEN o.n IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_without_orders,
+               CAST(SUM(COALESCE(o.n, 0)) AS BIGINT) AS total_orders
+        FROM customer c
+        LEFT JOIN (SELECT o_custkey, COUNT(*) AS n
+                   FROM orders GROUP BY o_custkey) o
+          ON c.c_custkey = o.o_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
     "last_event_per_user": """
         WITH last AS (
             SELECT user_id, event_type,
@@ -982,4 +1085,5 @@ QUERIES = {
     "hll_users_events": hll_users_events,
     "rollup_lineitem_cube": rollup_lineitem_cube,
     "last_event_per_user": last_event_per_user,
+    "customer_order_profile": customer_order_profile,
 }
