@@ -24,6 +24,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..io import read_table
+from ._util import round_duck
 
 _TOKEN_RE = r"\w+|[^\w\s]"
 _PUNCT_RE = r"[^\w\s]"
@@ -418,6 +419,76 @@ def bigram_top_terms_documents(sf_dir: str, k: int = 25) -> pd.DataFrame:
     return top[["bigram", "cnt"]]
 
 
+def repetition_documents(sf_dir: str) -> pd.DataFrame:
+    """Intra-document repetition (a standard LLM-data quality filter
+    signal): per language, the average fraction of a document's
+    trigrams that are duplicates of an earlier trigram in the SAME
+    document. Whole documents live inside single rows, so the per-doc
+    statistic is computed entirely inside the map task (factorized
+    token codes, drop_duplicates on (doc, c0, c1, c2) — no hashing, so
+    the count is exact and matches the SQL oracle bit-for-bit); only
+    per-lang (n_docs, ratio-sum) partials leave the task. Docs with
+    fewer than 3 tokens have no trigrams and are excluded (as in SQL,
+    where the trigram join yields no rows for them)."""
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        import math as _math
+
+        df = batch.to_pandas().dropna(subset=["text"])
+        toks = df["text"].astype(str).str.split(" ").explode()
+        codes, _ = pd.factorize(toks)
+        doc = toks.index.to_numpy()
+        same2 = doc[2:] == doc[:-2]
+        tri = pd.DataFrame(
+            {
+                "doc": doc[:-2][same2],
+                "c0": codes[:-2][same2],
+                "c1": codes[1:-1][same2],
+                "c2": codes[2:][same2],
+            }
+        )
+        if tri.empty:
+            return pd.DataFrame(
+                {
+                    "lang": pd.Series([], dtype=object),
+                    "n_docs": pd.Series([], dtype="int64"),
+                    "rep_sum": pd.Series([], dtype="float64"),
+                }
+            )
+        n = tri.groupby("doc", sort=False).size()
+        nd = (
+            tri.drop_duplicates(["doc", "c0", "c1", "c2"])
+            .groupby("doc", sort=False)
+            .size()
+        )
+        ratio = (n - nd) / n
+        lang = df["lang"].reindex(ratio.index)
+        out = pd.DataFrame({"lang": lang, "ratio": ratio})
+        g = out.groupby("lang", sort=False)["ratio"]
+        return pd.DataFrame(
+            {
+                "n_docs": g.size().astype("int64"),
+                "rep_sum": g.apply(lambda s: _math.fsum(s.to_numpy())),
+            }
+        ).reset_index()
+
+    import math as _math
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    rows = []
+    for lang, g in parts.groupby("lang", sort=True):
+        n_docs = int(g["n_docs"].sum())
+        rows.append(
+            (lang, n_docs, round_duck(_math.fsum(g["rep_sum"]) / n_docs, 4))
+        )
+    return pd.DataFrame(rows, columns=["lang", "n_docs", "avg_rep"]).astype(
+        {"n_docs": "int64"}
+    )
+
+
 def redact_digits_customer(sf_dir: str) -> pd.DataFrame:
     """PII-style redaction: mask every digit in an identifier column and
     report masking stats plus the distinct-pattern count.
@@ -559,6 +630,7 @@ QUERIES = {
     "redact_digits_customer": redact_digits_customer,
     "heavy_hitter_terms_documents": heavy_hitter_terms_documents,
     "bigram_top_terms_documents": bigram_top_terms_documents,
+    "repetition_documents": repetition_documents,
 }
 
 ORACLE_SQL = {
@@ -605,6 +677,28 @@ ORACLE_SQL = {
         FROM documents
         WHERE (CAST(doc_id AS UBIGINT) * 2654435761) % 4294967296 % 100 < 10
         GROUP BY lang ORDER BY lang
+    """,
+    "repetition_documents": """
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   generate_subscripts(string_split(text, ' '), 1) AS i,
+                   unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        tri AS (
+            SELECT a.doc_id, a.lang,
+                   a.tok || ' ' || b.tok || ' ' || c.tok AS tg
+            FROM toks a
+            JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+            JOIN toks c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+        ),
+        per_doc AS (
+            SELECT doc_id, lang, COUNT(*) AS n, COUNT(DISTINCT tg) AS nd
+            FROM tri GROUP BY doc_id, lang
+        )
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND(AVG((n - nd) * 1.0 / n), 4) AS avg_rep
+        FROM per_doc GROUP BY lang ORDER BY lang
     """,
     "bigram_top_terms_documents": """
         WITH toks AS (
