@@ -557,14 +557,13 @@ def pivot_lineitem_status(sf_dir: str) -> pd.DataFrame:
 def grouped_quantile_lineitem(sf_dir: str) -> pd.DataFrame:
     """Exact distributed grouped quantiles (median + p95) over a
     low-cardinality numeric column WITHOUT sorting the table: each map
-    task emits per-(group, value) partial counts, a Ray hash aggregate
-    sums them — shuffle rows = n_groups × n_distinct_values, independent
-    of table size — and the driver interpolates ``quantile_cont`` from
-    each group's cumulative distribution. (For high-cardinality columns
-    the engine's t-digest sketch is the approximate scale path; this is
-    the exact path when the value domain is bounded.)"""
-    from ray.data.aggregate import Sum
-
+    task emits per-(group, value) partial counts — shuffle rows =
+    n_groups × n_distinct_values, independent of table size — and the
+    driver merges the bounded partial frame and interpolates
+    ``quantile_cont`` from each group's cumulative distribution. (For
+    high-cardinality columns the t-digest sketch is the approximate
+    scale path and ``pipelines/selection.py`` the exact one; this is the
+    cheapest exact path when the value domain is bounded.)"""
     ds = read_table(
         f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
     )
@@ -578,11 +577,15 @@ def grouped_quantile_lineitem(sf_dir: str) -> pd.DataFrame:
         )
         return g.astype({"c": "int64"})
 
+    # partials are (group, value, count) — bounded-domain by premise, so
+    # the concat is ≤ n_groups × n_distinct_values × n_tasks rows and the
+    # final sum is a driver-side pandas groupby (Ray's sort-based
+    # aggregate cost ~2-3 s of fixed overhead on kilobyte inputs)
     dist = (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["l_returnflag", "l_quantity"])
-        .aggregate(Sum("c", alias_name="c"))
         .to_pandas()
+        .groupby(["l_returnflag", "l_quantity"], as_index=False)["c"]
+        .sum()
     )
     rows = []
     for flag, g in dist.groupby("l_returnflag", sort=True):
