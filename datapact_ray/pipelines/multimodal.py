@@ -330,18 +330,17 @@ def binary_payload_stats_documents(sf_dir: str) -> "pd.DataFrame":
             }
         )
 
-    from ray.data.aggregate import Max, Sum
-
+    # partials are ≤ n_langs rows per task: merge on the driver
     out = (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("lang")
-        .aggregate(
-            Sum("n_payloads", alias_name="n_payloads"),
-            Sum("total_bytes", alias_name="total_bytes"),
-            Max("max_bytes", alias_name="max_bytes"),
-            Sum("n_large", alias_name="n_large"),
-        )
         .to_pandas()
+        .groupby("lang", as_index=False)
+        .agg(
+            n_payloads=("n_payloads", "sum"),
+            total_bytes=("total_bytes", "sum"),
+            max_bytes=("max_bytes", "max"),
+            n_large=("n_large", "sum"),
+        )
     )
     for c in ("n_payloads", "total_bytes", "max_bytes", "n_large"):
         out[c] = out[c].astype("int64")

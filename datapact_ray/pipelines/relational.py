@@ -425,13 +425,12 @@ def drift_psi_events(sf_dir: str) -> pd.DataFrame:
             return pd.DataFrame({"etype": [], "bin": [], "cnt": []})
         return pd.concat(out, ignore_index=True)
 
-    from ray.data.aggregate import Sum
-
+    # partials are ≤ 20 fixed-bin rows per task: merge on the driver
     hists = (
         ds.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["etype", "bin"])
-        .aggregate(Sum("cnt", alias_name="cnt"))
         .to_pandas()
+        .groupby(["etype", "bin"], as_index=False)["cnt"]
+        .sum()
     )
     piv = hists.pivot_table(index="bin", columns="etype", values="cnt", fill_value=0)
     pa_ = np.clip(

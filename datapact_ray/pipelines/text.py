@@ -264,6 +264,12 @@ def _bucket_of_keys(keys: pd.Series) -> np.ndarray:
     return (h % np.uint64(_dedup_buckets())).astype(np.int32)
 
 
+def _grouped_frames_text(partials, fn) -> pd.DataFrame:
+    from .dedup import _dedup_buckets, _grouped_frames
+
+    return _grouped_frames(partials, _dedup_buckets(), fn)
+
+
 def vocab_top_terms_documents(sf_dir: str, k: int = 25) -> pd.DataFrame:
     """Vocabulary / term-frequency builder: top-k corpus terms by count.
 
@@ -301,11 +307,9 @@ def sample_documents_hash(sf_dir: str, rate_pct: int = 10) -> pd.DataFrame:
     multiplicative hash expressible in plain SQL arithmetic, so the
     sample is reproducible across engines and runs (no RNG state). The
     sampled stats are per-batch partial (lang, count, char-sum) rows
-    summed by a Ray hash aggregate; the filter is vectorized uint64
-    numpy arithmetic inside the scan task, so unsampled rows never leave
-    the reader."""
-    from ray.data.aggregate import Sum
-
+    merged on the driver (≤ n_langs per task); the filter is vectorized
+    uint64 numpy arithmetic inside the scan task, so unsampled rows
+    never leave the reader."""
     ds = read_table(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
     )
@@ -324,12 +328,9 @@ def sample_documents_hash(sf_dir: str, rate_pct: int = 10) -> pd.DataFrame:
 
     out = (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("lang")
-        .aggregate(
-            Sum("n_sampled", alias_name="n_sampled"),
-            Sum("sum_chars", alias_name="sum_chars"),
-        )
         .to_pandas()
+        .groupby("lang", as_index=False)
+        .agg(n_sampled=("n_sampled", "sum"), sum_chars=("sum_chars", "sum"))
     )
     out["n_sampled"] = out["n_sampled"].astype("int64")
     out["sum_chars"] = out["sum_chars"].astype("int64")
@@ -523,8 +524,6 @@ def redact_digits_customer(sf_dir: str) -> pd.DataFrame:
     pattern space is tiny; that collapse is exactly what redaction is
     for). Vectorized pandas regex kernels; oracle uses the equivalent
     DuckDB regexp_replace/regexp_matches expressions."""
-    from ray.data.aggregate import Sum
-
     ds = read_table(f"{sf_dir}/customer.parquet", columns=["c_name"])
 
     def partial(batch: pa.Table) -> pd.DataFrame:
@@ -560,24 +559,33 @@ def redact_digits_customer(sf_dir: str) -> pd.DataFrame:
                 ignore_index=True,
             ).astype({"n": "int64", "rows_with": "int64", "digits": "int64",
                       "nullrow": "int64"})
+        out["__bucket"] = _bucket_of_keys(out["red"])
         return out
 
-    pats = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["red", "nullrow"])
-        .aggregate(
-            Sum("n", alias_name="n"),
-            Sum("rows_with", alias_name="rows_with"),
-            Sum("digits", alias_name="digits"),
+    def bucket_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        # patterns are bucket-partitioned (same red ⇒ same bucket), so
+        # each bucket reduces fully to one fixed-width stats row and the
+        # global distinct count is the plain sum of per-bucket distincts
+        pats = df[df["nullrow"] == 0]
+        return pd.DataFrame(
+            {
+                "n": [int(df["n"].sum())],
+                "rows_with": [int(df["rows_with"].sum())],
+                "digits": [int(df["digits"].sum())],
+                "n_patterns": [int(pats["red"].nunique())],
+            }
         )
-        .to_pandas()
+
+    parts = _grouped_frames_text(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        bucket_reduce,
     )
     return pd.DataFrame(
         {
-            "n_rows": [int(pats["n"].sum())],
-            "rows_with_digits": [int(pats["rows_with"].sum())],
-            "digits_masked": [int(pats["digits"].sum())],
-            "distinct_redacted": [int((pats["nullrow"] == 0).sum())],
+            "n_rows": [int(parts["n"].sum())],
+            "rows_with_digits": [int(parts["rows_with"].sum())],
+            "digits_masked": [int(parts["digits"].sum())],
+            "distinct_redacted": [int(parts["n_patterns"].sum())],
         }
     ).astype("int64")
 
