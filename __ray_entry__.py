@@ -136,6 +136,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out.update(SEL)
     except ImportError:
         pass
+    try:
+        from datapact_ray.pipelines.stats import QUERIES as STATS
+
+        out.update(STATS)
+    except ImportError:
+        pass
     return out
 
 
@@ -180,6 +186,12 @@ def oracle_sql() -> dict[str, str]:
         from datapact_ray.pipelines.selection import ORACLE_SQL as SEL
 
         out.update(SEL)
+    except ImportError:
+        pass
+    try:
+        from datapact_ray.pipelines.stats import ORACLE_SQL as STATS
+
+        out.update(STATS)
     except ImportError:
         pass
     return out

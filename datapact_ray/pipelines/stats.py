@@ -1,0 +1,417 @@
+"""Distributed statistical aggregates beyond SUM/AVG/MIN/MAX.
+
+The reference's aggregate family stops at the SQL basics
+(``validation.sql.j2:42-46``); a training-data pipeline also needs
+second-moment statistics (variance / correlation for feature drift and
+outlier gating) and distribution shapes (histograms). Everything here is
+one-pass (or one pass per phase) with *mergeable* fixed-width partials:
+
+* **Centered co-moments** — each map task computes its batch's count,
+  means and centered sums (numpy pairwise summation), merged on the
+  driver with Chan et al.'s parallel update. Unlike the naive
+  ``E[xy] - E[x]E[y]`` form, no catastrophic cancellation: partials are
+  exact to ~1 ulp of the centered quantities, so the merged result
+  agrees with DuckDB's streaming aggregates to ~1e-12 relative.
+* **Histogram** — a pure projection (``floor(x / width)``) followed by a
+  per-batch ``bincount``; the exchange carries one row per (bucket) per
+  task.
+* **Z-score outlier gate** — phase 1 computes per-group mean/stddev from
+  the co-moment partials; phase 2 broadcasts the tiny (group → stats)
+  map and counts threshold breaches vectorized. The second scan is
+  inherent: a z-score needs the global moments before it can test rows.
+* **User-set overlap** — distinct (user, event_type) incidence per
+  hash bucket, pairwise intersections via one boolean matmul per bucket;
+  the driver sums the ≤ |types|² count matrix. Exact Jaccard between
+  behavioural cohorts without materializing any user set.
+
+All exchanges are fixed-width numeric rows ∝ n_groups × n_tasks — never
+data-sized.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..io import count_rows, read_table
+from ._util import round_duck
+
+
+def _r(x: float | None, d: int) -> float | None:
+    return None if x is None else float(round_duck(x, d))
+
+
+# ---------------------------------------------------------------------------
+# Centered co-moment partials (Chan et al. merge)
+# ---------------------------------------------------------------------------
+
+_MOM_COLS = ["n", "mx", "my", "sxx", "syy", "sxy"]
+
+
+def _batch_moments(x: np.ndarray, y: np.ndarray) -> tuple:
+    """(n, mean_x, mean_y, Sxx, Syy, Sxy) over pairwise-complete rows.
+
+    numpy ``mean``/``sum`` use pairwise summation — per-batch partials
+    are accurate to ~1 ulp, which the Chan merge preserves."""
+    ok = ~(np.isnan(x) | np.isnan(y))
+    x, y = x[ok], y[ok]
+    n = len(x)
+    if n == 0:
+        return (0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    mx, my = float(x.mean()), float(y.mean())
+    dx, dy = x - mx, y - my
+    return (
+        n,
+        mx,
+        my,
+        float((dx * dx).sum()),
+        float((dy * dy).sum()),
+        float((dx * dy).sum()),
+    )
+
+
+def _chan_fold(parts: pd.DataFrame) -> tuple:
+    """Merge co-moment partials with the parallel-variance update
+    (Chan, Golub & LeVeque 1983). Deterministic fold order: partials are
+    sorted by (n, mx) first, so the result is batch-layout-invariant."""
+    n = 0
+    mx = my = sxx = syy = sxy = 0.0
+    for row in parts.sort_values(["n", "mx", "my"]).itertuples(index=False):
+        n2 = int(row.n)
+        if n2 == 0:
+            continue
+        if n == 0:
+            n, mx, my = n2, row.mx, row.my
+            sxx, syy, sxy = row.sxx, row.syy, row.sxy
+            continue
+        tot = n + n2
+        dx, dy = row.mx - mx, row.my - my
+        f = n * n2 / tot
+        sxx += row.sxx + dx * dx * f
+        syy += row.syy + dy * dy * f
+        sxy += row.sxy + dx * dy * f
+        mx += dx * n2 / tot
+        my += dy * n2 / tot
+        n = tot
+    return n, mx, my, sxx, syy, sxy
+
+
+def _chan_fold_single(
+    parts: pd.DataFrame, n_col: str, m_col: str, s2_col: str
+) -> tuple:
+    """Single-column (n, mean, S2) Chan merge over named partial columns."""
+    folded = _chan_fold(
+        parts[[n_col, m_col, s2_col]]
+        .rename(columns={n_col: "n", m_col: "mx", s2_col: "sxx"})
+        .assign(my=0.0, syy=0.0, sxy=0.0)[_MOM_COLS]
+    )
+    return folded[0], folded[1], folded[3]
+
+
+def _grouped_moment_partials(
+    sf_dir: str, table: str, group_col: str, x_col: str, y_col: str
+):
+    """One fused scan → per-(group, task-batch) co-moment partials for
+    the (x, y) pair plus single-column moment sets (each column's own
+    NULL filter, matching SQL ``STDDEV_SAMP(col)`` semantics) and the
+    group's raw row count. Rows with a NULL group are dropped (the
+    oracles filter ``group IS NOT NULL``)."""
+    cols = list(dict.fromkeys([group_col, x_col, y_col]))
+    ds = read_table(f"{sf_dir}/{table}.parquet", columns=cols)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=[group_col])
+        rows = []
+        for grp, g in df.groupby(group_col, sort=False):
+            x = g[x_col].to_numpy(dtype=np.float64)
+            y = g[y_col].to_numpy(dtype=np.float64)
+            pair = _batch_moments(x, y)
+            xo = _batch_moments(x, x)  # x's own-null filter
+            yo = _batch_moments(y, y)
+            rows.append((grp, len(g)) + pair + xo[:2] + (xo[3],) + yo[:2] + (yo[3],))
+        return pd.DataFrame(
+            rows,
+            columns=["grp", "n_rows", *_MOM_COLS, "xn", "xm", "xs2", "yn", "ym", "ys2"],
+        )
+
+    return ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+
+
+def corr_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Per-returnflag correlation / covariance / stddev between quantity
+    and extended price: one scan, Chan-merged centered partials. CORR and
+    COVAR_SAMP use pairwise-complete rows; VAR_SAMP(qty) and
+    STDDEV_SAMP(price) each use their own column's NULL filter — exactly
+    SQL's aggregate semantics."""
+    parts = _grouped_moment_partials(
+        sf_dir, "lineitem", "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    out = []
+    for grp, g in parts.groupby("grp", sort=True):
+        n, _mx, _my, sxx, syy, sxy = _chan_fold(g[_MOM_COLS])
+        corr = (
+            sxy / math.sqrt(sxx * syy) if n > 1 and sxx > 0 and syy > 0 else None
+        )
+        covar = sxy / (n - 1) if n > 1 else None
+        xn, _, xs2 = _chan_fold_single(g, "xn", "xm", "xs2")
+        yn, _, ys2 = _chan_fold_single(g, "yn", "ym", "ys2")
+        out.append(
+            (
+                grp,
+                int(g["n_rows"].sum()),
+                _r(corr, 6),
+                _r(covar, 4),
+                _r(math.sqrt(ys2 / (yn - 1)) if yn > 1 else None, 4),
+                _r(xs2 / (xn - 1) if xn > 1 else None, 6),
+            )
+        )
+    return pd.DataFrame(
+        out,
+        columns=[
+            "l_returnflag",
+            "n_rows",
+            "corr_qty_price",
+            "covar_qty_price",
+            "stddev_price",
+            "var_qty",
+        ],
+    ).astype({"n_rows": "int64"})
+
+
+def histogram_totalprice(sf_dir: str, width: float = 50_000.0) -> pd.DataFrame:
+    """Fixed-width histogram of order totals: bucket id is a pure
+    projection (``floor(x / width)``, the identical float64 op the oracle
+    runs), per-batch bincount partials, one tiny driver merge."""
+    ds = read_table(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        v = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return pd.DataFrame({"bucket": [], "n": []}).astype(
+                {"bucket": "int64", "n": "int64"}
+            )
+        b = np.floor(v / width).astype(np.int64)
+        ids, counts = np.unique(b, return_counts=True)
+        return pd.DataFrame({"bucket": ids, "n": counts.astype(np.int64)})
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    out = (
+        parts.groupby("bucket", as_index=False)["n"]
+        .sum()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    return out.astype({"bucket": "int64", "n": "int64"})
+
+
+def zscore_outliers_lineitem(sf_dir: str, z: float = 3.0) -> pd.DataFrame:
+    """Per-group z-score outlier gate over extended price: phase 1 folds
+    the co-moment partials into per-group (mean, stddev); phase 2
+    broadcasts that ≤ n_groups map and counts |x − mean| > z·stddev
+    vectorized. Two scans by necessity (the gate needs global moments);
+    the second scan reads ONLY the two needed columns and ships one row
+    per (group, task)."""
+    import ray
+
+    parts = _grouped_moment_partials(
+        sf_dir, "lineitem", "l_returnflag", "l_extendedprice", "l_extendedprice"
+    )
+    stats: dict[str, tuple[float, float, int]] = {}
+    for grp, g in parts.groupby("grp", sort=True):
+        n, m, _my, s2, _syy, _sxy = _chan_fold(g[_MOM_COLS])
+        if n > 1:
+            stats[grp] = (m, math.sqrt(s2 / (n - 1)), n)
+    stats_ref = ray.put(stats)
+
+    ds = read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_extendedprice"]
+    )
+
+    def count_breaches(batch: pa.Table) -> pd.DataFrame:
+        st = ray.get(stats_ref)
+        df = batch.to_pandas().dropna(subset=["l_returnflag", "l_extendedprice"])
+        rows = []
+        for grp, g in df.groupby("l_returnflag", sort=False):
+            if grp not in st:
+                continue
+            m, sd, _ = st[grp]
+            v = g["l_extendedprice"].to_numpy()
+            rows.append((grp, int((np.abs(v - m) > z * sd).sum())))
+        return pd.DataFrame(rows, columns=["grp", "breaches"])
+
+    breaches = (
+        ds.map_batches(count_breaches, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .groupby("grp")["breaches"]
+        .sum()
+    )
+    out = [
+        (
+            grp,
+            int(st[2]),
+            int(breaches.get(grp, 0)),
+            _r(st[0], 4),
+            _r(st[1], 4),
+        )
+        for grp, st in sorted(stats.items())
+    ]
+    return pd.DataFrame(
+        out,
+        columns=["l_returnflag", "n_price", "n_outliers", "mean_price", "sd_price"],
+    ).astype({"n_price": "int64", "n_outliers": "int64"})
+
+
+def user_overlap_events(sf_dir: str, num_buckets: int | None = None) -> pd.DataFrame:
+    """Exact pairwise cohort overlap: for every pair of event types, how
+    many distinct users did both, plus the Jaccard index. Users are
+    hash-bucketed, so each bucket sees every type-membership of its
+    users; one boolean incidence matmul per bucket yields the bucket's
+    |types|² intersection matrix, and distinct counts add across buckets
+    (user sets are bucket-disjoint). The exchange carries distinct
+    (user, type) int rows per batch — bounded by the incidence size, a
+    tiny fraction of the event log."""
+    from .windows import _bucket_of, scaled_num_buckets
+
+    path = f"{sf_dir}/events.parquet"
+    ds = read_table(path, columns=["user_id", "event_type"])
+    n_buckets = num_buckets or scaled_num_buckets(count_rows(path))
+
+    def add_bucket(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["user_id", "event_type"])
+        pairs = df.drop_duplicates(["user_id", "event_type"])
+        return pd.DataFrame(
+            {
+                "user_id": pairs["user_id"].astype("int64"),
+                "event_type": pairs["event_type"],
+                "bucket": _bucket_of(pairs["user_id"].to_numpy(), n_buckets),
+            }
+        )
+
+    def overlap_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        pairs = g.drop_duplicates(["user_id", "event_type"])
+        u_codes, _ = pd.factorize(pairs["user_id"], sort=False)
+        t_codes, types = pd.factorize(pairs["event_type"], sort=True)
+        inc = np.zeros((u_codes.max() + 1, len(types)), dtype=np.int64)
+        inc[u_codes, t_codes] = 1
+        m = inc.T @ inc  # types × types: co-membership counts
+        rows = []
+        for i, ta in enumerate(types):
+            for j in range(i, len(types)):
+                rows.append((ta, types[j], int(m[i, j])))
+        return pd.DataFrame(rows, columns=["type_a", "type_b", "inter"])
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    parts = (
+        bucketed.groupby("bucket")
+        .map_groups(overlap_in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    tot = parts.groupby(["type_a", "type_b"], as_index=False)["inter"].sum()
+    sizes = {
+        r.type_a: int(r.inter) for r in tot.itertuples() if r.type_a == r.type_b
+    }
+    out = []
+    for r in tot.itertuples():
+        if r.type_a >= r.type_b:
+            continue
+        inter = int(r.inter)
+        na, nb = sizes[r.type_a], sizes[r.type_b]
+        out.append(
+            (
+                r.type_a,
+                r.type_b,
+                inter,
+                na,
+                nb,
+                _r(inter / (na + nb - inter), 6) if na + nb - inter else None,
+            )
+        )
+    return (
+        pd.DataFrame(
+            out, columns=["type_a", "type_b", "n_both", "n_a", "n_b", "jaccard"]
+        )
+        .sort_values(["type_a", "type_b"])
+        .reset_index(drop=True)
+        .astype({"n_both": "int64", "n_a": "int64", "n_b": "int64"})
+    )
+
+
+ORACLE_SQL: dict[str, str] = {
+    "corr_lineitem": """
+        SELECT l_returnflag,
+               COUNT(*) AS n_rows,
+               ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+               ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+               ROUND(STDDEV_SAMP(l_extendedprice), 4) AS stddev_price,
+               ROUND(VAR_SAMP(l_quantity), 6) AS var_qty
+        FROM lineitem
+        WHERE l_returnflag IS NOT NULL
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    "histogram_totalprice": """
+        SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+               COUNT(*) AS n
+        FROM orders
+        WHERE o_totalprice IS NOT NULL
+        GROUP BY bucket
+        ORDER BY bucket
+    """,
+    "zscore_outliers_lineitem": """
+        WITH s AS (
+            SELECT l_returnflag,
+                   AVG(l_extendedprice) AS m,
+                   STDDEV_SAMP(l_extendedprice) AS sd,
+                   COUNT(l_extendedprice) AS n_price
+            FROM lineitem
+            WHERE l_returnflag IS NOT NULL
+            GROUP BY l_returnflag
+        )
+        SELECT l.l_returnflag,
+               MIN(s.n_price) AS n_price,
+               COUNT(*) FILTER (
+                   WHERE ABS(l.l_extendedprice - s.m) > 3 * s.sd
+               ) AS n_outliers,
+               ROUND(MIN(s.m), 4) AS mean_price,
+               ROUND(MIN(s.sd), 4) AS sd_price
+        FROM lineitem l JOIN s USING (l_returnflag)
+        GROUP BY l.l_returnflag
+        ORDER BY l.l_returnflag
+    """,
+    "user_overlap_events": """
+        WITH ut AS (
+            SELECT DISTINCT user_id, event_type
+            FROM events
+            WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        ),
+        c AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY event_type),
+        p AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   COUNT(*) AS n_both
+            FROM ut a JOIN ut b USING (user_id)
+            WHERE a.event_type < b.event_type
+            GROUP BY 1, 2
+        )
+        SELECT p.type_a, p.type_b, p.n_both, ca.n AS n_a, cb.n AS n_b,
+               ROUND(p.n_both / (ca.n + cb.n - p.n_both), 6) AS jaccard
+        FROM p
+        JOIN c ca ON p.type_a = ca.event_type
+        JOIN c cb ON p.type_b = cb.event_type
+        ORDER BY p.type_a, p.type_b
+    """,
+}
+
+QUERIES = {
+    "corr_lineitem": corr_lineitem,
+    "histogram_totalprice": histogram_totalprice,
+    "zscore_outliers_lineitem": zscore_outliers_lineitem,
+    "user_overlap_events": user_overlap_events,
+}

@@ -190,3 +190,90 @@ def _duck_text(sql: str, d: str) -> pd.DataFrame:
         return con.execute(sql).fetchdf()
     finally:
         con.close()
+
+
+@pytest.fixture(scope="module")
+def null_events_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("null_events")
+    rng = np.random.default_rng(23)
+    n = 5000
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype="int64"),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 90 * 86400, n), unit="s"),
+            "user_id": rng.integers(0, 400, n).astype("float64"),
+            "event_type": pd.Series(
+                np.array(["click", "view", "buy", "share"])[rng.integers(0, 4, n)],
+                dtype=object,
+            ),
+            "value": np.round(rng.uniform(0.01, 300, n), 2),
+        }
+    )
+    ev.loc[rng.random(n) < 0.1, "user_id"] = np.nan
+    ev.loc[rng.random(n) < 0.1, "event_type"] = None
+    ev.loc[rng.random(n) < 0.1, "value"] = np.nan
+    # engine reads user_id as float when nulls present — keep as float64
+    ev.to_parquet(d / "events.parquet", row_group_size=512)
+    return str(d)
+
+
+def test_corr_nulls(null_dir):
+    """CORR/COVAR use pairwise-complete rows; STDDEV/VAR each use their
+    own column's NULL filter; COUNT(*) counts all non-null-group rows."""
+    from datapact_ray.pipelines.stats import corr_lineitem
+    import __ray_entry__ as m
+
+    got = corr_lineitem(null_dir)
+    want = _duck(m.oracle_sql()["corr_lineitem"], null_dir)
+    _assert_eq(got, want, "corr")
+
+
+def test_zscore_nulls(null_dir):
+    """NULL prices join but never count as breaches (ABS(NULL-m) is
+    NULL); mean/sd come from the non-null subset."""
+    from datapact_ray.pipelines.stats import zscore_outliers_lineitem
+    import __ray_entry__ as m
+
+    got = zscore_outliers_lineitem(null_dir)
+    want = _duck(m.oracle_sql()["zscore_outliers_lineitem"], null_dir)
+    _assert_eq(got, want, "zscore")
+
+
+def test_histogram_nulls(null_dir):
+    """NULL prices form no bucket (oracle filters IS NOT NULL)."""
+    from datapact_ray.pipelines.stats import histogram_totalprice
+    import __ray_entry__ as m
+
+    got = histogram_totalprice(null_dir)
+    want = _duck(m.oracle_sql()["histogram_totalprice"], null_dir)
+    _assert_eq(got, want, "histogram")
+
+
+def test_user_overlap_nulls(null_events_dir):
+    """NULL user_id / event_type rows never enter the incidence matrix
+    (factorize would alias NaN codes to the last column otherwise)."""
+    from datapact_ray.pipelines.stats import user_overlap_events
+    import __ray_entry__ as m
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{null_events_dir}/events.parquet')"
+    )
+    try:
+        want = con.execute(m.oracle_sql()["user_overlap_events"]).fetchdf()
+    finally:
+        con.close()
+    got = user_overlap_events(null_events_dir)
+    _assert_eq(got, want, "user_overlap")
+
+
+def test_user_overlap_bucket_invariance(null_events_dir):
+    """Result is partition-count-invariant (each user wholly in one
+    bucket at any B)."""
+    from datapact_ray.pipelines.stats import user_overlap_events
+
+    a = user_overlap_events(null_events_dir, num_buckets=3)
+    b = user_overlap_events(null_events_dir, num_buckets=17)
+    pd.testing.assert_frame_equal(a, b)
