@@ -360,12 +360,172 @@ def range_join_orders_lineitem(
     )
 
 
+def event_gaps_events(sf_dir: str, num_buckets: int | None = None) -> pd.DataFrame:
+    """Inter-event gap statistics (the LAG window family): for every
+    consecutive pair of events of the same user (ordered by ts,
+    event_id), the time delta — aggregated to count / sum / max / mean.
+
+    Partitioning mirrors sessionize: bucket = spread-hash(user_id) % B
+    with B sized from the row count, one vectorized sort + diff per
+    bucket, fixed-width integer partials (n, sum_µs, max_µs) into the
+    merge. All gap math is integer microseconds, so the distributed
+    result is bit-exact against the SQL window oracle. Rows with NULL
+    user_id are excluded (the oracle filters them; SQL PARTITION BY
+    would otherwise pool all NULLs into one pseudo-user)."""
+    path = f"{sf_dir}/events.parquet"
+    ds = read_table(path, columns=["user_id", "ts", "event_id"])
+    n_buckets = num_buckets or scaled_num_buckets(count_rows(path))
+
+    def add_bucket(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["user_id"])
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                # normalize to µs regardless of the file's ts resolution
+                "ts": df["ts"].astype("datetime64[us]").astype("int64"),
+                "event_id": df["event_id"].astype("int64"),
+                "bucket": _bucket_of(
+                    df["user_id"].to_numpy(dtype=np.int64), n_buckets
+                ),
+            }
+        )
+
+    def gaps_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        same_user = g["user_id"].to_numpy()[1:] == g["user_id"].to_numpy()[:-1]
+        deltas = np.diff(g["ts"].to_numpy())[same_user]
+        if len(deltas) == 0:
+            return pd.DataFrame({"n": [0], "s": [0], "mx": [0]}).astype("int64")
+        return pd.DataFrame(
+            {
+                "n": [len(deltas)],
+                "s": [int(deltas.sum())],
+                "mx": [int(deltas.max())],
+            }
+        ).astype("int64")
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    parts = (
+        bucketed.groupby("bucket")
+        .map_groups(gaps_per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    n = int(parts["n"].sum())
+    s = int(parts["s"].sum())
+    return pd.DataFrame(
+        {
+            "n_gaps": [n],
+            "sum_gap_us": [s],
+            "max_gap_us": [int(parts["mx"].max()) if n else None],
+            "avg_gap_seconds": [
+                float(round_duck(float(s) / n / 1_000_000.0, 4)) if n else None
+            ],
+        }
+    ).astype({"n_gaps": "int64", "sum_gap_us": "int64", "max_gap_us": "int64"})
+
+
+def cumsum_crossing_events(sf_dir: str, fraction: float = 0.5) -> pd.DataFrame:
+    """Running-total threshold crossing: the first event (ordered by ts,
+    event_id) at which the cumulative sum of ``value`` reaches
+    ``fraction`` of the grand total — the "when did we hit half the
+    quota" streaming question.
+
+    Two phases, neither materializing the log: phase 1 reduces each
+    batch to per-HOUR (sum, count, min) partials (one fsum row per hour
+    per task); the driver prefix-scans the ≤ hours-in-history frame to
+    locate the crossing hour. Phase 2 re-reads ONLY that hour via
+    parquet predicate pushdown and resolves the exact row with one
+    vectorized sort + cumsum. At larger scale the refinement key gets
+    finer (minute) or recurses — the pattern is a distributed binary
+    search over an ordered, pre-aggregated axis.
+
+    PREMISE: ``value`` must be non-negative (running total monotone) —
+    asserted from the phase-1 partials; a negative measure would need
+    per-partition max-prefix tracking, which doesn't merge across
+    unordered scan tasks. NULL ts rows are excluded (no position on the
+    time axis); NULL values count as 0 (oracle COALESCEs)."""
+    path = f"{sf_dir}/events.parquet"
+    ds = read_table(path, columns=["ts", "value"])
+    hour_us = 3_600_000_000
+
+    def hour_partial(batch: pa.Table) -> pd.DataFrame:
+        import math as _math
+
+        df = batch.to_pandas().dropna(subset=["ts"])
+        v = df["value"].fillna(0.0).to_numpy(dtype=np.float64)
+        ts_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        hours = (ts_us // hour_us) * hour_us
+        order = np.argsort(hours, kind="stable")
+        hs, vs = hours[order], v[order]
+        cut = np.flatnonzero(np.r_[True, hs[1:] != hs[:-1]])
+        rows = [
+            (
+                int(hs[i]),
+                _math.fsum(vs[i:j]),
+                float(vs[i:j].min()),
+            )
+            for i, j in zip(cut, np.r_[cut[1:], len(hs)])
+        ]
+        return pd.DataFrame(rows, columns=["hour", "s", "mn"])
+
+    parts = ds.map_batches(
+        hour_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame(
+            {"crossing_ts": [], "event_id": [], "running_value": [], "threshold": []}
+        )
+    if float(parts["mn"].min()) < 0.0:
+        raise ValueError(
+            "cumsum_crossing requires a non-negative measure "
+            "(running total must be monotone)"
+        )
+    import math as _math
+
+    by_hour = (
+        parts.groupby("hour")["s"].apply(lambda g: _math.fsum(g)).sort_index()
+    )
+    total = _math.fsum(by_hour.to_numpy())
+    thr = total * fraction
+    prefix = np.cumsum(by_hour.to_numpy())
+    idx = int(np.searchsorted(prefix, thr))
+    hour_start = int(by_hour.index[idx])
+    prefix_before = float(prefix[idx - 1]) if idx else 0.0
+
+    t0 = pd.Timestamp(hour_start, unit="us").strftime("%Y-%m-%d %H:%M:%S")
+    t1 = pd.Timestamp(hour_start + hour_us, unit="us").strftime("%Y-%m-%d %H:%M:%S")
+    hot = read_table(
+        path,
+        columns=["ts", "event_id", "value"],
+        filter_sql=f"ts >= TIMESTAMP '{t0}' AND ts < TIMESTAMP '{t1}'",
+    ).to_pandas()
+    hot = hot.dropna(subset=["ts"]).sort_values(
+        ["ts", "event_id"], kind="stable"
+    )
+    running = prefix_before + np.cumsum(hot["value"].fillna(0.0).to_numpy())
+    pos = int(np.searchsorted(running, thr))
+    row = hot.iloc[pos]
+    return pd.DataFrame(
+        {
+            "crossing_ts": [row["ts"]],
+            "event_id": [np.int64(row["event_id"])],
+            "running_value": [float(round_duck(float(running[pos]), 2))],
+            # 3dp, not 2: the measure has 2-decimal values, so total*0.5
+            # lands EXACTLY on a 2dp half-boundary whenever the total's
+            # cent digit is odd — at 3dp the product is the value itself
+            "threshold": [float(round_duck(thr, 3))],
+        }
+    )
+
+
 QUERIES = {
     "windowed_events_daily": windowed_events_daily,
     "sliding_events_weekly": sliding_events_weekly,
     "sessionize_events": sessionize_events,
     "asof_value_per_order": asof_value_per_order,
     "range_join_orders_lineitem": range_join_orders_lineitem,
+    "event_gaps_events": event_gaps_events,
+    "cumsum_crossing_events": cumsum_crossing_events,
 }
 
 ORACLE_SQL = {
@@ -433,5 +593,38 @@ ORACLE_SQL = {
                CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS orders_matched,
                ROUND(COALESCE(SUM(value), 0), 2) AS sum_value
         FROM j
+    """,
+    "event_gaps_events": """
+        WITH g AS (
+            SELECT epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS gap_us
+            FROM events
+            WHERE user_id IS NOT NULL
+        )
+        SELECT COUNT(gap_us) AS n_gaps,
+               CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+               CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+               ROUND(SUM(gap_us) / COUNT(gap_us) / 1000000.0, 4) AS avg_gap_seconds
+        FROM g
+    """,
+    "cumsum_crossing_events": """
+        WITH w AS (
+            SELECT ts, event_id,
+                   SUM(COALESCE(value, 0)) OVER (
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS running,
+                   SUM(COALESCE(value, 0)) OVER () AS total
+            FROM events
+            WHERE ts IS NOT NULL
+        )
+        SELECT ts AS crossing_ts, event_id,
+               ROUND(running, 2) AS running_value,
+               ROUND(total * 0.5, 3) AS threshold
+        FROM w
+        WHERE running >= total * 0.5
+        ORDER BY ts, event_id
+        LIMIT 1
     """,
 }

@@ -277,3 +277,65 @@ def test_user_overlap_bucket_invariance(null_events_dir):
     a = user_overlap_events(null_events_dir, num_buckets=3)
     b = user_overlap_events(null_events_dir, num_buckets=17)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_event_gaps_nulls(null_events_dir):
+    """NULL user_id rows are excluded (SQL PARTITION BY would pool them
+    into one pseudo-user); gap math is integer µs, bit-exact."""
+    from datapact_ray.pipelines.windows import event_gaps_events
+    import __ray_entry__ as m
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{null_events_dir}/events.parquet')"
+    )
+    try:
+        want = con.execute(m.oracle_sql()["event_gaps_events"]).fetchdf()
+    finally:
+        con.close()
+    got = event_gaps_events(null_events_dir)
+    _assert_eq(got, want, "event_gaps")
+
+
+def test_event_gaps_bucket_invariance(null_events_dir):
+    from datapact_ray.pipelines.windows import event_gaps_events
+
+    a = event_gaps_events(null_events_dir, num_buckets=3)
+    b = event_gaps_events(null_events_dir, num_buckets=29)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_cumsum_crossing_nulls(null_events_dir):
+    """NULL values count as 0; the crossing row matches the SQL window
+    oracle on null-injected data."""
+    from datapact_ray.pipelines.windows import cumsum_crossing_events
+    import __ray_entry__ as m
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{null_events_dir}/events.parquet')"
+    )
+    try:
+        want = con.execute(m.oracle_sql()["cumsum_crossing_events"]).fetchdf()
+    finally:
+        con.close()
+    got = cumsum_crossing_events(null_events_dir)
+    _assert_eq(got, want, "cumsum_crossing")
+
+
+def test_cumsum_crossing_rejects_negative(tmp_path):
+    """The monotone-running-total premise is enforced, not assumed."""
+    from datapact_ray.pipelines.windows import cumsum_crossing_events
+
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(10, dtype="int64"),
+            "ts": pd.date_range("2024-01-01", periods=10, freq="h"),
+            "value": np.linspace(-1.0, 8.0, 10),
+        }
+    )
+    ev.to_parquet(tmp_path / "events.parquet")
+    with pytest.raises(ValueError, match="non-negative"):
+        cumsum_crossing_events(str(tmp_path))
