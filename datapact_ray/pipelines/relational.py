@@ -695,6 +695,216 @@ def customer_order_profile(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def _rev_li_map(unit, b1: int) -> list[pa.Table]:
+    """Scan-unit map for the star join's fact side: per-orderkey revenue
+    partials (row products summed inside the task), split by orderkey
+    bucket — one fixed-width row per (orderkey, task) enters hop 1."""
+    from ..shuffle import _split_by_bucket, read_unit
+
+    df = read_unit(
+        unit, ["l_orderkey", "l_extendedprice", "l_discount"]
+    ).to_pandas()
+    part = pd.DataFrame(
+        {
+            "k": df["l_orderkey"],
+            "rev": df["l_extendedprice"] * (1.0 - df["l_discount"]),
+        }
+    ).dropna(subset=["k"])
+    part = part.groupby("k", as_index=False)["rev"].sum(min_count=1)
+    part["k"] = part["k"].astype("int64")
+    part["__bucket"] = _star_bucket(part["k"].to_numpy(), b1)
+    return _split_by_bucket(
+        pa.Table.from_pandas(part, preserve_index=False), b1
+    )
+
+
+def _rev_ord_map(unit, b1: int) -> list[pa.Table]:
+    from ..shuffle import _split_by_bucket, read_unit
+
+    df = read_unit(unit, ["o_orderkey", "o_custkey"]).to_pandas().dropna()
+    part = pd.DataFrame(
+        {
+            "k": df["o_orderkey"].astype("int64"),
+            "c": df["o_custkey"].astype("int64"),
+        }
+    )
+    part["__bucket"] = _star_bucket(part["k"].to_numpy(), b1)
+    return _split_by_bucket(
+        pa.Table.from_pandas(part, preserve_index=False), b1
+    )
+
+
+def _rev_cust_map(unit, b2: int) -> list[pa.Table]:
+    from ..shuffle import _split_by_bucket, read_unit
+
+    df = read_unit(unit, ["c_custkey", "c_nationkey"]).to_pandas().dropna()
+    part = pd.DataFrame(
+        {
+            "c": df["c_custkey"].astype("int64"),
+            "nk": df["c_nationkey"].astype("int64"),
+        }
+    )
+    part["__bucket"] = _star_bucket(part["c"].to_numpy(), b2)
+    return _split_by_bucket(
+        pa.Table.from_pandas(part, preserve_index=False), b2
+    )
+
+
+def _star_bucket(keys: np.ndarray, num_buckets: int) -> np.ndarray:
+    h = keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    return ((h >> np.uint64(32)) % np.uint64(num_buckets)).astype(np.int32)
+
+
+def _rev_reduce1(n_li: int, b2: int, *shards) -> list[pa.Table]:
+    """Hop-1 reduce AND hop-2 map in one task: join this orderkey
+    bucket's revenue partials to its orders rows, reduce to one row per
+    custkey, and return the rows already split by custkey bucket
+    (num_returns = B2) — the exchange chains with no driver hop."""
+    from ..shuffle import _split_by_bucket
+
+    empty = pa.table(
+        {
+            "c": pa.array([], pa.int64()),
+            "rev": pa.array([], pa.float64()),
+            "n": pa.array([], pa.int64()),
+            "__bucket": pa.array([], pa.int32()),
+        }
+    )
+    li = [s for s in shards[:n_li] if s.num_rows]
+    od = [s for s in shards[n_li:] if s.num_rows]
+    if not li or not od:
+        return [empty.slice(0, 0)] * b2
+    rev = (
+        pa.concat_tables(li)
+        .to_pandas()
+        .groupby("k", as_index=False)["rev"]
+        .sum(min_count=1)
+    )
+    ods = pa.concat_tables(od).to_pandas()[["k", "c"]]
+    j = ods.merge(rev, on="k", how="inner")
+    g = j.groupby("c", as_index=False).agg(rev=("rev", "sum"), n=("k", "count"))
+    g["n"] = g["n"].astype("int64")
+    g["__bucket"] = _star_bucket(g["c"].to_numpy(), b2)
+    return _split_by_bucket(pa.Table.from_pandas(g, preserve_index=False), b2)
+
+
+def _rev_reduce2(n_rev: int, *shards) -> pd.DataFrame:
+    """Hop-2 reduce: attach nationkey to this custkey bucket's revenue
+    rows and collapse to ≤ n_nations rows (compensated sums)."""
+    import math as _math
+
+    rev = [s for s in shards[:n_rev] if s.num_rows]
+    cust = [s for s in shards[n_rev:] if s.num_rows]
+    if not rev or not cust:
+        return pd.DataFrame({"nk": [], "rev": [], "n": []}).astype(
+            {"nk": "int64", "rev": "float64", "n": "int64"}
+        )
+    r = pa.concat_tables(rev).to_pandas()[["c", "rev", "n"]]
+    c = pa.concat_tables(cust).to_pandas()[["c", "nk"]]
+    j = r.merge(c, on="c", how="inner")
+    rows = [
+        (int(nk), _math.fsum(g["rev"].dropna()), int(g["n"].sum()))
+        for nk, g in j.groupby("nk", sort=False)
+    ]
+    return pd.DataFrame(rows, columns=["nk", "rev", "n"]).astype(
+        {"nk": "int64", "rev": "float64", "n": "int64"}
+    )
+
+
+def revenue_per_nation(
+    sf_dir: str, num_buckets: int | None = None, num_buckets2: int | None = None
+) -> pd.DataFrame:
+    """TPC-H-Q5-flavoured star join: revenue per customer nation across
+    lineitem ⋈ orders ⋈ customer ⋈ nation, via TWO CHAINED hash
+    exchanges — hop 1 co-locates lineitem revenue partials with orders
+    on orderkey; each hop-1 reduce task re-emits its (custkey, revenue,
+    n_orders) rows pre-split by custkey bucket, making it hop 2's map
+    side with no materialization barrier or driver hop between the
+    exchanges. Only the ≤25-row nation name map is read on the driver.
+
+    Scale shape: all exchanged rows are fixed-width (two int64 + one
+    float64); lineitem collapses to one row per (orderkey, scan task)
+    before hop 1 and to one row per (custkey, bucket) before hop 2.
+    Bucket counts grow with input size; the B1×B2 shuffle-object count
+    is the inherent two-hop cost (cap B2 if the object index becomes
+    the bottleneck). Revenue is compensated-summed at both reduce
+    levels (fsum), matching the oracle's ``fsum`` to well inside 2 dp."""
+    import math as _math
+
+    from ..io import count_rows, list_parquet_files
+    from ..shuffle import _scan_units, _shuffle_target_bytes
+    from .windows import scaled_num_buckets
+
+    l_path, o_path = f"{sf_dir}/lineitem.parquet", f"{sf_dir}/orders.parquet"
+    c_path, n_path = f"{sf_dir}/customer.parquet", f"{sf_dir}/nation.parquet"
+    b1 = num_buckets or scaled_num_buckets(count_rows(l_path) + count_rows(o_path))
+    b2 = num_buckets2 or scaled_num_buckets(count_rows(c_path))
+    l_files = list_parquet_files(l_path)
+    o_files = list_parquet_files(o_path)
+    c_files = list_parquet_files(c_path)
+    target = _shuffle_target_bytes([l_files, o_files, c_files])
+
+    li_task = ray.remote(num_returns=b1)(_rev_li_map)
+    ord_task = ray.remote(num_returns=b1)(_rev_ord_map)
+    cust_task = ray.remote(num_returns=b2)(_rev_cust_map)
+    red1_task = ray.remote(num_returns=b2)(_rev_reduce1)
+    red2_task = ray.remote(_rev_reduce2)
+
+    def _as_list(res, n):
+        return [res] if n == 1 else res
+
+    li_shards = [
+        _as_list(li_task.remote(u, b1), b1) for u in _scan_units(l_files, target)
+    ]
+    od_shards = [
+        _as_list(ord_task.remote(u, b1), b1) for u in _scan_units(o_files, target)
+    ]
+    cust_shards = [
+        _as_list(cust_task.remote(u, b2), b2) for u in _scan_units(c_files, target)
+    ]
+
+    rev_shards = []
+    for bb in range(b1):
+        res = red1_task.remote(
+            len(li_shards),
+            b2,
+            *[s[bb] for s in li_shards],
+            *[s[bb] for s in od_shards],
+        )
+        rev_shards.append(_as_list(res, b2))
+
+    parts = ray.get(
+        [
+            red2_task.remote(
+                len(rev_shards),
+                *[s[bb] for s in rev_shards],
+                *[s[bb] for s in cust_shards],
+            )
+            for bb in range(b2)
+        ]
+    )
+    merged = pd.concat(parts, ignore_index=True)
+    names = (
+        pq.read_table(n_path, columns=["n_nationkey", "n_name"])
+        .to_pandas()
+        .set_index("n_nationkey")["n_name"]
+    )
+    rows = [
+        (
+            str(names.loc[int(nk)]),
+            _r2(_math.fsum(g["rev"])),
+            int(g["n"].sum()),
+        )
+        for nk, g in merged.groupby("nk", sort=False)
+    ]
+    return (
+        pd.DataFrame(rows, columns=["n_name", "revenue", "n_orders"])
+        .astype({"n_orders": "int64"})
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+
+
 def last_event_per_user(sf_dir: str) -> pd.DataFrame:
     """Per-key argmax (each user's LAST event by (ts, event_id), the
     deterministic log-compaction reduction): two-level reduce. Level 1
@@ -1064,6 +1274,18 @@ ORACLE_SQL: dict[str, str] = {
     # self-audited against the exact bucket-shuffle count)
 }
 
+ORACLE_SQL["revenue_per_nation"] = """
+    SELECT n.n_name,
+           ROUND(fsum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(DISTINCT l.l_orderkey) AS n_orders
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+"""
+
 QUERIES = {
     "profile_orders": profile_orders,
     "agg_lineitem": agg_lineitem,
@@ -1085,6 +1307,7 @@ QUERIES = {
     "grouped_quantile_lineitem": grouped_quantile_lineitem,
     "distinct_users_events": distinct_users_events,
     "hll_users_events": hll_users_events,
+    "revenue_per_nation": revenue_per_nation,
     "rollup_lineitem_cube": rollup_lineitem_cube,
     "last_event_per_user": last_event_per_user,
     "customer_order_profile": customer_order_profile,
