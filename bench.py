@@ -230,6 +230,13 @@ def run_bench() -> dict:
     timed("dedup_exact_documents", dedup.dedup_exact_documents, SF_DIR)
     timed("minhash_dedup_documents", dedup.minhash_dedup_documents, SF_DIR)
     timed("ann_topk_embeddings", ann.ann_topk_embeddings, SF_DIR)
+    from datapact_ray.pipelines import stats, windows
+
+    timed("corr_lineitem", stats.corr_lineitem, SF_DIR)
+    timed("revenue_per_nation", relational.revenue_per_nation, SF_DIR)
+    timed("event_gaps_events", windows.event_gaps_events, SF_DIR)
+    timed("cumsum_crossing_events", windows.cumsum_crossing_events, SF_DIR)
+    timed("user_overlap_events", stats.user_overlap_events, SF_DIR)
     # jaccard_pairs_documents / embedding_exact_pairs are the EXACT
     # quadratic baselines that oracle-check the approximate dedup paths;
     # they run in the correctness gate but stay out of the timed headline
