@@ -678,6 +678,133 @@ def dedup_exact_documents(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def decontaminate_ngram_documents(
+    sf_dir: str, n: int = 13, num_buckets: int | None = None
+) -> pd.DataFrame:
+    """Cross-source n-gram decontamination (the GPT-3 / benchmark-leakage
+    method, default n=13): how many distinct n-grams appear in documents
+    from MORE THAN ONE source, and how many documents carry at least one
+    such shared n-gram.
+
+    Vectorized end-to-end inside the scan task: tokens are hashed to
+    uint64 with the engine's pinned SipHash (cross-task-consistent), and
+    each document's n-gram hashes come from ONE polynomial combination
+    of n shifted hash arrays over the exploded token stream (no per-doc
+    Python loop; windows crossing a document boundary are masked out).
+    The exchange carries distinct (gram_hash, doc_id, source_hash)
+    fixed-width triples — token-scale like the bigram op, never
+    text-scale. Grams hash-partition by gram_hash, so per-bucket
+    distinct-source counts are exact and bucket contaminated-gram counts
+    sum globally; each bucket returns only the doc_ids it convicts
+    (∝ violations, not corpus), deduplicated on the driver — the same
+    "violations are small" premise as the keyed pass's sample cap; at
+    larger violation volume the convicted ids would take one more tiny
+    hash exchange by doc_id instead.
+
+    Premise (shared with ``dedup_exact_documents``): 64-bit hashes are
+    collision-free at corpus scale; NULL sources never make a gram
+    contaminated (SQL COUNT(DISTINCT source) skips NULLs) but NULL-source
+    documents still count as hit when they carry a convicted gram."""
+    path = f"{sf_dir}/documents.parquet"
+    ds = read_table(path, columns=["doc_id", "text", "source"])
+    b = num_buckets or _dedup_buckets()
+    P = np.uint64(0x100000001B3)  # FNV prime: odd, full-period under 2^64
+
+    def gram_triples(batch: pa.Table) -> pd.DataFrame:
+        from ..sketches import hash_columns_u64
+
+        df = batch.to_pandas().dropna(subset=["text"])
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "g": pd.Series([], dtype="uint64"),
+                    "d": pd.Series([], dtype="int64"),
+                    "s": pd.Series([], dtype="int64"),
+                    "n_docs": pd.Series([], dtype="int64"),
+                    "__bucket": pd.Series([], dtype="int32"),
+                }
+            )
+        toks = df["text"].astype(str).str.split(" ")
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        flat = toks.explode().to_numpy().astype(str)
+        th = hash_columns_u64(pd.DataFrame({"t": flat}), ["t"])
+        doc_rep = np.repeat(np.arange(len(df), dtype=np.int64), lens)
+        L = len(th)
+        if L < n:
+            win = np.zeros(0, dtype=np.uint64)
+            wdoc = np.zeros(0, dtype=np.int64)
+        else:
+            # polynomial rolling combine: H[i] = Σ_j th[i+j]·P^j (mod 2^64
+            # by uint64 wraparound — the overflow is the point)
+            win = np.zeros(L - n + 1, dtype=np.uint64)
+            coef = np.uint64(1)
+            with np.errstate(over="ignore"):
+                for j in range(n):
+                    win += th[j : L - n + 1 + j] * coef
+                    coef = coef * P
+            valid = doc_rep[: L - n + 1] == doc_rep[n - 1 :]
+            win, wdoc = win[valid], doc_rep[: L - n + 1][valid]
+        src_h = hash_columns_u64(
+            pd.DataFrame({"s": df["source"].astype(str)}), ["s"]
+        ).astype(np.int64)
+        src_h[df["source"].isna().to_numpy()] = -1  # NULL-source marker
+        tri = pd.DataFrame(
+            {
+                "g": win,
+                "d": df["doc_id"].to_numpy(dtype=np.int64)[wdoc],
+                "s": src_h[wdoc],
+            }
+        ).drop_duplicates()
+        # docs eligible for total_docs (≥ n tokens) ride along as one
+        # marker row per batch (g irrelevant, bucket 0, d = -1 sentinel)
+        n_eligible = int((lens >= n).sum())
+        tri["n_docs"] = np.int64(0)
+        tri["__bucket"] = (tri["g"] % np.uint64(b)).astype(np.int32)
+        marker = pd.DataFrame(
+            {
+                "g": [np.uint64(0)],
+                "d": [np.int64(-1)],
+                "s": [np.int64(-1)],
+                "n_docs": [np.int64(n_eligible)],
+                "__bucket": [np.int32(0)],
+            }
+        )
+        return pd.concat([tri, marker], ignore_index=True)
+
+    triples = ds.map_batches(
+        gram_triples, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def bucket_convict(df: pd.DataFrame) -> pd.DataFrame:
+        markers = df[df["d"] == -1]
+        rows = df[df["d"] != -1]
+        pairs = rows.loc[rows["s"] != -1, ["g", "s"]].drop_duplicates()
+        ns = pairs.groupby("g")["s"].nunique()
+        convicted = ns.index[ns > 1]
+        hits = rows.loc[rows["g"].isin(convicted), "d"].unique()
+        return pd.DataFrame(
+            {
+                "shared": [int(len(convicted))],
+                "hits": [hits.astype(np.int64).tolist()],
+                "n_docs": [int(markers["n_docs"].sum())],
+            }
+        )
+
+    parts = _grouped_frames(triples, b, bucket_convict)
+    docs_hit = (
+        int(np.unique(np.concatenate([np.asarray(h) for h in parts["hits"]])).size)
+        if len(parts) and any(len(h) for h in parts["hits"])
+        else 0
+    )
+    return pd.DataFrame(
+        {
+            "shared_grams": [int(parts["shared"].sum()) if len(parts) else 0],
+            "docs_hit": [docs_hit],
+            "total_docs": [int(parts["n_docs"].sum()) if len(parts) else 0],
+        }
+    ).astype("int64")
+
+
 class HyperplaneLSH:
     """Random-hyperplane signatures for cosine LSH over an embedding
     column (seeded, fixed per actor)."""
@@ -1064,6 +1191,7 @@ _DEDUP_CLUSTERS_SQL = r"""
 
 QUERIES = {
     "dedup_exact_documents": dedup_exact_documents,
+    "decontaminate_ngram_documents": decontaminate_ngram_documents,
     "dedup_clusters_documents": dedup_clusters_documents,
     "jaccard_pairs_documents": jaccard_pairs_documents,
     "minhash_dedup_documents": minhash_dedup_documents,
@@ -1074,6 +1202,31 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "decontaminate_ngram_documents": """
+        WITH docs AS (
+            SELECT doc_id, source, string_split(text, ' ') AS toks
+            FROM documents WHERE text IS NOT NULL
+        ),
+        pos AS (
+            SELECT doc_id, source, toks,
+                   unnest(range(1, len(toks) - 13 + 2)) AS i
+            FROM docs
+        ),
+        grams AS (
+            SELECT doc_id, source,
+                   array_to_string(list_slice(toks, i, i + 12), ' ') AS gram
+            FROM pos
+        ),
+        cg AS (
+            SELECT gram FROM grams
+            GROUP BY gram HAVING COUNT(DISTINCT source) > 1
+        )
+        SELECT CAST((SELECT COUNT(*) FROM cg) AS BIGINT) AS shared_grams,
+               CAST((SELECT COUNT(DISTINCT doc_id) FROM grams
+                     WHERE gram IN (SELECT gram FROM cg)) AS BIGINT) AS docs_hit,
+               CAST((SELECT COUNT(DISTINCT doc_id) FROM grams)
+                    AS BIGINT) AS total_docs
+    """,
     "dedup_exact_documents": """
         SELECT COUNT(*) AS total_docs,
                COUNT(DISTINCT text) AS distinct_texts,

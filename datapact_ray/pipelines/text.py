@@ -337,6 +337,111 @@ def sample_documents_hash(sf_dir: str, rate_pct: int = 10) -> pd.DataFrame:
     return out.sort_values("lang").reset_index(drop=True)
 
 
+def stratified_sample_documents(sf_dir: str, rate: float = 0.1) -> pd.DataFrame:
+    """Stratified sampling with EXACT per-group quotas (proportional
+    allocation): every language contributes exactly ⌈rate·n_lang⌉
+    documents, chosen deterministically as the smallest md5(doc_id)
+    values — reproducible across engines, runs and partitionings (no RNG
+    state, no global sort).
+
+    Two narrow passes: pass 1 reduces each batch to per-lang counts
+    (≤ n_langs rows per task) and the driver fixes the quotas; pass 2
+    prunes each batch to its LOCAL smallest-quota candidates per lang
+    (the global smallest-q set is a subset of the union of per-task
+    smallest-q sets — the top-k prune argument with the order reversed),
+    so the driver merge sees ≤ quota × n_langs × n_tasks rows, never the
+    table. md5 is the one hash both this engine and SQL produce
+    identically; it is computed on the COMPACT doc_id string, not the
+    text (hashing cost ∝ rows, payload stays in storage)."""
+    import hashlib
+    import math as _math
+
+    path = f"{sf_dir}/documents.parquet"
+    counts_ds = read_table(path, columns=["doc_id", "lang"])
+
+    def lang_counts(batch: pa.Table) -> pd.DataFrame:
+        vc = (
+            batch.to_pandas()
+            .dropna(subset=["doc_id", "lang"])["lang"]
+            .value_counts()
+        )
+        return pd.DataFrame(
+            {"lang": vc.index.astype(str), "n": vc.to_numpy().astype("int64")}
+        )
+
+    counts = (
+        counts_ds.map_batches(
+            lang_counts, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .to_pandas()
+        .groupby("lang")["n"]
+        .sum()
+    )
+    quotas = {lang: int(_math.ceil(n * rate)) for lang, n in counts.items()}
+
+    ds = read_table(path, columns=["doc_id", "lang", "n_chars"])
+
+    def local_prune(batch: pa.Table, _q=quotas) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["doc_id", "lang"])
+        df["h"] = [
+            hashlib.md5(str(int(d)).encode()).hexdigest() for d in df["doc_id"]
+        ]
+        df = df.sort_values(["h", "doc_id"], kind="stable")
+        out = df.groupby("lang", sort=False, group_keys=False).apply(
+            lambda g: g.head(_q.get(g.name, 0))
+        )
+        return out[["lang", "doc_id", "n_chars", "h"]]
+
+    cand = (
+        ds.map_batches(local_prune, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .sort_values(["h", "doc_id"], kind="stable")
+    )
+    rows = []
+    for lang in sorted(quotas):
+        g = cand[cand["lang"] == lang].head(quotas[lang])
+        rows.append((lang, len(g), int(g["n_chars"].sum())))
+    return pd.DataFrame(rows, columns=["lang", "n_sampled", "sum_chars"]).astype(
+        {"n_sampled": "int64", "sum_chars": "int64"}
+    )
+
+
+def doc_freq_top_terms_documents(sf_dir: str, k: int = 25) -> pd.DataFrame:
+    """Document-frequency vocabulary (the IDF numerator): top-k terms by
+    the number of DOCUMENTS containing them — set semantics per doc, not
+    term frequency. Each map task dedups (doc, token) pairs inside the
+    batch (documents never span batches, so per-batch doc-distinct
+    counts sum exactly) and emits vocabulary-sized (token, cnt) partials
+    into the same explicit bucket top-k exchange as the TF vocabulary."""
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def partial_df_counts(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["text"])
+        toks = df["text"].astype(str).str.split(" ")
+        flat = pd.DataFrame(
+            {
+                "d": np.repeat(
+                    df["doc_id"].to_numpy(), toks.str.len().to_numpy()
+                ),
+                "token": toks.explode().to_numpy().astype(str),
+            }
+        ).drop_duplicates()
+        vc = flat["token"].value_counts()
+        out = pd.DataFrame(
+            {
+                "token": vc.index.to_numpy().astype(str),
+                "cnt": vc.to_numpy().astype("int64"),
+            }
+        )
+        out["__bucket"] = _bucket_of_keys(out["token"])
+        return out
+
+    partials = ds.map_batches(
+        partial_df_counts, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return _topk_by_count(partials, "token", k)
+
+
 def heavy_hitter_terms_documents(sf_dir: str, k: int = 64, top: int = 10) -> pd.DataFrame:
     """Heavy-hitter terms via a mergeable Misra–Gries summary — the
     bounded-memory path for when even the vocabulary doesn't fit a
@@ -663,9 +768,36 @@ QUERIES = {
     "heavy_hitter_terms_documents": heavy_hitter_terms_documents,
     "bigram_top_terms_documents": bigram_top_terms_documents,
     "repetition_documents": repetition_documents,
+    "stratified_sample_documents": stratified_sample_documents,
+    "doc_freq_top_terms_documents": doc_freq_top_terms_documents,
 }
 
 ORACLE_SQL = {
+    "stratified_sample_documents": """
+        WITH r AS (
+            SELECT lang, n_chars,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rk,
+                   COUNT(*) OVER (PARTITION BY lang) AS n
+            FROM documents
+            WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        )
+        SELECT lang, COUNT(*) AS n_sampled,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM r WHERE rk <= CEIL(n * 0.1)
+        GROUP BY lang ORDER BY lang
+    """,
+    "doc_freq_top_terms_documents": """
+        WITH toks AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents WHERE text IS NOT NULL
+        )
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM toks GROUP BY token
+        ORDER BY cnt DESC, token LIMIT 25
+    """,
     # NOTE: DuckDB SUM(int) returns HUGEINT which pandas renders as
     # float64 — every integer sum must be CAST AS BIGINT so the driver's
     # value-hash sees the same int64 dtype the engine emits.
