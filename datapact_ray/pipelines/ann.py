@@ -237,13 +237,81 @@ def ann_ivf_embeddings(
     )
 
 
+def label_centroids_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Vector-column grouped aggregate: the per-label centroid of the
+    ``list<float>`` embedding column (the supervised analog of the IVF
+    training step, and the building block of class prototypes / cluster
+    drift checks). Each map task stacks its batch into one float64
+    matrix and reduces it to (label, dim, sum, count) partial rows —
+    labels × 64 rows per task, never the vectors — merged and divided on
+    the driver. Elements are promoted float32→float64 BEFORE summing,
+    matching SQL AVG's promotion of FLOAT inputs."""
+    ds = read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        mask = df["label"].notna() & df["embedding"].notna()
+        df = df[mask]
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "label": pd.Series([], dtype="int64"),
+                    "i": pd.Series([], dtype="int64"),
+                    "s": pd.Series([], dtype="float64"),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        codes, uniq = pd.factorize(df["label"].astype("int64"), sort=True)
+        d = m.shape[1]
+        rows = []
+        for k, lab in enumerate(uniq):
+            sub = m[codes == k]
+            s = sub.sum(axis=0)
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "label": np.full(d, int(lab), dtype=np.int64),
+                        "i": np.arange(1, d + 1, dtype=np.int64),
+                        "s": s,
+                        "n": np.full(d, len(sub), dtype=np.int64),
+                    }
+                )
+            )
+        return pd.concat(rows, ignore_index=True)
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .groupby(["label", "i"], as_index=False)
+        .agg(s=("s", "sum"), n=("n", "sum"))
+    )
+    parts["c"] = round_duck(parts["s"] / parts["n"], 6)
+    out = parts[["label", "i", "c"]].sort_values(["label", "i"])
+    return out.astype({"label": "int64", "i": "int64"}).reset_index(drop=True)
+
+
 QUERIES = {
     "ann_topk_embeddings": ann_topk_embeddings,
     "ann_lsh_embeddings": ann_lsh_embeddings,
     "ann_ivf_embeddings": ann_ivf_embeddings,
+    "label_centroids_embeddings": label_centroids_embeddings,
 }
 
 ORACLE_SQL = {
+    "label_centroids_embeddings": """
+        WITH u AS (
+            SELECT label,
+                   unnest(embedding) AS e,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings
+            WHERE label IS NOT NULL AND embedding IS NOT NULL
+        )
+        SELECT label, i, ROUND(AVG(e), 6) AS c
+        FROM u GROUP BY label, i ORDER BY label, i
+    """,
     "ann_topk_embeddings": """
         WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
         SELECT vec_id,
