@@ -237,6 +237,11 @@ def run_bench() -> dict:
     timed("event_gaps_events", windows.event_gaps_events, SF_DIR)
     timed("cumsum_crossing_events", windows.cumsum_crossing_events, SF_DIR)
     timed("user_overlap_events", stats.user_overlap_events, SF_DIR)
+    timed(
+        "decontaminate_ngram_documents", dedup.decontaminate_ngram_documents, SF_DIR
+    )
+    timed("stratified_sample_documents", text.stratified_sample_documents, SF_DIR)
+    timed("doc_freq_top_terms_documents", text.doc_freq_top_terms_documents, SF_DIR)
     # jaccard_pairs_documents / embedding_exact_pairs are the EXACT
     # quadratic baselines that oracle-check the approximate dedup paths;
     # they run in the correctness gate but stay out of the timed headline

@@ -719,8 +719,7 @@ def decontaminate_ngram_documents(
                 {
                     "g": pd.Series([], dtype="uint64"),
                     "d": pd.Series([], dtype="int64"),
-                    "s": pd.Series([], dtype="int64"),
-                    "n_docs": pd.Series([], dtype="int64"),
+                    "s": pd.Series([], dtype="int32"),
                     "__bucket": pd.Series([], dtype="int32"),
                 }
             )
@@ -744,28 +743,34 @@ def decontaminate_ngram_documents(
                     coef = coef * P
             valid = doc_rep[: L - n + 1] == doc_rep[n - 1 :]
             win, wdoc = win[valid], doc_rep[: L - n + 1][valid]
-        src_h = hash_columns_u64(
-            pd.DataFrame({"s": df["source"].astype(str)}), ["s"]
-        ).astype(np.int64)
-        src_h[df["source"].isna().to_numpy()] = -1  # NULL-source marker
+        # int32 source hash (internal grouping only, not cross-engine);
+        # top bit cleared so the -1 (NULL source) / -2 (marker) sentinels
+        # can't collide with a real hash
+        src_h = (
+            hash_columns_u64(pd.DataFrame({"s": df["source"].astype(str)}), ["s"])
+            .astype(np.int64)
+            .astype(np.int32)
+            & np.int32(0x7FFFFFFF)
+        ).astype(np.int32)
+        src_h[df["source"].isna().to_numpy()] = -1
+        # a doc has ONE source, so (g, d) determines s — dedup on the
+        # narrower key and never ship a gram twice for the same doc
         tri = pd.DataFrame(
             {
                 "g": win,
                 "d": df["doc_id"].to_numpy(dtype=np.int64)[wdoc],
                 "s": src_h[wdoc],
             }
-        ).drop_duplicates()
-        # docs eligible for total_docs (≥ n tokens) ride along as one
-        # marker row per batch (g irrelevant, bucket 0, d = -1 sentinel)
-        n_eligible = int((lens >= n).sum())
-        tri["n_docs"] = np.int64(0)
+        ).drop_duplicates(["g", "d"])
         tri["__bucket"] = (tri["g"] % np.uint64(b)).astype(np.int32)
+        # docs eligible for total_docs (≥ n tokens) ride along as one
+        # marker row per batch (s = -2 sentinel, count carried in d)
+        n_eligible = int((lens >= n).sum())
         marker = pd.DataFrame(
             {
                 "g": [np.uint64(0)],
-                "d": [np.int64(-1)],
-                "s": [np.int64(-1)],
-                "n_docs": [np.int64(n_eligible)],
+                "d": [np.int64(n_eligible)],
+                "s": [np.int32(-2)],
                 "__bucket": [np.int32(0)],
             }
         )
@@ -776,9 +781,9 @@ def decontaminate_ngram_documents(
     )
 
     def bucket_convict(df: pd.DataFrame) -> pd.DataFrame:
-        markers = df[df["d"] == -1]
-        rows = df[df["d"] != -1]
-        pairs = rows.loc[rows["s"] != -1, ["g", "s"]].drop_duplicates()
+        markers = df[df["s"] == -2]
+        rows = df[df["s"] != -2]
+        pairs = rows.loc[rows["s"] >= 0, ["g", "s"]].drop_duplicates()
         ns = pairs.groupby("g")["s"].nunique()
         convicted = ns.index[ns > 1]
         hits = rows.loc[rows["g"].isin(convicted), "d"].unique()
@@ -786,7 +791,7 @@ def decontaminate_ngram_documents(
             {
                 "shared": [int(len(convicted))],
                 "hits": [hits.astype(np.int64).tolist()],
-                "n_docs": [int(markers["n_docs"].sum())],
+                "n_docs": [int(markers["d"].sum())],
             }
         )
 
