@@ -695,6 +695,111 @@ def customer_order_profile(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def json_field_agg_events(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured extraction: pull an integer field out of the JSON
+    ``props`` payload and aggregate it per event type — the
+    schema-on-read step every event-log pipeline starts with. The
+    extraction is one vectorized C-regex pass (`str.extract`) under the
+    documented premise of a flat payload with a known key; a nested
+    payload swaps in a JSON-parser actor stage without changing the
+    partial-aggregation shape. Integer sums, so the distributed result
+    is bit-exact vs the oracle's ``json_extract``. Rows whose payload
+    lacks the key (or is NULL) count in n_events but not in n/sum/avg —
+    SQL CAST(NULL) semantics; rows with a NULL event_type are excluded
+    (the oracle filters them)."""
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["event_type"])
+        k = pd.to_numeric(
+            df["props"].str.extract(r'"k"\s*:\s*(-?\d+)', expand=False),
+            errors="coerce",
+        )
+        rows = [
+            (
+                etype,
+                len(g),
+                int(g.notna().sum()),
+                int(g.sum()) if g.notna().any() else 0,
+            )
+            for etype, g in k.groupby(df["event_type"], sort=False)
+        ]
+        return pd.DataFrame(
+            rows, columns=["event_type", "n_events", "n", "sum_k"]
+        ).astype({"n_events": "int64", "n": "int64", "sum_k": "int64"})
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .groupby("event_type", as_index=False)
+        .sum()
+    )
+    parts["avg_k"] = [
+        _r4(float(s) / n) if n else None
+        for s, n in zip(parts["sum_k"], parts["n"])
+    ]
+    return (
+        parts[["event_type", "n_events", "n", "sum_k", "avg_k"]]
+        .astype({"n_events": "int64", "n": "int64", "sum_k": "int64"})
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+
+
+def parts_by_brand(sf_dir: str) -> pd.DataFrame:
+    """Dimension-table profile over ``part``: per-brand count, compensated
+    average retail price and max size — the same fsum-partial shape as
+    the lineitem rollup, exercising the remaining fixture table."""
+    ds = read_table(
+        f"{sf_dir}/part.parquet", columns=["p_brand", "p_retailprice", "p_size"]
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["p_brand"])
+        rows = [
+            (
+                brand,
+                len(g),
+                math.fsum(g["p_retailprice"].dropna()),
+                int(g["p_retailprice"].notna().sum()),
+                int(g["p_size"].max()) if g["p_size"].notna().any() else None,
+            )
+            for brand, g in df.groupby("p_brand", sort=False)
+        ]
+        return pd.DataFrame(
+            rows, columns=["p_brand", "n", "sp", "np_", "mx"]
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    rows = []
+    for brand, g in parts.groupby("p_brand", sort=True):
+        n_price = int(g["np_"].sum())
+        rows.append(
+            (
+                brand,
+                int(g["n"].sum()),
+                _r4(math.fsum(g["sp"]) / n_price) if n_price else None,
+                int(g["mx"].max()),
+            )
+        )
+    return pd.DataFrame(
+        rows, columns=["p_brand", "n_parts", "avg_price", "max_size"]
+    ).astype({"n_parts": "int64", "max_size": "int64"})
+
+
+def referential_lineitem_supplier(sf_dir: str) -> pd.DataFrame:
+    """J2/A2 referential over the remaining dimension: every l_suppkey
+    must exist in supplier (broadcast keyset / partitioned-Bloom path)."""
+    probe = read_table(f"{sf_dir}/lineitem.parquet", columns=["l_suppkey"])
+    dim = read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+    m = run_referential_pass(probe, dim, ["l_suppkey"], ["s_suppkey"])
+    return pd.DataFrame(
+        {"probed_rows": [m.probed_rows], "orphan_rows": [m.orphan_rows]}
+    )
+
+
 def _rev_li_map(unit, b1: int) -> list[pa.Table]:
     """Scan-unit map for the star join's fact side: per-orderkey revenue
     partials (row products summed inside the task), split by orderkey
@@ -1274,6 +1379,38 @@ ORACLE_SQL: dict[str, str] = {
     # self-audited against the exact bucket-shuffle count)
 }
 
+ORACLE_SQL["json_field_agg_events"] = """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(k) AS n,
+           CAST(COALESCE(SUM(k), 0) AS BIGINT) AS sum_k,
+           ROUND(SUM(k) * 1.0 / COUNT(k), 4) AS avg_k
+    FROM (SELECT event_type,
+                 CAST(json_extract(props, '$.k') AS BIGINT) AS k
+          FROM events
+          WHERE event_type IS NOT NULL)
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+ORACLE_SQL["parts_by_brand"] = """
+    SELECT p_brand,
+           COUNT(*) AS n_parts,
+           ROUND(fsum(p_retailprice) / COUNT(p_retailprice), 4) AS avg_price,
+           CAST(MAX(p_size) AS BIGINT) AS max_size
+    FROM part
+    WHERE p_brand IS NOT NULL
+    GROUP BY p_brand
+    ORDER BY p_brand
+"""
+
+ORACLE_SQL["referential_lineitem_supplier"] = """
+    SELECT (SELECT COUNT(*) FROM lineitem) AS probed_rows,
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                              WHERE s.s_suppkey = l.l_suppkey)) AS orphan_rows
+"""
+
 ORACLE_SQL["revenue_per_nation"] = """
     SELECT n.n_name,
            ROUND(fsum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
@@ -1308,6 +1445,9 @@ QUERIES = {
     "distinct_users_events": distinct_users_events,
     "hll_users_events": hll_users_events,
     "revenue_per_nation": revenue_per_nation,
+    "json_field_agg_events": json_field_agg_events,
+    "parts_by_brand": parts_by_brand,
+    "referential_lineitem_supplier": referential_lineitem_supplier,
     "rollup_lineitem_cube": rollup_lineitem_cube,
     "last_event_per_user": last_event_per_user,
     "customer_order_profile": customer_order_profile,

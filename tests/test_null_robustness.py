@@ -210,9 +210,14 @@ def null_events_dir(tmp_path_factory):
             "value": np.round(rng.uniform(0.01, 300, n), 2),
         }
     )
+    ev["props"] = pd.Series(
+        [f'{{"k": {int(v)}}}' for v in rng.integers(0, 100, n)], dtype=object
+    )
     ev.loc[rng.random(n) < 0.1, "user_id"] = np.nan
     ev.loc[rng.random(n) < 0.1, "event_type"] = None
     ev.loc[rng.random(n) < 0.1, "value"] = np.nan
+    ev.loc[rng.random(n) < 0.1, "props"] = None
+    ev.loc[rng.random(n) < 0.05, "props"] = '{"other": 1}'  # key absent
     # engine reads user_id as float when nulls present — keep as float64
     ev.to_parquet(d / "events.parquet", row_group_size=512)
     return str(d)
@@ -339,3 +344,22 @@ def test_cumsum_crossing_rejects_negative(tmp_path):
     ev.to_parquet(tmp_path / "events.parquet")
     with pytest.raises(ValueError, match="non-negative"):
         cumsum_crossing_events(str(tmp_path))
+
+
+def test_json_field_agg_nulls(null_events_dir):
+    """NULL payloads and payloads without the key count in n_events but
+    not in n/sum/avg (SQL CAST(json_extract(NULL/missing)) semantics)."""
+    from datapact_ray.pipelines.relational import json_field_agg_events
+    import __ray_entry__ as m
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{null_events_dir}/events.parquet')"
+    )
+    try:
+        want = con.execute(m.oracle_sql()["json_field_agg_events"]).fetchdf()
+    finally:
+        con.close()
+    got = json_field_agg_events(null_events_dir)
+    _assert_eq(got, want, "json_field_agg")
