@@ -518,6 +518,84 @@ def cumsum_crossing_events(sf_dir: str, fraction: float = 0.5) -> pd.DataFrame:
     )
 
 
+def funnel_events(
+    sf_dir: str,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    num_buckets: int | None = None,
+) -> pd.DataFrame:
+    """Ordered conversion funnel (sequential pattern matching per key):
+    how many users did step 1, then step 2 STRICTLY AFTER their first
+    step 1, then step 3 strictly after that — the product-analytics op
+    that needs per-key event ORDER, not just counts.
+
+    Users hash-bucket (whole user per bucket); within a bucket each
+    funnel stage is one vectorized pass: sort the stage's events by
+    (user, ts) once, take first-per-user (`groupby.first` on sorted
+    frames), then an aligned merge against the previous stage's
+    first-completion time filters `ts > prev`. No per-user Python loop;
+    the exchange carries (user_id, ts, step-ordinal int8) rows only for
+    events whose type is IN the funnel (filter pushed to the scan).
+    Completion times are integer µs, so counts are bit-exact vs the SQL
+    chained-MIN oracle."""
+    path = f"{sf_dir}/events.parquet"
+    quoted = ", ".join(f"'{s}'" for s in steps)
+    ds = read_table(
+        path,
+        columns=["user_id", "ts", "event_type"],
+        filter_sql=f"event_type IN ({quoted})",
+    )
+    n_buckets = num_buckets or scaled_num_buckets(count_rows(path))
+    step_ord = {s: i for i, s in enumerate(steps)}
+
+    def add_bucket(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["user_id", "event_type"])
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "ts": df["ts"].astype("datetime64[us]").astype("int64"),
+                "step": df["event_type"].map(step_ord).astype("int8"),
+                "bucket": _bucket_of(
+                    df["user_id"].to_numpy(dtype=np.int64), n_buckets
+                ),
+            }
+        )
+
+    def funnel_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # chained vectorized min+filter: step i's completion time is the
+        # user's earliest step-i event STRICTLY AFTER their step-(i-1)
+        # completion — one groupby-min (and one aligned merge) per stage
+        counts = []
+        prev: pd.Series | None = None
+        for i in range(len(steps)):
+            rows = g[g["step"] == i]
+            if prev is None:
+                done = rows.groupby("user_id")["ts"].min()
+            else:
+                prev_df = prev.rename("prev").reset_index()
+                rows = rows.merge(prev_df, on="user_id")
+                done = (
+                    rows[rows["ts"] > rows["prev"]].groupby("user_id")["ts"].min()
+                )
+            counts.append(len(done))
+            prev = done
+        return pd.DataFrame({"step": np.arange(len(steps)), "users": counts})
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    parts = (
+        bucketed.groupby("bucket")
+        .map_groups(funnel_in_bucket, batch_format="pandas")
+        .to_pandas()
+        .groupby("step")["users"]
+        .sum()
+    )
+    return pd.DataFrame(
+        {
+            "step": list(steps),
+            "users": [int(parts.get(i, 0)) for i in range(len(steps))],
+        }
+    ).astype({"users": "int64"})
+
+
 QUERIES = {
     "windowed_events_daily": windowed_events_daily,
     "sliding_events_weekly": sliding_events_weekly,
@@ -526,6 +604,7 @@ QUERIES = {
     "range_join_orders_lineitem": range_join_orders_lineitem,
     "event_gaps_events": event_gaps_events,
     "cumsum_crossing_events": cumsum_crossing_events,
+    "funnel_events": funnel_events,
 }
 
 ORACLE_SQL = {
@@ -626,5 +705,29 @@ ORACLE_SQL = {
         WHERE running >= total * 0.5
         ORDER BY ts, event_id
         LIMIT 1
+    """,
+    "funnel_events": """
+        WITH s0 AS (
+            SELECT user_id, MIN(ts) AS t FROM events
+            WHERE event_type = 'view' AND user_id IS NOT NULL
+            GROUP BY user_id
+        ),
+        s1 AS (
+            SELECT e.user_id, MIN(e.ts) AS t
+            FROM events e JOIN s0 USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts > s0.t
+            GROUP BY e.user_id
+        ),
+        s2 AS (
+            SELECT e.user_id, MIN(e.ts) AS t
+            FROM events e JOIN s1 USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > s1.t
+            GROUP BY e.user_id
+        )
+        SELECT * FROM (
+            VALUES ('view', (SELECT COUNT(*) FROM s0)),
+                   ('click', (SELECT COUNT(*) FROM s1)),
+                   ('purchase', (SELECT COUNT(*) FROM s2))
+        ) AS v(step, users)
     """,
 }

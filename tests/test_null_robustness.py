@@ -363,3 +363,32 @@ def test_json_field_agg_nulls(null_events_dir):
         con.close()
     got = json_field_agg_events(null_events_dir)
     _assert_eq(got, want, "json_field_agg")
+
+
+def test_funnel_nulls(null_events_dir):
+    """NULL user_id rows never enter the funnel; strict-after chaining
+    matches the SQL chained-MIN oracle on null-injected data."""
+    from datapact_ray.pipelines.windows import funnel_events
+    import __ray_entry__ as m
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{null_events_dir}/events.parquet')"
+    )
+    try:
+        want = con.execute(m.oracle_sql()["funnel_events"]).fetchdf()
+    finally:
+        con.close()
+    got = funnel_events(null_events_dir)
+    got = got.sort_values("step").reset_index(drop=True)
+    want = want.sort_values("step").reset_index(drop=True)
+    _assert_eq(got, want, "funnel")
+
+
+def test_funnel_bucket_invariance(null_events_dir):
+    from datapact_ray.pipelines.windows import funnel_events
+
+    a = funnel_events(null_events_dir, num_buckets=3)
+    b = funnel_events(null_events_dir, num_buckets=19)
+    pd.testing.assert_frame_equal(a, b)
