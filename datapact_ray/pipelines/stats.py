@@ -281,7 +281,6 @@ def user_overlap_events(sf_dir: str, num_buckets: int | None = None) -> pd.DataF
     from .windows import _bucket_of, scaled_num_buckets
 
     path = f"{sf_dir}/events.parquet"
-    ds = read_table(path, columns=["user_id", "event_type"])
     n_buckets = num_buckets or scaled_num_buckets(count_rows(path))
 
     def add_bucket(batch: pa.Table) -> pd.DataFrame:
@@ -291,7 +290,7 @@ def user_overlap_events(sf_dir: str, num_buckets: int | None = None) -> pd.DataF
             {
                 "user_id": pairs["user_id"].astype("int64"),
                 "event_type": pairs["event_type"],
-                "bucket": _bucket_of(pairs["user_id"].to_numpy(), n_buckets),
+                "__bucket": _bucket_of(pairs["user_id"].to_numpy(), n_buckets),
             }
         )
 
@@ -308,11 +307,12 @@ def user_overlap_events(sf_dir: str, num_buckets: int | None = None) -> pd.DataF
                 rows.append((ta, types[j], int(m[i, j])))
         return pd.DataFrame(rows, columns=["type_a", "type_b", "inter"])
 
-    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-    parts = (
-        bucketed.groupby("bucket")
-        .map_groups(overlap_in_bucket, batch_format="pandas")
-        .to_pandas()
+    from .dedup import _fused_grouped_frames
+
+    parts = _fused_grouped_frames(
+        [(path, ["user_id", "event_type"], None, add_bucket)],
+        n_buckets,
+        overlap_in_bucket,
     )
     tot = parts.groupby(["type_a", "type_b"], as_index=False)["inter"].sum()
     sizes = {

@@ -129,7 +129,6 @@ def sessionize_events(
     result is bucket-count-invariant (each user lands wholly in one
     bucket), which ``tests/test_windows_scaling.py`` asserts at two B."""
     path = f"{sf_dir}/events.parquet"
-    ds = read_table(path, columns=["user_id", "ts"])
     gap_us = gap_minutes * 60 * 1_000_000
     n_buckets = num_buckets or scaled_num_buckets(count_rows(path))
 
@@ -139,7 +138,7 @@ def sessionize_events(
             {
                 "user_id": df["user_id"],
                 "ts": df["ts"].astype("int64"),
-                "bucket": _bucket_of(df["user_id"].to_numpy(), n_buckets),
+                "__bucket": _bucket_of(df["user_id"].to_numpy(), n_buckets),
             }
         )
 
@@ -151,10 +150,13 @@ def sessionize_events(
         n_sessions = int(starts.sum())
         return pd.DataFrame({"sessions": [n_sessions], "events": [len(g)]})
 
-    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-    parts = bucketed.groupby("bucket").map_groups(
-        sessions_per_bucket, batch_format="pandas"
-    ).to_pandas()
+    from .dedup import _fused_grouped_frames
+
+    parts = _fused_grouped_frames(
+        [(path, ["user_id", "ts"], None, add_bucket)],
+        n_buckets,
+        sessions_per_bucket,
+    )
     total_sessions = int(parts["sessions"].sum())
     total_events = int(parts["events"].sum())
     return pd.DataFrame(
@@ -187,8 +189,6 @@ def asof_value_per_order(
     one bucket (inherent to an as-of join; splitting a key would need
     time-sliced stitching)."""
     o_path, e_path = f"{sf_dir}/orders.parquet", f"{sf_dir}/events.parquet"
-    orders = read_table(o_path, columns=["o_orderkey", "o_custkey", "o_orderdate"])
-    events = read_table(e_path, columns=["user_id", "ts", "value"])
     n_buckets = num_buckets or scaled_num_buckets(
         count_rows(o_path) + count_rows(e_path)
     )
@@ -202,7 +202,7 @@ def asof_value_per_order(
                 "key": key,
                 "t": df["o_orderdate"].astype("int64"),
                 "value": np.zeros(len(df)),
-                "bucket": _bucket_of(key.to_numpy(), n_buckets),
+                "__bucket": _bucket_of(key.to_numpy(), n_buckets),
             }
         )
 
@@ -219,11 +219,8 @@ def asof_value_per_order(
         # shuffle (MAX keeps tie-breaking deterministic + oracle-matching)
         part = part.groupby(["key", "t"], as_index=False)["value"].max()
         part.insert(0, "side", np.int8(1))
-        part["bucket"] = _bucket_of(part["key"].to_numpy(), n_buckets)
-        return part[["side", "key", "t", "value", "bucket"]]
-
-    left = orders.map_batches(o_project, batch_format="pyarrow", zero_copy_batch=True)
-    right = events.map_batches(e_project, batch_format="pyarrow", zero_copy_batch=True)
+        part["__bucket"] = _bucket_of(part["key"].to_numpy(), n_buckets)
+        return part[["side", "key", "t", "value", "__bucket"]]
 
     def asof_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         o = g[g["side"] == 0][["key", "t"]].sort_values("t", kind="stable")
@@ -246,11 +243,15 @@ def asof_value_per_order(
             }
         )
 
-    parts = (
-        left.union(right)
-        .groupby("bucket")
-        .map_groups(asof_in_bucket, batch_format="pandas")
-        .to_pandas()
+    from .dedup import _fused_grouped_frames
+
+    parts = _fused_grouped_frames(
+        [
+            (o_path, ["o_custkey", "o_orderdate"], None, o_project),
+            (e_path, ["user_id", "ts", "value"], None, e_project),
+        ],
+        n_buckets,
+        asof_in_bucket,
     )
     return pd.DataFrame(
         {
@@ -279,10 +280,6 @@ def range_join_orders_lineitem(
     the bucket (vectorized inside), and the partitioning assumption is
     the as-of join's: one key's rows fit in one bucket."""
     o_path, l_path = f"{sf_dir}/orders.parquet", f"{sf_dir}/lineitem.parquet"
-    orders = read_table(o_path, columns=["o_orderkey", "o_custkey", "o_orderdate"])
-    items = read_table(
-        l_path, columns=["l_suppkey", "l_shipdate", "l_extendedprice"]
-    )
     n_buckets = num_buckets or scaled_num_buckets(
         count_rows(o_path) + count_rows(l_path)
     )
@@ -297,7 +294,7 @@ def range_join_orders_lineitem(
                 "key": key,
                 "t": df["o_orderdate"].astype("int64"),
                 "value": np.zeros(len(df)),
-                "bucket": _bucket_of(key.to_numpy(), n_buckets),
+                "__bucket": _bucket_of(key.to_numpy(), n_buckets),
             }
         )
 
@@ -310,12 +307,9 @@ def range_join_orders_lineitem(
                 "key": key,
                 "t": df["l_shipdate"].astype("int64"),
                 "value": df["l_extendedprice"].astype("float64"),
-                "bucket": _bucket_of(key.to_numpy(), n_buckets),
+                "__bucket": _bucket_of(key.to_numpy(), n_buckets),
             }
         )
-
-    left = orders.map_batches(o_project, batch_format="pyarrow", zero_copy_batch=True)
-    right = items.map_batches(l_project, batch_format="pyarrow", zero_copy_batch=True)
 
     def range_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         o = g[g["side"] == 0]
@@ -345,11 +339,15 @@ def range_join_orders_lineitem(
             {"pairs": [pairs], "matched": [matched], "sum_value": [sum_value]}
         )
 
-    parts = (
-        left.union(right)
-        .groupby("bucket")
-        .map_groups(range_in_bucket, batch_format="pandas")
-        .to_pandas()
+    from .dedup import _fused_grouped_frames
+
+    parts = _fused_grouped_frames(
+        [
+            (o_path, ["o_custkey", "o_orderdate"], None, o_project),
+            (l_path, ["l_suppkey", "l_shipdate", "l_extendedprice"], None, l_project),
+        ],
+        n_buckets,
+        range_in_bucket,
     )
     return pd.DataFrame(
         {
@@ -373,7 +371,6 @@ def event_gaps_events(sf_dir: str, num_buckets: int | None = None) -> pd.DataFra
     user_id are excluded (the oracle filters them; SQL PARTITION BY
     would otherwise pool all NULLs into one pseudo-user)."""
     path = f"{sf_dir}/events.parquet"
-    ds = read_table(path, columns=["user_id", "ts", "event_id"])
     n_buckets = num_buckets or scaled_num_buckets(count_rows(path))
 
     def add_bucket(batch: pa.Table) -> pd.DataFrame:
@@ -384,7 +381,7 @@ def event_gaps_events(sf_dir: str, num_buckets: int | None = None) -> pd.DataFra
                 # normalize to µs regardless of the file's ts resolution
                 "ts": df["ts"].astype("datetime64[us]").astype("int64"),
                 "event_id": df["event_id"].astype("int64"),
-                "bucket": _bucket_of(
+                "__bucket": _bucket_of(
                     df["user_id"].to_numpy(dtype=np.int64), n_buckets
                 ),
             }
@@ -404,11 +401,12 @@ def event_gaps_events(sf_dir: str, num_buckets: int | None = None) -> pd.DataFra
             }
         ).astype("int64")
 
-    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-    parts = (
-        bucketed.groupby("bucket")
-        .map_groups(gaps_per_bucket, batch_format="pandas")
-        .to_pandas()
+    from .dedup import _fused_grouped_frames
+
+    parts = _fused_grouped_frames(
+        [(path, ["user_id", "ts", "event_id"], None, add_bucket)],
+        n_buckets,
+        gaps_per_bucket,
     )
     n = int(parts["n"].sum())
     s = int(parts["s"].sum())
@@ -539,11 +537,6 @@ def funnel_events(
     chained-MIN oracle."""
     path = f"{sf_dir}/events.parquet"
     quoted = ", ".join(f"'{s}'" for s in steps)
-    ds = read_table(
-        path,
-        columns=["user_id", "ts", "event_type"],
-        filter_sql=f"event_type IN ({quoted})",
-    )
     n_buckets = num_buckets or scaled_num_buckets(count_rows(path))
     step_ord = {s: i for i, s in enumerate(steps)}
 
@@ -554,7 +547,7 @@ def funnel_events(
                 "user_id": df["user_id"].astype("int64"),
                 "ts": df["ts"].astype("datetime64[us]").astype("int64"),
                 "step": df["event_type"].map(step_ord).astype("int8"),
-                "bucket": _bucket_of(
+                "__bucket": _bucket_of(
                     df["user_id"].to_numpy(dtype=np.int64), n_buckets
                 ),
             }
@@ -580,11 +573,21 @@ def funnel_events(
             prev = done
         return pd.DataFrame({"step": np.arange(len(steps)), "users": counts})
 
-    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    from .dedup import _fused_grouped_frames
+
     parts = (
-        bucketed.groupby("bucket")
-        .map_groups(funnel_in_bucket, batch_format="pandas")
-        .to_pandas()
+        _fused_grouped_frames(
+            [
+                (
+                    path,
+                    ["user_id", "ts", "event_type"],
+                    f"event_type IN ({quoted})",
+                    add_bucket,
+                )
+            ],
+            n_buckets,
+            funnel_in_bucket,
+        )
         .groupby("step")["users"]
         .sum()
     )

@@ -156,7 +156,7 @@ def _map_project_split(
 
 
 def parquet_bucket_shuffle(
-    sides: list[tuple[list[str], object]],  # (files, projector) per side
+    sides: list[tuple],  # (files, projector) or (files, projector, cols, expr)
     columns: list[str] | None,
     filter_expr,
     num_buckets: int,
@@ -165,21 +165,31 @@ def parquet_bucket_shuffle(
     """Fully-explicit shuffle over parquet inputs: fused
     read+project+split map tasks at file/row-group granularity, then one
     reduce per bucket. Used by the keyed pass when the inputs are
-    parquet; other formats go through :func:`bucket_shuffle`."""
+    parquet; other formats go through :func:`bucket_shuffle`.
+
+    Each side is ``(files, projector)`` — reading the shared ``columns``
+    under the shared ``filter_expr`` — or a 4-tuple ``(files, projector,
+    side_columns, side_filter_expr)`` for multi-table exchanges whose
+    sides project different schemas."""
     import pickle
 
-    expr_pickle = pickle.dumps(filter_expr) if filter_expr is not None else None
     map_task = ray.remote(num_returns=num_buckets)(_map_project_split)
     reduce_task = ray.remote(_reduce_bucket)
     checker_ref = ray.put(checker_fn)
-    target_bytes = _shuffle_target_bytes([files for files, _ in sides])
+    target_bytes = _shuffle_target_bytes([side[0] for side in sides])
 
     shard_lists: list = []
-    for files, projector in sides:
+    for side in sides:
+        if len(side) == 2:
+            files, projector = side
+            s_cols, s_expr = columns, filter_expr
+        else:
+            files, projector, s_cols, s_expr = side
+        expr_pickle = pickle.dumps(s_expr) if s_expr is not None else None
         proj_ref = ray.put(projector)
         for unit in _scan_units(files, target_bytes):
             result = map_task.remote(
-                unit, columns, expr_pickle, proj_ref, num_buckets
+                unit, s_cols, expr_pickle, proj_ref, num_buckets
             )
             if num_buckets == 1:
                 result = [result]
