@@ -246,10 +246,6 @@ def label_centroids_embeddings(sf_dir: str) -> pd.DataFrame:
     labels × 64 rows per task, never the vectors — merged and divided on
     the driver. Elements are promoted float32→float64 BEFORE summing,
     matching SQL AVG's promotion of FLOAT inputs."""
-    ds = read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
-    )
-
     def partial(batch: pa.Table) -> pd.DataFrame:
         df = batch.to_pandas()
         mask = df["label"].notna() & df["embedding"].notna()
@@ -282,9 +278,12 @@ def label_centroids_embeddings(sf_dir: str) -> pd.DataFrame:
             )
         return pd.concat(rows, ignore_index=True)
 
+    from ..shuffle import map_partials
+
     parts = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .to_pandas()
+        map_partials(
+            f"{sf_dir}/embeddings.parquet", ["label", "embedding"], None, partial
+        )
         .groupby(["label", "i"], as_index=False)
         .agg(s=("s", "sum"), n=("n", "sum"))
     )

@@ -751,7 +751,6 @@ def decontaminate_ngram_documents(
     contaminated (SQL COUNT(DISTINCT source) skips NULLs) but NULL-source
     documents still count as hit when they carry a convicted gram."""
     path = f"{sf_dir}/documents.parquet"
-    ds = read_table(path, columns=["doc_id", "text", "source"])
     b = num_buckets or _dedup_buckets()
     P = np.uint64(0x100000001B3)  # FNV prime: odd, full-period under 2^64
 
@@ -821,10 +820,6 @@ def decontaminate_ngram_documents(
         )
         return pd.concat([tri, marker], ignore_index=True)
 
-    triples = ds.map_batches(
-        gram_triples, batch_format="pyarrow", zero_copy_batch=True
-    )
-
     def bucket_convict(df: pd.DataFrame) -> pd.DataFrame:
         markers = df[df["s"] == -2]
         rows = df[df["s"] != -2]
@@ -840,7 +835,11 @@ def decontaminate_ngram_documents(
             }
         )
 
-    parts = _grouped_frames(triples, b, bucket_convict)
+    parts = _fused_grouped_frames(
+        [(path, ["doc_id", "text", "source"], None, gram_triples)],
+        b,
+        bucket_convict,
+    )
     docs_hit = (
         int(np.unique(np.concatenate([np.asarray(h) for h in parts["hits"]])).size)
         if len(parts) and any(len(h) for h in parts["hits"])

@@ -24,9 +24,10 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
-from ..io import read_table
+from ..io import list_parquet_files, read_table
+from ..shuffle import map_partials
 from ..stages.keyed import KeyedSpec, run_keyed_pass
-from ..stages.profile import ProfileSpec, run_profile
+from ..stages.profile import ProfileSpec, run_profile, run_profile_files
 from ..stages.referential import run_referential_pass
 
 
@@ -48,14 +49,15 @@ def _r2(x: float | None) -> float | None:
 
 def profile_orders(sf_dir: str) -> pd.DataFrame:
     """G1/G2/G3 fused profile over orders (one scan)."""
-    ds = read_table(
-        f"{sf_dir}/orders.parquet", columns=["o_orderstatus", "o_totalprice"]
-    )
     spec = ProfileSpec(
         null_columns=["o_orderstatus"],
         agg_columns={"o_totalprice": {"SUM", "AVG", "MIN", "MAX"}},
     )
-    p = run_profile(ds, spec)
+    p = run_profile_files(
+        list_parquet_files(f"{sf_dir}/orders.parquet"),
+        spec,
+        columns=["o_orderstatus", "o_totalprice"],
+    )
     return pd.DataFrame(
         {
             "order_count": [p.count],
@@ -70,16 +72,17 @@ def profile_orders(sf_dir: str) -> pd.DataFrame:
 
 def agg_lineitem(sf_dir: str) -> pd.DataFrame:
     """G3 aggregates over two lineitem columns in one fused scan."""
-    ds = read_table(
-        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice", "l_quantity"]
-    )
     spec = ProfileSpec(
         agg_columns={
             "l_extendedprice": {"SUM", "AVG", "MIN", "MAX"},
             "l_quantity": {"SUM", "AVG"},
         }
     )
-    p = run_profile(ds, spec)
+    p = run_profile_files(
+        list_parquet_files(f"{sf_dir}/lineitem.parquet"),
+        spec,
+        columns=["l_extendedprice", "l_quantity"],
+    )
     return pd.DataFrame(
         {
             "sum_price": [_r2(p.agg_value("l_extendedprice", "SUM"))],
@@ -137,10 +140,12 @@ FILTER_EVENTS = "event_type = 'click' AND value > 10"
 
 def filter_events_agg(sf_dir: str) -> pd.DataFrame:
     """S2/M3 filter pushdown to Parquet row groups + fused profile."""
-    ds = read_table(
-        f"{sf_dir}/events.parquet", columns=["value"], filter_sql=FILTER_EVENTS
+    p = run_profile_files(
+        list_parquet_files(f"{sf_dir}/events.parquet"),
+        ProfileSpec(agg_columns={"value": {"SUM", "AVG"}}),
+        columns=["value"],
+        filter_sql=FILTER_EVENTS,
     )
-    p = run_profile(ds, ProfileSpec(agg_columns={"value": {"SUM", "AVG"}}))
     return pd.DataFrame(
         {
             "n_events": [p.count],
@@ -158,8 +163,6 @@ def ts_stats_events(sf_dir: str) -> pd.DataFrame:
     exact sum split into 32-bit halves (each half-sum fits int64 up to
     ~2e13 rows); the driver recombines with Python big ints and the
     average is an exact integer floor division on both sides."""
-    ds = read_table(f"{sf_dir}/events.parquet", columns=["ts"])
-
     def partial(batch: pa.Table) -> pd.DataFrame:
         e = batch.column("ts").cast(pa.int64())
         arr = e.to_numpy(zero_copy_only=False)
@@ -173,8 +176,7 @@ def ts_stats_events(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    df = parts.to_pandas()
+    df = map_partials(f"{sf_dir}/events.parquet", ["ts"], None, partial)
     n = int(df["n"].sum())
     # Python big-int sums: the low halves average ~2^31 per ROW, so a
     # numpy int64 sum of the partials would wrap at ~4.3e9 rows — the
@@ -223,11 +225,6 @@ def groupby_lineitem_returnflag(sf_dir: str) -> pd.DataFrame:
     finalizes AVG = sum / count. (Measured 5× faster than the full-table
     native hash aggregate at sf0.1 — the all-to-all of 60M rows was the
     entire cost.)"""
-    ds = read_table(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
-    )
-
     def partial(batch: pa.Table) -> pd.DataFrame:
         df = batch.to_pandas()
         # SQL NULL semantics: SUM/AVG skip NULLs (fsum over NaN would
@@ -251,9 +248,12 @@ def groupby_lineitem_returnflag(sf_dir: str) -> pd.DataFrame:
             columns=["l_returnflag", "l_linestatus", "sq", "sp", "n", "np"],
         ).astype({"sq": "float64", "sp": "float64", "n": "int64", "np": "int64"})
 
-    parts = ds.map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True
-    ).to_pandas()
+    parts = map_partials(
+        f"{sf_dir}/lineitem.parquet",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+        None,
+        partial,
+    )
     out_rows = []
     for (flag, status), g in parts.groupby(
         ["l_returnflag", "l_linestatus"], sort=True
@@ -275,10 +275,6 @@ def topk_orders(sf_dir: str) -> pd.DataFrame:
     candidates instead of the table — the all-to-all Ray sort this
     replaced was 5.6 s at sf0.1; the prune is 0.4 s. Deterministic
     tie-break on o_orderkey."""
-    ds = read_table(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
-    )
-
     def local_topk(batch: pa.Table) -> pd.DataFrame:
         # NULL prices sort last under ORDER BY ... DESC (NULLS LAST) and
         # can never reach a top-10 of a non-empty table — and NaN would
@@ -292,9 +288,9 @@ def topk_orders(sf_dir: str) -> pd.DataFrame:
             ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="stable"
         ).head(10)
 
-    cand = ds.map_batches(
-        local_topk, batch_format="pyarrow", zero_copy_batch=True
-    ).to_pandas()
+    cand = map_partials(
+        f"{sf_dir}/orders.parquet", ["o_orderkey", "o_totalprice"], None, local_topk
+    )
     top = cand.sort_values(
         ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="stable"
     ).head(10)
@@ -399,10 +395,13 @@ def drift_psi_events(sf_dir: str) -> pd.DataFrame:
     """
     from ..io import footer_column_minmax, list_parquet_files
 
-    ds = read_table(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
-    mm = footer_column_minmax(list_parquet_files(f"{sf_dir}/events.parquet"), "value")
+    files = list_parquet_files(f"{sf_dir}/events.parquet")
+    mm = footer_column_minmax(files, "value")
     if mm is None:
-        p = run_profile(ds, ProfileSpec(agg_columns={"value": {"MIN", "MAX"}}))
+        p = run_profile_files(
+            files, ProfileSpec(agg_columns={"value": {"MIN", "MAX"}}),
+            columns=["value"],
+        )
         mm = (p.agg_value("value", "MIN"), p.agg_value("value", "MAX"))
     lo, hi = float(mm[0]), float(mm[1])
     width = (hi - lo) / 10.0
@@ -427,8 +426,9 @@ def drift_psi_events(sf_dir: str) -> pd.DataFrame:
 
     # partials are ≤ 20 fixed-bin rows per task: merge on the driver
     hists = (
-        ds.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
-        .to_pandas()
+        map_partials(
+            f"{sf_dir}/events.parquet", ["event_type", "value"], None, hist
+        )
         .groupby(["etype", "bin"], as_index=False)["cnt"]
         .sum()
     )
@@ -481,11 +481,6 @@ def group_topk_orders(sf_dir: str, k: int = 3) -> pd.DataFrame:
     on the driver like the profile partials (bounded small), where the
     exact per-group top-k is re-selected with the same deterministic
     tie-break (price desc, key asc)."""
-    ds = read_table(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderpriority", "o_orderkey", "o_totalprice"],
-    )
-
     def local_prune(batch: pa.Table) -> pd.DataFrame:
         # NULL prices sort last (DESC NULLS LAST) — never in a top-k of
         # a group with ≥ k non-null rows; dropping them keeps the
@@ -496,9 +491,12 @@ def group_topk_orders(sf_dir: str, k: int = 3) -> pd.DataFrame:
         )
         return df.groupby("o_orderpriority", sort=False).head(k)
 
-    cand = ds.map_batches(
-        local_prune, batch_format="pyarrow", zero_copy_batch=True
-    ).to_pandas()
+    cand = map_partials(
+        f"{sf_dir}/orders.parquet",
+        ["o_orderpriority", "o_orderkey", "o_totalprice"],
+        None,
+        local_prune,
+    )
     cand = cand.sort_values(
         ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="stable"
     )
@@ -515,11 +513,6 @@ def pivot_lineitem_status(sf_dir: str) -> pd.DataFrame:
     per-(flag,status) compensated partial sums (``math.fsum``); the tiny
     (≤ 6 × n_tasks rows) partial frame merges on the driver with a second
     fsum, then pivots — no shuffle, no full-table groupby."""
-    ds = read_table(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_returnflag", "l_linestatus", "l_extendedprice"],
-    )
-
     def partial(batch: pa.Table) -> pd.DataFrame:
         df = batch.to_pandas()
         # SUM skips NULLs; the count column counts every row (CASE ... 1)
@@ -533,9 +526,12 @@ def pivot_lineitem_status(sf_dir: str) -> pd.DataFrame:
             {"flag": str, "status": str, "s": "float64", "n": "int64"}
         )
 
-    parts = ds.map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True
-    ).to_pandas()
+    parts = map_partials(
+        f"{sf_dir}/lineitem.parquet",
+        ["l_returnflag", "l_linestatus", "l_extendedprice"],
+        None,
+        partial,
+    )
     out_rows = []
     for flag, g in parts.groupby("flag", sort=True):
         f_mask, o_mask = g["status"] == "F", g["status"] == "O"
@@ -563,10 +559,6 @@ def grouped_quantile_lineitem(sf_dir: str) -> pd.DataFrame:
     high-cardinality columns the t-digest sketch is the approximate
     scale path and ``pipelines/selection.py`` the exact one; this is the
     cheapest exact path when the value domain is bounded.)"""
-    ds = read_table(
-        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
-    )
-
     def partial(batch: pa.Table) -> pd.DataFrame:
         df = batch.to_pandas()
         g = (
@@ -581,8 +573,9 @@ def grouped_quantile_lineitem(sf_dir: str) -> pd.DataFrame:
     # final sum is a driver-side pandas groupby (Ray's sort-based
     # aggregate cost ~2-3 s of fixed overhead on kilobyte inputs)
     dist = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .to_pandas()
+        map_partials(
+            f"{sf_dir}/lineitem.parquet", ["l_returnflag", "l_quantity"], None, partial
+        )
         .groupby(["l_returnflag", "l_quantity"], as_index=False)["c"]
         .sum()
     )
@@ -614,12 +607,8 @@ def customer_order_profile(sf_dir: str) -> pd.DataFrame:
     both sides route through the explicit hash bucket shuffle (same
     custkey ⇒ same bucket) and each bucket does a vectorized left merge
     + per-segment reduce; only segment-sized frames leave the bucket."""
-    from .dedup import _dedup_buckets, _grouped_frames
+    from .dedup import _dedup_buckets, _fused_grouped_frames
 
-    customers = read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
-    )
-    orders = read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
     num_buckets = _dedup_buckets()
     mult = np.uint64(0x9E3779B97F4A7C15)
 
@@ -654,14 +643,6 @@ def customer_order_profile(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    both = customers.map_batches(
-        cust_rows, batch_format="pyarrow", zero_copy_batch=True
-    ).union(
-        orders.map_batches(
-            order_partials, batch_format="pyarrow", zero_copy_batch=True
-        )
-    )
-
     def bucket_join(df: pd.DataFrame) -> pd.DataFrame:
         cust = df[df["side"] == 0]
         ords = (
@@ -678,7 +659,19 @@ def customer_order_profile(sf_dir: str) -> pd.DataFrame:
             }
         ).reset_index()
 
-    parts = _grouped_frames(both, num_buckets, bucket_join)
+    parts = _fused_grouped_frames(
+        [
+            (
+                f"{sf_dir}/customer.parquet",
+                ["c_custkey", "c_mktsegment"],
+                None,
+                cust_rows,
+            ),
+            (f"{sf_dir}/orders.parquet", ["o_custkey"], None, order_partials),
+        ],
+        num_buckets,
+        bucket_join,
+    )
     out = (
         parts.groupby("seg", as_index=False)
         .agg(
@@ -707,8 +700,6 @@ def json_field_agg_events(sf_dir: str) -> pd.DataFrame:
     lacks the key (or is NULL) count in n_events but not in n/sum/avg —
     SQL CAST(NULL) semantics; rows with a NULL event_type are excluded
     (the oracle filters them)."""
-    ds = read_table(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
-
     def partial(batch: pa.Table) -> pd.DataFrame:
         df = batch.to_pandas().dropna(subset=["event_type"])
         k = pd.to_numeric(
@@ -729,8 +720,9 @@ def json_field_agg_events(sf_dir: str) -> pd.DataFrame:
         ).astype({"n_events": "int64", "n": "int64", "sum_k": "int64"})
 
     parts = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .to_pandas()
+        map_partials(
+            f"{sf_dir}/events.parquet", ["event_type", "props"], None, partial
+        )
         .groupby("event_type", as_index=False)
         .sum()
     )
@@ -750,10 +742,6 @@ def parts_by_brand(sf_dir: str) -> pd.DataFrame:
     """Dimension-table profile over ``part``: per-brand count, compensated
     average retail price and max size — the same fsum-partial shape as
     the lineitem rollup, exercising the remaining fixture table."""
-    ds = read_table(
-        f"{sf_dir}/part.parquet", columns=["p_brand", "p_retailprice", "p_size"]
-    )
-
     def partial(batch: pa.Table) -> pd.DataFrame:
         df = batch.to_pandas().dropna(subset=["p_brand"])
         rows = [
@@ -770,9 +758,12 @@ def parts_by_brand(sf_dir: str) -> pd.DataFrame:
             rows, columns=["p_brand", "n", "sp", "np_", "mx"]
         )
 
-    parts = ds.map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True
-    ).to_pandas()
+    parts = map_partials(
+        f"{sf_dir}/part.parquet",
+        ["p_brand", "p_retailprice", "p_size"],
+        None,
+        partial,
+    )
     rows = []
     for brand, g in parts.groupby("p_brand", sort=True):
         n_price = int(g["np_"].sum())
@@ -1018,11 +1009,8 @@ def last_event_per_user(sf_dir: str) -> pd.DataFrame:
     through the explicit hash bucket shuffle (same user ⇒ same bucket)
     and re-argmaxes per user vectorized in the bucket. Output is the
     per-last-event-type user count (bounded), not the per-user table."""
-    from .dedup import _dedup_buckets, _grouped_frames
+    from .dedup import _dedup_buckets, _fused_grouped_frames
 
-    ds = read_table(
-        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
-    )
     num_buckets = _dedup_buckets()
 
     def _argmax_last(df: pd.DataFrame) -> pd.DataFrame:
@@ -1039,10 +1027,6 @@ def last_event_per_user(sf_dir: str) -> pd.DataFrame:
         out["__bucket"] = (spread % np.uint64(num_buckets)).astype(np.int32)
         return out
 
-    partials = ds.map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True
-    )
-
     def bucket_last(df: pd.DataFrame) -> pd.DataFrame:
         last = _argmax_last(df)
         vc = last["event_type"].value_counts()
@@ -1053,7 +1037,18 @@ def last_event_per_user(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    parts = _grouped_frames(partials, num_buckets, bucket_last)
+    parts = _fused_grouped_frames(
+        [
+            (
+                f"{sf_dir}/events.parquet",
+                ["user_id", "ts", "event_id", "event_type"],
+                None,
+                partial,
+            )
+        ],
+        num_buckets,
+        bucket_last,
+    )
     out = (
         parts.groupby("event_type", as_index=False)["n_users"]
         .sum()
@@ -1070,11 +1065,6 @@ def rollup_lineitem_cube(sf_dir: str) -> pd.DataFrame:
     the coarser levels are derived on the driver by re-aggregating the
     tiny partial frame — n_levels × the data is never scanned, and
     nothing wider than (groups × tasks) rows moves."""
-    ds = read_table(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_returnflag", "l_linestatus", "l_extendedprice"],
-    )
-
     def partial(batch: pa.Table) -> pd.DataFrame:
         df = batch.to_pandas()
         # SUM skips NULLs; COUNT(*) counts every row
@@ -1088,9 +1078,12 @@ def rollup_lineitem_cube(sf_dir: str) -> pd.DataFrame:
             {"f": str, "s": str, "sp": "float64", "n": "int64"}
         )
 
-    parts = ds.map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True
-    ).to_pandas()
+    parts = map_partials(
+        f"{sf_dir}/lineitem.parquet",
+        ["l_returnflag", "l_linestatus", "l_extendedprice"],
+        None,
+        partial,
+    )
 
     def level(keys: list[str]) -> list[tuple]:
         rows = []
@@ -1121,9 +1114,8 @@ def distinct_users_events(sf_dir: str) -> pd.DataFrame:
     unlike content-hash dedup there is no collision caveat, the raw
     values themselves are compared). Only the key column ever moves.
     ``hll_users_events`` is the one-pass approximate companion."""
-    from .dedup import _dedup_buckets, _grouped_frames
+    from .dedup import _dedup_buckets, _fused_grouped_frames
 
-    ds = read_table(f"{sf_dir}/events.parquet", columns=["user_id"])
     num_buckets = _dedup_buckets()
 
     def key_batch(batch: pa.Table) -> pd.DataFrame:
@@ -1136,12 +1128,14 @@ def distinct_users_events(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    keyed = ds.map_batches(key_batch, batch_format="pyarrow", zero_copy_batch=True)
-
     def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"distinct": [int(df["h"].nunique())]})
 
-    parts = _grouped_frames(keyed, num_buckets, bucket_counts)
+    parts = _fused_grouped_frames(
+        [(f"{sf_dir}/events.parquet", ["user_id"], None, key_batch)],
+        num_buckets,
+        bucket_counts,
+    )
     distinct = int(parts["distinct"].sum()) if len(parts) else 0
     return pd.DataFrame({"distinct_users": [distinct]}).astype("int64")
 
@@ -1155,8 +1149,6 @@ def hll_users_events(sf_dir: str, p: int = 14) -> pd.DataFrame:
     1.04/√2^p ≈ 0.8% at p=14)."""
     from ..sketches import HyperLogLog, hash_columns_u64
 
-    ds = read_table(f"{sf_dir}/events.parquet", columns=["user_id"])
-
     def partial(batch: pa.Table) -> pd.DataFrame:
         import pickle
 
@@ -1169,10 +1161,9 @@ def hll_users_events(sf_dir: str, p: int = 14) -> pd.DataFrame:
     import pickle
 
     merged = HyperLogLog(p=p)
-    for blob in (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .to_pandas()["blob"]
-    ):
+    for blob in map_partials(
+        f"{sf_dir}/events.parquet", ["user_id"], None, partial
+    )["blob"]:
         merged = merged.merge(pickle.loads(blob))
     exact = int(distinct_users_events(sf_dir)["distinct_users"].iloc[0])
     est = float(merged.estimate())

@@ -72,8 +72,10 @@ def _rank_values(
     value extents AND the first B× rank narrowing in a single scan —
     the classic separate min/max pass is folded away."""
 
-    def scan():
-        return read_table(path, columns=[group_col, value_col])
+    from ..shuffle import map_partials
+
+    def scan_partials(fn) -> pd.DataFrame:
+        return map_partials(path, [group_col, value_col], None, fn)
 
     shift = np.uint64(64 - int(math.log2(n_bins)))
 
@@ -119,9 +121,7 @@ def _rank_values(
         return pd.concat(frames, ignore_index=True)
 
     first = (
-        scan()
-        .map_batches(bitpat_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .to_pandas()
+        scan_partials(bitpat_partial)
         .groupby(["grp", "bin"], as_index=False)
         .agg(cnt=("cnt", "sum"), vmin=("vmin", "min"), vmax=("vmax", "max"))
     )
@@ -189,13 +189,7 @@ def _rank_values(
                     return _empty_partial({"sid": "int64", "v": "float64"})
                 return pd.concat(frames, ignore_index=True)
 
-            cand = (
-                scan()
-                .map_batches(
-                    collect_partial, batch_format="pyarrow", zero_copy_batch=True
-                )
-                .to_pandas()
-            )
+            cand = scan_partials(collect_partial)
             for sid, key in enumerate(ckeys):
                 vs = np.sort(cand.loc[cand["sid"] == sid, "v"].to_numpy())
                 for r, s in cspecs[key]:
@@ -251,11 +245,7 @@ def _rank_values(
                 return pd.concat(frames, ignore_index=True)
 
             hist = (
-                scan()
-                .map_batches(
-                    hist_partial, batch_format="pyarrow", zero_copy_batch=True
-                )
-                .to_pandas()
+                scan_partials(hist_partial)
                 .groupby(["sid", "bin"], as_index=False)
                 .agg(cnt=("cnt", "sum"), vmin=("vmin", "min"), vmax=("vmax", "max"))
             )

@@ -120,7 +120,6 @@ def _grouped_moment_partials(
     group's raw row count. Rows with a NULL group are dropped (the
     oracles filter ``group IS NOT NULL``)."""
     cols = list(dict.fromkeys([group_col, x_col, y_col]))
-    ds = read_table(f"{sf_dir}/{table}.parquet", columns=cols)
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         df = batch.to_pandas().dropna(subset=[group_col])
@@ -137,9 +136,9 @@ def _grouped_moment_partials(
             columns=["grp", "n_rows", *_MOM_COLS, "xn", "xm", "xs2", "yn", "ym", "ys2"],
         )
 
-    return ds.map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True
-    ).to_pandas()
+    from ..shuffle import map_partials
+
+    return map_partials(f"{sf_dir}/{table}.parquet", cols, None, partial)
 
 
 def corr_lineitem(sf_dir: str) -> pd.DataFrame:
@@ -231,10 +230,6 @@ def zscore_outliers_lineitem(sf_dir: str, z: float = 3.0) -> pd.DataFrame:
             stats[grp] = (m, math.sqrt(s2 / (n - 1)), n)
     stats_ref = ray.put(stats)
 
-    ds = read_table(
-        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_extendedprice"]
-    )
-
     def count_breaches(batch: pa.Table) -> pd.DataFrame:
         st = ray.get(stats_ref)
         df = batch.to_pandas().dropna(subset=["l_returnflag", "l_extendedprice"])
@@ -247,9 +242,15 @@ def zscore_outliers_lineitem(sf_dir: str, z: float = 3.0) -> pd.DataFrame:
             rows.append((grp, int((np.abs(v - m) > z * sd).sum())))
         return pd.DataFrame(rows, columns=["grp", "breaches"])
 
+    from ..shuffle import map_partials
+
     breaches = (
-        ds.map_batches(count_breaches, batch_format="pyarrow", zero_copy_batch=True)
-        .to_pandas()
+        map_partials(
+            f"{sf_dir}/lineitem.parquet",
+            ["l_returnflag", "l_extendedprice"],
+            None,
+            count_breaches,
+        )
         .groupby("grp")["breaches"]
         .sum()
     )

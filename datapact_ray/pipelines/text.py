@@ -134,22 +134,44 @@ def _featurized(sf_dir: str, columns: list[str]):
     )
 
 
+class _FeaturePartial:
+    """TextFeaturizer fused with an in-task reduction for the raw-task
+    scan path (``shuffle.map_partials``): the per-doc feature frame never
+    leaves the task — only the reduced (≤ groups-sized) partial does."""
+
+    def __init__(self, reduce_fn):
+        self.feat = TextFeaturizer()
+        self.reduce_fn = reduce_fn
+
+    def __call__(self, table: pa.Table) -> pd.DataFrame:
+        return self.reduce_fn(self.feat(table).to_pandas())
+
+
 def text_stats_documents(sf_dir: str) -> pd.DataFrame:
     """Per-language doc/token/char stats (oracle-matching definitions)."""
-    from ray.data.aggregate import Count, Sum
+    from ..shuffle import map_partials
 
-    feats = _featurized(sf_dir, ["doc_id", "text", "lang"])
-    out = (
-        feats.groupby("lang")
-        .aggregate(
-            Count(alias_name="n_docs"),
-            Sum("ws_tokens", alias_name="sum_tokens"),
-            Sum("n_chars", alias_name="sum_chars"),
+    def reduce_fn(f: pd.DataFrame) -> pd.DataFrame:
+        return (
+            f.groupby("lang", sort=False)
+            .agg(
+                n_docs=("lang", "size"),
+                sum_tokens=("ws_tokens", "sum"),
+                sum_chars=("n_chars", "sum"),
+            )
+            .reset_index()
         )
-        .to_pandas()
-    )
-    from ._util import round_duck
 
+    out = (
+        map_partials(
+            f"{sf_dir}/documents.parquet",
+            ["doc_id", "text", "lang"],
+            None,
+            _FeaturePartial(reduce_fn),
+        )
+        .groupby("lang", as_index=False)
+        .sum()
+    )
     out["n_docs"] = out["n_docs"].astype("int64")
     out["sum_tokens"] = out["sum_tokens"].astype("int64")
     out["avg_chars"] = round_duck(out["sum_chars"] / out["n_docs"], 4)
@@ -159,21 +181,28 @@ def text_stats_documents(sf_dir: str) -> pd.DataFrame:
 
 def token_counts_documents(sf_dir: str) -> pd.DataFrame:
     """Corpus token totals: whitespace + BPE-ish regex tokenization."""
-    from ray.data.aggregate import Sum
+    from ..shuffle import map_partials
 
-    feats = _featurized(sf_dir, ["doc_id", "text"])
-    row = (
-        feats.aggregate(
-            Sum("ws_tokens", alias_name="total_ws_tokens"),
-            Sum("re_tokens", alias_name="total_re_tokens"),
-            Sum("punct_chars", alias_name="total_punct_chars"),
+    def reduce_fn(f: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "ws": [int(f["ws_tokens"].sum())],
+                "re": [int(f["re_tokens"].sum())],
+                "pc": [int(f["punct_chars"].sum())],
+            }
         )
+
+    parts = map_partials(
+        f"{sf_dir}/documents.parquet",
+        ["doc_id", "text"],
+        None,
+        _FeaturePartial(reduce_fn),
     )
     return pd.DataFrame(
         {
-            "total_ws_tokens": [int(row["total_ws_tokens"])],
-            "total_re_tokens": [int(row["total_re_tokens"])],
-            "total_punct_chars": [int(row["total_punct_chars"])],
+            "total_ws_tokens": [int(parts["ws"].sum())],
+            "total_re_tokens": [int(parts["re"].sum())],
+            "total_punct_chars": [int(parts["pc"].sum())],
         }
     )
 
@@ -181,9 +210,24 @@ def token_counts_documents(sf_dir: str) -> pd.DataFrame:
 def langid_documents(sf_dir: str) -> pd.DataFrame:
     """Predicted-language distribution. The stopword-hit heuristic is
     SQL-expressible, so this is oracle-checked (``_LANGID_SQL``)."""
-    feats = _featurized(sf_dir, ["doc_id", "text"])
-    out = feats.groupby("lang_pred").count().to_pandas()
-    out = out.rename(columns={"count()": "n_docs"})
+    from ..shuffle import map_partials
+
+    def reduce_fn(f: pd.DataFrame) -> pd.DataFrame:
+        vc = f["lang_pred"].value_counts()
+        return pd.DataFrame(
+            {"lang_pred": vc.index.astype(str), "n_docs": vc.to_numpy()}
+        )
+
+    out = (
+        map_partials(
+            f"{sf_dir}/documents.parquet",
+            ["doc_id", "text"],
+            None,
+            _FeaturePartial(reduce_fn),
+        )
+        .groupby("lang_pred", as_index=False)["n_docs"]
+        .sum()
+    )
     out["n_docs"] = out["n_docs"].astype("int64")
     return out.sort_values("lang_pred").reset_index(drop=True)
 
@@ -191,21 +235,30 @@ def langid_documents(sf_dir: str) -> pd.DataFrame:
 def quality_documents(sf_dir: str) -> pd.DataFrame:
     """Mean quality score per source, oracle-checked (``_QUALITY_SQL``
     reproduces the score formula in the engine's evaluation order)."""
-    from ray.data.aggregate import Count, Mean
+    import math
 
-    feats = _featurized(sf_dir, ["doc_id", "text", "source"])
-    out = (
-        feats.groupby("source")
-        .aggregate(
-            Count(alias_name="n_docs"), Mean("quality_score", alias_name="avg_quality")
-        )
-        .to_pandas()
+    from ..shuffle import map_partials
+
+    def reduce_fn(f: pd.DataFrame) -> pd.DataFrame:
+        rows = [
+            (src_, len(g), math.fsum(g["quality_score"].dropna()))
+            for src_, g in f.groupby("source", sort=False)
+        ]
+        return pd.DataFrame(rows, columns=["source", "n", "s"])
+
+    parts = map_partials(
+        f"{sf_dir}/documents.parquet",
+        ["doc_id", "text", "source"],
+        None,
+        _FeaturePartial(reduce_fn),
     )
-    from ._util import round_duck
-
+    rows = [
+        (src_, int(g["n"].sum()), round_duck(math.fsum(g["s"]) / g["n"].sum(), 4))
+        for src_, g in parts.groupby("source", sort=True)
+    ]
+    out = pd.DataFrame(rows, columns=["source", "n_docs", "avg_quality"])
     out["n_docs"] = out["n_docs"].astype("int64")
-    out["avg_quality"] = round_duck(out["avg_quality"], 4)
-    return out.sort_values("source").reset_index(drop=True)
+    return out.reset_index(drop=True)
 
 
 def fingerprint_documents(sf_dir: str) -> pd.DataFrame:
@@ -255,13 +308,46 @@ def _topk_by_count(partials, key_col: str, k: int) -> pd.DataFrame:
     return top[[key_col, "cnt"]].reset_index(drop=True)
 
 
-def _bucket_of_keys(keys: pd.Series) -> np.ndarray:
+def _topk_by_count_fused(
+    path: str,
+    columns: list[str],
+    projector,
+    key_col: str,
+    k: int,
+    num_buckets: int,
+) -> pd.DataFrame:
+    """Fused variant of :func:`_topk_by_count`: the (key, cnt, __bucket)
+    partial production runs INSIDE the scan task (read → project →
+    split, no pipeline hop), each bucket sums and takes its local
+    top-k, and the driver merges ≤ B×k candidates. ``num_buckets`` MUST
+    be the same value the projector used for ``__bucket``."""
+    from .dedup import _fused_grouped_frames
+
+    def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key_col, as_index=False)["cnt"].sum()
+        return g.sort_values(
+            ["cnt", key_col], ascending=[False, True], kind="stable"
+        ).head(k)
+
+    cand = _fused_grouped_frames(
+        [(path, columns, None, projector)], num_buckets, bucket_topk
+    )
+    top = cand.sort_values(
+        ["cnt", key_col], ascending=[False, True], kind="stable"
+    ).head(k)
+    top["cnt"] = top["cnt"].astype("int64")
+    return top[[key_col, "cnt"]].reset_index(drop=True)
+
+
+def _bucket_of_keys(keys: pd.Series, num_buckets: int) -> np.ndarray:
+    # num_buckets is computed ONCE on the driver and captured into the
+    # projector closure: recomputing _dedup_buckets() inside a worker
+    # disagrees with the driver's pre-auto-init value (8 vs CPU count)
+    # and silently drops every row whose bucket id ≥ the reduce fan-out
     from ..sketches import hash_columns_u64
 
-    from .dedup import _dedup_buckets
-
     h = hash_columns_u64(pd.DataFrame({"k": keys}), ["k"])
-    return (h % np.uint64(_dedup_buckets())).astype(np.int32)
+    return (h % np.uint64(num_buckets)).astype(np.int32)
 
 
 def _grouped_frames_text(partials, fn) -> pd.DataFrame:
@@ -279,7 +365,9 @@ def vocab_top_terms_documents(sf_dir: str, k: int = 25) -> pd.DataFrame:
     (token, cnt) row per DISTINCT token per task — vocabulary-sized, not
     corpus-sized. The partials route through the explicit token-hash
     bucket shuffle with per-bucket local top-k (see ``_topk_by_count``)."""
-    ds = read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    from .dedup import _dedup_buckets
+
+    nb = _dedup_buckets()
 
     def partial_counts(batch: pa.Table) -> pd.DataFrame:
         # dropna BEFORE astype(str): a NULL text would otherwise become
@@ -292,13 +380,12 @@ def vocab_top_terms_documents(sf_dir: str, k: int = 25) -> pd.DataFrame:
                 "cnt": vc.to_numpy().astype("int64"),
             }
         )
-        out["__bucket"] = _bucket_of_keys(out["token"])
+        out["__bucket"] = _bucket_of_keys(out["token"], nb)
         return out
 
-    partials = ds.map_batches(
-        partial_counts, batch_format="pyarrow", zero_copy_batch=True
+    return _topk_by_count_fused(
+        f"{sf_dir}/documents.parquet", ["text"], partial_counts, "token", k, nb
     )
-    return _topk_by_count(partials, "token", k)
 
 
 def sample_documents_hash(sf_dir: str, rate_pct: int = 10) -> pd.DataFrame:
@@ -310,9 +397,6 @@ def sample_documents_hash(sf_dir: str, rate_pct: int = 10) -> pd.DataFrame:
     merged on the driver (≤ n_langs per task); the filter is vectorized
     uint64 numpy arithmetic inside the scan task, so unsampled rows
     never leave the reader."""
-    ds = read_table(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
-    )
     m, b32, h = np.uint64(2654435761), np.uint64(4294967296), np.uint64(100)
 
     def partial(batch: pa.Table) -> pd.DataFrame:
@@ -326,9 +410,12 @@ def sample_documents_hash(sf_dir: str, rate_pct: int = 10) -> pd.DataFrame:
         )
         return g.astype({"lang": str, "n_sampled": "int64", "sum_chars": "int64"})
 
+    from ..shuffle import map_partials
+
     out = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .to_pandas()
+        map_partials(
+            f"{sf_dir}/documents.parquet", ["doc_id", "lang", "n_chars"], None, partial
+        )
         .groupby("lang", as_index=False)
         .agg(n_sampled=("n_sampled", "sum"), sum_chars=("sum_chars", "sum"))
     )
@@ -356,8 +443,9 @@ def stratified_sample_documents(sf_dir: str, rate: float = 0.1) -> pd.DataFrame:
     import hashlib
     import math as _math
 
+    from ..shuffle import map_partials
+
     path = f"{sf_dir}/documents.parquet"
-    counts_ds = read_table(path, columns=["doc_id", "lang"])
 
     def lang_counts(batch: pa.Table) -> pd.DataFrame:
         vc = (
@@ -370,16 +458,11 @@ def stratified_sample_documents(sf_dir: str, rate: float = 0.1) -> pd.DataFrame:
         )
 
     counts = (
-        counts_ds.map_batches(
-            lang_counts, batch_format="pyarrow", zero_copy_batch=True
-        )
-        .to_pandas()
+        map_partials(path, ["doc_id", "lang"], None, lang_counts)
         .groupby("lang")["n"]
         .sum()
     )
     quotas = {lang: int(_math.ceil(n * rate)) for lang, n in counts.items()}
-
-    ds = read_table(path, columns=["doc_id", "lang", "n_chars"])
 
     def local_prune(batch: pa.Table, _q=quotas) -> pd.DataFrame:
         df = batch.to_pandas().dropna(subset=["doc_id", "lang"])
@@ -392,11 +475,9 @@ def stratified_sample_documents(sf_dir: str, rate: float = 0.1) -> pd.DataFrame:
         )
         return out[["lang", "doc_id", "n_chars", "h"]]
 
-    cand = (
-        ds.map_batches(local_prune, batch_format="pyarrow", zero_copy_batch=True)
-        .to_pandas()
-        .sort_values(["h", "doc_id"], kind="stable")
-    )
+    cand = map_partials(
+        path, ["doc_id", "lang", "n_chars"], None, local_prune
+    ).sort_values(["h", "doc_id"], kind="stable")
     rows = []
     for lang in sorted(quotas):
         g = cand[cand["lang"] == lang].head(quotas[lang])
@@ -413,7 +494,9 @@ def doc_freq_top_terms_documents(sf_dir: str, k: int = 25) -> pd.DataFrame:
     batch (documents never span batches, so per-batch doc-distinct
     counts sum exactly) and emits vocabulary-sized (token, cnt) partials
     into the same explicit bucket top-k exchange as the TF vocabulary."""
-    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    from .dedup import _dedup_buckets
+
+    nb = _dedup_buckets()
 
     def partial_df_counts(batch: pa.Table) -> pd.DataFrame:
         df = batch.to_pandas().dropna(subset=["text"])
@@ -433,13 +516,17 @@ def doc_freq_top_terms_documents(sf_dir: str, k: int = 25) -> pd.DataFrame:
                 "cnt": vc.to_numpy().astype("int64"),
             }
         )
-        out["__bucket"] = _bucket_of_keys(out["token"])
+        out["__bucket"] = _bucket_of_keys(out["token"], nb)
         return out
 
-    partials = ds.map_batches(
-        partial_df_counts, batch_format="pyarrow", zero_copy_batch=True
+    return _topk_by_count_fused(
+        f"{sf_dir}/documents.parquet",
+        ["doc_id", "text"],
+        partial_df_counts,
+        "token",
+        k,
+        nb,
     )
-    return _topk_by_count(partials, "token", k)
 
 
 def heavy_hitter_terms_documents(sf_dir: str, k: int = 64, top: int = 10) -> pd.DataFrame:
@@ -451,11 +538,7 @@ def heavy_hitter_terms_documents(sf_dir: str, k: int = 64, top: int = 10) -> pd.
     Rows-only but SELF-AUDITED: joins the sketch's top terms against the
     exact counts and reports per-term (est ≤ exact ≤ est + offset)
     bound satisfaction — the Misra–Gries guarantee, checked live."""
-    from ray.data.aggregate import Sum
-
     from ..sketches import MisraGries
-
-    ds = read_table(f"{sf_dir}/documents.parquet", columns=["text"])
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         text = batch.column("text").to_pandas().dropna().astype(str)
@@ -464,19 +547,24 @@ def heavy_hitter_terms_documents(sf_dir: str, k: int = 64, top: int = 10) -> pd.
         mg.add_value_counts(vc.index.to_numpy(), vc.to_numpy())
         return pd.DataFrame({"blob": [mg.to_bytes()]})
 
+    from ..shuffle import map_partials
+
     merged = MisraGries(k=k)
-    for blob in (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .to_pandas()["blob"]
-    ):
+    for blob in map_partials(
+        f"{sf_dir}/documents.parquet", ["text"], None, partial
+    )["blob"]:
         merged = merged.merge(MisraGries.from_bytes(blob))
     found = merged.items_with_bounds()[:top]
 
-    # exact audit: true counts for the found terms (vocabulary-sized
-    # aggregate, the same machinery the exact query uses)
+    # exact audit: true counts for the FOUND terms only — the found set
+    # is ≤ top tokens, broadcast into the scan task, so the audit pass
+    # ships ≤ top rows per task instead of the vocabulary
+    found_tokens = frozenset(t for t, _, _ in found)
+
     def exact_partial(batch: pa.Table) -> pd.DataFrame:
         text = batch.column("text").to_pandas().dropna().astype(str)
         vc = text.str.split(" ").explode().value_counts()
+        vc = vc[vc.index.isin(found_tokens)]
         return pd.DataFrame(
             {
                 "token": vc.index.to_numpy().astype(str),
@@ -485,12 +573,9 @@ def heavy_hitter_terms_documents(sf_dir: str, k: int = 64, top: int = 10) -> pd.
         )
 
     exact = (
-        read_table(f"{sf_dir}/documents.parquet", columns=["text"])
-        .map_batches(exact_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("token")
-        .aggregate(Sum("cnt", alias_name="cnt"))
-        .to_pandas()
-        .set_index("token")["cnt"]
+        map_partials(f"{sf_dir}/documents.parquet", ["text"], None, exact_partial)
+        .groupby("token")["cnt"]
+        .sum()
     )
     rows = []
     for token, est, upper in found:
@@ -509,7 +594,9 @@ def bigram_top_terms_documents(sf_dir: str, k: int = 25) -> pd.DataFrame:
     exploded token array (no per-doc Python loop), counted per batch,
     and only (bigram, cnt) partials — bigram-vocabulary-sized — enter
     the bucket shuffle (per-bucket local top-k, ``_topk_by_count``)."""
-    ds = read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    from .dedup import _dedup_buckets
+
+    nb = _dedup_buckets()
 
     def partial_counts(batch: pa.Table) -> pd.DataFrame:
         text = batch.column("text").to_pandas().dropna().astype(str)
@@ -540,13 +627,12 @@ def bigram_top_terms_documents(sf_dir: str, k: int = 25) -> pd.DataFrame:
                 "cnt": vc.to_numpy().astype("int64"),
             }
         )
-        out["__bucket"] = _bucket_of_keys(out["bigram"])
+        out["__bucket"] = _bucket_of_keys(out["bigram"], nb)
         return out
 
-    partials = ds.map_batches(
-        partial_counts, batch_format="pyarrow", zero_copy_batch=True
+    return _topk_by_count_fused(
+        f"{sf_dir}/documents.parquet", ["text"], partial_counts, "bigram", k, nb
     )
-    return _topk_by_count(partials, "bigram", k)
 
 
 def repetition_documents(sf_dir: str) -> pd.DataFrame:
@@ -560,8 +646,6 @@ def repetition_documents(sf_dir: str) -> pd.DataFrame:
     per-lang (n_docs, ratio-sum) partials leave the task. Docs with
     fewer than 3 tokens have no trigrams and are excluded (as in SQL,
     where the trigram join yields no rows for them)."""
-    ds = read_table(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
-
     def partial(batch: pa.Table) -> pd.DataFrame:
         import math as _math
 
@@ -605,9 +689,11 @@ def repetition_documents(sf_dir: str) -> pd.DataFrame:
 
     import math as _math
 
-    parts = ds.map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True
-    ).to_pandas()
+    from ..shuffle import map_partials
+
+    parts = map_partials(
+        f"{sf_dir}/documents.parquet", ["lang", "text"], None, partial
+    )
     rows = []
     for lang, g in parts.groupby("lang", sort=True):
         n_docs = int(g["n_docs"].sum())
@@ -629,7 +715,9 @@ def redact_digits_customer(sf_dir: str) -> pd.DataFrame:
     pattern space is tiny; that collapse is exactly what redaction is
     for). Vectorized pandas regex kernels; oracle uses the equivalent
     DuckDB regexp_replace/regexp_matches expressions."""
-    ds = read_table(f"{sf_dir}/customer.parquet", columns=["c_name"])
+    from .dedup import _dedup_buckets
+
+    nb = _dedup_buckets()
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         s_all = batch.column("c_name").to_pandas()
@@ -664,7 +752,7 @@ def redact_digits_customer(sf_dir: str) -> pd.DataFrame:
                 ignore_index=True,
             ).astype({"n": "int64", "rows_with": "int64", "digits": "int64",
                       "nullrow": "int64"})
-        out["__bucket"] = _bucket_of_keys(out["red"])
+        out["__bucket"] = _bucket_of_keys(out["red"], nb)
         return out
 
     def bucket_reduce(df: pd.DataFrame) -> pd.DataFrame:
@@ -681,8 +769,11 @@ def redact_digits_customer(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    parts = _grouped_frames_text(
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+    from .dedup import _fused_grouped_frames
+
+    parts = _fused_grouped_frames(
+        [(f"{sf_dir}/customer.parquet", ["c_name"], None, partial)],
+        nb,
         bucket_reduce,
     )
     return pd.DataFrame(

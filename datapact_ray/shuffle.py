@@ -155,6 +155,69 @@ def _map_project_split(
     return _split_by_bucket(projected, num_buckets)
 
 
+def _partial_unit(unit, columns, expr_pickle, fn) -> pd.DataFrame:
+    import pickle
+
+    table = read_unit(unit, columns)
+    if expr_pickle is not None:
+        table = table.filter(pickle.loads(expr_pickle))
+    return fn(table)
+
+
+def map_partials(
+    path: str,
+    columns: list[str] | None,
+    filter_sql: str | None,
+    fn: Callable[[pa.Table], pd.DataFrame],
+) -> pd.DataFrame:
+    """Partial-aggregate a table with ONE wave of raw Ray tasks over
+    file/row-group scan units and concatenate the partial frames on the
+    driver — the shuffle-free analog of the fused bucket exchange.
+
+    For partial-merge aggregations the Ray Data pipeline
+    (read_parquet → map_batches → to_pandas) pays a fixed per-execution
+    planning + block-materialization cost that dominates sub-second
+    queries and measured ~1.6× even on the scan-bound lineitem rollup;
+    this path is the same fused shape the keyed/profile passes already
+    use. Non-parquet inputs fall back to the streaming Dataset path."""
+    import pickle
+
+    from .expr import compile_to_arrow, parse_filter
+    from .io import list_parquet_files, read_table
+
+    files = list_parquet_files(path)
+    if any(not f.endswith(".parquet") for f in files):
+        ds = read_table(path, columns=columns, filter_sql=filter_sql)
+        return ds.map_batches(
+            fn, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()
+    expr = None
+    if filter_sql:
+        from .expr import referenced_columns
+
+        ast = parse_filter(filter_sql)
+        expr = compile_to_arrow(ast)
+        if columns is not None:
+            # the in-task filter needs its columns present even when the
+            # caller's projection doesn't include them
+            columns = list(
+                dict.fromkeys(columns + sorted(referenced_columns(ast)))
+            )
+    expr_pickle = pickle.dumps(expr) if expr is not None else None
+    fn_ref = ray.put(fn)
+    task = ray.remote(_partial_unit)
+    refs = [
+        task.remote(unit, columns, expr_pickle, fn_ref)
+        for unit in _scan_units(files, _shuffle_target_bytes([files]))
+    ]
+    frames = [f for f in ray.get(refs) if f is not None]
+    non_empty = [f for f in frames if len(f)]
+    if non_empty:
+        return pd.concat(non_empty, ignore_index=True)
+    # keep the (typed, named) empty frame so downstream groupbys work
+    return frames[0] if frames else pd.DataFrame()
+
+
 def parquet_bucket_shuffle(
     sides: list[tuple],  # (files, projector) or (files, projector, cols, expr)
     columns: list[str] | None,

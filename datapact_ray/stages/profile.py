@@ -290,6 +290,38 @@ def run_profile_pair(
     return merge_profiles(partials[0]), merge_profiles(partials[1])
 
 
+def run_profile_files(
+    files: list[str],
+    spec: ProfileSpec,
+    columns: list[str] | None = None,
+    filter_sql: str | None = None,
+) -> ProfileResult:
+    """Single-side parquet fast path: one wave of raw Ray tasks over
+    file/row-group scan units, partials merged on the driver — the
+    one-table analog of :func:`run_profile_pair_files` (skips the Ray
+    Data pipeline's fixed planning/materialization cost). Columns the
+    filter references are unioned into the read (the in-task
+    ``Table.filter`` needs them even when the profile doesn't)."""
+    from ..expr import compile_to_arrow, parse_filter, referenced_columns
+    from ..shuffle import _scan_units
+
+    filter_expr = None
+    if filter_sql:
+        ast = parse_filter(filter_sql)
+        filter_expr = compile_to_arrow(ast)
+        if columns is not None:
+            columns = list(
+                dict.fromkeys(columns + sorted(referenced_columns(ast)))
+            )
+    expr_pickle = pickle.dumps(filter_expr) if filter_expr is not None else None
+    task = ray.remote(_profile_unit)
+    refs = [
+        task.remote(unit, columns, expr_pickle, spec, 0)
+        for unit in _scan_units(files)
+    ]
+    return merge_profiles([pickle.loads(b) for b in ray.get(refs)])
+
+
 def run_profile(
     ds: ray.data.Dataset,
     spec: ProfileSpec,
