@@ -118,18 +118,28 @@ def uniqueness_lineitem(sf_dir: str) -> pd.DataFrame:
 
 def referential_orders_customer(sf_dir: str) -> pd.DataFrame:
     """J2/A2 referential: every o_custkey must exist in customer."""
-    probe = read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
-    dim = read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
-    m = run_referential_pass(probe, dim, ["o_custkey"], ["c_custkey"])
+    m = run_referential_pass(
+        None,
+        None,
+        ["o_custkey"],
+        ["c_custkey"],
+        probe_files=list_parquet_files(f"{sf_dir}/orders.parquet"),
+        ref_files=list_parquet_files(f"{sf_dir}/customer.parquet"),
+    )
     return pd.DataFrame(
         {"probed_rows": [m.probed_rows], "orphan_rows": [m.orphan_rows]}
     )
 
 
 def referential_lineitem_orders(sf_dir: str) -> pd.DataFrame:
-    probe = read_table(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
-    dim = read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
-    m = run_referential_pass(probe, dim, ["l_orderkey"], ["o_orderkey"])
+    m = run_referential_pass(
+        None,
+        None,
+        ["l_orderkey"],
+        ["o_orderkey"],
+        probe_files=list_parquet_files(f"{sf_dir}/lineitem.parquet"),
+        ref_files=list_parquet_files(f"{sf_dir}/orders.parquet"),
+    )
     return pd.DataFrame(
         {"probed_rows": [m.probed_rows], "orphan_rows": [m.orphan_rows]}
     )
@@ -783,9 +793,14 @@ def parts_by_brand(sf_dir: str) -> pd.DataFrame:
 def referential_lineitem_supplier(sf_dir: str) -> pd.DataFrame:
     """J2/A2 referential over the remaining dimension: every l_suppkey
     must exist in supplier (broadcast keyset / partitioned-Bloom path)."""
-    probe = read_table(f"{sf_dir}/lineitem.parquet", columns=["l_suppkey"])
-    dim = read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
-    m = run_referential_pass(probe, dim, ["l_suppkey"], ["s_suppkey"])
+    m = run_referential_pass(
+        None,
+        None,
+        ["l_suppkey"],
+        ["s_suppkey"],
+        probe_files=list_parquet_files(f"{sf_dir}/lineitem.parquet"),
+        ref_files=list_parquet_files(f"{sf_dir}/supplier.parquet"),
+    )
     return pd.DataFrame(
         {"probed_rows": [m.probed_rows], "orphan_rows": [m.orphan_rows]}
     )
