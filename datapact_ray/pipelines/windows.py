@@ -443,7 +443,6 @@ def cumsum_crossing_events(sf_dir: str, fraction: float = 0.5) -> pd.DataFrame:
     unordered scan tasks. NULL ts rows are excluded (no position on the
     time axis); NULL values count as 0 (oracle COALESCEs)."""
     path = f"{sf_dir}/events.parquet"
-    ds = read_table(path, columns=["ts", "value"])
     hour_us = 3_600_000_000
 
     def hour_partial(batch: pa.Table) -> pd.DataFrame:
@@ -466,9 +465,9 @@ def cumsum_crossing_events(sf_dir: str, fraction: float = 0.5) -> pd.DataFrame:
         ]
         return pd.DataFrame(rows, columns=["hour", "s", "mn"])
 
-    parts = ds.map_batches(
-        hour_partial, batch_format="pyarrow", zero_copy_batch=True
-    ).to_pandas()
+    from ..shuffle import map_partials
+
+    parts = map_partials(path, ["ts", "value"], None, hour_partial)
     if len(parts) == 0:
         return pd.DataFrame(
             {"crossing_ts": [], "event_id": [], "running_value": [], "threshold": []}
@@ -492,11 +491,12 @@ def cumsum_crossing_events(sf_dir: str, fraction: float = 0.5) -> pd.DataFrame:
 
     t0 = pd.Timestamp(hour_start, unit="us").strftime("%Y-%m-%d %H:%M:%S")
     t1 = pd.Timestamp(hour_start + hour_us, unit="us").strftime("%Y-%m-%d %H:%M:%S")
-    hot = read_table(
+    hot = map_partials(
         path,
-        columns=["ts", "event_id", "value"],
-        filter_sql=f"ts >= TIMESTAMP '{t0}' AND ts < TIMESTAMP '{t1}'",
-    ).to_pandas()
+        ["ts", "event_id", "value"],
+        f"ts >= TIMESTAMP '{t0}' AND ts < TIMESTAMP '{t1}'",
+        lambda t: t.to_pandas(),
+    )
     hot = hot.dropna(subset=["ts"]).sort_values(
         ["ts", "event_id"], kind="stable"
     )
