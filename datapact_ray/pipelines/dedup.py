@@ -312,16 +312,7 @@ def minhash_candidate_pairs(
     Scale assumption (documented): the candidate PAIR LIST fits in the
     object store as a broadcast — true whenever the near-dup rate is a
     small fraction of the corpus, which LSH banding at τ≈0.5 enforces."""
-    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     num_buckets = _dedup_buckets()
-    # pickled instance on warm workers (profile precedent): the hash
-    # coefficients are <1 KB of seeded numpy state, not worth a pool
-    banded = ds.map_batches(
-        MinHasher(64, 16, SHINGLE_K, num_buckets),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=2048,
-    )
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
         # only collision groups (≥2 docs in a band bucket) reach Python
@@ -333,7 +324,20 @@ def minhash_candidate_pairs(
         ]
         return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
 
-    pairs = _grouped_frames(banded, num_buckets, bucket_pairs)
+    # pickled instance per map task (profile precedent): the hash
+    # coefficients are <1 KB of seeded numpy state, not worth a pool
+    pairs = _fused_grouped_frames(
+        [
+            (
+                f"{sf_dir}/documents.parquet",
+                ["doc_id", "text"],
+                None,
+                MinHasher(64, 16, SHINGLE_K, num_buckets),
+            )
+        ],
+        num_buckets,
+        bucket_pairs,
+    )
     if pairs.empty or "a" not in pairs.columns:  # no collisions at all
         return (
             pd.DataFrame(
@@ -365,13 +369,6 @@ def minhash_candidate_pairs(
         doc_pairs.setdefault(int(b), []).append(int(pid))
     doc_pairs_ref = ray.put(doc_pairs)
 
-    shingle_rows = ds.map_batches(
-        _CandidateShingles(doc_pairs_ref, num_buckets),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=2048,
-    )
-
     def bucket_verify(df: pd.DataFrame) -> pd.DataFrame:
         frames = [
             _exact_jaccard_of_pair(g)
@@ -379,7 +376,18 @@ def minhash_candidate_pairs(
         ]
         return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
 
-    verified = _grouped_frames(shingle_rows, num_buckets, bucket_verify)
+    verified = _fused_grouped_frames(
+        [
+            (
+                f"{sf_dir}/documents.parquet",
+                ["doc_id", "text"],
+                None,
+                _CandidateShingles(doc_pairs_ref, num_buckets),
+            )
+        ],
+        num_buckets,
+        bucket_verify,
+    )
     if verified.empty:
         verified = pd.DataFrame({"pair_id": pd.Series([], dtype="int64"),
                                  "jaccard": pd.Series([], dtype="float64"),
@@ -629,14 +637,7 @@ class SimHasher:
 
 
 def simhash_dedup_documents(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
-    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     num_buckets = _dedup_buckets()
-    banded = ds.map_batches(
-        SimHasher(4, num_buckets),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=2048,
-    )
 
     def pairs_fn(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates("doc_id").sort_values("doc_id", kind="stable")
@@ -673,7 +674,18 @@ def simhash_dedup_documents(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
         ]
         return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
 
-    df = _grouped_frames(banded, num_buckets, bucket_pairs)
+    df = _fused_grouped_frames(
+        [
+            (
+                f"{sf_dir}/documents.parquet",
+                ["doc_id", "text"],
+                None,
+                SimHasher(4, num_buckets),
+            )
+        ],
+        num_buckets,
+        bucket_pairs,
+    )
     if df.empty or "a" not in df.columns:
         return pd.DataFrame(
             {"dup_pairs": [0], "dup_docs": [0], "capped_docs": [0]}
@@ -692,7 +704,6 @@ def dedup_exact_documents(sf_dir: str) -> pd.DataFrame:
     bucket, so per-bucket nunique sums are exact; only 8-byte hashes
     move, and the shuffle's constant beats the generic sort-based
     groupby). Oracle: COUNT(DISTINCT text)."""
-    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     num_buckets = _dedup_buckets()
 
     def hash_batch(batch: pa.Table) -> pd.DataFrame:
@@ -704,14 +715,16 @@ def dedup_exact_documents(sf_dir: str) -> pd.DataFrame:
             {"h": h, "__bucket": (h % np.uint64(num_buckets)).astype(np.int32)}
         )
 
-    hashed = ds.map_batches(hash_batch, batch_format="pyarrow", zero_copy_batch=True)
-
     def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {"total": [len(df)], "distinct": [int(df["h"].nunique())]}
         )
 
-    parts = _grouped_frames(hashed, num_buckets, bucket_counts)
+    parts = _fused_grouped_frames(
+        [(f"{sf_dir}/documents.parquet", ["doc_id", "text"], None, hash_batch)],
+        num_buckets,
+        bucket_counts,
+    )
     total = int(parts["total"].sum()) if len(parts) else 0
     distinct = int(parts["distinct"].sum()) if len(parts) else 0
     return pd.DataFrame(
@@ -887,14 +900,7 @@ def embedding_neardup_documents(sf_dir: str, threshold: float = 0.95) -> pd.Data
     verification within buckets (rows-only; LSH recall is partial by
     design and deterministic given the fixed seed). Bucket caps are
     surfaced (``capped_vecs``), never silent."""
-    ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     num_buckets = _dedup_buckets()
-    bucketed = ds.map_batches(
-        HyperplaneLSH(64, 12, num_buckets),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=4096,
-    )
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         out = {"a": [], "b": [], "cos": [], "capped": []}
@@ -933,7 +939,18 @@ def embedding_neardup_documents(sf_dir: str, threshold: float = 0.95) -> pd.Data
         frames = [verify(g) for _, g in df.groupby("bucket", sort=False)]
         return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
 
-    df = _grouped_frames(bucketed, num_buckets, bucket_verify)
+    df = _fused_grouped_frames(
+        [
+            (
+                f"{sf_dir}/embeddings.parquet",
+                ["vec_id", "embedding"],
+                None,
+                HyperplaneLSH(64, 12, num_buckets),
+            )
+        ],
+        num_buckets,
+        bucket_verify,
+    )
     if df.empty or "a" not in df.columns:  # zero candidate pairs anywhere
         return pd.DataFrame({"dup_pairs": [0], "dup_vecs": [0], "capped_vecs": [0]})
     capped = int(df.loc[df["capped"] == 1, "b"].nunique())

@@ -52,26 +52,44 @@ def _bucket_of(ids: np.ndarray, num_buckets: int) -> np.ndarray:
 
 
 def windowed_events_daily(sf_dir: str) -> pd.DataFrame:
-    """Tumbling 1-day event-time windows per event_type: count + sum."""
-    from ray.data.aggregate import Count, Sum
+    """Tumbling 1-day event-time windows per event_type: count + sum.
+    The window is a pure projection, so each scan task reduces straight
+    to per-(day, type) fsum partials — the exchange (and the driver
+    merge) is windows × types × tasks rows, never the log."""
+    import math as _math
 
-    ds = read_table(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+    from ..shuffle import map_partials
 
-    def add_window(batch: pa.Table) -> pa.Table:
-        day = pc.floor_temporal(batch.column("ts"), unit="day")
-        return batch.append_column("window_day", day.cast(pa.timestamp("us")))
-
-    out = (
-        ds.map_batches(add_window, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["window_day", "event_type"])
-        .aggregate(
-            Count(alias_name="n_events"), Sum("value", alias_name="sum_value")
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        day = pc.floor_temporal(batch.column("ts"), unit="day").cast(
+            pa.timestamp("us")
         )
-        .to_pandas()
+        df = pd.DataFrame(
+            {
+                "window_day": day.to_pandas(),
+                "event_type": batch.column("event_type").to_pandas(),
+                "value": batch.column("value").to_pandas(),
+            }
+        )
+        rows = [
+            (d, e, len(g), _math.fsum(g.dropna()))
+            for (d, e), g in df.groupby(
+                ["window_day", "event_type"], sort=False
+            )["value"]
+        ]
+        return pd.DataFrame(rows, columns=["window_day", "event_type", "n", "s"])
+
+    parts = map_partials(
+        f"{sf_dir}/events.parquet", ["ts", "event_type", "value"], None, partial
     )
-    out["n_events"] = out["n_events"].astype("int64")
-    out["sum_value"] = round_duck(out["sum_value"], 4)
-    return out.sort_values(["window_day", "event_type"]).reset_index(drop=True)
+    rows = [
+        (d, e, int(g["n"].sum()), float(round_duck(_math.fsum(g["s"]), 4)))
+        for (d, e), g in parts.groupby(["window_day", "event_type"], sort=True)
+    ]
+    out = pd.DataFrame(
+        rows, columns=["window_day", "event_type", "n_events", "sum_value"]
+    ).astype({"n_events": "int64"})
+    return out.reset_index(drop=True)
 
 
 def sliding_events_weekly(sf_dir: str) -> pd.DataFrame:
@@ -81,9 +99,8 @@ def sliding_events_weekly(sf_dir: str) -> pd.DataFrame:
     small hash aggregate — the overlap factor multiplies only the compact
     (window, type) partials, never the raw rows. Summary output keeps the
     oracle small: number of windows + max single-window event count."""
-    from ray.data.aggregate import Sum
+    from ..shuffle import map_partials
 
-    ds = read_table(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
     day_us = 86_400_000_000
 
     def expand(batch: pa.Table) -> pd.DataFrame:
@@ -102,10 +119,11 @@ def sliding_events_weekly(sf_dir: str) -> pd.DataFrame:
         return out.rename("cnt").reset_index()
 
     totals = (
-        ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["window_start", "event_type"])
-        .aggregate(Sum("cnt", alias_name="cnt"))
-        .to_pandas()
+        map_partials(
+            f"{sf_dir}/events.parquet", ["ts", "event_type"], None, expand
+        )
+        .groupby(["window_start", "event_type"], as_index=False)["cnt"]
+        .sum()
     )
     return pd.DataFrame(
         {
