@@ -62,15 +62,19 @@ class BruteForceScorer:
 
 def ann_topk_embeddings(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Exact cosine top-k for the vec_id=0 query vector."""
-    ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    scored = ds.map_batches(
+    from ..shuffle import map_partials
+
+    cand = map_partials(
+        f"{sf_dir}/embeddings.parquet",
+        ["vec_id", "embedding"],
+        None,
         BruteForceScorer(_query_vector(sf_dir, 0), k, 0),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=8192,
     )
-    top = scored.sort(["cos", "vec_id"], descending=[True, False]).limit(k)
-    df = top.to_pandas().reset_index(drop=True)
+    df = (
+        cand.sort_values(["cos", "vec_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
     df["vec_id"] = df["vec_id"].astype("int64")
     return df
 
@@ -107,12 +111,15 @@ def ann_lsh_embeddings(sf_dir: str, k: int = 10, bits: int = 8) -> pd.DataFrame:
                 {"vec_id": df["vec_id"].to_numpy()[mask], "cos": round_duck(cos, 4)}
             ).sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
 
-    ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    scored = ds.map_batches(
-        LshScorer(), batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=8192,
+    from ..shuffle import map_partials
+
+    approx = (
+        map_partials(
+            f"{sf_dir}/embeddings.parquet", ["vec_id", "embedding"], None, LshScorer()
+        )
+        .sort_values(["cos", "vec_id"], ascending=[False, True])
+        .head(k)
     )
-    approx = scored.sort(["cos", "vec_id"], descending=[True, False]).limit(k).to_pandas()
     exact = ann_topk_embeddings(sf_dir, k)
     recall = len(set(approx["vec_id"]).intersection(exact["vec_id"])) / max(k, 1)
     return pd.DataFrame(
@@ -157,7 +164,7 @@ def ann_ivf_embeddings(
         [np.asarray(v, dtype=np.float64) for v in seed_t.column("embedding").to_pylist()]
     )
     cent /= np.linalg.norm(cent, axis=1, keepdims=True).clip(min=1e-12)
-    ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    from ..shuffle import map_partials
 
     class PartialSums:
         def __init__(self, cent: np.ndarray):
@@ -183,12 +190,12 @@ def ann_ivf_embeddings(
     # the centroid matrix (n_lists × dim float64, ~8 KB) rides in the
     # pickled fn — Ray exports it once per execution; workers fetch once
     for _ in range(train_iters):
-        partials = ds.map_batches(
+        partials = map_partials(
+            f"{sf_dir}/embeddings.parquet",
+            ["vec_id", "embedding"],
+            None,
             PartialSums(cent),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-            batch_size=8192,
-        ).to_pandas()
+        )
         dim = cent.shape[1]
         sums = np.zeros((n_lists, dim))
         counts = np.zeros(n_lists, dtype=np.int64)
@@ -222,10 +229,9 @@ def ann_ivf_embeddings(
                 {"vec_id": df["vec_id"].to_numpy()[mask], "cos": round_duck(cos, 4)}
             ).sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
 
-    scored = ds.map_batches(
-        IvfScorer(), batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=8192,
-    ).to_pandas()
+    scored = map_partials(
+        f"{sf_dir}/embeddings.parquet", ["vec_id", "embedding"], None, IvfScorer()
+    )
     approx = scored.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
     exact = ann_topk_embeddings(sf_dir, k)
     recall = len(set(approx["vec_id"]).intersection(exact["vec_id"])) / max(k, 1)

@@ -314,10 +314,10 @@ def tdigest_quantile_extendedprice(sf_dir: str, q: float = 0.5) -> pd.DataFrame:
     self-audited: reports the sketch estimate NEXT TO the exact
     selection result and the relative error, so the approximation
     quality is measured, not assumed."""
+    from ..shuffle import map_partials
     from ..sketches import TDigest
 
     path = f"{sf_dir}/lineitem.parquet"
-    ds = read_table(path, columns=["l_returnflag", "l_extendedprice"])
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         import pickle
@@ -332,10 +332,11 @@ def tdigest_quantile_extendedprice(sf_dir: str, q: float = 0.5) -> pd.DataFrame:
 
     import pickle
 
-    parts = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .to_pandas()
-    )
+    # raw-task scan over DETERMINISTIC file/row-group units: a t-digest's
+    # estimate depends on how the input was batched, and Ray Data's
+    # dynamic batching varies under memory pressure — the run-to-run
+    # determinism the rows-only check asserts needs pinned unit bounds
+    parts = map_partials(path, ["l_returnflag", "l_extendedprice"], None, partial)
     exact = exact_quantile_extendedprice(sf_dir, q).set_index("l_returnflag")[
         "median_price"
     ]

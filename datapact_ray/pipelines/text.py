@@ -263,21 +263,31 @@ def quality_documents(sf_dir: str) -> pd.DataFrame:
 
 def fingerprint_documents(sf_dir: str) -> pd.DataFrame:
     """Distinct rolling-hash fingerprints (rows-only)."""
-    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    fps = ds.map_batches(
-        Fingerprinter(),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=4096,
+    from ..shuffle import map_partials
+
+    fp = Fingerprinter()
+
+    def partial(table: pa.Table) -> pd.DataFrame:
+        out = fp(table)
+        # per-task dedup: one (sorted distinct fps, row count) partial
+        u = np.unique(out["fingerprint"].to_numpy())
+        return pd.DataFrame({"fps": [u.tobytes()], "n": [len(out)]})
+
+    parts = map_partials(
+        f"{sf_dir}/documents.parquet", ["doc_id", "text"], None, partial
     )
-    # materialize once: .unique() and .count() would otherwise EACH
-    # re-execute the whole fingerprint pipeline (the hash pass is tiny
-    # fixed-width rows, a safe pin; count() is then O(1) from metadata)
-    fps = fps.materialize()
-    distinct = fps.unique("fingerprint")
-    n_docs = fps.count()
+    all_fps = np.unique(
+        np.concatenate(
+            [np.frombuffer(b, dtype=np.int64) for b in parts["fps"]]
+        )
+        if len(parts)
+        else np.zeros(0, dtype=np.int64)
+    )
     return pd.DataFrame(
-        {"n_docs": [n_docs], "distinct_fingerprints": [len(distinct)]}
+        {
+            "n_docs": [int(parts["n"].sum()) if len(parts) else 0],
+            "distinct_fingerprints": [int(all_fps.size)],
+        }
     )
 
 
