@@ -62,6 +62,10 @@ def list_parquet_files(path: str) -> list[str]:
         for f in files:
             if f.endswith(_FORMATS):
                 out.append(os.path.join(root, f))
+    if not out:
+        # a missing input must FAIL, not validate zero rows: a silent
+        # empty file list makes every downstream check vacuously green
+        raise FileNotFoundError(f"No data files under {path}")
     return sorted(out)
 
 
