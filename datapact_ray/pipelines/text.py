@@ -318,6 +318,95 @@ def _topk_by_count(partials, key_col: str, k: int) -> pd.DataFrame:
     return top[[key_col, "cnt"]].reset_index(drop=True)
 
 
+def unigram_logprob_documents(sf_dir: str) -> pd.DataFrame:
+    """Unigram-LM quality score (the CCNet/KenLM-style perplexity proxy
+    with the simplest possible LM): per language, the mean over documents
+    of the document's average token log-probability under the corpus's
+    own unigram distribution. Low scores flag gibberish / rare-token
+    soup; it is the standard cheap stand-in for model-perplexity
+    filtering when no LM is available.
+
+    Two phases, both raw-task waves: phase 1 builds the corpus unigram
+    table (vocabulary-sized partials — same exchange shape as the vocab
+    builder); the ``ln(count/total)`` table is broadcast once
+    (``ray.put``; premise: the vocabulary fits a broadcast — beyond
+    that, the doc pass becomes a token-hash bucket join). Phase 2 scores
+    each document fully inside its scan task (factorized token codes →
+    one LUT gather → per-doc segment mean) and ships only per-(lang,
+    task) fsum partials. Token log-probs are ``ln`` of exact integer
+    ratios, so both engines compute identical doubles; per-doc sums run
+    in document order on both sides."""
+    import math as _math
+
+    import ray as _ray
+
+    from ..shuffle import map_partials
+
+    path = f"{sf_dir}/documents.parquet"
+
+    def tf_partial(batch: pa.Table) -> pd.DataFrame:
+        text = batch.column("text").to_pandas().dropna().astype(str)
+        vc = text.str.split(" ").explode().value_counts()
+        return pd.DataFrame(
+            {
+                "token": vc.index.to_numpy().astype(str),
+                "c": vc.to_numpy().astype("int64"),
+            }
+        )
+
+    tf = (
+        map_partials(path, ["text"], None, tf_partial)
+        .groupby("token")["c"]
+        .sum()
+    )
+    total = int(tf.sum())
+    logp = dict(
+        zip(tf.index, np.log(tf.to_numpy(dtype=np.float64) / float(total)))
+    )
+    logp_ref = _ray.put(logp)
+
+    def doc_partial(batch: pa.Table) -> pd.DataFrame:
+        from ._tokens import segment_reduce
+
+        lp = _ray.get(logp_ref)
+        df = batch.to_pandas().dropna(subset=["text", "lang"])
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "lang": pd.Series([], dtype=object),
+                    "n": pd.Series([], dtype="int64"),
+                    "s": pd.Series([], dtype="float64"),
+                }
+            )
+        toks = df["text"].astype(str).str.split(" ")
+        counts = toks.str.len().to_numpy(dtype=np.int64)
+        flat = toks.explode().to_numpy().astype(str)
+        codes, uniq = pd.factorize(pd.Series(flat))
+        lut = np.array([lp[u] for u in uniq], dtype=np.float64)
+        sums = segment_reduce(lut[codes], counts, np.add, empty=0.0)
+        doc_lp = sums / np.maximum(counts, 1)
+        rows = [
+            (lang, len(g), _math.fsum(g))
+            for lang, g in pd.Series(doc_lp).groupby(df["lang"].to_numpy())
+        ]
+        return pd.DataFrame(rows, columns=["lang", "n", "s"]).astype(
+            {"lang": str, "n": "int64", "s": "float64"}
+        )
+
+    parts = map_partials(path, ["text", "lang"], None, doc_partial)
+    rows = [
+        (
+            lang,
+            int(g["n"].sum()),
+            float(round_duck(_math.fsum(g["s"]) / g["n"].sum(), 4)),
+        )
+        for lang, g in parts.groupby("lang", sort=True)
+    ]
+    return pd.DataFrame(rows, columns=["lang", "n_docs", "avg_logprob"]).astype(
+        {"n_docs": "int64"}
+    )
+
+
 def _topk_by_count_fused(
     path: str,
     columns: list[str],
@@ -871,9 +960,28 @@ QUERIES = {
     "repetition_documents": repetition_documents,
     "stratified_sample_documents": stratified_sample_documents,
     "doc_freq_top_terms_documents": doc_freq_top_terms_documents,
+    "unigram_logprob_documents": unigram_logprob_documents,
 }
 
 ORACLE_SQL = {
+    "unigram_logprob_documents": """
+        WITH toks AS (
+            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+            FROM documents WHERE text IS NOT NULL
+        ),
+        tf AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+        tot AS (SELECT COUNT(*) AS t FROM toks),
+        doc_lp AS (
+            SELECT toks.doc_id, MIN(toks.lang) AS lang,
+                   AVG(LN(tf.c * 1.0 / tot.t)) AS lp
+            FROM toks JOIN tf USING (token) CROSS JOIN tot
+            GROUP BY toks.doc_id
+        )
+        SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(lp), 4) AS avg_logprob
+        FROM doc_lp
+        WHERE lang IS NOT NULL
+        GROUP BY lang ORDER BY lang
+    """,
     "stratified_sample_documents": """
         WITH r AS (
             SELECT lang, n_chars,

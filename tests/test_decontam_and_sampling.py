@@ -96,3 +96,13 @@ def test_doc_freq_nulls(leaky_dir):
     got = doc_freq_top_terms_documents(leaky_dir)
     want = _duck(leaky_dir, "doc_freq_top_terms_documents")
     _assert_eq(got, want, "doc_freq")
+
+
+def test_unigram_logprob_nulls(leaky_dir):
+    """NULL-text docs feed neither the LM nor the scores; NULL-lang docs
+    feed the LM but not the per-lang output — exactly the oracle's CTEs."""
+    from datapact_ray.pipelines.text import unigram_logprob_documents
+
+    got = unigram_logprob_documents(leaky_dir)
+    want = _duck(leaky_dir, "unigram_logprob_documents")
+    _assert_eq(got, want, "unigram_logprob")
