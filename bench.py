@@ -242,6 +242,7 @@ def run_bench() -> dict:
     )
     timed("stratified_sample_documents", text.stratified_sample_documents, SF_DIR)
     timed("doc_freq_top_terms_documents", text.doc_freq_top_terms_documents, SF_DIR)
+    timed("unigram_logprob_documents", text.unigram_logprob_documents, SF_DIR)
     # jaccard_pairs_documents / embedding_exact_pairs are the EXACT
     # quadratic baselines that oracle-check the approximate dedup paths;
     # they run in the correctness gate but stay out of the timed headline

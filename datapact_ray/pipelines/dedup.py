@@ -561,18 +561,20 @@ def _exact_jaccard_pair_arrays(
     corpora) drops shingles shared by more than that many docs, with the
     dropped-shingle count returned — the resulting Jaccards are then
     lower bounds for affected pairs."""
-    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     num_buckets = _dedup_buckets()
-    rows = ds.map_batches(
-        _ShingleRows(num_buckets),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=2048,
-    )
     import functools
 
-    pairs = _grouped_frames(
-        rows, num_buckets, functools.partial(_bucket_intersections, max_df=max_df)
+    pairs = _fused_grouped_frames(
+        [
+            (
+                f"{sf_dir}/documents.parquet",
+                ["doc_id", "text"],
+                None,
+                _ShingleRows(num_buckets),
+            )
+        ],
+        num_buckets,
+        functools.partial(_bucket_intersections, max_df=max_df)
     )
     if pairs.empty or "a" not in pairs.columns:
         empty = np.empty(0, dtype=np.int64)

@@ -7,9 +7,12 @@ exercising an engine operator from SURVEY.md §2 against
 rounded to 4 decimals on both sides so the driver's value-hash compares
 stably.
 
-All pipelines are Ray-Data-first: pruned ``read_parquet``, vectorized
-``map_batches`` partials, small driver-side finalization — no
-``take_all`` on raw inputs.
+All pipelines follow the engine's fused execution model (README
+"Execution model"): pruned column projections, vectorized partial
+aggregation INSIDE one wave of raw scan tasks over deterministic
+file/row-group units (``shuffle.map_partials`` /
+``parquet_bucket_shuffle``), small driver-side finalization — no
+``take_all`` on raw inputs, no per-query Dataset pipeline overhead.
 """
 
 from __future__ import annotations
@@ -27,7 +30,7 @@ import ray.data
 from ..io import list_parquet_files, read_table
 from ..shuffle import map_partials
 from ..stages.keyed import KeyedSpec, run_keyed_pass
-from ..stages.profile import ProfileSpec, run_profile, run_profile_files
+from ..stages.profile import ProfileSpec, run_profile_files
 from ..stages.referential import run_referential_pass
 
 

@@ -36,7 +36,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..io import count_rows, read_table
+from ..io import count_rows
 from ._util import round_duck
 
 
@@ -186,8 +186,6 @@ def histogram_totalprice(sf_dir: str, width: float = 50_000.0) -> pd.DataFrame:
     """Fixed-width histogram of order totals: bucket id is a pure
     projection (``floor(x / width)``, the identical float64 op the oracle
     runs), per-batch bincount partials, one tiny driver merge."""
-    ds = read_table(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
-
     def partial(batch: pa.Table) -> pd.DataFrame:
         v = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
         v = v[~np.isnan(v)]
@@ -199,9 +197,9 @@ def histogram_totalprice(sf_dir: str, width: float = 50_000.0) -> pd.DataFrame:
         ids, counts = np.unique(b, return_counts=True)
         return pd.DataFrame({"bucket": ids, "n": counts.astype(np.int64)})
 
-    parts = ds.map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True
-    ).to_pandas()
+    from ..shuffle import map_partials
+
+    parts = map_partials(f"{sf_dir}/orders.parquet", ["o_totalprice"], None, partial)
     out = (
         parts.groupby("bucket", as_index=False)["n"]
         .sum()

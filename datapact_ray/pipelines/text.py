@@ -23,7 +23,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..io import read_table
 from ._util import round_duck
 
 _TOKEN_RE = r"\w+|[^\w\s]"
@@ -120,18 +119,6 @@ class Fingerprinter:
         return pd.DataFrame(
             {"doc_id": df["doc_id"], "fingerprint": fps.view(np.int64)}
         )
-
-
-def _featurized(sf_dir: str, columns: list[str]):
-    ds = read_table(f"{sf_dir}/documents.parquet", columns=columns)
-    # pickled instance on warm workers (stages/profile.py precedent):
-    # state is two compiled regexes + stopword frozensets, no pool needed
-    return ds.map_batches(
-        TextFeaturizer(),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=4096,
-    )
 
 
 class _FeaturePartial:
