@@ -142,6 +142,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out.update(STATS)
     except ImportError:
         pass
+    try:
+        from datapact_ray.pipelines.curation import QUERIES as CUR
+
+        out.update(CUR)
+    except ImportError:
+        pass
     return out
 
 
@@ -192,6 +198,12 @@ def oracle_sql() -> dict[str, str]:
         from datapact_ray.pipelines.stats import ORACLE_SQL as STATS
 
         out.update(STATS)
+    except ImportError:
+        pass
+    try:
+        from datapact_ray.pipelines.curation import ORACLE_SQL as CUR
+
+        out.update(CUR)
     except ImportError:
         pass
     return out

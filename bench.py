@@ -243,6 +243,12 @@ def run_bench() -> dict:
     timed("stratified_sample_documents", text.stratified_sample_documents, SF_DIR)
     timed("doc_freq_top_terms_documents", text.doc_freq_top_terms_documents, SF_DIR)
     timed("unigram_logprob_documents", text.unigram_logprob_documents, SF_DIR)
+    from datapact_ray.pipelines import curation
+
+    timed("split_assign_documents", curation.split_assign_documents, SF_DIR)
+    timed("shuffle_order_documents", curation.shuffle_order_documents, SF_DIR)
+    timed("curation_funnel_documents", curation.curation_funnel_documents, SF_DIR)
+    timed("block_packing_documents", curation.block_packing_documents, SF_DIR)
     # jaccard_pairs_documents / embedding_exact_pairs are the EXACT
     # quadratic baselines that oracle-check the approximate dedup paths;
     # they run in the correctness gate but stay out of the timed headline

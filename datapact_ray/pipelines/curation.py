@@ -1,0 +1,470 @@
+"""Training-data curation / ordering operators: deterministic global
+shuffle, hash-based train/val/test split, chained filter funnel, and
+GPT-style block packing.
+
+These are engine extensions mandated by the build brief (large-scale
+training-data pipeline operations beyond the reference's validation set
+— the reference orchestrates SQL checks only, cf.
+``/root/reference/datapact/sql_generator.py``); they reuse this repo's
+two scale primitives:
+
+* ``shuffle.map_partials`` — one wave of raw Ray tasks over
+  file/row-group scan units, bounded partial frames merged on the
+  driver (no shuffle);
+* the fused explicit bucket exchange
+  (``dedup._fused_grouped_frames``) — fixed-width rows only, text never
+  leaves the scan task.
+
+Cross-engine determinism: wherever an operator needs a pseudo-random
+but reproducible per-row key (shuffle order, split assignment) it uses
+``md5`` of the COMPACT id string — the one hash this engine and SQL
+produce identically (same trade-off as
+``text.stratified_sample_documents``: hashing cost ∝ rows, not bytes;
+at 10^12-row scale swap for a vectorized SipHash and keep the md5 path
+as the sampled audit).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = [
+    "split_assign_documents",
+    "shuffle_order_documents",
+    "curation_funnel_documents",
+    "block_packing_documents",
+]
+
+
+def _md5_hex(ids: pd.Series) -> list[str]:
+    """md5 hex digest of each COMPACT integer-id string (cross-engine:
+    equals DuckDB ``md5(CAST(doc_id AS VARCHAR))``)."""
+    return [hashlib.md5(str(int(d)).encode()).hexdigest() for d in ids]
+
+
+def split_assign_documents(sf_dir: str) -> pd.DataFrame:
+    """Hash-based train/val/test split (the standard leakage-free
+    protocol: membership is a pure function of the document id, stable
+    under re-runs, re-partitioning and incremental ingestion — no RNG
+    state to coordinate across workers).
+
+    Assignment: first hex nibble of md5(doc_id) — '0'..'b' → train
+    (12/16), 'c'..'e' → val (3/16), 'f' → test (1/16). One raw-task
+    scan wave; each task reduces its batch to ≤ 3·n_langs partial rows,
+    so nothing data-sized reaches the driver or any exchange.
+    """
+    from ..shuffle import map_partials
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["doc_id", "lang"])
+        if not len(df):
+            return pd.DataFrame(
+                {"split": [], "lang": [], "n_docs": [], "sum_chars": []}
+            )
+        nib = np.array([h[0] for h in _md5_hex(df["doc_id"])])
+        df = df.assign(
+            split=np.where(nib < "c", "train", np.where(nib < "f", "val", "test"))
+        )
+        g = df.groupby(["split", "lang"], as_index=False).agg(
+            n_docs=("doc_id", "size"), sum_chars=("n_chars", "sum")
+        )
+        return g
+
+    out = (
+        map_partials(
+            f"{sf_dir}/documents.parquet",
+            ["doc_id", "lang", "n_chars"],
+            None,
+            partial,
+        )
+        .groupby(["split", "lang"], as_index=False)
+        .agg(n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum"))
+        .sort_values(["split", "lang"])
+        .reset_index(drop=True)
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["sum_chars"] = out["sum_chars"].astype("int64")
+    return out
+
+
+def shuffle_order_documents(sf_dir: str, prefix_nibbles: int = 2) -> pd.DataFrame:
+    """Deterministic global shuffle for training-data ordering: every
+    document gets a total-order position ``pos`` = its 1-based rank
+    under ``ORDER BY md5(doc_id), doc_id`` — a reproducible permutation
+    with no RNG and no global sort barrier.
+
+    Distributed as a RANGE partition on the md5 prefix: bucket =
+    first ``prefix_nibbles`` hex nibbles (an ordered key range, so
+    global rank = exclusive prefix-sum of bucket counts + local rank).
+    ONE exchange pass suffices because the per-shard permutation
+    checksum Σ doc_id·pos is linear in the bucket offset:
+    Σ doc·(off+lr) = Σ doc·lr + off·Σ doc — each bucket reduce emits
+    (n, Σ doc, Σ doc·local_rank) and the driver resolves offsets and
+    checksums from those three integers per bucket. Only
+    (md5, doc_id) pairs enter the exchange (fixed width; text never
+    moves). At production scale ``prefix_nibbles`` grows with data so
+    a bucket stays ~object-store-block sized.
+
+    Output: one row per leading hex nibble ("shard"): document count
+    and the position checksum — verifying the checksum verifies every
+    rank in the permutation.
+    """
+    from .dedup import _fused_grouped_frames
+
+    nb = 16**prefix_nibbles
+
+    def project(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["doc_id"])
+        if not len(df):
+            return pd.DataFrame({"h": [], "doc_id": [], "__bucket": []})
+        h = _md5_hex(df["doc_id"])
+        return pd.DataFrame(
+            {
+                "h": h,
+                "doc_id": df["doc_id"].astype("int64").to_numpy(),
+                "__bucket": np.array(
+                    [int(x[:prefix_nibbles], 16) for x in h], dtype=np.int32
+                ),
+            }
+        )
+
+    def reduce_bucket(frame: pd.DataFrame) -> pd.DataFrame:
+        frame = frame.sort_values(["h", "doc_id"], kind="stable")
+        doc = frame["doc_id"].to_numpy()
+        lr = np.arange(1, len(doc) + 1, dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "bucket": [int(frame["__bucket"].iloc[0])],
+                "n": [len(doc)],
+                "sum_doc": [int(doc.sum())],
+                "sum_doc_lrank": [int((doc * lr).sum())],
+            }
+        )
+
+    parts = _fused_grouped_frames(
+        [(f"{sf_dir}/documents.parquet", ["doc_id"], None, project)],
+        nb,
+        reduce_bucket,
+    )
+    shards: dict[int, list[int]] = {}
+    offset = 0
+    shard_div = nb // 16
+    if len(parts):
+        for _, row in parts.sort_values("bucket").iterrows():
+            # python ints: Σ doc·pos can exceed int64 intermediate math
+            # at extreme scale; the driver sees ≤ nb tiny rows
+            checksum = int(row["sum_doc_lrank"]) + offset * int(row["sum_doc"])
+            sh = int(row["bucket"]) // shard_div
+            acc = shards.setdefault(sh, [0, 0])
+            acc[0] += int(row["n"])
+            acc[1] += checksum
+            offset += int(row["n"])
+    return pd.DataFrame(
+        {
+            "shard": [format(s, "x") for s in sorted(shards)],
+            "n_docs": pd.Series(
+                [shards[s][0] for s in sorted(shards)], dtype="int64"
+            ),
+            "pos_checksum": pd.Series(
+                [shards[s][1] for s in sorted(shards)], dtype="int64"
+            ),
+        }
+    )
+
+
+def curation_funnel_documents(sf_dir: str) -> pd.DataFrame:
+    """Chained curation funnel — the composition a corpus build actually
+    runs, with per-stage survivor counts (the "data card" numbers):
+
+    1. non-null text;
+    2. + length gate (100 ≤ n_chars ≤ 20000);
+    3. + minimum content (≥ 20 whitespace tokens);
+    4. + exact dedup (distinct texts among stage-3 survivors — the
+       keep-first-copy cardinality).
+
+    Single scan: each task computes all gate flags vectorized and ships
+    ONLY (content-hash u64, two int8 flags) into the hash-bucket
+    exchange; same text ⇒ same bucket, so per-bucket ``nunique`` sums
+    are the exact global distinct count (same argument and hash as
+    ``dedup.dedup_exact_documents``). Stage counts ride the same rows —
+    no second pass, no text in the exchange.
+    """
+    from ..sketches import hash_columns_u64
+    from .dedup import _dedup_buckets, _fused_grouped_frames
+
+    nb = _dedup_buckets()
+
+    def project(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df = df[df["text"].notna()]
+        if not len(df):
+            return pd.DataFrame({"h": [], "f2": [], "f3": [], "__bucket": []})
+        h = hash_columns_u64(df, ["text"])
+        nc = pd.to_numeric(df["n_chars"], errors="coerce")
+        f2 = nc.between(100, 20000).to_numpy()  # NaN compares False
+        toks = df["text"].astype(str).str.count(" ").to_numpy() + 1
+        f3 = f2 & (toks >= 20)
+        return pd.DataFrame(
+            {
+                "h": h,
+                "f2": f2.astype(np.int8),
+                "f3": f3.astype(np.int8),
+                "__bucket": (h % np.uint64(nb)).astype(np.int32),
+            }
+        )
+
+    def reduce_bucket(frame: pd.DataFrame) -> pd.DataFrame:
+        survivors = frame.loc[frame["f3"] == 1, "h"]
+        return pd.DataFrame(
+            {
+                "n1": [len(frame)],
+                "n2": [int(frame["f2"].sum())],
+                "n3": [int(frame["f3"].sum())],
+                "d4": [int(survivors.nunique())],
+            }
+        )
+
+    parts = _fused_grouped_frames(
+        [(f"{sf_dir}/documents.parquet", ["text", "n_chars"], None, project)],
+        nb,
+        reduce_bucket,
+    )
+    n1 = int(parts["n1"].sum()) if len(parts) else 0
+    n2 = int(parts["n2"].sum()) if len(parts) else 0
+    n3 = int(parts["n3"].sum()) if len(parts) else 0
+    d4 = int(parts["d4"].sum()) if len(parts) else 0
+    return pd.DataFrame(
+        {
+            "stage": pd.Series([1, 2, 3, 4], dtype="int64"),
+            "stage_name": [
+                "non_null_text",
+                "length_100_20000",
+                "min_20_tokens",
+                "exact_dedup",
+            ],
+            "n_docs": pd.Series([n1, n2, n3, d4], dtype="int64"),
+        }
+    )
+
+
+def block_packing_documents(
+    sf_dir: str, block_tokens: int = 512, bucket_docs: int = 256
+) -> pd.DataFrame:
+    """GPT-style block packing audit: concatenate each language's token
+    stream in doc_id order and chop it into fixed ``block_tokens``
+    blocks; report per language the total tokens, the number of blocks,
+    and how many documents straddle a block boundary (the
+    attention-mask / document-breakage metric packing decisions trade
+    on). ``block_tokens`` is a power of two so the block-count CEIL is
+    bit-exact in both engines' float division.
+
+    Distributed prefix-scan, same idiom as
+    ``windows.cumsum_crossing_events``: pass 1 reduces each scan task
+    to per-(lang, doc-range-bucket) token sums (bucket = doc_id //
+    ``bucket_docs`` — an ORDERED key range, so the driver's exclusive
+    prefix-sum over buckets yields every bucket's global start offset);
+    pass 2 re-reads through the fused range exchange, and each bucket
+    reduce computes its local cumulative sums plus the driver-broadcast
+    offset to classify boundary-straddling docs. Only (doc_id, lang,
+    token-count) triples enter the exchange. ``bucket_docs`` scales
+    with corpus size in production (a bucket ≈ one reduce task's
+    working set).
+    """
+    from ..shuffle import map_partials
+    from .dedup import _fused_grouped_frames
+
+    path = f"{sf_dir}/documents.parquet"
+    cols = ["doc_id", "lang", "text"]
+
+    def _prep(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["doc_id", "lang", "text"])
+        if not len(df):
+            return df.assign(tok=pd.Series([], dtype="int64"))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64").to_numpy(),
+                "lang": df["lang"].astype(str).to_numpy(),
+                "tok": df["text"].astype(str).str.count(" ").to_numpy() + 1,
+            }
+        )
+
+    def partial_sums(batch: pa.Table) -> pd.DataFrame:
+        df = _prep(batch)
+        if not len(df):
+            return pd.DataFrame({"lang": [], "bucket": [], "sum_tok": [], "n": []})
+        df["bucket"] = df["doc_id"] // bucket_docs
+        return df.groupby(["lang", "bucket"], as_index=False).agg(
+            sum_tok=("tok", "sum"), n=("tok", "size")
+        )
+
+    sums = (
+        map_partials(path, cols, None, partial_sums)
+        .groupby(["lang", "bucket"], as_index=False)
+        .agg(sum_tok=("sum_tok", "sum"), n=("n", "sum"))
+    )
+    if not len(sums):
+        return pd.DataFrame(
+            {
+                "lang": [],
+                "n_docs": pd.Series([], dtype="int64"),
+                "total_tokens": pd.Series([], dtype="int64"),
+                "n_blocks": pd.Series([], dtype="int64"),
+                "n_boundary_docs": pd.Series([], dtype="int64"),
+            }
+        )
+
+    # driver-side exclusive prefix scan per lang, buckets ascending —
+    # computed ONCE here and captured in the reduce closure (worker-side
+    # recomputation of exchange geometry is the bug class the fused
+    # rewrite fixed)
+    offsets: dict[tuple[str, int], int] = {}
+    totals: dict[str, tuple[int, int]] = {}
+    for lang, g in sums.groupby("lang"):
+        g = g.sort_values("bucket")
+        run = 0
+        for _, row in g.iterrows():
+            offsets[(str(lang), int(row["bucket"]))] = run
+            run += int(row["sum_tok"])
+        totals[str(lang)] = (int(g["n"].sum()), run)
+    num_buckets = int(sums["bucket"].max()) + 1
+
+    def project(batch: pa.Table) -> pd.DataFrame:
+        df = _prep(batch)
+        if not len(df):
+            return pd.DataFrame(
+                {"doc_id": [], "lang": [], "tok": [], "__bucket": []}
+            )
+        df["__bucket"] = (df["doc_id"] // bucket_docs).astype(np.int32)
+        return df
+
+    T = block_tokens
+
+    def reduce_bucket(frame: pd.DataFrame, _off=offsets) -> pd.DataFrame:
+        b = int(frame["__bucket"].iloc[0])
+        out = []
+        for lang, g in frame.groupby("lang"):
+            g = g.sort_values("doc_id")
+            tok = g["tok"].to_numpy(dtype=np.int64)
+            start = _off[(str(lang), b)] + np.concatenate(
+                ([0], np.cumsum(tok)[:-1])
+            )
+            cross = (start // T) != ((start + tok - 1) // T)
+            out.append((str(lang), int(cross.sum())))
+        return pd.DataFrame(out, columns=["lang", "n_cross"])
+
+    cross = (
+        _fused_grouped_frames([(path, cols, None, project)], num_buckets, reduce_bucket)
+        .groupby("lang")["n_cross"]
+        .sum()
+    )
+    rows = []
+    for lang in sorted(totals):
+        n, tot = totals[lang]
+        rows.append(
+            (lang, n, tot, (tot + T - 1) // T, int(cross.get(lang, 0)))
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["lang", "n_docs", "total_tokens", "n_blocks", "n_boundary_docs"],
+    ).astype(
+        {
+            "n_docs": "int64",
+            "total_tokens": "int64",
+            "n_blocks": "int64",
+            "n_boundary_docs": "int64",
+        }
+    )
+
+
+QUERIES = {
+    "split_assign_documents": split_assign_documents,
+    "shuffle_order_documents": shuffle_order_documents,
+    "curation_funnel_documents": curation_funnel_documents,
+    "block_packing_documents": block_packing_documents,
+}
+
+ORACLE_SQL = {
+    "split_assign_documents": """
+        WITH s AS (
+            SELECT lang, n_chars,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+                            THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'f'
+                            THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+            WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        )
+        SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM s GROUP BY split, lang ORDER BY split, lang
+    """,
+    "shuffle_order_documents": """
+        WITH r AS (
+            SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+            FROM documents WHERE doc_id IS NOT NULL
+        ), p AS (
+            SELECT doc_id, substr(h, 1, 1) AS shard,
+                   ROW_NUMBER() OVER (ORDER BY h, doc_id) AS pos
+            FROM r
+        )
+        SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(doc_id * pos) AS BIGINT) AS pos_checksum
+        FROM p GROUP BY shard ORDER BY shard
+    """,
+    "curation_funnel_documents": """
+        WITH d AS (
+            SELECT text, n_chars,
+                   LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS toks
+            FROM documents WHERE text IS NOT NULL
+        ), f AS (
+            SELECT text,
+                   CASE WHEN n_chars IS NOT NULL
+                             AND n_chars BETWEEN 100 AND 20000
+                        THEN 1 ELSE 0 END AS f2,
+                   CASE WHEN n_chars IS NOT NULL
+                             AND n_chars BETWEEN 100 AND 20000
+                             AND toks >= 20
+                        THEN 1 ELSE 0 END AS f3
+            FROM d
+        )
+        SELECT * FROM (
+            SELECT CAST(1 AS BIGINT) AS stage, 'non_null_text' AS stage_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs FROM f
+            UNION ALL
+            SELECT 2, 'length_100_20000', CAST(SUM(f2) AS BIGINT) FROM f
+            UNION ALL
+            SELECT 3, 'min_20_tokens', CAST(SUM(f3) AS BIGINT) FROM f
+            UNION ALL
+            SELECT 4, 'exact_dedup',
+                   CAST(COUNT(DISTINCT CASE WHEN f3 = 1 THEN text END) AS BIGINT)
+            FROM f
+        ) ORDER BY stage
+    """,
+    "block_packing_documents": """
+        WITH d AS (
+            SELECT lang, doc_id,
+                   LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS tok
+            FROM documents
+            WHERE text IS NOT NULL AND lang IS NOT NULL AND doc_id IS NOT NULL
+        ), c AS (
+            SELECT lang, tok,
+                   SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) - tok AS s
+            FROM d
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(tok) AS BIGINT) AS total_tokens,
+               CAST(CEIL(SUM(tok) / 512.0) AS BIGINT) AS n_blocks,
+               CAST(SUM(CASE WHEN (s // 512) <> ((s + tok - 1) // 512)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs
+        FROM c GROUP BY lang ORDER BY lang
+    """,
+}
