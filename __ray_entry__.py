@@ -148,6 +148,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out.update(CUR)
     except ImportError:
         pass
+    try:
+        from datapact_ray.pipelines.retrieval import QUERIES as RETR
+
+        out.update(RETR)
+    except ImportError:
+        pass
     return out
 
 
@@ -204,6 +210,12 @@ def oracle_sql() -> dict[str, str]:
         from datapact_ray.pipelines.curation import ORACLE_SQL as CUR
 
         out.update(CUR)
+    except ImportError:
+        pass
+    try:
+        from datapact_ray.pipelines.retrieval import ORACLE_SQL as RETR
+
+        out.update(RETR)
     except ImportError:
         pass
     return out

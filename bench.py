@@ -249,6 +249,15 @@ def run_bench() -> dict:
     timed("shuffle_order_documents", curation.shuffle_order_documents, SF_DIR)
     timed("curation_funnel_documents", curation.curation_funnel_documents, SF_DIR)
     timed("block_packing_documents", curation.block_packing_documents, SF_DIR)
+    from datapact_ray.pipelines import retrieval
+
+    timed("bm25_topk_documents", retrieval.bm25_topk_documents, SF_DIR)
+    timed("dup_group_sizes_documents", dedup.dup_group_sizes_documents, SF_DIR)
+    timed(
+        "event_type_transitions_events",
+        windows.event_type_transitions_events,
+        SF_DIR,
+    )
     # jaccard_pairs_documents / embedding_exact_pairs are the EXACT
     # quadratic baselines that oracle-check the approximate dedup paths;
     # they run in the correctness gate but stay out of the timed headline

@@ -738,6 +738,60 @@ def dedup_exact_documents(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def dup_group_sizes_documents(sf_dir: str) -> pd.DataFrame:
+    """Duplicate-cluster size histogram — the dedup DIAGNOSTIC that
+    decides policy (a corpus of pairs needs different handling than one
+    mega-cluster of boilerplate): for each distinct text, its copy
+    count; reported as (group_size → number of groups).
+
+    Same exchange as ``dedup_exact_documents`` (same text ⇒ same
+    bucket, only 8-byte content hashes move): each bucket reduces its
+    hashes to a value-counts-of-value-counts frame (≤ max_group_size
+    rows), and the driver sums histograms — bounded by the largest
+    cluster size, never the corpus."""
+    num_buckets = _dedup_buckets()
+
+    def hash_batch(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df = df[df["text"].notna()]
+        from ..sketches import hash_columns_u64
+
+        h = hash_columns_u64(df, ["text"])
+        return pd.DataFrame(
+            {"h": h, "__bucket": (h % np.uint64(num_buckets)).astype(np.int32)}
+        )
+
+    def bucket_hist(df: pd.DataFrame) -> pd.DataFrame:
+        sizes = df["h"].value_counts().value_counts()
+        return pd.DataFrame(
+            {
+                "group_size": sizes.index.to_numpy().astype("int64"),
+                "n_groups": sizes.to_numpy().astype("int64"),
+            }
+        )
+
+    parts = _fused_grouped_frames(
+        [(f"{sf_dir}/documents.parquet", ["text"], None, hash_batch)],
+        num_buckets,
+        bucket_hist,
+    )
+    if not len(parts):
+        return pd.DataFrame(
+            {
+                "group_size": pd.Series([], dtype="int64"),
+                "n_groups": pd.Series([], dtype="int64"),
+            }
+        )
+    out = (
+        parts.groupby("group_size", as_index=False)["n_groups"]
+        .sum()
+        .sort_values("group_size")
+        .reset_index(drop=True)
+    )
+    out["n_groups"] = out["n_groups"].astype("int64")
+    return out
+
+
 def decontaminate_ngram_documents(
     sf_dir: str, n: int = 13, num_buckets: int | None = None
 ) -> pd.DataFrame:
@@ -1259,6 +1313,7 @@ _DEDUP_CLUSTERS_SQL = r"""
 
 QUERIES = {
     "dedup_exact_documents": dedup_exact_documents,
+    "dup_group_sizes_documents": dup_group_sizes_documents,
     "decontaminate_ngram_documents": decontaminate_ngram_documents,
     "dedup_clusters_documents": dedup_clusters_documents,
     "jaccard_pairs_documents": jaccard_pairs_documents,
@@ -1300,6 +1355,14 @@ ORACLE_SQL = {
                COUNT(DISTINCT text) AS distinct_texts,
                COUNT(*) - COUNT(DISTINCT text) AS dup_docs
         FROM documents
+    """,
+    "dup_group_sizes_documents": """
+        WITH g AS (
+            SELECT text, COUNT(*) AS sz
+            FROM documents WHERE text IS NOT NULL GROUP BY text
+        )
+        SELECT sz AS group_size, CAST(COUNT(*) AS BIGINT) AS n_groups
+        FROM g GROUP BY sz ORDER BY sz
     """,
     # exact Jaccard join: string shingles in SQL == 64-bit-hashed
     # shingles in the engine (whitespace tokens contain no spaces, so the

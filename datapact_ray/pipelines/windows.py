@@ -617,6 +617,77 @@ def funnel_events(
     ).astype({"users": "int64"})
 
 
+def event_type_transitions_events(
+    sf_dir: str, num_buckets: int | None = None
+) -> pd.DataFrame:
+    """Event-type transition matrix (the Markov/bigram view of an agent
+    or user log: which action follows which — the sequence-level
+    analog of the LAG gap statistics): for every consecutive pair of
+    same-user events ordered by (ts, event_id), count (prev_type →
+    type) pairs.
+
+    Same partitioning as ``event_gaps_events``: bucket =
+    spread-hash(user_id) % B, one vectorized sort + shift per bucket,
+    and each bucket reduces to ≤ |types|² fixed-width count rows — the
+    transition matrix is vocabulary-sized, so the driver merge is
+    bounded regardless of data volume. Rows with NULL user_id or NULL
+    event_type are excluded in both engines (pandas groupby drops NaN
+    groups where SQL GROUP BY would keep them; the shared WHERE keeps
+    the two aligned, and a NULL-typed event would otherwise split a
+    real transition pair)."""
+    from .dedup import _fused_grouped_frames
+
+    path = f"{sf_dir}/events.parquet"
+    n_buckets = num_buckets or scaled_num_buckets(count_rows(path))
+
+    def add_bucket(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["user_id", "event_type"])
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "ts": df["ts"].astype("datetime64[us]").astype("int64"),
+                "event_id": df["event_id"].astype("int64"),
+                "event_type": df["event_type"].astype(str),
+                "__bucket": _bucket_of(
+                    df["user_id"].to_numpy(dtype=np.int64), n_buckets
+                ),
+            }
+        )
+
+    def transitions_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        u = g["user_id"].to_numpy()
+        t = g["event_type"].to_numpy()
+        same = u[1:] == u[:-1]
+        if not same.any():
+            return pd.DataFrame({"prev_type": [], "event_type": [], "n_pairs": []})
+        pairs = pd.DataFrame({"prev_type": t[:-1][same], "event_type": t[1:][same]})
+        out = pairs.groupby(["prev_type", "event_type"], as_index=False).size()
+        return out.rename(columns={"size": "n_pairs"})
+
+    parts = _fused_grouped_frames(
+        [(path, ["user_id", "ts", "event_id", "event_type"], None, add_bucket)],
+        n_buckets,
+        transitions_per_bucket,
+    )
+    if not len(parts):
+        return pd.DataFrame(
+            {
+                "prev_type": [],
+                "event_type": [],
+                "n_pairs": pd.Series([], dtype="int64"),
+            }
+        )
+    out = (
+        parts.groupby(["prev_type", "event_type"], as_index=False)["n_pairs"]
+        .sum()
+        .sort_values(["prev_type", "event_type"])
+        .reset_index(drop=True)
+    )
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    return out
+
+
 QUERIES = {
     "windowed_events_daily": windowed_events_daily,
     "sliding_events_weekly": sliding_events_weekly,
@@ -626,9 +697,23 @@ QUERIES = {
     "event_gaps_events": event_gaps_events,
     "cumsum_crossing_events": cumsum_crossing_events,
     "funnel_events": funnel_events,
+    "event_type_transitions_events": event_type_transitions_events,
 }
 
 ORACLE_SQL = {
+    "event_type_transitions_events": """
+        WITH s AS (
+            SELECT user_id, event_type,
+                   LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events
+            WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        )
+        SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM s WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type ORDER BY prev_type, event_type
+    """,
     "windowed_events_daily": """
         SELECT date_trunc('day', ts) AS window_day, event_type,
                COUNT(*) AS n_events,

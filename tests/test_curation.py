@@ -108,3 +108,22 @@ def test_block_packing_bucket_invariance(doc_dir):
     pd.testing.assert_frame_equal(
         a.reset_index(drop=True), b.reset_index(drop=True)
     )
+
+
+def test_dup_group_sizes_null_parity(doc_dir):
+    from datapact_ray.pipelines.dedup import ORACLE_SQL as DSQL
+    from datapact_ray.pipelines.dedup import dup_group_sizes_documents
+
+    got = dup_group_sizes_documents(doc_dir)
+    _assert_exact(got, _duck(DSQL["dup_group_sizes_documents"], doc_dir))
+    # the seeded duplicates must produce multi-copy groups
+    assert int(got.loc[got["group_size"] > 1, "n_groups"].sum()) > 0
+
+
+def test_bm25_null_parity(doc_dir):
+    from datapact_ray.pipelines.retrieval import _bm25_sql, bm25_topk_documents
+
+    got = bm25_topk_documents(doc_dir, query="alpha beta gamma")
+    want = _duck(_bm25_sql("alpha beta gamma"), doc_dir)
+    _assert_exact(got, want)
+    assert len(got) == 20 and got["bm25"].notna().all()

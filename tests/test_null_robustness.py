@@ -392,3 +392,33 @@ def test_funnel_bucket_invariance(null_events_dir):
     a = funnel_events(null_events_dir, num_buckets=3)
     b = funnel_events(null_events_dir, num_buckets=19)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_event_type_transitions_nulls(null_events_dir):
+    """NULL user_id AND NULL event_type rows are excluded in both
+    engines (a NULL-typed event would otherwise split a real transition
+    pair differently in pandas vs SQL LAG)."""
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.windows import event_type_transitions_events
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{null_events_dir}/events.parquet')"
+    )
+    try:
+        want = con.execute(
+            m.oracle_sql()["event_type_transitions_events"]
+        ).fetchdf()
+    finally:
+        con.close()
+    got = event_type_transitions_events(null_events_dir)
+    _assert_eq(got, want, "event_type_transitions")
+
+
+def test_event_type_transitions_bucket_invariance(null_events_dir):
+    from datapact_ray.pipelines.windows import event_type_transitions_events
+
+    a = event_type_transitions_events(null_events_dir, num_buckets=3)
+    b = event_type_transitions_events(null_events_dir, num_buckets=29)
+    pd.testing.assert_frame_equal(a, b)
