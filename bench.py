@@ -258,6 +258,9 @@ def run_bench() -> dict:
         windows.event_type_transitions_events,
         SF_DIR,
     )
+    timed("rolling_avg_events", windows.rolling_avg_events, SF_DIR)
+    timed("retention_cohorts_events", windows.retention_cohorts_events, SF_DIR)
+    timed("missing_hours_events", windows.missing_hours_events, SF_DIR)
     # jaccard_pairs_documents / embedding_exact_pairs are the EXACT
     # quadratic baselines that oracle-check the approximate dedup paths;
     # they run in the correctness gate but stay out of the timed headline

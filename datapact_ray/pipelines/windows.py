@@ -688,6 +688,236 @@ def event_type_transitions_events(
     return out
 
 
+def rolling_avg_events(
+    sf_dir: str, frame: int = 4, num_buckets: int | None = None
+) -> pd.DataFrame:
+    """ROWS-frame moving average (the AVG OVER ... ROWS BETWEEN 3
+    PRECEDING AND CURRENT ROW window): per user, events ordered by
+    (ts, event_id), the mean of the last ``frame`` values — aggregated
+    per event_type to count / max / sum of the rolling averages.
+
+    Exactness: values are 2-decimal doubles, so each row's measure is
+    first fixed to integer cents (ROUND(v*100) — never on a .5 boundary)
+    and the frame sum is an exact integer cumsum difference; the rolling
+    average is then built with the IDENTICAL floating-point expression
+    tree as the oracle (``(s * 1.0 / c) / 100``), so both engines
+    produce bit-equal doubles per row and the per-type totals reduce
+    with fsum on both sides. Partitioning mirrors event_gaps: bucket =
+    spread-hash(user_id) % B, one vectorized sort + cumsum per bucket,
+    per-type fixed-width partials only. Rows with NULL user_id / ts /
+    event_type are excluded on both sides; NULL values COALESCE to 0
+    (dropping them would shift every later frame in the partition)."""
+    import math as _math
+
+    from .dedup import _fused_grouped_frames
+
+    path = f"{sf_dir}/events.parquet"
+    n_buckets = num_buckets or scaled_num_buckets(count_rows(path))
+
+    def add_bucket(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["user_id", "ts", "event_type"])
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "ts": df["ts"].astype("datetime64[us]").astype("int64"),
+                "event_id": df["event_id"].astype("int64"),
+                "event_type": df["event_type"].astype(str),
+                "cents": np.round(
+                    df["value"].fillna(0.0).to_numpy(np.float64) * 100.0
+                ).astype(np.int64),
+                "__bucket": _bucket_of(
+                    df["user_id"].to_numpy(dtype=np.int64), n_buckets
+                ),
+            }
+        )
+
+    def rolling_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({"event_type": [], "n": [], "fs": [], "mx": []})
+        u = g["user_id"].to_numpy()
+        cents = g["cents"].to_numpy(np.int64)
+        new = np.r_[True, u[1:] != u[:-1]]
+        start = np.maximum.accumulate(np.where(new, np.arange(n), -1))
+        c = np.minimum(np.arange(n) - start + 1, frame)
+        cs = np.r_[np.int64(0), np.cumsum(cents)]
+        idx = np.arange(n) + 1
+        s = cs[idx] - cs[idx - c]
+        # identical FP expression tree as the oracle: ((s*1.0)/c)/100
+        r = (s * 1.0 / c) / 100.0
+        part = pd.DataFrame({"event_type": g["event_type"].to_numpy(), "r": r})
+        rows = [
+            (t, len(rg), _math.fsum(rg), float(rg.max()))
+            for t, rg in part.groupby("event_type", sort=False)["r"]
+        ]
+        return pd.DataFrame(rows, columns=["event_type", "n", "fs", "mx"])
+
+    parts = _fused_grouped_frames(
+        [
+            (
+                path,
+                ["user_id", "ts", "event_id", "event_type", "value"],
+                None,
+                add_bucket,
+            )
+        ],
+        n_buckets,
+        rolling_per_bucket,
+    )
+    rows = [
+        (
+            t,
+            int(g["n"].sum()),
+            float(round_duck(float(g["mx"].max()), 4)),
+            float(round_duck(_math.fsum(g["fs"]), 4)),
+        )
+        for t, g in parts.groupby("event_type", sort=True)
+    ]
+    return pd.DataFrame(
+        rows,
+        columns=["event_type", "n_rows", "max_rolling_avg", "sum_rolling_avg"],
+    ).astype({"n_rows": "int64"})
+
+
+_DAY_US = 86_400_000_000
+_WEEK_US = 7 * _DAY_US
+
+
+def _week_start_us(ts_us: np.ndarray) -> np.ndarray:
+    """Monday-start week truncation in integer µs (DuckDB
+    ``date_trunc('week', ...)``): 1970-01-01 is a Thursday, so weekday
+    index (Monday=0) of day d is (d + 3) % 7."""
+    day = ts_us // _DAY_US
+    return (day - (day + 3) % 7) * _DAY_US
+
+
+def retention_cohorts_events(
+    sf_dir: str, num_buckets: int | None = None
+) -> pd.DataFrame:
+    """Weekly retention matrix (the cohort-analysis op): cohort week =
+    the user's first-seen week; for every (cohort week, week offset)
+    cell, the number of distinct users active that many weeks after
+    their first week.
+
+    Users hash-bucket whole (the cohort assignment and the distinct-week
+    set are per-user), so each bucket reduces independently to
+    ≤ weeks × offsets fixed-width count rows — the matrix is
+    calendar-bounded, never data-bounded, and the driver merge is a
+    small groupby-sum. Week truncation is integer-µs arithmetic matching
+    DuckDB's Monday-start date_trunc exactly; offsets divide exactly
+    because both endpoints are week-truncated. NULL user_id / ts rows
+    are excluded on both sides."""
+    from .dedup import _fused_grouped_frames
+
+    path = f"{sf_dir}/events.parquet"
+    n_buckets = num_buckets or scaled_num_buckets(count_rows(path))
+
+    def add_bucket(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["user_id", "ts"])
+        ts_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "wk": _week_start_us(ts_us),
+                "__bucket": _bucket_of(
+                    df["user_id"].to_numpy(dtype=np.int64), n_buckets
+                ),
+            }
+        )
+
+    def cohorts_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"cw": [], "week_offset": [], "n": []})
+        act = g.drop_duplicates(["user_id", "wk"])[["user_id", "wk"]]
+        first = act.groupby("user_id", as_index=False)["wk"].min()
+        act = act.merge(first.rename(columns={"wk": "cw"}), on="user_id")
+        act["week_offset"] = (act["wk"] - act["cw"]) // _WEEK_US
+        out = act.groupby(["cw", "week_offset"], as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    parts = _fused_grouped_frames(
+        [(path, ["user_id", "ts"], None, add_bucket)],
+        n_buckets,
+        cohorts_per_bucket,
+    )
+    if len(parts) == 0:
+        return pd.DataFrame(
+            {
+                "cohort_week": pd.Series([], dtype="datetime64[us]"),
+                "week_offset": pd.Series([], dtype="int64"),
+                "n_users": pd.Series([], dtype="int64"),
+            }
+        )
+    out = (
+        parts.groupby(["cw", "week_offset"], as_index=False)["n"]
+        .sum()
+        .sort_values(["cw", "week_offset"])
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {
+            "cohort_week": pd.to_datetime(out["cw"], unit="us").astype(
+                "datetime64[us]"
+            ),
+            "week_offset": out["week_offset"].astype("int64"),
+            "n_users": out["n"].astype("int64"),
+        }
+    )
+
+
+def missing_hours_events(sf_dir: str) -> pd.DataFrame:
+    """Calendar gap-fill / completeness check (the generate_series
+    anti-join): which hours between the log's first and last active hour
+    saw ZERO events — the op that catches a dead ingestion pipeline that
+    row counts alone can't (a missing hour leaves no row to count).
+
+    Each scan task reduces its batch to the DISTINCT hour set (bounded
+    by hours-in-history, ~9k/year — calendar-bounded, not data-bounded);
+    the driver unions them and diffs against the dense spine with one
+    vectorized pass. NULL ts rows have no position on the time axis and
+    are excluded on both sides."""
+    from ..shuffle import map_partials
+
+    hour_us = 3_600_000_000
+    path = f"{sf_dir}/events.parquet"
+
+    def hour_set(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["ts"])
+        ts_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        return pd.DataFrame({"h": np.unique((ts_us // hour_us) * hour_us)})
+
+    parts = map_partials(path, ["ts"], None, hour_set)
+    hs = np.unique(parts["h"].to_numpy(np.int64)) if len(parts) else np.array([])
+    if len(hs) == 0:
+        return pd.DataFrame(
+            {
+                "n_hours_span": pd.Series([], dtype="int64"),
+                "n_active_hours": pd.Series([], dtype="int64"),
+                "n_missing_hours": pd.Series([], dtype="int64"),
+                "first_missing_hour": pd.Series([], dtype="datetime64[us]"),
+            }
+        )
+    span = int((hs[-1] - hs[0]) // hour_us) + 1
+    active = int(len(hs))
+    gaps = np.flatnonzero(np.diff(hs) > hour_us)
+    first_missing = (
+        pd.Timestamp(int(hs[gaps[0]] + hour_us), unit="us")
+        if len(gaps)
+        else pd.NaT
+    )
+    return pd.DataFrame(
+        {
+            "n_hours_span": pd.Series([span], dtype="int64"),
+            "n_active_hours": pd.Series([active], dtype="int64"),
+            "n_missing_hours": pd.Series([span - active], dtype="int64"),
+            "first_missing_hour": pd.Series(
+                [first_missing], dtype="datetime64[us]"
+            ),
+        }
+    )
+
+
 QUERIES = {
     "windowed_events_daily": windowed_events_daily,
     "sliding_events_weekly": sliding_events_weekly,
@@ -698,9 +928,69 @@ QUERIES = {
     "cumsum_crossing_events": cumsum_crossing_events,
     "funnel_events": funnel_events,
     "event_type_transitions_events": event_type_transitions_events,
+    "rolling_avg_events": rolling_avg_events,
+    "retention_cohorts_events": retention_cohorts_events,
+    "missing_hours_events": missing_hours_events,
 }
 
 ORACLE_SQL = {
+    "rolling_avg_events": """
+        WITH w AS (
+            SELECT event_type,
+                   SUM(CAST(ROUND(COALESCE(value, 0) * 100, 0) AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS s,
+                   COUNT(*)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS c
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+              AND event_type IS NOT NULL
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               ROUND(MAX(s * 1.0 / c / 100), 4) AS max_rolling_avg,
+               ROUND(fsum(s * 1.0 / c / 100), 4) AS sum_rolling_avg
+        FROM w GROUP BY event_type ORDER BY event_type
+    """,
+    "retention_cohorts_events": """
+        WITH f AS (
+            SELECT user_id,
+                   MIN(CAST(date_trunc('week', ts) AS TIMESTAMP)) AS cw
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            GROUP BY user_id
+        ),
+        a AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('week', ts) AS TIMESTAMP) AS aw
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        )
+        SELECT f.cw AS cohort_week,
+               CAST((epoch_us(a.aw) - epoch_us(f.cw)) // 604800000000
+                    AS BIGINT) AS week_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM a JOIN f USING (user_id)
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "missing_hours_events": """
+        WITH b AS (
+            SELECT DISTINCT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h
+            FROM events WHERE ts IS NOT NULL
+        ),
+        ext AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM b),
+        spine AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+            FROM ext
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_hours_span,
+               CAST(COUNT(b.h) AS BIGINT) AS n_active_hours,
+               CAST(COUNT(*) - COUNT(b.h) AS BIGINT) AS n_missing_hours,
+               MIN(CASE WHEN b.h IS NULL THEN spine.h END)
+                   AS first_missing_hour
+        FROM spine LEFT JOIN b ON spine.h = b.h
+    """,
     "event_type_transitions_events": """
         WITH s AS (
             SELECT user_id, event_type,

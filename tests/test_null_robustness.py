@@ -422,3 +422,71 @@ def test_event_type_transitions_bucket_invariance(null_events_dir):
     a = event_type_transitions_events(null_events_dir, num_buckets=3)
     b = event_type_transitions_events(null_events_dir, num_buckets=29)
     pd.testing.assert_frame_equal(a, b)
+
+
+def _duck_events(sql: str, d: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{d}/events.parquet')"
+    )
+    try:
+        return con.execute(sql).fetchdf()
+    finally:
+        con.close()
+
+
+def test_rolling_avg_nulls(null_events_dir):
+    """NULL user_id / ts / event_type rows are excluded BEFORE framing
+    (both engines), NULL values COALESCE to 0 INSIDE the frame —
+    dropping them would shift every later window in the partition."""
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.windows import rolling_avg_events
+
+    got = rolling_avg_events(null_events_dir)
+    want = _duck_events(m.oracle_sql()["rolling_avg_events"], null_events_dir)
+    _assert_eq(got, want, "rolling_avg")
+
+
+def test_rolling_avg_bucket_invariance(null_events_dir):
+    from datapact_ray.pipelines.windows import rolling_avg_events
+
+    a = rolling_avg_events(null_events_dir, num_buckets=3)
+    b = rolling_avg_events(null_events_dir, num_buckets=23)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_retention_cohorts_nulls(null_events_dir):
+    """NULL user_id / ts rows excluded; Monday-start week truncation in
+    integer µs matches DuckDB date_trunc('week') exactly."""
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.windows import retention_cohorts_events
+
+    got = retention_cohorts_events(null_events_dir)
+    want = _duck_events(
+        m.oracle_sql()["retention_cohorts_events"], null_events_dir
+    )
+    _assert_eq(got, want, "retention_cohorts")
+
+
+def test_retention_cohorts_bucket_invariance(null_events_dir):
+    from datapact_ray.pipelines.windows import retention_cohorts_events
+
+    a = retention_cohorts_events(null_events_dir, num_buckets=3)
+    b = retention_cohorts_events(null_events_dir, num_buckets=31)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_missing_hours_nulls(null_events_dir):
+    """The null-events fixture is sparse (5k events over ~2.2k hours),
+    so real calendar gaps exist; NULL ts rows are off the time axis in
+    both engines."""
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.windows import missing_hours_events
+
+    got = missing_hours_events(null_events_dir)
+    want = _duck_events(
+        m.oracle_sql()["missing_hours_events"], null_events_dir
+    )
+    assert int(got["n_missing_hours"].iloc[0]) > 0  # fixture has gaps
+    _assert_eq(got, want, "missing_hours")
