@@ -261,6 +261,9 @@ def run_bench() -> dict:
     timed("rolling_avg_events", windows.rolling_avg_events, SF_DIR)
     timed("retention_cohorts_events", windows.retention_cohorts_events, SF_DIR)
     timed("missing_hours_events", windows.missing_hours_events, SF_DIR)
+    timed("churn_weekly_events", windows.churn_weekly_events, SF_DIR)
+    timed("mode_quantity_lineitem", relational.mode_quantity_lineitem, SF_DIR)
+    timed("mad_extendedprice", selection.mad_extendedprice, SF_DIR)
     # jaccard_pairs_documents / embedding_exact_pairs are the EXACT
     # quadratic baselines that oracle-check the approximate dedup paths;
     # they run in the correctness gate but stay out of the timed headline

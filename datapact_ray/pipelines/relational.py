@@ -610,6 +610,50 @@ def grouped_quantile_lineitem(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["l_returnflag", "median_qty", "p95_qty"])
 
 
+def mode_quantity_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Grouped MODE (most frequent value) with a deterministic
+    tie-break (smallest modal value) — SQL's ``mode()`` leaves ties
+    engine-defined, so the op pins them for cross-engine exactness.
+    Rides the same bounded-domain (group, value, count) partials as the
+    grouped quantile: shuffle rows = groups × distinct values × tasks,
+    independent of table size; the argmax runs on the driver over the
+    merged bounded frame. NULL values form no (group, value) cell in
+    either engine."""
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        g = (
+            df.groupby(["l_returnflag", "l_quantity"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        return g.astype({"c": "int64"})
+
+    dist = (
+        map_partials(
+            f"{sf_dir}/lineitem.parquet",
+            ["l_returnflag", "l_quantity"],
+            None,
+            partial,
+        )
+        .groupby(["l_returnflag", "l_quantity"], as_index=False)["c"]
+        .sum()
+    )
+    dist = dist.sort_values(
+        ["l_returnflag", "c", "l_quantity"],
+        ascending=[True, False, True],
+        kind="stable",
+    )
+    top = dist.groupby("l_returnflag", as_index=False).first()
+    return pd.DataFrame(
+        {
+            "l_returnflag": top["l_returnflag"],
+            "modal_quantity": top["l_quantity"].astype("float64"),
+            "modal_count": top["c"].astype("int64"),
+        }
+    )
+
+
 def customer_order_profile(sf_dir: str) -> pd.DataFrame:
     """LEFT OUTER join at scale (completes the join inventory next to
     inner/anti/semi): per market segment, how many customers exist, how
@@ -1347,6 +1391,23 @@ ORACLE_SQL: dict[str, str] = {
                ROUND(quantile_cont(l_quantity, 0.95), 4) AS p95_qty
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
+    "mode_quantity_lineitem": """
+        WITH c AS (
+            SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+            FROM lineitem
+            WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        r AS (
+            SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY l_returnflag
+                       ORDER BY cnt DESC, l_quantity ASC) AS rn
+            FROM c
+        )
+        SELECT l_returnflag, l_quantity AS modal_quantity,
+               CAST(cnt AS BIGINT) AS modal_count
+        FROM r WHERE rn = 1 ORDER BY l_returnflag
+    """,
     "distinct_users_events": """
         SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
         FROM events
@@ -1451,6 +1512,7 @@ QUERIES = {
     "group_topk_orders": group_topk_orders,
     "pivot_lineitem_status": pivot_lineitem_status,
     "grouped_quantile_lineitem": grouped_quantile_lineitem,
+    "mode_quantity_lineitem": mode_quantity_lineitem,
     "distinct_users_events": distinct_users_events,
     "hll_users_events": hll_users_events,
     "revenue_per_nation": revenue_per_nation,

@@ -57,6 +57,8 @@ def _rank_values(
     n_bins: int = 1024,
     collect_cap: int = 100_000,
     max_passes: int = 16,
+    read_cols: list[str] | None = None,
+    transform=None,
 ) -> tuple[dict, dict]:
     """Exact values at 0-indexed ascending ranks of ``value_col`` within
     each group. ``ranks_from_counts`` maps {group: non-null count} →
@@ -70,12 +72,25 @@ def _rank_values(
     ORDER-PRESERVING BIT PATTERN of float64 (sign-flip transform, top
     log2(B) bits as the bin), which yields per-group counts, per-bin
     value extents AND the first B× rank narrowing in a single scan —
-    the classic separate min/max pass is folded away."""
+    the classic separate min/max pass is folded away.
 
+    ``read_cols`` / ``transform`` support selection over DERIVED columns
+    (e.g. |x - group_median| for MAD): the scan projects ``read_cols``
+    and ``transform(df)`` must emit ``value_col`` — it runs inside every
+    scan task, so it must be a pure vectorized function of the batch
+    (plus broadcast-captured constants), never driver state."""
     from ..shuffle import map_partials
 
     def scan_partials(fn) -> pd.DataFrame:
-        return map_partials(path, [group_col, value_col], None, fn)
+        return map_partials(
+            path, read_cols or [group_col, value_col], None, fn
+        )
+
+    def _prep(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        if transform is not None:
+            df = transform(df)
+        return df.dropna(subset=[value_col])
 
     shift = np.uint64(64 - int(math.log2(n_bins)))
 
@@ -86,7 +101,7 @@ def _rank_values(
         )
 
     def bitpat_partial(batch: pa.Table, _b=n_bins) -> pd.DataFrame:
-        df = batch.to_pandas().dropna(subset=[value_col])
+        df = _prep(batch)
         frames = []
         for grp, gdf in df.groupby(group_col, sort=False):
             v = gdf[value_col].to_numpy(np.float64)
@@ -178,7 +193,7 @@ def _rank_values(
             ckeys = tuple(cspecs)
 
             def collect_partial(batch: pa.Table, _ck=ckeys) -> pd.DataFrame:
-                df = batch.to_pandas().dropna(subset=[value_col])
+                df = _prep(batch)
                 frames = []
                 for sid, (grp, lo, hi) in enumerate(_ck):
                     v = df.loc[df[group_col] == grp, value_col].to_numpy(np.float64)
@@ -202,7 +217,7 @@ def _rank_values(
             hkeys = tuple(hspecs)
 
             def hist_partial(batch: pa.Table, _hk=hkeys, _b=n_bins) -> pd.DataFrame:
-                df = batch.to_pandas().dropna(subset=[value_col])
+                df = _prep(batch)
                 frames = []
                 for sid, (grp, lo, hi) in enumerate(_hk):
                     v = df.loc[df[group_col] == grp, value_col].to_numpy(np.float64)
@@ -307,6 +322,67 @@ def exact_quantile_extendedprice(sf_dir: str, q: float = 0.5) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["l_returnflag", "median_price"])
 
 
+def mad_extendedprice(sf_dir: str) -> pd.DataFrame:
+    """Median absolute deviation per group — the robust dispersion
+    statistic (outlier-resistant where STDDEV is not), defined here
+    around the 4dp-ROUNDED group median so the center is one agreed
+    double on both engines: MAD = median(|x - round(median(x), 4)|).
+
+    Two chained selection rounds, each a driver-controlled sequence of
+    distributed histogram-refinement scans: round 1 is the existing
+    exact grouped median; round 2 selects over the DERIVED column
+    |x - m_g| via ``_rank_values(transform=...)`` — the tiny per-group
+    center map is captured into the scan-task closure (broadcast), the
+    absolute deviations are computed vectorized inside each task, and
+    nothing bigger than histogram partials ever moves. The abs-diff of
+    bit-equal doubles is bit-equal, so the second selection's input
+    multiset matches SQL exactly."""
+    path = f"{sf_dir}/lineitem.parquet"
+    med = exact_quantile_extendedprice(sf_dir, 0.5)
+    m4 = dict(zip(med["l_returnflag"], med["median_price"]))
+
+    def transform(df: pd.DataFrame) -> pd.DataFrame:
+        center = df["l_returnflag"].map(m4).to_numpy(np.float64)
+        return pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "__absdev": np.abs(
+                    df["l_extendedprice"].to_numpy(np.float64) - center
+                ),
+            }
+        )
+
+    def quantile_ranks(counts: dict) -> dict:
+        return {
+            grp: sorted({math.floor((n - 1) * 0.5), math.ceil((n - 1) * 0.5)})
+            for grp, n in counts.items()
+        }
+
+    vals, counts = _rank_values(
+        path,
+        "l_returnflag",
+        "__absdev",
+        quantile_ranks,
+        read_cols=["l_returnflag", "l_extendedprice"],
+        transform=transform,
+    )
+    rows = []
+    for grp in sorted(vals):
+        h = (counts[grp] - 1) * 0.5
+        j0, j1 = math.floor(h), math.ceil(h)
+        v0, v1 = vals[grp][j0], vals[grp][j1]
+        rows.append(
+            (
+                grp,
+                float(round_duck(v0 + (v1 - v0) * (h - j0), 4)),
+                float(m4[grp]),
+            )
+        )
+    return pd.DataFrame(
+        rows, columns=["l_returnflag", "mad_price", "median_price"]
+    )
+
+
 def tdigest_quantile_extendedprice(sf_dir: str, q: float = 0.5) -> pd.DataFrame:
     """Approximate grouped quantile via the engine's t-digest sketch —
     the ONE-scan path when refinement passes are too expensive or the
@@ -360,6 +436,7 @@ def tdigest_quantile_extendedprice(sf_dir: str, q: float = 0.5) -> pd.DataFrame:
 QUERIES = {
     "exact_quantile_extendedprice": exact_quantile_extendedprice,
     "tdigest_quantile_extendedprice": tdigest_quantile_extendedprice,
+    "mad_extendedprice": mad_extendedprice,
 }
 
 ORACLE_SQL = {
@@ -367,5 +444,18 @@ ORACLE_SQL = {
         SELECT l_returnflag,
                ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "mad_extendedprice": """
+        WITH m AS (
+            SELECT l_returnflag,
+                   ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS med
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l.l_returnflag,
+               ROUND(quantile_cont(ABS(l.l_extendedprice - m.med), 0.5), 4)
+                   AS mad_price,
+               m.med AS median_price
+        FROM lineitem l JOIN m USING (l_returnflag)
+        GROUP BY l.l_returnflag, m.med ORDER BY l.l_returnflag
     """,
 }

@@ -866,6 +866,79 @@ def retention_cohorts_events(
     )
 
 
+def churn_weekly_events(
+    sf_dir: str, num_buckets: int | None = None
+) -> pd.DataFrame:
+    """Weekly churn (the complement of retention, as a per-week
+    transition table): of the users active in week w, how many were
+    also active in week w+1 (retained) vs not (churned). The last
+    active week naturally retains 0 — there is no w+1 data — matching
+    the SQL self-left-join.
+
+    Same partitioning as the retention matrix: users bucket whole, each
+    bucket computes its distinct (user, week) incidence and marks
+    retention with ONE vectorized self-merge on (user, week+1) — no
+    per-user loop — then reduces to ≤ weeks fixed-width count rows."""
+    from .dedup import _fused_grouped_frames
+
+    path = f"{sf_dir}/events.parquet"
+    n_buckets = num_buckets or scaled_num_buckets(count_rows(path))
+
+    def add_bucket(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["user_id", "ts"])
+        ts_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "wk": _week_start_us(ts_us),
+                "__bucket": _bucket_of(
+                    df["user_id"].to_numpy(dtype=np.int64), n_buckets
+                ),
+            }
+        )
+
+    def churn_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"wk": [], "n_active": [], "n_retained": []})
+        act = g.drop_duplicates(["user_id", "wk"])[["user_id", "wk"]]
+        nxt = act.assign(wk=act["wk"] - _WEEK_US)
+        retained = act.merge(nxt, on=["user_id", "wk"])
+        a = act.groupby("wk").size().rename("n_active")
+        r = retained.groupby("wk").size().rename("n_retained")
+        return (
+            pd.concat([a, r], axis=1).fillna(0).astype("int64").reset_index()
+        )
+
+    parts = _fused_grouped_frames(
+        [(path, ["user_id", "ts"], None, add_bucket)],
+        n_buckets,
+        churn_per_bucket,
+    )
+    if len(parts) == 0:
+        return pd.DataFrame(
+            {
+                "week": pd.Series([], dtype="datetime64[us]"),
+                "n_active": pd.Series([], dtype="int64"),
+                "n_retained": pd.Series([], dtype="int64"),
+                "n_churned": pd.Series([], dtype="int64"),
+            }
+        )
+    out = (
+        parts.groupby("wk", as_index=False)[["n_active", "n_retained"]]
+        .sum()
+        .sort_values("wk")
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {
+            "week": pd.to_datetime(out["wk"], unit="us").astype("datetime64[us]"),
+            "n_active": out["n_active"].astype("int64"),
+            "n_retained": out["n_retained"].astype("int64"),
+            "n_churned": (out["n_active"] - out["n_retained"]).astype("int64"),
+        }
+    )
+
+
 def missing_hours_events(sf_dir: str) -> pd.DataFrame:
     """Calendar gap-fill / completeness check (the generate_series
     anti-join): which hours between the log's first and last active hour
@@ -931,6 +1004,7 @@ QUERIES = {
     "rolling_avg_events": rolling_avg_events,
     "retention_cohorts_events": retention_cohorts_events,
     "missing_hours_events": missing_hours_events,
+    "churn_weekly_events": churn_weekly_events,
 }
 
 ORACLE_SQL = {
@@ -973,6 +1047,21 @@ ORACLE_SQL = {
                CAST(COUNT(*) AS BIGINT) AS n_users
         FROM a JOIN f USING (user_id)
         GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "churn_weekly_events": """
+        WITH a AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        )
+        SELECT a.wk AS week,
+               CAST(COUNT(*) AS BIGINT) AS n_active,
+               CAST(COUNT(b.user_id) AS BIGINT) AS n_retained,
+               CAST(COUNT(*) - COUNT(b.user_id) AS BIGINT) AS n_churned
+        FROM a LEFT JOIN a b
+          ON b.user_id = a.user_id AND b.wk = a.wk + INTERVAL 7 DAY
+        GROUP BY a.wk ORDER BY a.wk
     """,
     "missing_hours_events": """
         WITH b AS (

@@ -490,3 +490,44 @@ def test_missing_hours_nulls(null_events_dir):
     )
     assert int(got["n_missing_hours"].iloc[0]) > 0  # fixture has gaps
     _assert_eq(got, want, "missing_hours")
+
+
+def test_mode_nulls(null_dir):
+    """NULL quantities form no (group, value) cell in either engine;
+    tie-break is pinned to the smallest modal value."""
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.relational import mode_quantity_lineitem
+
+    got = mode_quantity_lineitem(null_dir)
+    want = _duck(m.oracle_sql()["mode_quantity_lineitem"], null_dir)
+    _assert_eq(got, want, "mode")
+
+
+def test_mad_nulls(null_dir):
+    """NULL prices drop out of both selection rounds (abs(NULL - m) is
+    NULL); the derived-column transform runs inside the scan task."""
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.selection import mad_extendedprice
+
+    got = mad_extendedprice(null_dir)
+    want = _duck(m.oracle_sql()["mad_extendedprice"], null_dir)
+    _assert_eq(got, want, "mad")
+
+
+def test_churn_nulls(null_events_dir):
+    """NULL user_id / ts rows excluded; the last active week retains 0
+    (no w+1 data) in both engines."""
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.windows import churn_weekly_events
+
+    got = churn_weekly_events(null_events_dir)
+    want = _duck_events(m.oracle_sql()["churn_weekly_events"], null_events_dir)
+    _assert_eq(got, want, "churn")
+
+
+def test_churn_bucket_invariance(null_events_dir):
+    from datapact_ray.pipelines.windows import churn_weekly_events
+
+    a = churn_weekly_events(null_events_dir, num_buckets=3)
+    b = churn_weekly_events(null_events_dir, num_buckets=31)
+    pd.testing.assert_frame_equal(a, b)
