@@ -264,6 +264,11 @@ def run_bench() -> dict:
     timed("churn_weekly_events", windows.churn_weekly_events, SF_DIR)
     timed("mode_quantity_lineitem", relational.mode_quantity_lineitem, SF_DIR)
     timed("mad_extendedprice", selection.mad_extendedprice, SF_DIR)
+    timed("full_outer_order_profile", relational.full_outer_order_profile, SF_DIR)
+    timed("reconcile_order_totals", relational.reconcile_order_totals, SF_DIR)
+    timed(
+        "time_weighted_value_events", windows.time_weighted_value_events, SF_DIR
+    )
     # jaccard_pairs_documents / embedding_exact_pairs are the EXACT
     # quadratic baselines that oracle-check the approximate dedup paths;
     # they run in the correctness gate but stay out of the timed headline

@@ -745,6 +745,204 @@ def customer_order_profile(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def full_outer_order_profile(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER join profile (completes the join inventory next to
+    inner/left/anti/semi): customers vs per-custkey order counts, with
+    BOTH dangling sides surfaced in one pass — customers with no orders
+    AND order custkeys with no customer (the referential check only
+    reports the latter).
+
+    Same shape as the LEFT OUTER profile: orders pre-aggregate per batch
+    to (custkey, n) partials, both sides route through the explicit hash
+    bucket shuffle, each bucket does one vectorized outer merge with an
+    indicator — only fixed-width count rows leave the bucket."""
+    from .dedup import _dedup_buckets, _fused_grouped_frames
+
+    num_buckets = _dedup_buckets()
+    mult = np.uint64(0x9E3779B97F4A7C15)
+
+    def _bucket(keys: np.ndarray) -> np.ndarray:
+        return (
+            keys.astype(np.uint64) * mult % np.uint64(num_buckets)
+        ).astype(np.int32)
+
+    def cust_rows(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["c_custkey"])
+        key = df["c_custkey"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "side": np.int8(0),
+                "key": key,
+                "n": np.int64(0),
+                "__bucket": _bucket(key),
+            }
+        )
+
+    def order_partials(batch: pa.Table) -> pd.DataFrame:
+        vc = batch.column("o_custkey").to_pandas().dropna().value_counts()
+        key = vc.index.to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "side": np.int8(1),
+                "key": key,
+                "n": vc.to_numpy().astype("int64"),
+                "__bucket": _bucket(key),
+            }
+        )
+
+    def bucket_join(df: pd.DataFrame) -> pd.DataFrame:
+        cust = df[df["side"] == 0][["key"]]
+        ords = df[df["side"] == 1].groupby("key", as_index=False)["n"].sum()
+        merged = cust.merge(ords, on="key", how="outer", indicator=True)
+        left_only = merged["_merge"] == "left_only"
+        right_only = merged["_merge"] == "right_only"
+        return pd.DataFrame(
+            {
+                "n_matched": [int((merged["_merge"] == "both").sum())],
+                "n_customers_without_orders": [int(left_only.sum())],
+                "n_orphan_custkeys": [int(right_only.sum())],
+                "n_orphan_orders": [
+                    int(merged.loc[right_only, "n"].sum())
+                ],
+            }
+        )
+
+    parts = _fused_grouped_frames(
+        [
+            (f"{sf_dir}/customer.parquet", ["c_custkey"], None, cust_rows),
+            (f"{sf_dir}/orders.parquet", ["o_custkey"], None, order_partials),
+        ],
+        num_buckets,
+        bucket_join,
+    )
+    return pd.DataFrame(
+        {
+            c: [int(parts[c].sum())]
+            for c in (
+                "n_matched",
+                "n_customers_without_orders",
+                "n_orphan_custkeys",
+                "n_orphan_orders",
+            )
+        }
+    ).astype("int64")
+
+
+def reconcile_order_totals(sf_dir: str) -> pd.DataFrame:
+    """Cross-table total reconciliation — the core warehouse consistency
+    check: does each order's header total equal the sum of its line
+    items' ``extendedprice·(1−discount)·(1+tax)``? Reports match /
+    mismatch / no-lineitem counts and the worst absolute difference.
+
+    Exactness: each line's contribution is fixed to integer MICRO-units
+    via ROUND(expr·1e6) of an expression computed with the identical FP
+    tree on both engines (2dp price × 2dp discount × 2dp tax = 6
+    decimals, so the rounded integer is the exact decimal value); sums
+    and comparisons are then pure int64 (≤ 7e11 per order — exact in
+    the float64 the merge uses). Lineitems pre-aggregate per batch to
+    (orderkey, partial) rows, both sides hash-bucket by orderkey, one
+    vectorized left merge per bucket. Orders with a NULL header total
+    count in n_orders/n_with_lineitems but in neither match nor
+    mismatch (SQL NULL comparison); lineitem rows with any NULL factor
+    are skipped on both sides."""
+    from .dedup import _dedup_buckets, _fused_grouped_frames
+
+    num_buckets = _dedup_buckets()
+    mult = np.uint64(0x9E3779B97F4A7C15)
+
+    def _bucket(keys: np.ndarray) -> np.ndarray:
+        return (
+            keys.astype(np.uint64) * mult % np.uint64(num_buckets)
+        ).astype(np.int32)
+
+    def order_rows(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["o_orderkey"])
+        key = df["o_orderkey"].to_numpy(np.int64)
+        from ._util import round_duck
+
+        micro = round_duck(
+            df["o_totalprice"].to_numpy(np.float64) * 1_000_000.0, 0
+        )
+        return pd.DataFrame(
+            {
+                "side": np.int8(0),
+                "key": key,
+                "v": micro,  # float64 carrying exact ints (or NaN)
+                "__bucket": _bucket(key),
+            }
+        )
+
+    def line_partials(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(
+            subset=["l_orderkey", "l_extendedprice", "l_discount", "l_tax"]
+        )
+        from ._util import round_duck
+
+        # identical FP expression tree as the oracle:
+        # p * (1 - d) * (1 + t) * 1000000, then half-away ROUND
+        expr = (
+            df["l_extendedprice"].to_numpy(np.float64)
+            * (1.0 - df["l_discount"].to_numpy(np.float64))
+            * (1.0 + df["l_tax"].to_numpy(np.float64))
+            * 1_000_000.0
+        )
+        contrib = round_duck(expr, 0).astype(np.int64)
+        part = pd.DataFrame(
+            {"key": df["l_orderkey"].to_numpy(np.int64), "c": contrib}
+        )
+        part = part.groupby("key", as_index=False)["c"].sum()
+        part.insert(0, "side", np.int8(1))
+        part = part.rename(columns={"c": "v"})
+        part["v"] = part["v"].astype("float64")
+        part["__bucket"] = _bucket(part["key"].to_numpy(np.int64))
+        return part[["side", "key", "v", "__bucket"]]
+
+    def bucket_join(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[df["side"] == 0][["key", "v"]].rename(columns={"v": "osum"})
+        li = (
+            df[df["side"] == 1]
+            .groupby("key", as_index=False)["v"]
+            .sum()
+            .rename(columns={"v": "lsum"})
+        )
+        m = o.merge(li, on="key", how="left")
+        has_l = m["lsum"].notna()
+        comparable = has_l & m["osum"].notna()
+        diff = (m["osum"] - m["lsum"]).abs()
+        return pd.DataFrame(
+            {
+                "n_orders": [len(m)],
+                "n_with_lineitems": [int(has_l.sum())],
+                "n_exact_match": [int((comparable & (diff == 0)).sum())],
+                "n_mismatch": [int((comparable & (diff != 0)).sum())],
+                "mx": [float(diff[comparable].max()) if comparable.any() else 0.0],
+            }
+        )
+
+    parts = _fused_grouped_frames(
+        [
+            (f"{sf_dir}/orders.parquet", ["o_orderkey", "o_totalprice"], None, order_rows),
+            (
+                f"{sf_dir}/lineitem.parquet",
+                ["l_orderkey", "l_extendedprice", "l_discount", "l_tax"],
+                None,
+                line_partials,
+            ),
+        ],
+        num_buckets,
+        bucket_join,
+    )
+    return pd.DataFrame(
+        {
+            "n_orders": [int(parts["n_orders"].sum())],
+            "n_with_lineitems": [int(parts["n_with_lineitems"].sum())],
+            "n_exact_match": [int(parts["n_exact_match"].sum())],
+            "n_mismatch": [int(parts["n_mismatch"].sum())],
+            "max_abs_diff_micro": [int(parts["mx"].max())],
+        }
+    ).astype("int64")
+
+
 def json_field_agg_events(sf_dir: str) -> pd.DataFrame:
     """Semi-structured extraction: pull an integer field out of the JSON
     ``props`` payload and aggregate it per event type — the
@@ -1408,6 +1606,51 @@ ORACLE_SQL: dict[str, str] = {
                CAST(cnt AS BIGINT) AS modal_count
         FROM r WHERE rn = 1 ORDER BY l_returnflag
     """,
+    "full_outer_order_profile": """
+        WITH c AS (
+            SELECT c_custkey AS key FROM customer WHERE c_custkey IS NOT NULL
+        ),
+        o AS (
+            SELECT o_custkey AS key, COUNT(*) AS n
+            FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
+        )
+        SELECT CAST(COUNT(*) FILTER (
+                   WHERE c.key IS NOT NULL AND o.key IS NOT NULL
+               ) AS BIGINT) AS n_matched,
+               CAST(COUNT(*) FILTER (WHERE o.key IS NULL) AS BIGINT)
+                   AS n_customers_without_orders,
+               CAST(COUNT(*) FILTER (WHERE c.key IS NULL) AS BIGINT)
+                   AS n_orphan_custkeys,
+               CAST(COALESCE(SUM(o.n) FILTER (WHERE c.key IS NULL), 0)
+                    AS BIGINT) AS n_orphan_orders
+        FROM c FULL OUTER JOIN o ON c.key = o.key
+    """,
+    "reconcile_order_totals": """
+        WITH l AS (
+            SELECT l_orderkey AS key,
+                   SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                  * (1 + l_tax) * 1000000, 0)
+                            AS BIGINT)) AS lsum
+            FROM lineitem
+            WHERE l_orderkey IS NOT NULL AND l_extendedprice IS NOT NULL
+              AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+            GROUP BY 1
+        ),
+        o AS (
+            SELECT o_orderkey AS key,
+                   CAST(ROUND(o_totalprice * 1000000, 0) AS BIGINT) AS osum
+            FROM orders WHERE o_orderkey IS NOT NULL
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(COUNT(l.key) AS BIGINT) AS n_with_lineitems,
+               CAST(COUNT(*) FILTER (WHERE l.lsum = o.osum) AS BIGINT)
+                   AS n_exact_match,
+               CAST(COUNT(*) FILTER (WHERE l.lsum <> o.osum) AS BIGINT)
+                   AS n_mismatch,
+               CAST(COALESCE(MAX(ABS(o.osum - l.lsum)), 0) AS BIGINT)
+                   AS max_abs_diff_micro
+        FROM o LEFT JOIN l ON o.key = l.key
+    """,
     "distinct_users_events": """
         SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
         FROM events
@@ -1513,6 +1756,8 @@ QUERIES = {
     "pivot_lineitem_status": pivot_lineitem_status,
     "grouped_quantile_lineitem": grouped_quantile_lineitem,
     "mode_quantity_lineitem": mode_quantity_lineitem,
+    "full_outer_order_profile": full_outer_order_profile,
+    "reconcile_order_totals": reconcile_order_totals,
     "distinct_users_events": distinct_users_events,
     "hll_users_events": hll_users_events,
     "revenue_per_nation": revenue_per_nation,

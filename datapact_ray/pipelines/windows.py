@@ -939,6 +939,101 @@ def churn_weekly_events(
     )
 
 
+def time_weighted_value_events(
+    sf_dir: str, num_buckets: int | None = None
+) -> pd.DataFrame:
+    """Time-weighted average value per event type — the telemetry /
+    sensor-fusion aggregate where a reading counts for how LONG it held,
+    not how often it was sampled: each event's value is weighted by the
+    seconds until the same user's next event (the LEAD window), grouped
+    by the type of the interval-opening event.
+
+    Exactness: value fixes to integer cents, the gap to integer seconds
+    (both via arithmetic both engines do identically), so every
+    cents·seconds product is an exact int64 (≤ ~2.3e11) and per-bucket
+    partial sums stay exact int64; the driver merges partials with
+    Python arbitrary-precision ints (mirroring SQL's HUGEINT sum) and
+    the final average converts the SAME exact integers to doubles on
+    both sides. Partitioning mirrors event_gaps: users bucket whole,
+    one vectorized sort + diff per bucket, per-type fixed-width
+    partials. NULL user_id / ts rows are excluded BEFORE the window
+    (both sides); a NULL interval-opening type drops the interval after
+    the window; NULL values COALESCE to 0."""
+    from .dedup import _fused_grouped_frames
+
+    path = f"{sf_dir}/events.parquet"
+    n_buckets = num_buckets or scaled_num_buckets(count_rows(path))
+
+    def add_bucket(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["user_id", "ts"])
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "ts": df["ts"].astype("datetime64[us]").astype("int64"),
+                "event_id": df["event_id"].astype("int64"),
+                "event_type": df["event_type"],  # may be None
+                "cents": np.round(
+                    df["value"].fillna(0.0).to_numpy(np.float64) * 100.0
+                ).astype(np.int64),
+                "__bucket": _bucket_of(
+                    df["user_id"].to_numpy(dtype=np.int64), n_buckets
+                ),
+            }
+        )
+
+    def twa_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        u = g["user_id"].to_numpy()
+        same = u[1:] == u[:-1]
+        if not same.any():
+            return pd.DataFrame({"event_type": [], "n": [], "w": [], "ws": []})
+        gap_s = (np.diff(g["ts"].to_numpy()) // 1_000_000)[same]
+        part = pd.DataFrame(
+            {
+                "event_type": g["event_type"].to_numpy()[:-1][same],
+                "w": gap_s,
+                "ws": g["cents"].to_numpy()[:-1][same] * gap_s,
+            }
+        ).dropna(subset=["event_type"])
+        out = part.groupby("event_type", as_index=False).agg(
+            n=("w", "size"), w=("w", "sum"), ws=("ws", "sum")
+        )
+        return out
+
+    parts = _fused_grouped_frames(
+        [
+            (
+                path,
+                ["user_id", "ts", "event_id", "event_type", "value"],
+                None,
+                add_bucket,
+            )
+        ],
+        n_buckets,
+        twa_per_bucket,
+    )
+    rows = []
+    for t, g in parts.groupby("event_type", sort=True):
+        n = int(g["n"].sum())
+        # Python ints: per-bucket partials are exact int64, but the
+        # cross-bucket total can exceed 2^63 (SQL sums into HUGEINT)
+        w = sum(int(x) for x in g["w"])
+        ws = sum(int(x) for x in g["ws"])
+        rows.append(
+            (
+                t,
+                n,
+                w,
+                float(round_duck((float(ws) / float(w)) / 100.0, 4))
+                if w
+                else None,
+            )
+        )
+    return pd.DataFrame(
+        rows, columns=["event_type", "n_intervals", "sum_weight_s", "twa_value"]
+    ).astype({"n_intervals": "int64", "sum_weight_s": "int64"})
+
+
 def missing_hours_events(sf_dir: str) -> pd.DataFrame:
     """Calendar gap-fill / completeness check (the generate_series
     anti-join): which hours between the log's first and last active hour
@@ -1005,6 +1100,7 @@ QUERIES = {
     "retention_cohorts_events": retention_cohorts_events,
     "missing_hours_events": missing_hours_events,
     "churn_weekly_events": churn_weekly_events,
+    "time_weighted_value_events": time_weighted_value_events,
 }
 
 ORACLE_SQL = {
@@ -1047,6 +1143,26 @@ ORACLE_SQL = {
                CAST(COUNT(*) AS BIGINT) AS n_users
         FROM a JOIN f USING (user_id)
         GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "time_weighted_value_events": """
+        WITH s AS (
+            SELECT event_type,
+                   CAST(ROUND(COALESCE(value, 0) * 100, 0) AS BIGINT)
+                       AS cents,
+                   (LEAD(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                    - epoch_us(ts)) // 1000000 AS gap_s
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_intervals,
+               CAST(SUM(gap_s) AS BIGINT) AS sum_weight_s,
+               ROUND(SUM(cents * gap_s) * 1.0 / SUM(gap_s) / 100, 4)
+                   AS twa_value
+        FROM s
+        WHERE gap_s IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY event_type ORDER BY event_type
     """,
     "churn_weekly_events": """
         WITH a AS (

@@ -531,3 +531,130 @@ def test_churn_bucket_invariance(null_events_dir):
     a = churn_weekly_events(null_events_dir, num_buckets=3)
     b = churn_weekly_events(null_events_dir, num_buckets=31)
     pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.fixture(scope="module")
+def null_rel_dir(tmp_path_factory):
+    """Customer/orders/lineitem trio with seeded danglers on BOTH join
+    sides, NULL keys/factors, and half the order headers set to the
+    EXACT lineitem-derived total (so reconcile has both match and
+    mismatch populations to discriminate)."""
+    d = tmp_path_factory.mktemp("null_rel")
+    rng = np.random.default_rng(41)
+    cust = pd.DataFrame({"c_custkey": np.arange(500, dtype="float64")})
+    cust.loc[rng.random(500) < 0.05, "c_custkey"] = np.nan
+    cust.to_parquet(d / "customer.parquet", row_group_size=128)
+
+    m = 1200
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(m, dtype="int64"),
+            # keys 0..599: half exist in customer, half (500+) dangle
+            "o_custkey": rng.integers(0, 600, m).astype("float64"),
+            "o_totalprice": np.round(rng.uniform(1000, 400000, m), 2),
+        }
+    )
+    orders.loc[rng.random(m) < 0.1, "o_custkey"] = np.nan
+    orders.loc[rng.random(m) < 0.1, "o_totalprice"] = np.nan
+
+    k = 5000
+    li = pd.DataFrame(
+        {
+            # some lineitems reference orderkeys past m (dangling)
+            "l_orderkey": rng.integers(0, m + 100, k).astype("float64"),
+            "l_extendedprice": np.round(rng.uniform(900, 105000, k), 2),
+            "l_discount": np.round(rng.uniform(0, 0.10, k), 2),
+            "l_tax": np.round(rng.uniform(0, 0.08, k), 2),
+        }
+    )
+    for c, p in (("l_orderkey", 0.05), ("l_extendedprice", 0.1),
+                 ("l_discount", 0.1), ("l_tax", 0.1)):
+        li.loc[rng.random(k) < p, c] = np.nan
+
+    # make ~half the headers the exact derived total
+    ok_rows = li.dropna(
+        subset=["l_orderkey", "l_extendedprice", "l_discount", "l_tax"]
+    )
+    micro = np.copysign(
+        np.floor(
+            np.abs(
+                ok_rows["l_extendedprice"].to_numpy()
+                * (1.0 - ok_rows["l_discount"].to_numpy())
+                * (1.0 + ok_rows["l_tax"].to_numpy())
+                * 1_000_000.0
+            )
+            + 0.5
+        ),
+        1.0,
+    ).astype("int64")
+    per_order = (
+        pd.DataFrame({"k": ok_rows["l_orderkey"].astype("int64"), "c": micro})
+        .groupby("k")["c"]
+        .sum()
+    )
+    match_keys = per_order.index[(per_order.index % 2 == 0) & (per_order.index < m)]
+    orders.loc[
+        orders["o_orderkey"].isin(match_keys), "o_totalprice"
+    ] = per_order.loc[match_keys].to_numpy() / 1_000_000.0
+    orders.to_parquet(d / "orders.parquet", row_group_size=256)
+    li.to_parquet(d / "lineitem.parquet", row_group_size=512)
+    return str(d)
+
+
+def _duck_rel(sql: str, d: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    try:
+        return con.execute(sql).fetchdf()
+    finally:
+        con.close()
+
+
+def test_full_outer_nulls(null_rel_dir):
+    """Both dangling sides are counted; NULL keys join nothing in either
+    engine."""
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.relational import full_outer_order_profile
+
+    got = full_outer_order_profile(null_rel_dir)
+    assert int(got["n_orphan_custkeys"].iloc[0]) > 0
+    assert int(got["n_customers_without_orders"].iloc[0]) > 0
+    want = _duck_rel(m.oracle_sql()["full_outer_order_profile"], null_rel_dir)
+    _assert_eq(got, want, "full_outer")
+
+
+def test_reconcile_nulls(null_rel_dir):
+    """Seeded exact headers are detected as matches, the rest as
+    mismatches; NULL factors / NULL headers follow SQL NULL semantics."""
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.relational import reconcile_order_totals
+
+    got = reconcile_order_totals(null_rel_dir)
+    assert int(got["n_exact_match"].iloc[0]) > 0
+    assert int(got["n_mismatch"].iloc[0]) > 0
+    want = _duck_rel(m.oracle_sql()["reconcile_order_totals"], null_rel_dir)
+    _assert_eq(got, want, "reconcile")
+
+
+def test_twa_nulls(null_events_dir):
+    """NULL user_id/ts rows excluded before the LEAD window; NULL
+    interval-opening types drop after it; NULL values weigh 0."""
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.windows import time_weighted_value_events
+
+    got = time_weighted_value_events(null_events_dir)
+    want = _duck_events(
+        m.oracle_sql()["time_weighted_value_events"], null_events_dir
+    )
+    _assert_eq(got, want, "twa")
+
+
+def test_twa_bucket_invariance(null_events_dir):
+    from datapact_ray.pipelines.windows import time_weighted_value_events
+
+    a = time_weighted_value_events(null_events_dir, num_buckets=3)
+    b = time_weighted_value_events(null_events_dir, num_buckets=29)
+    pd.testing.assert_frame_equal(a, b)
