@@ -269,6 +269,18 @@ def run_bench() -> dict:
     timed(
         "time_weighted_value_events", windows.time_weighted_value_events, SF_DIR
     )
+    timed("distinct_users_per_type", relational.distinct_users_per_type, SF_DIR)
+    timed(
+        "session_duration_stats_events",
+        windows.session_duration_stats_events,
+        SF_DIR,
+    )
+    timed(
+        "revenue_concentration_customers",
+        selection.revenue_concentration_customers,
+        SF_DIR,
+    )
+    timed("embedding_norms_labels", ann.embedding_norms_labels, SF_DIR)
     # jaccard_pairs_documents / embedding_exact_pairs are the EXACT
     # quadratic baselines that oracle-check the approximate dedup paths;
     # they run in the correctness gate but stay out of the timed headline

@@ -298,14 +298,95 @@ def label_centroids_embeddings(sf_dir: str) -> pd.DataFrame:
     return out.astype({"label": "int64", "i": "int64"}).reset_index(drop=True)
 
 
+def embedding_norms_labels(sf_dir: str) -> pd.DataFrame:
+    """Per-label L2-norm statistics of the embedding column — the
+    normalization audit every vector pipeline needs before cosine math
+    (an un-normalized shard silently skews similarity scores). Each map
+    task stacks its batch into one float64 matrix, reduces to per-label
+    (count, fsum of norms, min, max) — 4 numbers per label per task,
+    vectors never shuffle. Elements promote float32→float64 BEFORE
+    squaring, matching the oracle's CAST; per-row norm differences
+    between numpy's pairwise and SQL's sequential 64-element sum are
+    ~1e-15 against a 4dp output — far inside the rounding slack."""
+    import math as _math
+
+    from ..shuffle import map_partials
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df = df[df["label"].notna() & df["embedding"].notna()]
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "label": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                    "fs": pd.Series([], dtype="float64"),
+                    "mn": pd.Series([], dtype="float64"),
+                    "mx": pd.Series([], dtype="float64"),
+                }
+            )
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        norms = np.sqrt((m * m).sum(axis=1))
+        codes, uniq = pd.factorize(df["label"].astype("int64"), sort=True)
+        rows = [
+            (
+                int(lab),
+                int((codes == k).sum()),
+                _math.fsum(norms[codes == k]),
+                float(norms[codes == k].min()),
+                float(norms[codes == k].max()),
+            )
+            for k, lab in enumerate(uniq)
+        ]
+        return pd.DataFrame(rows, columns=["label", "n", "fs", "mn", "mx"])
+
+    import math as _math
+
+    parts = map_partials(
+        f"{sf_dir}/embeddings.parquet", ["label", "embedding"], None, partial
+    )
+    rows = []
+    for lab, g in parts.groupby("label", sort=True):
+        n = int(g["n"].sum())
+        rows.append(
+            (
+                int(lab),
+                n,
+                float(round_duck(_math.fsum(g["fs"]) / n, 4)),
+                float(round_duck(float(g["mn"].min()), 4)),
+                float(round_duck(float(g["mx"].max()), 4)),
+            )
+        )
+    return pd.DataFrame(
+        rows, columns=["label", "n_vecs", "avg_norm", "min_norm", "max_norm"]
+    ).astype({"label": "int64", "n_vecs": "int64"})
+
+
 QUERIES = {
     "ann_topk_embeddings": ann_topk_embeddings,
     "ann_lsh_embeddings": ann_lsh_embeddings,
     "ann_ivf_embeddings": ann_ivf_embeddings,
     "label_centroids_embeddings": label_centroids_embeddings,
+    "embedding_norms_labels": embedding_norms_labels,
 }
 
 ORACLE_SQL = {
+    "embedding_norms_labels": """
+        WITH n AS (
+            SELECT label,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                       AS nrm
+            FROM embeddings
+            WHERE label IS NOT NULL AND embedding IS NOT NULL
+        )
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               ROUND(fsum(nrm) / COUNT(*), 4) AS avg_norm,
+               ROUND(MIN(nrm), 4) AS min_norm,
+               ROUND(MAX(nrm), 4) AS max_norm
+        FROM n GROUP BY label ORDER BY label
+    """,
     "label_centroids_embeddings": """
         WITH u AS (
             SELECT label,

@@ -745,6 +745,69 @@ def customer_order_profile(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def distinct_users_per_type(sf_dir: str) -> pd.DataFrame:
+    """GROUPED exact COUNT(DISTINCT ...) at scale — the per-group
+    version of ``distinct_users_events`` (global) and the exact
+    counterpart of the HLL sketch: distinct users per event type.
+
+    Shape: each scan task dedups its batch to (event_type, user) pairs
+    and buckets by user hash — the SAME user for the SAME type always
+    lands in the same bucket, so per-bucket pair dedup is globally
+    correct and per-type counts just add. The exchange carries at most
+    (distinct pairs per batch) rows, and each bucket reduces to ≤
+    |types| fixed-width count rows. NULL user_id / event_type rows are
+    excluded on both sides (SQL COUNT(DISTINCT NULL) skips, and a NULL
+    group would be dropped by pandas groupby)."""
+    from .dedup import _dedup_buckets, _fused_grouped_frames
+
+    num_buckets = _dedup_buckets()
+    mult = np.uint64(0x9E3779B97F4A7C15)
+
+    def pairs(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["user_id", "event_type"])
+        part = df[["event_type", "user_id"]].drop_duplicates()
+        uid = part["user_id"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "event_type": part["event_type"].astype(str),
+                "user_id": uid,
+                "__bucket": (
+                    uid.astype(np.uint64) * mult % np.uint64(num_buckets)
+                ).astype(np.int32),
+            }
+        )
+
+    def count_per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.drop_duplicates(["event_type", "user_id"])
+            .groupby("event_type", as_index=False)
+            .size()
+        )
+        return out.rename(columns={"size": "n"})
+
+    parts = _fused_grouped_frames(
+        [
+            (
+                f"{sf_dir}/events.parquet",
+                ["user_id", "event_type"],
+                None,
+                pairs,
+            )
+        ],
+        num_buckets,
+        count_per_bucket,
+    )
+    out = (
+        parts.groupby("event_type", as_index=False)["n"]
+        .sum()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+        .rename(columns={"n": "n_distinct_users"})
+    )
+    out["n_distinct_users"] = out["n_distinct_users"].astype("int64")
+    return out
+
+
 def full_outer_order_profile(sf_dir: str) -> pd.DataFrame:
     """FULL OUTER join profile (completes the join inventory next to
     inner/left/anti/semi): customers vs per-custkey order counts, with
@@ -1606,6 +1669,13 @@ ORACLE_SQL: dict[str, str] = {
                CAST(cnt AS BIGINT) AS modal_count
         FROM r WHERE rn = 1 ORDER BY l_returnflag
     """,
+    "distinct_users_per_type": """
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_users
+        FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY event_type ORDER BY event_type
+    """,
     "full_outer_order_profile": """
         WITH c AS (
             SELECT c_custkey AS key FROM customer WHERE c_custkey IS NOT NULL
@@ -1758,6 +1828,7 @@ QUERIES = {
     "mode_quantity_lineitem": mode_quantity_lineitem,
     "full_outer_order_profile": full_outer_order_profile,
     "reconcile_order_totals": reconcile_order_totals,
+    "distinct_users_per_type": distinct_users_per_type,
     "distinct_users_events": distinct_users_events,
     "hll_users_events": hll_users_events,
     "revenue_per_nation": revenue_per_nation,

@@ -322,6 +322,172 @@ def exact_quantile_extendedprice(sf_dir: str, q: float = 0.5) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["l_returnflag", "median_price"])
 
 
+def revenue_concentration_customers(
+    sf_dir: str, top_frac: float = 0.01, collect_cap: int = 200_000
+) -> pd.DataFrame:
+    """Revenue concentration (the Gini-style "what share do the top 1%
+    hold" question): total order value of the top ``top_frac`` of
+    customers as a share of all order value.
+
+    This is selection over AGGREGATES — the per-customer totals only
+    exist after an exchange, so no single-table quantile applies:
+
+    1. orders pre-aggregate per batch to (custkey, cents) partials and
+       hash-bucket by custkey; each bucket finalizes its customers'
+       exact integer-cent totals and emits a bit-pattern HISTOGRAM of
+       them (≤ 1024 rows: bin / count / per-bin cents sum / extents)
+       plus one (n_customers, total_cents) summary row — never the
+       per-customer frame;
+    2. the driver locates the bin containing the k-th-largest total
+       (k = CEIL(n · top_frac)) — everything in higher bins is counted
+       into the top cohort by the bins' exact per-bin sums;
+    3. a second pass over the SAME exchange collects only the candidate
+       bin's values (≤ ``collect_cap``; a skew-degenerate bin would
+       recurse with selection.py's refinement, not collect).
+
+    All totals are exact int64 cents (driver merges in Python ints —
+    the HUGEINT mirror), so the rank order, tie handling and the final
+    share are bit-reproducible: the top-k VALUE multiset is
+    tie-order-invariant, which is why the oracle's ROW_NUMBER tie-break
+    doesn't matter."""
+    from .dedup import _dedup_buckets, _fused_grouped_frames
+    from ._util import round_duck as _rd
+
+    path = f"{sf_dir}/orders.parquet"
+    num_buckets = _dedup_buckets()
+    mult = np.uint64(0x9E3779B97F4A7C15)
+    shift = np.uint64(64 - 10)  # 1024 bins
+
+    def _bucket(keys: np.ndarray) -> np.ndarray:
+        return (
+            keys.astype(np.uint64) * mult % np.uint64(num_buckets)
+        ).astype(np.int32)
+
+    def _okey(v: np.ndarray) -> np.ndarray:
+        u = v.view(np.uint64)
+        return np.where(
+            u >> np.uint64(63) == 1, ~u, u | np.uint64(0x8000000000000000)
+        )
+
+    def order_partials(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["o_custkey", "o_totalprice"])
+        part = pd.DataFrame(
+            {
+                "key": df["o_custkey"].to_numpy(np.int64),
+                "cents": _rd(
+                    df["o_totalprice"].to_numpy(np.float64) * 100.0, 0
+                ).astype(np.int64),
+            }
+        )
+        part = part.groupby("key", as_index=False)["cents"].sum()
+        part["__bucket"] = _bucket(part["key"].to_numpy(np.int64))
+        return part
+
+    def _totals(df: pd.DataFrame) -> np.ndarray:
+        return (
+            df.groupby("key")["cents"].sum().to_numpy(np.int64)
+        )
+
+    def hist_per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        cents = _totals(df)
+        v = cents.astype(np.float64)  # cents < 2^53: exact
+        b = (_okey(v) >> shift).astype(np.int64)
+        order = np.argsort(b, kind="stable")
+        bs, vs, cs = b[order], v[order], cents[order]
+        cut = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
+        ends = np.r_[cut[1:], len(bs)]
+        rows = [
+            (
+                int(bs[i]),
+                int(j - i),
+                int(cs[i:j].sum()),
+                float(vs[i:j].min()),
+                float(vs[i:j].max()),
+            )
+            for i, j in zip(cut, ends)
+        ]
+        out = pd.DataFrame(
+            rows, columns=["bin", "cnt", "tot", "vmin", "vmax"]
+        )
+        # one summary row per bucket (bin = -1): customers + grand total
+        return pd.concat(
+            [
+                out,
+                pd.DataFrame(
+                    {
+                        "bin": [-1],
+                        "cnt": [len(cents)],
+                        "tot": [int(cents.sum())],
+                        "vmin": [0.0],
+                        "vmax": [0.0],
+                    }
+                ),
+            ],
+            ignore_index=True,
+        )
+
+    specs = [(path, ["o_custkey", "o_totalprice"], None, order_partials)]
+    parts = _fused_grouped_frames(specs, num_buckets, hist_per_bucket)
+
+    summary = parts[parts["bin"] == -1]
+    n = int(summary["cnt"].sum())
+    if n == 0:
+        return pd.DataFrame(
+            {
+                "n_customers": pd.Series([0], dtype="int64"),
+                "k": pd.Series([0], dtype="int64"),
+                "top_cents": pd.Series([0], dtype="int64"),
+                "total_cents": pd.Series([0], dtype="int64"),
+                "top_share": [None],
+            }
+        )
+    total = sum(int(x) for x in summary["tot"])
+    k = math.ceil(n * top_frac)
+
+    hist = (
+        parts[parts["bin"] >= 0]
+        .groupby("bin", as_index=False)
+        .agg(
+            cnt=("cnt", "sum"),
+            tot=("tot", "sum"),
+            vmin=("vmin", "min"),
+            vmax=("vmax", "max"),
+        )
+        .sort_values("bin", ascending=False)  # rank from the TOP
+        .reset_index(drop=True)
+    )
+    cum = np.cumsum(hist["cnt"].to_numpy(np.int64))
+    bi = int(np.searchsorted(cum, k - 1, side="right"))
+    n_above = int(cum[bi - 1]) if bi > 0 else 0
+    sum_above = sum(int(x) for x in hist["tot"].to_numpy()[:bi])
+    need = k - n_above
+    lo, hi = float(hist["vmin"][bi]), float(hist["vmax"][bi])
+    if int(hist["cnt"][bi]) > collect_cap:
+        raise RuntimeError(
+            "candidate bin exceeds collect_cap — recurse with histogram "
+            "refinement (selection._rank_values pattern) before collecting"
+        )
+
+    def collect_per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        cents = _totals(df)
+        v = cents.astype(np.float64)
+        keep = cents[(v >= lo) & (v <= hi)]
+        return pd.DataFrame({"cents": keep})
+
+    cand = _fused_grouped_frames(specs, num_buckets, collect_per_bucket)
+    vs = np.sort(cand["cents"].to_numpy(np.int64))[::-1]
+    top = sum_above + sum(int(x) for x in vs[:need])
+    return pd.DataFrame(
+        {
+            "n_customers": pd.Series([n], dtype="int64"),
+            "k": pd.Series([k], dtype="int64"),
+            "top_cents": pd.Series([top], dtype="int64"),
+            "total_cents": pd.Series([total], dtype="int64"),
+            "top_share": [float(_rd(float(top) * 1.0 / float(total), 4))],
+        }
+    )
+
+
 def mad_extendedprice(sf_dir: str) -> pd.DataFrame:
     """Median absolute deviation per group — the robust dispersion
     statistic (outlier-resistant where STDDEV is not), defined here
@@ -437,6 +603,7 @@ QUERIES = {
     "exact_quantile_extendedprice": exact_quantile_extendedprice,
     "tdigest_quantile_extendedprice": tdigest_quantile_extendedprice,
     "mad_extendedprice": mad_extendedprice,
+    "revenue_concentration_customers": revenue_concentration_customers,
 }
 
 ORACLE_SQL = {
@@ -457,5 +624,29 @@ ORACLE_SQL = {
                m.med AS median_price
         FROM lineitem l JOIN m USING (l_returnflag)
         GROUP BY l.l_returnflag, m.med ORDER BY l.l_returnflag
+    """,
+    "revenue_concentration_customers": """
+        WITH r AS (
+            SELECT o_custkey,
+                   SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                       AS cents
+            FROM orders
+            WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+            GROUP BY 1
+        ),
+        ranked AS (
+            SELECT cents,
+                   ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM r
+        )
+        SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+               CAST(CEIL(MAX(n) * 0.01) AS BIGINT) AS k,
+               CAST(SUM(cents) FILTER (WHERE rn <= CEIL(n * 0.01))
+                    AS BIGINT) AS top_cents,
+               CAST(SUM(cents) AS BIGINT) AS total_cents,
+               ROUND(SUM(cents) FILTER (WHERE rn <= CEIL(n * 0.01)) * 1.0
+                     / SUM(cents), 4) AS top_share
+        FROM ranked
     """,
 }

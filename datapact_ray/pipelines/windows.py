@@ -939,6 +939,76 @@ def churn_weekly_events(
     )
 
 
+def session_duration_stats_events(
+    sf_dir: str, gap_minutes: int = 30, num_buckets: int | None = None
+) -> pd.DataFrame:
+    """Session DURATION statistics — validates the session ASSIGNMENT
+    itself, not just the session count (``sessionize_events``): per
+    gap-based session, last-event minus first-event time, aggregated to
+    count / sum / max / mean. All duration math is integer µs, so the
+    distributed result is bit-exact vs the SQL nested-window oracle
+    (LAG → running SUM OVER → per-session MAX−MIN). Single-event
+    sessions contribute duration 0. Same user-bucket partitioning as
+    sessionize; session ids come from one vectorized cumsum per bucket.
+    NULL user_id / ts rows are excluded on both sides (sessionize keeps
+    them — its oracle pools NULL users; a duration needs a real key)."""
+    from .dedup import _fused_grouped_frames
+
+    path = f"{sf_dir}/events.parquet"
+    gap_us = gap_minutes * 60 * 1_000_000
+    n_buckets = num_buckets or scaled_num_buckets(count_rows(path))
+
+    def add_bucket(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["user_id", "ts"])
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "ts": df["ts"].astype("datetime64[us]").astype("int64"),
+                "__bucket": _bucket_of(
+                    df["user_id"].to_numpy(dtype=np.int64), n_buckets
+                ),
+            }
+        )
+
+    def durations_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="stable")
+        if len(g) == 0:
+            return pd.DataFrame({"n": [0], "s": [0], "mx": [0]}).astype("int64")
+        u = g["user_id"].to_numpy()
+        t = g["ts"].to_numpy()
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        gap = np.r_[False, np.diff(t) > gap_us]
+        sid = np.cumsum(new_user | gap)  # session id, monotone over sort
+        # per-session duration = max(t) - min(t); t is sorted within a
+        # session, so first/last positions suffice
+        cut = np.flatnonzero(np.r_[True, sid[1:] != sid[:-1]])
+        ends = np.r_[cut[1:], len(sid)] - 1
+        dur = t[ends] - t[cut]
+        return pd.DataFrame(
+            {"n": [len(dur)], "s": [int(dur.sum())], "mx": [int(dur.max())]}
+        ).astype("int64")
+
+    parts = _fused_grouped_frames(
+        [(path, ["user_id", "ts"], None, add_bucket)],
+        n_buckets,
+        durations_per_bucket,
+    )
+    n = int(parts["n"].sum())
+    s = int(parts["s"].sum())
+    return pd.DataFrame(
+        {
+            "n_sessions": [n],
+            "sum_duration_us": [s],
+            "max_duration_us": [int(parts["mx"].max()) if n else 0],
+            "avg_duration_seconds": [
+                float(round_duck(s * 1.0 / n / 1_000_000.0, 4)) if n else None
+            ],
+        }
+    ).astype(
+        {"n_sessions": "int64", "sum_duration_us": "int64", "max_duration_us": "int64"}
+    )
+
+
 def time_weighted_value_events(
     sf_dir: str, num_buckets: int | None = None
 ) -> pd.DataFrame:
@@ -1101,6 +1171,7 @@ QUERIES = {
     "missing_hours_events": missing_hours_events,
     "churn_weekly_events": churn_weekly_events,
     "time_weighted_value_events": time_weighted_value_events,
+    "session_duration_stats_events": session_duration_stats_events,
 }
 
 ORACLE_SQL = {
@@ -1143,6 +1214,36 @@ ORACLE_SQL = {
                CAST(COUNT(*) AS BIGINT) AS n_users
         FROM a JOIN f USING (user_id)
         GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "session_duration_stats_events": """
+        WITH g AS (
+            SELECT user_id, epoch_us(ts) AS t,
+                   CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                            > 1800000000
+                        THEN 1 ELSE 0 END AS is_start
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        s AS (
+            SELECT user_id, t,
+                   SUM(is_start) OVER (
+                       PARTITION BY user_id ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS sid
+            FROM g
+        ),
+        d AS (
+            SELECT CAST(MAX(t) - MIN(t) AS BIGINT) AS dur
+            FROM s GROUP BY user_id, sid
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(dur) AS BIGINT) AS sum_duration_us,
+               CAST(MAX(dur) AS BIGINT) AS max_duration_us,
+               ROUND(SUM(dur) * 1.0 / COUNT(*) / 1000000, 4)
+                   AS avg_duration_seconds
+        FROM d
     """,
     "time_weighted_value_events": """
         WITH s AS (

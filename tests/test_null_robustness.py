@@ -658,3 +658,95 @@ def test_twa_bucket_invariance(null_events_dir):
     a = time_weighted_value_events(null_events_dir, num_buckets=3)
     b = time_weighted_value_events(null_events_dir, num_buckets=29)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_distinct_users_per_type_nulls(null_events_dir):
+    """Grouped exact COUNT DISTINCT: same-user-same-type pairs dedup
+    globally because the user-hash bucket pins them together."""
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.relational import distinct_users_per_type
+
+    got = distinct_users_per_type(null_events_dir)
+    want = _duck_events(
+        m.oracle_sql()["distinct_users_per_type"], null_events_dir
+    )
+    _assert_eq(got, want, "distinct_users_per_type")
+
+
+def test_session_duration_nulls(null_events_dir):
+    """Durations are integer µs, bit-exact vs the nested-window oracle;
+    single-event sessions contribute 0."""
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.windows import session_duration_stats_events
+
+    got = session_duration_stats_events(null_events_dir)
+    want = _duck_events(
+        m.oracle_sql()["session_duration_stats_events"], null_events_dir
+    )
+    _assert_eq(got, want, "session_duration")
+
+
+def test_session_duration_bucket_invariance(null_events_dir):
+    from datapact_ray.pipelines.windows import session_duration_stats_events
+
+    a = session_duration_stats_events(null_events_dir, num_buckets=3)
+    b = session_duration_stats_events(null_events_dir, num_buckets=29)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_revenue_concentration_nulls(null_rel_dir):
+    """NULL custkeys/totals drop before aggregation; the top-k cohort is
+    integer-exact so the share matches the ROW_NUMBER oracle."""
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.selection import (
+        revenue_concentration_customers,
+    )
+
+    got = revenue_concentration_customers(null_rel_dir)
+    assert int(got["k"].iloc[0]) >= 1
+    want = _duck_rel(
+        m.oracle_sql()["revenue_concentration_customers"], null_rel_dir
+    )
+    _assert_eq(got, want, "revenue_concentration")
+
+
+@pytest.fixture(scope="module")
+def raw_embed_dir(tmp_path_factory):
+    """Non-unit-norm float32 embeddings (the testdata vectors are
+    normalized, so norms there are all 1.0 — this fixture is where the
+    norm audit actually discriminates) with NULL labels and vectors."""
+    d = tmp_path_factory.mktemp("raw_embed")
+    rng = np.random.default_rng(59)
+    n, dim = 900, 16
+    vecs = (rng.normal(0, 2.0, (n, dim))).astype("float32")
+    tbl = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype="int64"),
+            "embedding": [v for v in vecs],
+            "label": rng.integers(0, 5, n).astype("float64"),
+        }
+    )
+    tbl.loc[rng.random(n) < 0.1, "label"] = np.nan
+    null_vec = rng.random(n) < 0.05
+    tbl["embedding"] = tbl["embedding"].where(~null_vec, None)
+    tbl.to_parquet(d / "embeddings.parquet", row_group_size=128)
+    return str(d)
+
+
+def test_embedding_norms_nulls(raw_embed_dir):
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.ann import embedding_norms_labels
+
+    got = embedding_norms_labels(raw_embed_dir)
+    # non-normalized fixture: the audit must see real spread
+    assert float(got["max_norm"].max()) > float(got["min_norm"].min()) + 1.0
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{raw_embed_dir}/embeddings.parquet')"
+    )
+    try:
+        want = con.execute(m.oracle_sql()["embedding_norms_labels"]).fetchdf()
+    finally:
+        con.close()
+    _assert_eq(got, want, "embedding_norms")
