@@ -508,7 +508,15 @@ def mad_extendedprice(sf_dir: str) -> pd.DataFrame:
     m4 = dict(zip(med["l_returnflag"], med["median_price"]))
 
     def transform(df: pd.DataFrame) -> pd.DataFrame:
-        center = df["l_returnflag"].map(m4).to_numpy(np.float64)
+        # factorize + LUT gather, not Series.map: the dict map is a
+        # per-row Python call (~1 s/scan at sf0.1 — measured), the
+        # gather is one C pass
+        codes, uniq = pd.factorize(df["l_returnflag"])
+        lut = np.r_[
+            np.array([m4.get(u, np.nan) for u in uniq], dtype=np.float64),
+            np.nan,  # factorize codes NULL groups as -1 → last slot
+        ]
+        center = lut[codes]
         return pd.DataFrame(
             {
                 "l_returnflag": df["l_returnflag"],
