@@ -281,6 +281,11 @@ def run_bench() -> dict:
         SF_DIR,
     )
     timed("embedding_norms_labels", ann.embedding_norms_labels, SF_DIR)
+    timed(
+        "dup_source_matrix_documents", dedup.dup_source_matrix_documents, SF_DIR
+    )
+    timed("traffic_heatmap_events", windows.traffic_heatmap_events, SF_DIR)
+    timed("monthly_growth_orders", windows.monthly_growth_orders, SF_DIR)
     # jaccard_pairs_documents / embedding_exact_pairs are the EXACT
     # quadratic baselines that oracle-check the approximate dedup paths;
     # they run in the correctness gate but stay out of the timed headline

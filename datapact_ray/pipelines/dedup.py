@@ -738,6 +738,70 @@ def dedup_exact_documents(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def dup_source_matrix_documents(sf_dir: str) -> pd.DataFrame:
+    """Duplicate-source matrix — WHERE duplication comes from (the
+    contamination diagnostic that decides crawl/source policy): for
+    every source pair (a ≤ b), the number of exact-duplicate groups
+    shared between them; the diagonal counts groups with ≥ 2 copies
+    inside one source.
+
+    Same exchange as ``dedup_exact_documents`` (same text ⇒ same
+    bucket, only 8-byte content hashes + a source id move): each bucket
+    reduces its (hash, source) counts with ONE vectorized self-merge on
+    the hash, and emits ≤ sources² count rows — the matrix is
+    source-bounded, never data-bounded."""
+    num_buckets = _dedup_buckets()
+
+    def hash_batch(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["text", "source"])
+        from ..sketches import hash_columns_u64
+
+        h = hash_columns_u64(df, ["text"])
+        return pd.DataFrame(
+            {
+                "h": h,
+                "source": df["source"].astype(str),
+                "__bucket": (h % np.uint64(num_buckets)).astype(np.int32),
+            }
+        )
+
+    def bucket_matrix(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.groupby(["h", "source"], as_index=False).size()
+        pairs = c.merge(c, on="h", suffixes=("_a", "_b"))
+        keep = (pairs["source_a"] < pairs["source_b"]) | (
+            (pairs["source_a"] == pairs["source_b"]) & (pairs["size_a"] >= 2)
+        )
+        out = (
+            pairs[keep]
+            .groupby(["source_a", "source_b"], as_index=False)
+            .size()
+        )
+        return out.rename(columns={"size": "n"})
+
+    parts = _fused_grouped_frames(
+        [(f"{sf_dir}/documents.parquet", ["text", "source"], None, hash_batch)],
+        num_buckets,
+        bucket_matrix,
+    )
+    if not len(parts):
+        return pd.DataFrame(
+            {
+                "source_a": pd.Series([], dtype="object"),
+                "source_b": pd.Series([], dtype="object"),
+                "n_shared_groups": pd.Series([], dtype="int64"),
+            }
+        )
+    out = (
+        parts.groupby(["source_a", "source_b"], as_index=False)["n"]
+        .sum()
+        .sort_values(["source_a", "source_b"])
+        .reset_index(drop=True)
+        .rename(columns={"n": "n_shared_groups"})
+    )
+    out["n_shared_groups"] = out["n_shared_groups"].astype("int64")
+    return out
+
+
 def dup_group_sizes_documents(sf_dir: str) -> pd.DataFrame:
     """Duplicate-cluster size histogram — the dedup DIAGNOSTIC that
     decides policy (a corpus of pairs needs different handling than one
@@ -1314,6 +1378,7 @@ _DEDUP_CLUSTERS_SQL = r"""
 QUERIES = {
     "dedup_exact_documents": dedup_exact_documents,
     "dup_group_sizes_documents": dup_group_sizes_documents,
+    "dup_source_matrix_documents": dup_source_matrix_documents,
     "decontaminate_ngram_documents": decontaminate_ngram_documents,
     "dedup_clusters_documents": dedup_clusters_documents,
     "jaccard_pairs_documents": jaccard_pairs_documents,
@@ -1355,6 +1420,21 @@ ORACLE_SQL = {
                COUNT(DISTINCT text) AS distinct_texts,
                COUNT(*) - COUNT(DISTINCT text) AS dup_docs
         FROM documents
+    """,
+    "dup_source_matrix_documents": """
+        WITH c AS (
+            SELECT md5(text) AS h, source, COUNT(*) AS n
+            FROM documents
+            WHERE text IS NOT NULL AND source IS NOT NULL
+            GROUP BY 1, 2
+        )
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared_groups
+        FROM c a JOIN c b
+          ON a.h = b.h
+         AND (a.source < b.source
+              OR (a.source = b.source AND a.n >= 2))
+        GROUP BY 1, 2 ORDER BY 1, 2
     """,
     "dup_group_sizes_documents": """
         WITH g AS (

@@ -939,6 +939,90 @@ def churn_weekly_events(
     )
 
 
+def traffic_heatmap_events(sf_dir: str) -> pd.DataFrame:
+    """Seasonality heatmap (day-of-week × hour-of-day event counts) —
+    the capacity-planning / anomaly-baseline view of the log. The cell
+    is a pure projection (integer µs arithmetic reproducing DuckDB's
+    EXTRACT: dow Sunday=0 via (day+4) % 7, hour via (µs // 3600e6) %
+    24), so each scan task reduces to ≤ 168 fixed-width count rows and
+    the driver merge is calendar-bounded. NULL ts rows are excluded on
+    both sides."""
+    from ..shuffle import map_partials
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["ts"])
+        ts_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        day = ts_us // _DAY_US
+        cell = ((day + 4) % 7) * 24 + (ts_us // 3_600_000_000) % 24
+        cnt = np.bincount(cell, minlength=168)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame(
+            {
+                "dow": (nz // 24).astype("int64"),
+                "hour": (nz % 24).astype("int64"),
+                "n": cnt[nz].astype("int64"),
+            }
+        )
+
+    parts = map_partials(f"{sf_dir}/events.parquet", ["ts"], None, partial)
+    out = (
+        parts.groupby(["dow", "hour"], as_index=False)["n"]
+        .sum()
+        .sort_values(["dow", "hour"])
+        .reset_index(drop=True)
+        .rename(columns={"n": "n_events"})
+    )
+    out["n_events"] = out["n_events"].astype("int64")
+    return out
+
+
+def monthly_growth_orders(sf_dir: str) -> pd.DataFrame:
+    """Month-over-month revenue growth — the LAG-over-aggregated-series
+    op: monthly revenue in exact integer cents (per-batch partials, the
+    exchange is months × tasks rows), growth = (cur − prev) / prev
+    computed from the SAME exact integers on both engines (first month
+    NULL). Month truncation is numpy's datetime64[M] cast, which matches
+    date_trunc('month') exactly."""
+    from ..shuffle import map_partials
+    from ._util import round_duck as _rd
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["o_orderdate", "o_totalprice"])
+        month = (
+            df["o_orderdate"]
+            .astype("datetime64[us]")
+            .to_numpy()
+            .astype("datetime64[M]")
+            .astype("datetime64[us]")
+            .astype("int64")
+        )
+        cents = _rd(
+            df["o_totalprice"].to_numpy(np.float64) * 100.0, 0
+        ).astype(np.int64)
+        part = pd.DataFrame({"m": month, "c": cents})
+        return part.groupby("m", as_index=False)["c"].sum()
+
+    parts = map_partials(
+        f"{sf_dir}/orders.parquet", ["o_orderdate", "o_totalprice"], None, partial
+    )
+    by_m = parts.groupby("m")["c"].apply(lambda g: sum(int(x) for x in g))
+    by_m = by_m.sort_index()
+    cents = by_m.to_numpy(dtype=object)
+    growth = [None] + [
+        float(_rd((int(c) - int(p)) * 1.0 / int(p), 4))
+        for p, c in zip(cents[:-1], cents[1:])
+    ]
+    return pd.DataFrame(
+        {
+            "month": pd.to_datetime(by_m.index, unit="us").astype(
+                "datetime64[us]"
+            ),
+            "rev_cents": [int(x) for x in cents],
+            "growth_pct": growth,
+        }
+    ).astype({"rev_cents": "int64"})
+
+
 def session_duration_stats_events(
     sf_dir: str, gap_minutes: int = 30, num_buckets: int | None = None
 ) -> pd.DataFrame:
@@ -1172,6 +1256,8 @@ QUERIES = {
     "churn_weekly_events": churn_weekly_events,
     "time_weighted_value_events": time_weighted_value_events,
     "session_duration_stats_events": session_duration_stats_events,
+    "traffic_heatmap_events": traffic_heatmap_events,
+    "monthly_growth_orders": monthly_growth_orders,
 }
 
 ORACLE_SQL = {
@@ -1214,6 +1300,28 @@ ORACLE_SQL = {
                CAST(COUNT(*) AS BIGINT) AS n_users
         FROM a JOIN f USING (user_id)
         GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "traffic_heatmap_events": """
+        SELECT CAST(EXTRACT(dow FROM ts) AS BIGINT) AS dow,
+               CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "monthly_growth_orders": """
+        WITH m AS (
+            SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+                       AS month,
+                   SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                       AS cents
+            FROM orders
+            WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+            GROUP BY 1
+        )
+        SELECT month, CAST(cents AS BIGINT) AS rev_cents,
+               ROUND((cents - LAG(cents) OVER (ORDER BY month)) * 1.0
+                     / LAG(cents) OVER (ORDER BY month), 4) AS growth_pct
+        FROM m ORDER BY month
     """,
     "session_duration_stats_events": """
         WITH g AS (

@@ -552,10 +552,13 @@ def null_rel_dir(tmp_path_factory):
             # keys 0..599: half exist in customer, half (500+) dangle
             "o_custkey": rng.integers(0, 600, m).astype("float64"),
             "o_totalprice": np.round(rng.uniform(1000, 400000, m), 2),
+            "o_orderdate": pd.Timestamp("2023-06-01")
+            + pd.to_timedelta(rng.integers(0, 400, m), unit="D"),
         }
     )
     orders.loc[rng.random(m) < 0.1, "o_custkey"] = np.nan
     orders.loc[rng.random(m) < 0.1, "o_totalprice"] = np.nan
+    orders.loc[rng.random(m) < 0.1, "o_orderdate"] = pd.NaT
 
     k = 5000
     li = pd.DataFrame(
@@ -750,3 +753,71 @@ def test_embedding_norms_nulls(raw_embed_dir):
     finally:
         con.close()
     _assert_eq(got, want, "embedding_norms")
+
+
+def test_traffic_heatmap_nulls(null_events_dir):
+    """dow/hour integer arithmetic reproduces EXTRACT exactly (Sunday=0
+    via (day+4) % 7); NULL ts rows excluded."""
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.windows import traffic_heatmap_events
+
+    got = traffic_heatmap_events(null_events_dir)
+    want = _duck_events(m.oracle_sql()["traffic_heatmap_events"], null_events_dir)
+    _assert_eq(got, want, "traffic_heatmap")
+
+
+def test_monthly_growth_nulls(null_rel_dir):
+    """Month truncation via datetime64[M] matches date_trunc('month');
+    the first month's growth is NULL; cents stay exact ints."""
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.windows import monthly_growth_orders
+
+    got = monthly_growth_orders(null_rel_dir)
+    assert got["growth_pct"].iloc[0] is None or pd.isna(got["growth_pct"].iloc[0])
+    want = _duck_rel(m.oracle_sql()["monthly_growth_orders"], null_rel_dir)
+    _assert_eq(got, want, "monthly_growth")
+
+
+@pytest.fixture(scope="module")
+def dup_docs_dir(tmp_path_factory):
+    """Documents with SEEDED exact duplicates: same-source pairs, a
+    cross-source pair, a 4-copy boilerplate cluster spanning 3 sources,
+    and NULL text/source rows (testdata has no exact dups at all, so
+    this is where the source matrix discriminates)."""
+    d = tmp_path_factory.mktemp("dup_docs")
+    rows = []
+    did = 0
+    for i in range(200):  # unique background
+        rows.append((did, f"unique text number {i} with filler words", f"s{i % 4}"))
+        did += 1
+    for _ in range(3):  # same-source dup pairs in s0
+        rows.append((did, "same source boilerplate", "s0")); did += 1
+    rows.append((did, "cross source copy", "s1")); did += 1
+    rows.append((did, "cross source copy", "s2")); did += 1
+    for s in ("s0", "s1", "s1", "s3"):  # 4-copy cluster over 3 sources
+        rows.append((did, "mega cluster boilerplate", s)); did += 1
+    rows.append((did, None, "s0")); did += 1
+    rows.append((did, "null source text", None)); did += 1
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    df.to_parquet(d / "documents.parquet", row_group_size=64)
+    return str(d)
+
+
+def test_dup_source_matrix_seeded(dup_docs_dir):
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.dedup import dup_source_matrix_documents
+
+    got = dup_source_matrix_documents(dup_docs_dir)
+    # diagonal (s0,s0) from the same-source pair group AND the cluster's
+    # s1 double-copy; off-diagonal from the cross-source pair + cluster
+    assert len(got) >= 4
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{dup_docs_dir}/documents.parquet')"
+    )
+    try:
+        want = con.execute(m.oracle_sql()["dup_source_matrix_documents"]).fetchdf()
+    finally:
+        con.close()
+    _assert_eq(got, want, "dup_source_matrix")
