@@ -286,6 +286,9 @@ def run_bench() -> dict:
     )
     timed("traffic_heatmap_events", windows.traffic_heatmap_events, SF_DIR)
     timed("monthly_growth_orders", windows.monthly_growth_orders, SF_DIR)
+    timed("oov_rate_documents", text.oov_rate_documents, SF_DIR)
+    timed("ttr_lang_documents", text.ttr_lang_documents, SF_DIR)
+    timed("vocabulary_stats_documents", text.vocabulary_stats_documents, SF_DIR)
     # jaccard_pairs_documents / embedding_exact_pairs are the EXACT
     # quadratic baselines that oracle-check the approximate dedup paths;
     # they run in the correctness gate but stay out of the timed headline

@@ -933,6 +933,173 @@ _LANGID_SQL = rf"""
 """
 
 
+def oov_rate_documents(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Out-of-vocabulary rate per language at vocabulary size k — the
+    "how big must the tokenizer vocab be" training question: build the
+    exact global top-k vocabulary (existing tie-pinned top-k exchange),
+    broadcast it as a closure-captured frozenset, and count OOV tokens
+    per language in one second scan with a vectorized ``isin``. The
+    second pass's exchange is ≤ langs rows per task. Tokenization is
+    the same raw space-split as the vocabulary ops (string_split
+    parity, empty tokens included); NULL text/lang rows drop on both
+    sides — but the VOCAB itself only conditions on text, matching the
+    oracle's two different WHEREs."""
+    vocab = frozenset(vocab_top_terms_documents(sf_dir, k=k)["token"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["text", "lang"])
+        expl = pd.DataFrame(
+            {"lang": df["lang"].astype(str), "tok": df["text"].astype(str).str.split(" ")}
+        ).explode("tok")
+        oov = ~expl["tok"].isin(vocab)
+        out = expl.assign(oov=oov).groupby("lang", as_index=False).agg(
+            n=("tok", "size"), n_oov=("oov", "sum")
+        )
+        return out
+
+    from ..shuffle import map_partials
+
+    parts = map_partials(
+        f"{sf_dir}/documents.parquet", ["text", "lang"], None, partial
+    )
+    out = parts.groupby("lang", as_index=False)[["n", "n_oov"]].sum()
+    out = out.sort_values("lang").reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "lang": out["lang"],
+            "n_tokens": out["n"].astype("int64"),
+            "n_oov": out["n_oov"].astype("int64"),
+            "oov_rate": round_duck(
+                out["n_oov"].to_numpy(np.float64)
+                * 1.0
+                / out["n"].to_numpy(np.float64),
+                4,
+            ),
+        }
+    )
+
+
+def ttr_lang_documents(sf_dir: str) -> pd.DataFrame:
+    """Type-token ratio per language — the lexical-diversity corpus
+    quality signal (template-generated spam scores low). One exchange:
+    per-batch (lang, token, count) partials bucket by TOKEN hash (the
+    same (lang, token) pair always co-locates, so per-bucket distincts
+    add), each bucket reduces to ≤ langs (distinct, total) rows."""
+    from .dedup import _dedup_buckets, _fused_grouped_frames
+
+    nb = _dedup_buckets()
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["text", "lang"])
+        expl = pd.DataFrame(
+            {"lang": df["lang"].astype(str), "token": df["text"].astype(str).str.split(" ")}
+        ).explode("token")
+        out = expl.groupby(["lang", "token"], as_index=False).size()
+        out = out.rename(columns={"size": "cnt"})
+        out["__bucket"] = _bucket_of_keys(out["token"], nb)
+        return out
+
+    def bucket_stats(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "token"], as_index=False)["cnt"].sum()
+        out = g.groupby("lang", as_index=False).agg(
+            types=("token", "size"), toks=("cnt", "sum")
+        )
+        return out
+
+    parts = _fused_grouped_frames(
+        [(f"{sf_dir}/documents.parquet", ["text", "lang"], None, partial)],
+        nb,
+        bucket_stats,
+    )
+    out = (
+        parts.groupby("lang", as_index=False)[["types", "toks"]]
+        .sum()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {
+            "lang": out["lang"],
+            "n_tokens": out["toks"].astype("int64"),
+            "n_types": out["types"].astype("int64"),
+            "type_token_ratio": round_duck(
+                out["types"].to_numpy(np.float64)
+                * 1.0
+                / out["toks"].to_numpy(np.float64),
+                4,
+            ),
+        }
+    )
+
+
+def vocabulary_stats_documents(sf_dir: str) -> pd.DataFrame:
+    """Global vocabulary shape — hapax rate (share of once-seen tokens,
+    the corpus-noise signal) and token-mass coverage of the top-10 /
+    top-100 vocabulary (the Zipf head weight): one (token, count)
+    exchange; each bucket emits 3 scalar partials PLUS its local
+    top-100 (global top-k ⊆ union of bucket top-k), so the driver sees
+    ≤ B×100 candidate rows. Coverage shares are tie-order-invariant
+    (equal counts at the boundary contribute equal mass)."""
+    from .dedup import _dedup_buckets, _fused_grouped_frames
+
+    nb = _dedup_buckets()
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        text = batch.column("text").to_pandas().dropna().astype(str)
+        vc = text.str.split(" ").explode().value_counts()
+        out = pd.DataFrame(
+            {
+                "token": vc.index.to_numpy().astype(str),
+                "cnt": vc.to_numpy().astype("int64"),
+            }
+        )
+        out["__bucket"] = _bucket_of_keys(out["token"], nb)
+        return out
+
+    def bucket_stats(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("token", as_index=False)["cnt"].sum()
+        top = g.sort_values(
+            ["cnt", "token"], ascending=[False, True], kind="stable"
+        ).head(100)
+        summary = pd.DataFrame(
+            {
+                "token": [""],
+                "cnt": [0],
+                "distinct": [len(g)],
+                "hapax": [int((g["cnt"] == 1).sum())],
+                "mass": [int(g["cnt"].sum())],
+            }
+        )
+        top = top.assign(distinct=0, hapax=0, mass=0)
+        return pd.concat([summary, top], ignore_index=True)
+
+    parts = _fused_grouped_frames(
+        [(f"{sf_dir}/documents.parquet", ["text"], None, partial)],
+        nb,
+        bucket_stats,
+    )
+    summaries = parts[parts["mass"] > 0]
+    distinct = int(summaries["distinct"].sum())
+    hapax = int(summaries["hapax"].sum())
+    total = int(summaries["mass"].sum())
+    cand = parts[parts["mass"] == 0].sort_values(
+        ["cnt", "token"], ascending=[False, True], kind="stable"
+    )
+    top_cnt = cand["cnt"].to_numpy(np.int64)
+    cov10 = int(top_cnt[:10].sum())
+    cov100 = int(top_cnt[:100].sum())
+    return pd.DataFrame(
+        {
+            "total_tokens": pd.Series([total], dtype="int64"),
+            "distinct_tokens": pd.Series([distinct], dtype="int64"),
+            "hapax_tokens": pd.Series([hapax], dtype="int64"),
+            "hapax_rate": [float(round_duck(hapax * 1.0 / distinct, 4))],
+            "coverage_top10": [float(round_duck(cov10 * 1.0 / total, 4))],
+            "coverage_top100": [float(round_duck(cov100 * 1.0 / total, 4))],
+        }
+    )
+
+
 QUERIES = {
     "text_stats_documents": text_stats_documents,
     "token_counts_documents": token_counts_documents,
@@ -948,9 +1115,71 @@ QUERIES = {
     "stratified_sample_documents": stratified_sample_documents,
     "doc_freq_top_terms_documents": doc_freq_top_terms_documents,
     "unigram_logprob_documents": unigram_logprob_documents,
+    "oov_rate_documents": oov_rate_documents,
+    "ttr_lang_documents": ttr_lang_documents,
+    "vocabulary_stats_documents": vocabulary_stats_documents,
 }
 
 ORACLE_SQL = {
+    "oov_rate_documents": """
+        WITH t AS (
+            SELECT lang, unnest(string_split(text, ' ')) AS tok
+            FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+        ),
+        v AS (
+            SELECT tok FROM (
+                SELECT tok, COUNT(*) AS c
+                FROM (
+                    SELECT unnest(string_split(text, ' ')) AS tok
+                    FROM documents WHERE text IS NOT NULL
+                )
+                GROUP BY tok ORDER BY c DESC, tok LIMIT 100
+            )
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) FILTER (
+                   WHERE tok NOT IN (SELECT tok FROM v)) AS BIGINT) AS n_oov,
+               ROUND(COUNT(*) FILTER (WHERE tok NOT IN (SELECT tok FROM v))
+                     * 1.0 / COUNT(*), 4) AS oov_rate
+        FROM t GROUP BY lang ORDER BY lang
+    """,
+    "ttr_lang_documents": """
+        WITH t AS (
+            SELECT lang, unnest(string_split(text, ' ')) AS tok
+            FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_types,
+               ROUND(COUNT(DISTINCT tok) * 1.0 / COUNT(*), 4)
+                   AS type_token_ratio
+        FROM t GROUP BY lang ORDER BY lang
+    """,
+    "vocabulary_stats_documents": """
+        WITH c AS (
+            SELECT tok, COUNT(*) AS n
+            FROM (
+                SELECT unnest(string_split(text, ' ')) AS tok
+                FROM documents WHERE text IS NOT NULL
+            )
+            GROUP BY tok
+        ),
+        r AS (
+            SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rn
+            FROM c
+        )
+        SELECT CAST(SUM(n) AS BIGINT) AS total_tokens,
+               CAST(COUNT(*) AS BIGINT) AS distinct_tokens,
+               CAST(COUNT(*) FILTER (WHERE n = 1) AS BIGINT) AS hapax_tokens,
+               ROUND(COUNT(*) FILTER (WHERE n = 1) * 1.0 / COUNT(*), 4)
+                   AS hapax_rate,
+               ROUND(SUM(n) FILTER (WHERE rn <= 10) * 1.0 / SUM(n), 4)
+                   AS coverage_top10,
+               ROUND(SUM(n) FILTER (WHERE rn <= 100) * 1.0 / SUM(n), 4)
+                   AS coverage_top100
+        FROM r
+    """,
     "unigram_logprob_documents": """
         WITH toks AS (
             SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token

@@ -821,3 +821,72 @@ def test_dup_source_matrix_seeded(dup_docs_dir):
     finally:
         con.close()
     _assert_eq(got, want, "dup_source_matrix")
+
+
+@pytest.fixture(scope="module")
+def zipf_text_dir(tmp_path_factory):
+    """Documents drawn from a ~400-type Zipf vocabulary (testdata has
+    only 31 types, so OOV@100 and hapax rate are 0 there — this fixture
+    is where the vocabulary audits discriminate) with NULL text/lang."""
+    d = tmp_path_factory.mktemp("zipf_text")
+    rng = np.random.default_rng(67)
+    vocab = np.array([f"w{i}" for i in range(400)])
+    probs = 1.0 / np.arange(1, 401) ** 1.2
+    probs /= probs.sum()
+    texts, langs = [], []
+    for i in range(400):
+        n = int(rng.integers(5, 60))
+        texts.append(" ".join(rng.choice(vocab, size=n, p=probs)))
+        langs.append(["en", "de", "fr"][i % 3])
+    df = pd.DataFrame({"doc_id": np.arange(400), "text": texts, "lang": langs})
+    df.loc[rng.random(400) < 0.1, "text"] = None
+    df.loc[rng.random(400) < 0.1, "lang"] = None
+    df.to_parquet(d / "documents.parquet", row_group_size=64)
+    return str(d)
+
+
+def _duck_docs(sql: str, d: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet')"
+    )
+    try:
+        return con.execute(sql).fetchdf()
+    finally:
+        con.close()
+
+
+def test_oov_rate_zipf(zipf_text_dir):
+    """Vocab conditions on text only, the per-lang scan on text+lang —
+    two different WHEREs kept aligned with the oracle; OOV@100 must be
+    nonzero on a 400-type corpus."""
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.text import oov_rate_documents
+
+    got = oov_rate_documents(zipf_text_dir)
+    assert int(got["n_oov"].sum()) > 0
+    want = _duck_docs(m.oracle_sql()["oov_rate_documents"], zipf_text_dir)
+    _assert_eq(got, want, "oov_rate")
+
+
+def test_ttr_zipf(zipf_text_dir):
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.text import ttr_lang_documents
+
+    got = ttr_lang_documents(zipf_text_dir)
+    want = _duck_docs(m.oracle_sql()["ttr_lang_documents"], zipf_text_dir)
+    _assert_eq(got, want, "ttr")
+
+
+def test_vocabulary_stats_zipf(zipf_text_dir):
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.text import vocabulary_stats_documents
+
+    got = vocabulary_stats_documents(zipf_text_dir)
+    assert int(got["hapax_tokens"].iloc[0]) > 0
+    assert 0 < float(got["coverage_top100"].iloc[0]) < 1
+    want = _duck_docs(
+        m.oracle_sql()["vocabulary_stats_documents"], zipf_text_dir
+    )
+    _assert_eq(got, want, "vocabulary_stats")
