@@ -286,6 +286,11 @@ def run_bench() -> dict:
     )
     timed("traffic_heatmap_events", windows.traffic_heatmap_events, SF_DIR)
     timed("monthly_growth_orders", windows.monthly_growth_orders, SF_DIR)
+    timed("late_events_events", windows.late_events_events, SF_DIR)
+    timed("peak_window_events", windows.peak_window_events, SF_DIR)
+    timed(
+        "centroid_distances_embeddings", ann.centroid_distances_embeddings, SF_DIR
+    )
     timed("oov_rate_documents", text.oov_rate_documents, SF_DIR)
     timed("ttr_lang_documents", text.ttr_lang_documents, SF_DIR)
     timed("vocabulary_stats_documents", text.vocabulary_stats_documents, SF_DIR)

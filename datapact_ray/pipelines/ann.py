@@ -298,6 +298,28 @@ def label_centroids_embeddings(sf_dir: str) -> pd.DataFrame:
     return out.astype({"label": "int64", "i": "int64"}).reset_index(drop=True)
 
 
+def centroid_distances_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Inter-label centroid distance matrix — the class-separation /
+    cluster-drift diagnostic (two labels whose prototypes collapse
+    toward each other signal labeling noise or distribution shift).
+    Rides the distributed centroid aggregate (vectors never shuffle;
+    labels × dims partials) and finishes with a labels²-bounded driver
+    computation on the 6dp-rounded centroids — the rounding pins both
+    engines to identical inputs, so the distances agree at 4dp."""
+    cents = label_centroids_embeddings(sf_dir)
+    m = cents.pivot(index="label", columns="i", values="c").sort_index()
+    labels = m.index.to_numpy()
+    mat = m.to_numpy(np.float64)
+    rows = []
+    for a in range(len(labels)):
+        for b in range(a + 1, len(labels)):
+            d = float(np.sqrt(((mat[a] - mat[b]) ** 2).sum()))
+            rows.append((int(labels[a]), int(labels[b]), float(round_duck(d, 4))))
+    return pd.DataFrame(rows, columns=["label_a", "label_b", "dist"]).astype(
+        {"label_a": "int64", "label_b": "int64"}
+    )
+
+
 def embedding_norms_labels(sf_dir: str) -> pd.DataFrame:
     """Per-label L2-norm statistics of the embedding column — the
     normalization audit every vector pipeline needs before cosine math
@@ -368,9 +390,28 @@ QUERIES = {
     "ann_ivf_embeddings": ann_ivf_embeddings,
     "label_centroids_embeddings": label_centroids_embeddings,
     "embedding_norms_labels": embedding_norms_labels,
+    "centroid_distances_embeddings": centroid_distances_embeddings,
 }
 
 ORACLE_SQL = {
+    "centroid_distances_embeddings": """
+        WITH u AS (
+            SELECT label,
+                   unnest(embedding) AS e,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings
+            WHERE label IS NOT NULL AND embedding IS NOT NULL
+        ),
+        c AS (
+            SELECT label, i, ROUND(AVG(e), 6) AS c
+            FROM u GROUP BY label, i
+        )
+        SELECT CAST(a.label AS BIGINT) AS label_a,
+               CAST(b.label AS BIGINT) AS label_b,
+               ROUND(sqrt(SUM((a.c - b.c) * (a.c - b.c))), 4) AS dist
+        FROM c a JOIN c b ON a.i = b.i AND a.label < b.label
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
     "embedding_norms_labels": """
         WITH n AS (
             SELECT label,

@@ -939,6 +939,145 @@ def churn_weekly_events(
     )
 
 
+def late_events_events(
+    sf_dir: str, num_buckets: int | None = None
+) -> pd.DataFrame:
+    """Out-of-order arrival audit (the watermark-planning op a streaming
+    ingest needs): in ARRIVAL order (event_id), how many events carry a
+    timestamp EARLIER than the running maximum already seen for that
+    user — i.e. arrived late — and how late (max / total lateness).
+
+    Same user-bucket machinery as the LAG family: one vectorized sort +
+    ``np.maximum.accumulate`` per bucket, integer-µs lateness partials,
+    bit-exact vs the running-MAX window oracle (MAX OVER ... ROWS
+    UNBOUNDED PRECEDING TO 1 PRECEDING). NULL user_id / ts rows are
+    excluded on both sides."""
+    from .dedup import _fused_grouped_frames
+
+    path = f"{sf_dir}/events.parquet"
+    n_buckets = num_buckets or scaled_num_buckets(count_rows(path))
+
+    def add_bucket(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["user_id", "ts"])
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "ts": df["ts"].astype("datetime64[us]").astype("int64"),
+                "event_id": df["event_id"].astype("int64"),
+                "__bucket": _bucket_of(
+                    df["user_id"].to_numpy(dtype=np.int64), n_buckets
+                ),
+            }
+        )
+
+    def late_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"n": [0], "n_late": [0], "s": [0], "mx": [0]}
+            ).astype("int64")
+        g = g.sort_values(["user_id", "event_id"], kind="stable")
+        u = g["user_id"].to_numpy()
+        t = g["ts"].to_numpy()
+        new = np.r_[True, u[1:] != u[:-1]]
+        seg_start = np.maximum.accumulate(np.where(new, np.arange(len(u)), -1))
+        # per-user running max (segments can't bleed: grouped cummax)
+        runmax = pd.Series(t).groupby(pd.Series(seg_start)).cummax().to_numpy()
+        prev_max = np.r_[np.int64(0), runmax[:-1]]
+        late = (~new) & (t < prev_max)
+        lateness = np.where(late, prev_max - t, 0)
+        return pd.DataFrame(
+            {
+                "n": [int(len(g))],
+                "n_late": [int(late.sum())],
+                "s": [int(lateness.sum())],
+                "mx": [int(lateness.max()) if len(g) else 0],
+            }
+        ).astype("int64")
+
+    parts = _fused_grouped_frames(
+        [(path, ["user_id", "ts", "event_id"], None, add_bucket)],
+        n_buckets,
+        late_per_bucket,
+    )
+    n = int(parts["n"].sum())
+    n_late = int(parts["n_late"].sum())
+    return pd.DataFrame(
+        {
+            "n_events": [n],
+            "n_late": [n_late],
+            "late_rate": [float(round_duck(n_late * 1.0 / n, 4)) if n else None],
+            "sum_lateness_us": [int(parts["s"].sum())],
+            "max_lateness_us": [int(parts["mx"].max()) if n else 0],
+        }
+    ).astype(
+        {
+            "n_events": "int64",
+            "n_late": "int64",
+            "sum_lateness_us": "int64",
+            "max_lateness_us": "int64",
+        }
+    )
+
+
+def peak_window_events(
+    sf_dir: str, window_minutes: int = 5, num_buckets: int | None = None
+) -> pd.DataFrame:
+    """Global sliding-window peak (burst detection / capacity sizing):
+    the maximum number of events inside ANY ``[t − 5 min, t]`` window
+    anchored at an event — the RANGE-frame COUNT window, which needs the
+    GLOBAL time axis, not a per-user partition.
+
+    Partitioning pattern: TIME-RANGE partitioning with a boundary HALO —
+    events bucket by hour; events in the last ``window`` of each hour
+    are REPLICATED into the next hour's bucket (flagged halo, excluded
+    as anchors), so every anchor sees its full lookback without any
+    cross-bucket coordination. Per bucket one sort + two vectorized
+    ``searchsorted`` sweeps; the exchange carries (ts, halo flag) only,
+    inflated by ≤ window/hour (~8%). Exact integer µs; the RANGE frame's
+    tie semantics (peers included) fall out of the left/right
+    searchsorted sides. NULL ts rows are excluded on both sides."""
+    from ..shuffle import map_partials
+    from .dedup import _fused_grouped_frames
+
+    path = f"{sf_dir}/events.parquet"
+    hour_us = 3_600_000_000
+    win_us = np.int64(window_minutes) * 60_000_000
+    n_rows = count_rows(path)
+    n_buckets = num_buckets or scaled_num_buckets(n_rows)
+
+    def add_bucket(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["ts"])
+        t = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        hour = t // hour_us
+        own = pd.DataFrame({"ts": t, "halo": np.int8(0), "hour": hour})
+        tail = t % hour_us >= hour_us - win_us
+        halo = pd.DataFrame(
+            {"ts": t[tail], "halo": np.int8(1), "hour": hour[tail] + 1}
+        )
+        out = pd.concat([own, halo], ignore_index=True)
+        out["__bucket"] = _bucket_of(out["hour"].to_numpy(), n_buckets)
+        return out[["ts", "halo", "hour", "__bucket"]]
+
+    def peak_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        best = 0
+        for _, hg in g.groupby("hour", sort=False):
+            t = np.sort(hg["ts"].to_numpy())
+            anchors = np.sort(hg.loc[hg["halo"] == 0, "ts"].to_numpy())
+            if len(anchors) == 0:
+                continue
+            lo = np.searchsorted(t, anchors - win_us, side="left")
+            hi = np.searchsorted(t, anchors, side="right")
+            best = max(best, int((hi - lo).max()))
+        return pd.DataFrame({"peak": [best]}).astype("int64")
+
+    parts = _fused_grouped_frames(
+        [(path, ["ts"], None, add_bucket)], n_buckets, peak_per_bucket
+    )
+    return pd.DataFrame(
+        {"peak_window_events": [int(parts["peak"].max()) if len(parts) else 0]}
+    ).astype("int64")
+
+
 def traffic_heatmap_events(sf_dir: str) -> pd.DataFrame:
     """Seasonality heatmap (day-of-week × hour-of-day event counts) —
     the capacity-planning / anomaly-baseline view of the log. The cell
@@ -1258,6 +1397,8 @@ QUERIES = {
     "session_duration_stats_events": session_duration_stats_events,
     "traffic_heatmap_events": traffic_heatmap_events,
     "monthly_growth_orders": monthly_growth_orders,
+    "late_events_events": late_events_events,
+    "peak_window_events": peak_window_events,
 }
 
 ORACLE_SQL = {
@@ -1300,6 +1441,40 @@ ORACLE_SQL = {
                CAST(COUNT(*) AS BIGINT) AS n_users
         FROM a JOIN f USING (user_id)
         GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "late_events_events": """
+        WITH w AS (
+            SELECT epoch_us(ts) AS t,
+                   MAX(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS prev_max
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(*) FILTER (WHERE t < prev_max) AS BIGINT)
+                   AS n_late,
+               ROUND(COUNT(*) FILTER (WHERE t < prev_max) * 1.0
+                     / COUNT(*), 4) AS late_rate,
+               CAST(COALESCE(SUM(prev_max - t)
+                             FILTER (WHERE t < prev_max), 0) AS BIGINT)
+                   AS sum_lateness_us,
+               CAST(COALESCE(MAX(prev_max - t)
+                             FILTER (WHERE t < prev_max), 0) AS BIGINT)
+                   AS max_lateness_us
+        FROM w
+    """,
+    "peak_window_events": """
+        SELECT CAST(MAX(c) AS BIGINT) AS peak_window_events
+        FROM (
+            SELECT COUNT(*) OVER (
+                       ORDER BY ts
+                       RANGE BETWEEN INTERVAL 5 MINUTE PRECEDING
+                             AND CURRENT ROW
+                   ) AS c
+            FROM events WHERE ts IS NOT NULL
+        )
     """,
     "traffic_heatmap_events": """
         SELECT CAST(EXTRACT(dow FROM ts) AS BIGINT) AS dow,

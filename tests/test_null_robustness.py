@@ -890,3 +890,100 @@ def test_vocabulary_stats_zipf(zipf_text_dir):
         m.oracle_sql()["vocabulary_stats_documents"], zipf_text_dir
     )
     _assert_eq(got, want, "vocabulary_stats")
+
+
+def test_late_events_nulls(null_events_dir):
+    """The fixture's ts is random against sequential event_id, so most
+    arrivals are late — the audit must see them (testdata is fully
+    in-order, n_late = 0 there); lateness is integer µs, bit-exact."""
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.windows import late_events_events
+
+    got = late_events_events(null_events_dir)
+    assert int(got["n_late"].iloc[0]) > 0
+    want = _duck_events(m.oracle_sql()["late_events_events"], null_events_dir)
+    _assert_eq(got, want, "late_events")
+
+
+def test_late_events_bucket_invariance(null_events_dir):
+    from datapact_ray.pipelines.windows import late_events_events
+
+    a = late_events_events(null_events_dir, num_buckets=3)
+    b = late_events_events(null_events_dir, num_buckets=29)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_peak_window_nulls(null_events_dir):
+    """Time-range partitioning with a boundary halo: every anchor sees
+    its full lookback even when the window spans an hour boundary —
+    checked against the RANGE-frame oracle on a fixture whose events
+    are sparse enough that windows straddle hours."""
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.windows import peak_window_events
+
+    got = peak_window_events(null_events_dir)
+    want = _duck_events(m.oracle_sql()["peak_window_events"], null_events_dir)
+    _assert_eq(got, want, "peak_window")
+
+
+def test_peak_window_bucket_invariance(null_events_dir):
+    from datapact_ray.pipelines.windows import peak_window_events
+
+    a = peak_window_events(null_events_dir, num_buckets=3)
+    b = peak_window_events(null_events_dir, num_buckets=29)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_peak_window_halo_spanning(tmp_path):
+    """Adversarial halo case: the global peak window sits EXACTLY across
+    an hour boundary (7 events in the last 2 min of hour 0 + 5 in the
+    first 2 min of hour 1); a halo-less partitioning would report 7."""
+    import duckdb as _duck
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.windows import peak_window_events
+
+    base = pd.Timestamp("2024-03-01 00:58:00")
+    ts = [base + pd.Timedelta(seconds=10 * i) for i in range(7)] + [
+        pd.Timestamp("2024-03-01 01:00:30") + pd.Timedelta(seconds=20 * i)
+        for i in range(5)
+    ]
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(len(ts), dtype="int64"),
+            "ts": pd.Series(ts).astype("datetime64[us]"),
+            "user_id": np.zeros(len(ts), dtype="int64"),
+        }
+    )
+    df.to_parquet(tmp_path / "events.parquet")
+    got = peak_window_events(str(tmp_path))
+    assert int(got["peak_window_events"].iloc[0]) == 12
+    con = _duck.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    try:
+        want = con.execute(m.oracle_sql()["peak_window_events"]).fetchdf()
+    finally:
+        con.close()
+    _assert_eq(got, want, "peak_window_halo")
+
+
+def test_centroid_distances_nulls(raw_embed_dir):
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.ann import centroid_distances_embeddings
+
+    got = centroid_distances_embeddings(raw_embed_dir)
+    assert len(got) == 10  # 5 labels → C(5,2) pairs
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{raw_embed_dir}/embeddings.parquet')"
+    )
+    try:
+        want = con.execute(
+            m.oracle_sql()["centroid_distances_embeddings"]
+        ).fetchdf()
+    finally:
+        con.close()
+    _assert_eq(got, want, "centroid_distances")
