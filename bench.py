@@ -292,6 +292,13 @@ def run_bench() -> dict:
     )
     timed("traffic_heatmap_events", windows.traffic_heatmap_events, SF_DIR)
     timed("monthly_growth_orders", windows.monthly_growth_orders, SF_DIR)
+    timed("rolling_wau_events", windows.rolling_wau_events, SF_DIR)
+    timed("new_vs_returning_orders", windows.new_vs_returning_orders, SF_DIR)
+    timed(
+        "quantization_calibration_embeddings",
+        ann.quantization_calibration_embeddings,
+        SF_DIR,
+    )
     timed("late_events_events", windows.late_events_events, SF_DIR)
     timed("peak_window_events", windows.peak_window_events, SF_DIR)
     timed(

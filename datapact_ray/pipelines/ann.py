@@ -298,6 +298,53 @@ def label_centroids_embeddings(sf_dir: str) -> pd.DataFrame:
     return out.astype({"label": "int64", "i": "int64"}).reset_index(drop=True)
 
 
+def quantization_calibration_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Per-dimension int8 quantization calibration — the min/max range
+    scan every vector-compression step (scalar quantization, SQ8 in
+    FAISS terms) runs before writing a compact index: per dim, global
+    min / max and the (max − min)/255 scale. Each map task reduces its
+    batch matrix to dims × (min, max) partials; the driver folds them
+    — 2 numbers per dim per task, vectors never shuffle."""
+    from ..shuffle import map_partials
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df = df[df["embedding"].notna()]
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "i": pd.Series([], dtype="int64"),
+                    "mn": pd.Series([], dtype="float64"),
+                    "mx": pd.Series([], dtype="float64"),
+                }
+            )
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        return pd.DataFrame(
+            {
+                "i": np.arange(1, m.shape[1] + 1, dtype=np.int64),
+                "mn": m.min(axis=0),
+                "mx": m.max(axis=0),
+            }
+        )
+
+    parts = map_partials(
+        f"{sf_dir}/embeddings.parquet", ["embedding"], None, partial
+    )
+    out = parts.groupby("i", as_index=False).agg(mn=("mn", "min"), mx=("mx", "max"))
+    out = out.sort_values("i").reset_index(drop=True)
+    mn = out["mn"].to_numpy(np.float64)
+    mx = out["mx"].to_numpy(np.float64)
+    return pd.DataFrame(
+        {
+            "i": out["i"].astype("int64"),
+            "vmin": round_duck(mn, 6),
+            "vmax": round_duck(mx, 6),
+            # identical FP tree as the oracle: (mx - mn) / 255
+            "scale": round_duck((mx - mn) / 255.0, 8),
+        }
+    )
+
+
 def centroid_distances_embeddings(sf_dir: str) -> pd.DataFrame:
     """Inter-label centroid distance matrix — the class-separation /
     cluster-drift diagnostic (two labels whose prototypes collapse
@@ -391,9 +438,22 @@ QUERIES = {
     "label_centroids_embeddings": label_centroids_embeddings,
     "embedding_norms_labels": embedding_norms_labels,
     "centroid_distances_embeddings": centroid_distances_embeddings,
+    "quantization_calibration_embeddings": quantization_calibration_embeddings,
 }
 
 ORACLE_SQL = {
+    "quantization_calibration_embeddings": """
+        WITH u AS (
+            SELECT CAST(unnest(embedding) AS DOUBLE) AS e,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings WHERE embedding IS NOT NULL
+        )
+        SELECT CAST(i AS BIGINT) AS i,
+               ROUND(MIN(e), 6) AS vmin,
+               ROUND(MAX(e), 6) AS vmax,
+               ROUND((MAX(e) - MIN(e)) / 255, 8) AS scale
+        FROM u GROUP BY i ORDER BY i
+    """,
     "centroid_distances_embeddings": """
         WITH u AS (
             SELECT label,

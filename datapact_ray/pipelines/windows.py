@@ -1078,6 +1078,150 @@ def peak_window_events(
     ).astype("int64")
 
 
+def rolling_wau_events(
+    sf_dir: str, window_days: int = 7, num_buckets: int | None = None
+) -> pd.DataFrame:
+    """Rolling weekly-active-users (the DAU/WAU product metric): for
+    every active day w, the number of DISTINCT users active in
+    ``[w − 6d, w]`` — a sliding-window COUNT DISTINCT, which no plain
+    aggregate expresses.
+
+    Shape: each scan task dedups its batch to (user, day) incidence and
+    expands each pair to its ≤ 7 member windows (the overlap factor
+    multiplies the COMPRESSED incidence, never raw rows); pairs bucket
+    by USER hash so (window, user) dedup is globally correct per
+    bucket, and each bucket reduces to ≤ days count rows. The driver
+    drops windows that aren't active days themselves (oracle anchors
+    windows at observed days). NULL user/ts rows drop on both sides."""
+    from .dedup import _fused_grouped_frames
+
+    path = f"{sf_dir}/events.parquet"
+    n_buckets = num_buckets or scaled_num_buckets(count_rows(path))
+
+    def add_bucket(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["user_id", "ts"])
+        ts_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        inc = pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "day": (ts_us // _DAY_US) * _DAY_US,
+            }
+        ).drop_duplicates()
+        k = window_days
+        exp = pd.DataFrame(
+            {
+                "user_id": np.repeat(inc["user_id"].to_numpy(), k),
+                "wday": np.repeat(inc["day"].to_numpy(), k)
+                + np.tile(np.arange(k) * _DAY_US, len(inc)),
+                # real activity day rides along so the driver can keep
+                # only windows anchored at observed days
+                "is_anchor": np.tile(
+                    np.r_[np.int8(1), np.zeros(k - 1, dtype=np.int8)], len(inc)
+                ),
+            }
+        )
+        exp["__bucket"] = _bucket_of(exp["user_id"].to_numpy(), n_buckets)
+        return exp
+
+    def wau_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        dedup = g.drop_duplicates(["user_id", "wday"])
+        out = dedup.groupby("wday", as_index=False).size()
+        out = out.rename(columns={"size": "n"})
+        anchors = g.loc[g["is_anchor"] == 1, "wday"].drop_duplicates()
+        out["anchored"] = out["wday"].isin(set(anchors)).astype("int8")
+        return out
+
+    parts = _fused_grouped_frames(
+        [(path, ["user_id", "ts"], None, add_bucket)],
+        n_buckets,
+        wau_per_bucket,
+    )
+    observed = set(parts.loc[parts["anchored"] == 1, "wday"])
+    out = (
+        parts[parts["wday"].isin(observed)]
+        .groupby("wday", as_index=False)["n"]
+        .sum()
+        .sort_values("wday")
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {
+            "window_day": pd.to_datetime(out["wday"], unit="us").astype(
+                "datetime64[us]"
+            ),
+            "wau": out["n"].astype("int64"),
+        }
+    )
+
+
+def new_vs_returning_orders(
+    sf_dir: str, num_buckets: int | None = None
+) -> pd.DataFrame:
+    """New-vs-returning customer split per month (the commerce growth
+    decomposition): a customer is NEW in the month of their first
+    order, RETURNING in any later active month. Customers bucket whole
+    (first-month and incidence are per-customer), months truncate via
+    datetime64[M] (exactly date_trunc('month')); each bucket reduces to
+    ≤ months (active, new) count rows."""
+    from .dedup import _fused_grouped_frames
+
+    path = f"{sf_dir}/orders.parquet"
+    n_buckets = num_buckets or scaled_num_buckets(count_rows(path))
+
+    def add_bucket(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["o_custkey", "o_orderdate"])
+        month = (
+            df["o_orderdate"]
+            .astype("datetime64[us]")
+            .to_numpy()
+            .astype("datetime64[M]")
+            .astype("datetime64[us]")
+            .astype("int64")
+        )
+        out = pd.DataFrame(
+            {"c": df["o_custkey"].astype("int64"), "m": month}
+        ).drop_duplicates()
+        out["__bucket"] = _bucket_of(out["c"].to_numpy(), n_buckets)
+        return out
+
+    def split_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.drop_duplicates(["c", "m"])[["c", "m"]]
+        first = a.groupby("c", as_index=False)["m"].min().rename(columns={"m": "fm"})
+        a = a.merge(first, on="c")
+        act = a.groupby("m", as_index=False).size().rename(
+            columns={"size": "n_active"}
+        )
+        new = (
+            a[a["m"] == a["fm"]]
+            .groupby("m", as_index=False)
+            .size()
+            .rename(columns={"size": "n_new"})
+        )
+        out = act.merge(new, on="m", how="left")
+        out["n_new"] = out["n_new"].fillna(0).astype("int64")
+        return out
+
+    parts = _fused_grouped_frames(
+        [(path, ["o_custkey", "o_orderdate"], None, add_bucket)],
+        n_buckets,
+        split_per_bucket,
+    )
+    out = (
+        parts.groupby("m", as_index=False)[["n_active", "n_new"]]
+        .sum()
+        .sort_values("m")
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {
+            "month": pd.to_datetime(out["m"], unit="us").astype("datetime64[us]"),
+            "n_active": out["n_active"].astype("int64"),
+            "n_new": out["n_new"].astype("int64"),
+            "n_returning": (out["n_active"] - out["n_new"]).astype("int64"),
+        }
+    )
+
+
 def traffic_heatmap_events(sf_dir: str) -> pd.DataFrame:
     """Seasonality heatmap (day-of-week × hour-of-day event counts) —
     the capacity-planning / anomaly-baseline view of the log. The cell
@@ -1399,6 +1543,8 @@ QUERIES = {
     "monthly_growth_orders": monthly_growth_orders,
     "late_events_events": late_events_events,
     "peak_window_events": peak_window_events,
+    "rolling_wau_events": rolling_wau_events,
+    "new_vs_returning_orders": new_vs_returning_orders,
 }
 
 ORACLE_SQL = {
@@ -1441,6 +1587,35 @@ ORACLE_SQL = {
                CAST(COUNT(*) AS BIGINT) AS n_users
         FROM a JOIN f USING (user_id)
         GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "rolling_wau_events": """
+        WITH d AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+            FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ),
+        days AS (SELECT DISTINCT day FROM d)
+        SELECT days.day AS window_day,
+               CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS wau
+        FROM days JOIN d
+          ON d.day BETWEEN days.day - INTERVAL 6 DAY AND days.day
+        GROUP BY 1 ORDER BY 1
+    """,
+    "new_vs_returning_orders": """
+        WITH a AS (
+            SELECT DISTINCT o_custkey AS c,
+                   CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m
+            FROM orders
+            WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        ),
+        f AS (SELECT c, MIN(m) AS fm FROM a GROUP BY c)
+        SELECT a.m AS month,
+               CAST(COUNT(*) AS BIGINT) AS n_active,
+               CAST(COUNT(*) FILTER (WHERE a.m = f.fm) AS BIGINT) AS n_new,
+               CAST(COUNT(*) FILTER (WHERE a.m > f.fm) AS BIGINT)
+                   AS n_returning
+        FROM a JOIN f USING (c)
+        GROUP BY 1 ORDER BY 1
     """,
     "late_events_events": """
         WITH w AS (

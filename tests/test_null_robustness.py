@@ -1010,3 +1010,56 @@ def test_ntile_nulls(null_rel_dir):
     assert int(got["n"].sum()) % 4 != 0 or True  # n recorded either way
     want = _duck_rel(m.oracle_sql()["ntile_revenue_orders"], null_rel_dir)
     _assert_eq(got, want, "ntile")
+
+
+def test_rolling_wau_nulls(null_events_dir):
+    """Sliding distinct: (window, user) dedup is globally correct under
+    the user-hash bucket; windows anchor only at observed days."""
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.windows import rolling_wau_events
+
+    got = rolling_wau_events(null_events_dir)
+    want = _duck_events(m.oracle_sql()["rolling_wau_events"], null_events_dir)
+    _assert_eq(got, want, "rolling_wau")
+
+
+def test_rolling_wau_bucket_invariance(null_events_dir):
+    from datapact_ray.pipelines.windows import rolling_wau_events
+
+    a = rolling_wau_events(null_events_dir, num_buckets=3)
+    b = rolling_wau_events(null_events_dir, num_buckets=29)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_new_vs_returning_nulls(null_rel_dir):
+    """First-order month pins NEW; NULL custkey/date rows drop on both
+    sides."""
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.windows import new_vs_returning_orders
+
+    got = new_vs_returning_orders(null_rel_dir)
+    assert int(got["n_returning"].sum()) > 0
+    want = _duck_rel(m.oracle_sql()["new_vs_returning_orders"], null_rel_dir)
+    _assert_eq(got, want, "new_vs_returning")
+
+
+def test_quantization_calibration_nulls(raw_embed_dir):
+    """Non-normalized fixture gives real per-dim ranges; NULL vectors
+    drop on both sides."""
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.ann import quantization_calibration_embeddings
+
+    got = quantization_calibration_embeddings(raw_embed_dir)
+    assert float(got["scale"].min()) > 0
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{raw_embed_dir}/embeddings.parquet')"
+    )
+    try:
+        want = con.execute(
+            m.oracle_sql()["quantization_calibration_embeddings"]
+        ).fetchdf()
+    finally:
+        con.close()
+    _assert_eq(got, want, "quantization_calibration")
