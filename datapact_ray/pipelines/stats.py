@@ -343,7 +343,146 @@ def user_overlap_events(sf_dir: str, num_buckets: int | None = None) -> pd.DataF
     )
 
 
+def skew_kurtosis_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Grouped skewness / excess kurtosis — the 3rd/4th-moment
+    distribution-shape statistics (a drifted tail shows here before the
+    mean moves). Two distributed passes: pass 1 reduces to per-group
+    (n, fsum) partials for the mean; pass 2 broadcasts the means via
+    closure capture and reduces to per-group fsum partials of the
+    centered 2nd/3rd/4th powers. The driver then applies DuckDB's
+    estimator forms — adjusted Fisher–Pearson G1 = g1·√(n(n−1))/(n−2)
+    and sample excess kurtosis G2 = ((n+1)·g2 + 6)·(n−1)/((n−2)(n−3))
+    (verified numerically against skewness()/kurtosis()) — with the
+    1e-12-class two-pass-vs-single-pass noise absorbed by the 4dp
+    output rounding."""
+    from ..shuffle import map_partials
+
+    path = f"{sf_dir}/lineitem.parquet"
+
+    def mean_partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["l_returnflag", "l_extendedprice"])
+        rows = [
+            (grp, len(g), math.fsum(g))
+            for grp, g in df.groupby("l_returnflag", sort=False)[
+                "l_extendedprice"
+            ]
+        ]
+        return pd.DataFrame(rows, columns=["grp", "n", "s"])
+
+    p1 = map_partials(
+        path, ["l_returnflag", "l_extendedprice"], None, mean_partial
+    )
+    agg1 = p1.groupby("grp").agg(n=("n", "sum"), s=("s", lambda g: math.fsum(g)))
+    means = {grp: float(r["s"]) / int(r["n"]) for grp, r in agg1.iterrows()}
+
+    def moment_partial(batch: pa.Table, _m=dict(means)) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["l_returnflag", "l_extendedprice"])
+        rows = []
+        for grp, g in df.groupby("l_returnflag", sort=False)["l_extendedprice"]:
+            if grp not in _m:
+                continue
+            d = g.to_numpy(np.float64) - _m[grp]
+            d2 = d * d
+            rows.append(
+                (grp, math.fsum(d2), math.fsum(d2 * d), math.fsum(d2 * d2))
+            )
+        return pd.DataFrame(rows, columns=["grp", "s2", "s3", "s4"])
+
+    p2 = map_partials(
+        path, ["l_returnflag", "l_extendedprice"], None, moment_partial
+    )
+    agg2 = p2.groupby("grp").agg(
+        s2=("s2", lambda g: math.fsum(g)),
+        s3=("s3", lambda g: math.fsum(g)),
+        s4=("s4", lambda g: math.fsum(g)),
+    )
+    rows = []
+    for grp in sorted(means):
+        n = int(agg1.loc[grp, "n"])
+        m2 = float(agg2.loc[grp, "s2"]) / n
+        m3 = float(agg2.loc[grp, "s3"]) / n
+        m4 = float(agg2.loc[grp, "s4"]) / n
+        g1 = m3 / m2**1.5
+        G1 = g1 * math.sqrt(n * (n - 1)) / (n - 2)
+        g2 = m4 / m2**2 - 3.0
+        G2 = ((n + 1) * g2 + 6.0) * (n - 1) / ((n - 2) * (n - 3))
+        rows.append((grp, n, float(round_duck(G1, 4)), float(round_duck(G2, 4))))
+    return pd.DataFrame(
+        rows, columns=["l_returnflag", "n", "skew", "kurt"]
+    ).astype({"n": "int64"})
+
+
+def anomalous_days_events(sf_dir: str, z_threshold: float = 2.0) -> pd.DataFrame:
+    """Volume-anomaly detection on the daily event-count series (the
+    monitoring op: which days deviate > zσ from the series mean). Daily
+    counts are calendar-bounded partials; the z-scores run driver-side
+    on the tiny series — but with the SAME explicit two-pass expression
+    tree the oracle uses (mean = fsum/n, sd = sqrt(fsum((c−mean)²) /
+    (n−1))), so the threshold comparison sees bit-identical doubles on
+    both engines instead of racing DuckDB's single-pass STDDEV at the
+    boundary."""
+    from ..shuffle import map_partials
+
+    path = f"{sf_dir}/events.parquet"
+    day_us = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["ts"])
+        ts_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        day = (ts_us // day_us) * day_us
+        cnt = pd.Series(day).value_counts()
+        return pd.DataFrame(
+            {"day": cnt.index.to_numpy(np.int64), "c": cnt.to_numpy().astype("int64")}
+        )
+
+    parts = map_partials(path, ["ts"], None, partial)
+    by_day = parts.groupby("day")["c"].sum().sort_index()
+    n = len(by_day)
+    c = by_day.to_numpy(np.float64)
+    mean = math.fsum(c) / n
+    sd = math.sqrt(math.fsum((x - mean) ** 2 for x in c) / (n - 1))
+    z = (c - mean) / sd
+    anom = np.abs(z) > z_threshold
+    return pd.DataFrame(
+        {
+            "n_days": pd.Series([n], dtype="int64"),
+            "n_anomalous": pd.Series([int(anom.sum())], dtype="int64"),
+            "max_abs_z": [float(round_duck(float(np.abs(z).max()), 4))],
+            "mean_daily": [float(round_duck(mean, 4))],
+        }
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
+    "skew_kurtosis_lineitem": """
+        SELECT l_returnflag,
+               CAST(COUNT(l_extendedprice) AS BIGINT) AS n,
+               ROUND(skewness(l_extendedprice), 4) AS skew,
+               ROUND(kurtosis(l_extendedprice), 4) AS kurt
+        FROM lineitem
+        WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+        GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "anomalous_days_events": """
+        WITH d AS (
+            SELECT (epoch_us(ts) // 86400000000) AS day,
+                   COUNT(*) * 1.0 AS c
+            FROM events WHERE ts IS NOT NULL GROUP BY 1
+        ),
+        m AS (SELECT fsum(c) / COUNT(*) AS mean, COUNT(*) AS n FROM d),
+        s AS (
+            SELECT sqrt(fsum((d.c - m.mean) * (d.c - m.mean))
+                        / (m.n - 1)) AS sd
+            FROM d, m GROUP BY m.n
+        )
+        SELECT CAST(m.n AS BIGINT) AS n_days,
+               CAST(COUNT(*) FILTER (
+                   WHERE ABS((d.c - m.mean) / s.sd) > 2.0) AS BIGINT)
+                   AS n_anomalous,
+               ROUND(MAX(ABS((d.c - m.mean) / s.sd)), 4) AS max_abs_z,
+               ROUND(m.mean, 4) AS mean_daily
+        FROM d, m, s GROUP BY m.n, m.mean, s.sd
+    """,
     "corr_lineitem": """
         SELECT l_returnflag,
                COUNT(*) AS n_rows,
@@ -413,4 +552,6 @@ QUERIES = {
     "histogram_totalprice": histogram_totalprice,
     "zscore_outliers_lineitem": zscore_outliers_lineitem,
     "user_overlap_events": user_overlap_events,
+    "skew_kurtosis_lineitem": skew_kurtosis_lineitem,
+    "anomalous_days_events": anomalous_days_events,
 }

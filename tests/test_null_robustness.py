@@ -1063,3 +1063,26 @@ def test_quantization_calibration_nulls(raw_embed_dir):
     finally:
         con.close()
     _assert_eq(got, want, "quantization_calibration")
+
+
+def test_skew_kurtosis_nulls(null_dir):
+    """Two-pass central moments reproduce DuckDB's adjusted
+    Fisher-Pearson G1 / sample excess kurtosis G2 on null-injected
+    data (NULL prices drop from n and every moment)."""
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.stats import skew_kurtosis_lineitem
+
+    got = skew_kurtosis_lineitem(null_dir)
+    want = _duck(m.oracle_sql()["skew_kurtosis_lineitem"], null_dir)
+    _assert_eq(got, want, "skew_kurtosis")
+
+
+def test_anomalous_days_nulls(null_events_dir):
+    """NULL ts rows are off the series; the z threshold comparison uses
+    the identical two-pass mean/sd expression tree on both engines."""
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.stats import anomalous_days_events
+
+    got = anomalous_days_events(null_events_dir)
+    want = _duck_events(m.oracle_sql()["anomalous_days_events"], null_events_dir)
+    _assert_eq(got, want, "anomalous_days")
