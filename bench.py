@@ -292,6 +292,8 @@ def run_bench() -> dict:
     )
     timed("traffic_heatmap_events", windows.traffic_heatmap_events, SF_DIR)
     timed("monthly_growth_orders", windows.monthly_growth_orders, SF_DIR)
+    timed("value_percentiles_events", selection.value_percentiles_events, SF_DIR)
+    timed("conversion_delay_events", windows.conversion_delay_events, SF_DIR)
     timed("skew_kurtosis_lineitem", stats.skew_kurtosis_lineitem, SF_DIR)
     timed("anomalous_days_events", stats.anomalous_days_events, SF_DIR)
     timed("rolling_wau_events", windows.rolling_wau_events, SF_DIR)

@@ -351,6 +351,46 @@ def percentile_disc_extendedprice(sf_dir: str, q: float = 0.9) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["l_returnflag", "p90_price"])
 
 
+def value_percentiles_events(sf_dir: str) -> pd.DataFrame:
+    """Percentile BANDS per group (p10 / p50 / p90 of event value per
+    event type) — the multi-rank case of the exact selection: all three
+    quantiles for all groups resolve in ONE shared histogram-refinement
+    round (the per-(group, rank) tasks share every scan), so the band
+    costs the same passes as a single median."""
+    path = f"{sf_dir}/events.parquet"
+    qs = (0.1, 0.5, 0.9)
+
+    def band_ranks(counts: dict) -> dict:
+        return {
+            grp: sorted(
+                {
+                    r
+                    for q in qs
+                    for r in (
+                        math.floor((n - 1) * q),
+                        math.ceil((n - 1) * q),
+                    )
+                }
+            )
+            for grp, n in counts.items()
+        }
+
+    vals, counts = _rank_values(path, "event_type", "value", band_ranks)
+    rows = []
+    for grp in sorted(vals):
+        n = counts[grp]
+        out = [grp]
+        for q in qs:
+            h = (n - 1) * q
+            j0, j1 = math.floor(h), math.ceil(h)
+            v0, v1 = vals[grp][j0], vals[grp][j1]
+            out.append(float(round_duck(v0 + (v1 - v0) * (h - j0), 4)))
+        rows.append(tuple(out))
+    return pd.DataFrame(
+        rows, columns=["event_type", "p10", "p50", "p90"]
+    )
+
+
 def ntile_revenue_orders(sf_dir: str, tiles: int = 4) -> pd.DataFrame:
     """Distributed NTILE: order-value quartiles — row count and exact
     total per quartile of o_totalprice (ascending) — WITHOUT a global
@@ -733,6 +773,7 @@ QUERIES = {
     "revenue_concentration_customers": revenue_concentration_customers,
     "percentile_disc_extendedprice": percentile_disc_extendedprice,
     "ntile_revenue_orders": ntile_revenue_orders,
+    "value_percentiles_events": value_percentiles_events,
 }
 
 ORACLE_SQL = {
@@ -753,6 +794,15 @@ ORACLE_SQL = {
                m.med AS median_price
         FROM lineitem l JOIN m USING (l_returnflag)
         GROUP BY l.l_returnflag, m.med ORDER BY l.l_returnflag
+    """,
+    "value_percentiles_events": """
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.1), 4) AS p10,
+               ROUND(quantile_cont(value, 0.5), 4) AS p50,
+               ROUND(quantile_cont(value, 0.9), 4) AS p90
+        FROM events
+        WHERE event_type IS NOT NULL AND value IS NOT NULL
+        GROUP BY event_type ORDER BY event_type
     """,
     "percentile_disc_extendedprice": """
         SELECT l_returnflag,

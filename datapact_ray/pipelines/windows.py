@@ -1078,6 +1078,101 @@ def peak_window_events(
     ).astype("int64")
 
 
+def conversion_delay_events(
+    sf_dir: str,
+    first: str = "view",
+    then: str = "purchase",
+    num_buckets: int | None = None,
+) -> pd.DataFrame:
+    """Time-to-conversion statistics — the latency view of the funnel
+    (the funnel counts WHO converted; this measures HOW LONG it took):
+    for every user, the delay from their first ``view`` to their first
+    STRICTLY LATER ``purchase``, aggregated to count / sum / max / mean.
+    Same user-bucket machinery as the funnel, one vectorized
+    groupby-min + aligned merge per bucket; delays are integer µs so
+    the result is bit-exact vs the chained-MIN SQL oracle. The type
+    filter pushes to the scan — only funnel-step rows enter the
+    exchange."""
+    from .dedup import _fused_grouped_frames
+
+    path = f"{sf_dir}/events.parquet"
+    n_buckets = num_buckets or scaled_num_buckets(count_rows(path))
+
+    def add_bucket(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["user_id", "ts", "event_type"])
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "ts": df["ts"].astype("datetime64[us]").astype("int64"),
+                "is_first": (df["event_type"] == first).to_numpy(),
+                "__bucket": _bucket_of(
+                    df["user_id"].to_numpy(dtype=np.int64), n_buckets
+                ),
+            }
+        )
+
+    def delays_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        v = (
+            g[g["is_first"]]
+            .groupby("user_id", as_index=False)["ts"]
+            .min()
+            .rename(columns={"ts": "t0"})
+        )
+        p = g[~g["is_first"]].merge(v, on="user_id")
+        p = p[p["ts"] > p["t0"]]
+        t1 = p.groupby("user_id", as_index=False)["ts"].min().rename(
+            columns={"ts": "t1"}
+        )
+        d = t1.merge(v, on="user_id")
+        delays = (d["t1"] - d["t0"]).to_numpy(np.int64)
+        if len(delays) == 0:
+            return pd.DataFrame({"n": [0], "s": [0], "mx": [0]}).astype("int64")
+        return pd.DataFrame(
+            {
+                "n": [len(delays)],
+                "s": [int(delays.sum())],
+                "mx": [int(delays.max())],
+            }
+        ).astype("int64")
+
+    parts = _fused_grouped_frames(
+        [
+            (
+                path,
+                ["user_id", "ts", "event_type"],
+                f"event_type IN ('{first}', '{then}')",
+                add_bucket,
+            )
+        ],
+        n_buckets,
+        delays_per_bucket,
+    )
+    n = int(parts["n"].sum())
+    s = int(parts["s"].sum())
+    if n == 0:
+        # SQL aggregate-over-zero-rows semantics: COUNT 0, SUM/MAX NULL
+        return pd.DataFrame(
+            {
+                "n_converted": pd.Series([0], dtype="int64"),
+                "sum_delay_us": [None],
+                "max_delay_us": [None],
+                "avg_delay_seconds": [None],
+            }
+        )
+    return pd.DataFrame(
+        {
+            "n_converted": [n],
+            "sum_delay_us": [s],
+            "max_delay_us": [int(parts["mx"].max())],
+            "avg_delay_seconds": [
+                float(round_duck(s * 1.0 / n / 1_000_000.0, 4))
+            ],
+        }
+    ).astype(
+        {"n_converted": "int64", "sum_delay_us": "int64", "max_delay_us": "int64"}
+    )
+
+
 def rolling_wau_events(
     sf_dir: str, window_days: int = 7, num_buckets: int | None = None
 ) -> pd.DataFrame:
@@ -1545,6 +1640,7 @@ QUERIES = {
     "peak_window_events": peak_window_events,
     "rolling_wau_events": rolling_wau_events,
     "new_vs_returning_orders": new_vs_returning_orders,
+    "conversion_delay_events": conversion_delay_events,
 }
 
 ORACLE_SQL = {
@@ -1587,6 +1683,28 @@ ORACLE_SQL = {
                CAST(COUNT(*) AS BIGINT) AS n_users
         FROM a JOIN f USING (user_id)
         GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "conversion_delay_events": """
+        WITH v AS (
+            SELECT user_id, MIN(epoch_us(ts)) AS t0
+            FROM events
+            WHERE event_type = 'view' AND user_id IS NOT NULL
+              AND ts IS NOT NULL
+            GROUP BY user_id
+        ),
+        p AS (
+            SELECT e.user_id, MIN(epoch_us(e.ts)) AS t1
+            FROM events e JOIN v USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts IS NOT NULL
+              AND epoch_us(e.ts) > v.t0
+            GROUP BY e.user_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+               CAST(SUM(p.t1 - v.t0) AS BIGINT) AS sum_delay_us,
+               CAST(MAX(p.t1 - v.t0) AS BIGINT) AS max_delay_us,
+               ROUND(SUM(p.t1 - v.t0) * 1.0 / COUNT(*) / 1000000, 4)
+                   AS avg_delay_seconds
+        FROM p JOIN v USING (user_id)
     """,
     "rolling_wau_events": """
         WITH d AS (

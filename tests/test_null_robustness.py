@@ -1086,3 +1086,46 @@ def test_anomalous_days_nulls(null_events_dir):
     got = anomalous_days_events(null_events_dir)
     want = _duck_events(m.oracle_sql()["anomalous_days_events"], null_events_dir)
     _assert_eq(got, want, "anomalous_days")
+
+
+def test_value_percentiles_nulls(null_events_dir):
+    """Multi-rank grouped selection: all three quantiles per type share
+    one refinement round; NULL value/type rows drop on both sides."""
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.selection import value_percentiles_events
+
+    got = value_percentiles_events(null_events_dir)
+    want = _duck_events(
+        m.oracle_sql()["value_percentiles_events"], null_events_dir
+    )
+    _assert_eq(got, want, "value_percentiles")
+
+
+def test_conversion_delay_nulls(null_events_dir):
+    """The fixture has no 'purchase' type, so the default call exercises
+    the zero-converted branch (SQL: COUNT 0, SUM/MAX NULL); a 'buy'
+    variant exercises the populated path, integer-µs exact."""
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.windows import conversion_delay_events
+
+    got = conversion_delay_events(null_events_dir)
+    want = _duck_events(
+        m.oracle_sql()["conversion_delay_events"], null_events_dir
+    )
+    _assert_eq(got, want, "conversion_delay_zero")
+
+    got2 = conversion_delay_events(null_events_dir, then="buy")
+    assert int(got2["n_converted"].iloc[0]) > 0
+    want2 = _duck_events(
+        m.oracle_sql()["conversion_delay_events"].replace("'purchase'", "'buy'"),
+        null_events_dir,
+    )
+    _assert_eq(got2, want2, "conversion_delay_buy")
+
+
+def test_conversion_delay_bucket_invariance(null_events_dir):
+    from datapact_ray.pipelines.windows import conversion_delay_events
+
+    a = conversion_delay_events(null_events_dir, num_buckets=3)
+    b = conversion_delay_events(null_events_dir, num_buckets=29)
+    pd.testing.assert_frame_equal(a, b)
