@@ -745,6 +745,66 @@ def customer_order_profile(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def monthly_activity_union(sf_dir: str) -> pd.DataFrame:
+    """UNION ALL across heterogeneous tables (the multi-source activity
+    timeline): monthly row counts of the event log and the order book
+    side by side. Each table reduces to its own calendar-bounded
+    (month, count) partials — the union happens on the compact partial
+    frames, never the rows."""
+    from ..shuffle import map_partials
+
+    def month_partial(ts_col: str, src: str):
+        def fn(batch: pa.Table) -> pd.DataFrame:
+            df = batch.to_pandas().dropna(subset=[ts_col])
+            month = (
+                df[ts_col]
+                .astype("datetime64[us]")
+                .to_numpy()
+                .astype("datetime64[M]")
+                .astype("datetime64[us]")
+                .astype("int64")
+            )
+            cnt = pd.Series(month).value_counts()
+            return pd.DataFrame(
+                {
+                    "month": cnt.index.to_numpy(np.int64),
+                    "src": src,
+                    "n": cnt.to_numpy().astype("int64"),
+                }
+            )
+
+        return fn
+
+    parts = pd.concat(
+        [
+            map_partials(
+                f"{sf_dir}/events.parquet", ["ts"], None,
+                month_partial("ts", "events"),
+            ),
+            map_partials(
+                f"{sf_dir}/orders.parquet", ["o_orderdate"], None,
+                month_partial("o_orderdate", "orders"),
+            ),
+        ],
+        ignore_index=True,
+    )
+    out = (
+        parts.groupby(["month", "src"], as_index=False)["n"]
+        .sum()
+        .sort_values(["month", "src"])
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {
+            "month": pd.to_datetime(out["month"], unit="us").astype(
+                "datetime64[us]"
+            ),
+            "src": out["src"],
+            "n": out["n"].astype("int64"),
+        }
+    )
+
+
 def distinct_users_per_type(sf_dir: str) -> pd.DataFrame:
     """GROUPED exact COUNT(DISTINCT ...) at scale — the per-group
     version of ``distinct_users_events`` (global) and the exact
@@ -1669,6 +1729,19 @@ ORACLE_SQL: dict[str, str] = {
                CAST(cnt AS BIGINT) AS modal_count
         FROM r WHERE rn = 1 ORDER BY l_returnflag
     """,
+    "monthly_activity_union": """
+        WITH u AS (
+            SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
+                   'events' AS src
+            FROM events WHERE ts IS NOT NULL
+            UNION ALL
+            SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP),
+                   'orders'
+            FROM orders WHERE o_orderdate IS NOT NULL
+        )
+        SELECT month, src, CAST(COUNT(*) AS BIGINT) AS n
+        FROM u GROUP BY 1, 2 ORDER BY 1, 2
+    """,
     "distinct_users_per_type": """
         SELECT event_type,
                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_users
@@ -1829,6 +1902,7 @@ QUERIES = {
     "full_outer_order_profile": full_outer_order_profile,
     "reconcile_order_totals": reconcile_order_totals,
     "distinct_users_per_type": distinct_users_per_type,
+    "monthly_activity_union": monthly_activity_union,
     "distinct_users_events": distinct_users_events,
     "hll_users_events": hll_users_events,
     "revenue_per_nation": revenue_per_nation,

@@ -1078,6 +1078,73 @@ def peak_window_events(
     ).astype("int64")
 
 
+def burst_users_events(
+    sf_dir: str,
+    window_hours: int = 24,
+    k: int = 3,
+    num_buckets: int | None = None,
+) -> pd.DataFrame:
+    """Per-user burst detection (the abuse / bot heuristic): a user's
+    burst score is the maximum number of their events inside any
+    ``[t − window, t]`` window anchored at one of their events; report
+    users at or over ``k``. The per-KEY RANGE-frame counterpart of the
+    global ``peak_window_events`` — because the window is per user and
+    users bucket whole, NO halo is needed. Per bucket the loop is over
+    DISTINCT users (the range-join precedent), two vectorized
+    ``searchsorted`` sweeps per user slice; integer-µs exact."""
+    from .dedup import _fused_grouped_frames
+
+    path = f"{sf_dir}/events.parquet"
+    win_us = np.int64(window_hours) * 3_600_000_000
+    n_buckets = num_buckets or scaled_num_buckets(count_rows(path))
+
+    def add_bucket(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["user_id", "ts"])
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "ts": df["ts"].astype("datetime64[us]").astype("int64"),
+                "__bucket": _bucket_of(
+                    df["user_id"].to_numpy(dtype=np.int64), n_buckets
+                ),
+            }
+        )
+
+    def bursts_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="stable")
+        u = g["user_id"].to_numpy()
+        t = g["ts"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        ends = np.r_[starts[1:], len(u)]
+        n_users = len(starts)
+        n_bursty = 0
+        mx = 0
+        for s, e in zip(starts, ends):
+            seg = t[s:e]
+            lo = np.searchsorted(seg, seg - win_us, side="left")
+            hi = np.searchsorted(seg, seg, side="right")
+            burst = int((hi - lo).max())
+            mx = max(mx, burst)
+            if burst >= k:
+                n_bursty += 1
+        return pd.DataFrame(
+            {"n_users": [n_users], "n_bursty": [n_bursty], "mx": [mx]}
+        ).astype("int64")
+
+    parts = _fused_grouped_frames(
+        [(path, ["user_id", "ts"], None, add_bucket)],
+        n_buckets,
+        bursts_per_bucket,
+    )
+    return pd.DataFrame(
+        {
+            "n_users": [int(parts["n_users"].sum())],
+            "n_bursty_users": [int(parts["n_bursty"].sum())],
+            "max_burst": [int(parts["mx"].max()) if len(parts) else 0],
+        }
+    ).astype("int64")
+
+
 def conversion_delay_events(
     sf_dir: str,
     first: str = "view",
@@ -1641,6 +1708,7 @@ QUERIES = {
     "rolling_wau_events": rolling_wau_events,
     "new_vs_returning_orders": new_vs_returning_orders,
     "conversion_delay_events": conversion_delay_events,
+    "burst_users_events": burst_users_events,
 }
 
 ORACLE_SQL = {
@@ -1683,6 +1751,24 @@ ORACLE_SQL = {
                CAST(COUNT(*) AS BIGINT) AS n_users
         FROM a JOIN f USING (user_id)
         GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "burst_users_events": """
+        WITH w AS (
+            SELECT user_id,
+                   COUNT(*) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 24 HOUR PRECEDING
+                             AND CURRENT ROW
+                   ) AS c
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ),
+        m AS (SELECT user_id, MAX(c) AS mb FROM w GROUP BY user_id)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(COUNT(*) FILTER (WHERE mb >= 3) AS BIGINT)
+                   AS n_bursty_users,
+               CAST(MAX(mb) AS BIGINT) AS max_burst
+        FROM m
     """,
     "conversion_delay_events": """
         WITH v AS (

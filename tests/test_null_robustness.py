@@ -1129,3 +1129,50 @@ def test_conversion_delay_bucket_invariance(null_events_dir):
     a = conversion_delay_events(null_events_dir, num_buckets=3)
     b = conversion_delay_events(null_events_dir, num_buckets=29)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_burst_users_nulls(null_events_dir):
+    """Per-key RANGE-frame window: users bucket whole so no halo is
+    needed (unlike the global peak); integer-µs exact."""
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.windows import burst_users_events
+
+    got = burst_users_events(null_events_dir)
+    want = _duck_events(m.oracle_sql()["burst_users_events"], null_events_dir)
+    _assert_eq(got, want, "burst_users")
+
+
+def test_burst_users_bucket_invariance(null_events_dir):
+    from datapact_ray.pipelines.windows import burst_users_events
+
+    a = burst_users_events(null_events_dir, num_buckets=3)
+    b = burst_users_events(null_events_dir, num_buckets=29)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_monthly_activity_union_nulls(null_events_dir, null_rel_dir):
+    """UNION ALL across two tables: each side's NULL timestamps drop
+    independently; months partial-count before the union."""
+    import shutil
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.relational import monthly_activity_union
+
+    # assemble a dir holding BOTH tables (fixtures are separate dirs)
+    import tempfile, os
+    d = tempfile.mkdtemp(prefix="union_fix_")
+    shutil.copy(f"{null_events_dir}/events.parquet", d)
+    shutil.copy(f"{null_rel_dir}/orders.parquet", d)
+    try:
+        got = monthly_activity_union(d)
+        con = duckdb.connect()
+        for t in ("events", "orders"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+            )
+        try:
+            want = con.execute(m.oracle_sql()["monthly_activity_union"]).fetchdf()
+        finally:
+            con.close()
+        _assert_eq(got, want, "monthly_activity_union")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
