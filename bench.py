@@ -313,6 +313,7 @@ def run_bench() -> dict:
     timed("oov_rate_documents", text.oov_rate_documents, SF_DIR)
     timed("ttr_lang_documents", text.ttr_lang_documents, SF_DIR)
     timed("vocabulary_stats_documents", text.vocabulary_stats_documents, SF_DIR)
+    timed("zipf_slope_documents", text.zipf_slope_documents, SF_DIR)
     # jaccard_pairs_documents / embedding_exact_pairs are the EXACT
     # quadratic baselines that oracle-check the approximate dedup paths;
     # they run in the correctness gate but stay out of the timed headline

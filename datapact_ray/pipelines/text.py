@@ -1100,6 +1100,35 @@ def vocabulary_stats_documents(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def zipf_slope_documents(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Zipf slope of the vocabulary — the corpus-naturalness diagnostic
+    (natural language sits near −1; template spam and shuffled noise
+    don't): OLS slope of ln(count) on ln(rank) over the exact top-k
+    vocabulary. The distributed part is the tie-pinned top-k exchange
+    (both engines rank by count DESC, token ASC, so ranks agree
+    exactly); the regression runs on the k-row result with the
+    identical closed-form expression tree as the oracle."""
+    import math as _math
+
+    top = vocab_top_terms_documents(sf_dir, k=k)
+    n = len(top)
+    lr = np.log(np.arange(1, n + 1, dtype=np.float64))
+    lc = np.log(top["cnt"].to_numpy(np.float64))
+    sx = _math.fsum(lr)
+    sy = _math.fsum(lc)
+    sxx = _math.fsum(lr * lr)
+    sxy = _math.fsum(lr * lc)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return pd.DataFrame(
+        {
+            "n_terms": pd.Series([n], dtype="int64"),
+            "zipf_slope": [float(round_duck(slope, 4))],
+            "zipf_intercept": [float(round_duck(intercept, 4))],
+        }
+    )
+
+
 QUERIES = {
     "text_stats_documents": text_stats_documents,
     "token_counts_documents": token_counts_documents,
@@ -1118,9 +1147,37 @@ QUERIES = {
     "oov_rate_documents": oov_rate_documents,
     "ttr_lang_documents": ttr_lang_documents,
     "vocabulary_stats_documents": vocabulary_stats_documents,
+    "zipf_slope_documents": zipf_slope_documents,
 }
 
 ORACLE_SQL = {
+    "zipf_slope_documents": """
+        WITH c AS (
+            SELECT tok, COUNT(*) AS n
+            FROM (
+                SELECT unnest(string_split(text, ' ')) AS tok
+                FROM documents WHERE text IS NOT NULL
+            )
+            GROUP BY tok ORDER BY n DESC, tok LIMIT 100
+        ),
+        r AS (
+            SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok)
+                           AS DOUBLE)) AS lr,
+                   ln(CAST(n AS DOUBLE)) AS lc
+            FROM c
+        ),
+        s AS (
+            SELECT COUNT(*) AS k, fsum(lr) AS sx, fsum(lc) AS sy,
+                   fsum(lr * lr) AS sxx, fsum(lr * lc) AS sxy
+            FROM r
+        )
+        SELECT CAST(k AS BIGINT) AS n_terms,
+               ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 4)
+                   AS zipf_slope,
+               ROUND((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx)
+                     / k, 4) AS zipf_intercept
+        FROM s
+    """,
     "oov_rate_documents": """
         WITH t AS (
             SELECT lang, unnest(string_split(text, ' ')) AS tok

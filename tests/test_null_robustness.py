@@ -1176,3 +1176,16 @@ def test_monthly_activity_union_nulls(null_events_dir, null_rel_dir):
         _assert_eq(got, want, "monthly_activity_union")
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_zipf_slope_zipf(zipf_text_dir):
+    """On a corpus actually drawn from a Zipf(1.2) distribution the
+    slope must land well below the testdata's flat -0.18; ranks agree
+    exactly because the top-k is tie-pinned on both engines."""
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.text import zipf_slope_documents
+
+    got = zipf_slope_documents(zipf_text_dir)
+    assert float(got["zipf_slope"].iloc[0]) < -0.8
+    want = _duck_docs(m.oracle_sql()["zipf_slope_documents"], zipf_text_dir)
+    _assert_eq(got, want, "zipf_slope")
