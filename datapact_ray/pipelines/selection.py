@@ -429,7 +429,9 @@ def ntile_revenue_orders(sf_dir: str, tiles: int = 4) -> pd.DataFrame:
         sizes_holder["sizes"] = sizes
         sizes_holder["n"] = n
         cuts = np.cumsum(sizes)[:-1]  # boundary ranks s1, s2, s3
-        return {0: sorted({int(s) - 1 for s in cuts})}
+        # n < tiles leaves trailing empty tiles: their cuts repeat the
+        # last populated rank; rank −1 (n == 0) must not reach selection
+        return {0: sorted({int(s) - 1 for s in cuts if s > 0})}
 
     vals, _counts = _rank_values(
         path,
@@ -441,8 +443,16 @@ def ntile_revenue_orders(sf_dir: str, tiles: int = 4) -> pd.DataFrame:
     )
     sizes = sizes_holder["sizes"]
     n = sizes_holder["n"]
-    cuts = list(np.cumsum(sizes)[:-1])
-    bounds = [vals[0][int(s) - 1] for s in cuts]  # exact cents as float64
+    if n == 0:
+        return pd.DataFrame(
+            {
+                "quartile": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+                "sum_cents": pd.Series([], dtype="int64"),
+            }
+        )
+    cuts = [int(s) for s in np.cumsum(sizes)[:-1] if s > 0]
+    bounds = [vals[0][s - 1] for s in cuts]  # exact cents as float64
 
     from ..shuffle import map_partials
 
@@ -475,6 +485,8 @@ def ntile_revenue_orders(sf_dir: str, tiles: int = 4) -> pd.DataFrame:
     for qi in range(tiles):
         tile_sum = S[qi] - prev
         prev = S[qi]
+        if sizes[qi] == 0:
+            continue  # NTILE emits no tile id for empty tiles (n < tiles)
         rows.append((qi + 1, int(sizes[qi]), int(tile_sum)))
     return pd.DataFrame(
         rows, columns=["quartile", "n", "sum_cents"]

@@ -1189,3 +1189,34 @@ def test_zipf_slope_zipf(zipf_text_dir):
     assert float(got["zipf_slope"].iloc[0]) < -0.8
     want = _duck_docs(m.oracle_sql()["zipf_slope_documents"], zipf_text_dir)
     _assert_eq(got, want, "zipf_slope")
+
+
+def test_ntile_small_n(tmp_path):
+    """n < tiles: NTILE emits no tile id for empty tiles — the engine
+    must match (and not crash on rank −1 / zero-size tiles)."""
+    import duckdb as _d
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.selection import ntile_revenue_orders
+
+    for n in (2, 3, 6):
+        d = tmp_path / f"n{n}"
+        d.mkdir()
+        pd.DataFrame(
+            {
+                "o_custkey": np.arange(n, dtype="int64"),
+                "o_totalprice": np.round(
+                    np.linspace(100.0, 900.0, n), 2
+                ),
+            }
+        ).to_parquet(d / "orders.parquet")
+        got = ntile_revenue_orders(str(d))
+        con = _d.connect()
+        con.execute(
+            "CREATE VIEW orders AS SELECT * FROM "
+            f"read_parquet('{d}/orders.parquet')"
+        )
+        try:
+            want = con.execute(m.oracle_sql()["ntile_revenue_orders"]).fetchdf()
+        finally:
+            con.close()
+        _assert_eq(got, want, f"ntile_n{n}")
