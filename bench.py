@@ -292,6 +292,12 @@ def run_bench() -> dict:
     )
     timed("traffic_heatmap_events", windows.traffic_heatmap_events, SF_DIR)
     timed("monthly_growth_orders", windows.monthly_growth_orders, SF_DIR)
+    timed("json_keys_census_events", relational.json_keys_census_events, SF_DIR)
+    timed(
+        "chisq_priority_status_orders",
+        relational.chisq_priority_status_orders,
+        SF_DIR,
+    )
     timed("burst_users_events", windows.burst_users_events, SF_DIR)
     timed("monthly_activity_union", relational.monthly_activity_union, SF_DIR)
     timed("value_percentiles_events", selection.value_percentiles_events, SF_DIR)

@@ -745,6 +745,109 @@ def customer_order_profile(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def json_keys_census_events(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured SCHEMA census (the schema-on-read profiling step
+    before any extraction): which keys appear in the JSON payload and
+    in what fraction of rows. One vectorized C-regex ``extractall``
+    per batch under the documented flat-payload premise, (row, key)
+    presence dedup in-task, per-key count partials — key-vocabulary-
+    bounded, the payload never leaves the scan task."""
+    from ..shuffle import map_partials
+    from ._util import round_duck
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        props = batch.column("props").to_pandas().dropna().astype(str)
+        total = len(props)
+        if total == 0:
+            return pd.DataFrame(
+                {"key": pd.Series([], dtype="object"),
+                 "n": pd.Series([], dtype="int64"),
+                 "total": pd.Series([], dtype="int64")}
+            )
+        keys = props.str.extractall(r'"([^"]+)"\s*:')[0].reset_index()
+        keys = keys.drop_duplicates(["level_0", 0])  # presence, not count
+        vc = keys[0].value_counts()
+        out = pd.DataFrame(
+            {
+                "key": vc.index.to_numpy().astype(str),
+                "n": vc.to_numpy().astype("int64"),
+                "total": np.int64(0),
+            }
+        )
+        # one marker row per task carries the non-null payload count
+        return pd.concat(
+            [out, pd.DataFrame({"key": [""], "n": [0], "total": [total]})],
+            ignore_index=True,
+        )
+
+    parts = map_partials(f"{sf_dir}/events.parquet", ["props"], None, partial)
+    total = int(parts["total"].sum())
+    out = (
+        parts[parts["key"] != ""]
+        .groupby("key", as_index=False)["n"]
+        .sum()
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {
+            "key": out["key"],
+            "n_rows": out["n"].astype("int64"),
+            "presence_rate": round_duck(
+                out["n"].to_numpy(np.float64) * 1.0 / float(total), 4
+            ),
+        }
+    )
+
+
+def chisq_priority_status_orders(sf_dir: str) -> pd.DataFrame:
+    """Chi-square independence test on the priority × status
+    contingency table (the categorical-drift / association check).
+    Cells partial-count per batch (bounded priorities × statuses);
+    the driver applies the zero-cell-safe identity
+    χ² = Σ o²·t/(r·c) − t over OBSERVED cells only (a zero cell's
+    (0−e)²/e term cancels inside the identity), with every factor an
+    exact integer so both engines build the same doubles."""
+    import math as _math
+
+    from ..shuffle import map_partials
+    from ._util import round_duck
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["o_orderpriority", "o_orderstatus"])
+        out = df.groupby(
+            ["o_orderpriority", "o_orderstatus"], as_index=False
+        ).size()
+        return out.rename(columns={"size": "n"})
+
+    cells = (
+        map_partials(
+            f"{sf_dir}/orders.parquet",
+            ["o_orderpriority", "o_orderstatus"],
+            None,
+            partial,
+        )
+        .groupby(["o_orderpriority", "o_orderstatus"], as_index=False)["n"]
+        .sum()
+    )
+    t = int(cells["n"].sum())
+    r = cells.groupby("o_orderpriority")["n"].sum()
+    c = cells.groupby("o_orderstatus")["n"].sum()
+    terms = [
+        (int(row.n) * int(row.n) * t * 1.0)
+        / (int(r[row.o_orderpriority]) * int(c[row.o_orderstatus]))
+        for row in cells.itertuples()
+    ]
+    chi2 = _math.fsum(terms) - t
+    return pd.DataFrame(
+        {
+            "n_rows": pd.Series([t], dtype="int64"),
+            "n_cells": pd.Series([len(cells)], dtype="int64"),
+            "chi2": [float(round_duck(chi2, 4))],
+        }
+    )
+
+
 def monthly_activity_union(sf_dir: str) -> pd.DataFrame:
     """UNION ALL across heterogeneous tables (the multi-source activity
     timeline): monthly row counts of the event log and the order book
@@ -1729,6 +1832,32 @@ ORACLE_SQL: dict[str, str] = {
                CAST(cnt AS BIGINT) AS modal_count
         FROM r WHERE rn = 1 ORDER BY l_returnflag
     """,
+    "json_keys_census_events": """
+        WITH p AS (SELECT props FROM events WHERE props IS NOT NULL),
+        k AS (SELECT unnest(json_keys(props)) AS key FROM p)
+        SELECT key, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               ROUND(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM p), 4)
+                   AS presence_rate
+        FROM k GROUP BY key ORDER BY key
+    """,
+    "chisq_priority_status_orders": """
+        WITH c AS (
+            SELECT o_orderpriority AS p, o_orderstatus AS s,
+                   COUNT(*) AS n
+            FROM orders
+            WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        rt AS (SELECT p, SUM(n) AS r FROM c GROUP BY p),
+        ct AS (SELECT s, SUM(n) AS cl FROM c GROUP BY s),
+        tot AS (SELECT SUM(n) AS t FROM c)
+        SELECT CAST(tot.t AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_cells,
+               ROUND(fsum(c.n * c.n * tot.t * 1.0 / (rt.r * ct.cl))
+                     - tot.t, 4) AS chi2
+        FROM c JOIN rt USING (p) JOIN ct USING (s), tot
+        GROUP BY tot.t
+    """,
     "monthly_activity_union": """
         WITH u AS (
             SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
@@ -1903,6 +2032,8 @@ QUERIES = {
     "reconcile_order_totals": reconcile_order_totals,
     "distinct_users_per_type": distinct_users_per_type,
     "monthly_activity_union": monthly_activity_union,
+    "json_keys_census_events": json_keys_census_events,
+    "chisq_priority_status_orders": chisq_priority_status_orders,
     "distinct_users_events": distinct_users_events,
     "hll_users_events": hll_users_events,
     "revenue_per_nation": revenue_per_nation,

@@ -1220,3 +1220,51 @@ def test_ntile_small_n(tmp_path):
         finally:
             con.close()
         _assert_eq(got, want, f"ntile_n{n}")
+
+
+def test_json_keys_census_nulls(null_events_dir):
+    """The fixture mixes {'k': ...}, {'other': 1} and NULL payloads —
+    the census must report both keys with partial presence rates."""
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.relational import json_keys_census_events
+
+    got = json_keys_census_events(null_events_dir)
+    assert set(got["key"]) == {"k", "other"}
+    assert float(got["presence_rate"].max()) < 1.0
+    want = _duck_events(
+        m.oracle_sql()["json_keys_census_events"], null_events_dir
+    )
+    _assert_eq(got, want, "json_keys_census")
+
+
+def test_chisq_nulls(null_dir):
+    """Zero-cell-safe identity: chi2 over observed cells only matches
+    the full-grid definition; NULL category rows drop on both sides."""
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.relational import chisq_priority_status_orders
+
+    # null_dir orders lack o_orderstatus — derive one deterministically
+    import tempfile, shutil
+    d = tempfile.mkdtemp(prefix="chisq_fix_")
+    try:
+        o = pd.read_parquet(f"{null_dir}/orders.parquet")
+        o["o_orderstatus"] = np.where(
+            o["o_orderkey"] % 7 == 0, None,
+            np.array(["F", "O", "P"])[(o["o_orderkey"] % 3).to_numpy()],
+        )
+        o.to_parquet(f"{d}/orders.parquet", row_group_size=512)
+        got = chisq_priority_status_orders(d)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW orders AS SELECT * FROM "
+            f"read_parquet('{d}/orders.parquet')"
+        )
+        try:
+            want = con.execute(
+                m.oracle_sql()["chisq_priority_status_orders"]
+            ).fetchdf()
+        finally:
+            con.close()
+        _assert_eq(got, want, "chisq")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
