@@ -304,6 +304,7 @@ def run_bench() -> dict:
     timed("conversion_delay_events", windows.conversion_delay_events, SF_DIR)
     timed("skew_kurtosis_lineitem", stats.skew_kurtosis_lineitem, SF_DIR)
     timed("anomalous_days_events", stats.anomalous_days_events, SF_DIR)
+    timed("value_trend_events", stats.value_trend_events, SF_DIR)
     timed("rolling_wau_events", windows.rolling_wau_events, SF_DIR)
     timed("new_vs_returning_orders", windows.new_vs_returning_orders, SF_DIR)
     timed(

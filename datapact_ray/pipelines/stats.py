@@ -412,6 +412,59 @@ def skew_kurtosis_lineitem(sf_dir: str) -> pd.DataFrame:
     ).astype({"n": "int64"})
 
 
+def value_trend_events(sf_dir: str) -> pd.DataFrame:
+    """Distributed OLS trend per group (drift as a REGRESSION, not a
+    mean shift): slope of event value (cents/day) against event time
+    (days since epoch) per event type, from closed-form sums. Each
+    batch reduces to per-type (n, Σx, Σy, Σxy, Σx²) partials with x =
+    integer day and y = integer cents — every product ≤ ~6e8, so
+    partials are exact int64 and the driver merges them as Python ints;
+    both engines then build the slope from the SAME exact integers with
+    the identical expression tree. The classic "did quality decay over
+    the crawl" check for training pipelines."""
+    from ..shuffle import map_partials
+
+    path = f"{sf_dir}/events.parquet"
+    day_us = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["ts", "event_type", "value"])
+        x = (
+            df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+            // day_us
+        )
+        y = np.round(df["value"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        part = pd.DataFrame(
+            {
+                "event_type": df["event_type"].astype(str),
+                "n": np.int64(1),
+                "sx": x,
+                "sy": y,
+                "sxy": x * y,
+                "sxx": x * x,
+            }
+        )
+        return part.groupby("event_type", as_index=False).sum()
+
+    parts = map_partials(
+        path, ["ts", "event_type", "value"], None, partial
+    )
+    rows = []
+    for t, g in parts.groupby("event_type", sort=True):
+        n = int(g["n"].sum())
+        sx = sum(int(v) for v in g["sx"])
+        sy = sum(int(v) for v in g["sy"])
+        sxy = sum(int(v) for v in g["sxy"])
+        sxx = sum(int(v) for v in g["sxx"])
+        # identical FP tree as the oracle:
+        # (n*sxy - sx*sy) * 1.0 / (n*sxx - sx*sx) / 100
+        slope = ((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx)) / 100.0
+        rows.append((t, n, float(round_duck(slope, 6))))
+    return pd.DataFrame(
+        rows, columns=["event_type", "n", "slope_per_day"]
+    ).astype({"n": "int64"})
+
+
 def anomalous_days_events(sf_dir: str, z_threshold: float = 2.0) -> pd.DataFrame:
     """Volume-anomaly detection on the daily event-count series (the
     monitoring op: which days deviate > zσ from the series mean). Daily
@@ -454,6 +507,26 @@ def anomalous_days_events(sf_dir: str, z_threshold: float = 2.0) -> pd.DataFrame
 
 
 ORACLE_SQL: dict[str, str] = {
+    "value_trend_events": """
+        WITH s AS (
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   SUM(epoch_us(ts) // 86400000000) AS sx,
+                   SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS sy,
+                   SUM((epoch_us(ts) // 86400000000)
+                       * CAST(ROUND(value * 100, 0) AS BIGINT)) AS sxy,
+                   SUM((epoch_us(ts) // 86400000000)
+                       * (epoch_us(ts) // 86400000000)) AS sxx
+            FROM events
+            WHERE ts IS NOT NULL AND event_type IS NOT NULL
+              AND value IS NOT NULL
+            GROUP BY event_type
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               ROUND((n * sxy - sx * sy) * 1.0
+                     / (n * sxx - sx * sx) / 100, 6) AS slope_per_day
+        FROM s ORDER BY event_type
+    """,
     "skew_kurtosis_lineitem": """
         SELECT l_returnflag,
                CAST(COUNT(l_extendedprice) AS BIGINT) AS n,
@@ -554,4 +627,5 @@ QUERIES = {
     "user_overlap_events": user_overlap_events,
     "skew_kurtosis_lineitem": skew_kurtosis_lineitem,
     "anomalous_days_events": anomalous_days_events,
+    "value_trend_events": value_trend_events,
 }

@@ -1268,3 +1268,15 @@ def test_chisq_nulls(null_dir):
         _assert_eq(got, want, "chisq")
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_value_trend_nulls(null_events_dir):
+    """OLS from closed-form exact-integer sums: both engines build the
+    slope from the same ints; NULL ts/type/value rows drop on both
+    sides."""
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.stats import value_trend_events
+
+    got = value_trend_events(null_events_dir)
+    want = _duck_events(m.oracle_sql()["value_trend_events"], null_events_dir)
+    _assert_eq(got, want, "value_trend")
