@@ -321,6 +321,12 @@ def run_bench() -> dict:
     timed("ttr_lang_documents", text.ttr_lang_documents, SF_DIR)
     timed("vocabulary_stats_documents", text.vocabulary_stats_documents, SF_DIR)
     timed("zipf_slope_documents", text.zipf_slope_documents, SF_DIR)
+    timed(
+        "cooccur_top_pairs_documents", text.cooccur_top_pairs_documents, SF_DIR
+    )
+    timed(
+        "centroid_confusion_embeddings", ann.centroid_confusion_embeddings, SF_DIR
+    )
     # jaccard_pairs_documents / embedding_exact_pairs are the EXACT
     # quadratic baselines that oracle-check the approximate dedup paths;
     # they run in the correctness gate but stay out of the timed headline

@@ -298,6 +298,65 @@ def label_centroids_embeddings(sf_dir: str) -> pd.DataFrame:
     return out.astype({"label": "int64", "i": "int64"}).reset_index(drop=True)
 
 
+def centroid_confusion_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Nearest-prototype confusion matrix — the label-quality audit of
+    a vector dataset: assign each embedding to its nearest class
+    centroid (squared L2, ties to the smallest label) and cross-tab
+    against the stored label; off-diagonal mass flags label noise or
+    collapsed classes. The 6dp-pinned distributed centroids broadcast
+    via closure capture; each scan task computes its batch's n×L
+    distance matrix with the same per-element (e − c)² expression as
+    the oracle and reduces to ≤ L² count partials — vectors never
+    shuffle. (Distance sums accumulate in different orders across
+    engines — ~1e-15 — so an assignment could only flip for a vector
+    near-equidistant to two centroids at that scale.)"""
+    cents = label_centroids_embeddings(sf_dir)
+    m = cents.pivot(index="label", columns="i", values="c").sort_index()
+    labels = m.index.to_numpy(np.int64)
+    C = m.to_numpy(np.float64)  # L × D, label-ascending rows
+
+    from ..shuffle import map_partials
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df = df[df["label"].notna() & df["embedding"].notna()]
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "true_label": pd.Series([], dtype="int64"),
+                    "assigned_label": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        M = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        d = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)  # n × L
+        assigned = labels[np.argmin(d, axis=1)]  # first min = smallest label
+        out = (
+            pd.DataFrame(
+                {
+                    "true_label": df["label"].astype("int64").to_numpy(),
+                    "assigned_label": assigned,
+                }
+            )
+            .groupby(["true_label", "assigned_label"], as_index=False)
+            .size()
+        )
+        return out.rename(columns={"size": "n"})
+
+    parts = map_partials(
+        f"{sf_dir}/embeddings.parquet", ["label", "embedding"], None, partial
+    )
+    out = (
+        parts.groupby(["true_label", "assigned_label"], as_index=False)["n"]
+        .sum()
+        .sort_values(["true_label", "assigned_label"])
+        .reset_index(drop=True)
+    )
+    return out.astype(
+        {"true_label": "int64", "assigned_label": "int64", "n": "int64"}
+    )
+
+
 def quantization_calibration_embeddings(sf_dir: str) -> pd.DataFrame:
     """Per-dimension int8 quantization calibration — the min/max range
     scan every vector-compression step (scalar quantization, SQ8 in
@@ -439,9 +498,47 @@ QUERIES = {
     "embedding_norms_labels": embedding_norms_labels,
     "centroid_distances_embeddings": centroid_distances_embeddings,
     "quantization_calibration_embeddings": quantization_calibration_embeddings,
+    "centroid_confusion_embeddings": centroid_confusion_embeddings,
 }
 
 ORACLE_SQL = {
+    "centroid_confusion_embeddings": """
+        WITH u AS (
+            SELECT label,
+                   CAST(unnest(embedding) AS DOUBLE) AS e,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings
+            WHERE label IS NOT NULL AND embedding IS NOT NULL
+        ),
+        c AS (
+            SELECT label AS clabel, i, ROUND(AVG(e), 6) AS c
+            FROM u GROUP BY label, i
+        ),
+        v AS (
+            SELECT vec_id, label,
+                   CAST(unnest(embedding) AS DOUBLE) AS e,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings
+            WHERE label IS NOT NULL AND embedding IS NOT NULL
+        ),
+        d AS (
+            SELECT v.vec_id, v.label, c.clabel,
+                   SUM((v.e - c.c) * (v.e - c.c)) AS dist
+            FROM v JOIN c USING (i)
+            GROUP BY 1, 2, 3
+        ),
+        a AS (
+            SELECT vec_id, label, clabel,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY dist, clabel) AS rn
+            FROM d
+        )
+        SELECT CAST(label AS BIGINT) AS true_label,
+               CAST(clabel AS BIGINT) AS assigned_label,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM a WHERE rn = 1
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
     "quantization_calibration_embeddings": """
         WITH u AS (
             SELECT CAST(unnest(embedding) AS DOUBLE) AS e,

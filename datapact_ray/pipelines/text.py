@@ -1100,6 +1100,46 @@ def vocabulary_stats_documents(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def cooccur_top_pairs_documents(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Top-k co-occurring token pairs (document-level association
+    mining — unordered pairs in the SAME document, not the adjacency
+    the bigram op counts). Per batch: distinct (doc, token) incidence,
+    ONE self-merge per doc expands to pairs (quadratic only in a doc's
+    DISTINCT token count — doc-bounded, like shingling), per-pair count
+    partials into the tie-pinned top-k exchange. The pair key is the
+    '|'-joined token pair so engine and oracle tie-break identically."""
+    from .dedup import _dedup_buckets
+
+    nb = _dedup_buckets()
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["text"])
+        expl = pd.DataFrame(
+            {
+                "doc": np.repeat(
+                    np.arange(len(df)), df["text"].astype(str).str.split(" ").str.len()
+                ),
+                "tok": df["text"].astype(str).str.split(" ").explode().to_numpy(),
+            }
+        ).drop_duplicates()
+        pairs = expl.merge(expl, on="doc")
+        pairs = pairs[pairs["tok_x"] < pairs["tok_y"]]
+        vc = (pairs["tok_x"] + "|" + pairs["tok_y"]).value_counts()
+        out = pd.DataFrame(
+            {
+                "pair": vc.index.to_numpy().astype(str),
+                "cnt": vc.to_numpy().astype("int64"),
+            }
+        )
+        out["__bucket"] = _bucket_of_keys(out["pair"], nb)
+        return out
+
+    top = _topk_by_count_fused(
+        f"{sf_dir}/documents.parquet", ["text"], partial, "pair", k, nb
+    )
+    return top
+
+
 def zipf_slope_documents(sf_dir: str, k: int = 100) -> pd.DataFrame:
     """Zipf slope of the vocabulary — the corpus-naturalness diagnostic
     (natural language sits near −1; template spam and shuffled noise
@@ -1148,9 +1188,25 @@ QUERIES = {
     "ttr_lang_documents": ttr_lang_documents,
     "vocabulary_stats_documents": vocabulary_stats_documents,
     "zipf_slope_documents": zipf_slope_documents,
+    "cooccur_top_pairs_documents": cooccur_top_pairs_documents,
 }
 
 ORACLE_SQL = {
+    "cooccur_top_pairs_documents": """
+        WITH d AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents WHERE text IS NOT NULL
+        ),
+        u AS (SELECT DISTINCT doc_id, tok FROM d),
+        p AS (
+            SELECT a.tok || '|' || b.tok AS pair, COUNT(*) AS cnt
+            FROM u a JOIN u b
+              ON a.doc_id = b.doc_id AND a.tok < b.tok
+            GROUP BY 1
+        )
+        SELECT pair, CAST(cnt AS BIGINT) AS cnt
+        FROM p ORDER BY cnt DESC, pair LIMIT 20
+    """,
     "zipf_slope_documents": """
         WITH c AS (
             SELECT tok, COUNT(*) AS n

@@ -1280,3 +1280,40 @@ def test_value_trend_nulls(null_events_dir):
     got = value_trend_events(null_events_dir)
     want = _duck_events(m.oracle_sql()["value_trend_events"], null_events_dir)
     _assert_eq(got, want, "value_trend")
+
+
+def test_cooccur_zipf(zipf_text_dir):
+    """Document-level co-occurrence (unordered pairs, not adjacency);
+    tie-break pinned via the '|'-joined pair key on both engines."""
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.text import cooccur_top_pairs_documents
+
+    got = cooccur_top_pairs_documents(zipf_text_dir)
+    want = _duck_docs(
+        m.oracle_sql()["cooccur_top_pairs_documents"], zipf_text_dir
+    )
+    _assert_eq(got, want, "cooccur")
+
+
+def test_centroid_confusion_nulls(raw_embed_dir):
+    """Non-unit fixture with overlapping Gaussian labels: the matrix
+    must have off-diagonal mass (label noise) and match the SQL
+    nearest-prototype assignment with its (dist, label) tie order."""
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.ann import centroid_confusion_embeddings
+
+    got = centroid_confusion_embeddings(raw_embed_dir)
+    off = got[got["true_label"] != got["assigned_label"]]["n"].sum()
+    assert int(off) > 0
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{raw_embed_dir}/embeddings.parquet')"
+    )
+    try:
+        want = con.execute(
+            m.oracle_sql()["centroid_confusion_embeddings"]
+        ).fetchdf()
+    finally:
+        con.close()
+    _assert_eq(got, want, "centroid_confusion")
