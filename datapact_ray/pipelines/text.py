@@ -1100,7 +1100,9 @@ def vocabulary_stats_documents(sf_dir: str) -> pd.DataFrame:
     )
 
 
-def cooccur_top_pairs_documents(sf_dir: str, k: int = 20) -> pd.DataFrame:
+def cooccur_top_pairs_documents(
+    sf_dir: str, k: int = 20, dense_vocab_max: int = 2048
+) -> pd.DataFrame:
     """Top-k co-occurring token pairs (document-level association
     mining — unordered pairs in the SAME document, not the adjacency
     the bigram op counts). Per batch: distinct (doc, token) incidence,
@@ -1114,21 +1116,43 @@ def cooccur_top_pairs_documents(sf_dir: str, k: int = 20) -> pd.DataFrame:
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         df = batch.to_pandas().dropna(subset=["text"])
+        split = df["text"].astype(str).str.split(" ")
+        toks = split.explode()
+        # factorize into batch-local SORTED codes so code order == token
+        # order, pair in int space (strings only materialize for the
+        # ≤ vocab² DISTINCT pairs, not the exploded pair rows)
+        codes, uniq = pd.factorize(toks, sort=True)
         expl = pd.DataFrame(
             {
-                "doc": np.repeat(
-                    np.arange(len(df)), df["text"].astype(str).str.split(" ").str.len()
-                ),
-                "tok": df["text"].astype(str).str.split(" ").explode().to_numpy(),
+                "doc": np.repeat(np.arange(len(df)), split.str.len()),
+                "c": codes,
             }
         ).drop_duplicates()
-        pairs = expl.merge(expl, on="doc")
-        pairs = pairs[pairs["tok_x"] < pairs["tok_y"]]
-        vc = (pairs["tok_x"] + "|" + pairs["tok_y"]).value_counts()
+        v = np.int64(len(uniq))
+        if v <= dense_vocab_max:
+            # dense-vocab path: one boolean incidence matmul per batch
+            # (the user_overlap pattern) — O(docs · V²), no pair rows
+            X = np.zeros((len(df), int(v)), dtype=np.int64)
+            X[expl["doc"].to_numpy(), expl["c"].to_numpy()] = 1
+            M = X.T @ X
+            a, b = np.nonzero(np.triu(M, k=1))
+            ids = a.astype(np.int64) * v + b
+            cnts = M[a, b]
+        else:
+            # sparse-vocab path: per-doc self-merge (quadratic only in a
+            # doc's distinct token count)
+            pairs = expl.merge(expl, on="doc")
+            pairs = pairs[pairs["c_x"] < pairs["c_y"]]
+            vc = (
+                pairs["c_x"].to_numpy(np.int64) * v
+                + pairs["c_y"].to_numpy(np.int64)
+            )
+            ids, cnts = np.unique(vc, return_counts=True)
+        u = uniq.to_numpy().astype(str)
         out = pd.DataFrame(
             {
-                "pair": vc.index.to_numpy().astype(str),
-                "cnt": vc.to_numpy().astype("int64"),
+                "pair": pd.Series(u[ids // v]) + "|" + pd.Series(u[ids % v]),
+                "cnt": cnts.astype("int64"),
             }
         )
         out["__bucket"] = _bucket_of_keys(out["pair"], nb)

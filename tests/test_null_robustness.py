@@ -1317,3 +1317,13 @@ def test_centroid_confusion_nulls(raw_embed_dir):
     finally:
         con.close()
     _assert_eq(got, want, "centroid_confusion")
+
+
+def test_cooccur_sparse_path_parity(zipf_text_dir):
+    """The sparse-vocab self-merge path (vocab > dense_vocab_max) must
+    equal the dense matmul path bit-for-bit."""
+    from datapact_ray.pipelines.text import cooccur_top_pairs_documents
+
+    dense = cooccur_top_pairs_documents(zipf_text_dir)
+    sparse = cooccur_top_pairs_documents(zipf_text_dir, dense_vocab_max=0)
+    pd.testing.assert_frame_equal(dense, sparse)
