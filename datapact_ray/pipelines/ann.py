@@ -160,6 +160,11 @@ def ann_ivf_embeddings(
         columns=["vec_id", "embedding"],
         filters=[("vec_id", ">", 0), ("vec_id", "<=", n_lists)],
     )
+    if seed_t.num_rows == 0:
+        raise ValueError(
+            "cannot train IVF: embeddings table has no seed vectors "
+            f"(vec_id 1..{n_lists})"
+        )
     cent = np.stack(
         [np.asarray(v, dtype=np.float64) for v in seed_t.column("embedding").to_pylist()]
     )

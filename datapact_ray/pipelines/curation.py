@@ -134,6 +134,10 @@ def shuffle_order_documents(sf_dir: str, prefix_nibbles: int = 2) -> pd.DataFram
         )
 
     def reduce_bucket(frame: pd.DataFrame) -> pd.DataFrame:
+        if len(frame) == 0:
+            return pd.DataFrame(
+                {"bucket": [], "n": [], "sum_doc": [], "sum_doc_lrank": []}
+            )
         frame = frame.sort_values(["h", "doc_id"], kind="stable")
         doc = frame["doc_id"].to_numpy()
         lr = np.arange(1, len(doc) + 1, dtype=np.int64)

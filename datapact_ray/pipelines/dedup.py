@@ -138,9 +138,34 @@ def _fused_grouped_frames(specs, num_buckets: int, fn) -> pd.DataFrame:
         ]
         blobs = bucket_shuffle(parts, num_buckets, _BucketGroups(fn))
     frames = [pickle.loads(b) for b in blobs]
-    if not frames:
-        return pd.DataFrame()
-    return pd.concat(frames, ignore_index=True)
+    if frames:
+        return pd.concat(frames, ignore_index=True)
+    # ZERO-row exchange (valid empty inputs): mirror the real pipeline
+    # once on schema-typed empty batches — each projector, then the
+    # reduce — so callers see the reduce's columns, not a column-less
+    # frame. Empty-input behavior of projector/reduce stays the same
+    # code path a real empty bucket would take.
+    import pyarrow.parquet as _pq
+
+    proj_frames = []
+    for path, cols, _fsql, projector in specs:
+        files = list_parquet_files(path)
+        schema = _pq.read_schema(files[0])
+        if cols is not None:
+            schema = pa.schema(
+                [schema.field(c) for c in cols if c in schema.names]
+            )
+        pf = projector(schema.empty_table())
+        if isinstance(pf, pa.Table):
+            pf = pf.to_pandas()
+        proj_frames.append(pf)
+    empty_in = (
+        pd.concat(proj_frames, ignore_index=True)
+        if proj_frames
+        else pd.DataFrame()
+    )
+    out = fn(empty_in)
+    return out if out is not None else pd.DataFrame()
 
 
 class MinHasher:
@@ -998,6 +1023,15 @@ class HyperplaneLSH:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
+        if len(df) == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], type=pa.int64()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "vec": pa.array([], type=pa.binary()),
+                    "__bucket": pa.array([], type=pa.int32()),
+                }
+            )
         mat = np.stack(df["embedding"].to_numpy())
         proj = mat @ self.planes
         sig = (proj > 0).astype(np.uint32) @ (1 << np.arange(proj.shape[1], dtype=np.uint32))
@@ -1148,6 +1182,8 @@ def embedding_exact_pairs(sf_dir: str, threshold: float = 0.95) -> pd.DataFrame:
         .to_pandas()
         .sum()
     )
+    if "dup_pairs" not in out:  # 0-row table: no batches ran
+        return pd.DataFrame({"dup_pairs": [0], "dup_vecs": [0]}).astype("int64")
     return pd.DataFrame(
         {"dup_pairs": [int(out["dup_pairs"])], "dup_vecs": [int(out["dup_vecs"])]}
     )

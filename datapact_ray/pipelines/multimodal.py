@@ -331,9 +331,21 @@ def binary_payload_stats_documents(sf_dir: str) -> "pd.DataFrame":
         )
 
     # partials are ≤ n_langs rows per task: merge on the driver
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    if len(parts) == 0:  # 0-row table: no batches ran
+        return pd.DataFrame(
+            {
+                "lang": pd.Series([], dtype="object"),
+                "n_payloads": pd.Series([], dtype="int64"),
+                "total_bytes": pd.Series([], dtype="int64"),
+                "max_bytes": pd.Series([], dtype="int64"),
+                "n_large": pd.Series([], dtype="int64"),
+            }
+        )
     out = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .to_pandas()
+        parts
         .groupby("lang", as_index=False)
         .agg(
             n_payloads=("n_payloads", "sum"),

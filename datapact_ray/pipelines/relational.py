@@ -197,6 +197,15 @@ def ts_stats_events(sf_dir: str) -> pd.DataFrame:
     sm_hi = sum(int(v) for v in df["sm_hi"])
     sm_lo = sum(int(v) for v in df["sm_lo"])
     total = (sm_hi << 32) + sm_lo
+    if n == 0:  # SQL: COUNT 0, MIN/MAX/AVG NULL
+        return pd.DataFrame(
+            {
+                "n_events": pd.Series([0], dtype="int64"),
+                "min_epoch_us": [None],
+                "max_epoch_us": [None],
+                "avg_epoch_us": [None],
+            }
+        )
     return pd.DataFrame(
         {
             "n_events": [n],
@@ -314,8 +323,8 @@ def topk_orders(sf_dir: str) -> pd.DataFrame:
 def distinct_event_types(sf_dir: str) -> pd.DataFrame:
     """E4 distinct values via shuffle groupby."""
     ds = read_table(f"{sf_dir}/events.parquet", columns=["event_type"])
-    vals = sorted(ds.unique("event_type"))
-    return pd.DataFrame({"event_type": vals})
+    vals = ds.unique("event_type")
+    return pd.DataFrame({"event_type": sorted(vals or [])})
 
 
 class _BroadcastLookup:
@@ -355,6 +364,13 @@ def nations_per_region(sf_dir: str) -> pd.DataFrame:
         .count()
         .to_pandas()
     )
+    if len(out) == 0:  # 0-row fact side: SQL inner join yields no groups
+        return pd.DataFrame(
+            {
+                "r_name": pd.Series([], dtype="object"),
+                "n_nations": pd.Series([], dtype="int64"),
+            }
+        )
     out = out.rename(columns={"count()": "n_nations"})
     out["n_nations"] = out["n_nations"].astype("int64")
     return out.sort_values("r_name").reset_index(drop=True)
@@ -373,6 +389,16 @@ def join_orders_customer(sf_dir: str) -> pd.DataFrame:
     customer = read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
+    if orders.count() == 0 or customer.count() == 0:
+        # Ray's native hash join crashes finalizing 0-row sides; SQL's
+        # inner join over an empty side has no groups
+        return pd.DataFrame(
+            {
+                "c_mktsegment": pd.Series([], dtype="object"),
+                "n_orders": pd.Series([], dtype="int64"),
+                "sum_total": pd.Series([], dtype="float64"),
+            }
+        )
     joined = orders.join(
         customer,
         join_type="inner",
@@ -416,6 +442,8 @@ def drift_psi_events(sf_dir: str) -> pd.DataFrame:
             columns=["value"],
         )
         mm = (p.agg_value("value", "MIN"), p.agg_value("value", "MAX"))
+    if mm[0] is None or mm[1] is None:  # no rows: no distributions
+        return pd.DataFrame({"psi": pd.Series([], dtype="float64")})
     lo, hi = float(mm[0]), float(mm[1])
     width = (hi - lo) / 10.0
 

@@ -150,6 +150,8 @@ def _rank_values(
     # first-pass histogram; ranges are half-open [lo, hi)
     tasks: dict = {}
     for grp, ranks in ranks_by_group.items():
+        if not ranks:  # empty group / no requested statistics
+            continue
         g = first[first["grp"] == grp].sort_values("bin")
         cnts = g["cnt"].to_numpy()
         vmins = g["vmin"].to_numpy()
@@ -561,6 +563,10 @@ def revenue_concentration_customers(
 
     def hist_per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         cents = _totals(df)
+        if len(cents) == 0:
+            return pd.DataFrame(
+                {"bin": [-1], "cnt": [0], "tot": [0], "vmin": [0.0], "vmax": [0.0]}
+            )
         v = cents.astype(np.float64)  # cents < 2^53: exact
         b = (_okey(v) >> shift).astype(np.int64)
         order = np.argsort(b, kind="stable")

@@ -295,6 +295,10 @@ def user_overlap_events(sf_dir: str, num_buckets: int | None = None) -> pd.DataF
 
     def overlap_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         pairs = g.drop_duplicates(["user_id", "event_type"])
+        if len(pairs) == 0:
+            return pd.DataFrame(
+                {"type_a": [], "type_b": [], "inter": []}
+            )
         u_codes, _ = pd.factorize(pairs["user_id"], sort=False)
         t_codes, types = pd.factorize(pairs["event_type"], sort=True)
         inc = np.zeros((u_codes.max() + 1, len(types)), dtype=np.int64)
@@ -491,6 +495,15 @@ def anomalous_days_events(sf_dir: str, z_threshold: float = 2.0) -> pd.DataFrame
     parts = map_partials(path, ["ts"], None, partial)
     by_day = parts.groupby("day")["c"].sum().sort_index()
     n = len(by_day)
+    if n < 2:  # no series to z-score (SQL: zero joined rows)
+        return pd.DataFrame(
+            {
+                "n_days": pd.Series([], dtype="int64"),
+                "n_anomalous": pd.Series([], dtype="int64"),
+                "max_abs_z": pd.Series([], dtype="float64"),
+                "mean_daily": pd.Series([], dtype="float64"),
+            }
+        )
     c = by_day.to_numpy(np.float64)
     mean = math.fsum(c) / n
     sd = math.sqrt(math.fsum((x - mean) ** 2 for x in c) / (n - 1))

@@ -1078,10 +1078,21 @@ def vocabulary_stats_documents(sf_dir: str) -> pd.DataFrame:
         nb,
         bucket_stats,
     )
-    summaries = parts[parts["mass"] > 0]
-    distinct = int(summaries["distinct"].sum())
-    hapax = int(summaries["hapax"].sum())
-    total = int(summaries["mass"].sum())
+    summaries = parts[parts["mass"] > 0] if len(parts) else parts
+    distinct = int(summaries["distinct"].sum()) if len(summaries) else 0
+    hapax = int(summaries["hapax"].sum()) if len(summaries) else 0
+    total = int(summaries["mass"].sum()) if len(summaries) else 0
+    if total == 0:  # empty corpus: SQL aggregates over zero rows
+        return pd.DataFrame(
+            {
+                "total_tokens": pd.Series([0], dtype="int64"),
+                "distinct_tokens": pd.Series([0], dtype="int64"),
+                "hapax_tokens": pd.Series([0], dtype="int64"),
+                "hapax_rate": [None],
+                "coverage_top10": [None],
+                "coverage_top100": [None],
+            }
+        )
     cand = parts[parts["mass"] == 0].sort_values(
         ["cnt", "token"], ascending=[False, True], kind="stable"
     )
@@ -1176,6 +1187,14 @@ def zipf_slope_documents(sf_dir: str, k: int = 100) -> pd.DataFrame:
 
     top = vocab_top_terms_documents(sf_dir, k=k)
     n = len(top)
+    if n < 2:  # a slope needs at least two rank points
+        return pd.DataFrame(
+            {
+                "n_terms": pd.Series([n], dtype="int64"),
+                "zipf_slope": [None],
+                "zipf_intercept": [None],
+            }
+        )
     lr = np.log(np.arange(1, n + 1, dtype=np.float64))
     lc = np.log(top["cnt"].to_numpy(np.float64))
     sx = _math.fsum(lr)

@@ -125,6 +125,14 @@ def sliding_events_weekly(sf_dir: str) -> pd.DataFrame:
         .groupby(["window_start", "event_type"], as_index=False)["cnt"]
         .sum()
     )
+    if len(totals) == 0:  # SQL: COUNT 0 / MAX NULL / COUNT 0
+        return pd.DataFrame(
+            {
+                "n_windows": pd.Series([0], dtype="int64"),
+                "max_window_events": [None],
+                "total_window_rows": pd.Series([0], dtype="int64"),
+            }
+        )
     return pd.DataFrame(
         {
             "n_windows": [int(totals["window_start"].nunique())],
@@ -428,13 +436,22 @@ def event_gaps_events(sf_dir: str, num_buckets: int | None = None) -> pd.DataFra
     )
     n = int(parts["n"].sum())
     s = int(parts["s"].sum())
+    if n == 0:  # SQL aggregate-over-zero-rows: COUNT 0, SUM/MAX/AVG NULL
+        return pd.DataFrame(
+            {
+                "n_gaps": pd.Series([0], dtype="int64"),
+                "sum_gap_us": [None],
+                "max_gap_us": [None],
+                "avg_gap_seconds": [None],
+            }
+        )
     return pd.DataFrame(
         {
             "n_gaps": [n],
             "sum_gap_us": [s],
-            "max_gap_us": [int(parts["mx"].max()) if n else None],
+            "max_gap_us": [int(parts["mx"].max())],
             "avg_gap_seconds": [
-                float(round_duck(float(s) / n / 1_000_000.0, 4)) if n else None
+                float(round_duck(float(s) / n / 1_000_000.0, 4))
             ],
         }
     ).astype({"n_gaps": "int64", "sum_gap_us": "int64", "max_gap_us": "int64"})
@@ -467,6 +484,8 @@ def cumsum_crossing_events(sf_dir: str, fraction: float = 0.5) -> pd.DataFrame:
         import math as _math
 
         df = batch.to_pandas().dropna(subset=["ts"])
+        if len(df) == 0:
+            return pd.DataFrame({"hour": [], "s": [], "mn": []})
         v = df["value"].fillna(0.0).to_numpy(dtype=np.float64)
         ts_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
         hours = (ts_us // hour_us) * hour_us
@@ -1111,6 +1130,10 @@ def burst_users_events(
         )
 
     def bursts_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"n_users": [0], "n_bursty": [0], "mx": [0]}
+            ).astype("int64")
         g = g.sort_values(["user_id", "ts"], kind="stable")
         u = g["user_id"].to_numpy()
         t = g["ts"].to_numpy()
@@ -1452,6 +1475,14 @@ def monthly_growth_orders(sf_dir: str) -> pd.DataFrame:
     )
     by_m = parts.groupby("m")["c"].apply(lambda g: sum(int(x) for x in g))
     by_m = by_m.sort_index()
+    if len(by_m) == 0:
+        return pd.DataFrame(
+            {
+                "month": pd.Series([], dtype="datetime64[us]"),
+                "rev_cents": pd.Series([], dtype="int64"),
+                "growth_pct": pd.Series([], dtype="float64"),
+            }
+        )
     cents = by_m.to_numpy(dtype=object)
     growth = [None] + [
         float(_rd((int(c) - int(p)) * 1.0 / int(p), 4))

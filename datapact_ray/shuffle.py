@@ -215,7 +215,20 @@ def map_partials(
     if non_empty:
         return pd.concat(non_empty, ignore_index=True)
     # keep the (typed, named) empty frame so downstream groupbys work
-    return frames[0] if frames else pd.DataFrame()
+    if frames:
+        return frames[0]
+    # ZERO scan units (a valid 0-row input): run fn once on a
+    # schema-typed empty batch so the caller still sees its partial
+    # columns instead of a column-less frame
+    import pyarrow.parquet as _pq
+
+    schema = _pq.read_schema(files[0])
+    if columns is not None:
+        schema = pa.schema(
+            [schema.field(c) for c in columns if c in schema.names]
+        )
+    out = fn(schema.empty_table())
+    return out if out is not None else pd.DataFrame()
 
 
 def parquet_bucket_shuffle(
