@@ -1175,6 +1175,49 @@ def cooccur_top_pairs_documents(
     return top
 
 
+def fertility_lang_documents(sf_dir: str) -> pd.DataFrame:
+    """Tokenizer fertility per language — characters per token, the
+    standard "how expensive is this language for the tokenizer" metric
+    that decides per-language sampling weights. Integer char/token sums
+    per (lang, task) — both engines divide the SAME exact integers."""
+    from ..shuffle import map_partials
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["text", "lang"])
+        text = df["text"].astype(str)
+        part = pd.DataFrame(
+            {
+                "lang": df["lang"].astype(str),
+                "chars": text.str.len().to_numpy(np.int64),
+                "toks": text.str.split(" ").str.len().to_numpy(np.int64),
+            }
+        )
+        return part.groupby("lang", as_index=False).sum()
+
+    parts = map_partials(
+        f"{sf_dir}/documents.parquet", ["text", "lang"], None, partial
+    )
+    out = (
+        parts.groupby("lang", as_index=False)[["chars", "toks"]]
+        .sum()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {
+            "lang": out["lang"],
+            "n_chars": out["chars"].astype("int64"),
+            "n_tokens": out["toks"].astype("int64"),
+            "chars_per_token": round_duck(
+                out["chars"].to_numpy(np.float64)
+                * 1.0
+                / out["toks"].to_numpy(np.float64),
+                4,
+            ),
+        }
+    )
+
+
 def zipf_slope_documents(sf_dir: str, k: int = 100) -> pd.DataFrame:
     """Zipf slope of the vocabulary — the corpus-naturalness diagnostic
     (natural language sits near −1; template spam and shuffled noise
@@ -1232,9 +1275,22 @@ QUERIES = {
     "vocabulary_stats_documents": vocabulary_stats_documents,
     "zipf_slope_documents": zipf_slope_documents,
     "cooccur_top_pairs_documents": cooccur_top_pairs_documents,
+    "fertility_lang_documents": fertility_lang_documents,
 }
 
 ORACLE_SQL = {
+    "fertility_lang_documents": """
+        SELECT lang,
+               CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars,
+               CAST(SUM(LENGTH(string_split(text, ' '))) AS BIGINT)
+                   AS n_tokens,
+               ROUND(SUM(LENGTH(text)) * 1.0
+                     / SUM(LENGTH(string_split(text, ' '))), 4)
+                   AS chars_per_token
+        FROM documents
+        WHERE text IS NOT NULL AND lang IS NOT NULL
+        GROUP BY lang ORDER BY lang
+    """,
     "cooccur_top_pairs_documents": """
         WITH d AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS tok

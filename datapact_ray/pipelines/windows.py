@@ -1263,6 +1263,59 @@ def conversion_delay_events(
     )
 
 
+def dau_series_events(
+    sf_dir: str, num_buckets: int | None = None
+) -> pd.DataFrame:
+    """Plain DAU series — exact distinct users per calendar day (the
+    non-sliding base of the WAU op): (user, day) incidence dedups per
+    batch, buckets by USER hash (same pair → same bucket, so per-bucket
+    distincts add), each bucket reduces to ≤ days count rows."""
+    from .dedup import _fused_grouped_frames
+
+    path = f"{sf_dir}/events.parquet"
+    n_buckets = num_buckets or scaled_num_buckets(count_rows(path))
+
+    def add_bucket(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["user_id", "ts"])
+        ts_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        inc = pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "day": (ts_us // _DAY_US) * _DAY_US,
+            }
+        ).drop_duplicates()
+        inc["__bucket"] = _bucket_of(inc["user_id"].to_numpy(), n_buckets)
+        return inc
+
+    def dau_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.drop_duplicates(["user_id", "day"])
+            .groupby("day", as_index=False)
+            .size()
+        )
+        return out.rename(columns={"size": "n"})
+
+    parts = _fused_grouped_frames(
+        [(path, ["user_id", "ts"], None, add_bucket)],
+        n_buckets,
+        dau_per_bucket,
+    )
+    out = (
+        parts.groupby("day", as_index=False)["n"]
+        .sum()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {
+            "day": pd.to_datetime(out["day"], unit="us").astype(
+                "datetime64[us]"
+            ),
+            "dau": out["n"].astype("int64"),
+        }
+    )
+
+
 def rolling_wau_events(
     sf_dir: str, window_days: int = 7, num_buckets: int | None = None
 ) -> pd.DataFrame:
@@ -1740,6 +1793,7 @@ QUERIES = {
     "new_vs_returning_orders": new_vs_returning_orders,
     "conversion_delay_events": conversion_delay_events,
     "burst_users_events": burst_users_events,
+    "dau_series_events": dau_series_events,
 }
 
 ORACLE_SQL = {
@@ -1822,6 +1876,13 @@ ORACLE_SQL = {
                ROUND(SUM(p.t1 - v.t0) * 1.0 / COUNT(*) / 1000000, 4)
                    AS avg_delay_seconds
         FROM p JOIN v USING (user_id)
+    """,
+    "dau_series_events": """
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        GROUP BY 1 ORDER BY 1
     """,
     "rolling_wau_events": """
         WITH d AS (

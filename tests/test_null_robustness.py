@@ -1327,3 +1327,31 @@ def test_cooccur_sparse_path_parity(zipf_text_dir):
     dense = cooccur_top_pairs_documents(zipf_text_dir)
     sparse = cooccur_top_pairs_documents(zipf_text_dir, dense_vocab_max=0)
     pd.testing.assert_frame_equal(dense, sparse)
+
+
+def test_dau_series_nulls(null_events_dir):
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.windows import dau_series_events
+
+    got = dau_series_events(null_events_dir)
+    want = _duck_events(m.oracle_sql()["dau_series_events"], null_events_dir)
+    _assert_eq(got, want, "dau_series")
+
+
+def test_dau_series_bucket_invariance(null_events_dir):
+    from datapact_ray.pipelines.windows import dau_series_events
+
+    a = dau_series_events(null_events_dir, num_buckets=3)
+    b = dau_series_events(null_events_dir, num_buckets=29)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_fertility_nulls(zipf_text_dir):
+    """string_split length parity incl. empty tokens; NULL text/lang
+    rows drop on both sides."""
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.text import fertility_lang_documents
+
+    got = fertility_lang_documents(zipf_text_dir)
+    want = _duck_docs(m.oracle_sql()["fertility_lang_documents"], zipf_text_dir)
+    _assert_eq(got, want, "fertility")
