@@ -773,6 +773,83 @@ def customer_order_profile(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def basket_pairs_lineitem(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Market-basket mining: the top-k part pairs that ship in the SAME
+    order (the co-purchase signal behind 'frequently bought together').
+
+    A basket (order) can SPAN scan batches, so pairing must happen
+    after co-locating each order: (order, part) incidence rows bucket
+    by ORDER hash, each bucket dedups and runs one per-order self-merge
+    (quadratic only in basket size, ~7 for TPC-H) and emits its
+    (pair, count) rows with the pair packed into one int64 (partkeys
+    < 2³¹). The final merge sums pair counts across buckets on the
+    driver — bounded by the DISTINCT co-purchase pair count, which at
+    true scale needs a second pair-keyed exchange (the chained-exchange
+    pattern of ``revenue_per_nation``); documented as this op's scale
+    path."""
+    from .dedup import _dedup_buckets, _fused_grouped_frames
+
+    nb = _dedup_buckets()
+    PACK = np.int64(1) << np.int64(32)
+    mult = np.uint64(0x9E3779B97F4A7C15)
+
+    def incidence(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["l_orderkey", "l_partkey"])
+        inc = pd.DataFrame(
+            {
+                "o": df["l_orderkey"].astype("int64"),
+                "p": df["l_partkey"].astype("int64"),
+            }
+        ).drop_duplicates()
+        inc["__bucket"] = (
+            inc["o"].to_numpy(np.int64).astype(np.uint64)
+            * mult
+            % np.uint64(nb)
+        ).astype(np.int32)
+        return inc
+
+    def pairs_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        inc = g.drop_duplicates(["o", "p"])[["o", "p"]]
+        if len(inc) == 0:
+            return pd.DataFrame(
+                {"pair": pd.Series([], dtype="int64"),
+                 "cnt": pd.Series([], dtype="int64")}
+            )
+        pairs = inc.merge(inc, on="o")
+        pairs = pairs[pairs["p_x"] < pairs["p_y"]]
+        ids, cnts = np.unique(
+            pairs["p_x"].to_numpy(np.int64) * PACK
+            + pairs["p_y"].to_numpy(np.int64),
+            return_counts=True,
+        )
+        return pd.DataFrame({"pair": ids, "cnt": cnts.astype("int64")})
+
+    parts = _fused_grouped_frames(
+        [
+            (
+                f"{sf_dir}/lineitem.parquet",
+                ["l_orderkey", "l_partkey"],
+                None,
+                incidence,
+            )
+        ],
+        nb,
+        pairs_per_bucket,
+    )
+    tot = parts.groupby("pair", as_index=False)["cnt"].sum()
+    top = tot.sort_values(
+        ["cnt", "pair"], ascending=[False, True], kind="stable"
+    ).head(k)
+    pair = top["pair"].to_numpy(np.int64)
+    return pd.DataFrame(
+        {
+            "part_a": (pair // int(PACK)).astype("int64"),
+            "part_b": (pair % int(PACK)).astype("int64"),
+            "cnt": top["cnt"].astype("int64"),
+        }
+    ).reset_index(drop=True)
+
+
 def json_keys_census_events(sf_dir: str) -> pd.DataFrame:
     """Semi-structured SCHEMA census (the schema-on-read profiling step
     before any extraction): which keys appear in the JSON payload and
@@ -1860,6 +1937,23 @@ ORACLE_SQL: dict[str, str] = {
                CAST(cnt AS BIGINT) AS modal_count
         FROM r WHERE rn = 1 ORDER BY l_returnflag
     """,
+    "basket_pairs_lineitem": """
+        WITH u AS (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem
+            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+        ),
+        pr AS (
+            SELECT a.p AS part_a, b.p AS part_b, COUNT(*) AS cnt
+            FROM u a JOIN u b ON a.o = b.o AND a.p < b.p
+            GROUP BY 1, 2
+        )
+        SELECT CAST(part_a AS BIGINT) AS part_a,
+               CAST(part_b AS BIGINT) AS part_b,
+               CAST(cnt AS BIGINT) AS cnt
+        FROM pr
+        ORDER BY cnt DESC, part_a, part_b LIMIT 20
+    """,
     "json_keys_census_events": """
         WITH p AS (SELECT props FROM events WHERE props IS NOT NULL),
         k AS (SELECT unnest(json_keys(props)) AS key FROM p)
@@ -2062,6 +2156,7 @@ QUERIES = {
     "monthly_activity_union": monthly_activity_union,
     "json_keys_census_events": json_keys_census_events,
     "chisq_priority_status_orders": chisq_priority_status_orders,
+    "basket_pairs_lineitem": basket_pairs_lineitem,
     "distinct_users_events": distinct_users_events,
     "hll_users_events": hll_users_events,
     "revenue_per_nation": revenue_per_nation,

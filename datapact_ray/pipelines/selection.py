@@ -353,6 +353,114 @@ def percentile_disc_extendedprice(sf_dir: str, q: float = 0.9) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["l_returnflag", "p90_price"])
 
 
+def weighted_median_lineitem(
+    sf_dir: str, n_bins: int = 1024, collect_cap: int = 200_000
+) -> pd.DataFrame:
+    """WEIGHTED median — the k-th order statistic generalized to weight
+    mass (here: the extended price below which half the QUANTITY sits,
+    the inventory-weighted price point). Plain quantiles rank rows;
+    this ranks integer weight, so the selection histograms accumulate
+    per-bin WEIGHT SUMS instead of counts and the driver locates the
+    bin where twice the cumulative weight first reaches the total
+    (2·cw ≥ W in exact ints — no fractional thresholds, no FP race).
+    One bit-pattern histogram pass + one candidate-bin collect; the
+    crossing VALUE is tie-order-invariant (ties share the value), which
+    is why the oracle's running-SUM peer order doesn't matter."""
+    from ..shuffle import map_partials
+    from ._util import round_duck as _rd
+
+    path = f"{sf_dir}/lineitem.parquet"
+    shift = np.uint64(64 - int(math.log2(n_bins)))
+
+    def _okey(v: np.ndarray) -> np.ndarray:
+        u = v.view(np.uint64)
+        return np.where(
+            u >> np.uint64(63) == 1, ~u, u | np.uint64(0x8000000000000000)
+        )
+
+    def hist_partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["l_extendedprice", "l_quantity"])
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"bin": [], "w": [], "c": [], "vmin": [], "vmax": []}
+            )
+        v = df["l_extendedprice"].to_numpy(np.float64)
+        q = df["l_quantity"].to_numpy(np.float64).astype(np.int64)
+        b = (_okey(v) >> shift).astype(np.int64)
+        w = np.bincount(b, weights=q, minlength=n_bins).astype(np.int64)
+        c = np.bincount(b, minlength=n_bins)
+        vmin = np.full(n_bins, np.inf)
+        vmax = np.full(n_bins, -np.inf)
+        np.minimum.at(vmin, b, v)
+        np.maximum.at(vmax, b, v)
+        nz = np.nonzero(c)[0]
+        return pd.DataFrame(
+            {
+                "bin": nz.astype(np.int64),
+                "w": w[nz],
+                "c": c[nz].astype(np.int64),
+                "vmin": vmin[nz],
+                "vmax": vmax[nz],
+            }
+        )
+
+    hist = (
+        map_partials(
+            path, ["l_extendedprice", "l_quantity"], None, hist_partial
+        )
+        .groupby("bin", as_index=False)
+        .agg(
+            w=("w", lambda g: sum(int(x) for x in g)),
+            c=("c", "sum"),
+            vmin=("vmin", "min"),
+            vmax=("vmax", "max"),
+        )
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    if len(hist) == 0:
+        return pd.DataFrame(
+            {"weighted_median": pd.Series([], dtype="float64")}
+        )
+    W = sum(int(x) for x in hist["w"])
+    cum = np.cumsum(hist["w"].to_numpy(dtype=object))
+    bi = int(np.searchsorted([2 * int(x) for x in cum], W, side="left"))
+    below_w = int(cum[bi - 1]) if bi > 0 else 0
+    lo = float(hist["vmin"][bi])
+    hi = float(np.nextafter(float(hist["vmax"][bi]), np.inf))
+    if int(hist["c"][bi]) > collect_cap:
+        raise RuntimeError(
+            "candidate bin exceeds collect_cap — recurse with weighted "
+            "histogram refinement before collecting"
+        )
+
+    def collect_partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["l_extendedprice", "l_quantity"])
+        v = df["l_extendedprice"].to_numpy(np.float64)
+        keep = (v >= lo) & (v < hi)
+        return pd.DataFrame(
+            {
+                "v": v[keep],
+                "q": df["l_quantity"].to_numpy(np.float64).astype(np.int64)[
+                    keep
+                ],
+            }
+        )
+
+    cand = map_partials(
+        path, ["l_extendedprice", "l_quantity"], None, collect_partial
+    ).sort_values("v", kind="stable")
+    cw = below_w + np.cumsum(cand["q"].to_numpy(np.int64))
+    pos = int(np.searchsorted(2 * cw, W, side="left"))
+    return pd.DataFrame(
+        {
+            "weighted_median": [
+                float(_rd(float(cand["v"].to_numpy()[pos]), 4))
+            ]
+        }
+    )
+
+
 def value_percentiles_events(sf_dir: str) -> pd.DataFrame:
     """Percentile BANDS per group (p10 / p50 / p90 of event value per
     event type) — the multi-rank case of the exact selection: all three
@@ -792,6 +900,7 @@ QUERIES = {
     "percentile_disc_extendedprice": percentile_disc_extendedprice,
     "ntile_revenue_orders": ntile_revenue_orders,
     "value_percentiles_events": value_percentiles_events,
+    "weighted_median_lineitem": weighted_median_lineitem,
 }
 
 ORACLE_SQL = {
@@ -812,6 +921,23 @@ ORACLE_SQL = {
                m.med AS median_price
         FROM lineitem l JOIN m USING (l_returnflag)
         GROUP BY l.l_returnflag, m.med ORDER BY l.l_returnflag
+    """,
+    "weighted_median_lineitem": """
+        WITH w AS (
+            SELECT l_extendedprice AS v, CAST(l_quantity AS BIGINT) AS q
+            FROM lineitem
+            WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        ),
+        o AS (
+            SELECT v,
+                   SUM(q) OVER (ORDER BY v
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cw,
+                   SUM(q) OVER () AS tw
+            FROM w
+        )
+        SELECT ROUND(MIN(v), 4) AS weighted_median
+        FROM o WHERE 2 * cw >= tw
     """,
     "value_percentiles_events": """
         SELECT event_type,

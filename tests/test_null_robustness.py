@@ -1355,3 +1355,50 @@ def test_fertility_nulls(zipf_text_dir):
     got = fertility_lang_documents(zipf_text_dir)
     want = _duck_docs(m.oracle_sql()["fertility_lang_documents"], zipf_text_dir)
     _assert_eq(got, want, "fertility")
+
+
+def test_weighted_median_nulls(null_dir):
+    """Weight-ranked selection: 2·cw ≥ W in exact ints, no FP threshold
+    race; NULL price/quantity rows drop on both sides."""
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.selection import weighted_median_lineitem
+
+    got = weighted_median_lineitem(null_dir)
+    want = _duck(m.oracle_sql()["weighted_median_lineitem"], null_dir)
+    _assert_eq(got, want, "weighted_median")
+
+
+def test_basket_pairs_split_orders(tmp_path):
+    """Adversarial layout: one order's lineitems split across TWO
+    row groups (and hence scan batches) — per-batch pairing would miss
+    the cross-batch pair; the order-hash bucket exchange must not."""
+    import duckdb as _d
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.relational import basket_pairs_lineitem
+
+    rows = []
+    # order 1: parts 10, 11 placed FAR apart so a row_group_size=4
+    # parquet file splits them into different row groups
+    rows.append((1, 10))
+    for i in range(6):
+        rows.append((2 + i, 100 + i))
+    rows.append((1, 11))
+    # a repeated pair to rank above: orders 20, 21 both hold (50, 51)
+    for o in (20, 21):
+        rows.append((o, 50)); rows.append((o, 51))
+    df = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"]).astype("int64")
+    df.to_parquet(tmp_path / "lineitem.parquet", row_group_size=4)
+    got = basket_pairs_lineitem(str(tmp_path))
+    assert ((got["part_a"] == 10) & (got["part_b"] == 11)).any(), (
+        "cross-row-group pair lost"
+    )
+    con = _d.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/lineitem.parquet')"
+    )
+    try:
+        want = con.execute(m.oracle_sql()["basket_pairs_lineitem"]).fetchdf()
+    finally:
+        con.close()
+    _assert_eq(got, want, "basket_pairs_split")
