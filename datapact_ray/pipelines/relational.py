@@ -773,6 +773,57 @@ def customer_order_profile(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def null_profile_orders(sf_dir: str) -> pd.DataFrame:
+    """Whole-table NULL profile — the first thing any data-quality scan
+    reports: per column, row count, null count and null rate, ALL
+    columns in one pass (the suite's null checks validate configured
+    columns; this is the unconfigured discovery scan). Each batch
+    reduces to one fixed-width row per column; exchange and driver
+    merge are schema-bounded."""
+    import pyarrow.compute as pc
+
+    from ..shuffle import map_partials
+    from ._util import round_duck
+
+    cols = pq.read_schema(f"{sf_dir}/orders.parquet").names
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "column": list(batch.schema.names),
+                "n": np.int64(batch.num_rows),
+                "nulls": [
+                    int(pc.sum(pc.is_null(batch.column(c))).as_py() or 0)
+                    for c in batch.schema.names
+                ],
+            }
+        )
+
+    parts = map_partials(f"{sf_dir}/orders.parquet", list(cols), None, partial)
+    out = (
+        parts.groupby("column", as_index=False)[["n", "nulls"]]
+        .sum()
+        .sort_values("column")
+        .reset_index(drop=True)
+    )
+    total = out["n"].to_numpy(np.float64)
+    return pd.DataFrame(
+        {
+            "column": out["column"],
+            "n_rows": out["n"].astype("int64"),
+            "n_nulls": out["nulls"].astype("int64"),
+            "null_rate": round_duck(
+                np.where(
+                    total > 0,
+                    out["nulls"].to_numpy(np.float64) * 1.0 / total,
+                    np.nan,
+                ),
+                4,
+            ),
+        }
+    )
+
+
 def basket_pairs_lineitem(sf_dir: str, k: int = 20) -> pd.DataFrame:
     """Market-basket mining: the top-k part pairs that ship in the SAME
     order (the co-purchase signal behind 'frequently bought together').
@@ -1937,6 +1988,32 @@ ORACLE_SQL: dict[str, str] = {
                CAST(cnt AS BIGINT) AS modal_count
         FROM r WHERE rn = 1 ORDER BY l_returnflag
     """,
+    "null_profile_orders": """
+        WITH u AS (
+            SELECT 'o_custkey' AS col, COUNT(*) AS n,
+                   SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS z
+            FROM orders
+            UNION ALL SELECT 'o_orderdate', COUNT(*),
+                   SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+            FROM orders
+            UNION ALL SELECT 'o_orderkey', COUNT(*),
+                   SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+            FROM orders
+            UNION ALL SELECT 'o_orderpriority', COUNT(*),
+                   SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+            FROM orders
+            UNION ALL SELECT 'o_orderstatus', COUNT(*),
+                   SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+            FROM orders
+            UNION ALL SELECT 'o_totalprice', COUNT(*),
+                   SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+            FROM orders
+        )
+        SELECT col AS "column", CAST(n AS BIGINT) AS n_rows,
+               CAST(z AS BIGINT) AS n_nulls,
+               ROUND(z * 1.0 / n, 4) AS null_rate
+        FROM u ORDER BY col
+    """,
     "basket_pairs_lineitem": """
         WITH u AS (
             SELECT DISTINCT l_orderkey AS o, l_partkey AS p
@@ -2157,6 +2234,7 @@ QUERIES = {
     "json_keys_census_events": json_keys_census_events,
     "chisq_priority_status_orders": chisq_priority_status_orders,
     "basket_pairs_lineitem": basket_pairs_lineitem,
+    "null_profile_orders": null_profile_orders,
     "distinct_users_events": distinct_users_events,
     "hll_users_events": hll_users_events,
     "revenue_per_nation": revenue_per_nation,

@@ -1263,6 +1263,83 @@ def conversion_delay_events(
     )
 
 
+def order_gaps_orders(
+    sf_dir: str, num_buckets: int | None = None
+) -> pd.DataFrame:
+    """Inter-purchase intervals — the repeat-customer cadence metric
+    (how many days between a customer's consecutive orders): the LAG
+    gap machinery applied to the order book. Customers bucket whole,
+    one vectorized sort + diff per bucket, integer-DAY deltas (order
+    dates are day-resolution) so the stats are bit-exact vs the SQL
+    window oracle. NULL custkey/date rows drop on both sides."""
+    from .dedup import _fused_grouped_frames
+
+    path = f"{sf_dir}/orders.parquet"
+    n_buckets = num_buckets or scaled_num_buckets(count_rows(path))
+
+    def add_bucket(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["o_custkey", "o_orderdate"])
+        return pd.DataFrame(
+            {
+                "c": df["o_custkey"].astype("int64"),
+                "d": df["o_orderdate"]
+                .astype("datetime64[us]")
+                .astype("int64")
+                // _DAY_US,
+                "k": df["o_orderkey"].astype("int64"),
+                "__bucket": _bucket_of(
+                    df["o_custkey"].to_numpy(dtype=np.int64), n_buckets
+                ),
+            }
+        )
+
+    def gaps_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"n": [0], "s": [0], "mx": [0]}).astype("int64")
+        g = g.sort_values(["c", "d", "k"], kind="stable")
+        same = g["c"].to_numpy()[1:] == g["c"].to_numpy()[:-1]
+        deltas = np.diff(g["d"].to_numpy())[same]
+        if len(deltas) == 0:
+            return pd.DataFrame({"n": [0], "s": [0], "mx": [0]}).astype("int64")
+        return pd.DataFrame(
+            {"n": [len(deltas)], "s": [int(deltas.sum())], "mx": [int(deltas.max())]}
+        ).astype("int64")
+
+    parts = _fused_grouped_frames(
+        [
+            (
+                path,
+                ["o_custkey", "o_orderdate", "o_orderkey"],
+                None,
+                add_bucket,
+            )
+        ],
+        n_buckets,
+        gaps_per_bucket,
+    )
+    n = int(parts["n"].sum())
+    s = int(parts["s"].sum())
+    if n == 0:
+        return pd.DataFrame(
+            {
+                "n_gaps": pd.Series([0], dtype="int64"),
+                "sum_gap_days": [None],
+                "max_gap_days": [None],
+                "avg_gap_days": [None],
+            }
+        )
+    return pd.DataFrame(
+        {
+            "n_gaps": [n],
+            "sum_gap_days": [s],
+            "max_gap_days": [int(parts["mx"].max())],
+            "avg_gap_days": [float(round_duck(s * 1.0 / n, 4))],
+        }
+    ).astype(
+        {"n_gaps": "int64", "sum_gap_days": "int64", "max_gap_days": "int64"}
+    )
+
+
 def dau_series_events(
     sf_dir: str, num_buckets: int | None = None
 ) -> pd.DataFrame:
@@ -1794,6 +1871,7 @@ QUERIES = {
     "conversion_delay_events": conversion_delay_events,
     "burst_users_events": burst_users_events,
     "dau_series_events": dau_series_events,
+    "order_gaps_orders": order_gaps_orders,
 }
 
 ORACLE_SQL = {
@@ -1876,6 +1954,23 @@ ORACLE_SQL = {
                ROUND(SUM(p.t1 - v.t0) * 1.0 / COUNT(*) / 1000000, 4)
                    AS avg_delay_seconds
         FROM p JOIN v USING (user_id)
+    """,
+    "order_gaps_orders": """
+        WITH g AS (
+            SELECT (epoch_us(o_orderdate) // 86400000000)
+                   - LAG(epoch_us(o_orderdate) // 86400000000) OVER (
+                         PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                     ) AS gap_days
+            FROM orders
+            WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        )
+        SELECT CAST(COUNT(gap_days) AS BIGINT) AS n_gaps,
+               CAST(SUM(gap_days) AS BIGINT) AS sum_gap_days,
+               CAST(MAX(gap_days) AS BIGINT) AS max_gap_days,
+               ROUND(SUM(gap_days) * 1.0 / COUNT(gap_days), 4)
+                   AS avg_gap_days
+        FROM g
     """,
     "dau_series_events": """
         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

@@ -1402,3 +1402,46 @@ def test_basket_pairs_split_orders(tmp_path):
     finally:
         con.close()
     _assert_eq(got, want, "basket_pairs_split")
+
+
+def test_null_profile_nulls(null_rel_dir):
+    """Null-rate discovery on a fixture that actually HAS nulls; the
+    oracle is generated from the fixture's own schema (the shipped
+    oracle SQL hardcodes testdata's column set)."""
+    from datapact_ray.pipelines.relational import null_profile_orders
+
+    got = null_profile_orders(null_rel_dir)
+    assert float(got["null_rate"].max()) > 0
+    cols = sorted(pd.read_parquet(f"{null_rel_dir}/orders.parquet").columns)
+    parts = [
+        f"SELECT '{c}' AS col, COUNT(*) AS n, "
+        f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS z FROM orders"
+        for c in cols
+    ]
+    sql = (
+        "WITH u AS (" + " UNION ALL ".join(parts) + ") "
+        'SELECT col AS "column", CAST(n AS BIGINT) AS n_rows, '
+        "CAST(z AS BIGINT) AS n_nulls, ROUND(z * 1.0 / n, 4) AS null_rate "
+        "FROM u ORDER BY col"
+    )
+    want = _duck_rel(sql, null_rel_dir)
+    _assert_eq(got, want, "null_profile")
+
+
+def test_order_gaps_nulls(null_rel_dir):
+    """Integer-day gaps per customer, bit-exact vs the LAG oracle on
+    null-injected order data."""
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.windows import order_gaps_orders
+
+    got = order_gaps_orders(null_rel_dir)
+    want = _duck_rel(m.oracle_sql()["order_gaps_orders"], null_rel_dir)
+    _assert_eq(got, want, "order_gaps")
+
+
+def test_order_gaps_bucket_invariance(null_rel_dir):
+    from datapact_ray.pipelines.windows import order_gaps_orders
+
+    a = order_gaps_orders(null_rel_dir, num_buckets=3)
+    b = order_gaps_orders(null_rel_dir, num_buckets=29)
+    pd.testing.assert_frame_equal(a, b)
