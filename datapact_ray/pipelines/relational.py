@@ -824,78 +824,147 @@ def null_profile_orders(sf_dir: str) -> pd.DataFrame:
     )
 
 
-def basket_pairs_lineitem(sf_dir: str, k: int = 20) -> pd.DataFrame:
-    """Market-basket mining: the top-k part pairs that ship in the SAME
-    order (the co-purchase signal behind 'frequently bought together').
+_BP_PACK = np.int64(1) << np.int64(32)
 
-    A basket (order) can SPAN scan batches, so pairing must happen
-    after co-locating each order: (order, part) incidence rows bucket
-    by ORDER hash, each bucket dedups and runs one per-order self-merge
-    (quadratic only in basket size, ~7 for TPC-H) and emits its
-    (pair, count) rows with the pair packed into one int64 (partkeys
-    < 2³¹). The final merge sums pair counts across buckets on the
-    driver — bounded by the DISTINCT co-purchase pair count, which at
-    true scale needs a second pair-keyed exchange (the chained-exchange
-    pattern of ``revenue_per_nation``); documented as this op's scale
-    path."""
-    from .dedup import _dedup_buckets, _fused_grouped_frames
 
-    nb = _dedup_buckets()
-    PACK = np.int64(1) << np.int64(32)
-    mult = np.uint64(0x9E3779B97F4A7C15)
+def _bp_map(unit, b1: int) -> list:
+    """Basket-pairs hop-1 map: distinct (order, part) incidence for the
+    scan unit, split by ORDER bucket (baskets span scan units, so
+    pairing must wait until an order is co-located)."""
+    from ..shuffle import _split_by_bucket, read_unit
 
-    def incidence(batch: pa.Table) -> pd.DataFrame:
-        df = batch.to_pandas().dropna(subset=["l_orderkey", "l_partkey"])
-        inc = pd.DataFrame(
-            {
-                "o": df["l_orderkey"].astype("int64"),
-                "p": df["l_partkey"].astype("int64"),
-            }
-        ).drop_duplicates()
-        inc["__bucket"] = (
-            inc["o"].to_numpy(np.int64).astype(np.uint64)
-            * mult
-            % np.uint64(nb)
-        ).astype(np.int32)
-        return inc
-
-    def pairs_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        inc = g.drop_duplicates(["o", "p"])[["o", "p"]]
-        if len(inc) == 0:
-            return pd.DataFrame(
-                {"pair": pd.Series([], dtype="int64"),
-                 "cnt": pd.Series([], dtype="int64")}
-            )
-        pairs = inc.merge(inc, on="o")
-        pairs = pairs[pairs["p_x"] < pairs["p_y"]]
-        ids, cnts = np.unique(
-            pairs["p_x"].to_numpy(np.int64) * PACK
-            + pairs["p_y"].to_numpy(np.int64),
-            return_counts=True,
-        )
-        return pd.DataFrame({"pair": ids, "cnt": cnts.astype("int64")})
-
-    parts = _fused_grouped_frames(
-        [
-            (
-                f"{sf_dir}/lineitem.parquet",
-                ["l_orderkey", "l_partkey"],
-                None,
-                incidence,
-            )
-        ],
-        nb,
-        pairs_per_bucket,
+    df = (
+        read_unit(unit, ["l_orderkey", "l_partkey"])
+        .to_pandas()
+        .dropna(subset=["l_orderkey", "l_partkey"])
     )
-    tot = parts.groupby("pair", as_index=False)["cnt"].sum()
+    inc = pd.DataFrame(
+        {
+            "o": df["l_orderkey"].astype("int64"),
+            "p": df["l_partkey"].astype("int64"),
+        }
+    ).drop_duplicates()
+    inc["__bucket"] = _star_bucket(inc["o"].to_numpy(np.int64), b1)
+    return _split_by_bucket(pa.Table.from_pandas(inc, preserve_index=False), b1)
+
+
+def _bp_reduce1(b2: int, *shards) -> list:
+    """Hop-1 reduce AND hop-2 map: dedup this bucket's (order, part)
+    incidence, pair within each order (one self-merge, quadratic only
+    in basket size), pack each pair into one int64 (partkeys < 2³¹)
+    and re-emit the (pair, cnt) rows pre-split by PAIR bucket
+    (num_returns = B2) — the exchange chains with no driver hop."""
+    from ..shuffle import _split_by_bucket
+
+    empty = pa.table(
+        {
+            "pair": pa.array([], pa.int64()),
+            "cnt": pa.array([], pa.int64()),
+            "__bucket": pa.array([], pa.int32()),
+        }
+    )
+    sh = [s for s in shards if s.num_rows]
+    if not sh:
+        return [empty.slice(0, 0)] * b2
+    inc = pa.concat_tables(sh).to_pandas().drop_duplicates(["o", "p"])
+    pairs = inc.merge(inc, on="o")
+    pairs = pairs[pairs["p_x"] < pairs["p_y"]]
+    if len(pairs) == 0:
+        return [empty.slice(0, 0)] * b2
+    ids, cnts = np.unique(
+        pairs["p_x"].to_numpy(np.int64) * _BP_PACK
+        + pairs["p_y"].to_numpy(np.int64),
+        return_counts=True,
+    )
+    out = pd.DataFrame({"pair": ids, "cnt": cnts.astype("int64")})
+    out["__bucket"] = _star_bucket(out["pair"].to_numpy(np.int64), b2)
+    return _split_by_bucket(pa.Table.from_pandas(out, preserve_index=False), b2)
+
+
+def _bp_reduce2(k: int, *shards) -> pd.DataFrame:
+    """Hop-2 reduce: this PAIR bucket holds every partial count of its
+    pairs (pair-keyed co-location), so the local top-k is exact and the
+    driver merges ≤ B2 × k candidates."""
+    sh = [s for s in shards if s.num_rows]
+    if not sh:
+        return pd.DataFrame(
+            {"pair": pd.Series([], dtype="int64"),
+             "cnt": pd.Series([], dtype="int64")}
+        )
+    tot = (
+        pa.concat_tables(sh)
+        .to_pandas()
+        .groupby("pair", as_index=False)["cnt"]
+        .sum()
+    )
+    return tot.sort_values(
+        ["cnt", "pair"], ascending=[False, True], kind="stable"
+    ).head(k)
+
+
+def basket_pairs_lineitem(
+    sf_dir: str,
+    k: int = 20,
+    num_buckets: int | None = None,
+    num_buckets2: int | None = None,
+) -> pd.DataFrame:
+    """Market-basket mining: the top-k part pairs that ship in the SAME
+    order (the co-purchase signal behind 'frequently bought together')
+    via two CHAINED hash exchanges — the ``revenue_per_nation``
+    pattern: hop 1 co-locates each basket by ORDER hash and pairs
+    within it; each hop-1 reduce re-emits its (pair, cnt) rows
+    pre-split by PAIR hash (num_returns = B2), so hop 2 sees every
+    partial count of a pair and its local top-k is exact. Nothing
+    bigger than B2 × k candidate rows ever reaches the driver; every
+    exchanged row is a fixed-width (int64, int64) pair."""
+    from ..io import count_rows, list_parquet_files
+    from ..shuffle import _scan_units, _shuffle_target_bytes
+    from .windows import scaled_num_buckets
+
+    path = f"{sf_dir}/lineitem.parquet"
+    files = list_parquet_files(path)
+    b1 = num_buckets or scaled_num_buckets(count_rows(path))
+    b2 = num_buckets2 or max(8, b1 // 2)
+    target = _shuffle_target_bytes([files])
+
+    map_task = ray.remote(num_returns=b1)(_bp_map)
+    red1_task = ray.remote(num_returns=b2)(_bp_reduce1)
+    red2_task = ray.remote(_bp_reduce2)
+
+    def _as_list(res, n):
+        return [res] if n == 1 else res
+
+    units = _scan_units(files, target)
+    if not units:  # 0-row input
+        return pd.DataFrame(
+            {
+                "part_a": pd.Series([], dtype="int64"),
+                "part_b": pd.Series([], dtype="int64"),
+                "cnt": pd.Series([], dtype="int64"),
+            }
+        )
+    map_shards = [_as_list(map_task.remote(u, b1), b1) for u in units]
+    pair_shards = [
+        _as_list(
+            red1_task.remote(b2, *[s[bb] for s in map_shards]), b2
+        )
+        for bb in range(b1)
+    ]
+    cand = ray.get(
+        [
+            red2_task.remote(k, *[s[bb] for s in pair_shards])
+            for bb in range(b2)
+        ]
+    )
+    tot = pd.concat(cand, ignore_index=True)
     top = tot.sort_values(
         ["cnt", "pair"], ascending=[False, True], kind="stable"
     ).head(k)
     pair = top["pair"].to_numpy(np.int64)
     return pd.DataFrame(
         {
-            "part_a": (pair // int(PACK)).astype("int64"),
-            "part_b": (pair % int(PACK)).astype("int64"),
+            "part_a": (pair // int(_BP_PACK)).astype("int64"),
+            "part_b": (pair % int(_BP_PACK)).astype("int64"),
             "cnt": top["cnt"].astype("int64"),
         }
     ).reset_index(drop=True)

@@ -1445,3 +1445,22 @@ def test_order_gaps_bucket_invariance(null_rel_dir):
     a = order_gaps_orders(null_rel_dir, num_buckets=3)
     b = order_gaps_orders(null_rel_dir, num_buckets=29)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_basket_pairs_bucket_invariance(tmp_path):
+    """Chained-exchange geometry invariance: result identical at any
+    (B1, B2) fan-out pair."""
+    from datapact_ray.pipelines.relational import basket_pairs_lineitem
+
+    rng = np.random.default_rng(83)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "l_orderkey": rng.integers(0, 300, n).astype("int64"),
+            "l_partkey": rng.integers(0, 80, n).astype("int64"),
+        }
+    )
+    df.to_parquet(tmp_path / "lineitem.parquet", row_group_size=128)
+    a = basket_pairs_lineitem(str(tmp_path), num_buckets=3, num_buckets2=4)
+    b = basket_pairs_lineitem(str(tmp_path), num_buckets=19, num_buckets2=11)
+    pd.testing.assert_frame_equal(a, b)
