@@ -305,6 +305,7 @@ def run_bench() -> dict:
     timed("skew_kurtosis_lineitem", stats.skew_kurtosis_lineitem, SF_DIR)
     timed("anomalous_days_events", stats.anomalous_days_events, SF_DIR)
     timed("value_trend_events", stats.value_trend_events, SF_DIR)
+    timed("benford_totalprice", stats.benford_totalprice, SF_DIR)
     timed("null_profile_orders", relational.null_profile_orders, SF_DIR)
     timed("order_gaps_orders", windows.order_gaps_orders, SF_DIR)
     timed("weighted_median_lineitem", selection.weighted_median_lineitem, SF_DIR)

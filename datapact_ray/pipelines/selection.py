@@ -428,11 +428,84 @@ def weighted_median_lineitem(
     below_w = int(cum[bi - 1]) if bi > 0 else 0
     lo = float(hist["vmin"][bi])
     hi = float(np.nextafter(float(hist["vmax"][bi]), np.inf))
-    if int(hist["c"][bi]) > collect_cap:
-        raise RuntimeError(
-            "candidate bin exceeds collect_cap — recurse with weighted "
-            "histogram refinement before collecting"
+    n_in_range = int(hist["c"][bi])
+    vmin_b, vmax_b = float(hist["vmin"][bi]), float(hist["vmax"][bi])
+
+    # refinement loop (the _rank_values pattern, weight-ranked): linspace
+    # histogram the active range until the crossing bin fits collect_cap
+    # or collapses to one value / one representable float
+    for _ in range(16):
+        if n_in_range <= collect_cap or vmin_b == vmax_b:
+            break
+        if np.nextafter(lo, np.inf) >= hi:
+            break
+
+        def refine_partial(
+            batch: pa.Table, _lo=lo, _hi=hi, _b=n_bins
+        ) -> pd.DataFrame:
+            df = batch.to_pandas().dropna(
+                subset=["l_extendedprice", "l_quantity"]
+            )
+            v = df["l_extendedprice"].to_numpy(np.float64)
+            q = df["l_quantity"].to_numpy(np.float64).astype(np.int64)
+            keep = (v >= _lo) & (v < _hi)
+            v, q = v[keep], q[keep]
+            if len(v) == 0:
+                return pd.DataFrame(
+                    {"bin": [], "w": [], "c": [], "vmin": [], "vmax": []}
+                )
+            edges = np.linspace(_lo, _hi, _b + 1)
+            b = np.searchsorted(edges, v, side="right") - 1
+            np.clip(b, 0, _b - 1, out=b)
+            w = np.bincount(b, weights=q, minlength=_b).astype(np.int64)
+            c = np.bincount(b, minlength=_b)
+            vmin = np.full(_b, np.inf)
+            vmax = np.full(_b, -np.inf)
+            np.minimum.at(vmin, b, v)
+            np.maximum.at(vmax, b, v)
+            nz = np.nonzero(c)[0]
+            return pd.DataFrame(
+                {
+                    "bin": nz.astype(np.int64),
+                    "w": w[nz],
+                    "c": c[nz].astype(np.int64),
+                    "vmin": vmin[nz],
+                    "vmax": vmax[nz],
+                }
+            )
+
+        rhist = (
+            map_partials(
+                path, ["l_extendedprice", "l_quantity"], None, refine_partial
+            )
+            .groupby("bin", as_index=False)
+            .agg(
+                w=("w", lambda g: sum(int(x) for x in g)),
+                c=("c", "sum"),
+                vmin=("vmin", "min"),
+                vmax=("vmax", "max"),
+            )
+            .sort_values("bin")
+            .reset_index(drop=True)
         )
+        rcum = np.cumsum(rhist["w"].to_numpy(dtype=object))
+        ri = int(
+            np.searchsorted(
+                [2 * (below_w + int(x)) for x in rcum], W, side="left"
+            )
+        )
+        below_w += int(rcum[ri - 1]) if ri > 0 else 0
+        n_in_range = int(rhist["c"][ri])
+        vmin_b, vmax_b = float(rhist["vmin"][ri]), float(rhist["vmax"][ri])
+        # narrow to the bin's ACTUAL value extent (duplicate-heavy bins
+        # collapse in one step instead of one ULP per pass)
+        lo = vmin_b
+        hi = float(np.nextafter(vmax_b, np.inf))
+
+    if vmin_b == vmax_b:  # whole active range is one duplicated value
+        from ._util import round_duck as _rd2
+
+        return pd.DataFrame({"weighted_median": [float(_rd2(vmin_b, 4))]})
 
     def collect_partial(batch: pa.Table) -> pd.DataFrame:
         df = batch.to_pandas().dropna(subset=["l_extendedprice", "l_quantity"])

@@ -469,6 +469,56 @@ def value_trend_events(sf_dir: str) -> pd.DataFrame:
     ).astype({"n": "int64"})
 
 
+def benford_totalprice(sf_dir: str) -> pd.DataFrame:
+    """Benford's-law first-digit audit — the classic fabricated-numbers
+    test (organic amounts follow P(d) = log10(1 + 1/d); copy-pasted or
+    generated ones usually don't): first-significant-digit distribution
+    of the order totals vs the Benford expectation. The digit comes
+    from the INTEGER cents' decimal string (the first significant digit
+    of x and 100·x are identical, and integer formatting is
+    engine-independent — a float log10 could misfloor at powers of
+    ten). Per-batch 9-cell count partials; share and expectation built
+    with identical expression trees."""
+    from ..shuffle import map_partials
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["o_totalprice"])
+        df = df[df["o_totalprice"] > 0]
+        if len(df) == 0:
+            return pd.DataFrame({"digit": [], "n": []})
+        cents = np.round(
+            df["o_totalprice"].to_numpy(np.float64) * 100.0
+        ).astype(np.int64)
+        first = pd.Series(cents).astype(str).str[0].astype(np.int64)
+        out = first.value_counts().sort_index()
+        return pd.DataFrame(
+            {"digit": out.index.to_numpy(np.int64), "n": out.to_numpy("int64")}
+        )
+
+    parts = map_partials(
+        f"{sf_dir}/orders.parquet", ["o_totalprice"], None, partial
+    )
+    out = (
+        parts.groupby("digit", as_index=False)["n"]
+        .sum()
+        .sort_values("digit")
+        .reset_index(drop=True)
+    )
+    s = float(out["n"].sum())
+    d = out["digit"].to_numpy(np.float64)
+    share = out["n"].to_numpy(np.float64) * 1.0 / s
+    p = np.log(1 + 1.0 / d) / np.log(10)
+    return pd.DataFrame(
+        {
+            "digit": out["digit"].astype("int64"),
+            "n": out["n"].astype("int64"),
+            "share": round_duck(share, 4),
+            "benford_p": round_duck(p, 4),
+            "abs_dev": round_duck(np.abs(share - p), 4),
+        }
+    )
+
+
 def anomalous_days_events(sf_dir: str, z_threshold: float = 2.0) -> pd.DataFrame:
     """Volume-anomaly detection on the daily event-count series (the
     monitoring op: which days deviate > zσ from the series mean). Daily
@@ -520,6 +570,23 @@ def anomalous_days_events(sf_dir: str, z_threshold: float = 2.0) -> pd.DataFrame
 
 
 ORACLE_SQL: dict[str, str] = {
+    "benford_totalprice": """
+        WITH d AS (
+            SELECT CAST(SUBSTRING(CAST(CAST(ROUND(o_totalprice * 100, 0)
+                                    AS BIGINT) AS VARCHAR), 1, 1)
+                        AS BIGINT) AS digit
+            FROM orders
+            WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+        ),
+        c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+        t AS (SELECT SUM(n) AS s FROM c)
+        SELECT digit, CAST(n AS BIGINT) AS n,
+               ROUND(n * 1.0 / t.s, 4) AS share,
+               ROUND(ln(1 + 1.0 / digit) / ln(10), 4) AS benford_p,
+               ROUND(ABS(n * 1.0 / t.s
+                         - ln(1 + 1.0 / digit) / ln(10)), 4) AS abs_dev
+        FROM c, t ORDER BY digit
+    """,
     "value_trend_events": """
         WITH s AS (
             SELECT event_type,
@@ -641,4 +708,5 @@ QUERIES = {
     "skew_kurtosis_lineitem": skew_kurtosis_lineitem,
     "anomalous_days_events": anomalous_days_events,
     "value_trend_events": value_trend_events,
+    "benford_totalprice": benford_totalprice,
 }

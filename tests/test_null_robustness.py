@@ -1464,3 +1464,15 @@ def test_basket_pairs_bucket_invariance(tmp_path):
     a = basket_pairs_lineitem(str(tmp_path), num_buckets=3, num_buckets2=4)
     b = basket_pairs_lineitem(str(tmp_path), num_buckets=19, num_buckets2=11)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_benford_nulls(null_dir):
+    """First digit from the integer cents' decimal string (float log10
+    would misfloor at powers of ten); NULL / non-positive totals drop
+    on both sides."""
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.stats import benford_totalprice
+
+    got = benford_totalprice(null_dir)
+    want = _duck(m.oracle_sql()["benford_totalprice"], null_dir)
+    _assert_eq(got, want, "benford")
