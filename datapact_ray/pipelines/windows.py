@@ -1469,6 +1469,161 @@ def rolling_wau_events(
     )
 
 
+def streaks_events(
+    sf_dir: str, num_buckets: int | None = None
+) -> pd.DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands window idiom (SQL: day − ROW_NUMBER() island key)
+    as a distributed reduce. Each scan task dedups its batch to
+    (user, day) incidence; users bucket whole by hash, so one
+    vectorized sort + run-length pass per bucket finds every island
+    exactly (islands never span buckets). Buckets emit 4-cell integer
+    partials (n_users, sum of per-user max streaks, global max,
+    count of users with a streak ≥ 3) — the exchange is O(buckets),
+    never the log. NULL user/ts rows drop on both sides; zero rows
+    give the SQL aggregate-over-zero-rows shape (COUNTs 0, MAX/AVG
+    NULL)."""
+    from .dedup import _fused_grouped_frames
+
+    path = f"{sf_dir}/events.parquet"
+    n_buckets = num_buckets or scaled_num_buckets(count_rows(path))
+
+    def add_bucket(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["user_id", "ts"])
+        ts_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        inc = pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "day": ts_us // _DAY_US,
+            }
+        ).drop_duplicates()
+        inc["__bucket"] = _bucket_of(inc["user_id"].to_numpy(), n_buckets)
+        return inc
+
+    def streaks_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        zero = pd.DataFrame(
+            {"n_users": [0], "sum_max": [0], "mx": [0], "n_ge3": [0]}
+        ).astype("int64")
+        if len(g) == 0:
+            return zero
+        g = g.drop_duplicates(["user_id", "day"]).sort_values(
+            ["user_id", "day"], kind="stable"
+        )
+        u = g["user_id"].to_numpy()
+        d = g["day"].to_numpy()
+        # island starts: user changes OR the day gap is not exactly 1
+        new_isl = np.r_[True, (u[1:] != u[:-1]) | (d[1:] != d[:-1] + 1)]
+        sizes = np.diff(np.r_[np.flatnonzero(new_isl), len(g)])
+        ms = (
+            pd.Series(sizes, index=pd.Index(u[new_isl], name="u"))
+            .groupby(level=0)
+            .max()
+        )
+        return pd.DataFrame(
+            {
+                "n_users": [len(ms)],
+                "sum_max": [int(ms.sum())],
+                "mx": [int(ms.max())],
+                "n_ge3": [int((ms >= 3).sum())],
+            }
+        ).astype("int64")
+
+    parts = _fused_grouped_frames(
+        [(path, ["user_id", "ts"], None, add_bucket)],
+        n_buckets,
+        streaks_per_bucket,
+    )
+    n = int(parts["n_users"].sum())
+    if n == 0:
+        return pd.DataFrame(
+            {
+                "n_users": pd.Series([0], dtype="int64"),
+                "max_streak": [None],
+                "sum_max_streak": [None],
+                "n_users_streak_ge_3": pd.Series([0], dtype="int64"),
+                "avg_max_streak": [None],
+            }
+        )
+    s = int(parts["sum_max"].sum())
+    return pd.DataFrame(
+        {
+            "n_users": [n],
+            # empty buckets report mx=0; real streaks are >= 1, so the
+            # global max never comes from an empty partial when n > 0
+            "max_streak": [int(parts["mx"].max())],
+            "sum_max_streak": [s],
+            "n_users_streak_ge_3": [int(parts["n_ge3"].sum())],
+            "avg_max_streak": [float(round_duck(s * 1.0 / n, 4))],
+        }
+    ).astype(
+        {
+            "n_users": "int64",
+            "max_streak": "int64",
+            "sum_max_streak": "int64",
+            "n_users_streak_ge_3": "int64",
+        }
+    )
+
+
+def cumulative_users_events(
+    sf_dir: str, num_buckets: int | None = None
+) -> pd.DataFrame:
+    """Cumulative distinct users by day — the audience-growth curve
+    (for each active day, how many users have EVER been seen by then).
+    A naive windowed COUNT(DISTINCT) re-scans history per day; here
+    each user contributes exactly once, at their FIRST day: buckets
+    (user-hash, so min-day is exact per bucket) emit per-day
+    first-seen counts plus the observed-day markers, and the driver's
+    prefix sum over ≤ days rows turns new-user counts into the
+    cumulative curve. NULL user/ts rows drop on both sides."""
+    from .dedup import _fused_grouped_frames
+
+    path = f"{sf_dir}/events.parquet"
+    n_buckets = num_buckets or scaled_num_buckets(count_rows(path))
+
+    def add_bucket(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["user_id", "ts"])
+        ts_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        inc = pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "day": (ts_us // _DAY_US) * _DAY_US,
+            }
+        ).drop_duplicates()
+        inc["__bucket"] = _bucket_of(inc["user_id"].to_numpy(), n_buckets)
+        return inc
+
+    def first_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        dd = g.drop_duplicates(["user_id", "day"])
+        first = dd.groupby("user_id")["day"].min()
+        nf = first.value_counts()
+        out = pd.DataFrame({"day": pd.unique(dd["day"])})
+        out["n_first"] = (
+            out["day"].map(nf).fillna(0).astype("int64")
+        )
+        return out
+
+    parts = _fused_grouped_frames(
+        [(path, ["user_id", "ts"], None, add_bucket)],
+        n_buckets,
+        first_per_bucket,
+    )
+    out = (
+        parts.groupby("day", as_index=False)["n_first"]
+        .sum()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {
+            "day": pd.to_datetime(out["day"], unit="us").astype(
+                "datetime64[us]"
+            ),
+            "cum_users": out["n_first"].cumsum().astype("int64"),
+        }
+    )
+
+
 def new_vs_returning_orders(
     sf_dir: str, num_buckets: int | None = None
 ) -> pd.DataFrame:
@@ -1872,6 +2027,8 @@ QUERIES = {
     "burst_users_events": burst_users_events,
     "dau_series_events": dau_series_events,
     "order_gaps_orders": order_gaps_orders,
+    "streaks_events": streaks_events,
+    "cumulative_users_events": cumulative_users_events,
 }
 
 ORACLE_SQL = {
@@ -1977,6 +2134,44 @@ ORACLE_SQL = {
                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
         FROM events
         WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        GROUP BY 1 ORDER BY 1
+    """,
+    "streaks_events": """
+        WITH d AS (
+            SELECT DISTINCT user_id,
+                   epoch_us(date_trunc('day', ts)) // 86400000000 AS day
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ),
+        i AS (
+            SELECT user_id, day,
+                   day - ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY day
+                   ) AS isl
+            FROM d
+        ),
+        s AS (SELECT user_id, COUNT(*) AS streak FROM i GROUP BY user_id, isl),
+        m AS (SELECT user_id, MAX(streak) AS ms FROM s GROUP BY user_id)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(MAX(ms) AS BIGINT) AS max_streak,
+               CAST(SUM(ms) AS BIGINT) AS sum_max_streak,
+               CAST(COUNT(*) FILTER (WHERE ms >= 3) AS BIGINT)
+                   AS n_users_streak_ge_3,
+               ROUND(SUM(ms) * 1.0 / COUNT(*), 4) AS avg_max_streak
+        FROM m
+    """,
+    "cumulative_users_events": """
+        WITH d AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ),
+        f AS (SELECT user_id, MIN(day) AS fd FROM d GROUP BY user_id),
+        days AS (SELECT DISTINCT day FROM d)
+        SELECT days.day AS day,
+               CAST(COUNT(f.user_id) AS BIGINT) AS cum_users
+        FROM days JOIN f ON f.fd <= days.day
         GROUP BY 1 ORDER BY 1
     """,
     "rolling_wau_events": """

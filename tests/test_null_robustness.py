@@ -1346,6 +1346,86 @@ def test_dau_series_bucket_invariance(null_events_dir):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_streaks_nulls(null_events_dir):
+    """Gaps-and-islands: islands are per-user, so user-hash buckets see
+    every island whole; NULL user/ts rows drop on both sides."""
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.windows import streaks_events
+
+    got = streaks_events(null_events_dir)
+    want = _duck_events(m.oracle_sql()["streaks_events"], null_events_dir)
+    _assert_eq(got, want, "streaks")
+
+
+def test_streaks_bucket_invariance(null_events_dir):
+    from datapact_ray.pipelines.windows import streaks_events
+
+    a = streaks_events(null_events_dir, num_buckets=3)
+    b = streaks_events(null_events_dir, num_buckets=29)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_cumulative_users_nulls(null_events_dir):
+    """Each user counts once, at their first-seen day (min over the
+    whole log, exact per user bucket); the curve anchors only at
+    observed days."""
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.windows import cumulative_users_events
+
+    got = cumulative_users_events(null_events_dir)
+    want = _duck_events(
+        m.oracle_sql()["cumulative_users_events"], null_events_dir
+    )
+    _assert_eq(got, want, "cumulative_users")
+
+
+def test_cumulative_users_bucket_invariance(null_events_dir):
+    from datapact_ray.pipelines.windows import cumulative_users_events
+
+    a = cumulative_users_events(null_events_dir, num_buckets=3)
+    b = cumulative_users_events(null_events_dir, num_buckets=29)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_streaks_islands_split_across_batches(tmp_path):
+    """Adversarial: one user's consecutive-day run spans row groups —
+    per-batch run-length counting would report two short islands
+    instead of one long streak. The bucket exchange re-unites the
+    user before islands are measured."""
+    import duckdb as _duck
+
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.windows import streaks_events
+
+    d = tmp_path / "streaks"
+    d.mkdir()
+    base = pd.Timestamp("2024-03-01")
+    # user 7: days 0..9 (one 10-day streak) interleaved with filler
+    # users so a tiny row_group_size splits the run across groups
+    rows = []
+    for i in range(10):
+        rows.append((7, base + pd.Timedelta(days=i)))
+        for f in range(20):
+            rows.append((1000 + f, base + pd.Timedelta(days=2 * i)))
+    ev = pd.DataFrame(rows, columns=["user_id", "ts"])
+    ev["event_id"] = range(len(ev))
+    ev["event_type"] = "click"
+    ev["value"] = 1.0
+    ev["props"] = "{}"
+    ev.to_parquet(d / "events.parquet", row_group_size=16)
+
+    got = streaks_events(str(d), num_buckets=5)
+    assert int(got["max_streak"].iloc[0]) == 10
+    con = _duck.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{d}/events.parquet')"
+    )
+    want = con.execute(m.oracle_sql()["streaks_events"]).fetchdf()
+    con.close()
+    _assert_eq(got, want, "streaks_split")
+
+
 def test_fertility_nulls(zipf_text_dir):
     """string_split length parity incl. empty tokens; NULL text/lang
     rows drop on both sides."""
