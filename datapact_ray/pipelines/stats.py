@@ -569,7 +569,184 @@ def anomalous_days_events(sf_dir: str, z_threshold: float = 2.0) -> pd.DataFrame
     )
 
 
+def ks_price_returnflag(
+    sf_dir: str, num_buckets: int | None = None
+) -> pd.DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between the
+    extended-price distributions of returned ('R') vs accepted ('A')
+    line items — the distribution-comparison test PSI approximates
+    with bins, done exactly (D = max over values of |ECDF_R − ECDF_A|).
+
+    An ECDF needs global value ORDER, so this is the one family a hash
+    exchange cannot serve: values range-partition instead. Phase 1 is a
+    shuffle-free count pass (per-range-bucket (n_R, n_A) totals, ≤
+    buckets rows per task) whose prefix sums give every bucket its
+    global ECDF offsets; phase 2 re-reads with the offsets captured in
+    the reduce closure — each bucket sorts only its OWN distinct cents
+    values, takes one vectorized prefix-sum, and emits a single integer:
+    max |s1·N2 − s2·N1| (the D numerator, exact in int64 while
+    N1·N2 < 2⁶³ ≈ 9.2e18 — valid to ~3e9 rows per side; beyond that the
+    numerator needs two 32-bit limbs or Python ints). The driver sees
+    one row per bucket, never a distinct-value list; D is one division,
+    built from the same exact integers on both engines. Range bounds
+    come from parquet footer statistics (zero data read), with a tiny
+    count-pass fallback when a footer lacks them."""
+    from ..io import footer_column_minmax, list_parquet_files
+    from ..shuffle import map_partials
+    from .dedup import _fused_grouped_frames
+    from .windows import scaled_num_buckets
+
+    path = f"{sf_dir}/lineitem.parquet"
+    fsql = "l_returnflag IN ('R', 'A') AND l_extendedprice IS NOT NULL"
+    cols = ["l_extendedprice", "l_returnflag"]
+    n_buckets = num_buckets or scaled_num_buckets(count_rows(path))
+
+    empty = pd.DataFrame(
+        {
+            "n_r": pd.Series([], dtype="int64"),
+            "n_a": pd.Series([], dtype="int64"),
+            "ks_num": pd.Series([], dtype="int64"),
+            "ks_d": pd.Series([], dtype="float64"),
+        }
+    )
+
+    try:
+        mm = footer_column_minmax(
+            list_parquet_files(path), "l_extendedprice"
+        )
+    except Exception:
+        mm = None
+    if mm is None:
+
+        def minmax_partial(batch: pa.Table) -> pd.DataFrame:
+            v = batch.column("l_extendedprice").to_numpy(
+                zero_copy_only=False
+            )
+            v = v[~np.isnan(v)]
+            if len(v) == 0:
+                return pd.DataFrame({"mn": [], "mx": []}, dtype="float64")
+            return pd.DataFrame({"mn": [v.min()], "mx": [v.max()]})
+
+        p = map_partials(path, ["l_extendedprice"], fsql, minmax_partial)
+        if len(p) == 0:
+            return empty
+        mm = (float(p["mn"].min()), float(p["mx"].max()))
+    lo = int(round_duck(mm[0] * 100.0, 0))
+    hi = int(round_duck(mm[1] * 100.0, 0))
+    # interior boundaries in integer cents; duplicates (tiny domains)
+    # just leave some range buckets empty
+    bnds = np.unique(
+        np.linspace(lo, hi, n_buckets + 1)[1:-1].astype(np.int64)
+    )
+    n_b = len(bnds) + 1
+
+    def cents_and_flag(df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+        cents = round_duck(
+            df["l_extendedprice"].to_numpy(np.float64) * 100.0, 0
+        )
+        return cents.astype(np.int64), (
+            df["l_returnflag"].to_numpy() == "R"
+        )
+
+    def tot_partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        v, is_r = cents_and_flag(df)
+        b = np.searchsorted(bnds, v, side="right")
+        return pd.DataFrame(
+            {
+                "bucket": np.arange(n_b, dtype=np.int64),
+                "t1": np.bincount(b[is_r], minlength=n_b).astype("int64"),
+                "t2": np.bincount(b[~is_r], minlength=n_b).astype("int64"),
+            }
+        )
+
+    tots = (
+        map_partials(path, cols, fsql, tot_partial)
+        .groupby("bucket")[["t1", "t2"]]
+        .sum()
+        .reindex(range(n_b), fill_value=0)
+    )
+    n1 = int(tots["t1"].sum())
+    n2 = int(tots["t2"].sum())
+    if n1 + n2 == 0:
+        return empty
+    o1 = np.r_[0, tots["t1"].cumsum().to_numpy()[:-1]]
+    o2 = np.r_[0, tots["t2"].cumsum().to_numpy()[:-1]]
+
+    def proj(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        v, is_r = cents_and_flag(df)
+        out = (
+            pd.DataFrame(
+                {
+                    "v": v,
+                    "c1": is_r.astype(np.int64),
+                    "c2": (~is_r).astype(np.int64),
+                }
+            )
+            .groupby("v", as_index=False)
+            .sum()
+        )
+        out["__bucket"] = np.searchsorted(
+            bnds, out["v"].to_numpy(), side="right"
+        ).astype(np.int32)
+        return out
+
+    def ks_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"num": pd.Series([], dtype="int64")})
+        b = int(g["__bucket"].iloc[0])
+        c = (
+            g.groupby("v", as_index=False)[["c1", "c2"]]
+            .sum()
+            .sort_values("v")
+        )
+        s1 = int(o1[b]) + c["c1"].cumsum().to_numpy()
+        s2 = int(o2[b]) + c["c2"].cumsum().to_numpy()
+        num = np.abs(s1 * n2 - s2 * n1).max()
+        return pd.DataFrame({"num": pd.Series([int(num)], dtype="int64")})
+
+    parts = _fused_grouped_frames(
+        [(path, cols, fsql, proj)], n_b, ks_in_bucket
+    )
+    num = int(parts["num"].max()) if len(parts) else 0
+    return pd.DataFrame(
+        {
+            "n_r": pd.Series([n1], dtype="int64"),
+            "n_a": pd.Series([n2], dtype="int64"),
+            "ks_num": pd.Series([num], dtype="int64"),
+            "ks_d": [
+                float(round_duck(num * 1.0 / n1 / n2, 6))
+                if n1 and n2
+                else None
+            ],
+        }
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
+    "ks_price_returnflag": """
+        WITH x AS (
+            SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS v,
+                   CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS g
+            FROM lineitem
+            WHERE l_returnflag IN ('R', 'A')
+              AND l_extendedprice IS NOT NULL
+        ),
+        c AS (SELECT v, SUM(g) AS c1, SUM(1 - g) AS c2 FROM x GROUP BY v),
+        n AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM c),
+        p AS (
+            SELECT SUM(c1) OVER (ORDER BY v) AS s1,
+                   SUM(c2) OVER (ORDER BY v) AS s2
+            FROM c
+        )
+        SELECT CAST(n.n1 AS BIGINT) AS n_r,
+               CAST(n.n2 AS BIGINT) AS n_a,
+               CAST(MAX(ABS(p.s1 * n.n2 - p.s2 * n.n1)) AS BIGINT) AS ks_num,
+               ROUND(MAX(ABS(p.s1 * n.n2 - p.s2 * n.n1)) * 1.0
+                     / n.n1 / n.n2, 6) AS ks_d
+        FROM p, n GROUP BY n.n1, n.n2
+    """,
     "benford_totalprice": """
         WITH d AS (
             SELECT CAST(SUBSTRING(CAST(CAST(ROUND(o_totalprice * 100, 0)
@@ -709,4 +886,5 @@ QUERIES = {
     "anomalous_days_events": anomalous_days_events,
     "value_trend_events": value_trend_events,
     "benford_totalprice": benford_totalprice,
+    "ks_price_returnflag": ks_price_returnflag,
 }

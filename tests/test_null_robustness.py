@@ -1346,6 +1346,79 @@ def test_dau_series_bucket_invariance(null_events_dir):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_ks_nulls(null_dir):
+    """NULL prices never enter either ECDF; the D numerator is exact
+    integer on both engines."""
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.stats import ks_price_returnflag
+
+    got = ks_price_returnflag(null_dir)
+    want = _duck(m.oracle_sql()["ks_price_returnflag"], null_dir)
+    _assert_eq(got, want, "ks")
+
+
+def test_ks_bucket_invariance(null_dir):
+    from datapact_ray.pipelines.stats import ks_price_returnflag
+
+    a = ks_price_returnflag(null_dir, num_buckets=2)
+    b = ks_price_returnflag(null_dir, num_buckets=31)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_ks_detects_shift_and_single_flag(tmp_path):
+    """Discrimination: a shifted 'R' distribution scores a large D
+    (same-distribution testdata scores near 0); with one flag absent
+    the oracle's NULL ks_d (x/0) is mirrored."""
+    import duckdb as _duckdb
+
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.stats import ks_price_returnflag
+
+    rng = np.random.default_rng(5)
+    d = tmp_path / "shift"
+    d.mkdir()
+    n = 4000
+    li = pd.DataFrame(
+        {
+            "l_returnflag": np.r_[["R"] * (n // 2), ["A"] * (n // 2)],
+            "l_extendedprice": np.round(
+                np.r_[
+                    rng.uniform(5000, 60000, n // 2),  # R: shifted low
+                    rng.uniform(40000, 100000, n // 2),
+                ],
+                2,
+            ),
+        }
+    )
+    li.to_parquet(d / "lineitem.parquet", row_group_size=256)
+    got = ks_price_returnflag(str(d))
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{d}/lineitem.parquet')"
+    )
+    want = con.execute(m.oracle_sql()["ks_price_returnflag"]).fetchdf()
+    con.close()
+    _assert_eq(got, want, "ks_shift")
+    assert float(got["ks_d"].iloc[0]) > 0.5
+
+    d2 = tmp_path / "oneflag"
+    d2.mkdir()
+    li[li["l_returnflag"] == "R"].to_parquet(
+        d2 / "lineitem.parquet", row_group_size=256
+    )
+    got2 = ks_price_returnflag(str(d2))
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{d2}/lineitem.parquet')"
+    )
+    want2 = con.execute(m.oracle_sql()["ks_price_returnflag"]).fetchdf()
+    con.close()
+    _assert_eq(got2, want2, "ks_oneflag")
+    assert got2["ks_d"].isna().all()
+
+
 def test_streaks_nulls(null_events_dir):
     """Gaps-and-islands: islands are per-user, so user-hash buckets see
     every island whole; NULL user/ts rows drop on both sides."""
