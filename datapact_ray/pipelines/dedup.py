@@ -763,6 +763,75 @@ def dedup_exact_documents(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def normalized_dedup_documents(
+    sf_dir: str, num_buckets: int | None = None
+) -> pd.DataFrame:
+    """Canonicalization dedup — exact dedup AFTER normalizing the text
+    (lowercase, collapse ASCII whitespace runs to one space, trim):
+    catches the near-copies byte-hashing misses (case / formatting
+    variants) while staying exact and oracle-checkable, unlike MinHash.
+    The regex is C-vectorized pandas ``str`` kernels per batch and is
+    spelled with an explicit ASCII class (``[ \\t\\n\\r\\f\\v]+``) so
+    Python re and DuckDB RE2 agree on its semantics. Only the 8-byte
+    canonical-form hash enters the exchange (same form ⇒ same bucket,
+    per-bucket group sizes add); text never ships."""
+    num_buckets = num_buckets or _dedup_buckets()
+
+    def hash_batch(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["text"])
+        canon = (
+            df["text"]
+            .str.lower()
+            .str.replace(r"[ \t\n\r\f\v]+", " ", regex=True)
+            .str.strip()
+        )
+        from ..sketches import hash_columns_u64
+
+        h = hash_columns_u64(pd.DataFrame({"canon": canon}), ["canon"])
+        return pd.DataFrame(
+            {"h": h, "__bucket": (h % np.uint64(num_buckets)).astype(np.int32)}
+        )
+
+    def bucket_groups(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"forms": [0], "docs": [0], "mx": [0]}
+            ).astype("int64")
+        vc = df["h"].value_counts()
+        return pd.DataFrame(
+            {
+                "forms": [len(vc)],
+                "docs": [len(df)],
+                "mx": [int(vc.max())],
+            }
+        ).astype("int64")
+
+    parts = _fused_grouped_frames(
+        [(f"{sf_dir}/documents.parquet", ["text"], None, hash_batch)],
+        num_buckets,
+        bucket_groups,
+    )
+    docs = int(parts["docs"].sum()) if len(parts) else 0
+    forms = int(parts["forms"].sum()) if len(parts) else 0
+    if docs == 0:
+        return pd.DataFrame(
+            {
+                "n_forms": pd.Series([0], dtype="int64"),
+                "n_docs": pd.Series([0], dtype="int64"),
+                "n_dup_docs": pd.Series([0], dtype="int64"),
+                "max_group": [None],
+            }
+        )
+    return pd.DataFrame(
+        {
+            "n_forms": pd.Series([forms], dtype="int64"),
+            "n_docs": pd.Series([docs], dtype="int64"),
+            "n_dup_docs": pd.Series([docs - forms], dtype="int64"),
+            "max_group": pd.Series([int(parts["mx"].max())], dtype="int64"),
+        }
+    )
+
+
 def dup_source_matrix_documents(sf_dir: str) -> pd.DataFrame:
     """Duplicate-source matrix — WHERE duplication comes from (the
     contamination diagnostic that decides crawl/source policy): for
@@ -1415,6 +1484,7 @@ QUERIES = {
     "dedup_exact_documents": dedup_exact_documents,
     "dup_group_sizes_documents": dup_group_sizes_documents,
     "dup_source_matrix_documents": dup_source_matrix_documents,
+    "normalized_dedup_documents": normalized_dedup_documents,
     "decontaminate_ngram_documents": decontaminate_ngram_documents,
     "dedup_clusters_documents": dedup_clusters_documents,
     "jaccard_pairs_documents": jaccard_pairs_documents,
@@ -1450,6 +1520,19 @@ ORACLE_SQL = {
                      WHERE gram IN (SELECT gram FROM cg)) AS BIGINT) AS docs_hit,
                CAST((SELECT COUNT(DISTINCT doc_id) FROM grams)
                     AS BIGINT) AS total_docs
+    """,
+    "normalized_dedup_documents": """
+        WITH c AS (
+            SELECT trim(regexp_replace(lower(text),
+                                       '[ \t\n\r\f\v]+', ' ', 'g')) AS canon
+            FROM documents WHERE text IS NOT NULL
+        ),
+        g AS (SELECT canon, COUNT(*) AS n FROM c GROUP BY canon)
+        SELECT CAST((SELECT COUNT(*) FROM g) AS BIGINT) AS n_forms,
+               CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_docs,
+               CAST((SELECT COUNT(*) FROM c)
+                    - (SELECT COUNT(*) FROM g) AS BIGINT) AS n_dup_docs,
+               (SELECT CAST(MAX(n) AS BIGINT) FROM g) AS max_group
     """,
     "dedup_exact_documents": """
         SELECT COUNT(*) AS total_docs,

@@ -569,6 +569,64 @@ def anomalous_days_events(sf_dir: str, z_threshold: float = 2.0) -> pd.DataFrame
     )
 
 
+def entropy_event_types(sf_dir: str) -> pd.DataFrame:
+    """Shannon entropy of the event-type distribution (information
+    content of the log — a collapsing-diversity alarm for instrumentation
+    bugs): per-type counts are exact integer partials (vocabulary-bounded
+    exchange), and the driver builds H = ln(N) − Σ c·ln(c)/N from those
+    integers. The c·ln(c) sum uses exact compensated summation on BOTH
+    engines (math.fsum / DuckDB fsum), so the result is order-independent
+    and the two expression trees agree bit-for-bit before rounding.
+    Normalized entropy divides by ln(n_types) (SQL NULL when there is a
+    single type — ln(1) = 0); perplexity is exp(H)."""
+    from ..shuffle import map_partials
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        t = batch.column("event_type").to_pandas().dropna()
+        if len(t) == 0:
+            return pd.DataFrame({"event_type": [], "n": []}).astype(
+                {"event_type": "object", "n": "int64"}
+            )
+        vc = t.value_counts()
+        return pd.DataFrame(
+            {
+                "event_type": vc.index.to_numpy(),
+                "n": vc.to_numpy().astype("int64"),
+            }
+        )
+
+    parts = map_partials(
+        f"{sf_dir}/events.parquet", ["event_type"], None, partial
+    )
+    counts = parts.groupby("event_type")["n"].sum()
+    n = int(counts.sum())
+    if n == 0:
+        return pd.DataFrame(
+            {
+                "n_rows": pd.Series([], dtype="int64"),
+                "n_types": pd.Series([], dtype="int64"),
+                "entropy_nats": pd.Series([], dtype="float64"),
+                "norm_entropy": pd.Series([], dtype="float64"),
+                "perplexity": pd.Series([], dtype="float64"),
+            }
+        )
+    k = len(counts)
+    h = math.log(n) - math.fsum(
+        float(c) * math.log(float(c)) for c in counts
+    ) / n
+    return pd.DataFrame(
+        {
+            "n_rows": pd.Series([n], dtype="int64"),
+            "n_types": pd.Series([k], dtype="int64"),
+            "entropy_nats": [float(round_duck(h, 6))],
+            "norm_entropy": [
+                float(round_duck(h / math.log(k), 6)) if k > 1 else None
+            ],
+            "perplexity": [float(round_duck(math.exp(h), 4))],
+        }
+    )
+
+
 def ks_price_returnflag(
     sf_dir: str, num_buckets: int | None = None
 ) -> pd.DataFrame:
@@ -725,6 +783,24 @@ def ks_price_returnflag(
 
 
 ORACLE_SQL: dict[str, str] = {
+    "entropy_event_types": """
+        WITH c AS (
+            SELECT event_type, COUNT(*) AS n FROM events
+            WHERE event_type IS NOT NULL GROUP BY event_type
+        ),
+        t AS (SELECT SUM(n) AS s, COUNT(*) AS k FROM c)
+        SELECT CAST(t.s AS BIGINT) AS n_rows,
+               CAST(t.k AS BIGINT) AS n_types,
+               ROUND(ln(t.s) - fsum(c.n * ln(c.n)) / t.s, 6)
+                   AS entropy_nats,
+               CASE WHEN t.k > 1 THEN
+                   ROUND((ln(t.s) - fsum(c.n * ln(c.n)) / t.s)
+                         / ln(t.k), 6)
+               END AS norm_entropy,
+               ROUND(exp(ln(t.s) - fsum(c.n * ln(c.n)) / t.s), 4)
+                   AS perplexity
+        FROM c, t GROUP BY t.s, t.k
+    """,
     "ks_price_returnflag": """
         WITH x AS (
             SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS v,
@@ -887,4 +963,5 @@ QUERIES = {
     "value_trend_events": value_trend_events,
     "benford_totalprice": benford_totalprice,
     "ks_price_returnflag": ks_price_returnflag,
+    "entropy_event_types": entropy_event_types,
 }

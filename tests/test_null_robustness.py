@@ -1346,6 +1346,97 @@ def test_dau_series_bucket_invariance(null_events_dir):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_entropy_nulls(null_events_dir):
+    """NULL event types form no entropy cell; both engines build H from
+    the same exact per-type integers with exact compensated sums."""
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.stats import entropy_event_types
+
+    got = entropy_event_types(null_events_dir)
+    want = _duck_events(m.oracle_sql()["entropy_event_types"], null_events_dir)
+    _assert_eq(got, want, "entropy")
+
+
+def test_entropy_single_type(tmp_path):
+    """One event type: H = 0, norm_entropy is SQL NULL (x / ln(1))."""
+    import duckdb as _duckdb
+
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.stats import entropy_event_types
+
+    d = tmp_path / "one_type"
+    d.mkdir()
+    pd.DataFrame(
+        {
+            "event_id": range(50),
+            "ts": pd.Timestamp("2024-01-01"),
+            "user_id": 1,
+            "event_type": "click",
+            "value": 1.0,
+            "props": "{}",
+        }
+    ).to_parquet(d / "events.parquet")
+    got = entropy_event_types(str(d))
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{d}/events.parquet')"
+    )
+    want = con.execute(m.oracle_sql()["entropy_event_types"]).fetchdf()
+    con.close()
+    _assert_eq(got, want, "entropy_single")
+    assert got["norm_entropy"].isna().all()
+    assert float(got["entropy_nats"].iloc[0]) == 0.0
+
+
+def test_normalized_dedup_discriminates(tmp_path):
+    """Case/whitespace variants collapse to one canonical form (byte
+    hashing would keep them distinct); NULL text rows drop."""
+    import duckdb as _duckdb
+
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.dedup import (
+        dedup_exact_documents,
+        normalized_dedup_documents,
+    )
+
+    d = tmp_path / "canon"
+    d.mkdir()
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(8),
+            "text": [
+                "Hello  World",
+                "hello world",
+                " HELLO\tworld \n",
+                "a unique doc",
+                "another one",
+                None,
+                "ANOTHER\n one",
+                "hello worlds",
+            ],
+            "lang": "en",
+            "source": "s",
+        }
+    )
+    docs.to_parquet(d / "documents.parquet", row_group_size=3)
+    got = normalized_dedup_documents(str(d), num_buckets=5)
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet')"
+    )
+    want = con.execute(
+        m.oracle_sql()["normalized_dedup_documents"]
+    ).fetchdf()
+    con.close()
+    _assert_eq(got, want, "normalized_dedup")
+    assert int(got["n_dup_docs"].iloc[0]) == 3  # 3+2 variant groups
+    # byte-exact dedup sees NO duplicates in the same input
+    exact = dedup_exact_documents(str(d))
+    assert int(exact["dup_docs"].iloc[0]) == 0
+
+
 def test_ks_nulls(null_dir):
     """NULL prices never enter either ECDF; the D numerator is exact
     integer on both engines."""
