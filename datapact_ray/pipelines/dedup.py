@@ -763,6 +763,122 @@ def dedup_exact_documents(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _lev_le1(a: str, b: str) -> bool:
+    """Exact check for levenshtein(a, b) <= 1 (a != b assumed)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1 :]
+
+
+def fuzzy_pairs_customer(
+    sf_dir: str, num_buckets: int | None = None
+) -> pd.DataFrame:
+    """Fuzzy-match join: distinct customer-name pairs within edit
+    distance 1 (entity resolution for typo'd identifiers), exact via
+    FastSS deletion neighborhoods. Every string's blocking-key set is
+    itself plus each single-character deletion — any pair at distance
+    <= 1 provably shares a key (substitution: delete the differing
+    position from both; insertion: the short string IS a deletion
+    variant of the long one) — so candidate generation is lossless,
+    and a per-candidate exact verify removes the false positives the
+    neighborhood admits (e.g. the transposition 'ab'/'ba' shares a key
+    at distance 2).
+
+    Shape: variants are built with C string kernels (one slice pass per
+    POSITION, never per row), hashed to 8 bytes; (hash, name) rows
+    bucket by variant hash, each bucket self-merges its hash groups
+    into candidate pairs, and verification is candidate-sized, never
+    data-sized. Short identifier strings ride the exchange next to
+    their hash; for long-text fuzzy joins ship (hash, doc_id) and
+    re-join the strings by id instead."""
+    num_buckets = num_buckets or _dedup_buckets()
+    path = f"{sf_dir}/customer.parquet"
+
+    def variants(batch: pa.Table) -> pd.DataFrame:
+        from ..sketches import hash_columns_u64
+
+        s = (
+            batch.column("c_name")
+            .to_pandas()
+            .dropna()
+            .drop_duplicates()
+            .reset_index(drop=True)
+        )
+        if len(s) == 0:
+            return pd.DataFrame(
+                {
+                    "vh": pd.Series([], dtype="uint64"),
+                    "name": pd.Series([], dtype=object),
+                    "__bucket": pd.Series([], dtype="int32"),
+                }
+            )
+        frames = [pd.DataFrame({"v": s, "name": s})]
+        max_len = int(s.str.len().max())
+        for d in range(max_len):
+            keep = s.str.len() > d
+            if not keep.any():
+                break
+            sv = s[keep]
+            frames.append(
+                pd.DataFrame(
+                    {"v": sv.str.slice(0, d) + sv.str.slice(d + 1), "name": sv}
+                )
+            )
+        out = pd.concat(frames, ignore_index=True).drop_duplicates()
+        h = hash_columns_u64(out[["v"]], ["v"])
+        return pd.DataFrame(
+            {
+                "vh": h,
+                "name": out["name"].to_numpy(),
+                "__bucket": (h % np.uint64(num_buckets)).astype(np.int32),
+            }
+        )
+
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series([], dtype=object),
+                    "b": pd.Series([], dtype=object),
+                }
+            )
+        df = df.drop_duplicates(["vh", "name"])
+        m = df.merge(df[["vh", "name"]], on="vh")
+        m = m[m["name_x"] < m["name_y"]]
+        out = m[["name_x", "name_y"]].drop_duplicates()
+        out.columns = ["a", "b"]
+        return out
+
+    cand = _fused_grouped_frames(
+        [(path, ["c_name"], None, variants)], num_buckets, pairs_in_bucket
+    )
+    if len(cand):
+        # a pair sharing several variants lands in several buckets
+        cand = cand.drop_duplicates()
+        ok = [
+            (a, b)
+            for a, b in zip(cand["a"], cand["b"])
+            if _lev_le1(a, b)
+        ]
+    else:
+        ok = []
+    names = {x for p in ok for x in p}
+    return pd.DataFrame(
+        {
+            "n_pairs": pd.Series([len(ok)], dtype="int64"),
+            "n_strings": pd.Series([len(names)], dtype="int64"),
+        }
+    )
+
+
 def normalized_dedup_documents(
     sf_dir: str, num_buckets: int | None = None
 ) -> pd.DataFrame:
@@ -1485,6 +1601,7 @@ QUERIES = {
     "dup_group_sizes_documents": dup_group_sizes_documents,
     "dup_source_matrix_documents": dup_source_matrix_documents,
     "normalized_dedup_documents": normalized_dedup_documents,
+    "fuzzy_pairs_customer": fuzzy_pairs_customer,
     "decontaminate_ngram_documents": decontaminate_ngram_documents,
     "dedup_clusters_documents": dedup_clusters_documents,
     "jaccard_pairs_documents": jaccard_pairs_documents,
@@ -1520,6 +1637,23 @@ ORACLE_SQL = {
                      WHERE gram IN (SELECT gram FROM cg)) AS BIGINT) AS docs_hit,
                CAST((SELECT COUNT(DISTINCT doc_id) FROM grams)
                     AS BIGINT) AS total_docs
+    """,
+    "fuzzy_pairs_customer": """
+        WITH n AS (
+            SELECT DISTINCT c_name AS s FROM customer
+            WHERE c_name IS NOT NULL
+        ),
+        p AS (
+            SELECT a.s AS a, b.s AS b
+            FROM n a JOIN n b
+              ON a.s < b.s
+             AND abs(length(a.s) - length(b.s)) <= 1
+             AND levenshtein(a.s, b.s) <= 1
+        )
+        SELECT CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_pairs,
+               CAST((SELECT COUNT(DISTINCT x) FROM
+                     (SELECT a AS x FROM p UNION ALL SELECT b FROM p))
+                    AS BIGINT) AS n_strings
     """,
     "normalized_dedup_documents": """
         WITH c AS (

@@ -1437,6 +1437,49 @@ def test_normalized_dedup_discriminates(tmp_path):
     assert int(exact["dup_docs"].iloc[0]) == 0
 
 
+def test_fuzzy_pairs_adversarial(tmp_path):
+    """FastSS candidate set must include every distance-1 pair
+    (substitution / insertion / deletion) and the exact verify must
+    reject the transposition 'ab'/'ba' (shares a deletion key at
+    distance 2). NULL names drop; duplicate names collapse before
+    pairing; geometry-invariant at two bucket counts."""
+    import duckdb as _duckdb
+
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.dedup import fuzzy_pairs_customer
+
+    d = tmp_path / "fuzzy"
+    d.mkdir()
+    names = [
+        "smith",
+        "smyth",  # substitution
+        "smiths",  # insertion vs smith
+        "smit",  # deletion vs smith
+        "ab",
+        "ba",  # transposition: candidate but distance 2 — must verify out
+        "completely-different",
+        None,
+        "smith",  # duplicate name: no self-pair
+    ]
+    pd.DataFrame(
+        {"c_custkey": range(len(names)), "c_name": names}
+    ).to_parquet(d / "customer.parquet", row_group_size=3)
+    got = fuzzy_pairs_customer(str(d), num_buckets=7)
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE VIEW customer AS SELECT * FROM "
+        f"read_parquet('{d}/customer.parquet')"
+    )
+    want = con.execute(m.oracle_sql()["fuzzy_pairs_customer"]).fetchdf()
+    con.close()
+    _assert_eq(got, want, "fuzzy_pairs")
+    # smith-smyth, smith-smiths, smith-smit, smit-smiths(dist 2? s m i t
+    # vs s m i t h s — no), smyth-smiths(no), smyth-smit(no)
+    assert int(got["n_pairs"].iloc[0]) == 3
+    b = fuzzy_pairs_customer(str(d), num_buckets=2)
+    pd.testing.assert_frame_equal(got, b)
+
+
 def test_ks_nulls(null_dir):
     """NULL prices never enter either ECDF; the D numerator is exact
     integer on both engines."""
