@@ -846,6 +846,236 @@ def revenue_concentration_customers(
     )
 
 
+def rfm_segments_customers(
+    sf_dir: str, num_buckets: int | None = None, collect_cap: int = 200_000
+) -> pd.DataFrame:
+    """RFM segmentation — the marketing-analytics workhorse: every
+    customer scored 1–4 on Recency (last order day), Frequency (order
+    count) and Monetary (total cents), counted into the ≤ 64 (r, f, m)
+    segment cells. Quartile boundaries are EXACT ``quantile_disc``
+    order statistics (0-indexed rank ceil(q·n) − 1) of the
+    per-customer aggregate distributions — selection over AGGREGATES,
+    so the values being ranked only exist after an exchange.
+
+    Three runs of ONE customer-hash exchange (orders pre-aggregate per
+    batch, so the exchange carries per-batch partials, never rows):
+    pass 1 finalizes each bucket's exact integer triples and emits a
+    1024-bin order-preserving bit-pattern histogram per dimension
+    (sign-bit-flipped int64 >> 54 — monotone, so bin order IS value
+    order); the driver locates the 9 quartile ranks' bins; pass 2
+    collects only candidate-bin values as compressed (value, count)
+    rows (loud error above ``collect_cap`` — recurse with
+    selection.py's refinement before collecting); pass 3 classifies
+    every customer against the 9 broadcast boundary ints and reduces
+    to ≤ 64 count cells per bucket. Scores compare with strict ``>``
+    against the three boundaries — deterministic under ties on both
+    engines, unlike NTILE's row-order-dependent split."""
+    from .dedup import _dedup_buckets, _fused_grouped_frames
+    from ._util import round_duck as _rd
+
+    path = f"{sf_dir}/orders.parquet"
+    num_buckets = num_buckets or _dedup_buckets()
+    mult = np.uint64(0x9E3779B97F4A7C15)
+    shift = np.uint64(64 - 10)
+    sign = np.uint64(0x8000000000000000)
+    fsql = (
+        "o_custkey IS NOT NULL AND o_orderdate IS NOT NULL "
+        "AND o_totalprice IS NOT NULL"
+    )
+    cols = ["o_custkey", "o_orderdate", "o_totalprice"]
+    DIMS = ("r", "f", "m")
+
+    def partials(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        day = (
+            df["o_orderdate"].astype("datetime64[us]").astype("int64")
+            // 86_400_000_000
+        )
+        part = pd.DataFrame(
+            {
+                "key": df["o_custkey"].to_numpy(np.int64),
+                "r": day.to_numpy(),
+                "f": np.ones(len(df), dtype=np.int64),
+                "m": _rd(
+                    df["o_totalprice"].to_numpy(np.float64) * 100.0, 0
+                ).astype(np.int64),
+            }
+        )
+        g = part.groupby("key", as_index=False).agg(
+            r=("r", "max"), f=("f", "sum"), m=("m", "sum")
+        )
+        g["__bucket"] = (
+            g["key"].to_numpy(np.uint64) * mult % np.uint64(num_buckets)
+        ).astype(np.int32)
+        return g
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("key").agg(
+            r=("r", "max"), f=("f", "sum"), m=("m", "sum")
+        )
+
+    def binof(v: np.ndarray) -> np.ndarray:
+        return ((v.view(np.uint64) ^ sign) >> shift).astype(np.int64)
+
+    specs = [(path, cols, fsql, partials)]
+
+    def hist_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"dim": [], "bin": [], "cnt": [], "vmin": [], "vmax": []}
+            ).astype(
+                {
+                    "dim": "object",
+                    "bin": "int64",
+                    "cnt": "int64",
+                    "vmin": "int64",
+                    "vmax": "int64",
+                }
+            )
+        t = finalize(df)
+        rows = []
+        for dim in DIMS:
+            v = t[dim].to_numpy(np.int64)
+            b = binof(v)
+            order = np.argsort(b, kind="stable")
+            bs, vs = b[order], v[order]
+            cut = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
+            ends = np.r_[cut[1:], len(bs)]
+            for i, j in zip(cut, ends):
+                rows.append(
+                    (
+                        dim,
+                        int(bs[i]),
+                        int(j - i),
+                        int(vs[i:j].min()),
+                        int(vs[i:j].max()),
+                    )
+                )
+        return pd.DataFrame(
+            rows, columns=["dim", "bin", "cnt", "vmin", "vmax"]
+        )
+
+    parts = _fused_grouped_frames(specs, num_buckets, hist_bucket)
+    if len(parts) == 0 or int(parts["cnt"].sum()) == 0:
+        return pd.DataFrame(
+            {
+                "r_q": pd.Series([], dtype="int64"),
+                "f_q": pd.Series([], dtype="int64"),
+                "m_q": pd.Series([], dtype="int64"),
+                "n_customers": pd.Series([], dtype="int64"),
+            }
+        )
+
+    ranks_needed: dict[str, list[int]] = {}
+    bin_plans: dict[str, tuple] = {}
+    cand_bins: dict[str, set] = {d: set() for d in DIMS}
+    for dim in DIMS:
+        h = (
+            parts[parts["dim"] == dim]
+            .groupby("bin", as_index=False)["cnt"]
+            .sum()
+            .sort_values("bin")
+            .reset_index(drop=True)
+        )
+        n = int(h["cnt"].sum())
+        cum = np.cumsum(h["cnt"].to_numpy(np.int64))
+        ks = [max(0, math.ceil(q * n) - 1) for q in (0.25, 0.5, 0.75)]
+        plan = []
+        for k in ks:
+            bi = int(np.searchsorted(cum, k, side="right"))
+            below = int(cum[bi - 1]) if bi > 0 else 0
+            if int(h["cnt"][bi]) > collect_cap:
+                raise RuntimeError(
+                    "RFM candidate bin exceeds collect_cap — recurse "
+                    "with histogram refinement before collecting"
+                )
+            plan.append((k, int(h["bin"][bi]), below))
+            cand_bins[dim].add(int(h["bin"][bi]))
+        ranks_needed[dim] = ks
+        bin_plans[dim] = tuple(plan)
+    cand_capture = {d: frozenset(v) for d, v in cand_bins.items()}
+
+    def collect_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"dim": [], "bin": [], "v": [], "c": []}).astype(
+            {"dim": "object", "bin": "int64", "v": "int64", "c": "int64"}
+        )
+        if len(df) == 0:
+            return empty
+        t = finalize(df)
+        frames = []
+        for dim in DIMS:
+            v = t[dim].to_numpy(np.int64)
+            b = binof(v)
+            for bin_ in cand_capture[dim]:
+                sel = v[b == bin_]
+                if len(sel):
+                    vals, cnts = np.unique(sel, return_counts=True)
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "dim": dim,
+                                "bin": bin_,
+                                "v": vals,
+                                "c": cnts.astype(np.int64),
+                            }
+                        )
+                    )
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    coll = _fused_grouped_frames(specs, num_buckets, collect_bucket)
+    bounds: dict[str, list[int]] = {}
+    for dim in DIMS:
+        bs = []
+        for k, bin_, below in bin_plans[dim]:
+            g = (
+                coll[(coll["dim"] == dim) & (coll["bin"] == bin_)]
+                .groupby("v", as_index=False)["c"]
+                .sum()
+                .sort_values("v")
+            )
+            cum = np.cumsum(g["c"].to_numpy(np.int64))
+            j = int(np.searchsorted(cum, k - below, side="right"))
+            bs.append(int(g["v"].to_numpy()[j]))
+        bounds[dim] = bs
+
+    def classify_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"r_q": [], "f_q": [], "m_q": [], "n": []}
+            ).astype("int64")
+        t = finalize(df)
+        cell = {}
+        for dim in DIMS:
+            v = t[dim].to_numpy(np.int64)
+            b1, b2, b3 = bounds[dim]
+            cell[dim + "_q"] = (
+                1 + (v > b1).astype(np.int64) + (v > b2) + (v > b3)
+            )
+        out = (
+            pd.DataFrame(cell)
+            .groupby(["r_q", "f_q", "m_q"], as_index=False)
+            .size()
+        )
+        return out.rename(columns={"size": "n"})
+
+    cells = _fused_grouped_frames(specs, num_buckets, classify_bucket)
+    out = (
+        cells.groupby(["r_q", "f_q", "m_q"], as_index=False)["n"]
+        .sum()
+        .sort_values(["r_q", "f_q", "m_q"])
+        .reset_index(drop=True)
+        .rename(columns={"n": "n_customers"})
+    )
+    return out.astype(
+        {
+            "r_q": "int64",
+            "f_q": "int64",
+            "m_q": "int64",
+            "n_customers": "int64",
+        }
+    )
+
+
 def mad_extendedprice(sf_dir: str) -> pd.DataFrame:
     """Median absolute deviation per group — the robust dispersion
     statistic (outlier-resistant where STDDEV is not), defined here
@@ -974,9 +1204,40 @@ QUERIES = {
     "ntile_revenue_orders": ntile_revenue_orders,
     "value_percentiles_events": value_percentiles_events,
     "weighted_median_lineitem": weighted_median_lineitem,
+    "rfm_segments_customers": rfm_segments_customers,
 }
 
 ORACLE_SQL = {
+    "rfm_segments_customers": """
+        WITH a AS (
+            SELECT o_custkey AS c,
+                   MAX(epoch_us(o_orderdate) // 86400000000) AS r,
+                   COUNT(*) AS f,
+                   SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS m
+            FROM orders
+            WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+              AND o_totalprice IS NOT NULL
+            GROUP BY o_custkey
+        ),
+        q AS (
+            SELECT quantile_disc(r, 0.25) AS r1, quantile_disc(r, 0.5) AS r2,
+                   quantile_disc(r, 0.75) AS r3,
+                   quantile_disc(f, 0.25) AS f1, quantile_disc(f, 0.5) AS f2,
+                   quantile_disc(f, 0.75) AS f3,
+                   quantile_disc(m, 0.25) AS m1, quantile_disc(m, 0.5) AS m2,
+                   quantile_disc(m, 0.75) AS m3
+            FROM a
+        )
+        SELECT CAST(1 + CAST(a.r > q.r1 AS INT) + CAST(a.r > q.r2 AS INT)
+                      + CAST(a.r > q.r3 AS INT) AS BIGINT) AS r_q,
+               CAST(1 + CAST(a.f > q.f1 AS INT) + CAST(a.f > q.f2 AS INT)
+                      + CAST(a.f > q.f3 AS INT) AS BIGINT) AS f_q,
+               CAST(1 + CAST(a.m > q.m1 AS INT) + CAST(a.m > q.m2 AS INT)
+                      + CAST(a.m > q.m3 AS INT) AS BIGINT) AS m_q,
+               CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM a, q
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
     "exact_quantile_extendedprice": """
         SELECT l_returnflag,
                ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price

@@ -569,6 +569,81 @@ def anomalous_days_events(sf_dir: str, z_threshold: float = 2.0) -> pd.DataFrame
     )
 
 
+def fd_violations_lineitem(
+    sf_dir: str, num_buckets: int | None = None
+) -> pd.DataFrame:
+    """Functional-dependency audit: does ``l_orderkey`` determine
+    ``l_returnflag``? (Schema-discovery data-quality test — an FD that
+    SHOULD hold but doesn't flags merge bugs.) Keys bucket whole by
+    hash, so per-key COUNT(DISTINCT dep) is exact per bucket; each
+    batch pre-dedups its (key, dep) pairs, the bucket dedups across
+    batches and reduces to 4-cell integer partials. SQL COUNT(DISTINCT)
+    semantics: NULL dep values never count, but a key whose deps are
+    all NULL still counts as a key (distinct count 0)."""
+    from .dedup import _fused_grouped_frames
+    from .windows import _bucket_of, scaled_num_buckets
+
+    path = f"{sf_dir}/lineitem.parquet"
+    n_buckets = num_buckets or scaled_num_buckets(count_rows(path))
+
+    def add_bucket(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["l_orderkey"])
+        inc = pd.DataFrame(
+            {
+                "k": df["l_orderkey"].astype("int64"),
+                "d": df["l_returnflag"],
+            }
+        ).drop_duplicates()
+        inc["__bucket"] = _bucket_of(inc["k"].to_numpy(np.int64), n_buckets)
+        return inc
+
+    def fd_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"n_keys": [0], "n_viol": [0], "mx": [0]}
+            ).astype("int64")
+        keys_all = g["k"].nunique()
+        dc = (
+            g.dropna(subset=["d"])
+            .drop_duplicates(["k", "d"])["k"]
+            .value_counts()
+        )
+        return pd.DataFrame(
+            {
+                "n_keys": [int(keys_all)],
+                "n_viol": [int((dc > 1).sum())],
+                "mx": [int(dc.max()) if len(dc) else 0],
+            }
+        ).astype("int64")
+
+    parts = _fused_grouped_frames(
+        [(path, ["l_orderkey", "l_returnflag"], None, add_bucket)],
+        n_buckets,
+        fd_per_bucket,
+    )
+    n = int(parts["n_keys"].sum())
+    if n == 0:
+        return pd.DataFrame(
+            {
+                "n_keys": pd.Series([0], dtype="int64"),
+                "n_violating_keys": pd.Series([0], dtype="int64"),
+                "max_distinct": [None],
+                "violation_rate": [None],
+            }
+        )
+    v = int(parts["n_viol"].sum())
+    return pd.DataFrame(
+        {
+            "n_keys": pd.Series([n], dtype="int64"),
+            "n_violating_keys": pd.Series([v], dtype="int64"),
+            "max_distinct": pd.Series(
+                [int(parts["mx"].max())], dtype="int64"
+            ),
+            "violation_rate": [float(round_duck(v * 1.0 / n, 4))],
+        }
+    )
+
+
 def entropy_event_types(sf_dir: str) -> pd.DataFrame:
     """Shannon entropy of the event-type distribution (information
     content of the log — a collapsing-diversity alarm for instrumentation
@@ -783,6 +858,21 @@ def ks_price_returnflag(
 
 
 ORACLE_SQL: dict[str, str] = {
+    "fd_violations_lineitem": """
+        WITH g AS (
+            SELECT l_orderkey AS k,
+                   COUNT(DISTINCT l_returnflag) AS d
+            FROM lineitem WHERE l_orderkey IS NOT NULL
+            GROUP BY l_orderkey
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(COUNT(*) FILTER (WHERE d > 1) AS BIGINT)
+                   AS n_violating_keys,
+               CAST(MAX(d) AS BIGINT) AS max_distinct,
+               ROUND(COUNT(*) FILTER (WHERE d > 1) * 1.0 / COUNT(*), 4)
+                   AS violation_rate
+        FROM g
+    """,
     "entropy_event_types": """
         WITH c AS (
             SELECT event_type, COUNT(*) AS n FROM events
@@ -964,4 +1054,5 @@ QUERIES = {
     "benford_totalprice": benford_totalprice,
     "ks_price_returnflag": ks_price_returnflag,
     "entropy_event_types": entropy_event_types,
+    "fd_violations_lineitem": fd_violations_lineitem,
 }

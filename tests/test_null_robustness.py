@@ -1437,6 +1437,88 @@ def test_normalized_dedup_discriminates(tmp_path):
     assert int(exact["dup_docs"].iloc[0]) == 0
 
 
+def test_fd_violations_nulls(null_events_dir, null_dir):
+    """SQL COUNT(DISTINCT) drops NULL deps, but all-NULL-dep keys still
+    count as keys (distinct 0)."""
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.stats import fd_violations_lineitem
+
+    # null_dir's lineitem lacks l_orderkey — build a targeted fixture
+    import tempfile, os
+
+    d = tempfile.mkdtemp(prefix="fd_nulls_")
+    rng = np.random.default_rng(31)
+    n = 3000
+    li = pd.DataFrame(
+        {
+            "l_orderkey": rng.integers(0, 500, n).astype("float64"),
+            "l_returnflag": pd.Series(
+                np.array(["A", "N", "R"])[rng.integers(0, 3, n)], dtype=object
+            ),
+        }
+    )
+    li.loc[rng.random(n) < 0.1, "l_orderkey"] = np.nan
+    li.loc[rng.random(n) < 0.2, "l_returnflag"] = None
+    li.loc[li["l_orderkey"] == 499, "l_returnflag"] = None  # all-NULL key
+    li.to_parquet(os.path.join(d, "lineitem.parquet"), row_group_size=256)
+    import duckdb as _duckdb
+
+    got = fd_violations_lineitem(d)
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{d}/lineitem.parquet')"
+    )
+    want = con.execute(m.oracle_sql()["fd_violations_lineitem"]).fetchdf()
+    con.close()
+    _assert_eq(got, want, "fd_violations")
+    a = fd_violations_lineitem(d, num_buckets=3)
+    b = fd_violations_lineitem(d, num_buckets=37)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_rfm_nulls_and_invariance(tmp_path):
+    """Quartile boundaries are exact quantile_disc order statistics of
+    the per-customer aggregates; NULL custkey/date/price rows drop
+    whole on both sides; geometry-invariant."""
+    import duckdb as _duckdb
+
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.selection import rfm_segments_customers
+
+    d = tmp_path / "rfm"
+    d.mkdir()
+    rng = np.random.default_rng(41)
+    n = 5000
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n, dtype="int64"),
+            "o_custkey": rng.integers(1, 700, n).astype("float64"),
+            "o_orderdate": pd.Timestamp("2023-01-01")
+            + pd.to_timedelta(rng.integers(0, 700, n), unit="D"),
+            "o_totalprice": np.round(rng.uniform(1000, 400000, n), 2),
+        }
+    )
+    orders.loc[rng.random(n) < 0.1, "o_custkey"] = np.nan
+    orders.loc[rng.random(n) < 0.1, "o_totalprice"] = np.nan
+    orders.to_parquet(d / "orders.parquet", row_group_size=512)
+    got = rfm_segments_customers(str(d))
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{d}/orders.parquet')"
+    )
+    want = con.execute(m.oracle_sql()["rfm_segments_customers"]).fetchdf()
+    con.close()
+    _assert_eq(got, want, "rfm")
+    assert int(got["n_customers"].sum()) == orders.dropna(
+        subset=["o_custkey", "o_totalprice"]
+    )["o_custkey"].nunique()
+    a = rfm_segments_customers(str(d), num_buckets=3)
+    b = rfm_segments_customers(str(d), num_buckets=29)
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_fuzzy_pairs_adversarial(tmp_path):
     """FastSS candidate set must include every distance-1 pair
     (substitution / insertion / deletion) and the exact verify must
