@@ -334,6 +334,16 @@ def run_bench() -> dict:
     timed(
         "centroid_confusion_embeddings", ann.centroid_confusion_embeddings, SF_DIR
     )
+    timed("streaks_events", windows.streaks_events, SF_DIR)
+    timed("cumulative_users_events", windows.cumulative_users_events, SF_DIR)
+    timed("ks_price_returnflag", stats.ks_price_returnflag, SF_DIR)
+    timed("entropy_event_types", stats.entropy_event_types, SF_DIR)
+    timed("fd_violations_lineitem", stats.fd_violations_lineitem, SF_DIR)
+    timed(
+        "normalized_dedup_documents", dedup.normalized_dedup_documents, SF_DIR
+    )
+    timed("fuzzy_pairs_customer", dedup.fuzzy_pairs_customer, SF_DIR)
+    timed("rfm_segments_customers", selection.rfm_segments_customers, SF_DIR)
     # jaccard_pairs_documents / embedding_exact_pairs are the EXACT
     # quadratic baselines that oracle-check the approximate dedup paths;
     # they run in the correctness gate but stay out of the timed headline

@@ -854,27 +854,27 @@ def fuzzy_pairs_customer(
         m = df.merge(df[["vh", "name"]], on="vh")
         m = m[m["name_x"] < m["name_y"]]
         out = m[["name_x", "name_y"]].drop_duplicates()
+        # verify HERE, inside the parallel reduce — the exact check is
+        # candidate-sized, and a hot driver loop over all buckets'
+        # candidates measured 4× the whole query's cost at sf0.1
+        keep = [_lev_le1(a, b) for a, b in zip(out["name_x"], out["name_y"])]
+        out = out[np.asarray(keep, dtype=bool)] if len(out) else out
         out.columns = ["a", "b"]
         return out
 
-    cand = _fused_grouped_frames(
+    pairs = _fused_grouped_frames(
         [(path, ["c_name"], None, variants)], num_buckets, pairs_in_bucket
     )
-    if len(cand):
+    if len(pairs):
         # a pair sharing several variants lands in several buckets
-        cand = cand.drop_duplicates()
-        ok = [
-            (a, b)
-            for a, b in zip(cand["a"], cand["b"])
-            if _lev_le1(a, b)
-        ]
-    else:
-        ok = []
-    names = {x for p in ok for x in p}
+        pairs = pairs.drop_duplicates()
+    names = (
+        pd.concat([pairs["a"], pairs["b"]]).nunique() if len(pairs) else 0
+    )
     return pd.DataFrame(
         {
-            "n_pairs": pd.Series([len(ok)], dtype="int64"),
-            "n_strings": pd.Series([len(names)], dtype="int64"),
+            "n_pairs": pd.Series([len(pairs)], dtype="int64"),
+            "n_strings": pd.Series([int(names)], dtype="int64"),
         }
     )
 
