@@ -344,6 +344,13 @@ def run_bench() -> dict:
     )
     timed("fuzzy_pairs_customer", dedup.fuzzy_pairs_customer, SF_DIR)
     timed("rfm_segments_customers", selection.rfm_segments_customers, SF_DIR)
+    timed("journey_paths_events", windows.journey_paths_events, SF_DIR)
+    timed("autocorr_daily_events", stats.autocorr_daily_events, SF_DIR)
+    timed(
+        "nation_tvd_customer_supplier",
+        stats.nation_tvd_customer_supplier,
+        SF_DIR,
+    )
     # jaccard_pairs_documents / embedding_exact_pairs are the EXACT
     # quadratic baselines that oracle-check the approximate dedup paths;
     # they run in the correctness gate but stay out of the timed headline

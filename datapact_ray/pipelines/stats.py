@@ -569,6 +569,107 @@ def anomalous_days_events(sf_dir: str, z_threshold: float = 2.0) -> pd.DataFrame
     )
 
 
+def autocorr_daily_events(sf_dir: str, lag_days: int = 7) -> pd.DataFrame:
+    """Lag-7 autocorrelation of the daily event-count series — the
+    weekly-seasonality detector (a strong positive r7 means volume
+    repeats by weekday; see also the traffic heatmap). Calendar-bounded
+    integer day-count partials (≤ days × tasks rows, shuffle-free);
+    the driver aligns each observed day with day+7 (pairs only where
+    both exist, exactly the oracle's self-join) and computes CORR with
+    the same centered-sums form the corr_lineitem op already matches
+    bit-for-bit against DuckDB's streaming aggregate at 6dp."""
+    from ..shuffle import map_partials
+
+    _DAY_US = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ts = batch.column("ts").to_numpy(zero_copy_only=False)
+        ts = ts[~pd.isna(ts)]
+        if len(ts) == 0:
+            return pd.DataFrame({"day": [], "c": []}).astype(
+                {"day": "int64", "c": "int64"}
+            )
+        day = ts.astype("datetime64[us]").astype("int64") // _DAY_US
+        ids, counts = np.unique(day, return_counts=True)
+        return pd.DataFrame({"day": ids, "c": counts.astype(np.int64)})
+
+    parts = map_partials(f"{sf_dir}/events.parquet", ["ts"], None, partial)
+    by_day = parts.groupby("day")["c"].sum()
+    cmap = {int(d): int(c) for d, c in by_day.items()}
+    pairs = [
+        (c, cmap[d + lag_days])
+        for d, c in cmap.items()
+        if d + lag_days in cmap
+    ]
+    if len(pairs) < 2:
+        return pd.DataFrame(
+            {
+                "n_pairs": pd.Series([len(pairs)], dtype="int64"),
+                "autocorr_lag7": [None],
+            }
+        )
+    x = np.array([p[0] for p in pairs], dtype=np.float64)
+    y = np.array([p[1] for p in pairs], dtype=np.float64)
+    n, _mx, _my, sxx, syy, sxy = _batch_moments(x, y)
+    corr = (
+        sxy / math.sqrt(sxx * syy) if sxx > 0 and syy > 0 else None
+    )
+    return pd.DataFrame(
+        {
+            "n_pairs": pd.Series([len(pairs)], dtype="int64"),
+            "autocorr_lag7": [_r(corr, 6)],
+        }
+    )
+
+
+def nation_tvd_customer_supplier(sf_dir: str) -> pd.DataFrame:
+    """Total variation distance between the customer and supplier
+    nation distributions — the two-TABLE dataset-shift test (are
+    suppliers located where customers are?). Each side reduces to
+    nation-count partials with NO exchange (vocabulary-bounded); the
+    driver evaluates TVD = Σ|c1·n2 − c2·n1| / (2·n1·n2) — numerator an
+    exact integer on both engines, one division at the end — so the
+    result is bit-reproducible, not accumulation-ordered."""
+    from ..shuffle import map_partials
+
+    def side(path: str, col: str) -> pd.Series:
+        def partial(batch: pa.Table) -> pd.DataFrame:
+            k = batch.column(col).to_numpy(zero_copy_only=False)
+            k = k[~pd.isna(k)].astype(np.int64)
+            if len(k) == 0:
+                return pd.DataFrame({"k": [], "n": []}).astype("int64")
+            ids, counts = np.unique(k, return_counts=True)
+            return pd.DataFrame({"k": ids, "n": counts.astype(np.int64)})
+
+        parts = map_partials(path, [col], None, partial)
+        return parts.groupby("k")["n"].sum()
+
+    c = side(f"{sf_dir}/customer.parquet", "c_nationkey")
+    s = side(f"{sf_dir}/supplier.parquet", "s_nationkey")
+    n1, n2 = int(c.sum()), int(s.sum())
+    if n1 == 0 or n2 == 0:
+        return pd.DataFrame(
+            {
+                "n_customers": pd.Series([], dtype="int64"),
+                "n_suppliers": pd.Series([], dtype="int64"),
+                "tvd_num": pd.Series([], dtype="int64"),
+                "tvd": pd.Series([], dtype="float64"),
+            }
+        )
+    keys = sorted(set(c.index) | set(s.index))
+    num = sum(
+        abs(int(c.get(k, 0)) * n2 - int(s.get(k, 0)) * n1) for k in keys
+    )
+    return pd.DataFrame(
+        {
+            "n_customers": pd.Series([n1], dtype="int64"),
+            "n_suppliers": pd.Series([n2], dtype="int64"),
+            "tvd_num": pd.Series([num], dtype="int64"),
+            "tvd": [float(round_duck(num * 1.0 / (2 * n1 * n2), 6))],
+        }
+    )
+
+
 def fd_violations_lineitem(
     sf_dir: str, num_buckets: int | None = None
 ) -> pd.DataFrame:
@@ -858,6 +959,45 @@ def ks_price_returnflag(
 
 
 ORACLE_SQL: dict[str, str] = {
+    "autocorr_daily_events": """
+        WITH d AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   COUNT(*) AS c
+            FROM events WHERE ts IS NOT NULL GROUP BY 1
+        ),
+        j AS (
+            SELECT a.c AS x, b.c AS y
+            FROM d a JOIN d b ON b.day = a.day + INTERVAL 7 DAY
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               ROUND(CORR(x, y), 6) AS autocorr_lag7
+        FROM j
+    """,
+    "nation_tvd_customer_supplier": """
+        WITH c AS (
+            SELECT c_nationkey AS k, COUNT(*) AS n FROM customer
+            WHERE c_nationkey IS NOT NULL GROUP BY 1
+        ),
+        s AS (
+            SELECT s_nationkey AS k, COUNT(*) AS n FROM supplier
+            WHERE s_nationkey IS NOT NULL GROUP BY 1
+        ),
+        t AS (SELECT (SELECT SUM(n) FROM c) AS n1,
+                     (SELECT SUM(n) FROM s) AS n2),
+        u AS (
+            SELECT COALESCE(c.n, 0) AS c1, COALESCE(s.n, 0) AS c2
+            FROM c FULL OUTER JOIN s ON c.k = s.k
+        )
+        SELECT CAST(t.n1 AS BIGINT) AS n_customers,
+               CAST(t.n2 AS BIGINT) AS n_suppliers,
+               CAST(SUM(ABS(u.c1 * t.n2 - u.c2 * t.n1)) AS BIGINT)
+                   AS tvd_num,
+               ROUND(SUM(ABS(u.c1 * t.n2 - u.c2 * t.n1)) * 1.0
+                     / (2 * t.n1 * t.n2), 6) AS tvd
+        FROM u, t
+        WHERE t.n1 IS NOT NULL AND t.n2 IS NOT NULL
+        GROUP BY t.n1, t.n2
+    """,
     "fd_violations_lineitem": """
         WITH g AS (
             SELECT l_orderkey AS k,
@@ -1055,4 +1195,6 @@ QUERIES = {
     "ks_price_returnflag": ks_price_returnflag,
     "entropy_event_types": entropy_event_types,
     "fd_violations_lineitem": fd_violations_lineitem,
+    "autocorr_daily_events": autocorr_daily_events,
+    "nation_tvd_customer_supplier": nation_tvd_customer_supplier,
 }

@@ -1624,6 +1624,86 @@ def cumulative_users_events(
     )
 
 
+def journey_paths_events(
+    sf_dir: str, num_buckets: int | None = None, k: int = 10
+) -> pd.DataFrame:
+    """Top-k user-journey prefixes — the funnel-discovery view of the
+    log: each user's FIRST three event types (ordered by ts, event_id)
+    joined into a path string, counted across users. Users bucket
+    whole, one vectorized sort + rank pass per bucket finds each
+    user's first 3 rows, and the path assembles via a rank PIVOT and C
+    string concatenation (never a per-row join loop). The exchange and
+    the driver merge are path-vocabulary-bounded (≤ |types|³ + |types|²
+    + |types| rows per bucket); top-k ties pin on (count DESC, path
+    ASC) identically on both engines."""
+    from .dedup import _fused_grouped_frames
+
+    path = f"{sf_dir}/events.parquet"
+    n_buckets = num_buckets or scaled_num_buckets(count_rows(path))
+
+    def add_bucket(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["user_id", "ts", "event_type"])
+        out = pd.DataFrame(
+            {
+                "u": df["user_id"].astype("int64"),
+                "ts": df["ts"].astype("datetime64[us]").astype("int64"),
+                "eid": df["event_id"].astype("int64"),
+                "t": df["event_type"],
+            }
+        )
+        out["__bucket"] = _bucket_of(out["u"].to_numpy(), n_buckets)
+        return out
+
+    def paths_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"path": [], "n": []}).astype(
+                {"path": "object", "n": "int64"}
+            )
+        g = g.sort_values(["u", "ts", "eid"], kind="stable")
+        u = g["u"].to_numpy()
+        starts = np.r_[True, u[1:] != u[:-1]]
+        # rank within user: position minus the user's start offset
+        idx = np.arange(len(g))
+        rank = idx - idx[starts][np.cumsum(starts) - 1]
+        head = g[rank < 3].copy()
+        head["r"] = rank[rank < 3]
+        piv = head.pivot(index="u", columns="r", values="t")
+        p = piv[0].astype(object)
+        for col in (1, 2):
+            if col in piv.columns:
+                p = p + (">" + piv[col]).fillna("")
+        vc = p.value_counts()
+        return pd.DataFrame(
+            {
+                "path": vc.index.to_numpy(),
+                "n": vc.to_numpy().astype("int64"),
+            }
+        )
+
+    parts = _fused_grouped_frames(
+        [
+            (
+                path,
+                ["user_id", "ts", "event_id", "event_type"],
+                None,
+                add_bucket,
+            )
+        ],
+        n_buckets,
+        paths_per_bucket,
+    )
+    out = (
+        parts.groupby("path", as_index=False)["n"]
+        .sum()
+        .sort_values(["n", "path"], ascending=[False, True], kind="stable")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {"path": out["path"], "n_users": out["n"].astype("int64")}
+    )
+
+
 def new_vs_returning_orders(
     sf_dir: str, num_buckets: int | None = None
 ) -> pd.DataFrame:
@@ -2029,6 +2109,7 @@ QUERIES = {
     "order_gaps_orders": order_gaps_orders,
     "streaks_events": streaks_events,
     "cumulative_users_events": cumulative_users_events,
+    "journey_paths_events": journey_paths_events,
 }
 
 ORACLE_SQL = {
@@ -2135,6 +2216,23 @@ ORACLE_SQL = {
         FROM events
         WHERE user_id IS NOT NULL AND ts IS NOT NULL
         GROUP BY 1 ORDER BY 1
+    """,
+    "journey_paths_events": """
+        WITH e AS (
+            SELECT user_id, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+              AND event_type IS NOT NULL
+        ),
+        p AS (
+            SELECT user_id,
+                   string_agg(event_type, '>' ORDER BY rn) AS path
+            FROM e WHERE rn <= 3 GROUP BY user_id
+        )
+        SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM p GROUP BY path ORDER BY n_users DESC, path LIMIT 10
     """,
     "streaks_events": """
         WITH d AS (

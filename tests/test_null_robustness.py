@@ -1437,6 +1437,114 @@ def test_normalized_dedup_discriminates(tmp_path):
     assert int(exact["dup_docs"].iloc[0]) == 0
 
 
+def test_journey_paths_nulls(null_events_dir):
+    """NULL user/ts/type rows drop BEFORE ranking (a NULL type row must
+    not consume one of the user's first-3 slots); ties pin on
+    (count DESC, path ASC)."""
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.windows import journey_paths_events
+
+    got = journey_paths_events(null_events_dir)
+    want = _duck_events(
+        m.oracle_sql()["journey_paths_events"], null_events_dir
+    )
+    _assert_eq(got, want, "journey_paths")
+    a = journey_paths_events(null_events_dir, num_buckets=3)
+    b = journey_paths_events(null_events_dir, num_buckets=29)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_autocorr_weekly_pattern(tmp_path):
+    """A strongly weekly series scores near 1 at lag 7; the engine's
+    pair alignment (both days present) matches the oracle's self-join."""
+    import duckdb as _duckdb
+
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.stats import autocorr_daily_events
+
+    d = tmp_path / "weekly"
+    d.mkdir()
+    rng = np.random.default_rng(7)
+    rows = []
+    eid = 0
+    for day in range(70):
+        if day % 11 == 3:
+            continue  # holes: pairs must align on existing days only
+        n = 20 + 100 * (day % 7 == 2) + int(rng.integers(0, 5))
+        for _ in range(n):
+            rows.append(
+                (eid, pd.Timestamp("2024-01-01") + pd.Timedelta(days=day))
+            )
+            eid += 1
+    pd.DataFrame(rows, columns=["event_id", "ts"]).assign(
+        user_id=1, event_type="x", value=1.0, props="{}"
+    ).to_parquet(d / "events.parquet", row_group_size=512)
+    got = autocorr_daily_events(str(d))
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{d}/events.parquet')"
+    )
+    want = con.execute(m.oracle_sql()["autocorr_daily_events"]).fetchdf()
+    con.close()
+    _assert_eq(got, want, "autocorr")
+    assert float(got["autocorr_lag7"].iloc[0]) > 0.9
+
+
+def test_nation_tvd_shift_and_empty_side(tmp_path):
+    """Identical distributions give TVD 0; a disjoint one gives 1; an
+    empty side mirrors the oracle's zero-row guard."""
+    import duckdb as _duckdb
+
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.stats import nation_tvd_customer_supplier
+
+    def build(dirname, cust_keys, supp_keys):
+        d = tmp_path / dirname
+        d.mkdir()
+        pd.DataFrame(
+            {
+                "c_custkey": range(len(cust_keys)),
+                "c_nationkey": pd.array(cust_keys, dtype="Int64"),
+            }
+        ).to_parquet(d / "customer.parquet")
+        pd.DataFrame(
+            {
+                "s_suppkey": range(len(supp_keys)),
+                "s_nationkey": pd.array(supp_keys, dtype="Int64"),
+            }
+        ).to_parquet(d / "supplier.parquet")
+        return str(d)
+
+    def oracle(d):
+        con = _duckdb.connect()
+        for t in ("customer", "supplier"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{d}/{t}.parquet')"
+            )
+        out = con.execute(
+            m.oracle_sql()["nation_tvd_customer_supplier"]
+        ).fetchdf()
+        con.close()
+        return out
+
+    same = build("same", [1, 1, 2, 2, None], [1, 2])
+    got = nation_tvd_customer_supplier(same)
+    _assert_eq(got, oracle(same), "tvd_same")
+    assert float(got["tvd"].iloc[0]) == 0.0
+
+    disj = build("disj", [1, 1, 2], [3, 4, 4])
+    got = nation_tvd_customer_supplier(disj)
+    _assert_eq(got, oracle(disj), "tvd_disjoint")
+    assert float(got["tvd"].iloc[0]) == 1.0
+
+    empt = build("empt", [1, 2], [None])
+    got = nation_tvd_customer_supplier(empt)
+    _assert_eq(got, oracle(empt), "tvd_empty_side")
+    assert len(got) == 0
+
+
 def test_fd_violations_nulls(null_events_dir, null_dir):
     """SQL COUNT(DISTINCT) drops NULL deps, but all-NULL-dep keys still
     count as keys (distinct 0)."""
