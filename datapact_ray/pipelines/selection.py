@@ -1076,6 +1076,188 @@ def rfm_segments_customers(
     )
 
 
+_GINI_SIGN = 0x8000000000000000
+_GINI_SHIFT = 54  # 1024 order-preserving bit-pattern value bins
+
+
+def _gini_hash(keys: np.ndarray, num_buckets: int) -> np.ndarray:
+    h = keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    return ((h >> np.uint64(32)) % np.uint64(num_buckets)).astype(np.int32)
+
+
+def _gini_map(unit, b1: int) -> list:
+    """Gini hop-1 map: per-batch per-customer cent partials for the
+    scan unit, split by CUSTOMER hash (a customer's orders span scan
+    units, so totals must wait until the customer is co-located)."""
+    from ..shuffle import _split_by_bucket, read_unit
+    from ._util import round_duck as _rd
+
+    df = (
+        read_unit(unit, ["o_custkey", "o_totalprice"])
+        .to_pandas()
+        .dropna(subset=["o_custkey", "o_totalprice"])
+    )
+    part = pd.DataFrame(
+        {
+            "key": df["o_custkey"].to_numpy(np.int64),
+            "m": _rd(df["o_totalprice"].to_numpy(np.float64) * 100.0, 0).astype(
+                np.int64
+            ),
+        }
+    )
+    part = part.groupby("key", as_index=False)["m"].sum()
+    part["__bucket"] = _gini_hash(part["key"].to_numpy(np.int64), b1)
+    return _split_by_bucket(pa.Table.from_pandas(part, preserve_index=False), b1)
+
+
+def _gini_reduce1(b2: int, *shards) -> list:
+    """Hop-1 reduce AND hop-2 map: finalize this bucket's exact
+    per-customer totals, compress them to (value, count) rows — the
+    customer keys are DONE and never travel further — and re-emit
+    pre-split by order-preserving VALUE bin (bin % B2, num_returns =
+    B2), so hop 2 holds every occurrence of each of its bins."""
+    from ..shuffle import _split_by_bucket
+
+    empty = pa.table(
+        {
+            "v": pa.array([], pa.int64()),
+            "c": pa.array([], pa.int64()),
+            "bin": pa.array([], pa.int64()),
+            "__bucket": pa.array([], pa.int32()),
+        }
+    )
+    sh = [s for s in shards if s.num_rows]
+    if not sh:
+        return [empty.slice(0, 0)] * b2
+    df = pa.concat_tables(sh).to_pandas()
+    totals = df.groupby("key")["m"].sum().to_numpy(np.int64)
+    vals, cnts = np.unique(totals, return_counts=True)
+    bins = (
+        (vals.view(np.uint64) ^ np.uint64(_GINI_SIGN))
+        >> np.uint64(_GINI_SHIFT)
+    ).astype(np.int64)
+    out = pd.DataFrame({"v": vals, "c": cnts.astype(np.int64), "bin": bins})
+    out["__bucket"] = (bins % b2).astype(np.int32)
+    return _split_by_bucket(pa.Table.from_pandas(out, preserve_index=False), b2)
+
+
+def _gini_reduce2(*shards) -> pd.DataFrame:
+    """Hop-2 reduce: this task owns whole VALUE bins. Merge each bin's
+    (value, count) rows across hop-1 reduces, sort (bin order IS value
+    order, so a bin's rank offset is just the count of lower bins), and
+    fold the bin to three integers: count, Σc·v, and the bin-LOCAL
+    weighted rank sum L = Σ v·(c·prev + c(c+1)/2) — exact int64 while
+    v·n < 2⁶³ (beyond ~10⁹ customers switch the fold to Python ints)."""
+    sh = [s for s in shards if s.num_rows]
+    if not sh:
+        return pd.DataFrame(
+            {"bin": [], "cnt": [], "s": [], "lw": []}
+        ).astype("int64")
+    df = (
+        pa.concat_tables(sh)
+        .to_pandas()
+        .groupby(["bin", "v"], as_index=False)["c"]
+        .sum()
+        .sort_values(["bin", "v"], kind="stable")
+    )
+    rows = []
+    for bin_, g in df.groupby("bin", sort=True):
+        v = g["v"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        prev = np.r_[0, np.cumsum(c)[:-1]]
+        lw = int((v * (c * prev + c * (c + 1) // 2)).sum())
+        rows.append((int(bin_), int(c.sum()), int((v * c).sum()), lw))
+    return pd.DataFrame(rows, columns=["bin", "cnt", "s", "lw"]).astype(
+        "int64"
+    )
+
+
+def gini_revenue_customers(
+    sf_dir: str,
+    num_buckets: int | None = None,
+    num_buckets2: int | None = None,
+) -> pd.DataFrame:
+    """Gini coefficient of customer revenue — the inequality measure
+    behind the revenue-concentration question, EXACT at any scale:
+    G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) over globally rank-ordered
+    per-customer totals. A global sort never happens: hop 1 co-locates
+    each customer by key hash and finalizes exact integer totals; each
+    hop-1 reduce re-emits its totals as (value, count) rows pre-split
+    by order-preserving bit-pattern VALUE bin (the chained-exchange
+    pattern — num_returns = B2, no driver hop); hop 2 owns whole bins,
+    so its within-bin prefix sums are globally correct up to the bin
+    offset, and it folds each bin to THREE integers. The driver merges
+    ≤ 1024 bin rows with Python-int prefix sums (the HUGEINT mirror):
+    Σi·x = Σ_bins (offset·Σx_bin + L_bin). Rank ties carry equal
+    values, so tie order provably cannot change Σi·x — both engines
+    agree exactly, and G is one division of exact integers."""
+    import ray
+
+    from ..io import count_rows, list_parquet_files
+    from ..shuffle import _scan_units, _shuffle_target_bytes
+    from .windows import scaled_num_buckets
+
+    path = f"{sf_dir}/orders.parquet"
+    files = list_parquet_files(path)
+    b1 = num_buckets or scaled_num_buckets(count_rows(path))
+    b2 = num_buckets2 or max(8, b1 // 2)
+
+    empty = pd.DataFrame(
+        {
+            "n_customers": pd.Series([], dtype="int64"),
+            "total_cents": pd.Series([], dtype="int64"),
+            "weighted_rank_sum": pd.Series([], dtype="int64"),
+            "gini": pd.Series([], dtype="float64"),
+        }
+    )
+    units = _scan_units(files, _shuffle_target_bytes([files]))
+    if not units:
+        return empty
+
+    map_task = ray.remote(num_returns=b1)(_gini_map)
+    red1_task = ray.remote(num_returns=b2)(_gini_reduce1)
+    red2_task = ray.remote(_gini_reduce2)
+
+    def _as_list(res, n):
+        return [res] if n == 1 else res
+
+    map_shards = [_as_list(map_task.remote(u, b1), b1) for u in units]
+    bin_shards = [
+        _as_list(red1_task.remote(b2, *[s[bb] for s in map_shards]), b2)
+        for bb in range(b1)
+    ]
+    parts = ray.get(
+        [
+            red2_task.remote(*[s[bb] for s in bin_shards])
+            for bb in range(b2)
+        ]
+    )
+    folded = pd.concat(parts, ignore_index=True)
+    if len(folded) == 0:
+        return empty
+    folded = folded.sort_values("bin", kind="stable").reset_index(drop=True)
+    n = w = s = 0  # Python ints: the HUGEINT mirror
+    for _, row in folded.iterrows():
+        w += n * int(row["s"]) + int(row["lw"])
+        n += int(row["cnt"])
+        s += int(row["s"])
+    if n == 0:
+        return empty
+    gini = (
+        float(round_duck((2 * w - (n + 1) * s) * 1.0 / (n * s), 6))
+        if s != 0
+        else None
+    )
+    return pd.DataFrame(
+        {
+            "n_customers": pd.Series([n], dtype="int64"),
+            "total_cents": pd.Series([s], dtype="int64"),
+            "weighted_rank_sum": pd.Series([w], dtype="int64"),
+            "gini": [gini],
+        }
+    )
+
+
 def mad_extendedprice(sf_dir: str) -> pd.DataFrame:
     """Median absolute deviation per group — the robust dispersion
     statistic (outlier-resistant where STDDEV is not), defined here
@@ -1205,9 +1387,26 @@ QUERIES = {
     "value_percentiles_events": value_percentiles_events,
     "weighted_median_lineitem": weighted_median_lineitem,
     "rfm_segments_customers": rfm_segments_customers,
+    "gini_revenue_customers": gini_revenue_customers,
 }
 
 ORACLE_SQL = {
+    "gini_revenue_customers": """
+        WITH a AS (
+            SELECT o_custkey AS c,
+                   SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS m
+            FROM orders
+            WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+            GROUP BY o_custkey
+        ),
+        r AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS i FROM a),
+        g AS (SELECT COUNT(*) AS n, SUM(m) AS s, SUM(i * m) AS w FROM r)
+        SELECT CAST(n AS BIGINT) AS n_customers,
+               CAST(s AS BIGINT) AS total_cents,
+               CAST(w AS BIGINT) AS weighted_rank_sum,
+               ROUND((2 * w - (n + 1) * s) * 1.0 / (n * s), 6) AS gini
+        FROM g WHERE n > 0
+    """,
     "rfm_segments_customers": """
         WITH a AS (
             SELECT o_custkey AS c,

@@ -1627,6 +1627,45 @@ def test_rfm_nulls_and_invariance(tmp_path):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_gini_nulls_and_inequality(tmp_path):
+    """Exact chained-exchange Gini: NULL custkey/price rows drop whole;
+    a whale-dominated book scores near 1 where the uniform testdata
+    scores ~0.2; geometry-invariant at two (B1, B2) pairs."""
+    import duckdb as _duckdb
+
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.selection import gini_revenue_customers
+
+    d = tmp_path / "gini"
+    d.mkdir()
+    rng = np.random.default_rng(53)
+    n = 4000
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n, dtype="int64"),
+            "o_custkey": rng.integers(1, 600, n).astype("float64"),
+            "o_totalprice": np.round(rng.uniform(10, 500, n), 2),
+        }
+    )
+    orders.loc[orders["o_custkey"] == 1, "o_totalprice"] = 9_000_000.0
+    orders.loc[rng.random(n) < 0.1, "o_custkey"] = np.nan
+    orders.loc[rng.random(n) < 0.1, "o_totalprice"] = np.nan
+    orders.to_parquet(d / "orders.parquet", row_group_size=512)
+    got = gini_revenue_customers(str(d))
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{d}/orders.parquet')"
+    )
+    want = con.execute(m.oracle_sql()["gini_revenue_customers"]).fetchdf()
+    con.close()
+    _assert_eq(got, want, "gini")
+    assert float(got["gini"].iloc[0]) > 0.9
+    a = gini_revenue_customers(str(d), num_buckets=4, num_buckets2=3)
+    b = gini_revenue_customers(str(d), num_buckets=19, num_buckets2=13)
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_fuzzy_pairs_adversarial(tmp_path):
     """FastSS candidate set must include every distance-1 pair
     (substitution / insertion / deletion) and the exact verify must
