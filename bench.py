@@ -345,6 +345,8 @@ def run_bench() -> dict:
     timed("fuzzy_pairs_customer", dedup.fuzzy_pairs_customer, SF_DIR)
     timed("rfm_segments_customers", selection.rfm_segments_customers, SF_DIR)
     timed("gini_revenue_customers", selection.gini_revenue_customers, SF_DIR)
+    timed("pii_census_documents", text.pii_census_documents, SF_DIR)
+    timed("range_rules_lineitem", stats.range_rules_lineitem, SF_DIR)
     timed("journey_paths_events", windows.journey_paths_events, SF_DIR)
     timed("autocorr_daily_events", stats.autocorr_daily_events, SF_DIR)
     timed(

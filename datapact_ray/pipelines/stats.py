@@ -569,6 +569,51 @@ def anomalous_days_events(sf_dir: str, z_threshold: float = 2.0) -> pd.DataFrame
     )
 
 
+# (rule, column, lo, hi) — inclusive domains; literals are exact
+# doubles, so numpy and DuckDB evaluate identical comparisons
+_RANGE_RULES = (
+    ("discount_le_0.05", "l_discount", 0.0, 0.05),
+    ("price_le_100k", "l_extendedprice", 0.0, 100_000.0),
+    ("quantity_le_45", "l_quantity", 1.0, 45.0),
+    ("tax_le_0.08", "l_tax", 0.0, 0.08),
+)
+
+
+def range_rules_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Declarative domain-rule audit — the 'values must lie in [lo, hi]'
+    family of data-quality checks, evaluated for a whole rule table in
+    ONE scan: per rule, how many non-NULL values were checked and how
+    many fall outside the domain (SQL semantics: NULL is never a
+    violation). Vectorized masks per batch, rule-vocabulary-bounded
+    partials (4 rows per task), shuffle-free. The rule mix is
+    deliberately half-breached / half-clean so a regression in either
+    direction shows."""
+    from ..shuffle import map_partials
+
+    cols = sorted({c for _, c, _, _ in _RANGE_RULES})
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        rows = []
+        for rule, col, lo, hi in _RANGE_RULES:
+            v = df[col].to_numpy(np.float64)
+            ok = ~np.isnan(v)
+            viol = ok & ((v < lo) | (v > hi))
+            rows.append((rule, int(ok.sum()), int(viol.sum())))
+        return pd.DataFrame(
+            rows, columns=["rule", "n_checked", "n_violations"]
+        )
+
+    parts = map_partials(f"{sf_dir}/lineitem.parquet", cols, None, partial)
+    out = (
+        parts.groupby("rule", as_index=False)[["n_checked", "n_violations"]]
+        .sum()
+        .sort_values("rule")
+        .reset_index(drop=True)
+    )
+    return out.astype({"n_checked": "int64", "n_violations": "int64"})
+
+
 def autocorr_daily_events(sf_dir: str, lag_days: int = 7) -> pd.DataFrame:
     """Lag-7 autocorrelation of the daily event-count series — the
     weekly-seasonality detector (a strong positive r7 means volume
@@ -958,7 +1003,23 @@ def ks_price_returnflag(
     )
 
 
+# generated from the same rule table the engine evaluates — the two
+# sides can never drift apart on bounds
+_RANGE_ORACLE = (
+    "SELECT * FROM ("
+    + " UNION ALL ".join(
+        f"SELECT '{rule}' AS rule, "
+        f"CAST(COUNT({col}) AS BIGINT) AS n_checked, "
+        f"CAST(COUNT(*) FILTER (WHERE {col} IS NOT NULL "
+        f"AND ({col} < {lo} OR {col} > {hi})) AS BIGINT) AS n_violations "
+        f"FROM lineitem"
+        for rule, col, lo, hi in _RANGE_RULES
+    )
+    + ") ORDER BY rule"
+)
+
 ORACLE_SQL: dict[str, str] = {
+    "range_rules_lineitem": _RANGE_ORACLE,
     "autocorr_daily_events": """
         WITH d AS (
             SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
@@ -1197,4 +1258,5 @@ QUERIES = {
     "fd_violations_lineitem": fd_violations_lineitem,
     "autocorr_daily_events": autocorr_daily_events,
     "nation_tvd_customer_supplier": nation_tvd_customer_supplier,
+    "range_rules_lineitem": range_rules_lineitem,
 }

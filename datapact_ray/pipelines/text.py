@@ -1255,7 +1255,68 @@ def zipf_slope_documents(sf_dir: str, k: int = 100) -> pd.DataFrame:
     )
 
 
+# PII patterns spelled to mean the same thing in Python re (pandas C
+# kernels) and DuckDB RE2: ASCII classes, \b word boundaries, bounded
+# quantifiers — no lookaround, no unicode classes.
+_PII_PATTERNS = (
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"),
+    ("phone", r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"),
+)
+
+
+def pii_census_documents(sf_dir: str) -> pd.DataFrame:
+    """PII census — the data-governance gate a corpus must pass before
+    release: per pattern (email / phone / SSN-like), how many documents
+    match and how many total non-overlapping hits. One scan, compiled
+    regexes through pandas' C string kernels, 3-row partials per task
+    (pattern-vocabulary-bounded, shuffle-free). Leftmost
+    non-overlapping match counting is the shared semantics of
+    ``str.count`` and DuckDB ``regexp_extract_all``."""
+    from ..shuffle import map_partials
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        t = batch.column("text").to_pandas().dropna()
+        rows = []
+        for name, pat in _PII_PATTERNS:
+            if len(t) == 0:
+                rows.append((name, 0, 0))
+                continue
+            hits = t.str.count(pat)
+            rows.append(
+                (name, int((hits > 0).sum()), int(hits.sum()))
+            )
+        return pd.DataFrame(rows, columns=["pattern", "n_docs", "n_hits"])
+
+    parts = map_partials(f"{sf_dir}/documents.parquet", ["text"], None, partial)
+    out = (
+        parts.groupby("pattern", as_index=False)[["n_docs", "n_hits"]]
+        .sum()
+        .sort_values("pattern")
+        .reset_index(drop=True)
+    )
+    return out.astype({"n_docs": "int64", "n_hits": "int64"})
+
+
+# the oracle is GENERATED from the same pattern tuple the engine
+# compiles, so the two sides can never drift apart on pattern text
+_PII_ORACLE = (
+    "WITH d AS (SELECT text FROM documents WHERE text IS NOT NULL) "
+    "SELECT * FROM ("
+    + " UNION ALL ".join(
+        f"SELECT '{name}' AS pattern, "
+        f"CAST(COUNT(*) FILTER (WHERE regexp_matches(text, '{pat}')) "
+        f"AS BIGINT) AS n_docs, "
+        f"CAST(COALESCE(SUM(len(regexp_extract_all(text, '{pat}'))), 0) "
+        f"AS BIGINT) AS n_hits FROM d"
+        for name, pat in _PII_PATTERNS
+    )
+    + ") ORDER BY pattern"
+)
+
+
 QUERIES = {
+    "pii_census_documents": pii_census_documents,
     "text_stats_documents": text_stats_documents,
     "token_counts_documents": token_counts_documents,
     "langid_documents": langid_documents,
@@ -1279,6 +1340,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "pii_census_documents": _PII_ORACLE,
     "fertility_lang_documents": """
         SELECT lang,
                CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars,

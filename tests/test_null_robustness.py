@@ -1627,6 +1627,84 @@ def test_rfm_nulls_and_invariance(tmp_path):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_pii_census_seeded(tmp_path):
+    """Seeded PII fixture: doc/hit counts must separate (one doc holds
+    two emails), NULL text drops, clean docs contribute zeros."""
+    import duckdb as _duckdb
+
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.text import pii_census_documents
+
+    d = tmp_path / "pii"
+    d.mkdir()
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(7),
+            "text": [
+                "contact alice@example.com or bob@corp.io today",
+                "call 555-123-4567 maybe",
+                "ssn 123-45-6789 leaked",
+                "nothing sensitive here",
+                None,
+                "x@y.zz plus 999.888.7777",
+                "not-a-phone 12-345-6789 and half@domain",
+            ],
+            "lang": "en",
+            "source": "s",
+        }
+    )
+    docs.to_parquet(d / "documents.parquet", row_group_size=3)
+    got = pii_census_documents(str(d))
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet')"
+    )
+    want = con.execute(m.oracle_sql()["pii_census_documents"]).fetchdf()
+    con.close()
+    _assert_eq(got, want, "pii_census")
+    by = got.set_index("pattern")
+    assert int(by.loc["email", "n_docs"]) == 2
+    assert int(by.loc["email", "n_hits"]) == 3
+    assert int(by.loc["phone", "n_docs"]) == 2
+    assert int(by.loc["ssn", "n_docs"]) == 1
+
+
+def test_range_rules_nulls(tmp_path):
+    """NULL values are checked by neither side (SQL: NULL is never a
+    violation, COUNT(col) skips it)."""
+    import duckdb as _duckdb
+
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.stats import range_rules_lineitem
+
+    d = tmp_path / "ranges"
+    d.mkdir()
+    rng = np.random.default_rng(61)
+    n = 3000
+    li = pd.DataFrame(
+        {
+            "l_quantity": rng.integers(1, 60, n).astype("float64"),
+            "l_extendedprice": np.round(rng.uniform(900, 120000, n), 2),
+            "l_discount": np.round(rng.uniform(0, 0.1, n), 2),
+            "l_tax": np.round(rng.uniform(0, 0.12, n), 2),
+        }
+    )
+    for c in li.columns:
+        li.loc[rng.random(n) < 0.15, c] = np.nan
+    li.to_parquet(d / "lineitem.parquet", row_group_size=256)
+    got = range_rules_lineitem(str(d))
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{d}/lineitem.parquet')"
+    )
+    want = con.execute(m.oracle_sql()["range_rules_lineitem"]).fetchdf()
+    con.close()
+    _assert_eq(got, want, "range_rules")
+    assert (got["n_violations"] > 0).any()
+
+
 def test_gini_nulls_and_inequality(tmp_path):
     """Exact chained-exchange Gini: NULL custkey/price rows drop whole;
     a whale-dominated book scores near 1 where the uniform testdata
