@@ -354,6 +354,12 @@ def run_bench() -> dict:
         stats.nation_tvd_customer_supplier,
         SF_DIR,
     )
+    timed(
+        "temporal_consistency_lineitem_orders",
+        relational.temporal_consistency_lineitem_orders,
+        SF_DIR,
+    )
+    timed("mutual_info_orders", stats.mutual_info_orders, SF_DIR)
     # jaccard_pairs_documents / embedding_exact_pairs are the EXACT
     # quadratic baselines that oracle-check the approximate dedup paths;
     # they run in the correctness gate but stay out of the timed headline

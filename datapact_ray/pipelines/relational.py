@@ -1887,6 +1887,114 @@ def hll_users_events(sf_dir: str, p: int = 14) -> pd.DataFrame:
     )
 
 
+def temporal_consistency_lineitem_orders(
+    sf_dir: str, num_buckets: int | None = None
+) -> pd.DataFrame:
+    """Cross-table temporal-consistency rule: no line item ships before
+    its order was placed (the join-shaped data-quality check — a bug in
+    either table's dates or the join keys shows up here). Both sides
+    project to the SAME fixed-width (key, day, side) schema and bucket
+    by order-key hash, so each bucket holds every line item WITH its
+    order row; the in-bucket merge reproduces SQL inner-join fan-out
+    semantics exactly (duplicate keys multiply, unmatched rows drop),
+    and each bucket reduces to a 4-cell partial (joined, violations,
+    min/max ship lag in integer days)."""
+    from ..io import count_rows
+    from .dedup import _fused_grouped_frames
+    from .windows import scaled_num_buckets
+
+    li_path = f"{sf_dir}/lineitem.parquet"
+    od_path = f"{sf_dir}/orders.parquet"
+    n_buckets = num_buckets or scaled_num_buckets(count_rows(li_path))
+    day_us = 86_400_000_000
+
+    def li_proj(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["l_orderkey", "l_shipdate"])
+        out = pd.DataFrame(
+            {
+                "k": df["l_orderkey"].astype("int64"),
+                "day": df["l_shipdate"]
+                .astype("datetime64[us]")
+                .astype("int64")
+                // day_us,
+                "side": np.zeros(len(df), dtype=np.int8),
+            }
+        )
+        out["__bucket"] = _star_bucket(out["k"].to_numpy(np.int64), n_buckets)
+        return out
+
+    def od_proj(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["o_orderkey", "o_orderdate"])
+        out = pd.DataFrame(
+            {
+                "k": df["o_orderkey"].astype("int64"),
+                "day": df["o_orderdate"]
+                .astype("datetime64[us]")
+                .astype("int64")
+                // day_us,
+                "side": np.ones(len(df), dtype=np.int8),
+            }
+        )
+        out["__bucket"] = _star_bucket(out["k"].to_numpy(np.int64), n_buckets)
+        return out
+
+    def check_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        li = g[g["side"] == 0][["k", "day"]]
+        od = g[g["side"] == 1][["k", "day"]]
+        m = li.merge(od, on="k", suffixes=("_s", "_o"))
+        if len(m) == 0:
+            return pd.DataFrame(
+                {
+                    "n": pd.Series([0], dtype="int64"),
+                    "v": pd.Series([0], dtype="int64"),
+                    "mn": pd.Series([np.nan], dtype="float64"),
+                    "mx": pd.Series([np.nan], dtype="float64"),
+                }
+            )
+        lag = m["day_s"].to_numpy(np.int64) - m["day_o"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "n": pd.Series([len(m)], dtype="int64"),
+                "v": pd.Series([int((lag < 0).sum())], dtype="int64"),
+                "mn": pd.Series([float(lag.min())], dtype="float64"),
+                "mx": pd.Series([float(lag.max())], dtype="float64"),
+            }
+        )
+
+    parts = _fused_grouped_frames(
+        [
+            (li_path, ["l_orderkey", "l_shipdate"], None, li_proj),
+            (od_path, ["o_orderkey", "o_orderdate"], None, od_proj),
+        ],
+        n_buckets,
+        check_bucket,
+    )
+    n = int(parts["n"].sum())
+    if n == 0:
+        return pd.DataFrame(
+            {
+                "n_joined": pd.Series([0], dtype="int64"),
+                "n_violations": pd.Series([0], dtype="int64"),
+                "min_lag_days": [None],
+                "max_lag_days": [None],
+            }
+        )
+    return pd.DataFrame(
+        {
+            "n_joined": pd.Series([n], dtype="int64"),
+            "n_violations": pd.Series(
+                [int(parts["v"].sum())], dtype="int64"
+            ),
+            "min_lag_days": pd.Series(
+                [int(parts["mn"].min())], dtype="int64"
+            ),
+            "max_lag_days": pd.Series(
+                [int(parts["mx"].max())], dtype="int64"
+            ),
+        }
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     "profile_orders": """
         SELECT COUNT(*) AS order_count,
@@ -2276,7 +2384,24 @@ ORACLE_SQL["revenue_per_nation"] = """
     ORDER BY n.n_name
 """
 
+ORACLE_SQL["temporal_consistency_lineitem_orders"] = """
+    WITH j AS (
+        SELECT epoch_us(l.l_shipdate) // 86400000000 AS sd,
+               epoch_us(o.o_orderdate) // 86400000000 AS od
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate IS NOT NULL AND o.o_orderdate IS NOT NULL
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_joined,
+           CAST(COUNT(*) FILTER (WHERE sd < od) AS BIGINT) AS n_violations,
+           CAST(MIN(sd - od) AS BIGINT) AS min_lag_days,
+           CAST(MAX(sd - od) AS BIGINT) AS max_lag_days
+    FROM j
+"""
+
 QUERIES = {
+    "temporal_consistency_lineitem_orders": (
+        temporal_consistency_lineitem_orders
+    ),
     "profile_orders": profile_orders,
     "agg_lineitem": agg_lineitem,
     "uniqueness_lineitem": uniqueness_lineitem,

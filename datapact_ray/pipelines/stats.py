@@ -614,6 +614,69 @@ def range_rules_lineitem(sf_dir: str) -> pd.DataFrame:
     return out.astype({"n_checked": "int64", "n_violations": "int64"})
 
 
+def mutual_info_orders(sf_dir: str) -> pd.DataFrame:
+    """Mutual information between order priority and status — the
+    information-theoretic dependence test next to the chi-square op
+    (MI reads in nats: how much knowing one column tells you about the
+    other; 0 = independent). One scan to contingency-bounded integer
+    partials (≤ |priorities|·|statuses| cells per task, shuffle-free);
+    the driver builds MI = Σ c·ln(c·N·1.0 / (r·s)) / N from exact
+    integers with the SAME expression tree as the oracle (int products
+    before the single float conversion, exact compensated sums on both
+    engines), so the result agrees bit-for-bit before 6dp rounding."""
+    from ..shuffle import map_partials
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(
+            subset=["o_orderpriority", "o_orderstatus"]
+        )
+        if len(df) == 0:
+            return pd.DataFrame({"a": [], "b": [], "n": []}).astype(
+                {"a": "object", "b": "object", "n": "int64"}
+            )
+        out = (
+            df.groupby(["o_orderpriority", "o_orderstatus"], as_index=False)
+            .size()
+            .rename(
+                columns={
+                    "o_orderpriority": "a",
+                    "o_orderstatus": "b",
+                    "size": "n",
+                }
+            )
+        )
+        return out.astype({"n": "int64"})
+
+    parts = map_partials(
+        f"{sf_dir}/orders.parquet",
+        ["o_orderpriority", "o_orderstatus"],
+        None,
+        partial,
+    )
+    cells = parts.groupby(["a", "b"])["n"].sum()
+    n = int(cells.sum())
+    if n == 0:
+        return pd.DataFrame(
+            {
+                "n_rows": pd.Series([], dtype="int64"),
+                "mi_nats": pd.Series([], dtype="float64"),
+            }
+        )
+    ra = cells.groupby(level=0).sum()
+    cb = cells.groupby(level=1).sum()
+    terms = [
+        float(c) * math.log((int(c) * n * 1.0) / (int(ra[a]) * int(cb[b])))
+        for (a, b), c in cells.items()
+    ]
+    mi = math.fsum(terms) / n
+    return pd.DataFrame(
+        {
+            "n_rows": pd.Series([n], dtype="int64"),
+            "mi_nats": [float(round_duck(mi, 6))],
+        }
+    )
+
+
 def autocorr_daily_events(sf_dir: str, lag_days: int = 7) -> pd.DataFrame:
     """Lag-7 autocorrelation of the daily event-count series — the
     weekly-seasonality detector (a strong positive r7 means volume
@@ -1020,6 +1083,22 @@ _RANGE_ORACLE = (
 
 ORACLE_SQL: dict[str, str] = {
     "range_rules_lineitem": _RANGE_ORACLE,
+    "mutual_info_orders": """
+        WITH x AS (
+            SELECT o_orderpriority AS a, o_orderstatus AS b FROM orders
+            WHERE o_orderpriority IS NOT NULL
+              AND o_orderstatus IS NOT NULL
+        ),
+        c AS (SELECT a, b, COUNT(*) AS n FROM x GROUP BY a, b),
+        ra AS (SELECT a, SUM(n) AS r FROM c GROUP BY a),
+        cb AS (SELECT b, SUM(n) AS s FROM c GROUP BY b),
+        t AS (SELECT SUM(n) AS total FROM c)
+        SELECT CAST(t.total AS BIGINT) AS n_rows,
+               ROUND(fsum(c.n * ln((c.n * t.total * 1.0) / (ra.r * cb.s)))
+                     / t.total, 6) AS mi_nats
+        FROM c JOIN ra USING (a) JOIN cb USING (b), t
+        GROUP BY t.total
+    """,
     "autocorr_daily_events": """
         WITH d AS (
             SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
@@ -1259,4 +1338,5 @@ QUERIES = {
     "autocorr_daily_events": autocorr_daily_events,
     "nation_tvd_customer_supplier": nation_tvd_customer_supplier,
     "range_rules_lineitem": range_rules_lineitem,
+    "mutual_info_orders": mutual_info_orders,
 }

@@ -2070,3 +2070,113 @@ def test_benford_nulls(null_dir):
     got = benford_totalprice(null_dir)
     want = _duck(m.oracle_sql()["benford_totalprice"], null_dir)
     _assert_eq(got, want, "benford")
+
+
+def test_temporal_consistency_nulls_and_fanout(tmp_path):
+    """Cross-table date-order rule: NULL keys/dates drop on either side
+    BEFORE the join (SQL inner-join + IS NOT NULL), duplicate order
+    keys multiply exactly like SQL fan-out, unmatched line items vanish;
+    fixture seeds real violations (ship before order) so both counters
+    are exercised; geometry-invariant across bucket counts."""
+    import duckdb as _duckdb
+
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.relational import (
+        temporal_consistency_lineitem_orders,
+    )
+
+    d = tmp_path / "temporal"
+    d.mkdir()
+    rng = np.random.default_rng(71)
+    n = 5000
+    base = pd.Timestamp("2024-01-01")
+    li = pd.DataFrame(
+        {
+            # keys 0..700: ~300 of them unmatched in orders (600+)
+            "l_orderkey": rng.integers(0, 700, n).astype("float64"),
+            "l_shipdate": base
+            + pd.to_timedelta(rng.integers(-20, 120, n), unit="D"),
+        }
+    )
+    li.loc[rng.random(n) < 0.1, "l_orderkey"] = np.nan
+    li.loc[rng.random(n) < 0.1, "l_shipdate"] = pd.NaT
+    li.to_parquet(d / "lineitem.parquet", row_group_size=512)
+
+    ok = np.arange(0, 600, dtype="int64")
+    # duplicate a slice of order keys: SQL fan-out must multiply
+    ok = np.concatenate([ok, ok[:50]])
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": ok,
+            "o_orderdate": base
+            + pd.to_timedelta(
+                rng.integers(0, 30, len(ok)), unit="D"
+            ),
+        }
+    )
+    orders.loc[rng.random(len(ok)) < 0.1, "o_orderdate"] = pd.NaT
+    orders.to_parquet(d / "orders.parquet", row_group_size=512)
+
+    got = temporal_consistency_lineitem_orders(str(d))
+    con = _duckdb.connect()
+    for t in ("lineitem", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{d}/{t}.parquet')"
+        )
+    want = con.execute(
+        m.oracle_sql()["temporal_consistency_lineitem_orders"]
+    ).fetchdf()
+    con.close()
+    _assert_eq(got, want, "temporal_consistency")
+    assert int(got["n_violations"].iloc[0]) > 0
+    assert int(got["min_lag_days"].iloc[0]) < 0
+
+    a = temporal_consistency_lineitem_orders(str(d), num_buckets=3)
+    b = temporal_consistency_lineitem_orders(str(d), num_buckets=23)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_mutual_info_nulls_and_dependence(tmp_path):
+    """MI contingency: rows with a NULL in EITHER column drop whole
+    (SQL WHERE both NOT NULL); a deterministic status=f(priority)
+    fixture scores ln(2) while a shuffled-independent one scores ~0."""
+    import duckdb as _duckdb
+
+    import __ray_entry__ as m
+    from datapact_ray.pipelines.stats import mutual_info_orders
+
+    rng = np.random.default_rng(79)
+    n = 4000
+
+    def write(d, dependent):
+        d.mkdir()
+        pri = np.array(["1-URGENT", "2-HIGH"])[rng.integers(0, 2, n)]
+        if dependent:
+            status = np.where(pri == "1-URGENT", "F", "O")
+        else:
+            status = np.array(["F", "O"])[rng.integers(0, 2, n)]
+        orders = pd.DataFrame(
+            {"o_orderpriority": pri, "o_orderstatus": status}
+        )
+        orders.loc[rng.random(n) < 0.12, "o_orderpriority"] = None
+        orders.loc[rng.random(n) < 0.12, "o_orderstatus"] = None
+        orders.to_parquet(d / "orders.parquet", row_group_size=512)
+        return str(d)
+
+    for name, dep in (("dep", True), ("ind", False)):
+        d = write(tmp_path / name, dep)
+        got = mutual_info_orders(d)
+        con = _duckdb.connect()
+        con.execute(
+            "CREATE VIEW orders AS SELECT * FROM "
+            f"read_parquet('{d}/orders.parquet')"
+        )
+        want = con.execute(m.oracle_sql()["mutual_info_orders"]).fetchdf()
+        con.close()
+        _assert_eq(got, want, f"mutual_info_{name}")
+        mi = float(got["mi_nats"].iloc[0])
+        if dep:
+            assert mi > 0.6  # ln(2) ~ 0.693 for a balanced bijection
+        else:
+            assert mi < 0.01
