@@ -154,6 +154,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out.update(RETR)
     except ImportError:
         pass
+    try:
+        from datapact_ray.pipelines.quality import QUERIES as QUAL
+
+        out.update(QUAL)
+    except ImportError:
+        pass
     return out
 
 
@@ -216,6 +222,12 @@ def oracle_sql() -> dict[str, str]:
         from datapact_ray.pipelines.retrieval import ORACLE_SQL as RETR
 
         out.update(RETR)
+    except ImportError:
+        pass
+    try:
+        from datapact_ray.pipelines.quality import ORACLE_SQL as QUAL
+
+        out.update(QUAL)
     except ImportError:
         pass
     return out

@@ -360,6 +360,16 @@ def run_bench() -> dict:
         SF_DIR,
     )
     timed("mutual_info_orders", stats.mutual_info_orders, SF_DIR)
+    from datapact_ray.pipelines import quality
+
+    timed(
+        "linenumber_integrity_lineitem",
+        quality.linenumber_integrity_lineitem,
+        SF_DIR,
+    )
+    timed("id_gaps_orders", quality.id_gaps_orders, SF_DIR)
+    timed("fanout_orders_lineitem", quality.fanout_orders_lineitem, SF_DIR)
+    timed("selfjoin_size_partkey", quality.selfjoin_size_partkey, SF_DIR)
     # jaccard_pairs_documents / embedding_exact_pairs are the EXACT
     # quadratic baselines that oracle-check the approximate dedup paths;
     # they run in the correctness gate but stay out of the timed headline

@@ -1,0 +1,425 @@
+"""Data-quality audit operators — the "unconfigured discovery" side of
+the validation engine (reference analog: the configured per-task checks
+in ``/root/reference/datapact/validator.py``; these ops are the
+engine-extension census queries a warehouse team runs BEFORE writing a
+suite).
+
+All four follow the repo's exchange discipline: per-batch pre-aggregated
+fixed-width integer partials bucket by key hash, each bucket reduces to
+a handful of integer cells, the driver merges in Python ints (HUGEINT
+mirror). Text / floats never enter an exchange here — every column
+shuffled is an int64 key or count.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_MULT = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _bucket(keys: np.ndarray, num_buckets: int) -> np.ndarray:
+    return (keys.astype(np.uint64) * _MULT % np.uint64(num_buckets)).astype(
+        np.int32
+    )
+
+
+def _buckets_default() -> int:
+    from .dedup import _dedup_buckets
+
+    return _dedup_buckets()
+
+
+def linenumber_integrity_lineitem(
+    sf_dir: str, num_buckets: int | None = None
+) -> pd.DataFrame:
+    """Child-sequence completeness audit: for every order, are its
+    ``l_linenumber`` values exactly ``1..n`` — no duplicates, no gaps,
+    starting at 1? The classic detail-table integrity check (invoice
+    lines, conversation turn indexes) that row counts and uniqueness
+    checks individually miss: a deleted middle line keeps the key unique
+    and the count plausible but breaks the sequence.
+
+    Shape: per-batch ``(orderkey, linenumber)`` pair counts bucket by
+    order-key hash (a key's pairs all land in one bucket, so per-key
+    distinct/min/max are globally correct); each bucket folds to FOUR
+    integers. NULL key or linenumber rows are excluded on both engines
+    (the oracle's WHERE). ``n_with_dup_lines`` counts orders where some
+    pair repeats; ``n_with_gaps`` counts orders whose distinct sequence
+    is not exactly 1..n_distinct; a clean order is neither."""
+    from .dedup import _fused_grouped_frames
+
+    nb = num_buckets or _buckets_default()
+
+    def pair_partials(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["l_orderkey", "l_linenumber"])
+        part = (
+            df.groupby(["l_orderkey", "l_linenumber"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        key = part["l_orderkey"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "key": key,
+                "ln": part["l_linenumber"].to_numpy(np.int64),
+                "n": part["n"].to_numpy(np.int64),
+                "__bucket": _bucket(key, nb),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                [[0, 0, 0, 0]],
+                columns=["orders", "dups", "gaps", "clean"],
+            )
+        pairs = df.groupby(["key", "ln"], as_index=False)["n"].sum()
+        g = pairs.groupby("key").agg(
+            nd=("ln", "size"),
+            mn=("ln", "min"),
+            mx=("ln", "max"),
+            rows=("n", "sum"),
+        )
+        dup = g["rows"] > g["nd"]
+        gap = (g["mn"] != 1) | (g["mx"] != g["nd"])
+        return pd.DataFrame(
+            [
+                [
+                    int(len(g)),
+                    int(dup.sum()),
+                    int(gap.sum()),
+                    int((~dup & ~gap).sum()),
+                ]
+            ],
+            columns=["orders", "dups", "gaps", "clean"],
+        )
+
+    parts = _fused_grouped_frames(
+        [
+            (
+                f"{sf_dir}/lineitem.parquet",
+                ["l_orderkey", "l_linenumber"],
+                None,
+                pair_partials,
+            )
+        ],
+        nb,
+        fold,
+    )
+    orders = int(parts["orders"].sum())
+    if orders == 0:  # SQL SUM over zero groups is NULL, COUNT is 0
+        row = [0, None, None, None]
+    else:
+        row = [
+            orders,
+            int(parts["dups"].sum()),
+            int(parts["gaps"].sum()),
+            int(parts["clean"].sum()),
+        ]
+    return pd.DataFrame(
+        [row],
+        columns=[
+            "n_orders_checked",
+            "n_with_dup_lines",
+            "n_with_gaps",
+            "n_clean",
+        ],
+    )
+
+
+def id_gaps_orders(sf_dir: str, num_buckets: int | None = None) -> pd.DataFrame:
+    """Sequence-key continuity census over ``o_orderkey``: exact distinct
+    count, min/max, missing keys in the [min, max] span and duplicate
+    rows — the audit behind "did the CDC feed drop ids?". Exact NDV at
+    any scale: per-batch ``(key, count)`` partials bucket by key hash (a
+    key lands whole in one bucket, so bucket NDVs add); each bucket
+    reduces to four integers; the driver merges Python ints."""
+    from .dedup import _fused_grouped_frames
+
+    nb = num_buckets or _buckets_default()
+
+    def key_partials(batch: pa.Table) -> pd.DataFrame:
+        vc = batch.column("o_orderkey").to_pandas().dropna().value_counts()
+        key = vc.index.to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "key": key,
+                "n": vc.to_numpy().astype("int64"),
+                "__bucket": _bucket(key, nb),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                [[0, 0, None, None]], columns=["nd", "n", "mn", "mx"]
+            )
+        g = df.groupby("key", as_index=False)["n"].sum()
+        return pd.DataFrame(
+            [
+                [
+                    int(len(g)),
+                    int(g["n"].sum()),
+                    int(g["key"].min()),
+                    int(g["key"].max()),
+                ]
+            ],
+            columns=["nd", "n", "mn", "mx"],
+        )
+
+    parts = _fused_grouped_frames(
+        [(f"{sf_dir}/orders.parquet", ["o_orderkey"], None, key_partials)],
+        nb,
+        fold,
+    )
+    nd = int(parts["nd"].sum())
+    n = int(parts["n"].sum())
+    mns = [int(v) for v in parts["mn"].dropna()]
+    mxs = [int(v) for v in parts["mx"].dropna()]
+    if nd == 0:
+        row = [0, 0, None, None, None, None]
+    else:
+        mn, mx = min(mns), max(mxs)
+        row = [n, nd, mn, mx, mx - mn + 1 - nd, n - nd]
+    return pd.DataFrame(
+        [row],
+        columns=[
+            "n_rows",
+            "n_distinct",
+            "min_key",
+            "max_key",
+            "missing_keys",
+            "duplicate_rows",
+        ],
+    )
+
+
+def fanout_orders_lineitem(
+    sf_dir: str, num_buckets: int | None = None
+) -> pd.DataFrame:
+    """Referential cardinality profile: the distribution of lineitem
+    children per order INCLUDING zero-children orders — the 1:N fan-out
+    histogram a referential check cannot see (it only reports orphans).
+    LEFT JOIN semantics: every orders row appears once; a NULL
+    ``o_orderkey`` matches nothing and lands in the fanout-0 cell
+    (COALESCE in the oracle); NULL lineitem keys join nothing and drop.
+
+    Shape: both sides pre-aggregate per batch to ``(key, count)``
+    partials and bucket by the SAME key hash; each bucket does one
+    vectorized left merge and folds to ≤ |distinct fanouts| count rows;
+    NULL-key order counts skip the exchange entirely (a per-batch scalar
+    added to the fanout-0 cell on the driver)."""
+    from .dedup import _fused_grouped_frames
+
+    nb = num_buckets or _buckets_default()
+
+    def order_partials(batch: pa.Table) -> pd.DataFrame:
+        s = batch.column("o_orderkey").to_pandas()
+        nulls = int(s.isna().sum())
+        vc = s.dropna().value_counts()
+        key = vc.index.to_numpy(np.int64)
+        out = pd.DataFrame(
+            {
+                "side": np.zeros(len(key), np.int8),
+                "key": key,
+                "n": vc.to_numpy().astype("int64"),
+                "__bucket": _bucket(key, nb),
+            }
+        )
+        if nulls:  # ride the exchange as a sentinel row in bucket 0
+            out = pd.concat(
+                [
+                    out,
+                    pd.DataFrame(
+                        {
+                            "side": [np.int8(2)],
+                            "key": [np.int64(0)],
+                            "n": [np.int64(nulls)],
+                            "__bucket": [np.int32(0)],
+                        }
+                    ),
+                ],
+                ignore_index=True,
+            )
+        return out
+
+    def line_partials(batch: pa.Table) -> pd.DataFrame:
+        vc = batch.column("l_orderkey").to_pandas().dropna().value_counts()
+        key = vc.index.to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "side": np.ones(len(key), np.int8),
+                "key": key,
+                "n": vc.to_numpy().astype("int64"),
+                "__bucket": _bucket(key, nb),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        null_orders = int(df.loc[df["side"] == 2, "n"].sum())
+        ords = (
+            df[df["side"] == 0].groupby("key", as_index=False)["n"].sum()
+        ).rename(columns={"n": "o_rows"})
+        lc = (
+            df[df["side"] == 1].groupby("key", as_index=False)["n"].sum()
+        ).rename(columns={"n": "fanout"})
+        merged = ords.merge(lc, on="key", how="left")
+        merged["fanout"] = merged["fanout"].fillna(0).astype("int64")
+        out = (
+            merged.groupby("fanout", as_index=False)["o_rows"]
+            .sum()
+            .rename(columns={"o_rows": "n_orders"})
+        )
+        if null_orders:
+            out = pd.concat(
+                [
+                    out,
+                    pd.DataFrame({"fanout": [0], "n_orders": [null_orders]}),
+                ],
+                ignore_index=True,
+            )
+        return out.astype({"fanout": "int64", "n_orders": "int64"})
+
+    parts = _fused_grouped_frames(
+        [
+            (f"{sf_dir}/orders.parquet", ["o_orderkey"], None, order_partials),
+            (
+                f"{sf_dir}/lineitem.parquet",
+                ["l_orderkey"],
+                None,
+                line_partials,
+            ),
+        ],
+        nb,
+        fold,
+    )
+    out = (
+        parts.groupby("fanout", as_index=False)["n_orders"]
+        .sum()
+        .sort_values("fanout")
+        .reset_index(drop=True)
+    )
+    out = out[out["n_orders"] > 0]
+    return out.astype({"fanout": "int64", "n_orders": "int64"}).reset_index(
+        drop=True
+    )
+
+
+def selfjoin_size_partkey(
+    sf_dir: str, num_buckets: int | None = None
+) -> pd.DataFrame:
+    """Join-size / skew planner statistic: the EXACT row count of the
+    lineitem self-equi-join on ``l_partkey`` (Σ c(k)² over per-key
+    counts), plus the distinct-key count and the hottest key's row count
+    — the numbers a shuffle planner needs to size an exchange and decide
+    salting BEFORE running the join. Per-batch ``(key, count)`` partials
+    bucket by key hash; each bucket folds to three integers; the driver
+    merges Python ints (Σ c² exceeds int64 long after c·n does — the
+    driver's big-int merge is the HUGEINT mirror)."""
+    from .dedup import _fused_grouped_frames
+
+    nb = num_buckets or _buckets_default()
+
+    def key_partials(batch: pa.Table) -> pd.DataFrame:
+        vc = batch.column("l_partkey").to_pandas().dropna().value_counts()
+        key = vc.index.to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "key": key,
+                "n": vc.to_numpy().astype("int64"),
+                "__bucket": _bucket(key, nb),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                [[0, 0, 0]], columns=["nk", "sj", "mx"]
+            )
+        g = df.groupby("key", as_index=False)["n"].sum()
+        c = g["n"].to_numpy(np.int64)
+        # Σ c² stays in int64 per bucket while every key's c < 3e9;
+        # the driver merge below is arbitrary-precision
+        return pd.DataFrame(
+            [[int(len(g)), int((c * c).sum()), int(c.max())]],
+            columns=["nk", "sj", "mx"],
+        )
+
+    parts = _fused_grouped_frames(
+        [(f"{sf_dir}/lineitem.parquet", ["l_partkey"], None, key_partials)],
+        nb,
+        fold,
+    )
+    nk = int(parts["nk"].sum())
+    if nk == 0:
+        row = [0, None, None]
+    else:
+        row = [nk, int(parts["sj"].sum()), int(parts["mx"].max())]
+    return pd.DataFrame(
+        [row], columns=["n_keys", "selfjoin_rows", "max_key_rows"]
+    )
+
+
+ORACLE_SQL: dict[str, str] = {
+    "linenumber_integrity_lineitem": """
+        WITH g AS (
+            SELECT l_orderkey AS k,
+                   COUNT(*) AS n,
+                   COUNT(DISTINCT l_linenumber) AS nd,
+                   MIN(l_linenumber) AS mn,
+                   MAX(l_linenumber) AS mx
+            FROM lineitem
+            WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+            GROUP BY 1
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_orders_checked,
+               CAST(SUM(CASE WHEN n > nd THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_with_dup_lines,
+               CAST(SUM(CASE WHEN mn <> 1 OR mx <> nd THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_with_gaps,
+               CAST(SUM(CASE WHEN n = nd AND mn = 1 AND mx = nd
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+        FROM g
+    """,
+    "id_gaps_orders": """
+        SELECT CAST(COUNT(o_orderkey) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+               CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+               CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+               CAST(MAX(o_orderkey) - MIN(o_orderkey) + 1
+                    - COUNT(DISTINCT o_orderkey) AS BIGINT) AS missing_keys,
+               CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey)
+                    AS BIGINT) AS duplicate_rows
+        FROM orders
+    """,
+    "fanout_orders_lineitem": """
+        WITH lc AS (
+            SELECT l_orderkey AS k, COUNT(*) AS n
+            FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1
+        )
+        SELECT CAST(COALESCE(lc.n, 0) AS BIGINT) AS fanout,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders LEFT JOIN lc ON o_orderkey = lc.k
+        GROUP BY 1 ORDER BY 1
+    """,
+    "selfjoin_size_partkey": """
+        WITH c AS (
+            SELECT l_partkey AS k, COUNT(*) AS n
+            FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(n * n) AS BIGINT) AS selfjoin_rows,
+               CAST(MAX(n) AS BIGINT) AS max_key_rows
+        FROM c
+    """,
+}
+
+QUERIES = {
+    "linenumber_integrity_lineitem": linenumber_integrity_lineitem,
+    "id_gaps_orders": id_gaps_orders,
+    "fanout_orders_lineitem": fanout_orders_lineitem,
+    "selfjoin_size_partkey": selfjoin_size_partkey,
+}
