@@ -370,6 +370,17 @@ def run_bench() -> dict:
     timed("id_gaps_orders", quality.id_gaps_orders, SF_DIR)
     timed("fanout_orders_lineitem", quality.fanout_orders_lineitem, SF_DIR)
     timed("selfjoin_size_partkey", quality.selfjoin_size_partkey, SF_DIR)
+    timed(
+        "welch_ttest_price_returnflag",
+        stats.welch_ttest_price_returnflag,
+        SF_DIR,
+    )
+    timed("theil_revenue_customers", stats.theil_revenue_customers, SF_DIR)
+    timed(
+        "mannwhitney_price_returnflag",
+        stats.mannwhitney_price_returnflag,
+        SF_DIR,
+    )
     # jaccard_pairs_documents / embedding_exact_pairs are the EXACT
     # quadratic baselines that oracle-check the approximate dedup paths;
     # they run in the correctness gate but stay out of the timed headline

@@ -1081,7 +1081,468 @@ _RANGE_ORACLE = (
     + ") ORDER BY rule"
 )
 
+def _exact_sq_sum(c: np.ndarray) -> int:
+    """Σc² as an EXACT Python int: int64 partial sums over 512-element
+    chunks (exact while c² · 512 < 2⁶³, i.e. every |c| < 4.2e9 — cents
+    of a $42M row; far above any price column), then an
+    arbitrary-precision total. Vectorized except the ≤ len/512 chunk
+    merge."""
+    if len(c) == 0:
+        return 0
+    sq = c * c
+    cuts = np.arange(0, len(sq), 512)
+    chunks = np.add.reduceat(sq, cuts)
+    return sum(int(x) for x in chunks)
+
+
+def welch_ttest_price_returnflag(sf_dir: str) -> pd.DataFrame:
+    """Welch's two-sample t-test between returned ('R') and accepted
+    ('A') extended prices — the parametric counterpart of the exact KS
+    test above (same populations, same filter). Bit-exact across
+    engines WITHOUT matching any streaming-variance implementation:
+    prices fix to integer cents, each scan task emits per-group
+    (n, Σc, Σc²) with Σc² kept exact via chunked big-int summation, the
+    driver merges Python ints (the HUGEINT mirror — DuckDB's SUM(c*c)
+    is HUGEINT), and every reported float is ONE conversion of an exact
+    integer ratio: var/n = (n·Σc² − (Σc)²) / (n²(n−1)), Δmean =
+    (s1ᵃnᵇ − s1ᵇnᵃ)/(nᵃnᵇ) — so both engines build t and the Welch df
+    from identical doubles. No exchange: the partial is 6 integers per
+    (group, task)."""
+    fsql = "l_returnflag IN ('R', 'A') AND l_extendedprice IS NOT NULL"
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        rows = []
+        for flag in ("R", "A"):
+            v = df.loc[df["l_returnflag"] == flag, "l_extendedprice"]
+            c = round_duck(v.to_numpy(np.float64) * 100.0, 0).astype(
+                np.int64
+            )
+            rows.append((flag, len(c), int(c.sum()), _exact_sq_sum(c)))
+        return pd.DataFrame(rows, columns=["f", "n", "s1", "s2"]).astype(
+            {"s2": "object"}
+        )
+
+    from ..shuffle import map_partials
+
+    parts = map_partials(
+        f"{sf_dir}/lineitem.parquet",
+        ["l_extendedprice", "l_returnflag"],
+        fsql,
+        partial,
+    )
+
+    def fold(flag: str) -> tuple[int, int, int]:
+        g = parts[parts["f"] == flag]
+        return (
+            int(g["n"].sum()),
+            sum(int(x) for x in g["s1"]),
+            sum(int(x) for x in g["s2"]),
+        )
+
+    nr, s1r, s2r = fold("R")
+    na, s1a, s2a = fold("A")
+
+    def var_over_n(n: int, s1: int, s2: int) -> float | None:
+        if n < 2:
+            return None
+        return float(n * s2 - s1 * s1) / float(n * n * (n - 1))
+
+    def mean_price(n: int, s1: int) -> float | None:
+        return float(s1) / float(n) / 100.0 if n else None
+
+    def var_price(n: int, s1: int, s2: int) -> float | None:
+        if n < 2:
+            return None
+        return float(n * s2 - s1 * s1) / float(n * (n - 1)) / 10000.0
+
+    vr, va = var_over_n(nr, s1r, s2r), var_over_n(na, s1a, s2a)
+    t = df_w = None
+    if vr is not None and va is not None and (vr + va) > 0:
+        d = float(s1r * na - s1a * nr) / float(nr * na)
+        se2 = vr + va
+        t = d / math.sqrt(se2)
+        df_w = (se2 * se2) / (vr * vr / (nr - 1) + va * va / (na - 1))
+    return pd.DataFrame(
+        {
+            "n_r": pd.Series([nr], dtype="int64"),
+            "n_a": pd.Series([na], dtype="int64"),
+            "mean_r": [_r(mean_price(nr, s1r), 6)],
+            "mean_a": [_r(mean_price(na, s1a), 6)],
+            "var_r": [_r(var_price(nr, s1r, s2r), 4)],
+            "var_a": [_r(var_price(na, s1a, s2a), 4)],
+            "t_stat": [_r(t, 6)],
+            "welch_df": [_r(df_w, 4)],
+        }
+    )
+
+
+def theil_revenue_customers(
+    sf_dir: str, num_buckets: int | None = None
+) -> pd.DataFrame:
+    """Theil T index of customer revenue — the entropy-based inequality
+    measure next to the Gini (selection.gini_revenue_customers): unlike
+    Gini it needs NO rank statistics, so one customer-hash exchange
+    suffices. T = Σ(x/S)·ln(x·N/S) = fsum(x·ln x)/S + ln N − ln S with
+    x = the customer's EXACT integer-cent total (finalized inside its
+    bucket), S and N exact driver-merged ints, and each x·ln x term the
+    identical int→double→ln tree on both engines; zero-revenue
+    customers drop on both sides (x·ln x → 0 limit, SQL WHERE m > 0).
+    Each bucket folds to (count, Σx, fsum-partial) — the driver's
+    fsum-of-fsums differs from the oracle's global fsum only by the
+    partial-composition ulp (≪ the 6dp rounding)."""
+    from .dedup import _dedup_buckets, _fused_grouped_frames
+
+    nb = num_buckets or _dedup_buckets()
+    mult = np.uint64(0x9E3779B97F4A7C15)
+
+    def order_partials(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["o_custkey", "o_totalprice"])
+        cents = round_duck(
+            df["o_totalprice"].to_numpy(np.float64) * 100.0, 0
+        ).astype(np.int64)
+        part = (
+            pd.DataFrame(
+                {"key": df["o_custkey"].to_numpy(np.int64), "m": cents}
+            )
+            .groupby("key", as_index=False)["m"]
+            .sum()
+        )
+        key = part["key"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "key": key,
+                "m": part["m"].to_numpy(np.int64),
+                "__bucket": (
+                    key.astype(np.uint64) * mult % np.uint64(nb)
+                ).astype(np.int32),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"n": pd.Series([0], dtype="int64"),
+                 "s": pd.Series([0], dtype="int64"),
+                 "w": pd.Series([0.0], dtype="float64")}
+            )
+        g = df.groupby("key", as_index=False)["m"].sum()
+        m = g["m"].to_numpy(np.int64)
+        m = m[m > 0]
+        if len(m) == 0:
+            return pd.DataFrame({"n": [0], "s": [0], "w": [0.0]})
+        mf = m.astype(np.float64)
+        w = math.fsum((mf * np.log(mf)).tolist())
+        return pd.DataFrame(
+            {"n": [int(len(m))], "s": [int(m.sum())], "w": [float(w)]}
+        )
+
+    parts = _fused_grouped_frames(
+        [
+            (
+                f"{sf_dir}/orders.parquet",
+                ["o_custkey", "o_totalprice"],
+                None,
+                order_partials,
+            )
+        ],
+        nb,
+        fold,
+    )
+    n = int(parts["n"].sum())
+    if n == 0:
+        return pd.DataFrame(
+            {
+                "n_customers": pd.Series([], dtype="int64"),
+                "total_cents": pd.Series([], dtype="int64"),
+                "theil_t": pd.Series([], dtype="float64"),
+            }
+        )
+    s = sum(int(x) for x in parts["s"])
+    w = math.fsum(float(x) for x in parts["w"])
+    theil = w / float(s) + math.log(float(n)) - math.log(float(s))
+    return pd.DataFrame(
+        {
+            "n_customers": pd.Series([n], dtype="int64"),
+            "total_cents": pd.Series([s], dtype="int64"),
+            "theil_t": [_r(theil, 6)],
+        }
+    )
+
+
+def mannwhitney_price_returnflag(
+    sf_dir: str, num_buckets: int | None = None
+) -> pd.DataFrame:
+    """Exact Mann-Whitney U (Wilcoxon rank-sum) between returned ('R')
+    and accepted ('A') extended prices — the nonparametric location test
+    next to the exact KS (distribution shape) and Welch t (parametric
+    means): needs GLOBAL midranks, so it rides the same range-partition
+    machinery as the KS test. Doubled rank sum stays integer under
+    midrank ties: 2·R₁ = Σ_v c₁(v)·(2·cum_before(v) + t(v) + 1), where
+    cum_before comes from the shuffle-free count pass's prefix offsets
+    and a within-bucket exclusive cumsum (the bucket owns its whole
+    value range). Each bucket folds to TWO integers (2R₁ partial and the
+    tie correction Σ t³−t); the driver merges Python ints, and U, the
+    common-language effect size AUC = U/(n₁n₂) and the tie-corrected
+    normal z are each built from the same exact integers with one
+    int→double conversion per factor on both engines. Per-bucket int64
+    bound: n₁·2N < 2⁶³ (same ~3e9-rows-per-side validity as the KS
+    numerator; beyond that the fold needs Python-int partials)."""
+    from ..io import footer_column_minmax, list_parquet_files
+    from ..shuffle import map_partials
+    from .dedup import _fused_grouped_frames
+    from .windows import scaled_num_buckets
+
+    path = f"{sf_dir}/lineitem.parquet"
+    fsql = "l_returnflag IN ('R', 'A') AND l_extendedprice IS NOT NULL"
+    cols = ["l_extendedprice", "l_returnflag"]
+    n_buckets = num_buckets or scaled_num_buckets(count_rows(path))
+
+    empty = pd.DataFrame(
+        {
+            "n_r": pd.Series([], dtype="int64"),
+            "n_a": pd.Series([], dtype="int64"),
+            "r2_r": pd.Series([], dtype="int64"),
+            "tie_term": pd.Series([], dtype="int64"),
+            "u_r": pd.Series([], dtype="float64"),
+            "auc_r": pd.Series([], dtype="float64"),
+            "z": pd.Series([], dtype="float64"),
+        }
+    )
+
+    try:
+        mm = footer_column_minmax(list_parquet_files(path), "l_extendedprice")
+    except Exception:
+        mm = None
+    if mm is None:
+
+        def minmax_partial(batch: pa.Table) -> pd.DataFrame:
+            v = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            v = v[~np.isnan(v)]
+            if len(v) == 0:
+                return pd.DataFrame({"mn": [], "mx": []}, dtype="float64")
+            return pd.DataFrame({"mn": [v.min()], "mx": [v.max()]})
+
+        p = map_partials(path, ["l_extendedprice"], fsql, minmax_partial)
+        if len(p) == 0:
+            return empty
+        mm = (float(p["mn"].min()), float(p["mx"].max()))
+    lo = int(round_duck(mm[0] * 100.0, 0))
+    hi = int(round_duck(mm[1] * 100.0, 0))
+    bnds = np.unique(np.linspace(lo, hi, n_buckets + 1)[1:-1].astype(np.int64))
+    n_b = len(bnds) + 1
+
+    def cents_and_flag(df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+        cents = round_duck(
+            df["l_extendedprice"].to_numpy(np.float64) * 100.0, 0
+        )
+        return cents.astype(np.int64), (
+            df["l_returnflag"].to_numpy() == "R"
+        )
+
+    def tot_partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        v, is_r = cents_and_flag(df)
+        b = np.searchsorted(bnds, v, side="right")
+        return pd.DataFrame(
+            {
+                "bucket": np.arange(n_b, dtype=np.int64),
+                "t1": np.bincount(b[is_r], minlength=n_b).astype("int64"),
+                "t2": np.bincount(b[~is_r], minlength=n_b).astype("int64"),
+            }
+        )
+
+    tots = (
+        map_partials(path, cols, fsql, tot_partial)
+        .groupby("bucket")[["t1", "t2"]]
+        .sum()
+        .reindex(range(n_b), fill_value=0)
+    )
+    n1 = int(tots["t1"].sum())
+    n2 = int(tots["t2"].sum())
+    if n1 + n2 == 0:
+        return empty
+    both = (tots["t1"] + tots["t2"]).cumsum().to_numpy()
+    off = np.r_[0, both[:-1]]  # combined count strictly before the bucket
+
+    def proj(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        v, is_r = cents_and_flag(df)
+        out = (
+            pd.DataFrame(
+                {
+                    "v": v,
+                    "c1": is_r.astype(np.int64),
+                    "c2": (~is_r).astype(np.int64),
+                }
+            )
+            .groupby("v", as_index=False)
+            .sum()
+        )
+        out["__bucket"] = np.searchsorted(
+            bnds, out["v"].to_numpy(), side="right"
+        ).astype(np.int32)
+        return out
+
+    def mw_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "r2": pd.Series([], dtype="int64"),
+                    "tt": pd.Series([], dtype="int64"),
+                }
+            )
+        b = int(g["__bucket"].iloc[0])
+        c = (
+            g.groupby("v", as_index=False)[["c1", "c2"]]
+            .sum()
+            .sort_values("v")
+        )
+        t = (c["c1"] + c["c2"]).to_numpy(np.int64)
+        cb = int(off[b]) + np.r_[0, t.cumsum()[:-1]]
+        c1 = c["c1"].to_numpy(np.int64)
+        r2 = int((c1 * (2 * cb + t + 1)).sum())
+        tt = int((t * t * t - t).sum())
+        return pd.DataFrame(
+            {
+                "r2": pd.Series([r2], dtype="int64"),
+                "tt": pd.Series([tt], dtype="int64"),
+            }
+        )
+
+    parts = _fused_grouped_frames([(path, cols, fsql, proj)], n_b, mw_in_bucket)
+    r2 = sum(int(x) for x in parts["r2"])
+    tt = sum(int(x) for x in parts["tt"])
+    u2 = r2 - n1 * (n1 + 1)  # = 2·U₁, exact
+    n_tot = n1 + n2
+    u_r = auc = z = None
+    if n1 and n2:
+        u_r = float(u2) / 2.0
+        auc = float(u2) / float(2 * n1 * n2)
+        if n_tot > 1:
+            var4 = (float(n1 * n2) / 3.0) * (
+                float(n_tot + 1)
+                - float(tt) / float(n_tot * (n_tot - 1))
+            )
+            if var4 > 0:
+                z = float(u2 - n1 * n2) / math.sqrt(var4)
+    return pd.DataFrame(
+        {
+            "n_r": pd.Series([n1], dtype="int64"),
+            "n_a": pd.Series([n2], dtype="int64"),
+            "r2_r": pd.Series([r2], dtype="int64"),
+            "tie_term": pd.Series([tt], dtype="int64"),
+            "u_r": [_r(u_r, 1)],
+            "auc_r": [_r(auc, 6)],
+            "z": [_r(z, 6)],
+        }
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
+    "welch_ttest_price_returnflag": """
+        WITH b AS (
+            SELECT l_returnflag AS f,
+                   CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS c
+            FROM lineitem
+            WHERE l_returnflag IN ('R', 'A')
+              AND l_extendedprice IS NOT NULL
+        ),
+        g AS (
+            SELECT f, COUNT(*) AS n, SUM(c) AS s1, SUM(c * c) AS s2
+            FROM b GROUP BY f
+        ),
+        r AS (SELECT n, s1, s2 FROM g WHERE f = 'R'),
+        a AS (SELECT n, s1, s2 FROM g WHERE f = 'A'),
+        v AS (
+            SELECT r.n AS nr, a.n AS na, r.s1 AS s1r, a.s1 AS s1a,
+                   CAST(r.n * r.s2 - r.s1 * r.s1 AS DOUBLE)
+                       / CAST(r.n * r.n * (r.n - 1) AS DOUBLE) AS vr,
+                   CAST(a.n * a.s2 - a.s1 * a.s1 AS DOUBLE)
+                       / CAST(a.n * a.n * (a.n - 1) AS DOUBLE) AS va,
+                   CAST(r.n * r.s2 - r.s1 * r.s1 AS DOUBLE)
+                       / CAST(r.n * (r.n - 1) AS DOUBLE) / 10000.0
+                       AS var_r,
+                   CAST(a.n * a.s2 - a.s1 * a.s1 AS DOUBLE)
+                       / CAST(a.n * (a.n - 1) AS DOUBLE) / 10000.0
+                       AS var_a
+            FROM r, a
+        )
+        SELECT CAST(nr AS BIGINT) AS n_r, CAST(na AS BIGINT) AS n_a,
+               ROUND(CAST(s1r AS DOUBLE) / CAST(nr AS DOUBLE) / 100.0, 6)
+                   AS mean_r,
+               ROUND(CAST(s1a AS DOUBLE) / CAST(na AS DOUBLE) / 100.0, 6)
+                   AS mean_a,
+               ROUND(var_r, 4) AS var_r,
+               ROUND(var_a, 4) AS var_a,
+               ROUND((CAST(s1r * na - s1a * nr AS DOUBLE)
+                      / CAST(nr * na AS DOUBLE)) / sqrt(vr + va), 6)
+                   AS t_stat,
+               ROUND((vr + va) * (vr + va)
+                     / (vr * vr / (nr - 1) + va * va / (na - 1)), 4)
+                   AS welch_df
+        FROM v
+    """,
+    "theil_revenue_customers": """
+        WITH a AS (
+            SELECT o_custkey AS c,
+                   SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS m
+            FROM orders
+            WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+            GROUP BY o_custkey
+        ),
+        p AS (SELECT m FROM a WHERE m > 0),
+        g AS (SELECT COUNT(*) AS n, SUM(m) AS s,
+                     fsum(CAST(m AS DOUBLE) * ln(CAST(m AS DOUBLE))) AS w
+              FROM p)
+        SELECT CAST(n AS BIGINT) AS n_customers,
+               CAST(s AS BIGINT) AS total_cents,
+               ROUND(w / CAST(s AS DOUBLE)
+                     + ln(CAST(n AS DOUBLE)) - ln(CAST(s AS DOUBLE)), 6)
+                   AS theil_t
+        FROM g WHERE n > 0
+    """,
+    "mannwhitney_price_returnflag": """
+        WITH b AS (
+            SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS v,
+                   (l_returnflag = 'R') AS isr
+            FROM lineitem
+            WHERE l_returnflag IN ('R', 'A')
+              AND l_extendedprice IS NOT NULL
+        ),
+        c AS (
+            SELECT v,
+                   COUNT(*) FILTER (WHERE isr) AS c1,
+                   COUNT(*) FILTER (WHERE NOT isr) AS c2
+            FROM b GROUP BY v
+        ),
+        w AS (
+            SELECT c1, c2, c1 + c2 AS t,
+                   COALESCE(SUM(c1 + c2) OVER (
+                       ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS cb
+            FROM c
+        ),
+        g AS (
+            SELECT SUM(c1) AS n1, SUM(c2) AS n2,
+                   SUM(c1 * (2 * cb + t + 1)) AS r2,
+                   SUM(t * t * t - t) AS tt
+            FROM w
+        )
+        SELECT CAST(n1 AS BIGINT) AS n_r, CAST(n2 AS BIGINT) AS n_a,
+               CAST(r2 AS BIGINT) AS r2_r, CAST(tt AS BIGINT) AS tie_term,
+               ROUND(CAST(r2 - n1 * (n1 + 1) AS DOUBLE) / 2.0, 1) AS u_r,
+               ROUND(CAST(r2 - n1 * (n1 + 1) AS DOUBLE)
+                     / CAST(2 * n1 * n2 AS DOUBLE), 6) AS auc_r,
+               ROUND(CAST(r2 - n1 * (n1 + 1) - n1 * n2 AS DOUBLE)
+                     / sqrt((CAST(n1 * n2 AS DOUBLE) / 3.0)
+                            * (CAST(n1 + n2 + 1 AS DOUBLE)
+                               - CAST(tt AS DOUBLE)
+                                 / CAST((n1 + n2) * (n1 + n2 - 1)
+                                        AS DOUBLE))), 6) AS z
+        FROM g WHERE n1 > 0 AND n2 > 0
+    """,
     "range_rules_lineitem": _RANGE_ORACLE,
     "mutual_info_orders": """
         WITH x AS (
@@ -1339,4 +1800,7 @@ QUERIES = {
     "nation_tvd_customer_supplier": nation_tvd_customer_supplier,
     "range_rules_lineitem": range_rules_lineitem,
     "mutual_info_orders": mutual_info_orders,
+    "welch_ttest_price_returnflag": welch_ttest_price_returnflag,
+    "theil_revenue_customers": theil_revenue_customers,
+    "mannwhitney_price_returnflag": mannwhitney_price_returnflag,
 }
