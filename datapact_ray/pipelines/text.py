@@ -1298,6 +1298,177 @@ def pii_census_documents(sf_dir: str) -> pd.DataFrame:
     return out.astype({"n_docs": "int64", "n_hits": "int64"})
 
 
+def dup_lines_documents(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style LINE-level repetition quality gate (the companion
+    of ``repetition_documents``' duplicate-trigram fraction): per
+    document, the fraction of its newline-split lines that are repeats
+    (1 − distinct/total, empty lines included — both engines split
+    identically on the literal LF), then three corpus numbers: docs
+    scanned, docs over the 30% Gopher threshold, and the mean fraction.
+    Entirely in-task (per-doc stats never exchange): each scan task
+    folds to (n_docs, n_flagged, fsum of fractions). Every fraction is
+    one exact-int division, so the threshold comparison can never race;
+    the driver's fsum-of-fsums differs from the oracle's global fsum
+    only by composition ulps (≪ 6dp)."""
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["doc_id", "text"])
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"n": [0], "flagged": [0], "fsum": [0.0]}
+            )
+        # grouped by doc_id like the oracle (premise: doc_id unique,
+        # the same premise the curation/dedup family documents)
+        lists = df.set_index("doc_id")["text"].str.split("\n")
+        nl = lists.str.len().to_numpy(np.int64)
+        ex = lists.explode()
+        nd = (
+            ex.groupby(level=0)
+            .nunique()
+            .reindex(lists.index, fill_value=0)
+            .to_numpy(np.int64)
+        )
+        frac = (nl - nd).astype(np.float64) / nl.astype(np.float64)
+        import math
+
+        return pd.DataFrame(
+            {
+                "n": [int(len(df))],
+                "flagged": [int((frac > 0.3).sum())],
+                "fsum": [math.fsum(frac.tolist())],
+            }
+        )
+
+    from ..shuffle import map_partials
+
+    parts = map_partials(
+        f"{sf_dir}/documents.parquet", ["doc_id", "text"], None, partial
+    )
+    import math
+
+    n = int(parts["n"].sum())
+    if n == 0:
+        return pd.DataFrame(
+            {
+                "n_docs": pd.Series([0], dtype="int64"),
+                "n_flagged": pd.Series([None], dtype="float64"),
+                "mean_dup_line_frac": pd.Series([None], dtype="float64"),
+            }
+        )
+    return pd.DataFrame(
+        {
+            "n_docs": pd.Series([n], dtype="int64"),
+            "n_flagged": pd.Series(
+                [int(parts["flagged"].sum())], dtype="int64"
+            ),
+            "mean_dup_line_frac": [
+                round_duck(math.fsum(float(x) for x in parts["fsum"]) / n, 6)
+            ],
+        }
+    )
+
+
+def dup_paragraphs_documents(
+    sf_dir: str, num_buckets: int | None = None
+) -> pd.DataFrame:
+    """Cross-document duplicate-PARAGRAPH census — the boilerplate
+    detector between whole-doc dedup (too coarse for shared headers /
+    footers) and 13-gram decontamination (too fine for "how much exact
+    boilerplate does the corpus carry"): split every document on blank
+    lines, count non-empty paragraphs that appear in ≥ 2 DISTINCT
+    documents and the total rows they account for.
+
+    Shape: paragraphs hash to 8 bytes in the scan task (pinned siphash
+    — text never enters the exchange), per-batch ``(phash, doc_id)``
+    occurrence partials bucket by paragraph hash, each bucket counts
+    distinct docs per paragraph and folds to four integers. 64-bit
+    collisions are the documented approximation (same budget as the
+    exact-dedup family; a collision needs ~5e9 distinct paragraphs for
+    even-odds)."""
+    from ._tokens import token_hashes
+    from .dedup import _dedup_buckets, _fused_grouped_frames
+
+    nb = num_buckets or _dedup_buckets()
+
+    def par_partials(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["doc_id", "text"])
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "ph": pd.Series([], dtype="uint64"),
+                    "doc": pd.Series([], dtype="int64"),
+                    "occ": pd.Series([], dtype="int64"),
+                    "__bucket": pd.Series([], dtype="int32"),
+                }
+            )
+        ex = df.set_index("doc_id")["text"].str.split("\n\n").explode()
+        ex = ex[ex != ""].dropna()
+        part = (
+            pd.DataFrame(
+                {
+                    "ph": token_hashes(ex.reset_index(drop=True)),
+                    "doc": ex.index.to_numpy(np.int64),
+                }
+            )
+            .groupby(["ph", "doc"], as_index=False)
+            .size()
+            .rename(columns={"size": "occ"})
+        )
+        return pd.DataFrame(
+            {
+                "ph": part["ph"].to_numpy(np.uint64),
+                "doc": part["doc"].to_numpy(np.int64),
+                "occ": part["occ"].to_numpy(np.int64),
+                "__bucket": (
+                    part["ph"].to_numpy(np.uint64) % np.uint64(nb)
+                ).astype(np.int32),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                [[0, 0, 0, 0]],
+                columns=["occ", "nd", "shared", "shared_occ"],
+            )
+        g = df.groupby("ph").agg(
+            occ=("occ", "sum"), docs=("doc", "nunique")
+        )
+        shared = g["docs"] >= 2
+        return pd.DataFrame(
+            [
+                [
+                    int(g["occ"].sum()),
+                    int(len(g)),
+                    int(shared.sum()),
+                    int(g.loc[shared, "occ"].sum()),
+                ]
+            ],
+            columns=["occ", "nd", "shared", "shared_occ"],
+        )
+
+    parts = _fused_grouped_frames(
+        [(f"{sf_dir}/documents.parquet", ["doc_id", "text"], None, par_partials)],
+        nb,
+        fold,
+    )
+    return pd.DataFrame(
+        [
+            [
+                int(parts["occ"].sum()),
+                int(parts["nd"].sum()),
+                int(parts["shared"].sum()),
+                int(parts["shared_occ"].sum()),
+            ]
+        ],
+        columns=[
+            "n_paragraphs",
+            "n_distinct_paragraphs",
+            "n_shared_paragraphs",
+            "shared_occurrences",
+        ],
+    ).astype("int64")
+
+
 # the oracle is GENERATED from the same pattern tuple the engine
 # compiles, so the two sides can never drift apart on pattern text
 _PII_ORACLE = (
@@ -1337,10 +1508,52 @@ QUERIES = {
     "zipf_slope_documents": zipf_slope_documents,
     "cooccur_top_pairs_documents": cooccur_top_pairs_documents,
     "fertility_lang_documents": fertility_lang_documents,
+    "dup_lines_documents": dup_lines_documents,
+    "dup_paragraphs_documents": dup_paragraphs_documents,
 }
 
 ORACLE_SQL = {
     "pii_census_documents": _PII_ORACLE,
+    "dup_lines_documents": """
+        WITH l AS (
+            SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+            FROM documents
+            WHERE text IS NOT NULL AND doc_id IS NOT NULL
+        ),
+        d AS (
+            SELECT doc_id, COUNT(*) AS nl, COUNT(DISTINCT line) AS nd
+            FROM l GROUP BY doc_id
+        ),
+        f AS (
+            SELECT CAST(nl - nd AS DOUBLE) / CAST(nl AS DOUBLE) AS frac
+            FROM d
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) FILTER (WHERE frac > 0.3) AS BIGINT)
+                   AS n_flagged,
+               ROUND(fsum(frac) / COUNT(*), 6) AS mean_dup_line_frac
+        FROM f
+    """,
+    "dup_paragraphs_documents": """
+        WITH p AS (
+            SELECT doc_id,
+                   unnest(string_split(text, chr(10) || chr(10))) AS par
+            FROM documents
+            WHERE text IS NOT NULL AND doc_id IS NOT NULL
+        ),
+        q AS (SELECT doc_id, par FROM p WHERE par <> ''),
+        g AS (
+            SELECT par, COUNT(*) AS occ, COUNT(DISTINCT doc_id) AS nd
+            FROM q GROUP BY par
+        )
+        SELECT CAST(COALESCE(SUM(occ), 0) AS BIGINT) AS n_paragraphs,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_paragraphs,
+               CAST(COUNT(*) FILTER (WHERE nd >= 2) AS BIGINT)
+                   AS n_shared_paragraphs,
+               CAST(COALESCE(SUM(occ) FILTER (WHERE nd >= 2), 0)
+                    AS BIGINT) AS shared_occurrences
+        FROM g
+    """,
     "fertility_lang_documents": """
         SELECT lang,
                CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars,
