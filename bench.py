@@ -383,6 +383,9 @@ def run_bench() -> dict:
     )
     timed("dup_lines_documents", text.dup_lines_documents, SF_DIR)
     timed("dup_paragraphs_documents", text.dup_paragraphs_documents, SF_DIR)
+    timed(
+        "silhouette_labels_embeddings", ann.silhouette_labels_embeddings, SF_DIR
+    )
     # jaccard_pairs_documents / embedding_exact_pairs are the EXACT
     # quadratic baselines that oracle-check the approximate dedup paths;
     # they run in the correctness gate but stay out of the timed headline

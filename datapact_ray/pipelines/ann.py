@@ -495,6 +495,105 @@ def embedding_norms_labels(sf_dir: str) -> pd.DataFrame:
     ).astype({"label": "int64", "n_vecs": "int64"})
 
 
+def silhouette_labels_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Simplified silhouette score per label — the cluster-quality audit
+    that closes the vector-audit family (centroids = prototypes,
+    confusion = assignment quality, silhouette = separation quality):
+    for each vector, a = Euclidean distance to its OWN label's centroid,
+    b = distance to the nearest OTHER centroid, s = (b − a)/max(a, b);
+    per-label count and mean s. Well-separated classes score → 1,
+    overlapping classes → 0, misassigned mass goes negative — the
+    number that says whether the labels are worth training on.
+
+    Same shape as the confusion matrix: 6dp-pinned distributed centroids
+    broadcast via closure capture; each scan task computes its batch's
+    distances with the IDENTICAL per-element (e − c)² tree as the oracle
+    (no matmul expansion — |x|²−2x·c+|c|² has a different cancellation
+    profile) and folds to ≤ L (label, n, n_scored, fsum) partials;
+    vectors never shuffle. A single-label dataset has no "other"
+    centroid: s is NULL for every vector, mean is NULL (SQL NULL
+    aggregate), n_vectors still counts."""
+    cents = label_centroids_embeddings(sf_dir)
+    if len(cents) == 0:
+        return pd.DataFrame(
+            {
+                "label": pd.Series([], dtype="int64"),
+                "n_vectors": pd.Series([], dtype="int64"),
+                "mean_silhouette": pd.Series([], dtype="float64"),
+            }
+        )
+    m = cents.pivot(index="label", columns="i", values="c").sort_index()
+    labels = m.index.to_numpy(np.int64)
+    C = m.to_numpy(np.float64)  # L × D, label-ascending rows
+    single = len(labels) < 2
+
+    from ..shuffle import map_partials
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df = df[df["label"].notna() & df["embedding"].notna()]
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "label": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                    "ns": pd.Series([], dtype="int64"),
+                    "fs": pd.Series([], dtype="float64"),
+                }
+            )
+        M = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        lab = df["label"].astype("int64").to_numpy()
+        if single:
+            out = (
+                pd.DataFrame({"label": lab}).groupby("label").size()
+            )
+            return pd.DataFrame(
+                {
+                    "label": out.index.to_numpy(np.int64),
+                    "n": out.to_numpy(np.int64),
+                    "ns": np.zeros(len(out), np.int64),
+                    "fs": np.zeros(len(out), np.float64),
+                }
+            )
+        d = np.sqrt(((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2))
+        own_col = np.searchsorted(labels, lab)
+        rows = np.arange(len(lab))
+        a = d[rows, own_col]
+        d[rows, own_col] = np.inf
+        b = d.min(axis=1)
+        mx = np.maximum(a, b)
+        s = np.where(mx > 0, (b - a) / np.where(mx > 0, mx, 1.0), 0.0)
+        import math as _math
+
+        parts = []
+        codes, uniq = pd.factorize(pd.Series(lab), sort=True)
+        for k, lb in enumerate(uniq):
+            sk = s[codes == k]
+            parts.append(
+                (int(lb), int(len(sk)), int(len(sk)), _math.fsum(sk.tolist()))
+            )
+        return pd.DataFrame(parts, columns=["label", "n", "ns", "fs"])
+
+    import math as _math
+
+    parts = map_partials(
+        f"{sf_dir}/embeddings.parquet", ["label", "embedding"], None, partial
+    )
+    rows = []
+    for lb, g in parts.groupby("label", sort=True):
+        n = int(g["n"].sum())
+        ns = int(g["ns"].sum())
+        mean_s = (
+            float(round_duck(_math.fsum(float(x) for x in g["fs"]) / ns, 6))
+            if ns
+            else None
+        )
+        rows.append((int(lb), n, mean_s))
+    return pd.DataFrame(
+        rows, columns=["label", "n_vectors", "mean_silhouette"]
+    ).astype({"label": "int64", "n_vectors": "int64"})
+
+
 QUERIES = {
     "ann_topk_embeddings": ann_topk_embeddings,
     "ann_lsh_embeddings": ann_lsh_embeddings,
@@ -504,6 +603,7 @@ QUERIES = {
     "centroid_distances_embeddings": centroid_distances_embeddings,
     "quantization_calibration_embeddings": quantization_calibration_embeddings,
     "centroid_confusion_embeddings": centroid_confusion_embeddings,
+    "silhouette_labels_embeddings": silhouette_labels_embeddings,
 }
 
 ORACLE_SQL = {
@@ -611,4 +711,41 @@ ORACLE_SQL = {
         LIMIT 10
     """,
     # ann_lsh_embeddings: approximate engine-defined op, rows-only.
+    "silhouette_labels_embeddings": """
+        WITH u AS (
+            SELECT vec_id, label,
+                   CAST(unnest(embedding) AS DOUBLE) AS e,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings
+            WHERE label IS NOT NULL AND embedding IS NOT NULL
+        ),
+        c AS (
+            SELECT label AS clabel, i, ROUND(AVG(e), 6) AS c
+            FROM u GROUP BY label, i
+        ),
+        d AS (
+            SELECT u.vec_id, u.label, c.clabel,
+                   sqrt(SUM((u.e - c.c) * (u.e - c.c))) AS dist
+            FROM u JOIN c USING (i)
+            GROUP BY 1, 2, 3
+        ),
+        ab AS (
+            SELECT vec_id, label,
+                   MAX(CASE WHEN clabel = label THEN dist END) AS a,
+                   MIN(CASE WHEN clabel <> label THEN dist END) AS b
+            FROM d GROUP BY 1, 2
+        ),
+        s AS (
+            SELECT label,
+                   CASE WHEN b IS NULL THEN NULL
+                        WHEN greatest(a, b) > 0
+                            THEN (b - a) / greatest(a, b)
+                        ELSE 0.0 END AS s
+            FROM ab
+        )
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               ROUND(fsum(s) / COUNT(s), 6) AS mean_silhouette
+        FROM s GROUP BY 1 ORDER BY 1
+    """,
 }
