@@ -386,6 +386,17 @@ def run_bench() -> dict:
     timed(
         "silhouette_labels_embeddings", ann.silhouette_labels_embeddings, SF_DIR
     )
+    timed("corr_matrix_lineitem", stats.corr_matrix_lineitem, SF_DIR)
+    timed(
+        "weighted_avg_discount_lineitem",
+        stats.weighted_avg_discount_lineitem,
+        SF_DIR,
+    )
+    timed(
+        "iqr_outliers_extendedprice",
+        selection.iqr_outliers_extendedprice,
+        SF_DIR,
+    )
     # jaccard_pairs_documents / embedding_exact_pairs are the EXACT
     # quadratic baselines that oracle-check the approximate dedup paths;
     # they run in the correctness gate but stay out of the timed headline

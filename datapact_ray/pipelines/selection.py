@@ -1377,6 +1377,90 @@ def tdigest_quantile_extendedprice(sf_dir: str, q: float = 0.5) -> pd.DataFrame:
     )
 
 
+def iqr_outliers_extendedprice(sf_dir: str) -> pd.DataFrame:
+    """Tukey-fence outlier gate per returnflag — the ROBUST counterpart
+    of the z-score gate (stats.zscore_outliers_lineitem): q1/q3 resolve
+    in ONE shared histogram-refinement selection round (both ranks for
+    both quartiles of every group share every scan, like the percentile
+    bands), the fences lo = q1 − 1.5·IQR / hi = q3 + 1.5·IQR are built
+    from the 4dp-ROUNDED quantiles with the identical expression tree on
+    both engines (so the fence doubles are bit-equal and a boundary row
+    can never be classified differently), and a second scan counts
+    breaches vectorized with the fences broadcast via closure capture.
+    Groups whose price column is entirely NULL are absent on both sides
+    (oracle HAVING mirrors the engine's empty-group omission)."""
+    path = f"{sf_dir}/lineitem.parquet"
+    qs = (0.25, 0.75)
+
+    def iqr_ranks(counts: dict) -> dict:
+        return {
+            grp: sorted(
+                {
+                    r
+                    for q in qs
+                    for r in (
+                        math.floor((n - 1) * q),
+                        math.ceil((n - 1) * q),
+                    )
+                }
+            )
+            for grp, n in counts.items()
+        }
+
+    vals, counts = _rank_values(
+        path, "l_returnflag", "l_extendedprice", iqr_ranks
+    )
+    quart: dict = {}
+    for grp in sorted(vals):
+        n = counts[grp]
+        q14 = []
+        for q in qs:
+            h = (n - 1) * q
+            j0, j1 = math.floor(h), math.ceil(h)
+            v0, v1 = vals[grp][j0], vals[grp][j1]
+            q14.append(float(round_duck(v0 + (v1 - v0) * (h - j0), 4)))
+        q1, q3 = q14
+        quart[grp] = (q1, q3, q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1))
+
+    from ..shuffle import map_partials
+
+    def breach_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(
+            subset=["l_returnflag", "l_extendedprice"]
+        )
+        rows = []
+        for grp, (_q1, _q3, lo, hi) in quart.items():
+            v = df.loc[
+                df["l_returnflag"] == grp, "l_extendedprice"
+            ].to_numpy(np.float64)
+            rows.append(
+                (grp, len(v), int(((v < lo) | (v > hi)).sum()))
+            )
+        return pd.DataFrame(rows, columns=["grp", "n", "out"])
+
+    parts = map_partials(
+        path, ["l_returnflag", "l_extendedprice"], None, breach_partial
+    )
+    agg = (
+        parts.groupby("grp")[["n", "out"]].sum()
+        if len(parts)
+        else pd.DataFrame(columns=["n", "out"])
+    )
+    rows = [
+        (
+            grp,
+            int(agg.loc[grp, "n"]) if grp in agg.index else 0,
+            quart[grp][0],
+            quart[grp][1],
+            int(agg.loc[grp, "out"]) if grp in agg.index else 0,
+        )
+        for grp in sorted(quart)
+    ]
+    return pd.DataFrame(
+        rows, columns=["l_returnflag", "n_rows", "q1", "q3", "n_outliers"]
+    ).astype({"n_rows": "int64", "n_outliers": "int64"})
+
+
 QUERIES = {
     "exact_quantile_extendedprice": exact_quantile_extendedprice,
     "tdigest_quantile_extendedprice": tdigest_quantile_extendedprice,
@@ -1388,9 +1472,30 @@ QUERIES = {
     "weighted_median_lineitem": weighted_median_lineitem,
     "rfm_segments_customers": rfm_segments_customers,
     "gini_revenue_customers": gini_revenue_customers,
+    "iqr_outliers_extendedprice": iqr_outliers_extendedprice,
 }
 
 ORACLE_SQL = {
+    "iqr_outliers_extendedprice": """
+        WITH q AS (
+            SELECT l_returnflag AS f,
+                   ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS q1,
+                   ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS q3
+            FROM lineitem
+            WHERE l_returnflag IS NOT NULL
+            GROUP BY 1
+            HAVING COUNT(l_extendedprice) > 0
+        )
+        SELECT q.f AS l_returnflag,
+               CAST(COUNT(l.l_extendedprice) AS BIGINT) AS n_rows,
+               q.q1, q.q3,
+               CAST(COUNT(*) FILTER (WHERE
+                   l.l_extendedprice < q.q1 - 1.5 * (q.q3 - q.q1)
+                   OR l.l_extendedprice > q.q3 + 1.5 * (q.q3 - q.q1))
+                   AS BIGINT) AS n_outliers
+        FROM q LEFT JOIN lineitem l ON l.l_returnflag = q.f
+        GROUP BY 1, 3, 4 ORDER BY 1
+    """,
     "gini_revenue_customers": """
         WITH a AS (
             SELECT o_custkey AS c,

@@ -1081,6 +1081,122 @@ _RANGE_ORACLE = (
     + ") ORDER BY rule"
 )
 
+# the correlation-matrix column set — the oracle SQL is GENERATED from
+# this tuple, so engine and oracle can never drift on column choice
+_CORR_MATRIX_COLS = ("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+
+
+def corr_matrix_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Full pairwise correlation matrix over the lineitem numeric
+    columns in ONE scan — the feature-redundancy census that
+    ``corr_lineitem`` (one pair, grouped) doesn't cover. Each scan task
+    emits one Chan co-moment partial per unordered column pair with that
+    pair's own pairwise-complete NULL filter (exactly SQL CORR
+    semantics); the driver's deterministic Chan fold agrees with
+    DuckDB's streaming CORR to ~1e-13 relative, far inside the 6dp
+    rounding. Exchange: pairs × tasks fixed-width rows."""
+    import itertools
+
+    pairs = list(itertools.combinations(_CORR_MATRIX_COLS, 2))
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        arrs = {
+            c: df[c].to_numpy(np.float64) for c in _CORR_MATRIX_COLS
+        }
+        rows = [
+            (cx, cy) + _batch_moments(arrs[cx], arrs[cy])
+            for cx, cy in pairs
+        ]
+        return pd.DataFrame(
+            rows, columns=["cx", "cy", *_MOM_COLS]
+        )
+
+    from ..shuffle import map_partials
+
+    parts = map_partials(
+        f"{sf_dir}/lineitem.parquet", list(_CORR_MATRIX_COLS), None, partial
+    )
+    rows = []
+    for cx, cy in pairs:
+        g = parts[(parts["cx"] == cx) & (parts["cy"] == cy)]
+        n, _mx, _my, sxx, syy, sxy = _chan_fold(g[_MOM_COLS])
+        corr = (
+            sxy / math.sqrt(sxx * syy)
+            if n > 1 and sxx > 0 and syy > 0
+            else None
+        )
+        rows.append((cx, cy, int(n), _r(corr, 6)))
+    return pd.DataFrame(
+        rows, columns=["col_x", "col_y", "n_pairs", "corr"]
+    ).astype({"n_pairs": "int64"})
+
+
+_CORR_MATRIX_ORACLE = (
+    "SELECT * FROM ("
+    + " UNION ALL ".join(
+        f"SELECT '{cx}' AS col_x, '{cy}' AS col_y, "
+        f"CAST(COUNT(*) FILTER (WHERE {cx} IS NOT NULL "
+        f"AND {cy} IS NOT NULL) AS BIGINT) AS n_pairs, "
+        f"ROUND(CORR({cx}, {cy}), 6) AS corr FROM lineitem"
+        for i, cx in enumerate(_CORR_MATRIX_COLS)
+        for cy in _CORR_MATRIX_COLS[i + 1 :]
+    )
+    + ") ORDER BY col_x, col_y"
+)
+
+
+def weighted_avg_discount_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Revenue-weighted average discount — the planner/finance number a
+    plain AVG(discount) misstates whenever big orders discount
+    differently from small ones. Fully exact: price fixes to integer
+    cents and discount to integer basis points (both 2dp/4dp decimals
+    stored as doubles), each scan task folds Σ(cents·bp) and Σcents in
+    int64 (products ≤ 1e7·1000 = 1e10 per row — exact headroom to ~1e8
+    rows per task), the driver merges Python ints, and the weighted
+    mean is ONE division of exact integers on both engines (÷10000 to
+    return to fraction units — the identical final op). Rows with a
+    NULL price or discount drop on both sides."""
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(
+            subset=["l_extendedprice", "l_discount"]
+        )
+        cents = round_duck(
+            df["l_extendedprice"].to_numpy(np.float64) * 100.0, 0
+        ).astype(np.int64)
+        bp = round_duck(
+            df["l_discount"].to_numpy(np.float64) * 10000.0, 0
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "n": [int(len(df))],
+                "wx": [int((cents * bp).sum())],
+                "w": [int(cents.sum())],
+            }
+        )
+
+    from ..shuffle import map_partials
+
+    parts = map_partials(
+        f"{sf_dir}/lineitem.parquet",
+        ["l_extendedprice", "l_discount"],
+        None,
+        partial,
+    )
+    n = int(parts["n"].sum())
+    w = sum(int(x) for x in parts["w"])
+    wx = sum(int(x) for x in parts["wx"])
+    return pd.DataFrame(
+        {
+            "n_rows": pd.Series([n], dtype="int64"),
+            "weight_cents": pd.Series([w], dtype="int64"),
+            "wavg_discount": [
+                _r(float(wx) / float(w) / 10000.0, 6) if w else None
+            ],
+        }
+    )
+
+
 def _exact_sq_sum(c: np.ndarray) -> int:
     """Σc² as an EXACT Python int: int64 partial sums over 512-element
     chunks (exact while c² · 512 < 2⁶³, i.e. every |c| < 4.2e9 — cents
@@ -1440,6 +1556,21 @@ def mannwhitney_price_returnflag(
 
 
 ORACLE_SQL: dict[str, str] = {
+    "corr_matrix_lineitem": _CORR_MATRIX_ORACLE,
+    "weighted_avg_discount_lineitem": """
+        WITH b AS (
+            SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS c,
+                   CAST(ROUND(l_discount * 10000, 0) AS BIGINT) AS bp
+            FROM lineitem
+            WHERE l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(c) AS BIGINT) AS weight_cents,
+               ROUND(CAST(SUM(c * bp) AS DOUBLE)
+                     / CAST(SUM(c) AS DOUBLE) / 10000.0, 6)
+                   AS wavg_discount
+        FROM b
+    """,
     "welch_ttest_price_returnflag": """
         WITH b AS (
             SELECT l_returnflag AS f,
@@ -1803,4 +1934,6 @@ QUERIES = {
     "welch_ttest_price_returnflag": welch_ttest_price_returnflag,
     "theil_revenue_customers": theil_revenue_customers,
     "mannwhitney_price_returnflag": mannwhitney_price_returnflag,
+    "corr_matrix_lineitem": corr_matrix_lineitem,
+    "weighted_avg_discount_lineitem": weighted_avg_discount_lineitem,
 }
