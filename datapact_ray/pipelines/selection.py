@@ -676,6 +676,120 @@ def ntile_revenue_orders(sf_dir: str, tiles: int = 4) -> pd.DataFrame:
     ).astype({"quartile": "int64", "n": "int64", "sum_cents": "int64"})
 
 
+def trimmed_mean_extendedprice(
+    sf_dir: str, trim_denom: int = 10
+) -> pd.DataFrame:
+    """Two-sided 10% trimmed mean of l_extendedprice — the robust
+    location estimate between the mean (outlier-dragged) and the median
+    (throws away 98% of the data). Drops the k = ⌊αn⌋ lowest and highest
+    values and averages the middle n−2k.
+
+    Same order-statistics algebra as the NTILE totals: the trimmed sum
+    is S(n−k) − S(k) where S(s) = Σ(v < t_s) + (s − #(v < t_s))·t_s with
+    t_s the exact order statistic at rank s−1 — tie-order-invariant
+    because tied boundary values are interchangeable in the sorted
+    sequence. Two boundary selections (ONE shared histogram-refinement
+    round) + ONE threshold-stats scan; values fix to integer cents, all
+    sums merge as Python ints (HUGEINT mirror), and the mean is a single
+    division of exact integers on both engines."""
+    from ._util import round_duck as _rd
+
+    path = f"{sf_dir}/lineitem.parquet"
+
+    def transform(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "g": np.zeros(len(df), dtype=np.int8),
+                "__cents": _rd(
+                    df["l_extendedprice"].to_numpy(np.float64) * 100.0, 0
+                ),
+            }
+        )
+
+    holder: dict = {}
+
+    def boundary_ranks(counts: dict) -> dict:
+        n = counts.get(0, 0)
+        k = n // trim_denom  # ⌊αn⌋ as EXACT integer division (α = 1/denom)
+        # — the oracle's n // 10; float n·0.1 could misfloor at boundaries
+        holder["n"], holder["k"] = n, k
+        if n == 0 or n - 2 * k <= 0:
+            return {0: []}
+        ranks = set()
+        if k > 0:
+            ranks.add(k - 1)  # t_k: the k-th smallest
+        if n - k < n:  # == k > 0; t_{n-k}
+            ranks.add(n - k - 1)
+        return {0: sorted(ranks)}
+
+    vals, _counts = _rank_values(
+        path,
+        "g",
+        "__cents",
+        boundary_ranks,
+        read_cols=["l_extendedprice"],
+        transform=lambda df: transform(df.dropna(subset=["l_extendedprice"])),
+    )
+    n, k = holder["n"], holder["k"]
+    empty = pd.DataFrame(
+        {
+            "n_rows": pd.Series([], dtype="int64"),
+            "n_kept": pd.Series([], dtype="int64"),
+            "trimmed_sum_cents": pd.Series([], dtype="int64"),
+            "trimmed_mean": pd.Series([], dtype="float64"),
+        }
+    )
+    if n == 0 or n - 2 * k <= 0:
+        return empty
+
+    from ..shuffle import map_partials
+
+    # S(s) thresholds: cents < t count/sum per scan task, plus the grand
+    # total (S(n) when k == 0 needs no boundary value at all)
+    bounds = []
+    if k > 0:
+        bounds = [vals[0][k - 1], vals[0][n - k - 1]]
+
+    def thr_stats(batch: pa.Table, _b=tuple(bounds)) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["l_extendedprice"])
+        cents = _rd(
+            df["l_extendedprice"].to_numpy(np.float64) * 100.0, 0
+        ).astype(np.int64)
+        rows = []
+        for i, t in enumerate(_b):
+            lt = cents[cents < t]
+            rows.append((i, len(lt), int(lt.sum())))
+        rows.append((len(_b), len(cents), int(cents.sum())))
+        return pd.DataFrame(rows, columns=["i", "c", "s"])
+
+    parts = map_partials(path, ["l_extendedprice"], None, thr_stats)
+    agg = parts.groupby("i").agg(
+        c=("c", "sum"), s=("s", lambda g: sum(int(x) for x in g))
+    )
+    total = int(agg.loc[len(bounds), "s"])
+
+    def S(s_rank: int, t_idx: int) -> int:
+        c_lt = int(agg.loc[t_idx, "c"])
+        s_lt = int(agg.loc[t_idx, "s"])
+        return s_lt + (s_rank - c_lt) * int(bounds[t_idx])
+
+    if k > 0:
+        trimmed = S(n - k, 1) - S(k, 0)
+    else:
+        trimmed = total
+    kept = n - 2 * k
+    return pd.DataFrame(
+        {
+            "n_rows": pd.Series([n], dtype="int64"),
+            "n_kept": pd.Series([kept], dtype="int64"),
+            "trimmed_sum_cents": pd.Series([trimmed], dtype="int64"),
+            "trimmed_mean": [
+                float(round_duck(float(trimmed) / float(kept) / 100.0, 6))
+            ],
+        }
+    )
+
+
 def revenue_concentration_customers(
     sf_dir: str, top_frac: float = 0.01, collect_cap: int = 200_000
 ) -> pd.DataFrame:
@@ -1473,9 +1587,35 @@ QUERIES = {
     "rfm_segments_customers": rfm_segments_customers,
     "gini_revenue_customers": gini_revenue_customers,
     "iqr_outliers_extendedprice": iqr_outliers_extendedprice,
+    "trimmed_mean_extendedprice": trimmed_mean_extendedprice,
 }
 
 ORACLE_SQL = {
+    "trimmed_mean_extendedprice": """
+        WITH b AS (
+            SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS c
+            FROM lineitem WHERE l_extendedprice IS NOT NULL
+        ),
+        r AS (
+            SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM b
+        ),
+        t AS (
+            SELECT MAX(n) AS n_rows,
+                   COUNT(*) FILTER (
+                       WHERE rn > n // 10 AND rn <= n - n // 10) AS n_kept,
+                   SUM(c) FILTER (
+                       WHERE rn > n // 10 AND rn <= n - n // 10) AS s
+            FROM r
+        )
+        SELECT CAST(n_rows AS BIGINT) AS n_rows,
+               CAST(n_kept AS BIGINT) AS n_kept,
+               CAST(s AS BIGINT) AS trimmed_sum_cents,
+               ROUND(CAST(s AS DOUBLE) / CAST(n_kept AS DOUBLE) / 100.0, 6)
+                   AS trimmed_mean
+        FROM t WHERE n_kept > 0
+    """,
     "iqr_outliers_extendedprice": """
         WITH q AS (
             SELECT l_returnflag AS f,

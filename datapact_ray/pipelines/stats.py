@@ -1555,7 +1555,207 @@ def mannwhitney_price_returnflag(
     )
 
 
+def anova_price_returnflag(sf_dir: str) -> pd.DataFrame:
+    """One-way ANOVA F-test of extended price across ALL THREE return
+    flags (A/N/R) — the k-group generalization of the Welch pair test
+    above: does the flag explain any of the price variance? Same
+    exact-integer machinery (per-group (n, Σc, Σc²) with Σc² exact via
+    chunked big-int summation, Python-int merge = HUGEINT mirror), and
+    the sums of squares are built from ONE shared expression tree on
+    both engines: each group's s1²/n is ONE int→double ratio, their
+    fsum A is order-independent (correctly-rounded sum of the multiset),
+    SSB = A − S1²/N and SSW = S2 − A are single subtractions of exact-int
+    conversions — so F = (SSB/(k−1))/(SSW/(N−k)) and η² = SSB/SST are
+    identical doubles before rounding. No exchange: 6 integers per
+    (group, task)."""
+    fsql = "l_returnflag IN ('A', 'N', 'R') AND l_extendedprice IS NOT NULL"
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        rows = []
+        for flag in ("A", "N", "R"):
+            v = df.loc[df["l_returnflag"] == flag, "l_extendedprice"]
+            c = round_duck(v.to_numpy(np.float64) * 100.0, 0).astype(
+                np.int64
+            )
+            if len(c):
+                rows.append((flag, len(c), int(c.sum()), _exact_sq_sum(c)))
+        return pd.DataFrame(rows, columns=["f", "n", "s1", "s2"]).astype(
+            {"s2": "object"}
+        )
+
+    from ..shuffle import map_partials
+
+    parts = map_partials(
+        f"{sf_dir}/lineitem.parquet",
+        ["l_extendedprice", "l_returnflag"],
+        fsql,
+        partial,
+    )
+    groups = []
+    for flag, g in parts.groupby("f", sort=True):
+        n = int(g["n"].sum())
+        if n:  # SQL GROUP BY emits no row for an absent flag
+            groups.append(
+                (n, sum(int(x) for x in g["s1"]), sum(int(x) for x in g["s2"]))
+            )
+    k = len(groups)
+    nn = sum(n for n, _, _ in groups)
+    if nn == 0:
+        return pd.DataFrame(
+            {
+                "n_rows": pd.Series([], dtype="int64"),
+                "n_groups": pd.Series([], dtype="int64"),
+                "f_stat": pd.Series([], dtype="float64"),
+                "eta_sq": pd.Series([], dtype="float64"),
+            }
+        )
+    t1 = sum(s1 for _, s1, _ in groups)
+    t2 = sum(s2 for _, _, s2 in groups)
+    a = math.fsum(float(s1 * s1) / float(n) for n, s1, _ in groups)
+    ssb = a - float(t1 * t1) / float(nn)
+    ssw = float(t2) - a
+    f_stat = eta = None
+    if k >= 2 and nn - k >= 1 and ssw > 0:
+        f_stat = (ssb / float(k - 1)) / (ssw / float(nn - k))
+    if ssb + ssw > 0:
+        eta = ssb / (ssb + ssw)
+    return pd.DataFrame(
+        {
+            "n_rows": pd.Series([nn], dtype="int64"),
+            "n_groups": pd.Series([k], dtype="int64"),
+            "f_stat": [_r(f_stat, 6)],
+            "eta_sq": [_r(eta, 6)],
+        }
+    )
+
+
+def cusum_changepoint_events(sf_dir: str) -> pd.DataFrame:
+    """CUSUM changepoint on the daily event-count series — WHERE did the
+    level shift, not just which days are outliers (anomalous_days_events
+    answers that): the split day k maximizing |S_k| with
+    S_k = Σ_{i≤k}(c_i − mean). Daily counts are the same
+    calendar-bounded integer partials as the z-score op; the driver
+    scans the ≤ days series with EXACT integers — N·S_k = N·prefix_k −
+    k·T never touches a float, so the argmax (ties → earliest day)
+    cannot race accumulation noise, and every reported float is one
+    conversion of an exact integer ratio (|S| = metric/N, the segment
+    means = prefix ratios). The last day is excluded (S_N ≡ 0 — an
+    empty right segment is not a split)."""
+    from ..shuffle import map_partials
+
+    path = f"{sf_dir}/events.parquet"
+    day_us = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["ts"])
+        ts_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        day = (ts_us // day_us) * day_us
+        cnt = pd.Series(day).value_counts()
+        return pd.DataFrame(
+            {"day": cnt.index.to_numpy(np.int64), "c": cnt.to_numpy().astype("int64")}
+        )
+
+    parts = map_partials(path, ["ts"], None, partial)
+    by_day = parts.groupby("day")["c"].sum().sort_index()
+    n = len(by_day)
+    empty = pd.DataFrame(
+        {
+            "n_days": pd.Series([], dtype="int64"),
+            "cp_day": pd.Series([], dtype="datetime64[us]"),
+            "cusum_max": pd.Series([], dtype="float64"),
+            "mean_before": pd.Series([], dtype="float64"),
+            "mean_after": pd.Series([], dtype="float64"),
+        }
+    )
+    if n < 2:  # no interior split point (SQL: k < n matches no row)
+        return empty
+    days = by_day.index.to_numpy(np.int64)
+    c = [int(x) for x in by_day.to_numpy()]
+    total = sum(c)
+    best = None  # (metric, day_us, k, prefix) — exact ints
+    pref = 0
+    for k in range(1, n):  # split after day k (1-based), right side non-empty
+        pref += c[k - 1]
+        metric = abs(n * pref - k * total)
+        if best is None or metric > best[0]:
+            best = (metric, int(days[k - 1]), k, pref)
+    metric, cp_us, k, pref = best
+    return pd.DataFrame(
+        {
+            "n_days": pd.Series([n], dtype="int64"),
+            "cp_day": pd.Series([cp_us], dtype="int64").astype("datetime64[us]"),
+            "cusum_max": [_r(float(metric) / float(n), 4)],
+            "mean_before": [_r(float(pref) / float(k), 6)],
+            "mean_after": [_r(float(total - pref) / float(n - k), 6)],
+        }
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
+    "anova_price_returnflag": """
+        WITH b AS (
+            SELECT l_returnflag AS f,
+                   CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS c
+            FROM lineitem
+            WHERE l_returnflag IN ('A', 'N', 'R')
+              AND l_extendedprice IS NOT NULL
+        ),
+        g AS (
+            SELECT f, COUNT(*) AS n, SUM(c) AS s1, SUM(c * c) AS s2
+            FROM b GROUP BY f
+        ),
+        tot AS (
+            SELECT COUNT(*) AS k, SUM(n) AS nn, SUM(s1) AS t1,
+                   SUM(s2) AS t2,
+                   fsum(CAST(s1 * s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS a
+            FROM g
+        ),
+        v AS (
+            SELECT k, nn,
+                   a - CAST(t1 * t1 AS DOUBLE) / CAST(nn AS DOUBLE) AS ssb,
+                   CAST(t2 AS DOUBLE) - a AS ssw
+            FROM tot
+        )
+        SELECT CAST(nn AS BIGINT) AS n_rows,
+               CAST(k AS BIGINT) AS n_groups,
+               CASE WHEN k >= 2 AND nn - k >= 1 AND ssw > 0 THEN
+                   ROUND((ssb / CAST(k - 1 AS DOUBLE))
+                         / (ssw / CAST(nn - k AS DOUBLE)), 6)
+               END AS f_stat,
+               CASE WHEN ssb + ssw > 0 THEN
+                   ROUND(ssb / (ssb + ssw), 6)
+               END AS eta_sq
+        FROM v WHERE nn > 0
+    """,
+    "cusum_changepoint_events": """
+        WITH d AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   COUNT(*) AS c
+            FROM events WHERE ts IS NOT NULL GROUP BY 1
+        ),
+        w AS (
+            SELECT day, c,
+                   ROW_NUMBER() OVER (ORDER BY day) AS k,
+                   SUM(c) OVER (ORDER BY day) AS pref,
+                   COUNT(*) OVER () AS n,
+                   SUM(c) OVER () AS t
+            FROM d
+        ),
+        m AS (
+            SELECT *, ABS(n * pref - k * t) AS metric
+            FROM w WHERE k < n
+        )
+        SELECT CAST(n AS BIGINT) AS n_days,
+               day AS cp_day,
+               ROUND(CAST(metric AS DOUBLE) / CAST(n AS DOUBLE), 4)
+                   AS cusum_max,
+               ROUND(CAST(pref AS DOUBLE) / CAST(k AS DOUBLE), 6)
+                   AS mean_before,
+               ROUND(CAST(t - pref AS DOUBLE) / CAST(n - k AS DOUBLE), 6)
+                   AS mean_after
+        FROM m ORDER BY metric DESC, day ASC LIMIT 1
+    """,
     "corr_matrix_lineitem": _CORR_MATRIX_ORACLE,
     "weighted_avg_discount_lineitem": """
         WITH b AS (
@@ -1936,4 +2136,6 @@ QUERIES = {
     "mannwhitney_price_returnflag": mannwhitney_price_returnflag,
     "corr_matrix_lineitem": corr_matrix_lineitem,
     "weighted_avg_discount_lineitem": weighted_avg_discount_lineitem,
+    "anova_price_returnflag": anova_price_returnflag,
+    "cusum_changepoint_events": cusum_changepoint_events,
 }
