@@ -397,6 +397,20 @@ def run_bench() -> dict:
         selection.iqr_outliers_extendedprice,
         SF_DIR,
     )
+    timed(
+        "trimmed_mean_extendedprice",
+        selection.trimmed_mean_extendedprice,
+        SF_DIR,
+    )
+    timed("anova_price_returnflag", stats.anova_price_returnflag, SF_DIR)
+    timed("cusum_changepoint_events", stats.cusum_changepoint_events, SF_DIR)
+    timed(
+        "key_set_ops_orders_customer",
+        quality.key_set_ops_orders_customer,
+        SF_DIR,
+    )
+    timed("dim_moments_embeddings", ann.dim_moments_embeddings, SF_DIR)
+    timed("tfidf_top_terms_documents", text.tfidf_top_terms_documents, SF_DIR)
     # jaccard_pairs_documents / embedding_exact_pairs are the EXACT
     # quadratic baselines that oracle-check the approximate dedup paths;
     # they run in the correctness gate but stay out of the timed headline

@@ -108,6 +108,26 @@ def count_rows(path: str) -> int:
     return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
+def footer_nonnull_count(files: list[str], column: str):
+    """Exact non-NULL row count of a column from parquet row-group
+    footer statistics — no data read. Returns None when any row group
+    lacks a null_count stat (caller falls back to a count scan)."""
+    total = 0
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        names = meta.schema.names
+        if column not in names:
+            return None
+        ci = names.index(column)
+        for rg in range(meta.num_row_groups):
+            rgm = meta.row_group(rg)
+            st = rgm.column(ci).statistics
+            if st is None or st.null_count is None:
+                return None
+            total += rgm.num_rows - st.null_count
+    return total
+
+
 def footer_column_minmax(files: list[str], column: str):
     """Exact global (min, max) of a column from parquet row-group footer
     statistics — no data read. Returns None when any row group lacks

@@ -594,6 +594,67 @@ def silhouette_labels_embeddings(sf_dir: str) -> pd.DataFrame:
     ).astype({"label": "int64", "n_vectors": "int64"})
 
 
+def dim_moments_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Per-dimension mean / standard deviation of the embedding column —
+    the whitening / normalization statistics a vector pipeline computes
+    before PCA, standard-scaling or drift monitoring (the second-moment
+    companion of the min/max quantization scan above). Each map task
+    stacks its batch into one float64 matrix and reduces it to
+    dims × (n, Σe, Σe²) partial rows — vectors never shuffle; elements
+    promote float32→float64 exactly before any arithmetic, and the
+    oracle builds variance from the SAME E[x²]-form expression tree
+    (Σe² − (Σe)²/n)/(n−1) over SUM(e·e)/SUM(e), so at the 6-dp pin the
+    engines agree (embeddings are unit-scale and near zero-mean — no
+    catastrophic cancellation in the centered form)."""
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df = df[df["embedding"].notna()]
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "i": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                    "s": pd.Series([], dtype="float64"),
+                    "s2": pd.Series([], dtype="float64"),
+                }
+            )
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        return pd.DataFrame(
+            {
+                "i": np.arange(1, m.shape[1] + 1, dtype=np.int64),
+                "n": np.full(m.shape[1], len(m), dtype=np.int64),
+                "s": m.sum(axis=0),
+                "s2": (m * m).sum(axis=0),
+            }
+        )
+
+    from ..shuffle import map_partials
+
+    parts = (
+        map_partials(
+            f"{sf_dir}/embeddings.parquet", ["embedding"], None, partial
+        )
+        .groupby("i", as_index=False)
+        .agg(n=("n", "sum"), s=("s", "sum"), s2=("s2", "sum"))
+        .sort_values("i")
+    )
+    n = parts["n"].to_numpy(np.float64)
+    s = parts["s"].to_numpy(np.float64)
+    s2 = parts["s2"].to_numpy(np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        var = (s2 - s * s / n) / (n - 1.0)
+        std = np.sqrt(var)
+    return pd.DataFrame(
+        {
+            "i": parts["i"].astype("int64").to_numpy(),
+            "n": parts["n"].astype("int64").to_numpy(),
+            "mean": round_duck(s / n, 6),
+            "std": round_duck(std, 6),
+        }
+    ).reset_index(drop=True)
+
+
 QUERIES = {
     "ann_topk_embeddings": ann_topk_embeddings,
     "ann_lsh_embeddings": ann_lsh_embeddings,
@@ -604,9 +665,29 @@ QUERIES = {
     "quantization_calibration_embeddings": quantization_calibration_embeddings,
     "centroid_confusion_embeddings": centroid_confusion_embeddings,
     "silhouette_labels_embeddings": silhouette_labels_embeddings,
+    "dim_moments_embeddings": dim_moments_embeddings,
 }
 
 ORACLE_SQL = {
+    "dim_moments_embeddings": """
+        WITH u AS (
+            SELECT unnest(embedding) AS e,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        g AS (
+            SELECT i, COUNT(*) AS n,
+                   SUM(CAST(e AS DOUBLE)) AS s,
+                   SUM(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)) AS s2
+            FROM u GROUP BY i
+        )
+        SELECT CAST(i AS BIGINT) AS i, CAST(n AS BIGINT) AS n,
+               ROUND(s / n, 6) AS mean,
+               CASE WHEN n > 1 THEN
+                   ROUND(sqrt((s2 - s * s / n) / (n - 1)), 6)
+               END AS std
+        FROM g ORDER BY i
+    """,
     "centroid_confusion_embeddings": """
         WITH u AS (
             SELECT label,

@@ -363,7 +363,104 @@ def selfjoin_size_partkey(
     )
 
 
+def key_set_ops_orders_customer(
+    sf_dir: str, num_buckets: int | None = None
+) -> pd.DataFrame:
+    """Distributed INTERSECT / EXCEPT DISTINCT census between two key
+    sets — distinct ``o_custkey`` in orders vs distinct ``c_custkey`` in
+    customer: |A∩B| (customers with orders), |A∖B| (orphan order keys —
+    the referential failure set), |B∖A| (customers who never ordered),
+    plus both set sizes. A key's every occurrence from BOTH tables hash-
+    buckets together, so each bucket's set relations are globally
+    correct and fold to THREE integers — no distinct-key list ever
+    reaches the driver, and the exchange carries per-batch distinct
+    (side, key) rows, never raw rows. NULL keys are excluded on both
+    sides explicitly (SQL INTERSECT/EXCEPT would otherwise match NULL to
+    NULL, unlike every other comparison — the one place set ops and
+    joins disagree)."""
+    from .dedup import _fused_grouped_frames
+
+    nb = num_buckets or _buckets_default()
+
+    def side_partials(col: str, side: int):
+        def partial(batch: pa.Table) -> pd.DataFrame:
+            key = np.unique(
+                batch.column(col).to_pandas().dropna().to_numpy(np.int64)
+            )
+            return pd.DataFrame(
+                {
+                    "side": np.full(len(key), side, dtype=np.int8),
+                    "key": key,
+                    "__bucket": _bucket(key, nb),
+                }
+            )
+
+        return partial
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        a = np.unique(df.loc[df["side"] == 0, "key"].to_numpy(np.int64))
+        b = np.unique(df.loc[df["side"] == 1, "key"].to_numpy(np.int64))
+        both = len(np.intersect1d(a, b, assume_unique=True))
+        return pd.DataFrame(
+            [[both, len(a) - both, len(b) - both]],
+            columns=["both", "only_a", "only_b"],
+        )
+
+    parts = _fused_grouped_frames(
+        [
+            (
+                f"{sf_dir}/orders.parquet",
+                ["o_custkey"],
+                None,
+                side_partials("o_custkey", 0),
+            ),
+            (
+                f"{sf_dir}/customer.parquet",
+                ["c_custkey"],
+                None,
+                side_partials("c_custkey", 1),
+            ),
+        ],
+        nb,
+        fold,
+    )
+    both = int(parts["both"].sum())
+    only_a = int(parts["only_a"].sum())
+    only_b = int(parts["only_b"].sum())
+    return pd.DataFrame(
+        [[both + only_a, both + only_b, both, only_a, only_b]],
+        columns=[
+            "n_orders_keys",
+            "n_customer_keys",
+            "n_intersect",
+            "n_only_orders",
+            "n_only_customer",
+        ],
+    ).astype("int64")
+
+
 ORACLE_SQL: dict[str, str] = {
+    "key_set_ops_orders_customer": """
+        WITH a AS (
+            SELECT DISTINCT o_custkey AS k FROM orders
+            WHERE o_custkey IS NOT NULL
+        ),
+        b AS (
+            SELECT DISTINCT c_custkey AS k FROM customer
+            WHERE c_custkey IS NOT NULL
+        )
+        SELECT (SELECT COUNT(*) FROM a) AS n_orders_keys,
+               (SELECT COUNT(*) FROM b) AS n_customer_keys,
+               (SELECT COUNT(*) FROM
+                   (SELECT k FROM a INTERSECT SELECT k FROM b))
+                   AS n_intersect,
+               (SELECT COUNT(*) FROM
+                   (SELECT k FROM a EXCEPT SELECT k FROM b))
+                   AS n_only_orders,
+               (SELECT COUNT(*) FROM
+                   (SELECT k FROM b EXCEPT SELECT k FROM a))
+                   AS n_only_customer
+    """,
     "linenumber_integrity_lineitem": """
         WITH g AS (
             SELECT l_orderkey AS k,
@@ -422,4 +519,5 @@ QUERIES = {
     "id_gaps_orders": id_gaps_orders,
     "fanout_orders_lineitem": fanout_orders_lineitem,
     "selfjoin_size_partkey": selfjoin_size_partkey,
+    "key_set_ops_orders_customer": key_set_ops_orders_customer,
 }

@@ -1486,6 +1486,95 @@ _PII_ORACLE = (
 )
 
 
+def tfidf_top_terms_documents(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Corpus TF-IDF vocabulary: top-k terms by tf(term) · ln(N/df(term))
+    — the retrieval/feature-selection ranking that the raw TF and DF
+    vocabularies above each miss half of (TF alone surfaces stopwords,
+    DF alone ignores repetition). ONE scan emits BOTH partials per
+    distinct token per batch (term frequency via value_counts, document
+    frequency via in-batch (doc, token) dedup — documents never span
+    batches, so per-batch doc-distinct counts sum exactly); they ride
+    one token-hash bucket exchange, and each bucket scores its exact
+    (tf, df) totals and keeps a local top-k — valid because a token
+    lives in exactly one bucket. N (docs with text) comes from parquet
+    footer null-count statistics — zero data read — with a count-scan
+    fallback; the score is built from exact integers with the identical
+    expression tree on both engines (CAST(tf) · ln(CAST(N)/CAST(df))),
+    so the double ranking and its token-asc tie-break cannot drift."""
+    from ..io import footer_nonnull_count, list_parquet_files
+    from ..shuffle import map_partials
+    from .dedup import _dedup_buckets, _fused_grouped_frames
+
+    path = f"{sf_dir}/documents.parquet"
+    nb = _dedup_buckets()
+
+    n_docs = footer_nonnull_count(list_parquet_files(path), "text")
+    if n_docs is None:  # footers lack null counts: one count-only scan
+
+        def count_partial(batch: pa.Table) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"n": [int(batch.column("text").to_pandas().notna().sum())]}
+            )
+
+        n_docs = int(
+            map_partials(path, ["text"], None, count_partial)["n"].sum()
+        )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["text"])
+        toks = df["text"].astype(str).str.split(" ")
+        flat = pd.DataFrame(
+            {
+                "d": np.repeat(
+                    df["doc_id"].to_numpy(), toks.str.len().to_numpy()
+                ),
+                "token": toks.explode().to_numpy().astype(str),
+            }
+        )
+        tf = flat["token"].value_counts()
+        dfreq = flat.drop_duplicates()["token"].value_counts()
+        out = pd.DataFrame(
+            {
+                "token": tf.index.to_numpy().astype(str),
+                "tf": tf.to_numpy().astype("int64"),
+                "df": dfreq.reindex(tf.index).to_numpy().astype("int64"),
+            }
+        )
+        out["__bucket"] = _bucket_of_keys(out["token"], nb)
+        return out
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("token", as_index=False).agg(
+            tf=("tf", "sum"), df=("df", "sum")
+        )
+        tot["tfidf"] = tot["tf"].to_numpy(np.float64) * np.log(
+            np.float64(n_docs) / tot["df"].to_numpy(np.float64)
+        )
+        return tot.sort_values(
+            ["tfidf", "token"], ascending=[False, True], kind="stable"
+        ).head(k)
+
+    cand = _fused_grouped_frames(
+        [(path, ["doc_id", "text"], None, partial)], nb, bucket_topk
+    )
+    if len(cand) == 0:
+        return pd.DataFrame(
+            {
+                "token": pd.Series([], dtype="object"),
+                "tf": pd.Series([], dtype="int64"),
+                "df": pd.Series([], dtype="int64"),
+                "tfidf": pd.Series([], dtype="float64"),
+            }
+        )
+    top = cand.sort_values(
+        ["tfidf", "token"], ascending=[False, True], kind="stable"
+    ).head(k)
+    top["tfidf"] = round_duck(top["tfidf"].to_numpy(np.float64), 6)
+    return top[["token", "tf", "df", "tfidf"]].astype(
+        {"tf": "int64", "df": "int64"}
+    ).reset_index(drop=True)
+
+
 QUERIES = {
     "pii_census_documents": pii_census_documents,
     "text_stats_documents": text_stats_documents,
@@ -1510,9 +1599,34 @@ QUERIES = {
     "fertility_lang_documents": fertility_lang_documents,
     "dup_lines_documents": dup_lines_documents,
     "dup_paragraphs_documents": dup_paragraphs_documents,
+    "tfidf_top_terms_documents": tfidf_top_terms_documents,
 }
 
 ORACLE_SQL = {
+    "tfidf_top_terms_documents": """
+        WITH nd AS (
+            SELECT COUNT(*) AS n FROM documents WHERE text IS NOT NULL
+        ),
+        toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents WHERE text IS NOT NULL
+        ),
+        tf AS (SELECT token, COUNT(*) AS tf FROM toks GROUP BY token),
+        dfq AS (
+            SELECT token, COUNT(*) AS df
+            FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY token
+        )
+        SELECT tf.token, CAST(tf.tf AS BIGINT) AS tf,
+               CAST(dfq.df AS BIGINT) AS df,
+               ROUND(CAST(tf.tf AS DOUBLE)
+                     * ln(CAST(nd.n AS DOUBLE) / CAST(dfq.df AS DOUBLE)), 6)
+                   AS tfidf
+        FROM tf JOIN dfq USING (token), nd
+        ORDER BY CAST(tf.tf AS DOUBLE)
+                 * ln(CAST(nd.n AS DOUBLE) / CAST(dfq.df AS DOUBLE)) DESC,
+                 tf.token ASC
+        LIMIT 20
+    """,
     "pii_census_documents": _PII_ORACLE,
     "dup_lines_documents": """
         WITH l AS (
