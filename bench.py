@@ -411,6 +411,11 @@ def run_bench() -> dict:
     )
     timed("dim_moments_embeddings", ann.dim_moments_embeddings, SF_DIR)
     timed("tfidf_top_terms_documents", text.tfidf_top_terms_documents, SF_DIR)
+    timed("dim_anova_embeddings", ann.dim_anova_embeddings, SF_DIR)
+    timed("ewma_daily_events", stats.ewma_daily_events, SF_DIR)
+    timed("rate_ratio_events", stats.rate_ratio_events, SF_DIR)
+    timed("spearman_qty_discount", stats.spearman_qty_discount, SF_DIR)
+    timed("kendall_qty_discount", stats.kendall_qty_discount, SF_DIR)
     # jaccard_pairs_documents / embedding_exact_pairs are the EXACT
     # quadratic baselines that oracle-check the approximate dedup paths;
     # they run in the correctness gate but stay out of the timed headline

@@ -12,6 +12,8 @@
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -655,6 +657,94 @@ def dim_moments_embeddings(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def dim_anova_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Per-dimension one-way ANOVA of embedding values across labels —
+    the feature-discriminability audit (Fisher-style): which dimensions
+    actually separate the classes, the ranking a feature-selection or
+    linear-probe step needs before training. Each map task reduces its
+    batch matrix to (label, dim, n, Σe, Σe²) partials — labels × dims
+    rows, vectors never shuffle. Per dim the driver builds SSB/SSW with
+    the IDENTICAL expression tree as the oracle (each group's s²/n one
+    double ratio, their order-independent fsum, SSB = A − S²/N,
+    SSW = S2 − A, η² = SSB/(SSB+SSW) with the sum formed from the same
+    two doubles), so F and η² agree at the 6-dp pin."""
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df = df[df["label"].notna() & df["embedding"].notna()]
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "label": pd.Series([], dtype="int64"),
+                    "i": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                    "s": pd.Series([], dtype="float64"),
+                    "s2": pd.Series([], dtype="float64"),
+                }
+            )
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        codes, uniq = pd.factorize(df["label"].astype("int64"), sort=True)
+        d = m.shape[1]
+        frames = []
+        for k, lab in enumerate(uniq):
+            sub = m[codes == k]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "label": np.full(d, int(lab), dtype=np.int64),
+                        "i": np.arange(1, d + 1, dtype=np.int64),
+                        "n": np.full(d, len(sub), dtype=np.int64),
+                        "s": sub.sum(axis=0),
+                        "s2": (sub * sub).sum(axis=0),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    from ..shuffle import map_partials
+
+    parts = (
+        map_partials(
+            f"{sf_dir}/embeddings.parquet", ["label", "embedding"], None, partial
+        )
+        .groupby(["i", "label"], as_index=False)
+        .agg(n=("n", "sum"), s=("s", "sum"), s2=("s2", "sum"))
+    )
+    rows = []
+    for i, g in parts.groupby("i", sort=True):
+        n_g = g["n"].to_numpy(np.int64)
+        s_g = g["s"].to_numpy(np.float64)
+        k = len(g)
+        nn = int(n_g.sum())
+        ts = float(g["s"].sum())
+        t2 = float(g["s2"].sum())
+        a = math.fsum(
+            float(s) * float(s) / float(n) for s, n in zip(s_g, n_g)
+        )
+        ssb = a - ts * ts / float(nn)
+        ssw = t2 - a
+        f_stat = eta = None
+        if k >= 2 and nn - k >= 1 and ssw > 0:
+            f_stat = (ssb / float(k - 1)) / (ssw / float(nn - k))
+        if ssb + ssw > 0:
+            eta = ssb / (ssb + ssw)
+        rows.append(
+            (
+                int(i),
+                nn,
+                k,
+                None if f_stat is None else float(round_duck(f_stat, 6)),
+                None if eta is None else float(round_duck(eta, 6)),
+            )
+        )
+    out = pd.DataFrame(
+        rows, columns=["i", "n", "n_labels", "f_stat", "eta_sq"]
+    )
+    return out.astype(
+        {"i": "int64", "n": "int64", "n_labels": "int64"}
+    ).reset_index(drop=True)
+
+
 QUERIES = {
     "ann_topk_embeddings": ann_topk_embeddings,
     "ann_lsh_embeddings": ann_lsh_embeddings,
@@ -666,9 +756,46 @@ QUERIES = {
     "centroid_confusion_embeddings": centroid_confusion_embeddings,
     "silhouette_labels_embeddings": silhouette_labels_embeddings,
     "dim_moments_embeddings": dim_moments_embeddings,
+    "dim_anova_embeddings": dim_anova_embeddings,
 }
 
 ORACLE_SQL = {
+    "dim_anova_embeddings": """
+        WITH u AS (
+            SELECT label,
+                   CAST(unnest(embedding) AS DOUBLE) AS e,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings
+            WHERE label IS NOT NULL AND embedding IS NOT NULL
+        ),
+        g AS (
+            SELECT i, label, COUNT(*) AS n, SUM(e) AS s,
+                   SUM(e * e) AS s2
+            FROM u GROUP BY i, label
+        ),
+        t AS (
+            SELECT i, COUNT(*) AS k, SUM(n) AS nn, SUM(s) AS ts,
+                   SUM(s2) AS t2,
+                   fsum(s * s / CAST(n AS DOUBLE)) AS a
+            FROM g GROUP BY i
+        ),
+        v AS (
+            SELECT i, k, nn,
+                   a - ts * ts / CAST(nn AS DOUBLE) AS ssb,
+                   t2 - a AS ssw
+            FROM t
+        )
+        SELECT CAST(i AS BIGINT) AS i, CAST(nn AS BIGINT) AS n,
+               CAST(k AS BIGINT) AS n_labels,
+               CASE WHEN k >= 2 AND nn - k >= 1 AND ssw > 0 THEN
+                   ROUND((ssb / CAST(k - 1 AS DOUBLE))
+                         / (ssw / CAST(nn - k AS DOUBLE)), 6)
+               END AS f_stat,
+               CASE WHEN ssb + ssw > 0 THEN
+                   ROUND(ssb / (ssb + ssw), 6)
+               END AS eta_sq
+        FROM v ORDER BY i
+    """,
     "dim_moments_embeddings": """
         WITH u AS (
             SELECT unnest(embedding) AS e,

@@ -1692,7 +1692,400 @@ def cusum_changepoint_events(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def ewma_daily_events(sf_dir: str, alpha: float = 0.3) -> pd.DataFrame:
+    """Exponentially-weighted moving average of the daily event-count
+    series — the classic monitoring smoother, and the one window family
+    not yet covered: a RECURSIVE window (s_k = α·c_k + (1−α)·s_{k−1},
+    s_1 = c_1) that plain SQL frames cannot express. Daily counts are
+    the usual calendar-bounded integer partials; the driver evaluates
+    the ≤ days series via the CLOSED FORM — s_k is an fsum over k terms
+    α·(1−α)^{k−i}·c_i (the i=1 seed term without α) — the same
+    expression tree the oracle's self-join fsum builds, with pow/fsum
+    from the same libm, so every smoothed value is bit-identical before
+    the 6-dp pin. O(days²) terms total, bounded by the calendar, never
+    by data size."""
+    from ..shuffle import map_partials
+
+    path = f"{sf_dir}/events.parquet"
+    day_us = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["ts"])
+        ts_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        day = (ts_us // day_us) * day_us
+        cnt = pd.Series(day).value_counts()
+        return pd.DataFrame(
+            {"day": cnt.index.to_numpy(np.int64), "c": cnt.to_numpy().astype("int64")}
+        )
+
+    parts = map_partials(path, ["ts"], None, partial)
+    by_day = parts.groupby("day")["c"].sum().sort_index()
+    if len(by_day) == 0:
+        return pd.DataFrame(
+            {
+                "k": pd.Series([], dtype="int64"),
+                "day": pd.Series([], dtype="datetime64[us]"),
+                "c": pd.Series([], dtype="int64"),
+                "ewma": pd.Series([], dtype="float64"),
+            }
+        )
+    days = by_day.index.to_numpy(np.int64)
+    c = [float(x) for x in by_day.to_numpy()]
+    one_m = 1.0 - alpha
+    rows = []
+    for k in range(1, len(c) + 1):
+        terms = [math.pow(one_m, k - 1) * c[0]]
+        terms += [
+            alpha * math.pow(one_m, k - i) * c[i - 1] for i in range(2, k + 1)
+        ]
+        rows.append((k, int(days[k - 1]), int(c[k - 1]), math.fsum(terms)))
+    out = pd.DataFrame(rows, columns=["k", "day", "c", "ewma"])
+    out["day"] = out["day"].astype("datetime64[us]")
+    out["ewma"] = round_duck(out["ewma"].to_numpy(np.float64), 6)
+    return out.astype({"k": "int64", "c": "int64"})
+
+
+def rate_ratio_events(sf_dir: str) -> pd.DataFrame:
+    """Two-period event-rate comparison — the Poisson A/B test on
+    counts: split the observed day span at its midpoint and test whether
+    the daily rate changed (the CUSUM op locates a shift; this one
+    quantifies first-half vs second-half with a z statistic). The split
+    day is exact integer arithmetic on epoch-days ((min+max)//2), both
+    period lengths are CALENDAR days (so missing days lower the rate,
+    as a monitoring rate should), counts come from the same daily
+    partials, and every reported float is one conversion of an exact
+    integer ratio — z's divisor sqrt(n1/d1² + n2/d2²) is built from the
+    identical two ratios on both engines."""
+    from ..shuffle import map_partials
+
+    path = f"{sf_dir}/events.parquet"
+    day_us = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["ts"])
+        ts_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        day = ts_us // day_us
+        cnt = pd.Series(day).value_counts()
+        return pd.DataFrame(
+            {"day": cnt.index.to_numpy(np.int64), "c": cnt.to_numpy().astype("int64")}
+        )
+
+    parts = map_partials(path, ["ts"], None, partial)
+    empty = pd.DataFrame(
+        {
+            "n1": pd.Series([], dtype="int64"),
+            "n2": pd.Series([], dtype="int64"),
+            "days1": pd.Series([], dtype="int64"),
+            "days2": pd.Series([], dtype="int64"),
+            "rate1": pd.Series([], dtype="float64"),
+            "rate2": pd.Series([], dtype="float64"),
+            "rate_ratio": pd.Series([], dtype="float64"),
+            "z": pd.Series([], dtype="float64"),
+        }
+    )
+    if len(parts) == 0:
+        return empty
+    by_day = parts.groupby("day")["c"].sum()
+    days = by_day.index.to_numpy(np.int64)
+    lo, hi = int(days.min()), int(days.max())
+    split = (lo + hi) // 2  # last day of period 1, exact int both engines
+    d1, d2 = split - lo + 1, hi - split
+    n1 = int(by_day[days <= split].sum())
+    n2 = int(by_day[days > split].sum())
+    if d2 == 0:  # single-day span: no second period (SQL: NULL row pruned)
+        return empty
+    r1 = float(n1) / float(d1)
+    r2 = float(n2) / float(d2)
+    z = None
+    se2 = float(n1) / float(d1 * d1) + float(n2) / float(d2 * d2)
+    if se2 > 0:
+        z = (r1 - r2) / math.sqrt(se2)
+    ratio = r1 / r2 if n2 > 0 else None
+    return pd.DataFrame(
+        {
+            "n1": pd.Series([n1], dtype="int64"),
+            "n2": pd.Series([n2], dtype="int64"),
+            "days1": pd.Series([d1], dtype="int64"),
+            "days2": pd.Series([d2], dtype="int64"),
+            "rate1": [_r(r1, 6)],
+            "rate2": [_r(r2, 6)],
+            "rate_ratio": [_r(ratio, 6)],
+            "z": [_r(z, 6)],
+        }
+    )
+
+
+def _qty_disc_cells(sf_dir: str) -> pd.DataFrame:
+    """Shared contingency scan for the rank-correlation pair below:
+    per-batch (quantity, discount-basis-point, count) integer partials
+    over pairwise-complete rows, merged on the driver — both columns
+    have bounded vocabularies (≤ 50 × ≤ 11 values), so the exchange is
+    ≤ 550 rows per task and the full joint distribution fits the driver
+    exactly. This is how rank statistics escape the global sort when a
+    column is low-cardinality: ranks are a function of the marginal
+    counts alone."""
+    from ..shuffle import map_partials
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["l_quantity", "l_discount"])
+        x = df["l_quantity"].to_numpy(np.float64).astype(np.int64)
+        y = round_duck(df["l_discount"].to_numpy(np.float64) * 100.0, 0).astype(
+            np.int64
+        )
+        vc = pd.DataFrame({"x": x, "y": y}).value_counts()
+        idx = vc.index.to_frame(index=False)
+        return pd.DataFrame(
+            {
+                "x": idx["x"].astype("int64"),
+                "y": idx["y"].astype("int64"),
+                "c": vc.to_numpy().astype("int64"),
+            }
+        )
+
+    parts = map_partials(
+        f"{sf_dir}/lineitem.parquet",
+        ["l_quantity", "l_discount"],
+        None,
+        partial,
+    )
+    return parts.groupby(["x", "y"], as_index=False)["c"].sum()
+
+
+def _doubled_midranks(cells: pd.DataFrame, col: str) -> dict:
+    """{value: 2·midrank} from the marginal counts — 2·midrank =
+    2·(count of smaller values) + tie_count + 1 is an exact INTEGER, so
+    every rank sum below stays in exact arithmetic."""
+    marg = cells.groupby(col)["c"].sum().sort_index()
+    out, cum = {}, 0
+    for v, t in marg.items():
+        out[int(v)] = 2 * cum + int(t) + 1
+        cum += int(t)
+    return out
+
+
+def spearman_qty_discount(sf_dir: str) -> pd.DataFrame:
+    """Spearman rank correlation between quantity and discount — the
+    monotone-association test Pearson misses (corr_matrix measures
+    linearity), computed WITHOUT a global sort: both columns are
+    bounded-vocabulary, so the joint contingency (≤ 550 integer cells)
+    determines the midranks and every rank sum exactly. Doubled
+    midranks keep all six sums (n, Σdx, Σdy, Σdx², Σdy², Σdxdy) exact
+    integers (Python-int merge = HUGEINT mirror), and ρ is built from
+    them with the identical expression tree on both engines — one
+    double conversion per factor, one sqrt. Valid while n·Σdx² < 2⁶³·…
+    on the SQL side (HUGEINT, ~10⁹ rows at doubled-rank scale);
+    the engine side is arbitrary-precision."""
+    cells = _qty_disc_cells(sf_dir)
+    empty = pd.DataFrame(
+        {
+            "n_rows": pd.Series([], dtype="int64"),
+            "spearman_rho": pd.Series([], dtype="float64"),
+        }
+    )
+    if len(cells) == 0:
+        return empty
+    dx = _doubled_midranks(cells, "x")
+    dy = _doubled_midranks(cells, "y")
+    n = sx = sy = sxx = syy = sxy = 0
+    for x, y, c in cells.itertuples(index=False):
+        a, b, ci = dx[int(x)], dy[int(y)], int(c)
+        n += ci
+        sx += ci * a
+        sy += ci * b
+        sxx += ci * a * a
+        syy += ci * b * b
+        sxy += ci * a * b
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    if n == 0 or vx <= 0 or vy <= 0:  # a constant column has no ranks
+        return empty
+    rho = float(n * sxy - sx * sy) / math.sqrt(float(vx) * float(vy))
+    return pd.DataFrame(
+        {
+            "n_rows": pd.Series([n], dtype="int64"),
+            "spearman_rho": [_r(rho, 6)],
+        }
+    )
+
+
+def kendall_qty_discount(sf_dir: str) -> pd.DataFrame:
+    """Kendall τ-b between quantity and discount — the concordance-based
+    rank correlation (more robust to outlier ranks than Spearman, the
+    standard for heavily tied data): P − Q over concordant/discordant
+    pairs with tie corrections. Same one-scan contingency as the
+    Spearman op; concordant/discordant pair counts are Σ cᵢ·cⱼ over
+    cell pairs ordered both ways / opposite ways — an O(cells²) ≤ 550²
+    exact-integer fold on the driver, never a row-pair join. τ_b =
+    (P−Q)/√((n₀−t_x)(n₀−t_y)) from exact ints with the identical
+    tree on both engines."""
+    cells = _qty_disc_cells(sf_dir)
+    empty = pd.DataFrame(
+        {
+            "n_rows": pd.Series([], dtype="int64"),
+            "concordant": pd.Series([], dtype="int64"),
+            "discordant": pd.Series([], dtype="int64"),
+            "kendall_tau": pd.Series([], dtype="float64"),
+        }
+    )
+    if len(cells) == 0:
+        return empty
+    x = cells["x"].to_numpy(np.int64)
+    y = cells["y"].to_numpy(np.int64)
+    c = cells["c"].to_numpy(np.int64)
+    # pairwise cell comparisons (≤ 550² bools) — exact int pair counts;
+    # object dtype so the Σ cᵢ·cⱼ products merge at arbitrary precision
+    co = c.astype(object)
+    xl = x[:, None] < x[None, :]
+    yl = y[:, None] < y[None, :]
+    yg = y[:, None] > y[None, :]
+    prod = co[:, None] * co[None, :]
+    p = int((prod * (xl & yl)).sum())
+    q = int((prod * (xl & yg)).sum())
+    n = int(c.sum())
+    marg_x = cells.groupby("x")["c"].sum().to_numpy(np.int64)
+    marg_y = cells.groupby("y")["c"].sum().to_numpy(np.int64)
+    n0 = n * (n - 1) // 2
+    tx = sum(int(t) * (int(t) - 1) // 2 for t in marg_x)
+    ty = sum(int(t) * (int(t) - 1) // 2 for t in marg_y)
+    if n0 - tx <= 0 or n0 - ty <= 0:  # a constant column: τ undefined
+        return empty
+    tau = float(p - q) / math.sqrt(float(n0 - tx) * float(n0 - ty))
+    return pd.DataFrame(
+        {
+            "n_rows": pd.Series([n], dtype="int64"),
+            "concordant": pd.Series([p], dtype="int64"),
+            "discordant": pd.Series([q], dtype="int64"),
+            "kendall_tau": [_r(tau, 6)],
+        }
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
+    "spearman_qty_discount": """
+        WITH b AS (
+            SELECT CAST(l_quantity AS BIGINT) AS x,
+                   CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS y
+            FROM lineitem
+            WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        ),
+        cells AS (SELECT x, y, COUNT(*) AS c FROM b GROUP BY x, y),
+        mx AS (SELECT x, SUM(c) AS t FROM cells GROUP BY x),
+        my AS (SELECT y, SUM(c) AS t FROM cells GROUP BY y),
+        rx AS (
+            SELECT x, 2 * (SUM(t) OVER (ORDER BY x) - t) + t + 1 AS dx
+            FROM mx
+        ),
+        ry AS (
+            SELECT y, 2 * (SUM(t) OVER (ORDER BY y) - t) + t + 1 AS dy
+            FROM my
+        ),
+        tot AS (
+            SELECT SUM(c) AS n, SUM(c * dx) AS sx, SUM(c * dy) AS sy,
+                   SUM(c * dx * dx) AS sxx, SUM(c * dy * dy) AS syy,
+                   SUM(c * dx * dy) AS sxy
+            FROM cells JOIN rx USING (x) JOIN ry USING (y)
+        )
+        SELECT CAST(n AS BIGINT) AS n_rows,
+               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+                   AS spearman_rho
+        FROM tot
+        WHERE n > 0 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+    "kendall_qty_discount": """
+        WITH b AS (
+            SELECT CAST(l_quantity AS BIGINT) AS x,
+                   CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS y
+            FROM lineitem
+            WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        ),
+        cells AS (SELECT x, y, COUNT(*) AS c FROM b GROUP BY x, y),
+        pq AS (
+            SELECT SUM(a.c * d.c)
+                       FILTER (WHERE a.x < d.x AND a.y < d.y) AS p,
+                   SUM(a.c * d.c)
+                       FILTER (WHERE a.x < d.x AND a.y > d.y) AS q
+            FROM cells a, cells d
+        ),
+        t AS (
+            SELECT (SELECT SUM(c) FROM cells) AS n,
+                   (SELECT SUM(t * (t - 1) // 2)
+                    FROM (SELECT SUM(c) AS t FROM cells GROUP BY x))
+                       AS tx,
+                   (SELECT SUM(t * (t - 1) // 2)
+                    FROM (SELECT SUM(c) AS t FROM cells GROUP BY y))
+                       AS ty,
+                   COALESCE(p, 0) AS p, COALESCE(q, 0) AS q
+            FROM pq
+        )
+        SELECT CAST(n AS BIGINT) AS n_rows,
+               CAST(p AS BIGINT) AS concordant,
+               CAST(q AS BIGINT) AS discordant,
+               ROUND(CAST(p - q AS DOUBLE)
+                     / sqrt(CAST(n * (n - 1) // 2 - tx AS DOUBLE)
+                            * CAST(n * (n - 1) // 2 - ty AS DOUBLE)), 6)
+                   AS kendall_tau
+        FROM t
+        WHERE n > 0 AND n * (n - 1) // 2 - tx > 0
+          AND n * (n - 1) // 2 - ty > 0
+    """,
+    "ewma_daily_events": """
+        WITH d AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   COUNT(*) AS c
+            FROM events WHERE ts IS NOT NULL GROUP BY 1
+        ),
+        w AS (
+            SELECT day, c, ROW_NUMBER() OVER (ORDER BY day) AS k FROM d
+        )
+        SELECT CAST(a.k AS BIGINT) AS k, a.day AS day,
+               CAST(a.c AS BIGINT) AS c,
+               ROUND(fsum(CASE WHEN b.k = 1
+                          THEN pow(0.7, a.k - 1) * b.c
+                          ELSE 0.3 * pow(0.7, a.k - b.k) * b.c END), 6)
+                   AS ewma
+        FROM w a JOIN w b ON b.k <= a.k
+        GROUP BY a.k, a.day, a.c ORDER BY a.k
+    """,
+    "rate_ratio_events": """
+        WITH d AS (
+            SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS c
+            FROM events WHERE ts IS NOT NULL GROUP BY 1
+        ),
+        b AS (
+            SELECT (MIN(day) + MAX(day)) // 2 AS split,
+                   MIN(day) AS lo, MAX(day) AS hi
+            FROM d
+        ),
+        s AS (
+            SELECT SUM(c) FILTER (WHERE day <= split) AS n1,
+                   SUM(c) FILTER (WHERE day > split) AS n2,
+                   MAX(split - lo + 1) AS d1,
+                   MAX(hi - split) AS d2
+            FROM d, b
+        ),
+        v AS (
+            SELECT COALESCE(n1, 0) AS n1, COALESCE(n2, 0) AS n2, d1, d2,
+                   CAST(COALESCE(n1, 0) AS DOUBLE) / CAST(d1 AS DOUBLE)
+                       AS r1,
+                   CAST(COALESCE(n2, 0) AS DOUBLE) / CAST(d2 AS DOUBLE)
+                       AS r2,
+                   CAST(COALESCE(n1, 0) AS DOUBLE)
+                       / CAST(d1 * d1 AS DOUBLE)
+                   + CAST(COALESCE(n2, 0) AS DOUBLE)
+                       / CAST(d2 * d2 AS DOUBLE) AS se2
+            FROM s WHERE d2 > 0
+        )
+        SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+               CAST(d1 AS BIGINT) AS days1, CAST(d2 AS BIGINT) AS days2,
+               ROUND(r1, 6) AS rate1, ROUND(r2, 6) AS rate2,
+               CASE WHEN n2 > 0 THEN ROUND(r1 / r2, 6) END AS rate_ratio,
+               CASE WHEN se2 > 0 THEN
+                   ROUND((r1 - r2) / sqrt(se2), 6)
+               END AS z
+        FROM v
+    """,
     "anova_price_returnflag": """
         WITH b AS (
             SELECT l_returnflag AS f,
@@ -2138,4 +2531,8 @@ QUERIES = {
     "weighted_avg_discount_lineitem": weighted_avg_discount_lineitem,
     "anova_price_returnflag": anova_price_returnflag,
     "cusum_changepoint_events": cusum_changepoint_events,
+    "ewma_daily_events": ewma_daily_events,
+    "rate_ratio_events": rate_ratio_events,
+    "spearman_qty_discount": spearman_qty_discount,
+    "kendall_qty_discount": kendall_qty_discount,
 }
