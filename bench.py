@@ -416,6 +416,11 @@ def run_bench() -> dict:
     timed("rate_ratio_events", stats.rate_ratio_events, SF_DIR)
     timed("spearman_qty_discount", stats.spearman_qty_discount, SF_DIR)
     timed("kendall_qty_discount", stats.kendall_qty_discount, SF_DIR)
+    timed(
+        "max_drawdown_daily_revenue", windows.max_drawdown_daily_revenue, SF_DIR
+    )
+    timed("geomean_price_returnflag", stats.geomean_price_returnflag, SF_DIR)
+    timed("ann_range_embeddings", ann.ann_range_embeddings, SF_DIR)
     # jaccard_pairs_documents / embedding_exact_pairs are the EXACT
     # quadratic baselines that oracle-check the approximate dedup paths;
     # they run in the correctness gate but stay out of the timed headline

@@ -596,6 +596,69 @@ def silhouette_labels_embeddings(sf_dir: str) -> pd.DataFrame:
     ).astype({"label": "int64", "n_vectors": "int64"})
 
 
+def ann_range_embeddings(sf_dir: str, tau: float = 0.25) -> pd.DataFrame:
+    """Cosine RANGE search — all vectors within similarity ≥ τ of the
+    query (the radius-query counterpart of the top-k scan: candidate
+    harvesting for dedup/retrieval wants "everything this close", not a
+    fixed k). Same broadcast-query matmul per batch as the top-k scorer;
+    each task folds its matches to ONE (count, max, min) row, so the
+    result is match-count-independent — a τ that matches millions of
+    vectors still exchanges 3 numbers per task. The threshold compares
+    the 4-dp-ROUNDED cosine on both engines, so a boundary vector can
+    never classify differently."""
+    q = _query_vector(sf_dir, 0)
+    qn = np.linalg.norm(q)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df = df[df["embedding"].notna() & (df["vec_id"] != 0)]
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "n": pd.Series([], dtype="int64"),
+                    "mx": pd.Series([], dtype="float64"),
+                    "mn": pd.Series([], dtype="float64"),
+                }
+            )
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1).clip(min=1e-12)
+        cos = round_duck((mat @ q) / (norms * qn), 4)
+        hit = cos[cos >= tau]
+        if len(hit) == 0:
+            return pd.DataFrame(
+                {
+                    "n": pd.Series([], dtype="int64"),
+                    "mx": pd.Series([], dtype="float64"),
+                    "mn": pd.Series([], dtype="float64"),
+                }
+            )
+        return pd.DataFrame(
+            {"n": [len(hit)], "mx": [float(hit.max())], "mn": [float(hit.min())]}
+        )
+
+    from ..shuffle import map_partials
+
+    parts = map_partials(
+        f"{sf_dir}/embeddings.parquet", ["vec_id", "embedding"], None, partial
+    )
+    n = int(parts["n"].sum()) if len(parts) else 0
+    if n == 0:  # SQL aggregate over zero matched rows: one all-NULL-free
+        return pd.DataFrame(
+            {
+                "n_matches": pd.Series([0], dtype="int64"),
+                "max_cos": pd.Series([None], dtype="float64"),
+                "min_cos": pd.Series([None], dtype="float64"),
+            }
+        )
+    return pd.DataFrame(
+        {
+            "n_matches": pd.Series([n], dtype="int64"),
+            "max_cos": [float(parts["mx"].max())],
+            "min_cos": [float(parts["mn"].min())],
+        }
+    )
+
+
 def dim_moments_embeddings(sf_dir: str) -> pd.DataFrame:
     """Per-dimension mean / standard deviation of the embedding column —
     the whitening / normalization statistics a vector pipeline computes
@@ -757,9 +820,25 @@ QUERIES = {
     "silhouette_labels_embeddings": silhouette_labels_embeddings,
     "dim_moments_embeddings": dim_moments_embeddings,
     "dim_anova_embeddings": dim_anova_embeddings,
+    "ann_range_embeddings": ann_range_embeddings,
 }
 
 ORACLE_SQL = {
+    "ann_range_embeddings": """
+        WITH q AS (
+            SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+        ),
+        s AS (
+            SELECT ROUND(list_cosine_similarity(
+                       embedding::DOUBLE[], (SELECT qe FROM q)::DOUBLE[]),
+                       4) AS c
+            FROM embeddings
+            WHERE vec_id <> 0 AND embedding IS NOT NULL
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_matches,
+               MAX(c) AS max_cos, MIN(c) AS min_cos
+        FROM s WHERE c >= 0.25
+    """,
     "dim_anova_embeddings": """
         WITH u AS (
             SELECT label,

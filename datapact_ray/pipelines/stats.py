@@ -1960,7 +1960,75 @@ def kendall_qty_discount(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def geomean_price_returnflag(sf_dir: str) -> pd.DataFrame:
+    """Geometric mean of extended price per return flag — the log-domain
+    aggregate (the right average for multiplicative quantities; heavily
+    right-skewed prices drag the arithmetic mean, not this one). Prices
+    fix to integer cents; each scan task folds its rows to per-group
+    (n, fsum(ln cents)) partials and the driver fsum-merges the ≤ tasks
+    partial sums — each level correctly rounded, so the merged total
+    sits within a few ulps of DuckDB's exact single-level fsum; at
+    Σln ~ n·11 magnitude that is ≤1e-9 absolute, and exp amplifies it
+    to ≤1e-10 of the mean — far inside the 6-dp pin. The expression
+    tree (exp(fsum/n)/100 in dollars) is identical on both engines."""
+    fsql = "l_returnflag IN ('A', 'N', 'R') AND l_extendedprice IS NOT NULL"
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        rows = []
+        for flag in ("A", "N", "R"):
+            v = df.loc[df["l_returnflag"] == flag, "l_extendedprice"]
+            c = round_duck(v.to_numpy(np.float64) * 100.0, 0)
+            c = c[c > 0]  # ln domain; SQL filter mirrors
+            if len(c):
+                rows.append(
+                    (flag, len(c), math.fsum(np.log(c).tolist()))
+                )
+        return pd.DataFrame(rows, columns=["f", "n", "s"])
+
+    from ..shuffle import map_partials
+
+    parts = map_partials(
+        f"{sf_dir}/lineitem.parquet",
+        ["l_extendedprice", "l_returnflag"],
+        fsql,
+        partial,
+    )
+    rows = []
+    for flag, g in parts.groupby("f", sort=True):
+        n = int(g["n"].sum())
+        if n == 0:
+            continue
+        s = math.fsum(float(x) for x in g["s"])
+        rows.append(
+            (flag, n, float(round_duck(math.exp(s / float(n)) / 100.0, 6)))
+        )
+    return pd.DataFrame(
+        rows, columns=["l_returnflag", "n", "geomean_price"]
+    ).astype({"n": "int64"}) if rows else pd.DataFrame(
+        {
+            "l_returnflag": pd.Series([], dtype="object"),
+            "n": pd.Series([], dtype="int64"),
+            "geomean_price": pd.Series([], dtype="float64"),
+        }
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
+    "geomean_price_returnflag": """
+        WITH b AS (
+            SELECT l_returnflag AS f,
+                   CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS c
+            FROM lineitem
+            WHERE l_returnflag IN ('A', 'N', 'R')
+              AND l_extendedprice IS NOT NULL
+        )
+        SELECT f AS l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(exp(fsum(ln(CAST(c AS DOUBLE)))
+                         / CAST(COUNT(*) AS DOUBLE)) / 100.0, 6)
+                   AS geomean_price
+        FROM b WHERE c > 0 GROUP BY f ORDER BY f
+    """,
     "spearman_qty_discount": """
         WITH b AS (
             SELECT CAST(l_quantity AS BIGINT) AS x,
@@ -2535,4 +2603,5 @@ QUERIES = {
     "rate_ratio_events": rate_ratio_events,
     "spearman_qty_discount": spearman_qty_discount,
     "kendall_qty_discount": kendall_qty_discount,
+    "geomean_price_returnflag": geomean_price_returnflag,
 }

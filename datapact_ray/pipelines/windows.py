@@ -1864,6 +1864,89 @@ def monthly_growth_orders(sf_dir: str) -> pd.DataFrame:
     ).astype({"rev_cents": "int64"})
 
 
+def max_drawdown_daily_revenue(sf_dir: str) -> pd.DataFrame:
+    """Maximum drawdown of the daily revenue series — the running-MAX
+    differential window (finance's peak-to-trough decline, and the
+    monitoring question "how far below its best level did the metric
+    fall"): dd_t = cummax(v)_t − v_t maximized over days. Daily revenue
+    is exact integer cents (calendar-bounded partials, months × tasks
+    exchange shape); the driver scans the ≤ days series with Python
+    ints, so the argmax (ties → earliest trough day) and the peak-day
+    lookup (earliest day whose revenue equals the trough's running max)
+    never race float accumulation; drawdown_pct is ONE exact-int ratio.
+    A non-decreasing series reports dd = 0 at the first day on both
+    engines (dd ties resolve to the earliest day)."""
+    from ..shuffle import map_partials
+    from ._util import round_duck as _rd
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["o_orderdate", "o_totalprice"])
+        day = (
+            df["o_orderdate"]
+            .astype("datetime64[us]")
+            .astype("int64")
+            .to_numpy()
+        )
+        day = (day // _DAY_US) * _DAY_US
+        cents = _rd(
+            df["o_totalprice"].to_numpy(np.float64) * 100.0, 0
+        ).astype(np.int64)
+        part = pd.DataFrame({"d": day, "c": cents})
+        return part.groupby("d", as_index=False)["c"].sum()
+
+    parts = map_partials(
+        f"{sf_dir}/orders.parquet",
+        ["o_orderdate", "o_totalprice"],
+        None,
+        partial,
+    )
+    if len(parts) == 0:
+        return pd.DataFrame(
+            {
+                "n_days": pd.Series([], dtype="int64"),
+                "peak_day": pd.Series([], dtype="datetime64[us]"),
+                "trough_day": pd.Series([], dtype="datetime64[us]"),
+                "peak_cents": pd.Series([], dtype="int64"),
+                "drawdown_cents": pd.Series([], dtype="int64"),
+                "drawdown_pct": pd.Series([], dtype="float64"),
+            }
+        )
+    by_day = parts.groupby("d")["c"].apply(lambda g: sum(int(x) for x in g))
+    by_day = by_day.sort_index()
+    days = by_day.index.to_numpy(np.int64)
+    v = [int(x) for x in by_day.to_numpy(dtype=object)]
+    cm = 0
+    best = None  # (dd, trough_us, cm_at_trough)
+    for i, x in enumerate(v):
+        cm = x if i == 0 else max(cm, x)
+        dd = cm - x
+        if best is None or dd > best[0]:
+            best = (dd, int(days[i]), cm)
+    dd, trough_us, peak_cents = best
+    # earliest day whose revenue EQUALS the trough's running max
+    peak_us = next(
+        int(d) for d, x in zip(days, v) if x == peak_cents
+    )
+    return pd.DataFrame(
+        {
+            "n_days": pd.Series([len(v)], dtype="int64"),
+            "peak_day": pd.Series([peak_us], dtype="int64").astype(
+                "datetime64[us]"
+            ),
+            "trough_day": pd.Series([trough_us], dtype="int64").astype(
+                "datetime64[us]"
+            ),
+            "peak_cents": pd.Series([peak_cents], dtype="int64"),
+            "drawdown_cents": pd.Series([dd], dtype="int64"),
+            "drawdown_pct": [
+                float(_rd(float(dd) / float(peak_cents), 6))
+                if peak_cents > 0
+                else None
+            ],
+        }
+    )
+
+
 def session_duration_stats_events(
     sf_dir: str, gap_minutes: int = 30, num_buckets: int | None = None
 ) -> pd.DataFrame:
@@ -2082,6 +2165,7 @@ def missing_hours_events(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES = {
+    "max_drawdown_daily_revenue": max_drawdown_daily_revenue,
     "windowed_events_daily": windowed_events_daily,
     "sliding_events_weekly": sliding_events_weekly,
     "sessionize_events": sessionize_events,
@@ -2341,6 +2425,36 @@ ORACLE_SQL = {
                CAST(COUNT(*) AS BIGINT) AS n_events
         FROM events WHERE ts IS NOT NULL
         GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "max_drawdown_daily_revenue": """
+        WITH d AS (
+            SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP)
+                       AS day,
+                   SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS c
+            FROM orders
+            WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+            GROUP BY 1
+        ),
+        w AS (
+            SELECT day, c, MAX(c) OVER (ORDER BY day) AS cm,
+                   COUNT(*) OVER () AS n
+            FROM d
+        ),
+        t AS (
+            SELECT n, day AS trough_day, cm AS peak_cents, cm - c AS dd
+            FROM w ORDER BY cm - c DESC, day ASC LIMIT 1
+        )
+        SELECT CAST(t.n AS BIGINT) AS n_days,
+               (SELECT MIN(day) FROM w WHERE c = t.peak_cents)
+                   AS peak_day,
+               t.trough_day,
+               CAST(t.peak_cents AS BIGINT) AS peak_cents,
+               CAST(t.dd AS BIGINT) AS drawdown_cents,
+               CASE WHEN t.peak_cents > 0 THEN
+                   ROUND(CAST(t.dd AS DOUBLE)
+                         / CAST(t.peak_cents AS DOUBLE), 6)
+               END AS drawdown_pct
+        FROM t
     """,
     "monthly_growth_orders": """
         WITH m AS (

@@ -24,6 +24,7 @@ LOUD = {
     "ann_topk_embeddings": KeyError,
     "ann_lsh_embeddings": KeyError,
     "ann_ivf_embeddings": ValueError,
+    "ann_range_embeddings": KeyError,
 }
 
 
