@@ -421,6 +421,9 @@ def run_bench() -> dict:
     )
     timed("geomean_price_returnflag", stats.geomean_price_returnflag, SF_DIR)
     timed("ann_range_embeddings", ann.ann_range_embeddings, SF_DIR)
+    timed(
+        "hll_users_per_type_events", relational.hll_users_per_type_events, SF_DIR
+    )
     # jaccard_pairs_documents / embedding_exact_pairs are the EXACT
     # quadratic baselines that oracle-check the approximate dedup paths;
     # they run in the correctness gate but stay out of the timed headline
