@@ -424,6 +424,7 @@ def run_bench() -> dict:
     timed(
         "hll_users_per_type_events", relational.hll_users_per_type_events, SF_DIR
     )
+    timed("revenue_band_lineitem", selection.revenue_band_lineitem, SF_DIR)
     # jaccard_pairs_documents / embedding_exact_pairs are the EXACT
     # quadratic baselines that oracle-check the approximate dedup paths;
     # they run in the correctness gate but stay out of the timed headline

@@ -790,6 +790,70 @@ def trimmed_mean_extendedprice(
     )
 
 
+def revenue_band_lineitem(sf_dir: str) -> pd.DataFrame:
+    """p10/p50/p90 of the DERIVED discounted-revenue expression
+    l_extendedprice · (1 − l_discount) — exact selection over a value
+    that exists in no column (the TPC-H revenue term): the transform
+    runs inside every scan task with the identical float tree as the
+    oracle (product, 1−d, ROUND to 2 dp — round_duck mirrors DuckDB's
+    half-away-from-zero), so the selected order statistics are drawn
+    from bit-identical multisets. All three ranks resolve in ONE shared
+    histogram-refinement round (multi-rank tasks share every scan);
+    rank convention is quantile_disc's ceil(q·n) − 1, proven by the
+    percentile_disc op above."""
+    path = f"{sf_dir}/lineitem.parquet"
+    qs = (0.1, 0.5, 0.9)
+
+    def transform(df: pd.DataFrame) -> pd.DataFrame:
+        p = df["l_extendedprice"].to_numpy(np.float64)
+        d = df["l_discount"].to_numpy(np.float64)
+        return pd.DataFrame(
+            {
+                "g": np.zeros(len(df), dtype=np.int8),
+                "__rev": round_duck(p * (1.0 - d), 2),
+            }
+        )
+
+    def band_ranks(counts: dict) -> dict:
+        n = counts.get(0, 0)
+        if n == 0:
+            return {0: []}
+        return {0: sorted({max(0, math.ceil(q * n) - 1) for q in qs})}
+
+    vals, counts = _rank_values(
+        path,
+        "g",
+        "__rev",
+        band_ranks,
+        read_cols=["l_extendedprice", "l_discount"],
+        transform=lambda df: transform(
+            df.dropna(subset=["l_extendedprice", "l_discount"])
+        ),
+    )
+    n = counts.get(0, 0)
+    if n == 0:
+        return pd.DataFrame(
+            {
+                "n_rows": pd.Series([], dtype="int64"),
+                "p10_rev": pd.Series([], dtype="float64"),
+                "p50_rev": pd.Series([], dtype="float64"),
+                "p90_rev": pd.Series([], dtype="float64"),
+            }
+        )
+    band = [
+        float(round_duck(vals[0][max(0, math.ceil(q * n) - 1)], 4))
+        for q in qs
+    ]
+    return pd.DataFrame(
+        {
+            "n_rows": pd.Series([n], dtype="int64"),
+            "p10_rev": [band[0]],
+            "p50_rev": [band[1]],
+            "p90_rev": [band[2]],
+        }
+    )
+
+
 def revenue_concentration_customers(
     sf_dir: str, top_frac: float = 0.01, collect_cap: int = 200_000
 ) -> pd.DataFrame:
@@ -1588,9 +1652,22 @@ QUERIES = {
     "gini_revenue_customers": gini_revenue_customers,
     "iqr_outliers_extendedprice": iqr_outliers_extendedprice,
     "trimmed_mean_extendedprice": trimmed_mean_extendedprice,
+    "revenue_band_lineitem": revenue_band_lineitem,
 }
 
 ORACLE_SQL = {
+    "revenue_band_lineitem": """
+        WITH b AS (
+            SELECT ROUND(l_extendedprice * (1 - l_discount), 2) AS v
+            FROM lineitem
+            WHERE l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               ROUND(quantile_disc(v, 0.1), 4) AS p10_rev,
+               ROUND(quantile_disc(v, 0.5), 4) AS p50_rev,
+               ROUND(quantile_disc(v, 0.9), 4) AS p90_rev
+        FROM b HAVING COUNT(*) > 0
+    """,
     "trimmed_mean_extendedprice": """
         WITH b AS (
             SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS c
