@@ -425,6 +425,9 @@ def run_bench() -> dict:
         "hll_users_per_type_events", relational.hll_users_per_type_events, SF_DIR
     )
     timed("revenue_band_lineitem", selection.revenue_band_lineitem, SF_DIR)
+    timed(
+        "corr_orders_shipments_daily", stats.corr_orders_shipments_daily, SF_DIR
+    )
     # jaccard_pairs_documents / embedding_exact_pairs are the EXACT
     # quadratic baselines that oracle-check the approximate dedup paths;
     # they run in the correctness gate but stay out of the timed headline

@@ -730,6 +730,61 @@ def autocorr_daily_events(sf_dir: str, lag_days: int = 7) -> pd.DataFrame:
     )
 
 
+def corr_orders_shipments_daily(sf_dir: str) -> pd.DataFrame:
+    """Cross-TABLE daily correlation — does daily ship volume (lineitem
+    rows per l_shipdate) track daily order volume (orders rows per
+    o_orderdate)? Pearson r over the days BOTH series observe (the
+    oracle's inner join) — the two-table analog of the lag-7
+    autocorrelation, and the cadence-consistency audit between a parent
+    table and its fulfillment stream. Each table reduces to
+    calendar-bounded integer day-count partials in its own shuffle-free
+    pass (≤ days × tasks rows); the driver aligns the two ≤ days series
+    exactly like the SQL join and computes CORR with the same
+    centered-sums form the corr/autocorr ops already match at 6dp."""
+    from ..shuffle import map_partials
+
+    _DAY_US = 86_400_000_000
+
+    def daily(path: str, col: str) -> dict:
+        def partial(batch: pa.Table) -> pd.DataFrame:
+            ts = batch.column(col).to_numpy(zero_copy_only=False)
+            ts = ts[~pd.isna(ts)]
+            if len(ts) == 0:
+                return pd.DataFrame({"day": [], "c": []}).astype(
+                    {"day": "int64", "c": "int64"}
+                )
+            day = ts.astype("datetime64[us]").astype("int64") // _DAY_US
+            ids, counts = np.unique(day, return_counts=True)
+            return pd.DataFrame({"day": ids, "c": counts.astype(np.int64)})
+
+        parts = map_partials(path, [col], None, partial)
+        return {
+            int(d): int(c)
+            for d, c in parts.groupby("day")["c"].sum().items()
+        }
+
+    ship = daily(f"{sf_dir}/lineitem.parquet", "l_shipdate")
+    orders = daily(f"{sf_dir}/orders.parquet", "o_orderdate")
+    pairs = [(c, orders[d]) for d, c in sorted(ship.items()) if d in orders]
+    if len(pairs) < 2:
+        return pd.DataFrame(
+            {
+                "n_days": pd.Series([len(pairs)], dtype="int64"),
+                "corr_daily": [None],
+            }
+        )
+    x = np.array([p[0] for p in pairs], dtype=np.float64)
+    y = np.array([p[1] for p in pairs], dtype=np.float64)
+    n, _mx, _my, sxx, syy, sxy = _batch_moments(x, y)
+    corr = sxy / math.sqrt(sxx * syy) if sxx > 0 and syy > 0 else None
+    return pd.DataFrame(
+        {
+            "n_days": pd.Series([len(pairs)], dtype="int64"),
+            "corr_daily": [_r(corr, 6)],
+        }
+    )
+
+
 def nation_tvd_customer_supplier(sf_dir: str) -> pd.DataFrame:
     """Total variation distance between the customer and supplier
     nation distributions — the two-TABLE dataset-shift test (are
@@ -2352,6 +2407,24 @@ ORACLE_SQL: dict[str, str] = {
         FROM c JOIN ra USING (a) JOIN cb USING (b), t
         GROUP BY t.total
     """,
+    "corr_orders_shipments_daily": """
+        WITH s AS (
+            SELECT CAST(date_trunc('day', l_shipdate) AS TIMESTAMP)
+                       AS day,
+                   COUNT(*) AS c
+            FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY 1
+        ),
+        o AS (
+            SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP)
+                       AS day,
+                   COUNT(*) AS c
+            FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+        ),
+        j AS (SELECT s.c AS x, o.c AS y FROM s JOIN o USING (day))
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               ROUND(CORR(x, y), 6) AS corr_daily
+        FROM j
+    """,
     "autocorr_daily_events": """
         WITH d AS (
             SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
@@ -2604,4 +2677,5 @@ QUERIES = {
     "spearman_qty_discount": spearman_qty_discount,
     "kendall_qty_discount": kendall_qty_discount,
     "geomean_price_returnflag": geomean_price_returnflag,
+    "corr_orders_shipments_daily": corr_orders_shipments_daily,
 }
