@@ -376,12 +376,23 @@ def nations_per_region(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("r_name").reset_index(drop=True)
 
 
-def join_orders_customer(sf_dir: str) -> pd.DataFrame:
+def join_orders_customer(
+    sf_dir: str, num_partitions: int | None = None
+) -> pd.DataFrame:
     """Large-side equi-join via Ray's native hash-partitioned
     ``Dataset.join`` (both sides shuffle on the key), then a grouped
     rollup — the big-big join path; small sides use the broadcast
-    pattern (``nations_per_region``) instead."""
+    pattern (``nations_per_region``) instead.
+
+    Partition count scales with the LARGER side's footer row count
+    (same ``scaled_num_buckets`` rule as every keyed pass) so at 100×
+    data the join fans out proportionally instead of forcing each of a
+    fixed 8 partitions to hold tens of GB.
+    """
     from ray.data.aggregate import Count, Sum
+
+    from ..io import count_rows
+    from .windows import scaled_num_buckets
 
     orders = read_table(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
@@ -399,10 +410,17 @@ def join_orders_customer(sf_dir: str) -> pd.DataFrame:
                 "sum_total": pd.Series([], dtype="float64"),
             }
         )
+    n_parts = num_partitions or scaled_num_buckets(
+        max(
+            count_rows(f"{sf_dir}/orders.parquet"),
+            count_rows(f"{sf_dir}/customer.parquet"),
+        ),
+        target_rows=1_000_000,
+    )
     joined = orders.join(
         customer,
         join_type="inner",
-        num_partitions=8,
+        num_partitions=n_parts,
         on=("o_custkey",),
         right_on=("c_custkey",),
     )

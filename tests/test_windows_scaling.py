@@ -32,3 +32,15 @@ def test_scaled_num_buckets_grows_with_data():
     assert small < big
     assert big == 251  # 1e9 rows / 4M target + 1 (runner.py's constant)
     assert scaled_num_buckets(10**12) == 4096  # capped
+
+
+def test_join_partition_count_invariant_and_scaled():
+    """join_orders_customer sizes partitions from footer row counts
+    (never a fixed fan-out) and its result is invariant to the count."""
+    from datapact_ray.pipelines.relational import join_orders_customer
+
+    a = join_orders_customer(SF_DIR, num_partitions=2)
+    b = join_orders_customer(SF_DIR, num_partitions=13)
+    c = join_orders_customer(SF_DIR)  # footer-derived
+    pd.testing.assert_frame_equal(a, b)
+    pd.testing.assert_frame_equal(a, c)
