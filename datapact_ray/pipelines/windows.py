@@ -51,6 +51,40 @@ def _bucket_of(ids: np.ndarray, num_buckets: int) -> np.ndarray:
     return ((h >> np.uint64(32)) % np.uint64(num_buckets)).astype(np.int32)
 
 
+_US_PER_DAY = np.int64(86_400_000_000)
+_SLICE_MIX = np.int64(1_000_003)  # combines (key, time_slice) into one
+# shuffle id; prime ≫ any realistic slice count so combos never collide
+
+
+def _auto_slice_days(
+    paths_cols: list[tuple[str, str]],
+    n_rows: int,
+    key_domain: int = 100,
+    target_rows: int = 4_000_000,
+) -> int | None:
+    """Time-slice width (days) for the hot-key split of the as-of/range
+    joins: one (key, slice) group should hold ~``target_rows`` rows, so
+    a key holding 1% of a 100-TB table no longer has to fit one bucket.
+    ``None`` (single slice, no split) when the expected per-key rows are
+    already under target or footer time stats are unavailable."""
+    import math
+
+    from ..io import footer_column_minmax, list_parquet_files
+
+    n_slices = math.ceil((n_rows / max(key_domain, 1)) / target_rows)
+    if n_slices <= 1:
+        return None
+    los, his = [], []
+    for path, col in paths_cols:
+        mm = footer_column_minmax(list_parquet_files(path), col)
+        if mm is None:
+            return None
+        los.append(np.datetime64(mm[0], "D").astype(np.int64))
+        his.append(np.datetime64(mm[1], "D").astype(np.int64))
+    span_days = int(max(his)) - int(min(los)) + 1
+    return max(1, math.ceil(span_days / n_slices))
+
+
 def windowed_events_daily(sf_dir: str) -> pd.DataFrame:
     """Tumbling 1-day event-time windows per event_type: count + sum.
     The window is a pure projection, so each scan task reduces straight
@@ -199,36 +233,56 @@ def sessionize_events(
 
 
 def asof_value_per_order(
-    sf_dir: str, num_buckets: int | None = None
+    sf_dir: str,
+    num_buckets: int | None = None,
+    slice_days: int | None = None,
 ) -> pd.DataFrame:
     """As-of join: for each order, the FIRST event at-or-after the order
     date whose (coarse) user key matches. Summary output: orders matched
     + rounded value sum.
 
-    Partitioning is decoupled from the join key: rows are bucketed by
-    spread-hash(key) % B with B sized from the input row count, and each
-    bucket runs ONE vectorized ``pd.merge_asof(..., by="key")`` over all
-    the keys it holds — no per-key Python loop, no fixed fan-out. Events
-    are pre-aggregated to MAX(value) per (key, t) inside the batch
-    transform, so the shuffle ships at most one row per distinct
-    (key, timestamp). The partitioning assumption: one key's rows fit in
-    one bucket (inherent to an as-of join; splitting a key would need
-    time-sliced stitching)."""
+    Partitioning is decoupled from the join key AND from the key's size:
+    rows are bucketed by spread-hash(key, time_slice) % B, where the
+    slice width comes from ``_auto_slice_days`` — a key holding 1% of
+    the table splits across span/width buckets instead of having to fit
+    one pandas frame. Each bucket runs ONE vectorized
+    ``pd.merge_asof(..., by=["key","slice"])`` over the (key, slice)
+    groups it holds; orders left unmatched inside their slice are
+    stitched on the driver: every unresolved order of (key, s) matches
+    the SAME event — the first event of the nearest later slice — so the
+    stitch state is one fixed-width row per non-empty (key, slice), a
+    summary-sized exchange, never the log. Events are pre-aggregated to
+    MAX(value) per (key, t) inside the batch transform, so the shuffle
+    ships at most one row per distinct (key, timestamp)."""
     o_path, e_path = f"{sf_dir}/orders.parquet", f"{sf_dir}/events.parquet"
-    n_buckets = num_buckets or scaled_num_buckets(
-        count_rows(o_path) + count_rows(e_path)
-    )
+    n_rows = count_rows(o_path) + count_rows(e_path)
+    n_buckets = num_buckets or scaled_num_buckets(n_rows)
+    if slice_days is None:
+        slice_days = _auto_slice_days(
+            [(o_path, "o_orderdate"), (e_path, "ts")], n_rows
+        )
+    sd = None if slice_days is None else np.int64(slice_days)
+
+    def _slice_of(t: np.ndarray) -> np.ndarray:
+        if sd is None:
+            return np.zeros(len(t), dtype=np.int64)
+        return (t // _US_PER_DAY) // sd
 
     def o_project(batch: pa.Table) -> pd.DataFrame:
         df = batch.to_pandas()
         key = (df["o_custkey"] % 100).astype("int64")
+        t = df["o_orderdate"].astype("int64")
+        sl = _slice_of(t.to_numpy())
         return pd.DataFrame(
             {
                 "side": np.int8(0),
                 "key": key,
-                "t": df["o_orderdate"].astype("int64"),
+                "slice": sl,
+                "t": t,
                 "value": np.zeros(len(df)),
-                "__bucket": _bucket_of(key.to_numpy(), n_buckets),
+                "__bucket": _bucket_of(
+                    key.to_numpy() * _SLICE_MIX + sl, n_buckets
+                ),
             }
         )
 
@@ -244,30 +298,71 @@ def asof_value_per_order(
         # per-batch combiner: one row per distinct (key, t) enters the
         # shuffle (MAX keeps tie-breaking deterministic + oracle-matching)
         part = part.groupby(["key", "t"], as_index=False)["value"].max()
+        part["slice"] = _slice_of(part["t"].to_numpy())
         part.insert(0, "side", np.int8(1))
-        part["__bucket"] = _bucket_of(part["key"].to_numpy(), n_buckets)
-        return part[["side", "key", "t", "value", "__bucket"]]
+        part["__bucket"] = _bucket_of(
+            part["key"].to_numpy() * _SLICE_MIX + part["slice"].to_numpy(),
+            n_buckets,
+        )
+        return part[["side", "key", "slice", "t", "value", "__bucket"]]
+
+    _empty = pd.DataFrame(
+        {
+            "key": pd.Series([], dtype="int64"),
+            "slice": pd.Series([], dtype="int64"),
+            "matched": pd.Series([], dtype="int64"),
+            "sum_value": pd.Series([], dtype="float64"),
+            "unresolved": pd.Series([], dtype="int64"),
+            "first_v": pd.Series([], dtype="float64"),
+        }
+    )
 
     def asof_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        o = g[g["side"] == 0][["key", "t"]].sort_values("t", kind="stable")
+        o = g[g["side"] == 0][["key", "slice", "t"]].sort_values(
+            "t", kind="stable"
+        )
         e = (
             g[g["side"] == 1]
-            .groupby(["key", "t"], as_index=False)["value"]
+            .groupby(["key", "slice", "t"], as_index=False)["value"]
             .max()
             .sort_values("t", kind="stable")
         )
-        if len(o) == 0 or len(e) == 0:
-            return pd.DataFrame({"matched": [0], "sum_value": [0.0]})
-        joined = pd.merge_asof(
-            o, e, on="t", by="key", direction="forward"
-        )
-        matched = joined["value"].notna()
-        return pd.DataFrame(
+        if len(o) == 0 and len(e) == 0:
+            return _empty
+        if len(o) and len(e):
+            joined = pd.merge_asof(
+                o, e, on="t", by=["key", "slice"], direction="forward"
+            )
+        else:
+            joined = o.assign(value=np.nan)
+        jj = pd.DataFrame(
             {
-                "matched": [int(matched.sum())],
-                "sum_value": [float(joined.loc[matched, "value"].sum())],
+                "key": joined["key"],
+                "slice": joined["slice"],
+                "m": joined["value"].notna().astype(np.int64),
+                "v": joined["value"].fillna(0.0),
             }
         )
+        part_o = jj.groupby(["key", "slice"], as_index=False).agg(
+            matched=("m", "sum"), sum_value=("v", "sum"), n=("m", "size")
+        )
+        part_o["unresolved"] = (part_o["n"] - part_o["matched"]).astype(
+            np.int64
+        )
+        part_o = part_o.drop(columns=["n"])
+        # first event per (key, slice): e is t-sorted, so first = min t —
+        # the stitch target for earlier slices' unresolved orders
+        fe = e.groupby(["key", "slice"], as_index=False).first()[
+            ["key", "slice", "value"]
+        ].rename(columns={"value": "first_v"})
+        out = part_o.merge(fe, on=["key", "slice"], how="outer")
+        for c, fill in (("matched", 0), ("sum_value", 0.0), ("unresolved", 0)):
+            out[c] = out[c].fillna(fill)
+        out["matched"] = out["matched"].astype(np.int64)
+        out["unresolved"] = out["unresolved"].astype(np.int64)
+        return out[
+            ["key", "slice", "matched", "sum_value", "unresolved", "first_v"]
+        ]
 
     from .dedup import _fused_grouped_frames
 
@@ -279,16 +374,34 @@ def asof_value_per_order(
         n_buckets,
         asof_in_bucket,
     )
+    if len(parts) == 0:
+        return pd.DataFrame(
+            {"matched_orders": [0], "sum_matched_value": [0.0]}
+        )
+    # stitch: in slice-descending order per key, the nearest later
+    # slice's first event (ffill over slices with no events)
+    g = parts.sort_values(
+        ["key", "slice"], ascending=[True, False], kind="stable"
+    ).reset_index(drop=True)
+    nxt = g.groupby("key")["first_v"].shift(1)
+    nxt = nxt.groupby(g["key"]).ffill()
+    late_matched = (g["unresolved"] * nxt.notna().astype(np.int64)).sum()
+    late_sum = (g["unresolved"] * nxt.fillna(0.0)).sum()
     return pd.DataFrame(
         {
-            "matched_orders": [int(parts["matched"].sum())],
-            "sum_matched_value": [float(round_duck(parts["sum_value"].sum(), 2))],
+            "matched_orders": [int(g["matched"].sum() + late_matched)],
+            "sum_matched_value": [
+                float(round_duck(g["sum_value"].sum() + late_sum, 2))
+            ],
         }
     )
 
 
 def range_join_orders_lineitem(
-    sf_dir: str, window_days: int = 7, num_buckets: int | None = None
+    sf_dir: str,
+    window_days: int = 7,
+    num_buckets: int | None = None,
+    slice_days: int | None = None,
 ) -> pd.DataFrame:
     """Equi-key + time-range join: every (order, lineitem) pair where
     the lineitem's (coarse) supplier key matches the order's customer
@@ -296,62 +409,90 @@ def range_join_orders_lineitem(
     window_days)``. Summary output: pair count, orders with >=1 match,
     rounded extended-price sum.
 
-    Partitioning mirrors the as-of join: both sides bucket by
-    spread-hash(key) % B with B sized from the input rows; within a
-    bucket, lineitems are sorted by (key, ship_ts) once and each key's
+    Partitioning: both sides bucket by spread-hash(key, time_slice) % B
+    — the hot-key ceiling of a pure key-hash is removed by slicing the
+    time axis (``_auto_slice_days``, clamped to >= window_days). Because
+    a slice is at least one window wide, an order's window spans at most
+    its own slice and the next, so each lineitem is shipped to its own
+    slice plus (only when it sits in the first ``window_days`` of a
+    slice) a halo copy to the previous slice — bounded <=2x duplication
+    of the probe side, no driver stitching. Within a bucket, lineitems
+    are sorted by ((key, slice), ship_ts) once and each (key, slice)'s
     orders resolve their window with two vectorized ``np.searchsorted``
-    calls against the key's slice — pair counts are ``hi - lo`` and
-    value sums come from a prefix-sum, so the (potentially quadratic)
-    pair list is never materialized. The loop is over DISTINCT keys in
-    the bucket (vectorized inside), and the partitioning assumption is
-    the as-of join's: one key's rows fit in one bucket."""
+    calls; pair counts are ``hi - lo`` and value sums come from a
+    prefix-sum, so the (potentially quadratic) pair list is never
+    materialized."""
     o_path, l_path = f"{sf_dir}/orders.parquet", f"{sf_dir}/lineitem.parquet"
-    n_buckets = num_buckets or scaled_num_buckets(
-        count_rows(o_path) + count_rows(l_path)
-    )
-    window_us = np.int64(window_days) * 86_400_000_000
+    n_rows = count_rows(o_path) + count_rows(l_path)
+    n_buckets = num_buckets or scaled_num_buckets(n_rows)
+    if slice_days is None:
+        slice_days = _auto_slice_days(
+            [(o_path, "o_orderdate"), (l_path, "l_shipdate")], n_rows
+        )
+    if slice_days is not None and slice_days < window_days:
+        slice_days = window_days  # halo must cover one previous slice only
+    sd = None if slice_days is None else np.int64(slice_days)
+    window_us = np.int64(window_days) * _US_PER_DAY
 
     def o_project(batch: pa.Table) -> pd.DataFrame:
         df = batch.to_pandas()
         key = (df["o_custkey"] % 100).astype("int64")
+        t = df["o_orderdate"].astype("int64")
+        if sd is None:
+            sl = np.zeros(len(df), dtype=np.int64)
+        else:
+            sl = (t.to_numpy() // _US_PER_DAY) // sd
+        ck = key.to_numpy() * _SLICE_MIX + sl
         return pd.DataFrame(
             {
                 "side": np.int8(0),
-                "key": key,
-                "t": df["o_orderdate"].astype("int64"),
+                "ck": ck,
+                "t": t,
                 "value": np.zeros(len(df)),
-                "__bucket": _bucket_of(key.to_numpy(), n_buckets),
+                "__bucket": _bucket_of(ck, n_buckets),
             }
         )
 
     def l_project(batch: pa.Table) -> pd.DataFrame:
         df = batch.to_pandas()
-        key = (df["l_suppkey"] % 100).astype("int64")
+        key = (df["l_suppkey"] % 100).astype("int64").to_numpy()
+        t = df["l_shipdate"].astype("int64").to_numpy()
+        value = df["l_extendedprice"].astype("float64").to_numpy()
+        if sd is None:
+            ck = key * _SLICE_MIX
+        else:
+            day = t // _US_PER_DAY
+            sl = day // sd
+            ck = key * _SLICE_MIX + sl
+            halo = day % sd < np.int64(window_days)  # serves prev slice too
+            ck = np.concatenate([ck, key[halo] * _SLICE_MIX + sl[halo] - 1])
+            t = np.concatenate([t, t[halo]])
+            value = np.concatenate([value, value[halo]])
         return pd.DataFrame(
             {
                 "side": np.int8(1),
-                "key": key,
-                "t": df["l_shipdate"].astype("int64"),
-                "value": df["l_extendedprice"].astype("float64"),
-                "__bucket": _bucket_of(key.to_numpy(), n_buckets),
+                "ck": ck,
+                "t": t,
+                "value": value,
+                "__bucket": _bucket_of(ck, n_buckets),
             }
         )
 
     def range_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         o = g[g["side"] == 0]
-        e = g[g["side"] == 1].sort_values(["key", "t"], kind="stable")
+        e = g[g["side"] == 1].sort_values(["ck", "t"], kind="stable")
         if len(o) == 0 or len(e) == 0:
             return pd.DataFrame(
                 {"pairs": [0], "matched": [0], "sum_value": [0.0]}
             )
-        e_key = e["key"].to_numpy()
+        e_ck = e["ck"].to_numpy()
         e_t = e["t"].to_numpy()
         csum = np.concatenate([[0.0], np.cumsum(e["value"].to_numpy())])
         pairs = 0
         matched = 0
         sum_value = 0.0
-        for key, og in o.groupby("key", sort=False):
-            k0, k1 = np.searchsorted(e_key, [key, key + 1])
+        for ck, og in o.groupby("ck", sort=False):
+            k0, k1 = np.searchsorted(e_ck, [ck, ck + 1])
             if k0 == k1:
                 continue
             start = og["t"].to_numpy()

@@ -44,3 +44,26 @@ def test_join_partition_count_invariant_and_scaled():
     c = join_orders_customer(SF_DIR)  # footer-derived
     pd.testing.assert_frame_equal(a, b)
     pd.testing.assert_frame_equal(a, c)
+
+
+def test_asof_time_slice_invariant():
+    """Hot-key time slicing: with tiny slice widths a key's rows split
+    across many (key, slice) buckets and unresolved orders resolve via
+    the driver stitch — result must equal the unsliced run. (The
+    testdata makes this a hard test: events are years after orders, so
+    sliced runs stitch nearly every match across slices.)"""
+    a = asof_value_per_order(SF_DIR, num_buckets=4)
+    for sd, nb in ((365, 4), (90, 9), (30, 16)):
+        b = asof_value_per_order(SF_DIR, num_buckets=nb, slice_days=sd)
+        pd.testing.assert_frame_equal(a, b)
+
+
+def test_range_join_time_slice_invariant():
+    """Range-join halo duplication: slice width clamps to >= window so
+    each lineitem ships to <=2 slices; result invariant to slicing."""
+    from datapact_ray.pipelines.windows import range_join_orders_lineitem
+
+    a = range_join_orders_lineitem(SF_DIR, num_buckets=4)
+    for sd, nb in ((365, 4), (30, 9), (7, 16), (3, 5)):  # 3 clamps to 7
+        b = range_join_orders_lineitem(SF_DIR, num_buckets=nb, slice_days=sd)
+        pd.testing.assert_frame_equal(a, b)
