@@ -1411,69 +1411,305 @@ def _cc_union_find(a: np.ndarray, b: np.ndarray) -> dict[int, int]:
     return {x: find(x) for x in parent}
 
 
+_CC_MIX_A = np.uint64(0x9E3779B97F4A7C15)
+_CC_MIX_B = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _cc_bucket(nodes: np.ndarray, num_buckets: int) -> np.ndarray:
+    h = nodes.astype(np.uint64) * _CC_MIX_A
+    return ((h >> np.uint64(32)) % np.uint64(num_buckets)).astype(np.int32)
+
+
+def _cc_round(num_buckets: int, *shards) -> list:
+    """One fused hash-to-min round over a node-bucket (Rastogi et al.,
+    "Finding Connected Components in Map-Reduce in Logarithmic Rounds",
+    ICDE 2013): concatenate the bucket's state shards, digest the
+    current per-node min labels (the driver's convergence signal — two
+    ints, never the state), propagate (min gets every member, every
+    member gets the min), and split the new state by node hash. Returns
+    ``num_buckets`` shard tables + the ``(n_nodes, label_hash)`` digest;
+    the state itself moves object-store → object-store."""
+    from ..shuffle import _split_by_bucket
+
+    tables = [s for s in shards if s is not None and s.num_rows]
+    if not tables:
+        return [None] * num_buckets + [(0, 0)]
+    df = pa.concat_tables(tables).to_pandas()
+    g = df.groupby("node")["member"]
+    mins = g.min().rename("m")
+    node_h = mins.index.to_numpy().astype(np.uint64) * _CC_MIX_A
+    lab_h = mins.to_numpy().astype(np.uint64) * _CC_MIX_B
+    digest = (int(len(mins)), int((node_h ^ lab_h).sum()))
+    j = df.merge(mins, left_on="node", right_index=True)
+    out = pd.concat(
+        [
+            pd.DataFrame({"node": j["m"], "member": j["member"]}),
+            pd.DataFrame({"node": j["member"], "member": j["m"]}),
+        ],
+        ignore_index=True,
+    ).drop_duplicates()
+    out["__bucket"] = _cc_bucket(out["node"].to_numpy(), num_buckets)
+    return list(_split_by_bucket(out, num_buckets)) + [digest]
+
+
+def _cc_rounds_refs(
+    state_refs: list, num_buckets: int, max_rounds: int = 32
+) -> list[list]:
+    """Drive hash-to-min to convergence with OBJECT-STORE-RESIDENT round
+    state: the driver holds only ObjectRefs and per-round digests (two
+    ints per bucket); no round's state frame is ever materialized
+    driver-side. Input: refs of initial ``(node, member, __bucket)``
+    frames; output: converged per-producer shard-ref lists."""
+    split_task = ray.remote(num_returns=num_buckets)(_split_by_bucket_remote)
+    round_task = ray.remote(num_returns=num_buckets + 1)(_cc_round)
+    shard_lists = []
+    for r in state_refs:
+        res = split_task.remote(r, num_buckets)
+        if num_buckets == 1:
+            res = [res]
+        shard_lists.append(res)
+    prev = None
+    for _ in range(max_rounds):
+        outs = [
+            round_task.remote(num_buckets, *[sl[b] for sl in shard_lists])
+            for b in range(num_buckets)
+        ]  # num_returns >= 2, so each entry is a list of B+1 refs
+        digests = ray.get([o[num_buckets] for o in outs])
+        dig = (
+            sum(d[0] for d in digests),
+            sum(d[1] for d in digests) % (1 << 64),
+        )
+        shard_lists = [o[:num_buckets] for o in outs]
+        if dig == prev:
+            break
+        prev = dig
+    return shard_lists
+
+
+def _split_by_bucket_remote(table, num_buckets: int):
+    from ..shuffle import _split_by_bucket
+
+    return _split_by_bucket(table, num_buckets)
+
+
+def _cc_label_counts(num_buckets: int, *shards) -> pd.DataFrame | None:
+    """Per node-bucket: final labels (min member per node) reduced to
+    (label, count) partials, re-bucketed by label hash for the summary
+    exchange — the driver never sees node-sized rows."""
+    tables = [s for s in shards if s is not None and s.num_rows]
+    if not tables:
+        return None
+    df = pa.concat_tables(tables).to_pandas()
+    vc = df.groupby("node")["member"].min().value_counts()
+    out = pd.DataFrame(
+        {
+            "label": vc.index.to_numpy(dtype=np.int64),
+            "cnt": vc.to_numpy(dtype=np.int64),
+        }
+    )
+    out["__bucket"] = _cc_bucket(out["label"].to_numpy(), num_buckets)
+    return out
+
+
+def _cc_label_summary(table: pa.Table, bucket_idx: int) -> pd.DataFrame:
+    """Per label-bucket: merge (label, count) partials across node
+    buckets and reduce to ONE row of cluster-size stats."""
+    df = table.to_pandas()
+    sizes = df.groupby("label")["cnt"].sum()
+    return pd.DataFrame(
+        {
+            "n_clusters": [int(len(sizes))],
+            "docs": [int(sizes.sum())],
+            "largest": [int(sizes.max())],
+        }
+    )
+
+
+def _cc_summary_refs(shard_lists: list[list], num_buckets: int) -> pd.DataFrame:
+    """Converged state refs → B-row cluster summary on the driver."""
+    from ..shuffle import ref_bucket_shuffle_refs
+
+    label_task = ray.remote(_cc_label_counts)
+    label_refs = [
+        label_task.remote(num_buckets, *[sl[b] for sl in shard_lists])
+        for b in range(num_buckets)
+    ]
+    sum_refs = ref_bucket_shuffle_refs(label_refs, num_buckets, _cc_label_summary)
+    frames = [f for f in ray.get(sum_refs) if f is not None]
+    if not frames:
+        return pd.DataFrame({"n_clusters": [0], "docs": [0], "largest": [0]})
+    allf = pd.concat(frames, ignore_index=True)
+    return pd.DataFrame(
+        {
+            "n_clusters": [int(allf["n_clusters"].sum())],
+            "docs": [int(allf["docs"].sum())],
+            "largest": [int(allf["largest"].max())],
+        }
+    )
+
+
+def _cc_collect_labels(shard_lists: list[list], num_buckets: int) -> dict[int, int]:
+    """Materialize {node: label} on the driver — TEST/debug hook only
+    (node-sized); the engine path goes through ``_cc_summary_refs``."""
+    label_task = ray.remote(_cc_labels_frame)
+    refs = [
+        label_task.remote(*[sl[b] for sl in shard_lists])
+        for b in range(num_buckets)
+    ]
+    out: dict[int, int] = {}
+    for f in ray.get(refs):
+        if f is not None:
+            out.update(zip(f["node"].tolist(), f["label"].tolist()))
+    return out
+
+
+def _cc_labels_frame(*shards) -> pd.DataFrame | None:
+    tables = [s for s in shards if s is not None and s.num_rows]
+    if not tables:
+        return None
+    df = pa.concat_tables(tables).to_pandas()
+    lab = df.groupby("node", as_index=False)["member"].min()
+    return lab.rename(columns={"member": "label"})
+
+
 def _cc_hash_to_min(
     a: np.ndarray, b: np.ndarray, num_buckets: int, max_rounds: int = 32
 ) -> dict[int, int]:
-    """Distributed connected components: hash-to-min label propagation
-    (Rastogi et al., "Finding Connected Components in Map-Reduce in
-    Logarithmic Rounds", ICDE 2013) over the explicit bucket shuffle.
-
-    State: rows ``(node, member)`` meaning *member is in node's candidate
-    cluster*. Each round buckets rows by ``hash(node)``, then per node
-    sends the full member set to the minimum member and the minimum to
-    every other member; converges in O(log diameter) rounds (near-dup
-    clusters are shallow, so 2–4 in practice). Per-round state is
-    O(cluster_size) rows per node — bounded by the same similarity
-    structure that bounds the pair list itself.
-
-    Rounds synchronize through the driver (each round's deduped state is
-    re-dispatched); state is edge-sized, not corpus-sized, so this is
-    the same driver budget the pair merge already assumes. Returns
-    {doc_id: component_min} for every endpoint."""
-    import ray.data
-
+    """Distributed connected components over in-memory edge arrays:
+    seed the ``C(v) = {v} ∪ N(v)`` state into the object store, run the
+    refs-resident hash-to-min rounds, collect labels. (Kept for edge
+    lists that are already driver-resident and for the equivalence
+    tests; the corpus-scale path — ``_dedup_clusters_distributed`` —
+    never brings edges OR labels to the driver.)"""
     state = pd.DataFrame(
         {
             "node": np.concatenate([a, b, a, b]),
             "member": np.concatenate([b, a, a, b]),  # C(v) = {v} ∪ N(v)
         }
     ).drop_duplicates()
+    state["__bucket"] = _cc_bucket(state["node"].to_numpy(), num_buckets)
+    refs = [ray.put(pa.Table.from_pandas(state, preserve_index=False))]
+    shard_lists = _cc_rounds_refs(refs, num_buckets, max_rounds)
+    return _cc_collect_labels(shard_lists, num_buckets)
 
-    def propagate(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("node")["member"]
-        mins = g.min().rename("m")
-        j = df.merge(mins, left_on="node", right_index=True)
-        # min -> gets every member; every member -> gets the min
-        out = pd.concat(
-            [
-                pd.DataFrame({"node": j["m"], "member": j["member"]}),
-                pd.DataFrame({"node": j["member"], "member": j["m"]}),
-            ],
-            ignore_index=True,
-        )
-        return out.drop_duplicates()
 
-    prev_labels: pd.Series | None = None
-    for _ in range(max_rounds):
-        state["__bucket"] = (
-            state["node"].to_numpy().astype(np.uint64)
-            * np.uint64(0x9E3779B97F4A7C15)
-            % np.uint64(num_buckets)
+class _PairPartialsCC:
+    """Stage-1 reduce for the object-store clustering path: the shingle
+    bucket's partial pair intersections (``_bucket_intersections``),
+    re-bucketed by hash(a, b) for the distributed merge. The frame stays
+    in the object store — never concatenated on the driver."""
+
+    def __init__(self, num_buckets: int):
+        self.num_buckets = num_buckets
+
+    def __call__(self, table: pa.Table, bucket_idx: int) -> pd.DataFrame | None:
+        out = _bucket_intersections(table.to_pandas())
+        if out is None or len(out) == 0:
+            return None
+        a = out["a"].to_numpy(dtype=np.int64).astype(np.uint64)
+        b = out["b"].to_numpy(dtype=np.int64).astype(np.uint64)
+        h = a * _CC_MIX_A + b * _CC_MIX_B
+        out["__bucket"] = (
+            (h >> np.uint64(32)) % np.uint64(self.num_buckets)
         ).astype(np.int32)
-        # from_arrow, not from_pandas: the explicit shuffle's split task
-        # consumes Arrow blocks (arrow_block_refs skips the conversion
-        # probe to_arrow_refs used to pay a full re-execution for)
-        ds = ray.data.from_arrow(pa.Table.from_pandas(state, preserve_index=False))
-        state = _grouped_frames(ds, num_buckets, propagate)
-        labels = state.groupby("node")["member"].min()
-        if prev_labels is not None and labels.equals(prev_labels):
-            break
-        prev_labels = labels
-    return {int(k): int(v) for k, v in prev_labels.items()}
+        return out
+
+
+class _EdgesToState:
+    """Stage-2 reduce: merge partial intersections by (a, b), threshold
+    on EXACT Jaccard, optionally tap the verified edges to parquet
+    (resumable: one ``part-<bucket>.parquet`` + ``_SUCCESS`` marker per
+    bucket, skipped when present), and emit the initial hash-to-min
+    state ``(node, member)`` bucketed by node hash."""
+
+    def __init__(
+        self, threshold: float, num_buckets: int, pairs_out_dir: str | None
+    ):
+        self.threshold = threshold
+        self.num_buckets = num_buckets
+        self.pairs_out_dir = pairs_out_dir
+
+    def __call__(self, table: pa.Table, bucket_idx: int) -> pd.DataFrame | None:
+        df = table.to_pandas()
+        g = df.groupby(["a", "b"], as_index=False).agg(
+            inter=("inter", "sum"), na=("na", "first"), nb=("nb", "first")
+        )
+        jac = g["inter"] / (g["na"] + g["nb"] - g["inter"])
+        e = g[jac >= self.threshold]
+        if self.pairs_out_dir is not None:
+            import os
+
+            os.makedirs(self.pairs_out_dir, exist_ok=True)
+            marker = f"{self.pairs_out_dir}/part-{bucket_idx:05d}._SUCCESS"
+            if not os.path.exists(marker):
+                tap = e.assign(jaccard=jac[jac >= self.threshold])
+                pa_tab = pa.Table.from_pandas(
+                    tap[["a", "b", "inter", "na", "nb", "jaccard"]],
+                    preserve_index=False,
+                )
+                import pyarrow.parquet as _pq
+
+                _pq.write_table(
+                    pa_tab,
+                    f"{self.pairs_out_dir}/part-{bucket_idx:05d}.parquet",
+                )
+                open(marker, "w").close()
+        if e.empty:
+            return None
+        a = e["a"].to_numpy(dtype=np.int64)
+        b = e["b"].to_numpy(dtype=np.int64)
+        st = pd.DataFrame(
+            {
+                "node": np.concatenate([a, b, a, b]),
+                "member": np.concatenate([b, a, a, b]),
+            }
+        ).drop_duplicates()
+        st["__bucket"] = _cc_bucket(st["node"].to_numpy(), self.num_buckets)
+        return st
+
+
+def _dedup_clusters_distributed(
+    sf_dir: str, threshold: float, pairs_out_dir: str | None = None
+) -> pd.DataFrame:
+    """Corpus-scale cluster labeling with NOTHING pair- or node-sized on
+    the driver: shingle-bucket pair partials (refs) → hash(a,b)-bucket
+    exact-Jaccard merge emitting edge state (refs, optional parquet tap)
+    → object-store-resident hash-to-min rounds (driver sees per-round
+    digests only) → label-count exchange → B-row summary."""
+    from ..io import list_parquet_files
+    from ..shuffle import parquet_bucket_shuffle_refs, ref_bucket_shuffle_refs
+
+    num_buckets = _dedup_buckets()
+    files = list_parquet_files(f"{sf_dir}/documents.parquet")
+    stage1 = parquet_bucket_shuffle_refs(
+        [(files, _ShingleRows(num_buckets), ["doc_id", "text"], None)],
+        None,
+        None,
+        num_buckets,
+        _PairPartialsCC(num_buckets),
+    )
+    state_refs = ref_bucket_shuffle_refs(
+        stage1, num_buckets, _EdgesToState(threshold, num_buckets, pairs_out_dir)
+    )
+    shard_lists = _cc_rounds_refs(state_refs, num_buckets)
+    s = _cc_summary_refs(shard_lists, num_buckets)
+    return pd.DataFrame(
+        {
+            "n_clusters": [int(s["n_clusters"].iloc[0])],
+            "docs_in_clusters": [int(s["docs"].iloc[0])],
+            "largest_cluster": [int(s["largest"].iloc[0])],
+            "docs_removable": [
+                int(s["docs"].iloc[0] - s["n_clusters"].iloc[0])
+            ],
+        }
+    )
 
 
 def dedup_clusters_documents(
-    sf_dir: str, threshold: float = 0.3, distributed: bool | None = None
+    sf_dir: str,
+    threshold: float = 0.3,
+    distributed: bool | None = None,
+    pairs_out_dir: str | None = None,
 ) -> pd.DataFrame:
     """Duplicate-cluster labeling: exact n-gram-Jaccard pairs at
     ``threshold`` → connected components → cluster summary. This is the
@@ -1481,7 +1717,20 @@ def dedup_clusters_documents(
     (keep ONE representative per component, not per pair).
 
     ``docs_removable`` = docs_in_clusters − n_clusters: dropping all but
-    the min-doc_id representative of each component."""
+    the min-doc_id representative of each component.
+
+    Two paths, identical results: small corpora collect the pair list
+    and run driver union-find; at scale (``distributed=True``, auto
+    above 2M docs) pairs, CC round state and labels ALL stay in the
+    object store — the driver handles only refs, per-round digests and
+    the final B-row summary, so driver memory is flat in the pair
+    count even for an adversarially duplicated corpus."""
+    if distributed is None:
+        from ..io import count_rows
+
+        distributed = count_rows(f"{sf_dir}/documents.parquet") > 2_000_000
+    if distributed:
+        return _dedup_clusters_distributed(sf_dir, threshold, pairs_out_dir)
     a_u, b_u, jac, _ = _exact_jaccard_pair_arrays(sf_dir)
     hit = jac >= threshold
     a_h, b_h = a_u[hit], b_u[hit]
@@ -1494,13 +1743,7 @@ def dedup_clusters_documents(
                 "docs_removable": [0],
             }
         )
-    if distributed is None:
-        distributed = len(a_h) > 5_000_000  # driver UF budget
-    labels = (
-        _cc_hash_to_min(a_h, b_h, _dedup_buckets())
-        if distributed
-        else _cc_union_find(a_h, b_h)
-    )
+    labels = _cc_union_find(a_h, b_h)
     lab = np.fromiter(labels.values(), dtype=np.int64, count=len(labels))
     _, sizes = np.unique(lab, return_counts=True)
     return pd.DataFrame(

@@ -33,6 +33,8 @@ import ray.data
 
 def _split_by_bucket(table: pa.Table, num_buckets: int) -> list[pa.Table]:
     """Split one block into per-bucket sub-tables (vectorized sort+slice)."""
+    if table is None:  # empty producer in a ref-chained exchange
+        return [None] * num_buckets
     if isinstance(table, pd.DataFrame):  # block from a pandas producer
         table = pa.Table.from_pandas(table, preserve_index=False)
     if table.num_rows == 0:
@@ -53,13 +55,27 @@ def _reduce_bucket(checker_fn: Callable, *shards: pa.Table) -> bytes | None:
     """Concatenate a bucket's shards (staying Arrow — the checker only
     converts fixed-width helper columns) and run the verification
     callable. Returns the pickled metrics blob (None for empty)."""
-    tables = [s for s in shards if s.num_rows]
+    tables = [s for s in shards if s is not None and s.num_rows]
     if not tables:
         return None
     out = checker_fn(pa.concat_tables(tables))
     if len(out) == 0:
         return None
     return out["blob"].iloc[0]
+
+
+def _reduce_bucket_table(checker_fn: Callable, bucket_idx: int, *shards):
+    """Reduce a bucket's shards with ``checker_fn(table, bucket_idx)``
+    and return the output frame ITSELF — it stays in the object store as
+    the task's return; the driver only ever holds the ObjectRef. None
+    for an empty bucket."""
+    tables = [s for s in shards if s is not None and s.num_rows]
+    if not tables:
+        return None
+    out = checker_fn(pa.concat_tables(tables), bucket_idx)
+    if out is None or len(out) == 0:
+        return None
+    return out
 
 
 def _scan_units(files: list[str], target_bytes: int = 96 << 20) -> list[list[tuple]]:
@@ -277,6 +293,70 @@ def parquet_bucket_shuffle(
             reduce_task.remote(checker_ref, *[shards[b] for shards in shard_lists])
         )
     return [blob for blob in ray.get(blobs) if blob is not None]
+
+
+def parquet_bucket_shuffle_refs(
+    sides: list[tuple],
+    columns: list[str] | None,
+    filter_expr,
+    num_buckets: int,
+    checker_fn: Callable,
+) -> list:
+    """Like :func:`parquet_bucket_shuffle`, but the reduce output stays
+    OBJECT-STORE-RESIDENT: returns one ObjectRef per bucket (resolving
+    to a frame, or None for an empty bucket) — the driver never holds
+    the data. ``checker_fn(table, bucket_idx)`` may use the bucket index
+    for resumable per-bucket side outputs."""
+    import pickle
+
+    map_task = ray.remote(num_returns=num_buckets)(_map_project_split)
+    reduce_task = ray.remote(_reduce_bucket_table)
+    checker_ref = ray.put(checker_fn)
+    target_bytes = _shuffle_target_bytes([side[0] for side in sides])
+
+    shard_lists: list = []
+    for side in sides:
+        if len(side) == 2:
+            files, projector = side
+            s_cols, s_expr = columns, filter_expr
+        else:
+            files, projector, s_cols, s_expr = side
+        expr_pickle = pickle.dumps(s_expr) if s_expr is not None else None
+        proj_ref = ray.put(projector)
+        for unit in _scan_units(files, target_bytes):
+            result = map_task.remote(
+                unit, s_cols, expr_pickle, proj_ref, num_buckets
+            )
+            if num_buckets == 1:
+                result = [result]
+            shard_lists.append(result)
+
+    return [
+        reduce_task.remote(checker_ref, b, *[shards[b] for shards in shard_lists])
+        for b in range(num_buckets)
+    ]
+
+
+def ref_bucket_shuffle_refs(
+    block_refs: list, num_buckets: int, checker_fn: Callable
+) -> list:
+    """Shuffle object-store-resident frames (each carrying ``__bucket``)
+    into a new bucketing and reduce — both input and output stay as
+    ObjectRefs; the driver moves only refs. The building block for
+    multi-round distributed state (dedup connected components)."""
+    split_task = ray.remote(num_returns=num_buckets)(_split_by_bucket)
+    reduce_task = ray.remote(_reduce_bucket_table)
+    checker_ref = ray.put(checker_fn)
+    shard_lists = []
+    for r in block_refs:
+        result = split_task.remote(r, num_buckets)
+        if num_buckets == 1:
+            result = [result]
+        shard_lists.append(result)
+    return [
+        reduce_task.remote(checker_ref, b, *[shards[b] for shards in shard_lists])
+        for b in range(num_buckets)
+    ]
 
 
 def arrow_block_refs(ds: ray.data.Dataset) -> list:

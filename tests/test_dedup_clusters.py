@@ -47,3 +47,61 @@ def test_pair_order_invariance():
     fwd = _cc_union_find(a, b)
     rev = _cc_union_find(b[::-1].copy(), a[::-1].copy())
     assert fwd == rev == {1: 1, 2: 1, 5: 1, 9: 1}
+
+
+def _write_dup_corpus(tmpdir, n_groups=120, group_size=8):
+    """Adversarially duplicated corpus: n_groups clusters of identical
+    docs — pair count is quadratic in group_size (n_groups * C(gs,2))."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts, ids = [], []
+    for g in range(n_groups):
+        body = " ".join(f"tok{g}w{i} common{i % 3}" for i in range(12))
+        for m in range(group_size):
+            ids.append(g * 1000 + m)
+            texts.append(body)
+    os.makedirs(tmpdir, exist_ok=True)
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts}),
+        f"{tmpdir}/documents.parquet",
+    )
+
+
+def test_distributed_clusters_match_driver_on_duplicated_corpus(tmp_path):
+    """The object-store CC path (pairs, round state and labels never on
+    the driver) must match driver union-find on a corpus whose pair list
+    is quadratic-in-group-size, and the closed form: 120 clusters of 8."""
+    from datapact_ray.pipelines.dedup import dedup_clusters_documents
+
+    _write_dup_corpus(str(tmp_path))
+    drv = dedup_clusters_documents(str(tmp_path), distributed=False)
+    dist = dedup_clusters_documents(
+        str(tmp_path), distributed=True,
+        pairs_out_dir=str(tmp_path / "pairs"),
+    )
+    pd.testing.assert_frame_equal(drv, dist)
+    assert dist["n_clusters"].iloc[0] == 120
+    assert dist["docs_in_clusters"].iloc[0] == 960
+    assert dist["largest_cluster"].iloc[0] == 8
+    assert dist["docs_removable"].iloc[0] == 840
+    # the parquet tap carries every verified edge: 120 * C(8,2)
+    import glob
+
+    edges = pd.concat(
+        [pd.read_parquet(f) for f in glob.glob(str(tmp_path / "pairs/*.parquet"))],
+        ignore_index=True,
+    )
+    assert len(edges) == 120 * 28
+    assert (edges["jaccard"] >= 0.3).all()
+    # resumable tap: markers exist; a re-run skips rewriting (mtimes equal)
+    import os
+
+    files = sorted(glob.glob(str(tmp_path / "pairs/*.parquet")))
+    mtimes = [os.path.getmtime(f) for f in files]
+    dedup_clusters_documents(
+        str(tmp_path), distributed=True, pairs_out_dir=str(tmp_path / "pairs")
+    )
+    assert [os.path.getmtime(f) for f in sorted(glob.glob(str(tmp_path / "pairs/*.parquet")))] == mtimes
