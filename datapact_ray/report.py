@@ -73,9 +73,13 @@ def _quality_metrics(rows: pd.DataFrame, records_processed: int) -> QualityMetri
 
 
 def build_report_md(
-    rows: pd.DataFrame, records_processed: int = 0
+    rows: pd.DataFrame,
+    records_processed: int = 0,
+    history: pd.DataFrame | None = None,
 ) -> str:
-    """Render the run report as markdown from the results frame."""
+    """Render the run report as markdown from the results frame.
+    ``history`` (all runs' result rows) adds the cross-run trend
+    section mirroring the reference dashboards' 30/60-run datasets."""
     summary = run_summary_frame(rows).iloc[0]
     qm = _quality_metrics(rows, records_processed)
     total_runtime = qm.avg_runtime_seconds * max(qm.total_validations, 1)
@@ -126,6 +130,26 @@ def build_report_md(
             )
         ),
     ]
+    if history is not None and len(history):
+        from .rollup import (
+            job_performance_trend,
+            runtime_trend,
+            task_performance_trend,
+        )
+
+        md += [
+            "## Trends (cross-run history)",
+            "",
+            "### Job runs (last 30)",
+            "",
+            _md_table(job_performance_trend(history)),
+            "### Runtime by day (last 30)",
+            "",
+            _md_table(runtime_trend(history)),
+            "### Per-task performance (all runs)",
+            "",
+            _md_table(task_performance_trend(history)),
+        ]
     return "\n".join(md)
 
 
@@ -183,7 +207,11 @@ def write_report(
                 records_processed += int(str(cv.get("source_count", "0")).replace(",", ""))
             except ValueError:
                 pass
-    md = build_report_md(rows, records_processed)
+    from .rollup import load_run_history
+
+    md = build_report_md(
+        rows, records_processed, history=load_run_history(results_dir)
+    )
     paths = {
         "md": os.path.join(rdir, "report.md"),
         "html": os.path.join(rdir, "report.html"),

@@ -149,3 +149,178 @@ def write_exec_tables(rows: pd.DataFrame, results_dir: str, run_id: int) -> dict
             os.path.join(base, f"{name}.parquet"),
         )
     return out
+
+
+# ---- cross-run trend history (reference dashboards aggregate the last
+# 30/60 runs: /root/reference/datapact/client.py:1586-1604 ds_job_performance
+# LIMIT 30, :1632-1656 ds_parallel_efficiency LIMIT 60, :1745-1760
+# ds_runtime_trend LIMIT 30, :1565-1584 ds_performance_metrics) ----
+
+
+def load_run_history(results_dir: str, job_name: str | None = None) -> pd.DataFrame:
+    """All prior runs' result rows: read back every
+    ``results/run_id=*/results.parquet``. Driver-sized by construction
+    (one row per task per run), the same budget the reference's
+    run_history table queries assume."""
+    import glob
+
+    base = os.path.join(results_dir, "results")
+    files = sorted(glob.glob(os.path.join(base, "run_id=*", "results.parquet")))
+    if not files:
+        return pd.DataFrame()
+    frames = [pq.read_table(f).to_pandas() for f in files]
+    hist = pd.concat(frames, ignore_index=True)
+    if job_name is not None:
+        hist = hist[hist["job_name"] == job_name]
+    return hist.reset_index(drop=True)
+
+
+def _timed(hist: pd.DataFrame) -> pd.DataFrame:
+    h = hist[
+        hist["validation_begin_ts"].notna()
+        & hist["validation_complete_ts"].notna()
+    ].copy()
+    h["_begin"] = pd.to_datetime(h["validation_begin_ts"])
+    h["_end"] = pd.to_datetime(h["validation_complete_ts"])
+    h["_runtime"] = (h["_end"] - h["_begin"]).dt.total_seconds()
+    return h
+
+
+def job_performance_trend(hist: pd.DataFrame, limit: int = 30) -> pd.DataFrame:
+    """Per-run rollup of the last ``limit`` runs (ds_job_performance,
+    ``client.py:1586-1604``): start/end, total runtime, task counts."""
+    if not len(hist):
+        return pd.DataFrame()
+    h = _timed(hist)
+    g = h.groupby("run_id")
+    out = pd.DataFrame(
+        {
+            "run_id": g.size().index,
+            "job_start": g["job_start_ts"].min().to_numpy(),
+            "job_end": g["_end"].max().to_numpy(),
+            "total_runtime_seconds": (
+                (g["_end"].max() - g["_begin"].min()).dt.total_seconds()
+            ).to_numpy(),
+            "tasks_run": g["task_key"].nunique().to_numpy(),
+            "successful_tasks": g.apply(
+                lambda x: int((x["status"] == "SUCCESS").sum()),
+                include_groups=False,
+            ).to_numpy(),
+            "failed_tasks": g.apply(
+                lambda x: int((x["status"] == "FAILURE").sum()),
+                include_groups=False,
+            ).to_numpy(),
+        }
+    )
+    return (
+        out.sort_values("job_start", ascending=False)
+        .head(limit)
+        .reset_index(drop=True)
+    )
+
+
+def runtime_trend(hist: pd.DataFrame, limit: int = 30) -> pd.DataFrame:
+    """Per-day average task runtime over the last ``limit`` run dates
+    (ds_runtime_trend, ``client.py:1745-1760``)."""
+    if not len(hist):
+        return pd.DataFrame()
+    h = _timed(hist)
+    h["run_date"] = h["_begin"].dt.date
+    g = h.groupby("run_date")
+    out = pd.DataFrame(
+        {
+            "run_date": g.size().index,
+            "avg_runtime_seconds": g["_runtime"].mean().to_numpy(),
+            "num_runs": g["run_id"].nunique().to_numpy(),
+        }
+    )
+    return (
+        out.sort_values("run_date", ascending=False)
+        .head(limit)
+        .reset_index(drop=True)
+    )
+
+
+def task_performance_trend(hist: pd.DataFrame) -> pd.DataFrame:
+    """Per-task runtime/success stats across all runs
+    (ds_performance_metrics, ``client.py:1565-1584``)."""
+    if not len(hist):
+        return pd.DataFrame()
+    h = _timed(hist)
+    g = h.groupby("task_key")
+    out = pd.DataFrame(
+        {
+            "task_key": g.size().index,
+            "avg_runtime_seconds": g["_runtime"].mean().round(2).to_numpy(),
+            "min_runtime_seconds": g["_runtime"].min().to_numpy(),
+            "max_runtime_seconds": g["_runtime"].max().to_numpy(),
+            "total_runs": g.size().to_numpy(),
+            "successful_runs": g.apply(
+                lambda x: int((x["status"] == "SUCCESS").sum()),
+                include_groups=False,
+            ).to_numpy(),
+        }
+    )
+    out["success_rate_percent"] = (
+        100.0 * out["successful_runs"] / out["total_runs"]
+    ).round(2)
+    return (
+        out.sort_values("avg_runtime_seconds", ascending=False)
+        .reset_index(drop=True)
+    )
+
+
+def parallel_efficiency_trend(hist: pd.DataFrame, limit: int = 60) -> pd.DataFrame:
+    """Per-run parallelism KPIs over the last ``limit`` runs
+    (ds_parallel_efficiency, ``client.py:1632-1656``): tasks/minute,
+    avg + p95 task duration, peak parallel tasks, recency rank."""
+    if not len(hist):
+        return pd.DataFrame()
+    h = _timed(hist)
+    rows = []
+    for run_id, x in h.groupby("run_id"):
+        m = task_runtime_metrics(x)
+        span = (x["_end"].max() - x["_begin"].min()).total_seconds()
+        rows.append(
+            {
+                "run_id": run_id,
+                "run_start": x["_begin"].min(),
+                "runtime_seconds": span,
+                "total_tasks": int(len(x)),
+                "tasks_per_minute": round(len(x) * 60.0 / span, 2)
+                if span > 0
+                else float(len(x)),
+                "avg_task_duration_seconds": float(
+                    m["avg_task_seconds"].iloc[0]
+                ),
+                "p95_task_duration_seconds": float(
+                    m["p95_task_seconds"].iloc[0]
+                ),
+                "peak_parallelism": int(m["peak_parallel_tasks"].iloc[0]),
+            }
+        )
+    out = pd.DataFrame(rows).sort_values("run_start", ascending=False)
+    out["recency_rank"] = range(1, len(out) + 1)
+    return out.head(limit).reset_index(drop=True)
+
+
+def write_trend_tables(results_dir: str, job_name: str | None = None) -> dict:
+    """Build the four cross-run trend frames from the full run history
+    and (over)write them under ``<results_dir>/trends/`` — the analog of
+    the reference's dashboard trend datasets, recomputed after every
+    run so nightly validations accumulate history."""
+    hist = load_run_history(results_dir, job_name)
+    out = {
+        "trend_job_performance": job_performance_trend(hist),
+        "trend_runtime": runtime_trend(hist),
+        "trend_task_performance": task_performance_trend(hist),
+        "trend_parallel_efficiency": parallel_efficiency_trend(hist),
+    }
+    base = os.path.join(results_dir, "trends")
+    os.makedirs(base, exist_ok=True)
+    for name, df in out.items():
+        pq.write_table(
+            pa.Table.from_pandas(df, preserve_index=False),
+            os.path.join(base, f"{name}.parquet"),
+        )
+    return out

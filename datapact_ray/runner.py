@@ -753,6 +753,12 @@ class ValidationRunner:
                     pa.Table.from_pandas(frame, preserve_index=False),
                     os.path.join(gdir, f"{name}.parquet"),
                 )
+            # cross-run trend history (reference dashboards' 30/60-run
+            # datasets, client.py:1586-1760) — recomputed over ALL runs
+            # in results_dir so nightly suites accumulate trends
+            from .rollup import write_trend_tables
+
+            write_trend_tables(self.config.results_dir, self.config.job_name)
             # static run report (dashboard analog): report.md + report.html
             from .report import write_report
 

@@ -235,3 +235,69 @@ def test_roi_narrative_formulas():
     r = annual_roi(m)
     assert r["annual_savings"] == s["total_monthly_savings"] * 12
     assert r["net_benefit"] == r["annual_savings"] - 250_000.0
+
+
+def test_cross_run_trend_tables(tmp_path):
+    """Two suites back-to-back into the same results_dir: the trend
+    frames (reference dashboards' 30/60-run datasets,
+    client.py:1586-1760) must cover BOTH runs, and report.md must carry
+    the trend section."""
+    import ray  # noqa: F401  (session fixture owns init)
+
+    from datapact_ray.config import ValidationSuite, ValidationTask
+    from datapact_ray.rollup import (
+        job_performance_trend,
+        load_run_history,
+        parallel_efficiency_trend,
+        runtime_trend,
+        task_performance_trend,
+    )
+    from datapact_ray.runner import RunConfig, run_suite
+
+    sf = "/root/testdata/sf0.001"
+    suite = ValidationSuite(
+        validations=[
+            ValidationTask(
+                task_key="orders_self",
+                source_path=f"{sf}/orders.parquet",
+                target_path=f"{sf}/orders.parquet",
+                count_tolerance=0.0,
+            )
+        ]
+    )
+    rdir = str(tmp_path)
+    run_suite(suite, RunConfig(results_dir=rdir, run_id=1))
+    run_suite(suite, RunConfig(results_dir=rdir, run_id=2))
+
+    hist = load_run_history(rdir)
+    assert sorted(hist["run_id"].unique().tolist()) == [1, 2]
+
+    jp = job_performance_trend(hist)
+    assert sorted(jp["run_id"].tolist()) == [1, 2]
+    assert (jp["tasks_run"] == 1).all()
+    assert (jp["successful_tasks"] == 1).all()
+
+    tp = task_performance_trend(hist)
+    assert tp["total_runs"].tolist() == [2]
+    assert tp["success_rate_percent"].tolist() == [100.0]
+
+    rt = runtime_trend(hist)
+    assert rt["num_runs"].sum() == 2
+
+    pe = parallel_efficiency_trend(hist)
+    assert pe["recency_rank"].tolist() == [1, 2]
+    assert pe["run_id"].tolist() == [2, 1]  # most recent first
+
+    # persisted trend tables + report trend section
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(rdir, "trends", "trend_job_performance.parquet")
+    ).to_pandas()
+    assert sorted(t["run_id"].tolist()) == [1, 2]
+    with open(os.path.join(rdir, "results", "run_id=2", "report.md")) as fh:
+        md = fh.read()
+    assert "## Trends (cross-run history)" in md
+    assert "Job runs (last 30)" in md
