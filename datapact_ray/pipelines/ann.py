@@ -129,48 +129,82 @@ def ann_lsh_embeddings(sf_dir: str, k: int = 10, bits: int = 8) -> pd.DataFrame:
     )
 
 
+def _ivf_init_centroids(
+    sf_dir: str, n_lists: int, sample_per_task: int = 512, seed: int = 4242
+) -> np.ndarray:
+    """k-means++ seeding over a deterministic distributed sample: every
+    scan task contributes its ``sample_per_task`` lowest-spread-hash
+    vec_ids (a uniform, order-free sample covering all row groups), then
+    the driver runs the k-means++ D²-weighted picks on the sample —
+    standard scalable practice (the sample is bounded, not the table)."""
+    from ..shuffle import map_partials
+
+    class Sampler:
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            df = batch.to_pandas()
+            df = df[df["vec_id"] != 0]
+            if len(df) > sample_per_task:
+                h = df["vec_id"].to_numpy().astype(np.uint64) * np.uint64(
+                    0x9E3779B97F4A7C15
+                )
+                df = df.iloc[np.argsort(h)[:sample_per_task]]
+            return df[["embedding"]]
+
+    sample = map_partials(
+        f"{sf_dir}/embeddings.parquet", ["vec_id", "embedding"], None, Sampler()
+    )
+    if len(sample) == 0:
+        raise ValueError("cannot train IVF: embeddings table is empty")
+    mat = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True).clip(min=1e-12)
+    n_lists = min(n_lists, len(mat))
+    rng = np.random.default_rng(seed)
+    idx = [int(rng.integers(len(mat)))]
+    d2 = np.maximum(1.0 - mat @ mat[idx[0]], 0.0)  # cosine distance
+    for _ in range(1, n_lists):
+        tot = d2.sum()
+        nxt = (
+            int(rng.choice(len(mat), p=d2 / tot))
+            if tot > 0
+            else int(rng.integers(len(mat)))
+        )
+        idx.append(nxt)
+        d2 = np.minimum(d2, np.maximum(1.0 - mat @ mat[nxt], 0.0))
+    return mat[idx].copy()
+
+
 def ann_ivf_embeddings(
     sf_dir: str,
     k: int = 10,
     n_lists: int = 16,
     n_probe: int = 4,
-    train_iters: int = 2,
+    train_iters: int = 5,
 ) -> pd.DataFrame:
     """IVF (inverted-file) ANN — the second scale path beside LSH:
-    k-means-style coarse quantizer over cosine similarity, then the
-    query probes only its ``n_probe`` nearest lists.
+    k-means coarse quantizer over cosine similarity, then the query
+    probes only its ``n_probe`` nearest lists.
 
-    Training is distributed Lloyd iterations expressed as map_batches
-    partial aggregation: centroids are broadcast once per actor wave;
-    each batch assigns its vectors (one matmul) and emits per-centroid
-    partial sums + counts (a ``n_lists × dim`` matrix per batch — fixed
-    width, independent of batch size); the driver folds the partials and
-    renormalizes. Search is a second map_batches wave scoring only rows
-    whose nearest centroid is probed. Rows-only check: recall measured
-    against the exact brute-force baseline (``ann_topk_embeddings``,
-    which IS oracle-checked).
+    Training = k-means++ init over a bounded distributed sample
+    (``_ivf_init_centroids``) + distributed Lloyd iterations expressed
+    as map partial aggregation: centroids are broadcast once per wave;
+    each task assigns its vectors (one matmul) and emits per-centroid
+    partial sums + counts (an ``n_lists × dim`` matrix per task — fixed
+    width, independent of rows); the driver folds the partials,
+    renormalizes, and stops early when the max centroid movement falls
+    under 1e-6 (≤ ``train_iters`` rounds). Search is a second map wave
+    scoring only rows whose nearest centroid is probed. Rows-only
+    check: recall measured against the exact brute-force baseline
+    (``ann_topk_embeddings``, which IS oracle-checked).
 
-    Recall caveat, documented: the synthetic fixture's embeddings are
+    Recall caveat, documented: the synthetic testdata embeddings are
     near-isotropic (no cluster structure), the adversarial case for any
     coarse quantizer — recall ≈ probed fraction (n_probe/n_lists)
-    there. On real clustered embeddings IVF recall far exceeds the
-    probed fraction; the pipeline mechanics (broadcast centroids,
-    fixed-width partial sums, probe-restricted scan) are what this
-    exercises."""
-    seed_t = pq.read_table(
-        f"{sf_dir}/embeddings.parquet",
-        columns=["vec_id", "embedding"],
-        filters=[("vec_id", ">", 0), ("vec_id", "<=", n_lists)],
-    )
-    if seed_t.num_rows == 0:
-        raise ValueError(
-            "cannot train IVF: embeddings table has no seed vectors "
-            f"(vec_id 1..{n_lists})"
-        )
-    cent = np.stack(
-        [np.asarray(v, dtype=np.float64) for v in seed_t.column("embedding").to_pylist()]
-    )
-    cent /= np.linalg.norm(cent, axis=1, keepdims=True).clip(min=1e-12)
+    there. On clustered embeddings the trained quantizer recovers the
+    mixture and recall far exceeds the probed fraction —
+    ``tests/test_ann_ivf.py`` proves ≥0.9 recall at probe fraction 0.25
+    on a mixture-of-Gaussians fixture."""
+    cent = _ivf_init_centroids(sf_dir, n_lists)
+    n_lists = len(cent)
     from ..shuffle import map_partials
 
     class PartialSums:
@@ -210,8 +244,13 @@ def ann_ivf_embeddings(
             sums[lid] += np.frombuffer(blob, dtype=np.float64)
             counts[lid] += cnt
         live = counts > 0
-        cent[live] = sums[live] / counts[live, None]
-        cent /= np.linalg.norm(cent, axis=1, keepdims=True).clip(min=1e-12)
+        new_cent = cent.copy()
+        new_cent[live] = sums[live] / counts[live, None]
+        new_cent /= np.linalg.norm(new_cent, axis=1, keepdims=True).clip(min=1e-12)
+        shift = float(np.max(1.0 - np.sum(new_cent * cent, axis=1)))
+        cent = new_cent
+        if shift < 1e-6:  # Lloyd converged — skip the remaining waves
+            break
 
     q = _query_vector(sf_dir, 0)
     qn = q / np.linalg.norm(q).clip(min=1e-12)
