@@ -147,7 +147,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per queries() key (omitted for ops that are
-    not SQL-expressible — driver records a rows-only check for those)."""
+    not SQL-expressible — driver records a rows-only check for those).
+
+    Convention: each oracle encodes its query's DEFAULT arguments
+    (thresholds, k, alpha, ...); calling a queries() entry with
+    non-default arguments is valid engine usage but outside the oracle
+    contract — the conformance gate always calls with defaults."""
     out: dict[str, str] = {}
     for fam in _family_dicts("ORACLE_SQL"):
         out.update(fam)

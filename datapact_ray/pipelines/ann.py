@@ -643,8 +643,14 @@ def ann_range_embeddings(sf_dir: str, tau: float = 0.25) -> pd.DataFrame:
     each task folds its matches to ONE (count, max, min) row, so the
     result is match-count-independent — a τ that matches millions of
     vectors still exchanges 3 numbers per task. The threshold compares
-    the 4-dp-ROUNDED cosine on both engines, so a boundary vector can
-    never classify differently."""
+    the 4-dp-ROUNDED cosine on both engines; the pre-round values come
+    from different float expression trees (BLAS matmul here, DuckDB
+    list_cosine_similarity there), so boundary parity is empirical —
+    exact at the 4-dp pin on this data, not bit-guaranteed. Zero-norm
+    vectors are EXCLUDED on both sides (here explicitly; the oracle via
+    a dot-product-positive predicate): the engine would score them
+    cos=0 while DuckDB yields NaN, which under total float order passes
+    ``NaN >= tau`` — the one case where the two could diverge."""
     q = _query_vector(sf_dir, 0)
     qn = np.linalg.norm(q)
 
@@ -660,7 +666,18 @@ def ann_range_embeddings(sf_dir: str, tau: float = 0.25) -> pd.DataFrame:
                 }
             )
         mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-        norms = np.linalg.norm(mat, axis=1).clip(min=1e-12)
+        norms = np.linalg.norm(mat, axis=1)
+        live = norms > 0  # mirror the oracle's zero-norm exclusion
+        if not live.all():
+            mat, norms = mat[live], norms[live]
+        if len(mat) == 0:
+            return pd.DataFrame(
+                {
+                    "n": pd.Series([], dtype="int64"),
+                    "mx": pd.Series([], dtype="float64"),
+                    "mn": pd.Series([], dtype="float64"),
+                }
+            )
         cos = round_duck((mat @ q) / (norms * qn), 4)
         hit = cos[cos >= tau]
         if len(hit) == 0:
@@ -706,10 +723,14 @@ def dim_moments_embeddings(sf_dir: str) -> pd.DataFrame:
     stacks its batch into one float64 matrix and reduces it to
     dims × (n, Σe, Σe²) partial rows — vectors never shuffle; elements
     promote float32→float64 exactly before any arithmetic, and the
-    oracle builds variance from the SAME E[x²]-form expression tree
-    (Σe² − (Σe)²/n)/(n−1) over SUM(e·e)/SUM(e), so at the 6-dp pin the
-    engines agree (embeddings are unit-scale and near zero-mean — no
-    catastrophic cancellation in the centered form)."""
+    oracle builds variance from the SAME E[x²]-form FORMULA
+    (Σe² − (Σe)²/n)/(n−1) over SUM(e·e)/SUM(e). The Σ accumulation
+    order/algorithm differ (numpy pairwise partials here, DuckDB
+    sequential SUM there), so parity is empirical at the 6-dp pin —
+    robust in practice because embeddings are unit-scale and near
+    zero-mean (no catastrophic cancellation), not bit-guaranteed.
+    n ≤ 1 emits an explicit NULL std, mirroring the SQL CASE WHEN
+    n > 1 (not a NaN from 0/0)."""
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         df = batch.to_pandas()
@@ -749,12 +770,15 @@ def dim_moments_embeddings(sf_dir: str) -> pd.DataFrame:
     with np.errstate(invalid="ignore", divide="ignore"):
         var = (s2 - s * s / n) / (n - 1.0)
         std = np.sqrt(var)
+    # explicit NULL when n <= 1 (SQL CASE WHEN n > 1), not an incidental
+    # 0/0 NaN — same bits in a float64 column, but stated, not relied on
+    std_r = np.where(n > 1, round_duck(std, 6), np.nan)
     return pd.DataFrame(
         {
             "i": parts["i"].astype("int64").to_numpy(),
             "n": parts["n"].astype("int64").to_numpy(),
             "mean": round_duck(s / n, 6),
-            "std": round_duck(std, 6),
+            "std": std_r,
         }
     ).reset_index(drop=True)
 
@@ -873,6 +897,8 @@ ORACLE_SQL = {
                        4) AS c
             FROM embeddings
             WHERE vec_id <> 0 AND embedding IS NOT NULL
+              AND list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[]) > 0
         )
         SELECT CAST(COUNT(*) AS BIGINT) AS n_matches,
                MAX(c) AS max_cos, MIN(c) AS min_cos

@@ -1883,7 +1883,10 @@ def _qty_disc_cells(sf_dir: str) -> pd.DataFrame:
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         df = batch.to_pandas().dropna(subset=["l_quantity", "l_discount"])
-        x = df["l_quantity"].to_numpy(np.float64).astype(np.int64)
+        # round_duck, not a bare int cast: DuckDB CAST(x AS BIGINT) rounds
+        # half away from zero while numpy .astype truncates — equal only
+        # on exactly-integral quantities, so mirror CAST semantics
+        x = round_duck(df["l_quantity"].to_numpy(np.float64), 0).astype(np.int64)
         y = round_duck(df["l_discount"].to_numpy(np.float64) * 100.0, 0).astype(
             np.int64
         )
