@@ -385,14 +385,132 @@ def block_packing_documents(
     )
 
 
+def mixture_weights_documents(
+    sf_dir: str, token_budget: int = 50_000
+) -> pd.DataFrame:
+    """Data-mixture budgeting: given per-source mixture weights and a
+    total token budget, derive each source's sampling rate and expected
+    token contribution — the allocation step every LLM pretraining mix
+    runs (e.g. upweighting curated sources) before sampling shards.
+
+    One scan wave reduces each task to (source, n_docs, tokens)
+    partials; the driver does the (sources-sized) allocation. Weights:
+    2x for the boosted sources ('src0'..'src2'), 1x otherwise,
+    normalized over the sources PRESENT — and every float (normalized
+    weight, target, rate, expected tokens) is one fixed expression tree
+    over exact integers, so DuckDB reproduces it bit-for-bit at the
+    pins."""
+    from ..shuffle import map_partials
+    from ._util import round_duck
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["source", "text"])
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype="object"),
+                    "n_docs": pd.Series([], dtype="int64"),
+                    "tokens": pd.Series([], dtype="int64"),
+                }
+            )
+        txt = df["text"].astype(str)
+        toks = (txt.str.count(" ") + 1).to_numpy(dtype=np.int64)
+        out = (
+            pd.DataFrame({"source": df["source"], "t": toks})
+            .groupby("source", sort=False)
+            .agg(n_docs=("t", "size"), tokens=("t", "sum"))
+            .reset_index()
+        )
+        return out.astype({"n_docs": "int64", "tokens": "int64"})
+
+    parts = map_partials(
+        f"{sf_dir}/documents.parquet", ["source", "text"], None, partial
+    )
+    if len(parts) == 0:
+        return pd.DataFrame(
+            {
+                "source": pd.Series([], dtype="object"),
+                "n_docs": pd.Series([], dtype="int64"),
+                "tokens": pd.Series([], dtype="int64"),
+                "weight": pd.Series([], dtype="float64"),
+                "sampling_rate": pd.Series([], dtype="float64"),
+                "expected_tokens": pd.Series([], dtype="float64"),
+            }
+        )
+    g = parts.groupby("source", as_index=False).agg(
+        n_docs=("n_docs", "sum"), tokens=("tokens", "sum")
+    )
+    g["n_docs"] = g["n_docs"].astype("int64")
+    g["tokens"] = g["tokens"].astype("int64")
+    raw_w = np.where(g["source"].isin(["src0", "src1", "src2"]), 2.0, 1.0)
+    total_w = float(raw_w.sum())
+    rows = []
+    for src, nd, tk, w in zip(g["source"], g["n_docs"], g["tokens"], raw_w):
+        norm = w / total_w  # one division over exact doubles
+        target = token_budget * norm
+        rate = target / tk if target < tk else 1.0
+        rows.append(
+            (
+                src,
+                int(nd),
+                int(tk),
+                float(round_duck(norm, 6)),
+                float(round_duck(rate, 6)),
+                float(round_duck(rate * tk, 2)),
+            )
+        )
+    out = pd.DataFrame(
+        rows,
+        columns=[
+            "source",
+            "n_docs",
+            "tokens",
+            "weight",
+            "sampling_rate",
+            "expected_tokens",
+        ],
+    )
+    return out.sort_values("source").reset_index(drop=True)
+
+
 QUERIES = {
     "split_assign_documents": split_assign_documents,
     "shuffle_order_documents": shuffle_order_documents,
     "curation_funnel_documents": curation_funnel_documents,
     "block_packing_documents": block_packing_documents,
+    "mixture_weights_documents": mixture_weights_documents,
 }
 
 ORACLE_SQL = {
+    "mixture_weights_documents": """
+        WITH d AS (
+            SELECT source,
+                   LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS t
+            FROM documents
+            WHERE source IS NOT NULL AND text IS NOT NULL
+        ), g AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(t) AS BIGINT) AS tokens,
+                   CASE WHEN source IN ('src0', 'src1', 'src2')
+                        THEN 2.0 ELSE 1.0 END AS w
+            FROM d GROUP BY source
+        ), tw AS (
+            SELECT SUM(w) AS total_w FROM g
+        ), alloc AS (
+            SELECT source, n_docs, tokens,
+                   w / tw.total_w AS norm,
+                   CASE WHEN 50000 * (w / tw.total_w) < tokens
+                        THEN (50000 * (w / tw.total_w)) / tokens
+                        ELSE 1.0 END AS rate
+            FROM g CROSS JOIN tw
+        )
+        SELECT source, n_docs, tokens,
+               ROUND(norm, 6) AS weight,
+               ROUND(rate, 6) AS sampling_rate,
+               ROUND(rate * tokens, 2) AS expected_tokens
+        FROM alloc ORDER BY source
+    """,
     "split_assign_documents": """
         WITH s AS (
             SELECT lang, n_chars,

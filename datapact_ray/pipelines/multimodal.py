@@ -359,11 +359,172 @@ def binary_payload_stats_documents(sf_dir: str) -> "pd.DataFrame":
     return out.sort_values("lang").reset_index(drop=True)
 
 
+def payload_chunking_documents(
+    sf_dir: str, chunk_bytes: int = 256
+) -> "pd.DataFrame":
+    """Fixed-size chunk planning over opaque payloads — the layout step
+    every multimodal ingest runs before writing blobs into
+    training-shard files (how many chunks, how full are they). Per
+    source: payload count, total bytes, total ceil(bytes/chunk) chunks,
+    and the mean chunk fill ratio.
+
+    Same discipline as ``binary_payload_stats``: the payload bytes are
+    cast + measured INSIDE the scan task; only (source, 3 ints) partials
+    reach the driver. Chunk math is exact integers; the fill ratio is
+    one division over exact integers, so the oracle matches bit-for-bit
+    at the 6-dp pin."""
+    import pandas as pd
+
+    from ..io import read_table
+    from ._util import round_duck
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        import pyarrow.compute as pc
+
+        payload = pc.cast(batch.column("text"), pa.binary())
+        nbytes = pc.binary_length(payload).to_numpy().astype("int64")
+        df = pd.DataFrame(
+            {
+                "source": batch.column("source").to_pandas(),
+                "b": nbytes,
+                "ch": (nbytes + (chunk_bytes - 1)) // chunk_bytes,
+            }
+        )
+        out = (
+            df.groupby("source", sort=False)
+            .agg(
+                n_payloads=("b", "size"),
+                total_bytes=("b", "sum"),
+                n_chunks=("ch", "sum"),
+            )
+            .reset_index()
+        )
+        return out.astype(
+            {"n_payloads": "int64", "total_bytes": "int64", "n_chunks": "int64"}
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    empty = pd.DataFrame(
+        {
+            "source": pd.Series([], dtype="object"),
+            "n_payloads": pd.Series([], dtype="int64"),
+            "total_bytes": pd.Series([], dtype="int64"),
+            "n_chunks": pd.Series([], dtype="int64"),
+            "avg_chunk_fill": pd.Series([], dtype="float64"),
+        }
+    )
+    if len(parts) == 0:
+        return empty
+    out = parts.groupby("source", as_index=False).agg(
+        n_payloads=("n_payloads", "sum"),
+        total_bytes=("total_bytes", "sum"),
+        n_chunks=("n_chunks", "sum"),
+    )
+    for c in ("n_payloads", "total_bytes", "n_chunks"):
+        out[c] = out[c].astype("int64")
+    out["avg_chunk_fill"] = [
+        float(round_duck(tb / (nc * float(chunk_bytes)), 6)) if nc else None
+        for tb, nc in zip(out["total_bytes"], out["n_chunks"])
+    ]
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def payload_magic_census_documents(sf_dir: str) -> "pd.DataFrame":
+    """Leading-byte "magic number" sniffing analog: classify every
+    payload by its first code point (letter / digit / space / other) —
+    the container-format census an ingest runs before routing payloads
+    to decoders (here over text bytes; a real blob column swaps the
+    classifier for file-signature prefixes, same plumbing). Exact
+    integer class logic; empty/NULL payloads are excluded on both
+    engines."""
+    import numpy as np
+    import pandas as pd
+
+    from ..io import read_table
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        df = batch.to_pandas().dropna(subset=["text"])
+        txt = df["text"].astype(str)
+        txt = txt[txt.str.len() > 0]
+        if not len(txt):
+            return pd.DataFrame(
+                {
+                    "klass": pd.Series([], dtype="object"),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        cp = txt.str[0].map(ord).to_numpy(dtype=np.int64)
+        klass = np.where(
+            ((cp >= 65) & (cp <= 90)) | ((cp >= 97) & (cp <= 122)),
+            "letter",
+            np.where((cp >= 48) & (cp <= 57), "digit",
+                     np.where(cp == 32, "space", "other")),
+        )
+        vc = pd.Series(klass).value_counts()
+        return pd.DataFrame(
+            {"klass": vc.index.to_numpy(), "n": vc.to_numpy().astype("int64")}
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame(
+            {
+                "klass": pd.Series([], dtype="object"),
+                "n": pd.Series([], dtype="int64"),
+            }
+        )
+    out = parts.groupby("klass", as_index=False)["n"].sum()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("klass").reset_index(drop=True)
+
+
 QUERIES = {
     "binary_payload_stats_documents": binary_payload_stats_documents,
+    "payload_chunking_documents": payload_chunking_documents,
+    "payload_magic_census_documents": payload_magic_census_documents,
 }
 
 ORACLE_SQL = {
+    "payload_chunking_documents": """
+        WITH p AS (
+            SELECT source, octet_length(encode(text)) AS b,
+                   (octet_length(encode(text)) + 255) // 256 AS ch
+            FROM documents
+        ), g AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_payloads,
+                   CAST(SUM(b) AS BIGINT) AS total_bytes,
+                   CAST(SUM(ch) AS BIGINT) AS n_chunks
+            FROM p GROUP BY source
+        )
+        SELECT source, n_payloads, total_bytes, n_chunks,
+               ROUND(total_bytes / (n_chunks * 256.0), 6) AS avg_chunk_fill
+        FROM g ORDER BY source
+    """,
+    "payload_magic_census_documents": """
+        WITH f AS (
+            SELECT unicode(left(text, 1)) AS cp
+            FROM documents
+            WHERE text IS NOT NULL AND LENGTH(text) > 0
+        )
+        SELECT CASE
+                 WHEN (cp BETWEEN 65 AND 90) OR (cp BETWEEN 97 AND 122)
+                   THEN 'letter'
+                 WHEN cp BETWEEN 48 AND 57 THEN 'digit'
+                 WHEN cp = 32 THEN 'space'
+                 ELSE 'other'
+               END AS klass,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM f GROUP BY 1 ORDER BY 1
+    """,
     "binary_payload_stats_documents": """
         SELECT lang,
                CAST(COUNT(*) AS BIGINT) AS n_payloads,

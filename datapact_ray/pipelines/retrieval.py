@@ -172,5 +172,209 @@ def _bm25_sql(query: str = "hash join filter", k: int = 20) -> str:
     """
 
 
-QUERIES = {"bm25_topk_documents": bm25_topk_documents}
-ORACLE_SQL = {"bm25_topk_documents": _bm25_sql()}
+def dirichlet_ql_topk_documents(
+    sf_dir: str, query: str = "hash join filter", k: int = 20, mu: float = 2000.0
+) -> pd.DataFrame:
+    """Dirichlet-smoothed query-likelihood top-k (Zhai & Lafferty 2001)
+    — the language-model ranking companion of BM25, the second classic
+    lexical scorer a retrieval stack offers.
+
+    score(d) = Σ_t ln( (tf_t + µ·(cf_t/|C|)) / (dl + µ) )
+
+    Same two-pass shape as BM25: pass 1 reduces each scan task to ONE
+    corpus-stats row (docs, tokens, per-term COLLECTION frequency —
+    Dirichlet smooths by cf, not df); pass 2 scores vectorized and
+    local-top-k-prunes, so the driver merge sees ≤ k·n_tasks rows. Every
+    pre-log quantity is the identical expression tree over exact
+    integers in both engines; the per-doc LN itself is libm-vs-DuckDB
+    (≤1 ulp) — empirical at the 4-dp pin, like the cosine family."""
+    from ..shuffle import map_partials
+    from ._util import round_duck
+
+    terms = query.split()
+    path = f"{sf_dir}/documents.parquet"
+    cols = ["doc_id", "text"]
+
+    def _prep(batch: pa.Table):
+        df = batch.to_pandas().dropna(subset=["doc_id", "text"])
+        txt = df["text"].astype(str)
+        return df, txt, " " + txt + " "
+
+    def stats_partial(batch: pa.Table) -> pd.DataFrame:
+        df, txt, padded = _prep(batch)
+        row = {
+            "n_docs": len(df),
+            "total_tokens": int((txt.str.count(" ") + 1).sum()) if len(df) else 0,
+        }
+        for i, t in enumerate(terms):
+            row[f"cf{i}"] = int(_tf_counts(padded, t).sum()) if len(df) else 0
+        return pd.DataFrame([row])
+
+    agg = map_partials(path, cols, None, stats_partial).sum()
+    total = int(agg["total_tokens"])
+    if total == 0:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "ql": pd.Series([], dtype="float64"),
+            }
+        )
+    # cf/|C| as ONE division over exact integers (both engines)
+    p_c = [int(agg[f"cf{i}"]) * 1.0 / total for i in range(len(terms))]
+
+    def score_prune(batch: pa.Table) -> pd.DataFrame:
+        df, txt, padded = _prep(batch)
+        if not len(df):
+            return pd.DataFrame({"doc_id": [], "score": []})
+        dl = (txt.str.count(" ") + 1).to_numpy().astype(np.float64)
+        score = np.zeros(len(df))
+        for i, t in enumerate(terms):
+            tf = _tf_counts(padded, t)
+            score = score + np.log((tf + 2000.0 * p_c[i]) / (dl + 2000.0))
+        out = pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64").to_numpy(), "score": score}
+        )
+        return out.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="stable"
+        ).head(k)
+
+    cand = map_partials(path, cols, None, score_prune)
+    top = cand.sort_values(
+        ["score", "doc_id"], ascending=[False, True], kind="stable"
+    ).head(k)
+    return pd.DataFrame(
+        {
+            "doc_id": top["doc_id"].to_numpy(),
+            "ql": [float(round_duck(s, 4)) for s in top["score"]],
+        }
+    ).reset_index(drop=True)
+
+
+def _dirichlet_sql(query: str = "hash join filter", k: int = 20) -> str:
+    terms = query.split()
+    tf_cols = ",\n               ".join(
+        f"CAST(SUM(CASE WHEN token = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    cf_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN token = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS cf{i}"
+        for i, t in enumerate(terms)
+    )
+    score = "\n               + ".join(
+        f"LN((tf.tf{i} + 2000.0 * (f.cf{i} * 1.0 / st.total)) / (d.dl + 2000.0))"
+        for i in range(len(terms))
+    )
+    return f"""
+        WITH d AS (
+            SELECT doc_id, text,
+                   LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS dl
+            FROM documents
+            WHERE text IS NOT NULL AND doc_id IS NOT NULL
+        ), toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM d
+        ), tf AS (
+            SELECT doc_id,
+               {tf_cols}
+            FROM toks GROUP BY doc_id
+        ), st AS (
+            SELECT SUM(dl) AS total FROM d
+        ), f AS (
+            SELECT {cf_cols} FROM toks
+        ), scored AS (
+            SELECT d.doc_id,
+               {score} AS score
+            FROM d JOIN tf USING (doc_id) CROSS JOIN st CROSS JOIN f
+        )
+        SELECT doc_id, ROUND(score, 4) AS ql
+        FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
+    """
+
+
+def rrf_hybrid_topk_documents(
+    sf_dir: str, k: int = 10, depth: int = 20, k_rrf: int = 60
+) -> pd.DataFrame:
+    """Hybrid dense+sparse retrieval via Reciprocal Rank Fusion
+    (Cormack, Clarke & Buettcher, SIGIR 2009): fuse the BM25 lexical
+    top-``depth`` with the embedding-cosine top-``depth`` (doc_id and
+    vec_id are aligned ids) as Σ 1/(k_rrf + rank) over the lists a doc
+    appears in — the standard first fusion a RAG/retrieval stack ships.
+
+    Rank parity is INHERITED: both input lists are the already
+    oracle-checked queries (`bm25_topk_documents`,
+    `ann_topk_embeddings`-shaped cosine at ``depth``) with their total
+    orders (score DESC, id ASC), and the fusion arithmetic is exact
+    small-integer division summed in fixed list order."""
+    from ._util import round_duck
+    from .ann import ann_topk_embeddings
+
+    # rank on the ROUNDED published scores (id tiebreak) — the exact
+    # total order the two oracle-checked lists expose, so rank parity
+    # never depends on sub-rounding float differences
+    bm = bm25_topk_documents(sf_dir, k=depth).sort_values(
+        ["bm25", "doc_id"], ascending=[False, True], kind="stable"
+    )
+    cos = ann_topk_embeddings(sf_dir, k=depth).sort_values(
+        ["cos", "vec_id"], ascending=[False, True], kind="stable"
+    )
+    rank_b = {int(d): r + 1 for r, d in enumerate(bm["doc_id"])}
+    rank_c = {int(d): r + 1 for r, d in enumerate(cos["vec_id"])}
+    docs = sorted(set(rank_b) | set(rank_c))
+    rows = []
+    for d in docs:
+        rb, rc = rank_b.get(d), rank_c.get(d)
+        s = (1.0 / (k_rrf + rb) if rb else 0.0) + (
+            1.0 / (k_rrf + rc) if rc else 0.0
+        )
+        rows.append((d, s))
+    out = pd.DataFrame(rows, columns=["doc_id", "rrf"]).sort_values(
+        ["rrf", "doc_id"], ascending=[False, True], kind="stable"
+    ).head(k)
+    out["rrf"] = [float(round_duck(s, 6)) for s in out["rrf"]]
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def _rrf_sql(
+    query: str = "hash join filter", k: int = 10, depth: int = 20, k_rrf: int = 60
+) -> str:
+    bm25 = _bm25_sql(query, depth)
+    return f"""
+        WITH bm AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r
+            FROM ({bm25})
+        ), q AS (
+            SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+        ), cs AS (
+            SELECT vec_id AS doc_id,
+                   ROW_NUMBER() OVER (ORDER BY c DESC, vec_id ASC) AS r
+            FROM (
+                SELECT vec_id,
+                       ROUND(list_cosine_similarity(
+                           embedding::DOUBLE[], (SELECT qe FROM q)::DOUBLE[]
+                       ), 4) AS c
+                FROM embeddings WHERE vec_id <> 0
+                ORDER BY c DESC, vec_id ASC
+                LIMIT {depth}
+            )
+        ), fused AS (
+            SELECT COALESCE(bm.doc_id, cs.doc_id) AS doc_id,
+                   COALESCE(1.0 / ({k_rrf} + bm.r), 0.0)
+                   + COALESCE(1.0 / ({k_rrf} + cs.r), 0.0) AS rrf
+            FROM bm FULL OUTER JOIN cs ON bm.doc_id = cs.doc_id
+        )
+        SELECT doc_id, ROUND(rrf, 6) AS rrf
+        FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT {k}
+    """
+
+
+QUERIES = {
+    "bm25_topk_documents": bm25_topk_documents,
+    "dirichlet_ql_topk_documents": dirichlet_ql_topk_documents,
+    "rrf_hybrid_topk_documents": rrf_hybrid_topk_documents,
+}
+ORACLE_SQL = {
+    "bm25_topk_documents": _bm25_sql(),
+    "dirichlet_ql_topk_documents": _dirichlet_sql(),
+    "rrf_hybrid_topk_documents": _rrf_sql(),
+}

@@ -130,6 +130,16 @@ def build_report_md(
             )
         ),
     ]
+    from .roi import generate_executive_summary
+
+    md += [
+        "## Executive summary (reference narrative)",
+        "",
+        "```",
+        generate_executive_summary(qm).strip("\n"),
+        "```",
+        "",
+    ]
     if history is not None and len(history):
         from .rollup import (
             job_performance_trend,
@@ -182,6 +192,15 @@ def _md_to_html(md: str) -> str:
                 ) + "</tr>")
                 i += 1
             out.append("</table>")
+            continue
+        if line.startswith("```"):  # fenced block (executive narrative)
+            i += 1
+            block = []
+            while i < len(lines) and not lines[i].startswith("```"):
+                block.append(lines[i])
+                i += 1
+            out.append("<pre>" + html.escape("\n".join(block)) + "</pre>")
+            i += 1
             continue
         if line.startswith("#"):
             level = len(line) - len(line.lstrip("#"))
