@@ -439,7 +439,256 @@ def key_set_ops_orders_customer(
     ).astype("int64")
 
 
+def domain_conformance_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Column-domain conformance census — the rule set a DataPact-style
+    suite would configure per column, computed for ALL rules in ONE
+    scan: range gates on quantity/discount/tax, enum gates on the flag
+    columns, null keys. Each scan task evaluates every rule vectorized
+    and emits one (rule → violation count) partial row; the driver
+    merges and derives rates. Violation_rate = violations/rows, one
+    division over exact integers."""
+    from ..shuffle import map_partials
+    from ._util import round_duck
+
+    cols = [
+        "l_orderkey",
+        "l_quantity",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+    ]
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        n = len(df)
+        q = df["l_quantity"]
+        d = df["l_discount"]
+        t = df["l_tax"]
+        rf = df["l_returnflag"]
+        ls = df["l_linestatus"]
+        viol = {
+            "null_orderkey": int(df["l_orderkey"].isna().sum()),
+            "quantity_range": int(
+                (q.isna() | (q < 1) | (q > 50)).sum()
+            ),
+            "discount_range": int(
+                (d.isna() | (d < 0) | (d > 0.1)).sum()
+            ),
+            "tax_range": int((t.isna() | (t < 0) | (t > 0.08)).sum()),
+            "returnflag_enum": int(
+                (~rf.isin(["A", "N", "R"]) | rf.isna()).sum()
+            ),
+            "linestatus_enum": int((~ls.isin(["O", "F"]) | ls.isna()).sum()),
+        }
+        out = pd.DataFrame(
+            {"rule": list(viol), "n_violations": list(viol.values())}
+        )
+        out["n_rows"] = n
+        return out
+
+    parts = map_partials(f"{sf_dir}/lineitem.parquet", cols, None, partial)
+    g = parts.groupby("rule", as_index=False).agg(
+        n_violations=("n_violations", "sum"), n_rows=("n_rows", "sum")
+    )
+    g["n_violations"] = g["n_violations"].astype("int64")
+    g["n_rows"] = g["n_rows"].astype("int64")
+    g["violation_rate"] = [
+        float(round_duck(v * 1.0 / r, 6)) if r else None
+        for v, r in zip(g["n_violations"], g["n_rows"])
+    ]
+    return g.sort_values("rule").reset_index(drop=True)
+
+
+def freshness_events(sf_dir: str) -> pd.DataFrame:
+    """Freshness / staleness SLA audit anchored on the table's own
+    watermark (max ts — deterministic, no wall clock): event counts in
+    the trailing 1 / 7 / 30 days ending at the watermark. The check a
+    validation platform runs to answer "is this feed still flowing, and
+    at what rate?" Two scan-shaped passes, both footer-assisted: the
+    watermark comes from row-group max statistics (no data read) and the
+    trailing-window counts are one partial-sum wave."""
+    from ..io import footer_column_minmax, list_parquet_files
+    from ..shuffle import map_partials
+
+    files = list_parquet_files(f"{sf_dir}/events.parquet")
+    mm = footer_column_minmax(files, "ts")
+    if mm is None or mm[1] is None:
+        return pd.DataFrame(
+            {
+                "n_last_day": pd.Series([], dtype="int64"),
+                "n_last_week": pd.Series([], dtype="int64"),
+                "n_last_month": pd.Series([], dtype="int64"),
+            }
+        )
+    wm = np.datetime64(mm[1], "us").astype(np.int64)
+    day = np.int64(86_400_000_000)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ts = batch.to_pandas()["ts"].dropna().astype("int64").to_numpy()
+        return pd.DataFrame(
+            {
+                "n_last_day": [int((ts > wm - day).sum())],
+                "n_last_week": [int((ts > wm - 7 * day).sum())],
+                "n_last_month": [int((ts > wm - 30 * day).sum())],
+            }
+        )
+
+    parts = map_partials(f"{sf_dir}/events.parquet", ["ts"], None, partial)
+    return pd.DataFrame(
+        {
+            "n_last_day": [int(parts["n_last_day"].sum())],
+            "n_last_week": [int(parts["n_last_week"].sum())],
+            "n_last_month": [int(parts["n_last_month"].sum())],
+        }
+    )
+
+
+def benford_first_digit_totalprice(sf_dir: str) -> pd.DataFrame:
+    """Benford first-digit audit over order totals — the classic
+    fabricated-data / quality screen: observed first-significant-digit
+    shares vs Benford's law, with the chi-square distance. Digit
+    extraction is exact (FLOOR to integer, first character of its
+    decimal string — no float log10 boundary risk); expected shares are
+    LN(1+1/d)/LN(10) and chi² = Σ (obs−exp)²/exp over the SAME
+    expression tree in both engines. One scan, 9-cell partials."""
+    import math
+
+    from ..shuffle import map_partials
+    from ._util import round_duck
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        x = batch.to_pandas()["o_totalprice"].dropna()
+        x = x[x >= 1.0]
+        if not len(x):
+            return pd.DataFrame(
+                {
+                    "digit": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        first = (
+            np.floor(x.to_numpy(np.float64))
+            .astype(np.int64)
+            .astype("U1")  # first char of the integer's decimal string
+            .astype(np.int64)
+        )
+        vc = pd.Series(first).value_counts()
+        return pd.DataFrame(
+            {
+                "digit": vc.index.to_numpy(np.int64),
+                "n": vc.to_numpy().astype("int64"),
+            }
+        )
+
+    parts = map_partials(
+        f"{sf_dir}/orders.parquet", ["o_totalprice"], None, partial
+    )
+    if len(parts) == 0:
+        return pd.DataFrame(
+            {
+                "digit": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+                "observed_share": pd.Series([], dtype="float64"),
+                "benford_share": pd.Series([], dtype="float64"),
+                "chi2_term": pd.Series([], dtype="float64"),
+            }
+        )
+    g = parts.groupby("digit", as_index=False)["n"].sum()
+    g["n"] = g["n"].astype("int64")
+    total = int(g["n"].sum())
+    rows = []
+    for d, n in zip(g["digit"], g["n"]):
+        obs = n * 1.0 / total
+        exp = math.log(1.0 + 1.0 / int(d)) / math.log(10.0)
+        chi = (obs - exp) * (obs - exp) / exp
+        rows.append(
+            (
+                int(d),
+                int(n),
+                float(round_duck(obs, 6)),
+                float(round_duck(exp, 6)),
+                float(round_duck(chi, 8)),
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["digit", "n", "observed_share", "benford_share", "chi2_term"],
+    ).sort_values("digit").reset_index(drop=True)
+
+
 ORACLE_SQL: dict[str, str] = {
+    "domain_conformance_lineitem": """
+        WITH n AS (SELECT COUNT(*) AS total FROM lineitem),
+        v AS (
+            SELECT 'null_orderkey' AS rule,
+                   SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS nv
+            FROM lineitem
+            UNION ALL
+            SELECT 'quantity_range',
+                   SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1
+                            OR l_quantity > 50 THEN 1 ELSE 0 END)
+            FROM lineitem
+            UNION ALL
+            SELECT 'discount_range',
+                   SUM(CASE WHEN l_discount IS NULL OR l_discount < 0
+                            OR l_discount > 0.1 THEN 1 ELSE 0 END)
+            FROM lineitem
+            UNION ALL
+            SELECT 'tax_range',
+                   SUM(CASE WHEN l_tax IS NULL OR l_tax < 0
+                            OR l_tax > 0.08 THEN 1 ELSE 0 END)
+            FROM lineitem
+            UNION ALL
+            SELECT 'returnflag_enum',
+                   SUM(CASE WHEN l_returnflag IS NULL
+                            OR l_returnflag NOT IN ('A','N','R')
+                            THEN 1 ELSE 0 END)
+            FROM lineitem
+            UNION ALL
+            SELECT 'linestatus_enum',
+                   SUM(CASE WHEN l_linestatus IS NULL
+                            OR l_linestatus NOT IN ('O','F')
+                            THEN 1 ELSE 0 END)
+            FROM lineitem
+        )
+        SELECT rule,
+               CAST(nv AS BIGINT) AS n_violations,
+               CAST(n.total AS BIGINT) AS n_rows,
+               ROUND(nv * 1.0 / n.total, 6) AS violation_rate
+        FROM v CROSS JOIN n
+        ORDER BY rule
+    """,
+    "freshness_events": """
+        WITH wm AS (SELECT MAX(ts) AS m FROM events)
+        SELECT
+            CAST(SUM(CASE WHEN ts > m - INTERVAL 1 DAY
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_last_day,
+            CAST(SUM(CASE WHEN ts > m - INTERVAL 7 DAY
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_last_week,
+            CAST(SUM(CASE WHEN ts > m - INTERVAL 30 DAY
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_last_month
+        FROM events CROSS JOIN wm
+        WHERE ts IS NOT NULL
+    """,
+    "benford_first_digit_totalprice": """
+        WITH d AS (
+            SELECT CAST(left(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                                  AS VARCHAR), 1) AS BIGINT) AS digit
+            FROM orders
+            WHERE o_totalprice IS NOT NULL AND o_totalprice >= 1.0
+        ), g AS (
+            SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit
+        ), t AS (SELECT SUM(n) AS total FROM g)
+        SELECT digit, n,
+               ROUND(n * 1.0 / t.total, 6) AS observed_share,
+               ROUND(LN(1.0 + 1.0 / digit) / LN(10.0), 6) AS benford_share,
+               ROUND((n * 1.0 / t.total - LN(1.0 + 1.0 / digit) / LN(10.0))
+                     * (n * 1.0 / t.total - LN(1.0 + 1.0 / digit) / LN(10.0))
+                     / (LN(1.0 + 1.0 / digit) / LN(10.0)), 8) AS chi2_term
+        FROM g CROSS JOIN t
+        ORDER BY digit
+    """,
     "key_set_ops_orders_customer": """
         WITH a AS (
             SELECT DISTINCT o_custkey AS k FROM orders
@@ -520,4 +769,7 @@ QUERIES = {
     "fanout_orders_lineitem": fanout_orders_lineitem,
     "selfjoin_size_partkey": selfjoin_size_partkey,
     "key_set_ops_orders_customer": key_set_ops_orders_customer,
+    "domain_conformance_lineitem": domain_conformance_lineitem,
+    "freshness_events": freshness_events,
+    "benford_first_digit_totalprice": benford_first_digit_totalprice,
 }
