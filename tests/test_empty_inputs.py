@@ -25,6 +25,7 @@ LOUD = {
     "ann_lsh_embeddings": KeyError,
     "ann_ivf_embeddings": ValueError,
     "ann_range_embeddings": KeyError,
+    "rrf_hybrid_topk_documents": KeyError,  # needs the vec_id=0 query
 }
 
 
