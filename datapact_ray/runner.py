@@ -101,6 +101,14 @@ class RunConfig:
     profile_concurrency: tuple[int, int] | int | None = None
     resume: bool = False
     fail_fast: bool = False  # stop at first failing task
+    # incremental profile: merge the cited prior run's checkpointed
+    # profile monoids with a profile of ONLY the input files added since
+    # — exact for every scan-shaped check (count/null/agg; sketches are
+    # mergeable). Keyed/referential/custom checks always run full (new
+    # rows can collide with old keys, so key-shaped state cannot be
+    # carried forward without the full key set). Falls back to a full
+    # profile when lineage/spec/filter changed or files were REMOVED.
+    incremental_from: int | None = None
 
 
 @dataclass
@@ -131,11 +139,11 @@ class ValidationRunner:
 
     # ---- checkpoint helpers ----
 
-    def _task_ckpt(self, task_key: str) -> str:
+    def _task_ckpt(self, task_key: str, run_id: int | None = None) -> str:
         return os.path.join(
             self.config.results_dir,
             "checkpoint",
-            f"run_id={self.config.run_id}",
+            f"run_id={run_id if run_id is not None else self.config.run_id}",
             f"task={task_key}",
         )
 
@@ -293,6 +301,16 @@ class ValidationRunner:
         hot_threshold = max(
             cfg.hot_key_threshold, 2 * (est_rows // num_buckets) if est_rows else 0
         )
+        # profile-spec signature: an incremental run may only merge prior
+        # profile monoids produced under the IDENTICAL spec + filter
+        lineage["profile_spec"] = {
+            "null_columns": sorted(spec.null_columns),
+            "agg_columns": {
+                c: sorted(a) for c, a in sorted(spec.agg_columns.items())
+            },
+            "sketch_columns": sorted(spec.sketch_columns),
+            "heavy_hitter_column": spec.heavy_hitter_column,
+        }
         _atomic_write(lineage_path, json.dumps(lineage, indent=1).encode())
 
         # referential + custom checks don't consume profile output — start
@@ -333,6 +351,41 @@ class ValidationRunner:
         src_profile = tgt_profile = None
         profile_wanted = stats_needed or spec.heavy_hitter_column
 
+        def _incremental_prior() -> tuple | None:
+            """Prior run's (profiles, new_src, new_tgt) when the
+            incremental preconditions hold, else None (→ full scan)."""
+            if cfg.incremental_from is None or not all_parquet:
+                return None
+            prior_ckpt = self._task_ckpt(task.task_key, cfg.incremental_from)
+            plineage_path = os.path.join(prior_ckpt, "lineage.json")
+            psrc = os.path.join(prior_ckpt, "profile_source.pkl")
+            ptgt = os.path.join(prior_ckpt, "profile_target.pkl")
+            if not (
+                os.path.exists(plineage_path)
+                and os.path.exists(psrc + ".done")
+                and os.path.exists(ptgt + ".done")
+            ):
+                return None
+            with open(plineage_path) as fh:
+                prior = json.load(fh)
+            if (
+                prior.get("filter") != task.filter
+                or prior.get("profile_spec") != lineage["profile_spec"]
+            ):
+                return None
+            prev_src = set(prior.get("source_files") or [])
+            prev_tgt = set(prior.get("target_files") or [])
+            # removed files invalidate the monoid (cannot subtract)
+            if not (prev_src <= set(src_files) and prev_tgt <= set(tgt_files)):
+                return None
+            with open(psrc, "rb") as fh:
+                sp0 = pickle.load(fh)
+            with open(ptgt, "rb") as fh:
+                tp0 = pickle.load(fh)
+            new_src = [f for f in src_files if f not in prev_src]
+            new_tgt = [f for f in tgt_files if f not in prev_tgt]
+            return (sp0, tp0), new_src, new_tgt
+
         def run_profiles() -> tuple:
             columns = sorted(profile_cols | filter_cols) or None
             src_path = os.path.join(ckpt, "profile_source.pkl")
@@ -347,7 +400,27 @@ class ValidationRunner:
                 with open(tgt_path, "rb") as fh:
                     tp = pickle.load(fh)
                 return sp, tp
-            if all_parquet:
+            inc = _incremental_prior()
+            if inc is not None:
+                from .stages.profile import merge_profiles
+
+                (sp0, tp0), new_src, new_tgt = inc
+                nsp, ntp = run_profile_pair_files(
+                    new_src, new_tgt, spec, columns, filter_expr
+                )
+                sp = merge_profiles([sp0, nsp])
+                tp = merge_profiles([tp0, ntp])
+                lineage["incremental"] = {
+                    "from_run_id": cfg.incremental_from,
+                    "new_source_files": len(new_src),
+                    "new_target_files": len(new_tgt),
+                    "reused_source_files": len(src_files) - len(new_src),
+                    "reused_target_files": len(tgt_files) - len(new_tgt),
+                }
+                _atomic_write(
+                    lineage_path, json.dumps(lineage, indent=1).encode()
+                )
+            elif all_parquet:
                 # fused raw-task path: one wave of read+profile chunks
                 sp, tp = run_profile_pair_files(
                     src_files, tgt_files, spec, columns, filter_expr
