@@ -473,7 +473,85 @@ def mixture_weights_documents(
     return out.sort_values("source").reset_index(drop=True)
 
 
+def length_bucket_census_documents(sf_dir: str) -> pd.DataFrame:
+    """Power-of-two token-length histogram — the sequence-length census
+    batch-packing and bucketed-batching decisions are planned from
+    (how much of the corpus is short-tail vs long-tail, and where the
+    padding waste would land for each max-length choice).
+
+    Bucket = ⌊log₂(tokens)⌋, computed EXACTLY on both engines: the
+    engine reads the exponent from ``np.frexp`` (no float log whose
+    rounding could misclassify a power-of-two boundary), the oracle
+    uses a generated integer CASE ladder over the same boundaries.
+    Token counts use the whitespace-segment convention shared with
+    ``mixture_weights_documents`` (LENGTH − LENGTH(REPLACE) + 1, ≥ 1
+    even for empty text, so log₂ is always defined).
+
+    Shape: one scan; each task folds to ≤ ladder-width (bucket, docs,
+    tokens) partials. Nothing shuffles; the driver merge is
+    ladder-sized."""
+    from ..shuffle import map_partials
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["text"])
+        if not len(df):
+            return pd.DataFrame({"bucket": [], "n_docs": [], "tokens": []})
+        t = (
+            df["text"].astype(str).str.count(" ").to_numpy().astype(np.int64)
+            + 1
+        )
+        # exact floor(log2): frexp returns the IEEE exponent, so
+        # t = 2^k lands in bucket k, never k-1/k+1 via log rounding
+        bucket = (np.frexp(t.astype(np.float64))[1] - 1).astype(np.int64)
+        g = pd.DataFrame({"bucket": bucket, "t": t}).groupby(
+            "bucket", sort=False
+        )
+        out = g.agg(n_docs=("t", "size"), tokens=("t", "sum")).reset_index()
+        return out
+
+    parts = map_partials(
+        f"{sf_dir}/documents.parquet", ["text"], None, partial
+    )
+    if not len(parts):
+        return pd.DataFrame(
+            {
+                "bucket": pd.Series([], dtype="int64"),
+                "n_docs": pd.Series([], dtype="int64"),
+                "tokens": pd.Series([], dtype="int64"),
+            }
+        )
+    g = (
+        parts.groupby("bucket", sort=False)
+        .agg(n_docs=("n_docs", "sum"), tokens=("tokens", "sum"))
+        .reset_index()
+    )
+    g = g.astype({"bucket": "int64", "n_docs": "int64", "tokens": "int64"})
+    return g.sort_values("bucket").reset_index(drop=True)
+
+
+def _length_bucket_sql(max_bucket: int = 40) -> str:
+    ladder = "\n                ".join(
+        f"WHEN t < {1 << (b + 1)} THEN {b}" for b in range(max_bucket)
+    )
+    return f"""
+        WITH d AS (
+            SELECT LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS t
+            FROM documents WHERE text IS NOT NULL
+        ), b AS (
+            SELECT CASE
+                {ladder}
+                ELSE {max_bucket} END AS bucket, t
+            FROM d
+        )
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(t) AS BIGINT) AS tokens
+        FROM b GROUP BY 1 ORDER BY 1
+    """
+
+
 QUERIES = {
+    "length_bucket_census_documents": length_bucket_census_documents,
     "split_assign_documents": split_assign_documents,
     "shuffle_order_documents": shuffle_order_documents,
     "curation_funnel_documents": curation_funnel_documents,
@@ -482,6 +560,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "length_bucket_census_documents": _length_bucket_sql(),
     "mixture_weights_documents": """
         WITH d AS (
             SELECT source,

@@ -617,7 +617,139 @@ def benford_first_digit_totalprice(sf_dir: str) -> pd.DataFrame:
     ).sort_values("digit").reset_index(drop=True)
 
 
+def fd_audit_part_brand_type(sf_dir: str) -> pd.DataFrame:
+    """Functional-dependency discovery audit: does ``p_brand``
+    determine ``p_type``? The schema-inference check a warehouse team
+    runs before declaring a column redundant / denormalized (reference
+    analog: the per-task configured checks in
+    ``/root/reference/datapact/validator.py`` have no FD rule — this is
+    the census that tells you whether one is worth configuring).
+
+    Reports the distinct LHS count, how many LHS values map to more
+    than one RHS (FD violations), the rows living under violating LHS
+    values, and the worst fan-out. NULL on either side is excluded on
+    both engines (SQL GROUP BY semantics would otherwise bucket NULLs).
+
+    Shape: per-batch (brand, type) pair counts — the pair vocabulary is
+    bounded (brands × types), so each scan task's partial is tiny and
+    the driver merge is vocabulary-sized, never data-sized. No shuffle.
+    """
+    from ..shuffle import map_partials
+
+    def pair_partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["p_brand", "p_type"])
+        if not len(df):
+            return pd.DataFrame({"b": [], "t": [], "n": []})
+        g = df.groupby(["p_brand", "p_type"], sort=False).size()
+        out = g.reset_index()
+        out.columns = ["b", "t", "n"]
+        return out
+
+    parts = map_partials(
+        f"{sf_dir}/part.parquet", ["p_brand", "p_type"], None, pair_partial
+    )
+    if not len(parts):
+        return pd.DataFrame(
+            {
+                "n_lhs": pd.Series([0], dtype="int64"),
+                "n_violating_lhs": pd.Series([None], dtype="object"),
+                "n_violating_rows": pd.Series([None], dtype="object"),
+                "max_rhs_per_lhs": pd.Series([None], dtype="object"),
+            }
+        )
+    g = parts.groupby(["b", "t"], sort=False)["n"].sum().reset_index()
+    per_lhs = g.groupby("b").agg(k=("t", "nunique"), n=("n", "sum"))
+    return pd.DataFrame(
+        {
+            "n_lhs": [int(len(per_lhs))],
+            "n_violating_lhs": [int((per_lhs["k"] > 1).sum())],
+            "n_violating_rows": [int(per_lhs.loc[per_lhs["k"] > 1, "n"].sum())],
+            "max_rhs_per_lhs": [int(per_lhs["k"].max())],
+        }
+    )
+
+
+def derived_column_audit_documents(sf_dir: str) -> pd.DataFrame:
+    """Derived-column consistency audit: is the materialized
+    ``n_chars`` column actually ``LENGTH(text)``? The stored-vs-derived
+    integrity check every table with a denormalized convenience column
+    needs (stale backfills and truncating writers break it silently —
+    row counts, null rates and uniqueness all stay green).
+
+    One vectorized scan; each task folds to a THREE-integer partial
+    (rows checked, violations, max |stored − derived|). Rows where
+    either side is NULL are excluded on both engines (a NULL derived
+    column is the null-rate check's job, not this one's). pandas
+    ``str.len`` and DuckDB ``LENGTH`` both count code points, so the
+    comparison is exact."""
+    from ..shuffle import map_partials
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["text", "n_chars"])
+        if not len(df):
+            return pd.DataFrame(
+                {"n_checked": [0], "n_violations": [0], "max_abs_diff": [0]}
+            )
+        diff = (
+            df["n_chars"].astype(np.int64).to_numpy()
+            - df["text"].astype(str).str.len().to_numpy().astype(np.int64)
+        )
+        return pd.DataFrame(
+            {
+                "n_checked": [len(df)],
+                "n_violations": [int((diff != 0).sum())],
+                "max_abs_diff": [int(np.abs(diff).max())],
+            }
+        )
+
+    parts = map_partials(
+        f"{sf_dir}/documents.parquet", ["text", "n_chars"], None, partial
+    )
+    n = int(parts["n_checked"].sum()) if len(parts) else 0
+    if n == 0:
+        return pd.DataFrame(
+            {
+                "n_checked": pd.Series([0], dtype="int64"),
+                "n_violations": pd.Series([None], dtype="object"),
+                "max_abs_diff": pd.Series([None], dtype="object"),
+            }
+        )
+    return pd.DataFrame(
+        {
+            "n_checked": [n],
+            "n_violations": [int(parts["n_violations"].sum())],
+            "max_abs_diff": [int(parts["max_abs_diff"].max())],
+        }
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
+    "fd_audit_part_brand_type": """
+        WITH g AS (
+            SELECT p_brand,
+                   COUNT(DISTINCT p_type) AS k,
+                   COUNT(*) AS n
+            FROM part
+            WHERE p_brand IS NOT NULL AND p_type IS NOT NULL
+            GROUP BY 1
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_lhs,
+               CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violating_lhs,
+               CAST(SUM(CASE WHEN k > 1 THEN n ELSE 0 END) AS BIGINT)
+                   AS n_violating_rows,
+               CAST(MAX(k) AS BIGINT) AS max_rhs_per_lhs
+        FROM g
+    """,
+    "derived_column_audit_documents": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_checked,
+               CAST(SUM(CASE WHEN n_chars <> LENGTH(text)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+               CAST(MAX(ABS(n_chars - LENGTH(text))) AS BIGINT)
+                   AS max_abs_diff
+        FROM documents
+        WHERE text IS NOT NULL AND n_chars IS NOT NULL
+    """,
     "domain_conformance_lineitem": """
         WITH n AS (SELECT COUNT(*) AS total FROM lineitem),
         v AS (
@@ -764,6 +896,8 @@ ORACLE_SQL: dict[str, str] = {
 }
 
 QUERIES = {
+    "fd_audit_part_brand_type": fd_audit_part_brand_type,
+    "derived_column_audit_documents": derived_column_audit_documents,
     "linenumber_integrity_lineitem": linenumber_integrity_lineitem,
     "id_gaps_orders": id_gaps_orders,
     "fanout_orders_lineitem": fanout_orders_lineitem,

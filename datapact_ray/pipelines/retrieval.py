@@ -23,6 +23,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.parquet as pq
 
 __all__ = ["bm25_topk_documents"]
 
@@ -368,13 +369,153 @@ def _rrf_sql(
     """
 
 
+def tf_cosine_topk_documents(
+    sf_dir: str, query_doc_id: int = 0, k: int = 20
+) -> pd.DataFrame:
+    """Vector-space-model retrieval: top-k documents by exact cosine
+    similarity between whole-document term-frequency vectors — the
+    doc-to-doc lexical analog of ``ann.ann_topk_embeddings`` (there the
+    query is a dense embedding; here it is the sparse TF vector of a
+    pivot document). The classic "more like this" query.
+
+    Shuffle-free broadcast shape: the query document is fetched with a
+    row-group-filtered read (like ``ann._query_vector``), its TF map
+    (unique token hashes + counts, vocabulary-sized) rides in the
+    pickled batch fn, and each scan task scores its docs vectorized —
+    dot product via one searchsorted lookup per token position +
+    bincount segment-sum, ‖d‖² via one (doc, token-hash) C groupby —
+    then local-top-k-prunes, so the driver merge sees ≤ k·n_tasks rows.
+    Nothing data-sized leaves the scan wave and nothing shuffles.
+
+    Cross-engine exactness: dot, ‖q‖² and ‖d‖² are exact integers on
+    both engines, and cosine = double(dot) / sqrt(double(‖q‖²·‖d‖²)) is
+    the IDENTICAL two-op tree (IEEE sqrt + divide on bit-equal inputs),
+    so the doubles match bit-for-bit — no rounding pin needed. The
+    total order (cosine DESC, doc_id ASC) is therefore identical too.
+    Tokenization is ``str.split(' ')`` on BOTH engines (pandas split
+    mirrors DuckDB ``string_split(text, ' ')`` exactly, including empty
+    segments from repeated spaces). Token identity rides 64-bit
+    siphashes — same empirical collision-free contract as
+    ``dedup.dedup_exact_documents``. Raises KeyError when the pivot
+    document is absent (cf. the ANN family's loud-query contract).
+
+    Reference analog: none (the reference validates, it does not rank);
+    engine extension mandated by the build brief's similarity-search
+    requirement.
+    """
+    from ..shuffle import map_partials
+    from ._tokens import token_hashes
+
+    path = f"{sf_dir}/documents.parquet"
+    qt = pq.read_table(
+        path, columns=["doc_id", "text"],
+        filters=[("doc_id", "==", query_doc_id)],
+    )
+    if qt.num_rows == 0:
+        raise KeyError(f"query doc_id={query_doc_id} not found")
+    qtext = qt.column("text")[0].as_py()
+    if qtext is None:
+        raise KeyError(f"query doc_id={query_doc_id} has NULL text")
+    qtok = pd.Series(qtext.split(" "))
+    qvc = qtok.value_counts()
+    qh = token_hashes(pd.Series(qvc.index))
+    order = np.argsort(qh, kind="stable")
+    q_hashes = qh[order]
+    q_counts = qvc.to_numpy()[order].astype(np.int64)
+    q_norm2 = int((q_counts**2).sum())
+
+    def score_prune(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["doc_id", "text"])
+        df = df[df["doc_id"] != query_doc_id]
+        if not len(df):
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "cosine": pd.Series([], dtype="float64")}
+            )
+        lists = df["text"].astype(str).str.split(" ")
+        counts = lists.str.len().to_numpy().astype(np.int64)
+        flat = lists.explode()
+        th = token_hashes(flat)
+        doc_idx = np.repeat(np.arange(len(df)), counts)
+        # dot(d, q) = Σ over token positions of q_tf(token)
+        pos = np.searchsorted(q_hashes, th).clip(0, len(q_hashes) - 1)
+        contrib = np.where(q_hashes[pos] == th, q_counts[pos], 0)
+        dot = np.bincount(
+            doc_idx, weights=contrib, minlength=len(df)
+        ).astype(np.int64)
+        # ‖d‖² = Σ_t tf² via one C groupby over (doc, token-hash)
+        g = (
+            pd.DataFrame({"d": doc_idx, "h": th})
+            .groupby(["d", "h"], sort=False)
+            .size()
+        )
+        norm2 = np.bincount(
+            g.index.get_level_values(0).to_numpy(),
+            weights=g.to_numpy() ** 2,
+            minlength=len(df),
+        ).astype(np.int64)
+        cos = dot.astype(np.float64) / np.sqrt(
+            (q_norm2 * norm2).astype(np.float64)
+        )
+        out = pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64").to_numpy(), "cosine": cos}
+        )
+        return out.sort_values(
+            ["cosine", "doc_id"], ascending=[False, True], kind="stable"
+        ).head(k)
+
+    cand = map_partials(path, ["doc_id", "text"], None, score_prune)
+    if not len(cand):
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "cosine": pd.Series([], dtype="float64")}
+        )
+    top = cand.sort_values(
+        ["cosine", "doc_id"], ascending=[False, True], kind="stable"
+    ).head(k)
+    return top.reset_index(drop=True)
+
+
+def _tf_cosine_sql(query_doc_id: int = 0, k: int = 20) -> str:
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS t
+            FROM documents
+            WHERE text IS NOT NULL AND doc_id IS NOT NULL
+        ), tf AS (
+            SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tok GROUP BY 1, 2
+        ), q AS (
+            SELECT t, c AS qc FROM tf WHERE doc_id = {query_doc_id}
+        ), qn AS (
+            SELECT CAST(SUM(qc * qc) AS BIGINT) AS qn2 FROM q
+        ), n2 AS (
+            SELECT doc_id, CAST(SUM(c * c) AS BIGINT) AS n2
+            FROM tf WHERE doc_id <> {query_doc_id} GROUP BY 1
+        ), dot AS (
+            SELECT tf.doc_id, CAST(SUM(tf.c * q.qc) AS BIGINT) AS d
+            FROM tf JOIN q ON tf.t = q.t
+            WHERE tf.doc_id <> {query_doc_id}
+            GROUP BY 1
+        )
+        SELECT n2.doc_id AS doc_id,
+               CAST(COALESCE(dot.d, 0) AS DOUBLE)
+                   / SQRT(CAST(qn.qn2 * n2.n2 AS DOUBLE)) AS cosine
+        FROM n2 LEFT JOIN dot ON n2.doc_id = dot.doc_id CROSS JOIN qn
+        ORDER BY cosine DESC, doc_id ASC
+        LIMIT {k}
+    """
+
+
 QUERIES = {
     "bm25_topk_documents": bm25_topk_documents,
     "dirichlet_ql_topk_documents": dirichlet_ql_topk_documents,
     "rrf_hybrid_topk_documents": rrf_hybrid_topk_documents,
+    "tf_cosine_topk_documents": tf_cosine_topk_documents,
 }
 ORACLE_SQL = {
     "bm25_topk_documents": _bm25_sql(),
     "dirichlet_ql_topk_documents": _dirichlet_sql(),
     "rrf_hybrid_topk_documents": _rrf_sql(),
+    "tf_cosine_topk_documents": _tf_cosine_sql(),
 }

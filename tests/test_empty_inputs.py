@@ -26,6 +26,7 @@ LOUD = {
     "ann_ivf_embeddings": ValueError,
     "ann_range_embeddings": KeyError,
     "rrf_hybrid_topk_documents": KeyError,  # needs the vec_id=0 query
+    "tf_cosine_topk_documents": KeyError,  # needs the doc_id=0 pivot
 }
 
 
