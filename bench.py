@@ -154,20 +154,35 @@ def run_bench() -> dict:
 
     turns = count_rows(paths["source"])
 
-    # warm OS page cache (untimed) so we measure compute + shuffle
+    # warm OS page cache (untimed) so we measure compute + shuffle —
+    # including the transcript files the suite scans (previously only the
+    # sweep's lineitem/orders were warmed, so the suite's timed region
+    # paid the ~700 MB cold read of source/target/dim)
     count_rows(paths["target"])
-    for f in (f"{SF_DIR}/lineitem.parquet", f"{SF_DIR}/orders.parquet"):
+    warm_files = [f"{SF_DIR}/lineitem.parquet", f"{SF_DIR}/orders.parquet"]
+    for side in ("source", "target", "dim"):
+        d = paths[side]
+        warm_files += [
+            os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet")
+        ]
+    for f in warm_files:
         with open(f, "rb") as fh:
             while fh.read(1 << 24):
                 pass
 
     # warm the Ray worker pool (untimed): steady-state throughput should
-    # not charge one-time worker-process spawn to the first timed wave
-    @ray.remote
-    def _noop() -> int:
+    # not charge one-time worker-process spawn OR the per-worker package
+    # import to the first timed wave. Each task holds one CPU briefly so
+    # all NUM_CPUS workers spawn concurrently and each runs the import.
+    @ray.remote(num_cpus=1)
+    def _warm_worker() -> int:
+        import datapact_ray.stages.keyed  # noqa: F401
+        import datapact_ray.stages.profile  # noqa: F401
+        import datapact_ray.stages.referential  # noqa: F401
+        time.sleep(0.3)
         return 0
 
-    ray.get([_noop.remote() for _ in range(NUM_CPUS)])
+    ray.get([_warm_worker.remote() for _ in range(NUM_CPUS)])
 
     spin_before = _host_probe()
     load_before = round(os.getloadavg()[0], 2)
