@@ -550,8 +550,97 @@ def _length_bucket_sql(max_bucket: int = 40) -> str:
     """
 
 
+def pack_efficiency_documents(
+    sf_dir: str, max_lens: tuple = (8, 32, 128, 512)
+) -> pd.DataFrame:
+    """Sequence-length selection audit: for each candidate ``max_len``,
+    how many tokens survive (kept), how many pad slots a
+    one-document-per-sequence layout wastes, and how many tokens
+    truncation destroys — the three numbers that decide a training
+    run's context-length/packing configuration before any GPU time is
+    spent. Complements ``length_bucket_census_documents`` (the
+    distribution) with the decision table (the costs per choice).
+
+    Token counts use the shared whitespace-segment convention
+    (LENGTH − LENGTH(REPLACE) + 1 on non-null text). All cells are
+    exact integers: kept = min(t, L), pad = max(L − t, 0),
+    trunc = max(t − L, 0), summed per candidate. One scan; each task
+    folds to ≤ |max_lens| fixed-width rows."""
+    from ..shuffle import map_partials
+
+    lens = tuple(int(x) for x in max_lens)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["text"])
+        if not len(df):
+            return pd.DataFrame(
+                {"max_len": [], "n_docs": [], "n_truncated": [],
+                 "kept_tokens": [], "pad_tokens": [], "trunc_tokens": []}
+            )
+        t = (
+            df["text"].astype(str).str.count(" ").to_numpy().astype(np.int64)
+            + 1
+        )
+        rows = []
+        for L in lens:
+            kept = np.minimum(t, L)
+            rows.append(
+                (
+                    L,
+                    len(t),
+                    int((t > L).sum()),
+                    int(kept.sum()),
+                    int(np.maximum(L - t, 0).sum()),
+                    int((t - kept).sum()),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=["max_len", "n_docs", "n_truncated", "kept_tokens",
+                     "pad_tokens", "trunc_tokens"],
+        )
+
+    parts = map_partials(
+        f"{sf_dir}/documents.parquet", ["text"], None, partial
+    )
+    cols = ["n_docs", "n_truncated", "kept_tokens", "pad_tokens",
+            "trunc_tokens"]
+    if not len(parts):
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64") for c in ["max_len"] + cols}
+        )
+    out = parts.groupby("max_len", as_index=False)[cols].sum()
+    for c in ["max_len"] + cols:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("max_len").reset_index(drop=True)
+
+
+def _pack_efficiency_sql(max_lens: tuple = (8, 32, 128, 512)) -> str:
+    legs = "\n            UNION ALL\n".join(
+        f"""
+            SELECT CAST({L} AS BIGINT) AS max_len,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN t > {L} THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_truncated,
+                   CAST(SUM(LEAST(t, {L})) AS BIGINT) AS kept_tokens,
+                   CAST(SUM(GREATEST({L} - t, 0)) AS BIGINT) AS pad_tokens,
+                   CAST(SUM(t - LEAST(t, {L})) AS BIGINT) AS trunc_tokens
+            FROM d"""
+        for L in max_lens
+    )
+    return f"""
+        WITH d AS (
+            SELECT LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS t
+            FROM documents WHERE text IS NOT NULL
+        )
+        {legs}
+        ORDER BY max_len
+    """
+
+
 QUERIES = {
     "length_bucket_census_documents": length_bucket_census_documents,
+    "pack_efficiency_documents": pack_efficiency_documents,
     "split_assign_documents": split_assign_documents,
     "shuffle_order_documents": shuffle_order_documents,
     "curation_funnel_documents": curation_funnel_documents,
@@ -561,6 +650,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "length_bucket_census_documents": _length_bucket_sql(),
+    "pack_efficiency_documents": _pack_efficiency_sql(),
     "mixture_weights_documents": """
         WITH d AS (
             SELECT source,

@@ -486,13 +486,99 @@ def payload_magic_census_documents(sf_dir: str) -> "pd.DataFrame":
     return out.sort_values("klass").reset_index(drop=True)
 
 
+def payload_dedup_multimodal(sf_dir: str) -> "pd.DataFrame":
+    """Binary-payload dedup census — the storage-bill question for a
+    multimodal corpus: how many blobs are byte-identical copies and how
+    many bytes re-crawled/re-encoded duplicates waste. Media payloads
+    duplicate heavily in web data (mirrored images, shared assets), and
+    byte-exact dedup is the zero-risk first pass before any perceptual
+    hash.
+
+    Payload = the document's UTF-8 bytes cast to ``binary`` in the scan
+    task (the stand-in this module uses for image/audio blobs — the
+    plumbing, batch shapes and exchange are exactly what a real blob
+    column gets). Each task ships only (hash64, nbytes) — 16 B/payload
+    regardless of blob size; same-hash payloads land in one bucket so
+    per-bucket group folds are globally exact (same 64-bit-collision
+    caveat as ``dedup.dedup_exact_documents``, negligible and
+    empirically exact at test scale). Wasted bytes = Σ (copies−1)·size
+    over distinct payloads."""
+    import pandas as pd
+
+    from .dedup import _dedup_buckets, _fused_grouped_frames
+
+    num_buckets = _dedup_buckets()
+
+    def projector(batch: pa.Table) -> "pd.DataFrame":
+        import pyarrow.compute as pc
+
+        from ..sketches import hash_columns_u64
+
+        df = batch.to_pandas().dropna(subset=["text"])
+        payload = pc.cast(pa.array(df["text"].astype(str)), pa.binary())
+        nbytes = pc.binary_length(payload).to_numpy().astype("int64")
+        h = hash_columns_u64(df, ["text"])
+        return pd.DataFrame(
+            {
+                "h": h,
+                "b": nbytes,
+                "__bucket": (h % np.uint64(num_buckets)).astype(np.int32),
+            }
+        )
+
+    def bucket_fold(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby("h", as_index=False).agg(
+            c=("b", "size"), b=("b", "first")
+        )
+        return pd.DataFrame(
+            {
+                "n_payloads": [int(g["c"].sum())],
+                "distinct_payloads": [len(g)],
+                "total_bytes": [int((g["c"] * g["b"]).sum())],
+                "wasted_bytes": [int(((g["c"] - 1) * g["b"]).sum())],
+            }
+        )
+
+    parts = _fused_grouped_frames(
+        [(f"{sf_dir}/documents.parquet", ["text"], None, projector)],
+        num_buckets,
+        bucket_fold,
+    )
+    cols = ["n_payloads", "distinct_payloads", "total_bytes", "wasted_bytes"]
+    tot = {c: (int(parts[c].sum()) if len(parts) else 0) for c in cols}
+    return pd.DataFrame(
+        {
+            "n_payloads": [tot["n_payloads"]],
+            "distinct_payloads": [tot["distinct_payloads"]],
+            "dup_payloads": [tot["n_payloads"] - tot["distinct_payloads"]],
+            "total_bytes": [tot["total_bytes"]],
+            "wasted_bytes": [tot["wasted_bytes"]],
+        }
+    )
+
+
 QUERIES = {
     "binary_payload_stats_documents": binary_payload_stats_documents,
     "payload_chunking_documents": payload_chunking_documents,
     "payload_magic_census_documents": payload_magic_census_documents,
+    "payload_dedup_multimodal": payload_dedup_multimodal,
 }
 
 ORACLE_SQL = {
+    "payload_dedup_multimodal": """
+        WITH p AS (
+            SELECT text, octet_length(encode(text)) AS b
+            FROM documents WHERE text IS NOT NULL
+        ), g AS (
+            SELECT text, COUNT(*) AS c, MIN(b) AS b FROM p GROUP BY text
+        )
+        SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_payloads,
+               CAST(COUNT(*) AS BIGINT) AS distinct_payloads,
+               CAST(COALESCE(SUM(c), 0) - COUNT(*) AS BIGINT) AS dup_payloads,
+               CAST(COALESCE(SUM(c * b), 0) AS BIGINT) AS total_bytes,
+               CAST(COALESCE(SUM((c - 1) * b), 0) AS BIGINT) AS wasted_bytes
+        FROM g
+    """,
     "payload_chunking_documents": """
         WITH p AS (
             SELECT source, octet_length(encode(text)) AS b,

@@ -723,7 +723,170 @@ def derived_column_audit_documents(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def charclass_census_documents(sf_dir: str) -> pd.DataFrame:
+    """Per-language character-class census — the encoding-QA screen that
+    catches mojibake, double-encoded UTF-8, digit-heavy boilerplate and
+    markup bleed before any tokenizer sees the corpus. Classes are
+    explicit ASCII codepoint ranges (letters, digits, the space, ASCII
+    punctuation) plus an "other" bucket (newlines, tabs, every
+    non-ASCII codepoint), so engine and oracle cannot disagree on
+    membership: the engine classifies the UTF-32 view of each batch's
+    concatenated text with numpy range masks, the oracle counts
+    codepoints surviving ``regexp_replace`` with the same ranges
+    (DuckDB LENGTH is codepoints, matching the UTF-32 view exactly).
+
+    Shape: one scan; each task joins its batch's text ONCE per lang
+    (C-level concat), classifies the codepoint array vectorized, and
+    folds to ≤ |langs| seven-integer rows. Nothing but those partials
+    reaches the driver."""
+    from ..shuffle import map_partials
+
+    cols = ["n_docs", "total_chars", "letters", "digits", "spaces",
+            "punct", "other"]
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["text"])
+        if not len(df):
+            return pd.DataFrame({c: [] for c in ["lang"] + cols})
+        rows = []
+        for lang, grp in df.groupby("lang", sort=False, dropna=False):
+            s = "".join(grp["text"].astype(str).tolist())
+            c = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+            letters = int(
+                (((c >= 65) & (c <= 90)) | ((c >= 97) & (c <= 122))).sum()
+            )
+            digits = int(((c >= 48) & (c <= 57)).sum())
+            spaces = int((c == 32).sum())
+            punct = int(
+                (
+                    ((c >= 33) & (c <= 47))
+                    | ((c >= 58) & (c <= 64))
+                    | ((c >= 91) & (c <= 96))
+                    | ((c >= 123) & (c <= 126))
+                ).sum()
+            )
+            total = int(c.size)
+            rows.append(
+                (lang, len(grp), total, letters, digits, spaces, punct,
+                 total - letters - digits - spaces - punct)
+            )
+        return pd.DataFrame(rows, columns=["lang"] + cols)
+
+    parts = map_partials(
+        f"{sf_dir}/documents.parquet", ["lang", "text"], None, partial
+    )
+    if not len(parts):
+        return pd.DataFrame(
+            {"lang": pd.Series([], dtype="object"),
+             **{c: pd.Series([], dtype="int64") for c in cols}}
+        )
+    out = parts.groupby("lang", as_index=False, dropna=False)[cols].sum()
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+_CHARCLASS_SQL = r"""
+    WITH d AS (
+        SELECT lang, text, LENGTH(text) AS total FROM documents
+        WHERE text IS NOT NULL
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(total) AS BIGINT) AS total_chars,
+           CAST(SUM(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')))
+               AS BIGINT) AS letters,
+           CAST(SUM(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')))
+               AS BIGINT) AS digits,
+           CAST(SUM(LENGTH(regexp_replace(text, '[^ ]', '', 'g')))
+               AS BIGINT) AS spaces,
+           CAST(SUM(LENGTH(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')))
+               AS BIGINT) AS punct,
+           CAST(SUM(total
+                    - LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                    - LENGTH(regexp_replace(text, '[^0-9]', '', 'g'))
+                    - LENGTH(regexp_replace(text, '[^ ]', '', 'g'))
+                    - LENGTH(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')))
+               AS BIGINT) AS other
+    FROM d GROUP BY lang ORDER BY lang
+"""
+
+
+def label_balance_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Class-balance audit over the embedding labels — the first number
+    a training run needs before weighting losses or resampling: per
+    label, its row count, corpus share, and entropy contribution
+    −p·ln(p) (their sum is the label entropy; uniform labels maximize
+    it, a collapsed labelling drives it to 0).
+
+    One scan to ≤ |labels| (label, n) integer partials; share and the
+    entropy term are each built from exact integers with the oracle's
+    expression tree (one CAST/CAST divide, one LN, one multiply), so
+    the doubles hash identically. NULL labels are excluded on both
+    engines (SQL GROUP BY would keep them; a NULL class is a lineage
+    bug, surfaced by the count gap against total rows, not a class)."""
+    import math
+
+    from ..shuffle import map_partials
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        lab = batch.column("label").to_pandas().dropna()
+        if not len(lab):
+            return pd.DataFrame({"label": [], "n": []})
+        vc = lab.astype("int64").value_counts()
+        return pd.DataFrame(
+            {"label": vc.index.to_numpy(), "n": vc.to_numpy()}
+        )
+
+    parts = map_partials(
+        f"{sf_dir}/embeddings.parquet", ["label"], None, partial
+    )
+    empty = pd.DataFrame(
+        {
+            "label": pd.Series([], dtype="int64"),
+            "n_vecs": pd.Series([], dtype="int64"),
+            "share": pd.Series([], dtype="float64"),
+            "neg_p_ln_p": pd.Series([], dtype="float64"),
+        }
+    )
+    if not len(parts):
+        return empty
+    g = parts.groupby("label", as_index=False)["n"].sum()
+    total = int(g["n"].sum())
+    if total == 0:
+        return empty
+    # CAST(n AS DOUBLE) / CAST(total AS DOUBLE), then -(p * LN(p)) —
+    # the oracle's exact trees
+    p = np.array([float(int(n)) / float(total) for n in g["n"]])
+    out = pd.DataFrame(
+        {
+            "label": g["label"].astype("int64"),
+            "n_vecs": g["n"].astype("int64"),
+            "share": p,
+            "neg_p_ln_p": [-(x * math.log(x)) for x in p],
+        }
+    )
+    return out.sort_values("label").reset_index(drop=True)
+
+
+_LABEL_BALANCE_SQL = """
+    WITH g AS (
+        SELECT label, COUNT(*) AS n FROM embeddings
+        WHERE label IS NOT NULL GROUP BY label
+    ), t AS (SELECT SUM(n) AS total FROM g)
+    SELECT CAST(g.label AS BIGINT) AS label,
+           CAST(g.n AS BIGINT) AS n_vecs,
+           CAST(g.n AS DOUBLE) / CAST(t.total AS DOUBLE) AS share,
+           -((CAST(g.n AS DOUBLE) / CAST(t.total AS DOUBLE))
+             * LN(CAST(g.n AS DOUBLE) / CAST(t.total AS DOUBLE)))
+               AS neg_p_ln_p
+    FROM g CROSS JOIN t ORDER BY label
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
+    "charclass_census_documents": _CHARCLASS_SQL,
+    "label_balance_embeddings": _LABEL_BALANCE_SQL,
     "fd_audit_part_brand_type": """
         WITH g AS (
             SELECT p_brand,
@@ -896,6 +1059,8 @@ ORACLE_SQL: dict[str, str] = {
 }
 
 QUERIES = {
+    "charclass_census_documents": charclass_census_documents,
+    "label_balance_embeddings": label_balance_embeddings,
     "fd_audit_part_brand_type": fd_audit_part_brand_type,
     "derived_column_audit_documents": derived_column_audit_documents,
     "linenumber_integrity_lineitem": linenumber_integrity_lineitem,

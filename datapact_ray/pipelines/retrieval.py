@@ -507,15 +507,250 @@ def _tf_cosine_sql(query_doc_id: int = 0, k: int = 20) -> str:
     """
 
 
+def pmi_cooccurrence_documents(
+    sf_dir: str, vocab: int = 30, k_pairs: int = 20
+) -> pd.DataFrame:
+    """Query-expansion co-occurrence: top term pairs by pointwise mutual
+    information, PMI = ln(N·c_ab / (c_a·c_b)) over document-level
+    presence counts — the statistic behind "users who searched X also
+    meant Y" expansion tables and compound-phrase mining.
+
+    Two passes, neither pair-sized on the wire: (1) the existing
+    doc-frequency census selects the top-``vocab`` terms (cnt desc,
+    token asc — the same total order as the oracle's LIMIT); (2) one
+    scan builds a per-batch doc×term presence matrix for ONLY those
+    terms and folds it to a single vocab×vocab int64 co-occurrence
+    matmul — each task ships ≤ vocab² fixed-width rows regardless of
+    corpus size, and the diagonal carries the per-term doc frequencies
+    so the driver never rejoins pass 1.
+
+    Exactness: counts are exact integers; PMI is built as
+    float(N·c_ab)/float(c_a·c_b) then one libm log — the same
+    CAST/CAST/divide/LN tree DuckDB evaluates, so the double is
+    bit-identical (oracle pins the default vocab/k). Pair order is
+    lexicographic (term_a < term_b), matching SQL's binary collation on
+    ASCII whitespace tokens."""
+    from ..shuffle import map_partials
+    from .text import doc_freq_top_terms_documents
+
+    empty = pd.DataFrame(
+        {
+            "term_a": pd.Series([], dtype="object"),
+            "term_b": pd.Series([], dtype="object"),
+            "n_docs_both": pd.Series([], dtype="int64"),
+            "pmi": pd.Series([], dtype="float64"),
+        }
+    )
+    top = doc_freq_top_terms_documents(sf_dir, k=vocab)
+    if not len(top):
+        return empty
+    terms = top["token"].tolist()
+    tid = {t: i for i, t in enumerate(terms)}
+    v = len(terms)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["text"])
+        if not len(df):
+            return pd.DataFrame({"i": [], "j": [], "c": []})
+        toks = df["text"].astype(str).str.split(" ")
+        flat = pd.DataFrame(
+            {
+                "d": np.repeat(
+                    np.arange(len(df)), toks.str.len().to_numpy()
+                ),
+                "token": toks.explode().to_numpy().astype(str),
+            }
+        ).drop_duplicates()
+        flat["tid"] = flat["token"].map(tid)
+        flat = flat.dropna(subset=["tid"])
+        m = np.zeros((len(df), v), dtype=np.int64)
+        if len(flat):
+            m[flat["d"].to_numpy(), flat["tid"].to_numpy().astype(np.int64)] = 1
+        c = m.T @ m  # exact int64 co-occurrence incl. per-term df diagonal
+        i, j = np.nonzero(np.triu(c))
+        out = pd.DataFrame({"i": i, "j": j, "c": c[i, j]})
+        # N rides the same partial as a sentinel row
+        out = pd.concat(
+            [out, pd.DataFrame({"i": [-1], "j": [-1], "c": [len(df)]})],
+            ignore_index=True,
+        )
+        return out
+
+    parts = map_partials(
+        f"{sf_dir}/documents.parquet", ["doc_id", "text"], None, partial
+    )
+    if not len(parts):
+        return empty
+    g = parts.groupby(["i", "j"], as_index=False)["c"].sum()
+    n_docs = int(g.loc[(g["i"] == -1) & (g["j"] == -1), "c"].sum())
+    g = g[g["i"] >= 0]
+    diag = {
+        int(r.i): int(r.c) for r in g[g["i"] == g["j"]].itertuples()
+    }
+    pairs = g[g["i"] < g["j"]]
+    if not len(pairs):
+        return empty
+    rows = []
+    for r in pairs.itertuples():
+        ta, tb = terms[int(r.i)], terms[int(r.j)]
+        if tb < ta:
+            ta, tb = tb, ta
+        ca, cb = diag[int(r.i)], diag[int(r.j)]
+        cab = int(r.c)
+        # CAST(N*cab AS DOUBLE) / CAST(ca*cb AS DOUBLE), then one LN —
+        # the oracle's exact expression tree
+        rows.append(
+            (ta, tb, cab, math.log(float(n_docs * cab) / float(ca * cb)))
+        )
+    out = pd.DataFrame(rows, columns=["term_a", "term_b", "n_docs_both", "pmi"])
+    out["n_docs_both"] = out["n_docs_both"].astype("int64")
+    out = out.sort_values(
+        ["pmi", "term_a", "term_b"], ascending=[False, True, True],
+        kind="stable",
+    ).head(k_pairs)
+    return out.reset_index(drop=True)
+
+
+def _pmi_sql(vocab: int = 30, k_pairs: int = 20) -> str:
+    return f"""
+        WITH d AS (
+            SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents WHERE text IS NOT NULL
+            )
+        ), df AS (
+            SELECT tok, COUNT(*) AS c FROM d GROUP BY tok
+        ), top AS (
+            SELECT tok, c FROM df ORDER BY c DESC, tok ASC LIMIT {vocab}
+        ), n AS (
+            SELECT COUNT(*) AS nn FROM documents WHERE text IS NOT NULL
+        ), p AS (
+            SELECT a.tok AS ta, b.tok AS tb, COUNT(*) AS cab
+            FROM d a
+            JOIN d b ON a.doc_id = b.doc_id AND a.tok < b.tok
+            WHERE a.tok IN (SELECT tok FROM top)
+              AND b.tok IN (SELECT tok FROM top)
+            GROUP BY 1, 2
+        )
+        SELECT p.ta AS term_a, p.tb AS term_b,
+               CAST(p.cab AS BIGINT) AS n_docs_both,
+               LN(CAST(n.nn * p.cab AS DOUBLE)
+                  / CAST(t1.c * t2.c AS DOUBLE)) AS pmi
+        FROM p
+        JOIN top t1 ON t1.tok = p.ta
+        JOIN top t2 ON t2.tok = p.tb
+        CROSS JOIN n
+        ORDER BY pmi DESC, term_a ASC, term_b ASC
+        LIMIT {k_pairs}
+    """
+
+
+def postings_histogram_documents(sf_dir: str) -> pd.DataFrame:
+    """Inverted-index sizing census: how many terms have a postings list
+    (document frequency) in each power-of-two band — the distribution
+    that decides skip-list thresholds, stop-lists and per-term
+    compression choices before building a search index over the corpus.
+
+    One scan emits per-task doc-distinct (token, cnt) partials into the
+    token-hash bucket exchange (a token's every partial lands in one
+    bucket, so per-bucket sums are the EXACT global df); each bucket
+    folds its terms to ≤ ladder-width (band, n_terms, postings) rows via
+    the same frexp-exact ⌊log₂⌋ as the length census, so the driver
+    merge is ladder×buckets-sized regardless of vocabulary."""
+    from .dedup import _dedup_buckets, _fused_grouped_frames
+    from .text import _bucket_of_keys
+
+    nb = _dedup_buckets()
+
+    def projector(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["text"])
+        toks = df["text"].astype(str).str.split(" ")
+        flat = pd.DataFrame(
+            {
+                "d": np.repeat(
+                    df["doc_id"].to_numpy(), toks.str.len().to_numpy()
+                ),
+                "token": toks.explode().to_numpy().astype(str),
+            }
+        ).drop_duplicates()
+        vc = flat["token"].value_counts()
+        out = pd.DataFrame(
+            {
+                "token": vc.index.to_numpy().astype(str),
+                "cnt": vc.to_numpy().astype("int64"),
+            }
+        )
+        out["__bucket"] = _bucket_of_keys(out["token"], nb)
+        return out
+
+    def bucket_hist(df: pd.DataFrame) -> pd.DataFrame:
+        dfreq = df.groupby("token")["cnt"].sum().to_numpy().astype("int64")
+        band = (np.frexp(dfreq.astype(np.float64))[1] - 1).astype("int64")
+        return (
+            pd.DataFrame({"band": band, "one": 1, "post": dfreq})
+            .groupby("band", as_index=False)
+            .agg(n_terms=("one", "sum"), total_postings=("post", "sum"))
+        )
+
+    parts = _fused_grouped_frames(
+        [(f"{sf_dir}/documents.parquet", ["doc_id", "text"], None, projector)],
+        nb,
+        bucket_hist,
+    )
+    if not len(parts):
+        return pd.DataFrame(
+            {
+                "band": pd.Series([], dtype="int64"),
+                "n_terms": pd.Series([], dtype="int64"),
+                "total_postings": pd.Series([], dtype="int64"),
+            }
+        )
+    out = (
+        parts.groupby("band", as_index=False)
+        .agg(n_terms=("n_terms", "sum"), total_postings=("total_postings", "sum"))
+        .astype({"band": "int64", "n_terms": "int64", "total_postings": "int64"})
+    )
+    return out.sort_values("band").reset_index(drop=True)
+
+
+def _postings_hist_sql(max_band: int = 40) -> str:
+    ladder = "\n                ".join(
+        f"WHEN c < {1 << (b + 1)} THEN {b}" for b in range(max_band)
+    )
+    return f"""
+        WITH d AS (
+            SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents WHERE text IS NOT NULL
+            )
+        ), df AS (
+            SELECT tok, COUNT(*) AS c FROM d GROUP BY tok
+        ), b AS (
+            SELECT CASE
+                {ladder}
+                ELSE {max_band} END AS band, c
+            FROM df
+        )
+        SELECT CAST(band AS BIGINT) AS band,
+               CAST(COUNT(*) AS BIGINT) AS n_terms,
+               CAST(SUM(c) AS BIGINT) AS total_postings
+        FROM b GROUP BY 1 ORDER BY 1
+    """
+
+
 QUERIES = {
     "bm25_topk_documents": bm25_topk_documents,
     "dirichlet_ql_topk_documents": dirichlet_ql_topk_documents,
     "rrf_hybrid_topk_documents": rrf_hybrid_topk_documents,
     "tf_cosine_topk_documents": tf_cosine_topk_documents,
+    "pmi_cooccurrence_documents": pmi_cooccurrence_documents,
+    "postings_histogram_documents": postings_histogram_documents,
 }
 ORACLE_SQL = {
     "bm25_topk_documents": _bm25_sql(),
     "dirichlet_ql_topk_documents": _dirichlet_sql(),
     "rrf_hybrid_topk_documents": _rrf_sql(),
     "tf_cosine_topk_documents": _tf_cosine_sql(),
+    "pmi_cooccurrence_documents": _pmi_sql(),
+    "postings_histogram_documents": _postings_hist_sql(),
 }
