@@ -871,7 +871,211 @@ def dim_anova_embeddings(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def embedding_drift_cohorts(sf_dir: str) -> pd.DataFrame:
+    """Per-dimension embedding drift between two deterministic cohorts
+    (even vs odd ``vec_id`` — the stand-in for "last week's encoder vs
+    this week's"; a real pipeline passes ingestion-date cohorts): the
+    audit that catches a silently retrained/upgraded encoder whose
+    vectors landed in the same table. A genuine version bump shows as
+    coherent per-dim mean shifts; homogeneous data shows shifts ≈ 0.
+
+    Each map task folds its batch to dims × (cohort, n, Σe) partials —
+    vectors never shuffle. Means are 6-dp pinned with the oracle's
+    s/n tree; the shift is the difference OF THE PINNED means (both
+    engines subtract identical doubles). Like ``dim_moments``, the Σ
+    accumulation order differs between numpy partials and DuckDB's
+    sequential SUM, so parity is empirical at the pin — safe on
+    unit-scale embedding data. Cohorts with no rows yield SQL-NULL
+    means and a NULL shift."""
+    from ..shuffle import map_partials
+    from ._util import round_duck
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df = df[df["embedding"].notna() & df["vec_id"].notna()]
+        if not len(df):
+            return pd.DataFrame(
+                {"i": pd.Series([], dtype="int64"),
+                 "cohort": pd.Series([], dtype="int64"),
+                 "n": pd.Series([], dtype="int64"),
+                 "s": pd.Series([], dtype="float64")}
+            )
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        even = (df["vec_id"].to_numpy().astype(np.int64) % 2) == 0
+        rows = []
+        for cohort, mask in ((0, even), (1, ~even)):
+            if mask.any():
+                sub = m[mask]
+                for i in range(sub.shape[1]):
+                    rows.append((i + 1, cohort, sub.shape[0],
+                                 float(sub[:, i].sum())))
+        return pd.DataFrame(rows, columns=["i", "cohort", "n", "s"])
+
+    parts = map_partials(
+        f"{sf_dir}/embeddings.parquet", ["vec_id", "embedding"], None, partial
+    )
+    empty = pd.DataFrame(
+        {
+            "i": pd.Series([], dtype="int64"),
+            "n_even": pd.Series([], dtype="int64"),
+            "n_odd": pd.Series([], dtype="int64"),
+            "mean_even": pd.Series([], dtype="float64"),
+            "mean_odd": pd.Series([], dtype="float64"),
+            "shift": pd.Series([], dtype="float64"),
+        }
+    )
+    if not len(parts):
+        return empty
+    g = parts.groupby(["i", "cohort"], as_index=False).agg(
+        n=("n", "sum"), s=("s", "sum")
+    )
+    wide = g.pivot(index="i", columns="cohort", values=["n", "s"])
+    out_rows = []
+    for i in wide.index:
+        ne = int(wide.loc[i].get(("n", 0), 0) or 0)
+        no = int(wide.loc[i].get(("n", 1), 0) or 0)
+        me = (
+            float(round_duck(float(wide.loc[i][("s", 0)]) / ne, 6))
+            if ne else None
+        )
+        mo = (
+            float(round_duck(float(wide.loc[i][("s", 1)]) / no, 6))
+            if no else None
+        )
+        shift = (me - mo) if (me is not None and mo is not None) else None
+        out_rows.append((int(i), ne, no, me, mo, shift))
+    out = pd.DataFrame(
+        out_rows,
+        columns=["i", "n_even", "n_odd", "mean_even", "mean_odd", "shift"],
+    )
+    return out.sort_values("i").reset_index(drop=True)
+
+
+_DRIFT_COHORTS_SQL = """
+    WITH u AS (
+        SELECT vec_id % 2 AS cohort,
+               CAST(unnest(embedding) AS DOUBLE) AS e,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+    ),
+    g AS (
+        SELECT i, cohort, COUNT(*) AS n, SUM(e) AS s
+        FROM u GROUP BY i, cohort
+    ),
+    w AS (
+        SELECT i,
+               MAX(CASE WHEN cohort = 0 THEN n END) AS n_even,
+               MAX(CASE WHEN cohort = 1 THEN n END) AS n_odd,
+               MAX(CASE WHEN cohort = 0 THEN s END) AS s_even,
+               MAX(CASE WHEN cohort = 1 THEN s END) AS s_odd
+        FROM g GROUP BY i
+    )
+    SELECT CAST(i AS BIGINT) AS i,
+           CAST(COALESCE(n_even, 0) AS BIGINT) AS n_even,
+           CAST(COALESCE(n_odd, 0) AS BIGINT) AS n_odd,
+           ROUND(s_even / n_even, 6) AS mean_even,
+           ROUND(s_odd / n_odd, 6) AS mean_odd,
+           ROUND(s_even / n_even, 6) - ROUND(s_odd / n_odd, 6) AS shift
+    FROM w ORDER BY i
+"""
+
+
+def pca_power_embeddings(sf_dir: str, max_iter: int = 100) -> pd.DataFrame:
+    """Top principal component of the embedding cloud via ONE
+    distributed scan + driver-side power iteration — the anisotropy
+    audit before quantization or dimension reduction (a dominant
+    direction means rotation/whitening pays; λ₁/trace is the fraction
+    of variance a 1-D projection captures).
+
+    Each map task folds its batch to a dim×dim Gram partial Σxxᵀ plus
+    Σx and n (dims ≤ ~10³ keep the partial ≪ any batch; beyond that,
+    switch to v-multiply scans — documented, not needed here). The
+    driver centers (G − n·μμᵀ), then power-iterates with a
+    deterministic start (normalized row sums). Rows-only (no SQL
+    eigensolver); SELF-AUDITED in tests against numpy's dense
+    eigendecomposition of the exact same centered Gram and by the
+    reported residual ‖Gv − λv‖/λ."""
+    from ..shuffle import map_partials
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df = df[df["embedding"].notna()]
+        if not len(df):
+            return pd.DataFrame({"i": [], "j": [], "v": []})
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        g = m.T @ m
+        iu, ju = np.triu_indices(g.shape[0])
+        rows = pd.DataFrame({"i": iu, "j": ju, "v": g[iu, ju]})
+        sums = pd.DataFrame(
+            {"i": np.arange(g.shape[0]), "j": -1, "v": m.sum(axis=0)}
+        )
+        n = pd.DataFrame({"i": [-1], "j": [-1], "v": [float(len(m))]})
+        return pd.concat([rows, sums, n], ignore_index=True)
+
+    parts = map_partials(
+        f"{sf_dir}/embeddings.parquet", ["embedding"], None, partial
+    )
+    empty = pd.DataFrame(
+        {
+            "n_vecs": pd.Series([], dtype="int64"),
+            "dim": pd.Series([], dtype="int64"),
+            "top_eigenvalue": pd.Series([], dtype="float64"),
+            "explained_ratio": pd.Series([], dtype="float64"),
+            "residual": pd.Series([], dtype="float64"),
+            "n_iter": pd.Series([], dtype="int64"),
+        }
+    )
+    if not len(parts):
+        return empty
+    agg = parts.groupby(["i", "j"], as_index=False)["v"].sum()
+    n = float(agg.loc[(agg["i"] == -1) & (agg["j"] == -1), "v"].sum())
+    if n < 2:
+        return empty
+    mu_rows = agg[(agg["j"] == -1) & (agg["i"] >= 0)].sort_values("i")
+    mu = mu_rows["v"].to_numpy() / n
+    d = len(mu)
+    g = np.zeros((d, d))
+    tri = agg[(agg["i"] >= 0) & (agg["j"] >= 0)]
+    g[tri["i"].to_numpy().astype(int), tri["j"].to_numpy().astype(int)] = (
+        tri["v"].to_numpy()
+    )
+    g = g + np.triu(g, 1).T
+    gc = g - n * np.outer(mu, mu)  # centered scatter matrix
+    v = gc.sum(axis=1)
+    nv = np.linalg.norm(v)
+    v = v / nv if nv > 0 else np.full(d, 1.0 / math.sqrt(d))
+    lam, it = 0.0, 0
+    for it in range(1, max_iter + 1):
+        w = gc @ v
+        lam_new = float(v @ w)
+        nw = np.linalg.norm(w)
+        if nw == 0:
+            lam = 0.0
+            break
+        v_new = w / nw
+        if abs(lam_new - lam) <= 1e-12 * max(abs(lam_new), 1.0):
+            lam = lam_new
+            v = v_new
+            break
+        lam, v = lam_new, v_new
+    trace = float(np.trace(gc))
+    residual = float(np.linalg.norm(gc @ v - lam * v) / lam) if lam else 0.0
+    return pd.DataFrame(
+        {
+            "n_vecs": pd.Series([int(n)], dtype="int64"),
+            "dim": pd.Series([d], dtype="int64"),
+            "top_eigenvalue": [lam],
+            "explained_ratio": [lam / trace if trace else 0.0],
+            "residual": [residual],
+            "n_iter": pd.Series([it], dtype="int64"),
+        }
+    )
+
+
 QUERIES = {
+    "embedding_drift_cohorts": embedding_drift_cohorts,
+    "pca_power_embeddings": pca_power_embeddings,
     "ann_topk_embeddings": ann_topk_embeddings,
     "ann_lsh_embeddings": ann_lsh_embeddings,
     "ann_ivf_embeddings": ann_ivf_embeddings,
@@ -887,6 +1091,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "embedding_drift_cohorts": _DRIFT_COHORTS_SQL,
     "ann_range_embeddings": """
         WITH q AS (
             SELECT embedding AS qe FROM embeddings WHERE vec_id = 0

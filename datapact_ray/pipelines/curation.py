@@ -638,9 +638,93 @@ def _pack_efficiency_sql(max_lens: tuple = (8, 32, 128, 512)) -> str:
     """
 
 
+def split_bias_chisq_documents(sf_dir: str) -> pd.DataFrame:
+    """Split-assignment bias audit: chi-square independence of the
+    md5-hash train/val/test split against the source column — the check
+    that the "random" splitter did not interact with data provenance
+    (a biased split silently trains on one crawl and evaluates on
+    another). Uses the SAME nibble assignment as
+    ``split_assign_documents`` and the same zero-cell-safe identity
+    χ² = Σ o²·t/(r·c) − t as the categorical-drift test, every factor
+    an exact integer so both engines build identical doubles.
+
+    One scan to ≤ 3·|sources| integer cells; the contingency algebra is
+    driver-side Python ints."""
+    import math as _math
+
+    from ..shuffle import map_partials
+    from ._util import round_duck
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["doc_id", "source"])
+        if not len(df):
+            return pd.DataFrame({"split": [], "source": [], "n": []})
+        nib = np.array([h[0] for h in _md5_hex(df["doc_id"])])
+        df = df.assign(
+            split=np.where(nib < "c", "train", np.where(nib < "f", "val", "test"))
+        )
+        return df.groupby(["split", "source"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    cells = map_partials(
+        f"{sf_dir}/documents.parquet", ["doc_id", "source"], None, partial
+    )
+    if not len(cells):
+        return pd.DataFrame(
+            {
+                "n_rows": pd.Series([], dtype="int64"),
+                "n_cells": pd.Series([], dtype="int64"),
+                "chi2": pd.Series([], dtype="float64"),
+            }
+        )
+    cells = cells.groupby(["split", "source"], as_index=False)["n"].sum()
+    t = int(cells["n"].sum())
+    r = cells.groupby("split")["n"].sum()
+    c = cells.groupby("source")["n"].sum()
+    terms = [
+        (int(row.n) * int(row.n) * t * 1.0)
+        / (int(r[row.split]) * int(c[row.source]))
+        for row in cells.itertuples()
+    ]
+    chi2 = _math.fsum(terms) - t
+    return pd.DataFrame(
+        {
+            "n_rows": pd.Series([t], dtype="int64"),
+            "n_cells": pd.Series([len(cells)], dtype="int64"),
+            "chi2": [float(round_duck(chi2, 4))],
+        }
+    )
+
+
+_SPLIT_BIAS_SQL = """
+    WITH s AS (
+        SELECT source,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+                        THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'f'
+                        THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+        WHERE doc_id IS NOT NULL AND source IS NOT NULL
+    ),
+    c AS (SELECT split, source, COUNT(*) AS n FROM s GROUP BY 1, 2),
+    rt AS (SELECT split, SUM(n) AS r FROM c GROUP BY split),
+    ct AS (SELECT source, SUM(n) AS cl FROM c GROUP BY source),
+    tot AS (SELECT SUM(n) AS t FROM c)
+    SELECT CAST(tot.t AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           ROUND(fsum(c.n * c.n * tot.t * 1.0 / (rt.r * ct.cl))
+                 - tot.t, 4) AS chi2
+    FROM c JOIN rt USING (split) JOIN ct USING (source), tot
+    GROUP BY tot.t
+"""
+
+
 QUERIES = {
     "length_bucket_census_documents": length_bucket_census_documents,
     "pack_efficiency_documents": pack_efficiency_documents,
+    "split_bias_chisq_documents": split_bias_chisq_documents,
     "split_assign_documents": split_assign_documents,
     "shuffle_order_documents": shuffle_order_documents,
     "curation_funnel_documents": curation_funnel_documents,
@@ -651,6 +735,7 @@ QUERIES = {
 ORACLE_SQL = {
     "length_bucket_census_documents": _length_bucket_sql(),
     "pack_efficiency_documents": _pack_efficiency_sql(),
+    "split_bias_chisq_documents": _SPLIT_BIAS_SQL,
     "mixture_weights_documents": """
         WITH d AS (
             SELECT source,
