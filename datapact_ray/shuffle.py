@@ -270,6 +270,13 @@ def parquet_bucket_shuffle(
     checker_ref = ray.put(checker_fn)
     target_bytes = _shuffle_target_bytes([side[0] for side in sides])
 
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    _timing = _os.environ.get("DATAPACT_TIMING")
+    _t0 = _time.perf_counter()
+
     shard_lists: list = []
     for side in sides:
         if len(side) == 2:
@@ -287,12 +294,24 @@ def parquet_bucket_shuffle(
                 result = [result]
             shard_lists.append(result)
 
+    _t_submit_maps = _time.perf_counter()
+
     blobs = []
     for b in range(num_buckets):
         blobs.append(
             reduce_task.remote(checker_ref, *[shards[b] for shards in shard_lists])
         )
-    return [blob for blob in ray.get(blobs) if blob is not None]
+    _t_submit_reduces = _time.perf_counter()
+    out = ray.get(blobs)
+    if _timing:
+        print(
+            f"[timing] pq_shuffle maps={len(shard_lists)} buckets="
+            f"{num_buckets}: submit_maps {_t_submit_maps - _t0:.2f}s"
+            f" submit_reduces {_t_submit_reduces - _t_submit_maps:.2f}s"
+            f" exec {_time.perf_counter() - _t_submit_reduces:.2f}s",
+            file=_sys.stderr, flush=True,
+        )
+    return [blob for blob in out if blob is not None]
 
 
 def parquet_bucket_shuffle_refs(
