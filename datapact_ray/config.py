@@ -112,6 +112,69 @@ class OrderingCheck(BaseModel):
     sides: Literal["source", "target", "both"] = "both"
 
 
+class SequenceGrammarCheck(BaseModel):
+    """Role-grammar validation per conversation (new vs reference;
+    transcript north star): the role column must stay inside a closed
+    vocabulary, the first turn must carry ``first_role``, adjacent turns
+    (in ``turn_idx`` order) may only follow ``allowed_transitions``, and
+    the tool column must be non-null exactly on ``tool_roles`` turns.
+    Rides the same keyed/conversation exchange as the ordering check
+    (group/index columns come from the task's ``ordering`` when set,
+    else ``conv_id``/``turn_idx``); roles cross the shuffle as 1-byte
+    vocabulary codes, never as strings."""
+
+    role_column: str = "role"
+    allowed_roles: list[str] | None = None  # closed vocabulary when set
+    first_role: str | None = None
+    allowed_transitions: list[tuple[str, str]] | None = None
+    tool_column: str | None = None
+    tool_roles: list[str] = ["tool"]
+    tolerance: float = 0.0  # flagged conversations / conversations checked
+
+    @field_validator("tolerance")
+    @classmethod
+    def validate_tolerance(cls, v: float) -> float:
+        if not 0.0 <= v <= 1.0:
+            raise ValueError("Tolerance must be a float between 0.0 and 1.0")
+        return v
+
+    @model_validator(mode="after")
+    def validate_vocabulary(self) -> "SequenceGrammarCheck":
+        if not (
+            self.allowed_roles is not None
+            or self.first_role
+            or self.allowed_transitions is not None
+            or self.tool_column
+        ):
+            raise ValueError(
+                "SequenceGrammarCheck needs at least one of allowed_roles, "
+                "first_role, allowed_transitions, tool_column"
+            )
+        vocab = self.vocabulary
+        if len(vocab) > 126:
+            raise ValueError("role vocabulary is limited to 126 roles")
+        if self.allowed_roles is not None:
+            known = set(self.allowed_roles)
+            extra = [r for r in vocab if r not in known]
+            if extra:
+                raise ValueError(
+                    "roles referenced outside allowed_roles: " + ", ".join(extra)
+                )
+        return self
+
+    @property
+    def vocabulary(self) -> list[str]:
+        """Deterministic role→code vocabulary (code = list position)."""
+        out: list[str] = list(self.allowed_roles or [])
+        if self.first_role:
+            out.append(self.first_role)
+        for a, b in self.allowed_transitions or []:
+            out.extend((a, b))
+        if self.tool_column:
+            out.extend(self.tool_roles)
+        return list(dict.fromkeys(out))
+
+
 class ReferentialCheck(BaseModel):
     """Key containment: every value of ``columns`` in the fact side must
     exist in ``ref_columns`` of the table at ``ref_path`` (anti-join
@@ -170,6 +233,7 @@ class ValidationTask(BaseModel):
     compare_columns: list[str] | None = None  # per-matched-pair equality (e.g. ["text"])
     compare_tolerance: float = 0.0
     ordering: OrderingCheck | None = None
+    sequence_grammar: SequenceGrammarCheck | None = None
     referential: list[ReferentialCheck] | None = None
     drift: list[DriftCheck] | None = None
     # Business metadata (executive rollups)
@@ -260,6 +324,7 @@ class ValidationTask(BaseModel):
             or self.custom_checks
             or (self.compare_columns and self.primary_keys)
             or self.ordering
+            or self.sequence_grammar
             or self.referential
             or self.drift
         )

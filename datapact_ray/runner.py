@@ -238,7 +238,9 @@ class ValidationRunner:
             profile_cols.add(av.column)
         spec.sketch_columns = list(dict.fromkeys(value_drift_cols))
         profile_cols.update(spec.sketch_columns)
-        if (task.ordering or want_turn_count_drift) and not all_parquet:
+        if (
+            task.ordering or want_turn_count_drift or task.sequence_grammar
+        ) and not all_parquet:
             # parquet inputs get hot keys from footer statistics instead
             # (detect_hot_keys_from_footers) — no scan on the critical path
             group_col = (task.ordering.group_column if task.ordering else "conv_id")
@@ -487,8 +489,27 @@ class ValidationRunner:
                 batch_size=cfg.batch_size * batch_mult,
             )
 
-        conv_needed = bool(task.ordering or want_turn_count_drift)
+        conv_needed = bool(
+            task.ordering or want_turn_count_drift or task.sequence_grammar
+        )
         o = task.ordering
+        gram = task.sequence_grammar
+        # grammar fields for a KeyedSpec; roles cross the shuffle as codes
+        grammar_kw: dict = {}
+        if gram:
+            grammar_kw = dict(
+                grammar_role_column=gram.role_column,
+                grammar_roles=gram.vocabulary,
+                grammar_enforce_vocab=gram.allowed_roles is not None,
+                grammar_first_role=gram.first_role,
+                grammar_transitions=(
+                    [tuple(t) for t in gram.allowed_transitions]
+                    if gram.allowed_transitions is not None
+                    else None
+                ),
+                grammar_tool_column=gram.tool_column,
+                grammar_tool_roles=list(gram.tool_roles) if gram.tool_column else [],
+            )
         conv_group = o.group_column if o else "conv_id"
         conv_index = o.index_column if o else "turn_idx"
         conv_ts = o.ts_column if o else "ts"
@@ -547,6 +568,7 @@ class ValidationRunner:
                 num_buckets=num_buckets,
                 checkpoint_dir=os.path.join(ckpt, "keyed"),
                 resume=cfg.resume,
+                **(grammar_kw if conv_folded else {}),
             )
             need_cols = set(kspec.key_columns) | set(kspec.null_join_columns) | set(
                 kspec.compare_columns
@@ -557,6 +579,10 @@ class ValidationRunner:
                 )
             if conv_folded and conv_ts:
                 need_cols.add(conv_ts)
+            if conv_folded and gram:
+                need_cols.add(gram.role_column)
+                if gram.tool_column:
+                    need_cols.add(gram.tool_column)
             cols = sorted(need_cols)
             jobs["keyed"] = keyed_job(kspec, cols)
 
@@ -588,9 +614,14 @@ class ValidationRunner:
                 num_buckets=num_buckets,
                 checkpoint_dir=os.path.join(ckpt, "conv"),
                 resume=cfg.resume,
+                **grammar_kw,
             )
             ccols = [conv_group, conv_index] + ([conv_ts] if conv_ts else [])
-            jobs["conv"] = keyed_job(cspec, ccols, batch_mult=2)
+            if gram:
+                ccols.append(gram.role_column)
+                if gram.tool_column:
+                    ccols.append(gram.tool_column)
+            jobs["conv"] = keyed_job(cspec, list(dict.fromkeys(ccols)), batch_mult=2)
 
 
         for name, fn in jobs.items():
@@ -702,6 +733,20 @@ class ValidationRunner:
                     sum(conv_metrics.groups_checked),
                     sum(conv_metrics.contiguity_violations),
                     sum(conv_metrics.monotonicity_violations),
+                )
+            )
+        if task.sequence_grammar:
+            verdict_list.append(
+                V.sequence_grammar_verdict(
+                    conv_group,
+                    gram.role_column,
+                    sum(conv_metrics.groups_checked),
+                    sum(conv_metrics.grammar_groups_flagged),
+                    sum(conv_metrics.grammar_unknown_rows),
+                    sum(conv_metrics.grammar_tool_mismatch_rows),
+                    sum(conv_metrics.grammar_bad_transition_groups),
+                    sum(conv_metrics.grammar_bad_first_groups),
+                    gram.tolerance,
                 )
             )
         for ri, ref in enumerate(task.referential or []):

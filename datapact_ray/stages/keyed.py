@@ -70,6 +70,15 @@ class KeyedSpec:
     require_contiguous: bool = False
     require_monotonic_ts: bool = False
     turn_count_digest: bool = False
+    # role-grammar sequence checks (same exchange; roles ship as int8
+    # vocabulary codes — 1 byte/row — never as strings)
+    grammar_role_column: str | None = None
+    grammar_roles: list[str] = field(default_factory=list)  # code = position
+    grammar_enforce_vocab: bool = False  # flag rows outside grammar_roles
+    grammar_first_role: str | None = None  # required role at the first turn
+    grammar_transitions: list[tuple[str, str]] | None = None  # allowed (prev, curr)
+    grammar_tool_column: str | None = None  # non-null iff role in tool_roles
+    grammar_tool_roles: list[str] = field(default_factory=list)
     hot_keys: dict = field(default_factory=dict)  # group key -> approx count
     hot_shard_span: int = 8192
     max_violations_per_bucket: int = 100
@@ -94,6 +103,18 @@ class KeyedSpec:
         return hash_arrow_column_u64(pa.array([str(k) for k in raw]))
 
     @property
+    def grammar_checks(self) -> bool:
+        return bool(
+            self.grammar_role_column
+            and (
+                self.grammar_enforce_vocab
+                or self.grammar_first_role
+                or self.grammar_transitions is not None
+                or self.grammar_tool_column
+            )
+        )
+
+    @property
     def group_checks(self) -> bool:
         return bool(
             self.group_column
@@ -101,6 +122,7 @@ class KeyedSpec:
                 self.require_contiguous
                 or self.require_monotonic_ts
                 or self.turn_count_digest
+                or self.grammar_checks
             )
         )
 
@@ -117,6 +139,12 @@ class KeyedMetrics:
     groups_checked: list[int] = field(default_factory=lambda: [0, 0])
     contiguity_violations: list[int] = field(default_factory=lambda: [0, 0])
     monotonicity_violations: list[int] = field(default_factory=lambda: [0, 0])
+    # role-grammar sequence checks
+    grammar_groups_flagged: list[int] = field(default_factory=lambda: [0, 0])
+    grammar_unknown_rows: list[int] = field(default_factory=lambda: [0, 0])
+    grammar_tool_mismatch_rows: list[int] = field(default_factory=lambda: [0, 0])
+    grammar_bad_transition_groups: list[int] = field(default_factory=lambda: [0, 0])
+    grammar_bad_first_groups: list[int] = field(default_factory=lambda: [0, 0])
     digests: list[TDigest | None] = field(default_factory=lambda: [None, None])
     hot_partials: dict = field(default_factory=dict)  # (side, group) -> [shard dicts]
     violations: int = 0
@@ -136,6 +164,13 @@ class KeyedMetrics:
             self.groups_checked[i] += other.groups_checked[i]
             self.contiguity_violations[i] += other.contiguity_violations[i]
             self.monotonicity_violations[i] += other.monotonicity_violations[i]
+            self.grammar_groups_flagged[i] += other.grammar_groups_flagged[i]
+            self.grammar_unknown_rows[i] += other.grammar_unknown_rows[i]
+            self.grammar_tool_mismatch_rows[i] += other.grammar_tool_mismatch_rows[i]
+            self.grammar_bad_transition_groups[i] += (
+                other.grammar_bad_transition_groups[i]
+            )
+            self.grammar_bad_first_groups[i] += other.grammar_bad_first_groups[i]
             if other.digests[i] is not None:
                 self.digests[i] = (
                     other.digests[i]
@@ -205,6 +240,18 @@ class _Projector:
                 if pa.types.is_timestamp(ts.type)
                 else ts.cast(pa.float64())
             )
+        if spec.grammar_checks:
+            # vocabulary code per row (1 byte through the exchange);
+            # NULL / out-of-vocabulary roles -> -1
+            codes = pc.index_in(
+                pc.cast(batch.column(spec.grammar_role_column), pa.string()),
+                value_set=pa.array(spec.grammar_roles, type=pa.string()),
+            )
+            cols["__role"] = pc.fill_null(codes, -1).cast(pa.int8())
+            if spec.grammar_tool_column:
+                cols["__tooln"] = pc.is_null(
+                    batch.column(spec.grammar_tool_column)
+                ).cast(pa.int8())
         cols["__side"] = pa.array(np.full(n, self.side, dtype=np.int8))
         if spec.group_column and spec.group_column in spec.key_columns and (
             spec.group_checks or spec.hot_keys
@@ -244,6 +291,26 @@ class _BucketChecker:
     def __init__(self, spec: KeyedSpec, task_key: str):
         self.spec = spec
         self.task_key = task_key
+        # allowed-transition lookup, shifted by +1 so code -1 (unknown)
+        # indexes row/col 0 (all-False: any pair touching an unknown role
+        # is a bad transition when the transition grammar is closed)
+        self.trans_ok: np.ndarray | None = None
+        if spec.grammar_transitions is not None:
+            r = len(spec.grammar_roles)
+            m = np.zeros((r + 1, r + 1), dtype=bool)
+            idx = {role: i for i, role in enumerate(spec.grammar_roles)}
+            for a, b in spec.grammar_transitions:
+                m[idx[a] + 1, idx[b] + 1] = True
+            self.trans_ok = m
+        self.first_code = (
+            spec.grammar_roles.index(spec.grammar_first_role)
+            if spec.grammar_first_role
+            else None
+        )
+        self.tool_codes = np.array(
+            [spec.grammar_roles.index(r) for r in spec.grammar_tool_roles],
+            dtype=np.int8,
+        )
 
     def __call__(self, table: pa.Table) -> pd.DataFrame:
         spec = self.spec
@@ -380,7 +447,12 @@ class _BucketChecker:
             if len(part) == 0:
                 continue
             has_ts = "__ts" in part.columns
+            has_gram = spec.grammar_checks and "__role" in part.columns
             cols = ["__gh", i_col, "__shard", "__pos"] + (["__ts"] if has_ts else [])
+            if has_gram:
+                cols.append("__role")
+                if "__tooln" in part.columns:
+                    cols.append("__tooln")
             part = part[cols].sort_values(["__gh", "__shard", i_col], kind="stable")
             gb = part.groupby(["__gh", "__shard"], sort=False)
             agg_kw = {
@@ -392,6 +464,10 @@ class _BucketChecker:
             }
             if has_ts:
                 agg_kw.update({"tfirst": ("__ts", "first"), "tlast": ("__ts", "last")})
+            if has_gram:
+                agg_kw.update(
+                    {"rfirst": ("__role", "first"), "rlast": ("__role", "last")}
+                )
             summary = gb.agg(**agg_kw)
             if has_ts:
                 tv = part["__ts"].to_numpy()
@@ -410,6 +486,38 @@ class _BucketChecker:
                 )
             else:
                 summary["ts_sorted"] = True
+            if has_gram:
+                codes = part["__role"].to_numpy()
+                gb_keys = [part["__gh"], part["__shard"]]
+                if spec.grammar_enforce_vocab:
+                    summary["g_unknown"] = (
+                        pd.Series(codes == -1, index=part.index)
+                        .groupby(gb_keys, sort=False)
+                        .sum()
+                    )
+                if spec.grammar_tool_column and "__tooln" in part.columns:
+                    # mismatch: tool must be non-null exactly on tool-role rows
+                    is_tool_role = np.isin(codes, self.tool_codes)
+                    tool_null = part["__tooln"].to_numpy() == 1
+                    summary["g_toolbad"] = (
+                        pd.Series(is_tool_role == tool_null, index=part.index)
+                        .groupby(gb_keys, sort=False)
+                        .sum()
+                    )
+                if self.trans_ok is not None:
+                    grp_start = (
+                        (part["__gh"] != part["__gh"].shift()).to_numpy()
+                        | (part["__shard"] != part["__shard"].shift()).to_numpy()
+                    )
+                    bad_tr = np.zeros(len(part), dtype=bool)
+                    if len(part) > 1:
+                        bad_tr[1:] = ~self.trans_ok[codes[:-1] + 1, codes[1:] + 1]
+                    bad_tr &= ~grp_start
+                    summary["g_badtrans"] = (
+                        pd.Series(bad_tr, index=part.index)
+                        .groupby(gb_keys, sort=False)
+                        .any()
+                    )
             summary = summary.reset_index()
             is_hot = (
                 summary["__gh"].isin(hot_hashes)
@@ -419,21 +527,27 @@ class _BucketChecker:
             hot_cols = ["__gh", "__shard", "n", "imin", "imax", "inuniq", "ts_sorted"]
             if has_ts:
                 hot_cols += ["tfirst", "tlast"]
-            for tup in summary.loc[is_hot, hot_cols].itertuples(
-                index=False, name=None
-            ):
-                g_val, shard, n, imin, imax, nuniq, ts_sorted = tup[:7]
-                m.hot_partials.setdefault((side, int(g_val)), []).append(
-                    {
-                        "shard": int(shard),
-                        "n": int(n),
-                        "imin": int(imin),
-                        "imax": int(imax),
-                        "nuniq": int(nuniq),
-                        "tfirst": int(tup[7]) if has_ts else None,
-                        "tlast": int(tup[8]) if has_ts else None,
-                        "ts_sorted": bool(ts_sorted),
-                    }
+            gram_cols = [
+                c
+                for c in ("rfirst", "rlast", "g_unknown", "g_toolbad", "g_badtrans")
+                if c in summary.columns
+            ]
+            for rec in summary.loc[is_hot, hot_cols + gram_cols].to_dict("records"):
+                shard_rec = {
+                    "shard": int(rec["__shard"]),
+                    "n": int(rec["n"]),
+                    "imin": int(rec["imin"]),
+                    "imax": int(rec["imax"]),
+                    "nuniq": int(rec["inuniq"]),
+                    "tfirst": int(rec["tfirst"]) if has_ts else None,
+                    "tlast": int(rec["tlast"]) if has_ts else None,
+                    "ts_sorted": bool(rec["ts_sorted"]),
+                }
+                for c in gram_cols:
+                    v = rec[c]
+                    shard_rec[c] = bool(v) if c == "g_badtrans" else int(v)
+                m.hot_partials.setdefault((side, int(rec["__gh"])), []).append(
+                    shard_rec
                 )
             cold = summary[~is_hot]
             if len(cold):
@@ -445,7 +559,7 @@ class _BucketChecker:
                 )
                 mono = cold["ts_sorted"].astype(bool)
 
-                def emit_groups(frame, reason):
+                def emit_groups(frame, reason, alias=None):
                     pos = frame["pos"].to_numpy()
                     if len(pos) > cap:
                         pos = np.sort(pos)[:cap]
@@ -455,7 +569,8 @@ class _BucketChecker:
                     for name in sorted(str(v) for v in names):
                         violations.append(
                             {
-                                "check_alias": f"ordering_validation_{g_col}",
+                                "check_alias": alias
+                                or f"ordering_validation_{g_col}",
                                 "key": json.dumps({g_col: name}),
                                 "side": SIDE_NAMES[side],
                                 "detail": json.dumps({"reason": reason}),
@@ -482,6 +597,36 @@ class _BucketChecker:
                     d = m.digests[side] or TDigest()
                     d.add(cold["n"].to_numpy(dtype=np.float64))
                     m.digests[side] = d
+                if has_gram:
+                    galias = f"sequence_grammar_validation_{g_col}"
+                    flagged = np.zeros(len(cold), dtype=bool)
+                    if spec.grammar_enforce_vocab:
+                        unk = cold["g_unknown"].to_numpy()
+                        m.grammar_unknown_rows[side] += int(unk.sum())
+                        bad = unk > 0
+                        flagged |= bad
+                        if bad.any():
+                            emit_groups(cold[bad], "unknown_role", galias)
+                    if "g_toolbad" in cold.columns:
+                        tb = cold["g_toolbad"].to_numpy()
+                        m.grammar_tool_mismatch_rows[side] += int(tb.sum())
+                        bad = tb > 0
+                        flagged |= bad
+                        if bad.any():
+                            emit_groups(cold[bad], "tool_pairing", galias)
+                    if self.trans_ok is not None:
+                        bad = cold["g_badtrans"].to_numpy().astype(bool)
+                        m.grammar_bad_transition_groups[side] += int(bad.sum())
+                        flagged |= bad
+                        if bad.any():
+                            emit_groups(cold[bad], "bad_transition", galias)
+                    if self.first_code is not None:
+                        bad = cold["rfirst"].to_numpy() != self.first_code
+                        m.grammar_bad_first_groups[side] += int(bad.sum())
+                        flagged |= bad
+                        if bad.any():
+                            emit_groups(cold[bad], "bad_first_role", galias)
+                    m.grammar_groups_flagged[side] += int(flagged.sum())
 
     def _checkpoint(self, bucket: int, m: KeyedMetrics, violations: list) -> None:
         import pyarrow.parquet as pq
@@ -517,15 +662,29 @@ def _stitch_hot(metrics: KeyedMetrics, spec: KeyedSpec) -> list[dict]:
         label_of = {int(h): k for h, k in zip(hashes.tolist(), str_keys)}
     violations: list[dict] = []
 
-    def emit(side: int, g: int, reason: str) -> None:
+    def emit(side: int, g: int, reason: str, alias: str | None = None) -> None:
         violations.append(
             {
-                "check_alias": f"ordering_validation_{g_col}",
+                "check_alias": alias or f"ordering_validation_{g_col}",
                 "key": json.dumps({g_col: label_of.get(int(g), str(int(g)))}),
                 "side": SIDE_NAMES[side],
                 "detail": json.dumps({"reason": reason, "hot": True}),
             }
         )
+
+    # grammar lookup tables (mirror _BucketChecker.__init__)
+    trans_ok = None
+    if spec.grammar_transitions is not None:
+        r = len(spec.grammar_roles)
+        trans_ok = np.zeros((r + 1, r + 1), dtype=bool)
+        ridx = {role: i for i, role in enumerate(spec.grammar_roles)}
+        for a, b in spec.grammar_transitions:
+            trans_ok[ridx[a] + 1, ridx[b] + 1] = True
+    first_code = (
+        spec.grammar_roles.index(spec.grammar_first_role)
+        if spec.grammar_first_role
+        else None
+    )
 
     for (side, g), shards in sorted(
         metrics.hot_partials.items(), key=lambda kv: (kv[0][0], str(kv[0][1]))
@@ -553,6 +712,38 @@ def _stitch_hot(metrics: KeyedMetrics, spec: KeyedSpec) -> list[dict]:
         elif spec.require_monotonic_ts and not mono:
             metrics.monotonicity_violations[side] += 1
             emit(side, g, "non_monotonic_ts")
+        if spec.grammar_checks:
+            galias = f"sequence_grammar_validation_{g_col}"
+            reasons: list[str] = []
+            if spec.grammar_enforce_vocab:
+                unk = sum(s.get("g_unknown", 0) for s in shards)
+                metrics.grammar_unknown_rows[side] += unk
+                if unk:
+                    reasons.append("unknown_role")
+            if spec.grammar_tool_column:
+                tb = sum(s.get("g_toolbad", 0) for s in shards)
+                metrics.grammar_tool_mismatch_rows[side] += tb
+                if tb:
+                    reasons.append("tool_pairing")
+            if trans_ok is not None:
+                bad_tr = any(s.get("g_badtrans", False) for s in shards)
+                if not bad_tr:
+                    # boundary pairs: shards hold contiguous index ranges,
+                    # so adjacent-in-sequence = (last of a, first of b)
+                    for a, b in zip(shards, shards[1:]):
+                        if not trans_ok[a["rlast"] + 1, b["rfirst"] + 1]:
+                            bad_tr = True
+                            break
+                if bad_tr:
+                    metrics.grammar_bad_transition_groups[side] += 1
+                    reasons.append("bad_transition")
+            if first_code is not None and shards[0].get("rfirst") != first_code:
+                metrics.grammar_bad_first_groups[side] += 1
+                reasons.append("bad_first_role")
+            if reasons:
+                metrics.grammar_groups_flagged[side] += 1
+                for reason in reasons:
+                    emit(side, g, reason, galias)
         if spec.turn_count_digest:
             d = metrics.digests[side] or TDigest()
             d.add(np.array([float(n)]))

@@ -274,6 +274,40 @@ def ordering_verdict(
     )
 
 
+def sequence_grammar_verdict(
+    group_column: str,
+    role_column: str,
+    groups_checked: int,
+    groups_flagged: int,
+    unknown_rows: int,
+    tool_mismatch_rows: int,
+    bad_transition_groups: int,
+    bad_first_groups: int,
+    tolerance: float,
+) -> CheckVerdict:
+    """Role-grammar sequence validation: ratio of flagged conversations
+    (any of unknown role / bad first role / disallowed transition / tool
+    pairing) over conversations checked, against ``tolerance``."""
+    rel = groups_flagged / groups_checked if groups_checked else 0.0
+    ok = rel <= tolerance
+    return CheckVerdict(
+        alias=f"sequence_grammar_validation_{group_column}",
+        passed=ok,
+        payload={
+            "role_column": role_column,
+            "groups_checked": fmt_number(groups_checked, 0),
+            "groups_flagged": fmt_number(groups_flagged, 0),
+            "flagged_percent": fmt_percent(rel),
+            "unknown_role_rows": fmt_number(unknown_rows, 0),
+            "tool_pairing_violation_rows": fmt_number(tool_mismatch_rows, 0),
+            "bad_transition_groups": fmt_number(bad_transition_groups, 0),
+            "bad_first_role_groups": fmt_number(bad_first_groups, 0),
+            "tolerance_percent": fmt_percent(tolerance),
+            "status": _status(ok),
+        },
+    )
+
+
 def referential_verdict(
     columns: list[str],
     side: str,
