@@ -1839,8 +1839,96 @@ _DEDUP_CLUSTERS_SQL = r"""
 """
 
 
+def substring_contamination_documents(
+    sf_dir: str, probe_mod: int = 97, probe_len: int = 40
+) -> pd.DataFrame:
+    """Verbatim-leak decontamination: does any held-out prefix appear as
+    an exact SUBSTRING of a training document? N-gram overlap
+    (``decontaminate_ngram_documents``) needs tokenization to agree
+    between train and eval; substring containment catches the leaks that
+    survive retokenization — quoted passages, concatenated crawls,
+    prompts pasted into answers. Eval set here = documents with
+    ``doc_id % probe_mod == 0`` (their first ``probe_len`` characters
+    are the probes); train = everything else.
+
+    Broadcast-small-side shape: one cheap scan gathers the probe prefixes
+    (eval-fraction-sized — in production this is a separate small eval
+    table read outright), the driver broadcasts them into a second scan
+    whose tasks run one vectorized literal ``str.contains`` per probe per
+    batch and ship (probe, hits) integer partials. No shuffle, no text
+    movement; cost is probes × corpus inside the scan tasks."""
+    from ..shuffle import map_partials
+
+    def probe_partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["doc_id", "text"])
+        df = df[(df["doc_id"].astype("int64") % probe_mod == 0) & (df["text"] != "")]
+        return pd.DataFrame(
+            {
+                "probe_doc_id": df["doc_id"].astype("int64"),
+                "probe": df["text"].astype(str).str.slice(0, probe_len),
+            }
+        )
+
+    probes = map_partials(
+        f"{sf_dir}/documents.parquet", ["doc_id", "text"], None, probe_partial
+    )
+    empty = pd.DataFrame(
+        {
+            "probe_doc_id": pd.Series([], dtype="int64"),
+            "probe": pd.Series([], dtype="object"),
+            "n_contaminated_docs": pd.Series([], dtype="int64"),
+        }
+    )
+    if not len(probes):
+        return empty
+    probes = probes.sort_values("probe_doc_id").reset_index(drop=True)
+    probe_list = list(zip(probes["probe_doc_id"], probes["probe"]))
+
+    def hit_partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["doc_id", "text"])
+        txt = df.loc[df["doc_id"].astype("int64") % probe_mod != 0, "text"].astype(
+            str
+        )
+        return pd.DataFrame(
+            {
+                "probe_doc_id": [int(pid) for pid, _ in probe_list],
+                "hits": [
+                    int(txt.str.contains(p, regex=False).sum())
+                    for _, p in probe_list
+                ],
+            }
+        )
+
+    parts = map_partials(
+        f"{sf_dir}/documents.parquet", ["doc_id", "text"], None, hit_partial
+    )
+    g = parts.groupby("probe_doc_id", as_index=False)["hits"].sum()
+    out = probes.merge(g, on="probe_doc_id", how="left")
+    out["n_contaminated_docs"] = out["hits"].fillna(0).astype("int64")
+    return out[["probe_doc_id", "probe", "n_contaminated_docs"]]
+
+
+_SUBSTRING_CONTAMINATION_SQL = """
+    WITH probes AS (
+        SELECT doc_id AS probe_doc_id, substr(text, 1, 40) AS probe
+        FROM documents
+        WHERE text IS NOT NULL AND doc_id IS NOT NULL
+          AND doc_id % 97 = 0 AND text <> ''
+    ),
+    train AS (
+        SELECT text FROM documents
+        WHERE text IS NOT NULL AND doc_id IS NOT NULL AND doc_id % 97 <> 0
+    )
+    SELECT CAST(p.probe_doc_id AS BIGINT) AS probe_doc_id, p.probe,
+           CAST(COUNT(t.text) AS BIGINT) AS n_contaminated_docs
+    FROM probes p LEFT JOIN train t ON strpos(t.text, p.probe) > 0
+    GROUP BY 1, 2 ORDER BY 1
+"""
+
+
 QUERIES = {
     "dedup_exact_documents": dedup_exact_documents,
+    "substring_contamination_documents": substring_contamination_documents,
     "dup_group_sizes_documents": dup_group_sizes_documents,
     "dup_source_matrix_documents": dup_source_matrix_documents,
     "normalized_dedup_documents": normalized_dedup_documents,
@@ -1856,6 +1944,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "substring_contamination_documents": _SUBSTRING_CONTAMINATION_SQL,
     "decontaminate_ngram_documents": """
         WITH docs AS (
             SELECT doc_id, source, string_split(text, ' ') AS toks

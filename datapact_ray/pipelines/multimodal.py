@@ -557,14 +557,152 @@ def payload_dedup_multimodal(sf_dir: str) -> "pd.DataFrame":
     )
 
 
+def payload_entropy_documents(sf_dir: str) -> "pd.DataFrame":
+    """Per-source byte-entropy census over the opaque payload column —
+    the corruption / double-compression / encryption screen for a
+    multimodal lake: a well-formed JPEG pool sits near 8 bits/byte, a
+    batch of accidentally-zlib'd-twice or truncated blobs shifts the
+    distribution, and a plaintext leak into a media bucket craters it.
+    Reported in nats with the exact byte histogram behind it.
+
+    Payload = the document's UTF-8 octets (this module's stand-in blob).
+    Each scan task folds its payload bytes into a per-source 256-bin
+    ``np.bincount`` straight off the Arrow data buffers (no per-row or
+    per-byte Python; bytes never leave the task) and ships ≤ 256 ×
+    |sources| integer partials. The driver merges histograms and builds
+    share and −p·ln(p) terms from exact integers with the oracle's
+    CAST/CAST-divide + LN trees, summed with ``math.fsum`` over
+    byte-ascending terms; the 6-dp pin absorbs fsum-vs-Kahan ulps
+    (empirical-at-the-pin, like the other entropy ops)."""
+    import math
+
+    import pandas as pd
+
+    from ..shuffle import map_partials
+
+    def _byte_hist(chunked) -> np.ndarray:
+        hist = np.zeros(256, dtype=np.int64)
+        for ch in chunked.chunks if hasattr(chunked, "chunks") else [chunked]:
+            if len(ch) == 0:
+                continue
+            offs = np.frombuffer(ch.buffers()[1], dtype=np.int32)[
+                ch.offset : ch.offset + len(ch) + 1
+            ]
+            data = np.frombuffer(ch.buffers()[2], dtype=np.uint8)[
+                offs[0] : offs[-1]
+            ]
+            hist += np.bincount(data, minlength=256)
+        return hist
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        import pyarrow.compute as pc
+
+        mask = pc.and_(
+            pc.is_valid(batch.column("text")), pc.is_valid(batch.column("source"))
+        )
+        tbl = batch.filter(mask)
+        if tbl.num_rows == 0:
+            return pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype="object"),
+                    "byte": pd.Series([], dtype="int64"),
+                    "c": pd.Series([], dtype="int64"),
+                }
+            )
+        pay = pc.cast(tbl.column("text"), pa.binary())
+        src = tbl.column("source").to_pandas()
+        frames = []
+        for s in src.unique():
+            hist = _byte_hist(pay.filter(pa.array((src == s).to_numpy())))
+            nz = np.nonzero(hist)[0]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "source": s,
+                        "byte": nz.astype("int64"),
+                        "c": hist[nz].astype("int64"),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    parts = map_partials(f"{sf_dir}/documents.parquet", ["source", "text"], None, partial)
+    empty = pd.DataFrame(
+        {
+            "source": pd.Series([], dtype="object"),
+            "total_bytes": pd.Series([], dtype="int64"),
+            "n_distinct_bytes": pd.Series([], dtype="int64"),
+            "entropy_nats": pd.Series([], dtype="float64"),
+        }
+    )
+    if not len(parts):
+        return empty
+    g = parts.groupby(["source", "byte"], as_index=False)["c"].sum()
+    rows = []
+    for s, grp in g.groupby("source", sort=True):
+        total = int(grp["c"].sum())
+        grp = grp.sort_values("byte")
+        # CAST(c AS DOUBLE) / CAST(total AS DOUBLE), -(p * LN(p)) —
+        # the oracle's exact trees, fsum'd over byte-ascending terms
+        terms = [
+            -(
+                (float(int(c)) / float(total))
+                * math.log(float(int(c)) / float(total))
+            )
+            for c in grp["c"]
+        ]
+        rows.append(
+            {
+                "source": s,
+                "total_bytes": total,
+                "n_distinct_bytes": int(len(grp)),
+                "entropy_nats": round(math.fsum(terms), 6),
+            }
+        )
+    out = pd.DataFrame(rows)
+    for c in ("total_bytes", "n_distinct_bytes"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+_PAYLOAD_ENTROPY_SQL = """
+    WITH h AS (
+        SELECT source, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n
+        FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+    ),
+    b AS (
+        SELECT source,
+               (strpos('0123456789ABCDEF',
+                       substr(hx, CAST(2 * i + 1 AS INT), 1)) - 1) * 16
+               + strpos('0123456789ABCDEF',
+                        substr(hx, CAST(2 * i + 2 AS INT), 1)) - 1 AS byte
+        FROM h, UNNEST(range(0, n)) AS t(i)
+    ),
+    g AS (SELECT source, byte, COUNT(*) AS c FROM b GROUP BY 1, 2),
+    t AS (SELECT source, SUM(c) AS total FROM g GROUP BY 1)
+    SELECT g.source,
+           CAST(t.total AS BIGINT) AS total_bytes,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_bytes,
+           ROUND(fsum(-((CAST(g.c AS DOUBLE) / CAST(t.total AS DOUBLE))
+                 * LN(CAST(g.c AS DOUBLE) / CAST(t.total AS DOUBLE)))), 6)
+               AS entropy_nats
+    FROM g JOIN t USING (source)
+    GROUP BY g.source, t.total
+    ORDER BY g.source
+"""
+
+
 QUERIES = {
     "binary_payload_stats_documents": binary_payload_stats_documents,
+    "payload_entropy_documents": payload_entropy_documents,
     "payload_chunking_documents": payload_chunking_documents,
     "payload_magic_census_documents": payload_magic_census_documents,
     "payload_dedup_multimodal": payload_dedup_multimodal,
 }
 
 ORACLE_SQL = {
+    "payload_entropy_documents": _PAYLOAD_ENTROPY_SQL,
     "payload_dedup_multimodal": """
         WITH p AS (
             SELECT text, octet_length(encode(text)) AS b

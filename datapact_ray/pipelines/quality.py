@@ -884,8 +884,96 @@ _LABEL_BALANCE_SQL = """
 """
 
 
+def boilerplate_ngrams_documents(
+    sf_dir: str, n: int = 3, k: int = 20
+) -> pd.DataFrame:
+    """Boilerplate / template detector (the C4-style cleaning screen):
+    the top-k word ``n``-grams by DOCUMENT frequency — phrases repeated
+    verbatim across many documents are navigation chrome, license
+    footers, cookie banners; their df (not their raw frequency, which a
+    single spammy doc can inflate) is what decides a removal list.
+
+    Each scan task builds gram strings from shifted flat-token arrays
+    (one vectorized concat per offset, no per-doc loop), dedups
+    (doc, gram) inside the batch (documents never span batches, so
+    per-batch doc-distinct counts sum exactly) and ships (gram, cnt)
+    partials into the gram-hash bucket top-k exchange: a gram lives
+    wholly in one bucket, so per-bucket sums are the exact global df and
+    the global top-k is within the union of per-bucket top-k — the
+    driver merges ≤ buckets×k candidate rows regardless of how many
+    distinct grams the corpus has."""
+    from .dedup import _dedup_buckets
+    from .text import _bucket_of_keys, _topk_by_count_fused
+
+    nb = _dedup_buckets()
+
+    def projector(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["doc_id", "text"])
+        toks = df["text"].astype(str).str.split(" ")
+        counts = toks.str.len().to_numpy()
+        flat = toks.explode().to_numpy()
+        d = np.repeat(df["doc_id"].to_numpy(), counts)
+        m = len(flat)
+        if m < n:
+            return pd.DataFrame(
+                {
+                    "gram": pd.Series([], dtype="object"),
+                    "cnt": pd.Series([], dtype="int64"),
+                    "__bucket": pd.Series([], dtype="int32"),
+                }
+            )
+        gram = pd.Series(flat[: m - n + 1], dtype="object")
+        for j in range(1, n):
+            gram = gram + " " + pd.Series(flat[j : m - n + 1 + j], dtype="object")
+        # a gram is valid only when all n tokens belong to one document
+        within = d[: m - n + 1] == d[n - 1 :]
+        pairs = pd.DataFrame(
+            {"d": d[: m - n + 1][within], "gram": gram.to_numpy()[within]}
+        ).drop_duplicates()
+        vc = pairs["gram"].value_counts()
+        out = pd.DataFrame(
+            {
+                "gram": vc.index.to_numpy().astype(str),
+                "cnt": vc.to_numpy().astype("int64"),
+            }
+        )
+        out["__bucket"] = _bucket_of_keys(out["gram"], nb)
+        return out
+
+    top = _topk_by_count_fused(
+        f"{sf_dir}/documents.parquet",
+        ["doc_id", "text"],
+        projector,
+        "gram",
+        k,
+        nb,
+    )
+    return top.rename(columns={"cnt": "df"})
+
+
+def _boilerplate_sql(n: int = 3, k: int = 20) -> str:
+    return f"""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS words FROM documents
+            WHERE text IS NOT NULL AND doc_id IS NOT NULL
+        ),
+        g AS (
+            SELECT doc_id,
+                   array_to_string(
+                       words[CAST(i AS INT):CAST(i + {n - 1} AS INT)], ' '
+                   ) AS gram
+            FROM w, UNNEST(range(1, len(words) - {n - 2})) AS t(i)
+        ),
+        d AS (SELECT DISTINCT doc_id, gram FROM g),
+        c AS (SELECT gram, COUNT(*) AS cnt FROM d GROUP BY gram)
+        SELECT gram, CAST(cnt AS BIGINT) AS df
+        FROM c ORDER BY cnt DESC, gram ASC LIMIT {k}
+    """
+
+
 ORACLE_SQL: dict[str, str] = {
     "charclass_census_documents": _CHARCLASS_SQL,
+    "boilerplate_ngrams_documents": _boilerplate_sql(),
     "label_balance_embeddings": _LABEL_BALANCE_SQL,
     "fd_audit_part_brand_type": """
         WITH g AS (
@@ -1060,6 +1148,7 @@ ORACLE_SQL: dict[str, str] = {
 
 QUERIES = {
     "charclass_census_documents": charclass_census_documents,
+    "boilerplate_ngrams_documents": boilerplate_ngrams_documents,
     "label_balance_embeddings": label_balance_embeddings,
     "fd_audit_part_brand_type": fd_audit_part_brand_type,
     "derived_column_audit_documents": derived_column_audit_documents,

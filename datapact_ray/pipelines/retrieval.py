@@ -738,8 +738,127 @@ def _postings_hist_sql(max_band: int = 40) -> str:
     """
 
 
+def shard_balance_documents(sf_dir: str, n_shards: int = 16) -> pd.DataFrame:
+    """Distributed-index shard-balance audit: assign every term to one of
+    ``n_shards`` index shards by the first md5 nibble (the placement rule
+    a term-partitioned search index would use) and report each shard's
+    term count, postings total (Σ document frequency) and hottest term —
+    the skew check that decides whether term-hash placement needs salting
+    BEFORE the index build ships terabytes to the wrong machine.
+
+    Exchange shape = ``postings_histogram_documents``: per-task
+    doc-distinct (token, cnt) partials through the token-hash bucket
+    exchange (exact global df per term inside its bucket), then each
+    bucket folds its vocabulary to ≤ ``n_shards`` integer rows, so the
+    driver merge is shards×buckets-sized. The md5 is computed once per
+    DISTINCT bucket term (vocabulary-sized, not corpus-sized)."""
+    import hashlib
+
+    from .dedup import _dedup_buckets, _fused_grouped_frames
+    from .text import _bucket_of_keys
+
+    nb = _dedup_buckets()
+
+    def projector(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["text"])
+        toks = df["text"].astype(str).str.split(" ")
+        flat = pd.DataFrame(
+            {
+                "d": np.repeat(
+                    df["doc_id"].to_numpy(), toks.str.len().to_numpy()
+                ),
+                "token": toks.explode().to_numpy().astype(str),
+            }
+        ).drop_duplicates()
+        vc = flat["token"].value_counts()
+        out = pd.DataFrame(
+            {
+                "token": vc.index.to_numpy().astype(str),
+                "cnt": vc.to_numpy().astype("int64"),
+            }
+        )
+        out["__bucket"] = _bucket_of_keys(out["token"], nb)
+        return out
+
+    def bucket_fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("token", as_index=False)["cnt"].sum()
+        shard = np.fromiter(
+            (
+                int(hashlib.md5(t.encode("utf-8")).hexdigest()[0], 16) % n_shards
+                for t in g["token"]
+            ),
+            dtype=np.int64,
+            count=len(g),
+        )
+        g["shard"] = shard
+        return (
+            g.groupby("shard", as_index=False)
+            .agg(
+                n_terms=("cnt", "size"),
+                n_postings=("cnt", "sum"),
+                max_term_df=("cnt", "max"),
+            )
+        )
+
+    parts = _fused_grouped_frames(
+        [(f"{sf_dir}/documents.parquet", ["doc_id", "text"], None, projector)],
+        nb,
+        bucket_fold,
+    )
+    empty = pd.DataFrame(
+        {
+            "shard": pd.Series([], dtype="int64"),
+            "n_terms": pd.Series([], dtype="int64"),
+            "n_postings": pd.Series([], dtype="int64"),
+            "max_term_df": pd.Series([], dtype="int64"),
+        }
+    )
+    if not len(parts):
+        return empty
+    out = (
+        parts.groupby("shard", as_index=False)
+        .agg(
+            n_terms=("n_terms", "sum"),
+            n_postings=("n_postings", "sum"),
+            max_term_df=("max_term_df", "max"),
+        )
+        .astype(
+            {
+                "shard": "int64",
+                "n_terms": "int64",
+                "n_postings": "int64",
+                "max_term_df": "int64",
+            }
+        )
+    )
+    return out.sort_values("shard").reset_index(drop=True)
+
+
+def _shard_balance_sql(n_shards: int = 16) -> str:
+    return f"""
+        WITH d AS (
+            SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents WHERE text IS NOT NULL
+            )
+        ), df AS (
+            SELECT tok, COUNT(*) AS c FROM d GROUP BY tok
+        ), s AS (
+            SELECT (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1)
+                   % {n_shards} AS shard, c
+            FROM df
+        )
+        SELECT CAST(shard AS BIGINT) AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n_terms,
+               CAST(SUM(c) AS BIGINT) AS n_postings,
+               CAST(MAX(c) AS BIGINT) AS max_term_df
+        FROM s GROUP BY 1 ORDER BY 1
+    """
+
+
 QUERIES = {
     "bm25_topk_documents": bm25_topk_documents,
+    "shard_balance_documents": shard_balance_documents,
     "dirichlet_ql_topk_documents": dirichlet_ql_topk_documents,
     "rrf_hybrid_topk_documents": rrf_hybrid_topk_documents,
     "tf_cosine_topk_documents": tf_cosine_topk_documents,
@@ -748,6 +867,7 @@ QUERIES = {
 }
 ORACLE_SQL = {
     "bm25_topk_documents": _bm25_sql(),
+    "shard_balance_documents": _shard_balance_sql(),
     "dirichlet_ql_topk_documents": _dirichlet_sql(),
     "rrf_hybrid_topk_documents": _rrf_sql(),
     "tf_cosine_topk_documents": _tf_cosine_sql(),

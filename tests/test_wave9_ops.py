@@ -1,0 +1,185 @@
+"""Round-3e operators: payload byte entropy, index shard balance,
+substring contamination, boilerplate n-gram census. Seeded fixtures
+carry the discrimination testdata lacks: a low-entropy payload pool
+(one repeated byte) vs a full-range pool, a deliberately hot shard via
+duplicated-prefix terms, a planted verbatim leak, and a template
+footer shared by most documents."""
+
+import os
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from datapact_ray.pipelines.dedup import (
+    _SUBSTRING_CONTAMINATION_SQL,
+    substring_contamination_documents,
+)
+from datapact_ray.pipelines.multimodal import (
+    _PAYLOAD_ENTROPY_SQL,
+    payload_entropy_documents,
+)
+from datapact_ray.pipelines.quality import (
+    _boilerplate_sql,
+    boilerplate_ngrams_documents,
+)
+from datapact_ray.pipelines.retrieval import (
+    _shard_balance_sql,
+    shard_balance_documents,
+)
+
+SF = os.environ.get("GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def _duck(sql: str, d: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet')"
+    )
+    try:
+        return con.execute(sql).fetchdf()
+    finally:
+        con.close()
+
+
+def _exact(got: pd.DataFrame, sql: str, d: str):
+    want = _duck(sql, d)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        want.reset_index(drop=True),
+        check_dtype=False,
+        check_exact=True,
+    )
+
+
+def _docs_dir(tmp_path, rows) -> str:
+    d = tmp_path / "sf"
+    d.mkdir()
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array([r[2] for r in rows], pa.string()),
+            "n_chars": pa.array(
+                [len(r[1]) if r[1] is not None else None for r in rows],
+                pa.int64(),
+            ),
+        }
+    )
+    pq.write_table(t, str(d / "documents.parquet"))
+    return str(d)
+
+
+# ---- oracle conformance on the real testdata ----
+
+
+def test_payload_entropy_oracle_exact():
+    _exact(payload_entropy_documents(SF), _PAYLOAD_ENTROPY_SQL, SF)
+
+
+def test_shard_balance_oracle_exact():
+    _exact(shard_balance_documents(SF), _shard_balance_sql(), SF)
+
+
+def test_substring_contamination_oracle_exact():
+    _exact(
+        substring_contamination_documents(SF), _SUBSTRING_CONTAMINATION_SQL, SF
+    )
+
+
+def test_boilerplate_ngrams_oracle_exact():
+    _exact(boilerplate_ngrams_documents(SF), _boilerplate_sql(), SF)
+
+
+# ---- discrimination fixtures ----
+
+
+def test_entropy_separates_flat_from_spread(tmp_path):
+    rows = [
+        (0, "aaaaaaaaaaaaaaaaaaaa", "flat"),  # single byte: entropy 0
+        (1, "abcdefghij", "spread"),  # 10 distinct bytes, uniform
+    ]
+    d = _docs_dir(tmp_path, rows)
+    out = payload_entropy_documents(d).set_index("source")
+    assert out.loc["flat", "entropy_nats"] == 0.0
+    assert out.loc["flat", "n_distinct_bytes"] == 1
+    import math
+
+    assert out.loc["spread", "entropy_nats"] == round(math.log(10), 6)
+    _exact(payload_entropy_documents(d), _PAYLOAD_ENTROPY_SQL, d)
+
+
+def test_entropy_multibyte_utf8_counts_octets(tmp_path):
+    # 'é' is 2 octets (0xC3 0xA9): octet accounting, not codepoints
+    d = _docs_dir(tmp_path, [(0, "é", "mb")])
+    out = payload_entropy_documents(d)
+    assert int(out["total_bytes"].iloc[0]) == 2
+    assert int(out["n_distinct_bytes"].iloc[0]) == 2
+    _exact(out, _PAYLOAD_ENTROPY_SQL, d)
+
+
+def test_shard_balance_flags_hot_shard(tmp_path):
+    # many distinct terms sharing one shard-0 term plus a supermajority
+    # df term: the audit must carry exact max_term_df per shard
+    rows = [(i, "common unique%d" % i, "s") for i in range(50)]
+    d = _docs_dir(tmp_path, rows)
+    out = shard_balance_documents(d)
+    assert int(out["max_term_df"].max()) == 50  # 'common' in every doc
+    assert int(out["n_terms"].sum()) == 51
+    _exact(out, _shard_balance_sql(), d)
+
+
+def test_substring_contamination_finds_planted_leak(tmp_path):
+    probe_text = "the quick brown fox jumps over the lazy dog near the bank"
+    rows = [
+        (0, probe_text, "eval"),  # doc_id % 97 == 0 -> probe
+        (1, "padding " + probe_text[:40] + " tail", "train"),  # verbatim leak
+        (2, "clean document with nothing shared", "train"),
+        (97 * 2, "another probe text entirely", "eval"),
+    ]
+    d = _docs_dir(tmp_path, rows)
+    out = substring_contamination_documents(d).set_index("probe_doc_id")
+    assert int(out.loc[0, "n_contaminated_docs"]) == 1
+    assert int(out.loc[97 * 2, "n_contaminated_docs"]) == 0
+    _exact(substring_contamination_documents(d), _SUBSTRING_CONTAMINATION_SQL, d)
+
+
+def test_boilerplate_finds_shared_footer(tmp_path):
+    footer = "subscribe to our newsletter"
+    rows = [(i, f"body {i} words here {footer}", "s") for i in range(30)]
+    rows.append((30, "no template in this one", "s"))
+    d = _docs_dir(tmp_path, rows)
+    out = boilerplate_ngrams_documents(d)
+    assert int(out["df"].iloc[0]) == 30  # the template grams top the list
+    top30 = set(out.loc[out["df"] == 30, "gram"])
+    assert {"subscribe to our", "to our newsletter"} <= top30
+    _exact(out, _boilerplate_sql(), d)
+
+
+def test_boilerplate_df_not_tf(tmp_path):
+    # one spammy doc repeating a gram 50x must not beat a gram that
+    # appears once in each of 3 docs
+    spam = " ".join(["x y z"] * 50)
+    rows = [(0, spam, "s")] + [(i, f"shared gram here pad{i}", "s") for i in (1, 2, 3)]
+    d = _docs_dir(tmp_path, rows)
+    out = boilerplate_ngrams_documents(d)
+    assert out["gram"].iloc[0] == "shared gram here"
+    assert int(out["df"].iloc[0]) == 3
+    _exact(out, _boilerplate_sql(), d)
+
+
+def test_empty_inputs(tmp_path):
+    d = _docs_dir(tmp_path, [])
+    for fn in (
+        payload_entropy_documents,
+        shard_balance_documents,
+        substring_contamination_documents,
+        boilerplate_ngrams_documents,
+    ):
+        out = fn(d)
+        assert isinstance(out, pd.DataFrame) and len(out) == 0
+        assert len(out.columns) > 0
