@@ -498,6 +498,25 @@ def run_bench() -> dict:
     )
     timed("embedding_drift_cohorts", ann.embedding_drift_cohorts, SF_DIR)
     timed("pca_power_embeddings", ann.pca_power_embeddings, SF_DIR)
+    timed(
+        "payload_entropy_documents", multimodal.payload_entropy_documents, SF_DIR
+    )
+    timed("shard_balance_documents", retrieval.shard_balance_documents, SF_DIR)
+    timed(
+        "substring_contamination_documents",
+        dedup.substring_contamination_documents,
+        SF_DIR,
+    )
+    timed(
+        "boilerplate_ngrams_documents",
+        quality.boilerplate_ngrams_documents,
+        SF_DIR,
+    )
+    timed(
+        "mixture_window_audit_documents",
+        curation.mixture_window_audit_documents,
+        SF_DIR,
+    )
     # jaccard_pairs_documents / embedding_exact_pairs are the EXACT
     # quadratic baselines that oracle-check the approximate dedup paths;
     # they run in the correctness gate but stay out of the timed headline

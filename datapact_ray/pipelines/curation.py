@@ -721,7 +721,146 @@ _SPLIT_BIAS_SQL = """
 """
 
 
+def mixture_window_audit_documents(
+    sf_dir: str, window: int = 100, k: int = 10
+) -> pd.DataFrame:
+    """Interleaving audit — did the training-order shuffle actually MIX
+    the sources? Partition the corpus into consecutive ``window``-doc
+    blocks of the serving order (``doc_id // window``) and score each
+    block by its worst per-source deviation from the GLOBAL mixture
+    (absent sources count at full global share: a block that skipped a
+    source entirely is the worst mixing failure). A sorted-by-source
+    corpus scores ≈ 1 − share; a well-interleaved one stays near the
+    sampling noise floor. Top-k offending blocks are the output a
+    curation engineer acts on.
+
+    Two narrow scans: the first folds to |sources| global (source, n)
+    integer partials (the broadcast small side); the second ships
+    (window, source, n) integer partials into the window-hash bucket
+    exchange — a window's cells land in one bucket, so each bucket
+    pivots its windows × the broadcast source list (zero-filled, which
+    is what scores absent sources), takes its local top-k, and the
+    driver merges ≤ buckets×k rows. Deviation doubles are built from
+    exact integers with the oracle's CAST/CAST-divide trees."""
+    from .dedup import _dedup_buckets, _fused_grouped_frames
+    from ..shuffle import map_partials
+
+    nb = _dedup_buckets()
+
+    def src_partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["doc_id", "source"])
+        vc = df["source"].value_counts()
+        return pd.DataFrame(
+            {"source": vc.index.to_numpy(), "n": vc.to_numpy().astype("int64")}
+        )
+
+    tot = map_partials(
+        f"{sf_dir}/documents.parquet", ["doc_id", "source"], None, src_partial
+    )
+    empty = pd.DataFrame(
+        {
+            "window_id": pd.Series([], dtype="int64"),
+            "n_docs": pd.Series([], dtype="int64"),
+            "max_abs_dev": pd.Series([], dtype="float64"),
+        }
+    )
+    if not len(tot):
+        return empty
+    tot = tot.groupby("source", as_index=False)["n"].sum()
+    n_total = int(tot["n"].sum())
+    # CAST(ns AS DOUBLE) / CAST(n AS DOUBLE) — the oracle's share tree
+    shares = pd.Series(
+        [float(int(v)) / float(n_total) for v in tot["n"]],
+        index=tot["source"].to_numpy(),
+    )
+
+    def win_partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["doc_id", "source"])
+        w = (df["doc_id"].astype("int64") // window).to_numpy()
+        part = (
+            pd.DataFrame({"w": w, "source": df["source"].to_numpy()})
+            .groupby(["w", "source"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        part["__bucket"] = (
+            part["w"].to_numpy().astype(np.uint64)
+            * np.uint64(0x9E3779B97F4A7C15)
+            % np.uint64(nb)
+        ).astype(np.int32)
+        return part
+
+    def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
+        cells = df.groupby(["w", "source"], as_index=False)["n"].sum()
+        pv = cells.pivot_table(
+            index="w", columns="source", values="n", fill_value=0, aggfunc="sum"
+        ).reindex(columns=shares.index, fill_value=0)
+        nw = pv.sum(axis=1)
+        dev = (
+            (pv.astype("float64").div(nw.astype("float64"), axis=0) - shares)
+            .abs()
+            .max(axis=1)
+        )
+        out = pd.DataFrame(
+            {
+                "window_id": pv.index.to_numpy().astype("int64"),
+                "n_docs": nw.to_numpy().astype("int64"),
+                "max_abs_dev": dev.round(6).to_numpy(),
+            }
+        )
+        return out.sort_values(
+            ["max_abs_dev", "window_id"], ascending=[False, True], kind="stable"
+        ).head(k)
+
+    parts = _fused_grouped_frames(
+        [(f"{sf_dir}/documents.parquet", ["doc_id", "source"], None, win_partial)],
+        nb,
+        bucket_topk,
+    )
+    if not len(parts):
+        return empty
+    return (
+        parts.sort_values(
+            ["max_abs_dev", "window_id"], ascending=[False, True], kind="stable"
+        )
+        .head(k)
+        .reset_index(drop=True)
+        .astype({"window_id": "int64", "n_docs": "int64"})
+    )
+
+
+def _mixture_window_sql(window: int = 100, k: int = 10) -> str:
+    return f"""
+        WITH d AS (
+            SELECT doc_id // {window} AS w, source FROM documents
+            WHERE doc_id IS NOT NULL AND source IS NOT NULL
+        ),
+        g AS (SELECT w, source, COUNT(*) AS n FROM d GROUP BY 1, 2),
+        wn AS (SELECT w, SUM(n) AS nw FROM g GROUP BY 1),
+        tot AS (SELECT source, SUM(n) AS ns FROM g GROUP BY 1),
+        t AS (SELECT SUM(ns) AS n_total FROM tot),
+        cell AS (
+            SELECT wn.w, wn.nw, tot.ns, COALESCE(g.n, 0) AS n
+            FROM wn CROSS JOIN tot
+            LEFT JOIN g ON g.w = wn.w AND g.source = tot.source
+        ),
+        dev AS (
+            SELECT w, MAX(nw) AS n_docs,
+                   MAX(ABS(CAST(n AS DOUBLE) / CAST(nw AS DOUBLE)
+                           - CAST(ns AS DOUBLE) / CAST(t.n_total AS DOUBLE)))
+                       AS dv
+            FROM cell CROSS JOIN t GROUP BY w
+        )
+        SELECT CAST(w AS BIGINT) AS window_id,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               ROUND(dv, 6) AS max_abs_dev
+        FROM dev
+        ORDER BY ROUND(dv, 6) DESC, w ASC LIMIT {k}
+    """
+
+
 QUERIES = {
+    "mixture_window_audit_documents": mixture_window_audit_documents,
     "length_bucket_census_documents": length_bucket_census_documents,
     "pack_efficiency_documents": pack_efficiency_documents,
     "split_bias_chisq_documents": split_bias_chisq_documents,
@@ -733,6 +872,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "mixture_window_audit_documents": _mixture_window_sql(),
     "length_bucket_census_documents": _length_bucket_sql(),
     "pack_efficiency_documents": _pack_efficiency_sql(),
     "split_bias_chisq_documents": _SPLIT_BIAS_SQL,

@@ -183,3 +183,48 @@ def test_empty_inputs(tmp_path):
         out = fn(d)
         assert isinstance(out, pd.DataFrame) and len(out) == 0
         assert len(out.columns) > 0
+
+
+# ---- mixture-window interleaving audit ----
+
+from datapact_ray.pipelines.curation import (  # noqa: E402
+    _mixture_window_sql,
+    mixture_window_audit_documents,
+)
+
+
+def test_mixture_window_oracle_exact_testdata():
+    got = mixture_window_audit_documents(SF)
+    want = _duck(_mixture_window_sql(), SF)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        want.reset_index(drop=True),
+        check_dtype=False,
+        check_exact=True,
+    )
+    # the synthetic corpus assigns sources round-robin: a perfect
+    # interleave scores (near) zero everywhere
+    assert float(got["max_abs_dev"].max()) < 0.05
+
+
+def test_mixture_window_flags_sorted_corpus(tmp_path):
+    # 200 docs: first 100 all srcA, last 100 all srcB — every window is
+    # single-source, so the deviation is the other source's full share
+    rows = [(i, "t", "srcA") for i in range(100)] + [
+        (i, "t", "srcB") for i in range(100, 200)
+    ]
+    d = _docs_dir(tmp_path, rows)
+    out = mixture_window_audit_documents(d)
+    assert float(out["max_abs_dev"].iloc[0]) == 0.5  # |1.0 - 0.5| per window
+    want = _duck(_mixture_window_sql(), d)
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), want.reset_index(drop=True),
+        check_dtype=False, check_exact=True,
+    )
+
+
+def test_mixture_window_interleaved_corpus_clean(tmp_path):
+    rows = [(i, "t", "srcA" if i % 2 == 0 else "srcB") for i in range(200)]
+    d = _docs_dir(tmp_path, rows)
+    out = mixture_window_audit_documents(d)
+    assert float(out["max_abs_dev"].max()) == 0.0
