@@ -201,14 +201,17 @@ class DriftCheck(BaseModel):
     the source distribution) or ``ks`` (two-sample Kolmogorov–Smirnov
     statistic). Both are computed from mergeable t-digest sketches built
     in the single-scan profile pass. ``derived: turn_count`` checks the
-    per-conversation turn-count distribution instead of a raw column.
+    per-conversation turn-count distribution instead of a raw column;
+    ``derived: str_len`` checks the per-row character-length distribution
+    of a string column (truncation / empty-text detector — the row-hash
+    check says WHICH turns differ, the length drift says HOW).
     """
 
     column: str
     metric: Literal["psi", "ks"] = "psi"
     threshold: float = 0.2
     bins: int = Field(default=10, ge=2, le=1000)
-    derived: Literal["value", "turn_count"] = "value"
+    derived: Literal["value", "turn_count", "str_len"] = "value"
 
 
 class ValidationTask(BaseModel):

@@ -201,6 +201,7 @@ class ValidationRunner:
         nulls_use_pk = nulls_enabled and bool(pk)
         drift_checks = task.drift or []
         value_drift_cols = [d.column for d in drift_checks if d.derived == "value"]
+        len_drift_cols = [d.column for d in drift_checks if d.derived == "str_len"]
         want_turn_count_drift = any(d.derived == "turn_count" for d in drift_checks)
 
         all_parquet = all(
@@ -226,6 +227,7 @@ class ValidationRunner:
             or uniqueness_enabled
             or (nulls_enabled and not pk)
             or value_drift_cols
+            or len_drift_cols
         )
         profile_cols: set[str] = set()
         spec = ProfileSpec()
@@ -238,6 +240,8 @@ class ValidationRunner:
             profile_cols.add(av.column)
         spec.sketch_columns = list(dict.fromkeys(value_drift_cols))
         profile_cols.update(spec.sketch_columns)
+        spec.len_sketch_columns = list(dict.fromkeys(len_drift_cols))
+        profile_cols.update(spec.len_sketch_columns)
         if (
             task.ordering or want_turn_count_drift or task.sequence_grammar
         ) and not all_parquet:
@@ -311,6 +315,7 @@ class ValidationRunner:
                 c: sorted(a) for c, a in sorted(spec.agg_columns.items())
             },
             "sketch_columns": sorted(spec.sketch_columns),
+            "len_sketch_columns": sorted(spec.len_sketch_columns),
             "heavy_hitter_column": spec.heavy_hitter_column,
         }
         _atomic_write(lineage_path, json.dumps(lineage, indent=1).encode())
@@ -763,6 +768,9 @@ class ValidationRunner:
         for d in drift_checks:
             if d.derived == "turn_count":
                 s_dig, t_dig = conv_metrics.digests
+            elif d.derived == "str_len":
+                s_dig = src_profile.digests.get(f"len:{d.column}")
+                t_dig = tgt_profile.digests.get(f"len:{d.column}")
             else:
                 s_dig = src_profile.digests.get(d.column)
                 t_dig = tgt_profile.digests.get(d.column)

@@ -164,13 +164,25 @@ class KeyedMetrics:
             self.groups_checked[i] += other.groups_checked[i]
             self.contiguity_violations[i] += other.contiguity_violations[i]
             self.monotonicity_violations[i] += other.monotonicity_violations[i]
-            self.grammar_groups_flagged[i] += other.grammar_groups_flagged[i]
-            self.grammar_unknown_rows[i] += other.grammar_unknown_rows[i]
-            self.grammar_tool_mismatch_rows[i] += other.grammar_tool_mismatch_rows[i]
-            self.grammar_bad_transition_groups[i] += (
-                other.grammar_bad_transition_groups[i]
-            )
-            self.grammar_bad_first_groups[i] += other.grammar_bad_first_groups[i]
+            # getattr defaults: metrics.pkl checkpoints written before the
+            # grammar fields existed must stay resumable (grammar wasn't
+            # configured in those runs, so zero is the true value)
+            zz = [0, 0]
+            self.grammar_groups_flagged[i] += getattr(
+                other, "grammar_groups_flagged", zz
+            )[i]
+            self.grammar_unknown_rows[i] += getattr(
+                other, "grammar_unknown_rows", zz
+            )[i]
+            self.grammar_tool_mismatch_rows[i] += getattr(
+                other, "grammar_tool_mismatch_rows", zz
+            )[i]
+            self.grammar_bad_transition_groups[i] += getattr(
+                other, "grammar_bad_transition_groups", zz
+            )[i]
+            self.grammar_bad_first_groups[i] += getattr(
+                other, "grammar_bad_first_groups", zz
+            )[i]
             if other.digests[i] is not None:
                 self.digests[i] = (
                     other.digests[i]

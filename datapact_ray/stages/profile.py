@@ -37,6 +37,9 @@ class ProfileSpec:
     null_columns: list[str] = field(default_factory=list)
     agg_columns: dict[str, set[str]] = field(default_factory=dict)  # col -> {SUM,AVG,MIN,MAX}
     sketch_columns: list[str] = field(default_factory=list)  # t-digest per column
+    # t-digest over utf8_length(col); digest key "len:<col>" so a value
+    # drift and a str_len drift on the same column coexist
+    len_sketch_columns: list[str] = field(default_factory=list)
     hll_key_sets: list[tuple[str, ...]] = field(default_factory=list)
     heavy_hitter_column: str | None = None
     heavy_hitter_k: int = 64
@@ -138,6 +141,12 @@ class ProfileActor:
                 d = TDigest()
                 d.add(vals)
                 out.digests[col] = d
+        for col in spec.len_sketch_columns:
+            lens = pc.utf8_length(batch.column(col)).drop_null()
+            if len(lens):
+                d = TDigest()
+                d.add(lens.to_numpy(zero_copy_only=False).astype(np.float64))
+                out.digests[f"len:{col}"] = d
         df = None
         for keyset in spec.hll_key_sets:
             if df is None:

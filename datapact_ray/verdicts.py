@@ -338,7 +338,12 @@ def drift_verdict(
     derived: str = "value",
 ) -> CheckVerdict:
     ok = statistic <= threshold
-    suffix = f"{column}_{metric}" if derived == "value" else f"{derived}_{metric}"
+    if derived == "value":
+        suffix = f"{column}_{metric}"
+    elif derived == "turn_count":
+        suffix = f"{derived}_{metric}"  # conversation-level, column-free
+    else:  # str_len and future per-column derivations keep the column
+        suffix = f"{column}_{derived}_{metric}"
     return CheckVerdict(
         alias=f"drift_validation_{suffix}",
         passed=ok,
