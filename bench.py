@@ -517,6 +517,7 @@ def run_bench() -> dict:
         curation.mixture_window_audit_documents,
         SF_DIR,
     )
+    timed("chunk_dedup_multimodal", multimodal.chunk_dedup_multimodal, SF_DIR)
     # jaccard_pairs_documents / embedding_exact_pairs are the EXACT
     # quadratic baselines that oracle-check the approximate dedup paths;
     # they run in the correctness gate but stay out of the timed headline

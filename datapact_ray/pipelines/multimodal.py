@@ -693,9 +693,138 @@ _PAYLOAD_ENTROPY_SQL = """
 """
 
 
+def chunk_dedup_multimodal(sf_dir: str, chunk: int = 64) -> "pd.DataFrame":
+    """Cross-payload CHUNK dedup — the block-storage dedup estimator:
+    whole-blob dedup (``payload_dedup_multimodal``) misses re-encoded or
+    re-concatenated media that share most of their bytes; fixed-size
+    chunk fingerprints measure how much a content-addressed chunk store
+    would actually deduplicate across the corpus.
+
+    Each scan task slices its payloads into ``chunk``-byte blocks with
+    pure index arithmetic on the Arrow buffers (rows/cols/src built by
+    repeat+arange — no per-chunk Python), hashes each block as 8 uint64
+    words + the block length (so a short tail block never collides with
+    a zero-padded full block), pre-dedups per task, and ships (hash,
+    cnt) 16-byte rows into the hash-bucket exchange: a chunk's every
+    occurrence lands in one bucket, so per-bucket distinct counts sum
+    exactly (64-bit-collision caveat as the other content-hash ops).
+    The exchange is ~``16/chunk`` of the corpus bytes at worst, and
+    per-task dedup shrinks it further on duplicate-heavy data."""
+    import pandas as pd
+
+    from .dedup import _dedup_buckets, _fused_grouped_frames
+    from ..sketches import combine_hashes_u64
+
+    assert chunk % 8 == 0
+    nb = _dedup_buckets()
+
+    def projector(batch: pa.Table) -> "pd.DataFrame":
+        import pyarrow.compute as pc
+
+        empty = pd.DataFrame(
+            {
+                "h": pd.Series([], dtype="uint64"),
+                "cnt": pd.Series([], dtype="int64"),
+                "__bucket": pd.Series([], dtype="int32"),
+            }
+        )
+        tbl = batch.filter(pc.is_valid(batch.column("text")))
+        if tbl.num_rows == 0:
+            return empty
+        pay = pc.cast(tbl.column("text"), pa.binary())
+        hashes = []
+        for ch in pay.chunks if hasattr(pay, "chunks") else [pay]:
+            if len(ch) == 0:
+                continue
+            offs = np.frombuffer(ch.buffers()[1], dtype=np.int32)[
+                ch.offset : ch.offset + len(ch) + 1
+            ].astype(np.int64)
+            data = np.frombuffer(ch.buffers()[2], dtype=np.uint8)
+            plens = np.diff(offs)
+            nch = (plens + chunk - 1) // chunk  # blocks per payload
+            tot = int(nch.sum())
+            if tot == 0:
+                continue
+            cum = np.concatenate(([0], np.cumsum(nch)))
+            k = np.arange(tot) - np.repeat(cum[:-1], nch)  # block idx in payload
+            starts = np.repeat(offs[:-1], nch) + k * chunk
+            ends = np.minimum(starts + chunk, np.repeat(offs[1:], nch))
+            clens = ends - starts
+            mat = np.zeros((tot, chunk), dtype=np.uint8)
+            rows = np.repeat(np.arange(tot), clens)
+            cols = np.arange(int(clens.sum())) - np.repeat(
+                np.cumsum(clens) - clens, clens
+            )
+            mat[rows, cols] = data[np.repeat(starts, clens) + cols]
+            words = [
+                np.ascontiguousarray(mat[:, 8 * i : 8 * (i + 1)])
+                .view(np.uint64)
+                .ravel()
+                for i in range(chunk // 8)
+            ]
+            hashes.append(combine_hashes_u64(words + [clens.astype(np.uint64)]))
+        if not hashes:
+            return empty
+        vc = pd.Series(np.concatenate(hashes)).value_counts()
+        h = vc.index.to_numpy().astype(np.uint64)
+        return pd.DataFrame(
+            {
+                "h": h,
+                "cnt": vc.to_numpy().astype("int64"),
+                "__bucket": (h % np.uint64(nb)).astype(np.int32),
+            }
+        )
+
+    def fold(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby("h", as_index=False)["cnt"].sum()
+        return pd.DataFrame(
+            {"n_chunks": [int(g["cnt"].sum())], "distinct_chunks": [len(g)]}
+        )
+
+    parts = _fused_grouped_frames(
+        [(f"{sf_dir}/documents.parquet", ["text"], None, projector)],
+        nb,
+        fold,
+    )
+    n = int(parts["n_chunks"].sum()) if len(parts) else 0
+    d = int(parts["distinct_chunks"].sum()) if len(parts) else 0
+    return pd.DataFrame(
+        {
+            "n_chunks": pd.Series([n], dtype="int64"),
+            "distinct_chunks": pd.Series([d], dtype="int64"),
+            "dup_chunks": pd.Series([n - d], dtype="int64"),
+            "dedup_ratio": pd.Series(
+                [round(float(d) / float(n), 6) if n else None],
+                dtype="float64",
+            ),
+        }
+    )
+
+
+_CHUNK_DEDUP_SQL = """
+    WITH p AS (
+        SELECT hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+        FROM documents WHERE text IS NOT NULL
+    ),
+    c AS (
+        SELECT substr(hx, CAST(128 * i + 1 AS INT), 128) AS chunk
+        FROM p, UNNEST(range(0, (n + 63) // 64)) AS t(i)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT chunk) AS BIGINT) AS distinct_chunks,
+           CAST(COUNT(*) - COUNT(DISTINCT chunk) AS BIGINT) AS dup_chunks,
+           CASE WHEN COUNT(*) > 0 THEN
+               ROUND(CAST(COUNT(DISTINCT chunk) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE), 6)
+           END AS dedup_ratio
+    FROM c
+"""
+
+
 QUERIES = {
     "binary_payload_stats_documents": binary_payload_stats_documents,
     "payload_entropy_documents": payload_entropy_documents,
+    "chunk_dedup_multimodal": chunk_dedup_multimodal,
     "payload_chunking_documents": payload_chunking_documents,
     "payload_magic_census_documents": payload_magic_census_documents,
     "payload_dedup_multimodal": payload_dedup_multimodal,
@@ -703,6 +832,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "payload_entropy_documents": _PAYLOAD_ENTROPY_SQL,
+    "chunk_dedup_multimodal": _CHUNK_DEDUP_SQL,
     "payload_dedup_multimodal": """
         WITH p AS (
             SELECT text, octet_length(encode(text)) AS b

@@ -228,3 +228,53 @@ def test_mixture_window_interleaved_corpus_clean(tmp_path):
     d = _docs_dir(tmp_path, rows)
     out = mixture_window_audit_documents(d)
     assert float(out["max_abs_dev"].max()) == 0.0
+
+
+# ---- cross-payload chunk dedup ----
+
+from datapact_ray.pipelines.multimodal import (  # noqa: E402
+    _CHUNK_DEDUP_SQL,
+    chunk_dedup_multimodal,
+)
+
+
+def test_chunk_dedup_oracle_exact_testdata():
+    _exact(chunk_dedup_multimodal(SF), _CHUNK_DEDUP_SQL, SF)
+
+
+def test_chunk_dedup_catches_shared_prefix(tmp_path):
+    # two DISTINCT payloads sharing their first 128 bytes: whole-blob
+    # dedup sees nothing, chunk dedup finds the 2 shared 64-byte blocks
+    shared = "s" * 128
+    rows = [(0, shared + "tailA", "a"), (1, shared + "tailB", "b")]
+    d = _docs_dir(tmp_path, rows)
+    out = chunk_dedup_multimodal(d)
+    # payload A: 3 blocks (64+64+5), payload B: 3; the two 's'*64
+    # blocks inside EACH payload are identical too, so distinct =
+    # {'s'*64, tailA block, tailB block} = 3
+    assert int(out["n_chunks"].iloc[0]) == 6
+    assert int(out["distinct_chunks"].iloc[0]) == 3
+    assert int(out["dup_chunks"].iloc[0]) == 3
+    _exact(out, _CHUNK_DEDUP_SQL, d)
+
+
+def test_chunk_dedup_short_tail_is_not_padded_block(tmp_path):
+    # 'a'*3 (one short block) vs 'a'*64 (one full block): the length
+    # term in the hash keeps them distinct, as substr does in SQL
+    rows = [(0, "a" * 3, "s"), (1, "a" * 64, "s")]
+    d = _docs_dir(tmp_path, rows)
+    out = chunk_dedup_multimodal(d)
+    assert int(out["n_chunks"].iloc[0]) == 2
+    assert int(out["distinct_chunks"].iloc[0]) == 2
+    _exact(out, _CHUNK_DEDUP_SQL, d)
+
+
+def test_chunk_dedup_identical_payloads(tmp_path):
+    rows = [(i, "z" * 200, "s") for i in range(10)]  # 4 blocks, 10 copies
+    d = _docs_dir(tmp_path, rows)
+    out = chunk_dedup_multimodal(d)
+    assert int(out["n_chunks"].iloc[0]) == 40
+    # blocks are 'z'*64 x3 + 'z'*8 per payload: 2 distinct contents
+    assert int(out["distinct_chunks"].iloc[0]) == 2
+    assert float(out["dedup_ratio"].iloc[0]) == 0.05
+    _exact(out, _CHUNK_DEDUP_SQL, d)
