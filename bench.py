@@ -518,6 +518,12 @@ def run_bench() -> dict:
         SF_DIR,
     )
     timed("chunk_dedup_multimodal", multimodal.chunk_dedup_multimodal, SF_DIR)
+    timed(
+        "snippet_extraction_documents",
+        retrieval.snippet_extraction_documents,
+        SF_DIR,
+    )
+    timed("quota_cap_documents", curation.quota_cap_documents, SF_DIR)
     # jaccard_pairs_documents / embedding_exact_pairs are the EXACT
     # quadratic baselines that oracle-check the approximate dedup paths;
     # they run in the correctness gate but stay out of the timed headline

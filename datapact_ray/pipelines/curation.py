@@ -859,8 +859,126 @@ def _mixture_window_sql(window: int = 100, k: int = 10) -> str:
     """
 
 
+def quota_cap_documents(sf_dir: str, cap: int = 10) -> pd.DataFrame:
+    """Per-source quota-cap census: if each source is capped at ``cap``
+    documents (chosen deterministically by md5 hash order, the same
+    seedless selector as the split assignment), how many docs and tokens
+    does each source keep vs lose? This is the hard-cap companion to
+    ``mixture_weights_documents``'s sampling rates — the table that
+    decides whether capping a dominant crawl starves the mixture.
+
+    Selection is a distributed per-source top-``cap``: each scan task
+    ships at most cap (md5, doc_id, tokens) candidate rows per source it
+    saw (the global cap-smallest are necessarily inside the union of
+    per-task cap-smallest) plus one (n_docs, tokens) total row per
+    source; the driver folds tasks×sources×cap bounded rows. Tokens =
+    whitespace count + 1, the corpus convention."""
+    from ..shuffle import map_partials
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["doc_id", "source", "text"])
+        empty = pd.DataFrame(
+            {
+                "kind": pd.Series([], dtype="object"),
+                "source": pd.Series([], dtype="object"),
+                "h": pd.Series([], dtype="object"),
+                "doc_id": pd.Series([], dtype="int64"),
+                "t": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(df):
+            return empty
+        df = df.assign(
+            t=df["text"].astype(str).str.count(" ").to_numpy() + 1,
+            h=_md5_hex(df["doc_id"]),
+            doc_id=df["doc_id"].astype("int64"),
+        )
+        tot = (
+            df.groupby("source", as_index=False)
+            .agg(n=("doc_id", "size"), t=("t", "sum"))
+            .assign(kind="tot", h="", doc_id=0)
+        )
+        cand = (
+            df.sort_values(["source", "h", "doc_id"])
+            .groupby("source", as_index=False)
+            .head(cap)
+            .assign(kind="cand", n=0)
+        )
+        cols = ["kind", "source", "h", "doc_id", "t", "n"]
+        return pd.concat([tot[cols], cand[cols]], ignore_index=True)
+
+    parts = map_partials(
+        f"{sf_dir}/documents.parquet", ["doc_id", "source", "text"], None, partial
+    )
+    empty = pd.DataFrame(
+        {
+            "source": pd.Series([], dtype="object"),
+            "n_docs": pd.Series([], dtype="int64"),
+            "n_kept": pd.Series([], dtype="int64"),
+            "kept_tokens": pd.Series([], dtype="int64"),
+            "dropped_tokens": pd.Series([], dtype="int64"),
+        }
+    )
+    if not len(parts):
+        return empty
+    tot = (
+        parts[parts["kind"] == "tot"]
+        .groupby("source", as_index=False)
+        .agg(n_docs=("n", "sum"), total_tokens=("t", "sum"))
+    )
+    kept = (
+        parts[parts["kind"] == "cand"]
+        .sort_values(["source", "h", "doc_id"])
+        .groupby("source", as_index=False)
+        .head(cap)
+        .groupby("source", as_index=False)
+        .agg(n_kept=("doc_id", "size"), kept_tokens=("t", "sum"))
+    )
+    out = tot.merge(kept, on="source", how="left")
+    out["n_kept"] = out["n_kept"].fillna(0).astype("int64")
+    out["kept_tokens"] = out["kept_tokens"].fillna(0).astype("int64")
+    out["dropped_tokens"] = (out["total_tokens"] - out["kept_tokens"]).astype(
+        "int64"
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return (
+        out[["source", "n_docs", "n_kept", "kept_tokens", "dropped_tokens"]]
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+
+
+def _quota_cap_sql(cap: int = 10) -> str:
+    return f"""
+        WITH d AS (
+            SELECT source, doc_id,
+                   LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS t,
+                   md5(CAST(doc_id AS VARCHAR)) AS h
+            FROM documents
+            WHERE source IS NOT NULL AND doc_id IS NOT NULL
+              AND text IS NOT NULL
+        ),
+        r AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY source ORDER BY h, doc_id
+            ) AS rn FROM d
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN rn <= {cap} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               CAST(SUM(CASE WHEN rn <= {cap} THEN t ELSE 0 END) AS BIGINT)
+                   AS kept_tokens,
+               CAST(SUM(CASE WHEN rn > {cap} THEN t ELSE 0 END) AS BIGINT)
+                   AS dropped_tokens
+        FROM r GROUP BY source ORDER BY source
+    """
+
+
 QUERIES = {
     "mixture_window_audit_documents": mixture_window_audit_documents,
+    "quota_cap_documents": quota_cap_documents,
     "length_bucket_census_documents": length_bucket_census_documents,
     "pack_efficiency_documents": pack_efficiency_documents,
     "split_bias_chisq_documents": split_bias_chisq_documents,
@@ -873,6 +991,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "mixture_window_audit_documents": _mixture_window_sql(),
+    "quota_cap_documents": _quota_cap_sql(),
     "length_bucket_census_documents": _length_bucket_sql(),
     "pack_efficiency_documents": _pack_efficiency_sql(),
     "split_bias_chisq_documents": _SPLIT_BIAS_SQL,

@@ -856,8 +856,86 @@ def _shard_balance_sql(n_shards: int = 16) -> str:
     """
 
 
+def snippet_extraction_documents(
+    sf_dir: str, phrase: str = "hash join", ctx: int = 20, k: int = 20
+) -> pd.DataFrame:
+    """Search-result snippet (KWIC) extraction: for every document
+    containing the literal ``phrase``, the first match position and a
+    ``ctx``-character window around it — the feature a retrieval stack
+    computes at serving time for hit highlighting, here run corpus-wide
+    as the audit of WHERE a phrase occurs (license headers at position
+    1 mean boilerplate; mid-document means content).
+
+    One scan: vectorized literal ``str.find`` + slice per batch (both
+    codepoint-based, matching strpos/substr), per-task doc_id-ascending
+    top-k prune, driver merges ≤ tasks×k rows — full snippets only ever
+    exist for the k winners per task, never corpus-wide."""
+    from ..shuffle import map_partials
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["doc_id", "text"])
+        txt = df["text"].astype(str)
+        pos = txt.str.find(phrase) + 1  # 1-based, 0 = no match
+        m = pos > 0
+        if not m.any():
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "pos": pd.Series([], dtype="int64"),
+                    "snippet": pd.Series([], dtype="object"),
+                }
+            )
+        sub = pd.DataFrame(
+            {
+                "doc_id": df.loc[m, "doc_id"].astype("int64"),
+                "pos": pos[m].astype("int64"),
+                "text": txt[m],
+            }
+        ).sort_values("doc_id").head(k)
+        # substr(text, GREATEST(1, pos-ctx), len(phrase)+2*ctx): 1-based
+        start = (sub["pos"] - ctx).clip(lower=1) - 1  # 0-based slice start
+        width = len(phrase) + 2 * ctx
+        sub["snippet"] = [
+            t[s : s + width] for t, s in zip(sub["text"], start)
+        ]
+        return sub[["doc_id", "pos", "snippet"]]
+
+    parts = map_partials(
+        f"{sf_dir}/documents.parquet", ["doc_id", "text"], None, partial
+    )
+    if not len(parts):
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "pos": pd.Series([], dtype="int64"),
+                "snippet": pd.Series([], dtype="object"),
+            }
+        )
+    return (
+        parts.sort_values("doc_id")
+        .head(k)
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "pos": "int64"})
+    )
+
+
+def _snippet_sql(phrase: str = "hash join", ctx: int = 20, k: int = 20) -> str:
+    esc = phrase.replace("'", "''")
+    return f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(strpos(text, '{esc}') AS BIGINT) AS pos,
+               substr(text, GREATEST(1, strpos(text, '{esc}') - {ctx}),
+                      LENGTH('{esc}') + {2 * ctx}) AS snippet
+        FROM documents
+        WHERE text IS NOT NULL AND doc_id IS NOT NULL
+          AND strpos(text, '{esc}') > 0
+        ORDER BY doc_id LIMIT {k}
+    """
+
+
 QUERIES = {
     "bm25_topk_documents": bm25_topk_documents,
+    "snippet_extraction_documents": snippet_extraction_documents,
     "shard_balance_documents": shard_balance_documents,
     "dirichlet_ql_topk_documents": dirichlet_ql_topk_documents,
     "rrf_hybrid_topk_documents": rrf_hybrid_topk_documents,
@@ -867,6 +945,7 @@ QUERIES = {
 }
 ORACLE_SQL = {
     "bm25_topk_documents": _bm25_sql(),
+    "snippet_extraction_documents": _snippet_sql(),
     "shard_balance_documents": _shard_balance_sql(),
     "dirichlet_ql_topk_documents": _dirichlet_sql(),
     "rrf_hybrid_topk_documents": _rrf_sql(),

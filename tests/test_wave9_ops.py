@@ -57,7 +57,7 @@ def _exact(got: pd.DataFrame, sql: str, d: str):
 
 def _docs_dir(tmp_path, rows) -> str:
     d = tmp_path / "sf"
-    d.mkdir()
+    d.mkdir(parents=True)
     t = pa.table(
         {
             "doc_id": pa.array([r[0] for r in rows], pa.int64()),
@@ -278,3 +278,65 @@ def test_chunk_dedup_identical_payloads(tmp_path):
     assert int(out["distinct_chunks"].iloc[0]) == 2
     assert float(out["dedup_ratio"].iloc[0]) == 0.05
     _exact(out, _CHUNK_DEDUP_SQL, d)
+
+
+# ---- snippet extraction + quota cap ----
+
+from datapact_ray.pipelines.curation import (  # noqa: E402
+    _quota_cap_sql,
+    quota_cap_documents,
+)
+from datapact_ray.pipelines.retrieval import (  # noqa: E402
+    _snippet_sql,
+    snippet_extraction_documents,
+)
+
+
+def test_snippet_oracle_exact_testdata():
+    _exact(snippet_extraction_documents(SF), _snippet_sql(), SF)
+
+
+def test_snippet_window_clipping(tmp_path):
+    # match at position 1: the window clips at the string start exactly
+    # as GREATEST(1, pos-ctx) does; match mid-string gets symmetric ctx
+    rows = [
+        (0, "hash join starts this document right away", "s"),
+        (1, "x" * 30 + " hash join " + "y" * 30, "s"),
+        (2, "no match here at all", "s"),
+    ]
+    d = _docs_dir(tmp_path, rows)
+    out = snippet_extraction_documents(d)
+    assert list(out["doc_id"]) == [0, 1]
+    assert int(out["pos"].iloc[0]) == 1
+    assert out["snippet"].iloc[0].startswith("hash join")
+    assert len(out["snippet"].iloc[1]) == len("hash join") + 40
+    _exact(out, _snippet_sql(), d)
+
+
+def test_quota_cap_oracle_exact_testdata():
+    _exact(quota_cap_documents(SF), _quota_cap_sql(), SF)
+    out = quota_cap_documents(SF)
+    # testdata has 25 docs/source, cap 10: every source drops tokens
+    assert (out["n_kept"] == 10).all()
+    assert (out["dropped_tokens"] > 0).all()
+
+
+def test_quota_cap_deterministic_selection(tmp_path):
+    # the kept set is a pure function of doc_id (md5 order): same corpus
+    # in a different row order keeps the same docs
+    rows = [(i, f"doc {i} body words", "s") for i in range(40)]
+    d1 = _docs_dir(tmp_path / "a", rows)
+    d2 = _docs_dir(tmp_path / "b", rows[::-1])
+    a, b = quota_cap_documents(d1), quota_cap_documents(d2)
+    pd.testing.assert_frame_equal(a, b)
+    assert int(a["n_kept"].iloc[0]) == 10
+    _exact(a, _quota_cap_sql(), d1)
+
+
+def test_quota_cap_under_cap_source_keeps_all(tmp_path):
+    rows = [(i, "tiny corpus", "small") for i in range(3)]
+    d = _docs_dir(tmp_path, rows)
+    out = quota_cap_documents(d)
+    assert int(out["n_kept"].iloc[0]) == 3
+    assert int(out["dropped_tokens"].iloc[0]) == 0
+    _exact(out, _quota_cap_sql(), d)
