@@ -524,6 +524,7 @@ def run_bench() -> dict:
         SF_DIR,
     )
     timed("quota_cap_documents", curation.quota_cap_documents, SF_DIR)
+    timed("rollup_lineitem_flags", relational.rollup_lineitem_flags, SF_DIR)
     # jaccard_pairs_documents / embedding_exact_pairs are the EXACT
     # quadratic baselines that oracle-check the approximate dedup paths;
     # they run in the correctness gate but stay out of the timed headline

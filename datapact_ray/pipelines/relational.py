@@ -2469,7 +2469,93 @@ ORACLE_SQL["temporal_consistency_lineitem_orders"] = """
     FROM j
 """
 
+def rollup_lineitem_flags(sf_dir: str) -> pd.DataFrame:
+    """Multi-level ROLLUP in ONE scan: per-(returnflag, linestatus)
+    counts and quantity sums plus the per-flag subtotals and the grand
+    total — the dashboard aggregate a SQL engine answers with GROUP BY
+    ROLLUP. The engine never re-scans per level: the finest-granularity
+    integer partials (≤ |flags|×|status| rows per task) are sufficient
+    statistics for every coarser level, so the driver derives subtotals
+    and the grand total by summing them. GROUPING() markers ride along
+    so a genuine NULL flag value can never be confused with a rolled-up
+    level. Quantities are CAST to BIGINT with DuckDB's half-away
+    rounding before summing, keeping every cell exact-integer."""
+    from ._util import round_duck
+    from ..shuffle import map_partials
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select(["l_returnflag", "l_linestatus", "l_quantity"]).to_pandas()
+        df["q"] = round_duck(df["l_quantity"], 0).astype("int64")
+        return (
+            df.groupby(["l_returnflag", "l_linestatus"], as_index=False, dropna=False)
+            .agg(n=("q", "size"), sq=("q", "sum"))
+        )
+
+    parts = map_partials(
+        f"{sf_dir}/lineitem.parquet",
+        ["l_returnflag", "l_linestatus", "l_quantity"],
+        None,
+        partial,
+    )
+    cols = ["l_returnflag", "l_linestatus", "g_rf", "g_ls", "n_rows", "sum_qty"]
+    if not len(parts):
+        return pd.DataFrame(
+            {
+                "l_returnflag": pd.Series([], dtype="object"),
+                "l_linestatus": pd.Series([], dtype="object"),
+                "g_rf": pd.Series([], dtype="int64"),
+                "g_ls": pd.Series([], dtype="int64"),
+                "n_rows": pd.Series([], dtype="int64"),
+                "sum_qty": pd.Series([], dtype="int64"),
+            }
+        )
+    fine = parts.groupby(
+        ["l_returnflag", "l_linestatus"], as_index=False, dropna=False
+    ).agg(n_rows=("n", "sum"), sum_qty=("sq", "sum"))
+    fine["g_rf"] = 0
+    fine["g_ls"] = 0
+    sub = fine.groupby("l_returnflag", as_index=False, dropna=False).agg(
+        n_rows=("n_rows", "sum"), sum_qty=("sum_qty", "sum")
+    )
+    sub["l_linestatus"] = None
+    sub["g_rf"] = 0
+    sub["g_ls"] = 1
+    grand = pd.DataFrame(
+        {
+            "l_returnflag": [None],
+            "l_linestatus": [None],
+            "g_rf": [1],
+            "g_ls": [1],
+            "n_rows": [int(fine["n_rows"].sum())],
+            "sum_qty": [int(fine["sum_qty"].sum())],
+        }
+    )
+    out = pd.concat([fine[cols], sub[cols], grand[cols]], ignore_index=True)
+    out = out.sort_values(
+        ["g_rf", "g_ls", "l_returnflag", "l_linestatus"],
+        na_position="last",
+        kind="stable",
+    ).reset_index(drop=True)
+    for c in ("g_rf", "g_ls", "n_rows", "sum_qty"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+_ROLLUP_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY g_rf, g_ls, l_returnflag NULLS LAST, l_linestatus NULLS LAST
+"""
+ORACLE_SQL["rollup_lineitem_flags"] = _ROLLUP_SQL
+
+
 QUERIES = {
+    "rollup_lineitem_flags": rollup_lineitem_flags,
     "temporal_consistency_lineitem_orders": (
         temporal_consistency_lineitem_orders
     ),

@@ -340,3 +340,40 @@ def test_quota_cap_under_cap_source_keeps_all(tmp_path):
     assert int(out["n_kept"].iloc[0]) == 3
     assert int(out["dropped_tokens"].iloc[0]) == 0
     _exact(out, _quota_cap_sql(), d)
+
+
+# ---- single-scan ROLLUP ----
+
+
+def test_rollup_lineitem_oracle_exact():
+    import duckdb
+
+    from datapact_ray.pipelines.relational import (
+        _ROLLUP_SQL,
+        rollup_lineitem_flags,
+    )
+
+    got = rollup_lineitem_flags(SF)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{SF}/lineitem.parquet')"
+    )
+    want = con.execute(_ROLLUP_SQL).fetchdf()
+    con.close()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        want.reset_index(drop=True),
+        check_dtype=False,
+        check_exact=True,
+    )
+    # structural invariants: grand total row equals the sum of the fine
+    # level; every subtotal equals its flag's fine rows
+    fine = got[(got["g_rf"] == 0) & (got["g_ls"] == 0)]
+    grand = got[(got["g_rf"] == 1)].iloc[0]
+    assert int(grand["n_rows"]) == int(fine["n_rows"].sum())
+    assert int(grand["sum_qty"]) == int(fine["sum_qty"].sum())
+    sub = got[(got["g_rf"] == 0) & (got["g_ls"] == 1)]
+    for _, r in sub.iterrows():
+        f = fine[fine["l_returnflag"] == r["l_returnflag"]]
+        assert int(r["n_rows"]) == int(f["n_rows"].sum())
