@@ -38,12 +38,22 @@ validations:
       group_column: conv_id
       index_column: turn_idx
       ts_column: ts
+    sequence_grammar:                # role grammar per conversation
+      allowed_roles: [user, assistant, tool]
+      first_role: user
+      allowed_transitions:
+        - [user, assistant]
+        - [assistant, user]
+        - [assistant, tool]
+        - [tool, assistant]
+      tool_column: tool              # non-null exactly on tool turns
     referential:
       - columns: [conv_id]
         ref_path: /data/conversations_dim
     drift:
       - {column: ts, metric: psi, threshold: 0.2}
       - {column: ts, metric: ks, threshold: 0.1}
+      - {column: text, metric: ks, derived: str_len, threshold: 0.2}
     business_domain: AI Platform
     business_owner: Data Quality
     business_priority: Critical
@@ -83,10 +93,18 @@ def _plan_lines(suite) -> list[str]:
             lines.append(
                 f"  pass 2 (hash shuffle on {key}): {' '.join(keyed)}"
             )
-        if t.ordering:
+        if t.ordering or t.sequence_grammar:
+            conv_checks = []
+            if t.ordering:
+                conv_checks.append("ordering/contiguity")
+            if t.sequence_grammar:
+                conv_checks.append(
+                    f"role-grammar({t.sequence_grammar.role_column})"
+                )
+            g_col = t.ordering.group_column if t.ordering else "conv_id"
             lines.append(
-                f"  pass 3 (conv shuffle on {t.ordering.group_column}, salted hot keys):"
-                " ordering/contiguity"
+                f"  pass 3 (conv shuffle on {g_col}, salted hot keys): "
+                + " ".join(conv_checks)
             )
         for ref in t.referential or []:
             lines.append(
