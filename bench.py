@@ -525,6 +525,12 @@ def run_bench() -> dict:
     )
     timed("quota_cap_documents", curation.quota_cap_documents, SF_DIR)
     timed("rollup_lineitem_flags", relational.rollup_lineitem_flags, SF_DIR)
+    timed(
+        "stoplist_coverage_documents",
+        retrieval.stoplist_coverage_documents,
+        SF_DIR,
+    )
+    timed("base64_hygiene_documents", multimodal.base64_hygiene_documents, SF_DIR)
     # jaccard_pairs_documents / embedding_exact_pairs are the EXACT
     # quadratic baselines that oracle-check the approximate dedup paths;
     # they run in the correctness gate but stay out of the timed headline

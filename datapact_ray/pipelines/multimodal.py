@@ -821,10 +821,96 @@ _CHUNK_DEDUP_SQL = """
 """
 
 
+def base64_hygiene_documents(sf_dir: str) -> "pd.DataFrame":
+    """Double-encoding screen: payloads whose text is shaped like base64
+    (charset ``[A-Za-z0-9+/]`` with ``=``-padding, length ≡ 0 mod 4,
+    non-empty) are almost always a serialization bug — a binary blob
+    that got base64'd into a text column, silently quadrupling storage
+    thirds and poisoning tokenizers. Per source: payload count, base64ish
+    count, share.
+
+    One scan, one compiled-regex vectorized ``fullmatch`` per batch plus
+    a length gate; ≤ |sources| integer partial rows per task. Charset
+    validity implies pure ASCII, so character length equals octet length
+    on both engines."""
+    import re
+
+    import pandas as pd
+
+    from ..shuffle import map_partials
+
+    pat = re.compile(r"[A-Za-z0-9+/]*={0,2}")
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        df = batch.to_pandas().dropna(subset=["source", "text"])
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype="object"),
+                    "n": pd.Series([], dtype="int64"),
+                    "b64": pd.Series([], dtype="int64"),
+                }
+            )
+        txt = df["text"].astype(str)
+        is64 = (
+            txt.str.fullmatch(pat)
+            & (txt.str.len() % 4 == 0)
+            & (txt.str.len() > 0)
+        )
+        g = (
+            pd.DataFrame({"source": df["source"].to_numpy(), "b64": is64.to_numpy()})
+            .groupby("source", as_index=False)
+            .agg(n=("b64", "size"), b64=("b64", "sum"))
+        )
+        return g.astype({"n": "int64", "b64": "int64"})
+
+    parts = map_partials(
+        f"{sf_dir}/documents.parquet", ["source", "text"], None, partial
+    )
+    empty = pd.DataFrame(
+        {
+            "source": pd.Series([], dtype="object"),
+            "n_payloads": pd.Series([], dtype="int64"),
+            "n_base64ish": pd.Series([], dtype="int64"),
+            "share": pd.Series([], dtype="float64"),
+        }
+    )
+    if not len(parts):
+        return empty
+    g = parts.groupby("source", as_index=False).agg(
+        n_payloads=("n", "sum"), n_base64ish=("b64", "sum")
+    )
+    g["share"] = [
+        round(float(int(b)) / float(int(n)), 6)
+        for b, n in zip(g["n_base64ish"], g["n_payloads"])
+    ]
+    for c in ("n_payloads", "n_base64ish"):
+        g[c] = g[c].astype("int64")
+    return g.sort_values("source").reset_index(drop=True)
+
+
+_BASE64_SQL = """
+    WITH p AS (
+        SELECT source,
+               CASE WHEN regexp_full_match(text, '[A-Za-z0-9+/]*={0,2}')
+                         AND LENGTH(text) % 4 = 0 AND LENGTH(text) > 0
+                    THEN 1 ELSE 0 END AS b64
+        FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_payloads,
+           CAST(SUM(b64) AS BIGINT) AS n_base64ish,
+           ROUND(CAST(SUM(b64) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS share
+    FROM p GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "binary_payload_stats_documents": binary_payload_stats_documents,
     "payload_entropy_documents": payload_entropy_documents,
     "chunk_dedup_multimodal": chunk_dedup_multimodal,
+    "base64_hygiene_documents": base64_hygiene_documents,
     "payload_chunking_documents": payload_chunking_documents,
     "payload_magic_census_documents": payload_magic_census_documents,
     "payload_dedup_multimodal": payload_dedup_multimodal,
@@ -833,6 +919,7 @@ QUERIES = {
 ORACLE_SQL = {
     "payload_entropy_documents": _PAYLOAD_ENTROPY_SQL,
     "chunk_dedup_multimodal": _CHUNK_DEDUP_SQL,
+    "base64_hygiene_documents": _BASE64_SQL,
     "payload_dedup_multimodal": """
         WITH p AS (
             SELECT text, octet_length(encode(text)) AS b

@@ -933,8 +933,135 @@ def _snippet_sql(phrase: str = "hash join", ctx: int = 20, k: int = 20) -> str:
     """
 
 
+def stoplist_coverage_documents(
+    sf_dir: str, ks: tuple = (5, 10, 20, 50)
+) -> pd.DataFrame:
+    """Stop-list sizing table: what share of ALL postings do the top-k
+    terms by document frequency consume? The classic index decision —
+    dropping the 20 hottest terms often halves postings volume; this op
+    quantifies exactly that trade at each candidate k.
+
+    Same exchange as the df census: per-task doc-distinct (token, cnt)
+    partials bucket by token hash, each bucket reduces to its local
+    top-max(ks) terms PLUS one postings-subtotal row (the global top-k
+    set is inside the union of bucket top-k because a term lives whole
+    in one bucket; the subtotal rows make the denominator exact without
+    shipping the vocabulary). Boundary ties break by term ASC on both
+    engines."""
+    import hashlib  # noqa: F401  (parallel to shard_balance's imports)
+
+    from .dedup import _dedup_buckets, _fused_grouped_frames
+    from .text import _bucket_of_keys
+
+    kmax = max(ks)
+    nb = _dedup_buckets()
+
+    def projector(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["text"])
+        toks = df["text"].astype(str).str.split(" ")
+        flat = pd.DataFrame(
+            {
+                "d": np.repeat(
+                    df["doc_id"].to_numpy(), toks.str.len().to_numpy()
+                ),
+                "token": toks.explode().to_numpy().astype(str),
+            }
+        ).drop_duplicates()
+        vc = flat["token"].value_counts()
+        out = pd.DataFrame(
+            {
+                "token": vc.index.to_numpy().astype(str),
+                "cnt": vc.to_numpy().astype("int64"),
+            }
+        )
+        out["__bucket"] = _bucket_of_keys(out["token"], nb)
+        return out
+
+    def bucket_fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("token", as_index=False)["cnt"].sum()
+        top = g.sort_values(
+            ["cnt", "token"], ascending=[False, True], kind="stable"
+        ).head(kmax)
+        top = top.assign(kind="top")
+        subtotal = pd.DataFrame(
+            {"token": [""], "cnt": [int(g["cnt"].sum())], "kind": ["tot"]}
+        )
+        return pd.concat([top, subtotal], ignore_index=True)
+
+    parts = _fused_grouped_frames(
+        [(f"{sf_dir}/documents.parquet", ["doc_id", "text"], None, projector)],
+        nb,
+        bucket_fold,
+    )
+    empty = pd.DataFrame(
+        {
+            "k": pd.Series([], dtype="int64"),
+            "topk_postings": pd.Series([], dtype="int64"),
+            "total_postings": pd.Series([], dtype="int64"),
+            "share": pd.Series([], dtype="float64"),
+        }
+    )
+    if not len(parts):
+        return empty
+    total = int(parts.loc[parts["kind"] == "tot", "cnt"].sum())
+    if total == 0:
+        return empty
+    top = (
+        parts[parts["kind"] == "top"]
+        .sort_values(["cnt", "token"], ascending=[False, True], kind="stable")
+        .head(kmax)["cnt"]
+        .to_numpy()
+    )
+    rows = []
+    for k in sorted(ks):
+        tk = int(top[:k].sum())
+        rows.append(
+            {
+                "k": k,
+                "topk_postings": tk,
+                "total_postings": total,
+                "share": round(float(tk) / float(total), 6),
+            }
+        )
+    out = pd.DataFrame(rows)
+    for c in ("k", "topk_postings", "total_postings"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _stoplist_sql(ks: tuple = (5, 10, 20, 50)) -> str:
+    legs = "\n        UNION ALL\n".join(
+        f"""
+        SELECT CAST({k} AS BIGINT) AS k,
+               CAST((SELECT SUM(c) FROM r WHERE rn <= {k}) AS BIGINT)
+                   AS topk_postings,
+               CAST(t.p AS BIGINT) AS total_postings,
+               ROUND(CAST((SELECT SUM(c) FROM r WHERE rn <= {k}) AS DOUBLE)
+                     / CAST(t.p AS DOUBLE), 6) AS share
+        FROM t"""
+        for k in sorted(ks)
+    )
+    return f"""
+        WITH d AS (
+            SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents WHERE text IS NOT NULL
+            )
+        ),
+        df AS (SELECT tok, COUNT(*) AS c FROM d GROUP BY tok),
+        t AS (SELECT SUM(c) AS p FROM df),
+        r AS (
+            SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok ASC) AS rn
+            FROM df
+        )
+        {legs}
+        ORDER BY k
+    """
+
+
 QUERIES = {
     "bm25_topk_documents": bm25_topk_documents,
+    "stoplist_coverage_documents": stoplist_coverage_documents,
     "snippet_extraction_documents": snippet_extraction_documents,
     "shard_balance_documents": shard_balance_documents,
     "dirichlet_ql_topk_documents": dirichlet_ql_topk_documents,
@@ -946,6 +1073,7 @@ QUERIES = {
 ORACLE_SQL = {
     "bm25_topk_documents": _bm25_sql(),
     "snippet_extraction_documents": _snippet_sql(),
+    "stoplist_coverage_documents": _stoplist_sql(),
     "shard_balance_documents": _shard_balance_sql(),
     "dirichlet_ql_topk_documents": _dirichlet_sql(),
     "rrf_hybrid_topk_documents": _rrf_sql(),

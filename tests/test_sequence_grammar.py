@@ -241,3 +241,34 @@ def test_config_validation():
     g = SequenceGrammarCheck(first_role="user",
                              allowed_transitions=[("user", "assistant")])
     assert g.vocabulary == ["user", "assistant"]
+
+
+def test_bucket_count_invariance(tmp_path):
+    """Grammar verdicts are invariant to the shuffle fan-out (a
+    conversation lands whole in one bucket at any bucket count)."""
+    rows = [
+        ("a", 0, "user", None), ("a", 1, "assistant", None),
+        ("a", 2, "tool", "search"), ("a", 3, "assistant", None),
+        ("b", 0, "assistant", None), ("b", 1, "user", None),
+        ("c", 0, "user", None), ("c", 1, "tool", "calc"),
+        ("c", 2, "assistant", None),
+    ]
+    f = _write(str(tmp_path / "src" / "part-0.parquet"), rows)
+    outs = []
+    # nb >= 2: every production sizing path floors at the CPU count
+    for nb in (2, 8, 32):
+        m = run_keyed_pass(
+            None, None, _grammar_spec(num_buckets=nb), "g",
+            source_files=[f], columns=["conv_id", "turn_idx", "role", "tool"],
+        )
+        outs.append(
+            (
+                m.groups_checked,
+                m.grammar_groups_flagged,
+                m.grammar_bad_transition_groups,
+                m.grammar_bad_first_groups,
+                m.grammar_tool_mismatch_rows,
+            )
+        )
+    assert outs[0] == outs[1] == outs[2]
+    assert outs[0][1] == [2, 0]  # b (first role) and c (transition)

@@ -377,3 +377,59 @@ def test_rollup_lineitem_oracle_exact():
     for _, r in sub.iterrows():
         f = fine[fine["l_returnflag"] == r["l_returnflag"]]
         assert int(r["n_rows"]) == int(f["n_rows"].sum())
+
+
+# ---- stop-list coverage + base64 hygiene ----
+
+from datapact_ray.pipelines.multimodal import (  # noqa: E402
+    _BASE64_SQL,
+    base64_hygiene_documents,
+)
+from datapact_ray.pipelines.retrieval import (  # noqa: E402
+    _stoplist_sql,
+    stoplist_coverage_documents,
+)
+
+
+def test_stoplist_oracle_exact_testdata():
+    got = stoplist_coverage_documents(SF)
+    _exact(got, _stoplist_sql(), SF)
+    # shares must be monotone in k and end at a meaningful fraction
+    s = got["share"].to_numpy()
+    assert (s[1:] >= s[:-1]).all()
+    assert s[0] > 0
+
+
+def test_stoplist_boundary_tie_breaks_by_term(tmp_path):
+    # 3 terms with identical df: top-2 must be the lexicographically
+    # first two on BOTH engines
+    rows = [(i, "alpha beta gamma", "s") for i in range(5)]
+    d = _docs_dir(tmp_path, rows)
+    out = stoplist_coverage_documents(d, ks=(2,))
+    assert int(out["topk_postings"].iloc[0]) == 10  # alpha+beta: 5 docs each
+    want = _duck(_stoplist_sql(ks=(2,)), d)
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), want.reset_index(drop=True),
+        check_dtype=False, check_exact=True,
+    )
+
+
+def test_base64_oracle_exact_testdata():
+    _exact(base64_hygiene_documents(SF), _BASE64_SQL, SF)
+
+
+def test_base64_detects_planted_blob(tmp_path):
+    import base64 as b64
+
+    blob = b64.b64encode(b"PNG-ish binary payload bytes here!!").decode()
+    assert len(blob) % 4 == 0
+    rows = [
+        (0, blob, "bad"),
+        (1, "ordinary prose with spaces", "good"),
+        (2, "abc", "good"),  # charset-valid but length % 4 != 0
+    ]
+    d = _docs_dir(tmp_path, rows)
+    out = base64_hygiene_documents(d).set_index("source")
+    assert int(out.loc["bad", "n_base64ish"]) == 1
+    assert int(out.loc["good", "n_base64ish"]) == 0
+    _exact(base64_hygiene_documents(d), _BASE64_SQL, d)
