@@ -112,6 +112,60 @@ class OrderingCheck(BaseModel):
     sides: Literal["source", "target", "both"] = "both"
 
 
+class EnumValidation(BaseModel):
+    """Accepted-values check: every non-null value of ``column`` must be
+    in ``allowed`` (compared in the column's native type). NULLs are the
+    null check's business, not a membership violation. Rides the fused
+    profile scan — one vectorized ``is_in`` per batch."""
+
+    column: str
+    allowed: list
+    tolerance: float = 0.0  # violating rows / non-null rows, per side
+
+    @field_validator("tolerance")
+    @classmethod
+    def validate_tolerance(cls, v: float) -> float:
+        if not 0.0 <= v <= 1.0:
+            raise ValueError("Tolerance must be a float between 0.0 and 1.0")
+        return v
+
+    @field_validator("allowed")
+    @classmethod
+    def validate_allowed(cls, v: list) -> list:
+        if not v:
+            raise ValueError("allowed must be a non-empty list")
+        return v
+
+
+class PatternValidation(BaseModel):
+    """Format check: every non-null value of ``column`` (cast to string)
+    must FULL-match ``regex`` (RE2 syntax — anchoring is applied by the
+    engine). Rides the fused profile scan — one vectorized RE2 match per
+    batch, compiled once."""
+
+    column: str
+    regex: str
+    tolerance: float = 0.0
+
+    @field_validator("tolerance")
+    @classmethod
+    def validate_tolerance(cls, v: float) -> float:
+        if not 0.0 <= v <= 1.0:
+            raise ValueError("Tolerance must be a float between 0.0 and 1.0")
+        return v
+
+    @field_validator("regex")
+    @classmethod
+    def validate_regex(cls, v: str) -> str:
+        import re as _re
+
+        try:  # syntax check at config time, not mid-scan
+            _re.compile(v)
+        except _re.error as exc:
+            raise ValueError(f"invalid regex: {exc}") from exc
+        return v
+
+
 class SequenceGrammarCheck(BaseModel):
     """Role-grammar validation per conversation (new vs reference;
     transcript north star): the role column must stay inside a closed
@@ -230,6 +284,8 @@ class ValidationTask(BaseModel):
     null_validation_tolerance: float | None = None
     null_validation_columns: list[str] | None = None
     agg_validations: list[AggValidation] | None = None
+    enum_validations: list[EnumValidation] | None = None
+    pattern_validations: list[PatternValidation] | None = None
     uniqueness_columns: list[str] | None = None
     uniqueness_tolerance: float | None = None
     # Transcript-engine checks (new vs reference; BASELINE.json north star)
@@ -323,6 +379,8 @@ class ValidationTask(BaseModel):
             or (self.pk_row_hash_check and self.primary_keys)
             or (self.null_validation_columns and self.null_validation_tolerance is not None)
             or self.agg_validations
+            or self.enum_validations
+            or self.pattern_validations
             or (self.uniqueness_columns and self.uniqueness_tolerance is not None)
             or self.custom_checks
             or (self.compare_columns and self.primary_keys)

@@ -228,6 +228,8 @@ class ValidationRunner:
             or (nulls_enabled and not pk)
             or value_drift_cols
             or len_drift_cols
+            or task.enum_validations
+            or task.pattern_validations
         )
         profile_cols: set[str] = set()
         spec = ProfileSpec()
@@ -242,6 +244,12 @@ class ValidationRunner:
         profile_cols.update(spec.sketch_columns)
         spec.len_sketch_columns = list(dict.fromkeys(len_drift_cols))
         profile_cols.update(spec.len_sketch_columns)
+        for ev in task.enum_validations or []:
+            spec.enum_columns[ev.column] = list(ev.allowed)
+            profile_cols.add(ev.column)
+        for pv in task.pattern_validations or []:
+            spec.pattern_columns[pv.column] = pv.regex
+            profile_cols.add(pv.column)
         if (
             task.ordering or want_turn_count_drift or task.sequence_grammar
         ) and not all_parquet:
@@ -316,6 +324,11 @@ class ValidationRunner:
             },
             "sketch_columns": sorted(spec.sketch_columns),
             "len_sketch_columns": sorted(spec.len_sketch_columns),
+            "enum_columns": {
+                c: [repr(v) for v in vals]
+                for c, vals in sorted(spec.enum_columns.items())
+            },
+            "pattern_columns": dict(sorted(spec.pattern_columns.items())),
             "heavy_hitter_column": spec.heavy_hitter_column,
         }
         _atomic_write(lineage_path, json.dumps(lineage, indent=1).encode())
@@ -688,6 +701,25 @@ class ValidationRunner:
                         src_profile.agg_value(av.column, d.agg),
                         tgt_profile.agg_value(av.column, d.agg),
                         d.tolerance,
+                    )
+                )
+        # getattr: profile pickles from pre-rule code must not crash a
+        # resumed run (the lineage spec signature guards incremental merges)
+        for kind, rules in (
+            ("enum", task.enum_validations or []),
+            ("pattern", task.pattern_validations or []),
+        ):
+            for rule in rules:
+                key = f"{kind}:{rule.column}"
+                verdict_list.append(
+                    V.value_rule_verdict(
+                        kind,
+                        rule.column,
+                        getattr(src_profile, "rule_checked", {}).get(key, 0),
+                        getattr(src_profile, "rule_violations", {}).get(key, 0),
+                        getattr(tgt_profile, "rule_checked", {}).get(key, 0),
+                        getattr(tgt_profile, "rule_violations", {}).get(key, 0),
+                        rule.tolerance,
                     )
                 )
         if uniqueness_enabled:

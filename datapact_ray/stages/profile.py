@@ -40,6 +40,10 @@ class ProfileSpec:
     # t-digest over utf8_length(col); digest key "len:<col>" so a value
     # drift and a str_len drift on the same column coexist
     len_sketch_columns: list[str] = field(default_factory=list)
+    # value-rule checks: enum membership / full-match regex per column
+    # (results keyed "enum:<col>" / "pattern:<col>" in ProfileResult)
+    enum_columns: dict[str, list] = field(default_factory=dict)
+    pattern_columns: dict[str, str] = field(default_factory=dict)
     hll_key_sets: list[tuple[str, ...]] = field(default_factory=list)
     heavy_hitter_column: str | None = None
     heavy_hitter_k: int = 64
@@ -54,6 +58,10 @@ class ProfileResult:
     digests: dict[str, TDigest] = field(default_factory=dict)
     hlls: dict[tuple[str, ...], HyperLogLog] = field(default_factory=dict)
     heavy_hitters: TopKCounter | None = None
+    # value rules: non-null rows checked / violating, keyed
+    # "enum:<col>" | "pattern:<col>"
+    rule_checked: dict[str, int] = field(default_factory=dict)
+    rule_violations: dict[str, int] = field(default_factory=dict)
 
     def agg_value(self, column: str, agg: str) -> float | None:
         """SQL aggregate semantics: SUM/AVG NULL over zero non-null rows;
@@ -147,6 +155,20 @@ class ProfileActor:
                 d = TDigest()
                 d.add(lens.to_numpy(zero_copy_only=False).astype(np.float64))
                 out.digests[f"len:{col}"] = d
+        for col, allowed in spec.enum_columns.items():
+            arr = batch.column(col)
+            ok = pc.is_in(arr, value_set=pa.array(allowed, type=arr.type))
+            viol = pc.and_(pc.is_valid(arr), pc.invert(pc.fill_null(ok, False)))
+            key = f"enum:{col}"
+            out.rule_checked[key] = batch.num_rows - arr.null_count
+            out.rule_violations[key] = int(pc.sum(viol).as_py() or 0)
+        for col, regex in spec.pattern_columns.items():
+            arr = pc.cast(batch.column(col), pa.string())
+            ok = pc.match_substring_regex(arr, f"^(?:{regex})$")
+            viol = pc.and_(pc.is_valid(arr), pc.invert(pc.fill_null(ok, False)))
+            key = f"pattern:{col}"
+            out.rule_checked[key] = batch.num_rows - arr.null_count
+            out.rule_violations[key] = int(pc.sum(viol).as_py() or 0)
         df = None
         for keyset in spec.hll_key_sets:
             if df is None:
@@ -203,6 +225,10 @@ def merge_profiles(partials: list[ProfileResult]) -> ProfileResult:
                 if out.heavy_hitters is None
                 else out.heavy_hitters.merge(p.heavy_hitters)
             )
+        for key, n in getattr(p, "rule_checked", {}).items():
+            out.rule_checked[key] = out.rule_checked.get(key, 0) + n
+        for key, n in getattr(p, "rule_violations", {}).items():
+            out.rule_violations[key] = out.rule_violations.get(key, 0) + n
     for col, parts in sums.items():
         if all(isinstance(s, int) for s in parts):
             out.aggs[col]["sum"] = sum(parts)  # exact big-int path

@@ -274,6 +274,36 @@ def ordering_verdict(
     )
 
 
+def value_rule_verdict(
+    kind: str,  # "enum" | "pattern"
+    column: str,
+    src_checked: int,
+    src_violations: int,
+    tgt_checked: int,
+    tgt_violations: int,
+    tolerance: float,
+) -> CheckVerdict:
+    """Accepted-values / format-regex rule: per-side violating share of
+    non-null rows; FAIL when EITHER side exceeds ``tolerance``."""
+    s_rel = src_violations / src_checked if src_checked else 0.0
+    t_rel = tgt_violations / tgt_checked if tgt_checked else 0.0
+    ok = s_rel <= tolerance and t_rel <= tolerance
+    return CheckVerdict(
+        alias=f"{kind}_validation_{column}",
+        passed=ok,
+        payload={
+            "source_checked_rows": fmt_number(src_checked, 0),
+            "source_violations": fmt_number(src_violations, 0),
+            "source_violation_percent": fmt_percent(s_rel),
+            "target_checked_rows": fmt_number(tgt_checked, 0),
+            "target_violations": fmt_number(tgt_violations, 0),
+            "target_violation_percent": fmt_percent(t_rel),
+            "tolerance_percent": fmt_percent(tolerance),
+            "status": _status(ok),
+        },
+    )
+
+
 def sequence_grammar_verdict(
     group_column: str,
     role_column: str,
