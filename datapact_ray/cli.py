@@ -34,6 +34,10 @@ validations:
     uniqueness_columns: [conv_id, turn_idx]
     uniqueness_tolerance: 0.0
     compare_columns: [text]          # per-turn text equality
+    enum_validations:                # accepted values, native type
+      - {column: role, allowed: [user, assistant, tool]}
+    pattern_validations:             # full-match format regex
+      - {column: conv_id, regex: 'conv-\\d+'}
     ordering:
       group_column: conv_id
       index_column: turn_idx
@@ -77,6 +81,10 @@ def _plan_lines(suite) -> list[str]:
             scan.append(f"agg({av.column}:{','.join(v.agg for v in av.validations)})")
         for d in t.drift or []:
             scan.append(f"sketch({d.column}:{d.metric})")
+        for ev in t.enum_validations or []:
+            scan.append(f"enum({ev.column})")
+        for pv in t.pattern_validations or []:
+            scan.append(f"pattern({pv.column})")
         if scan:
             lines.append(f"  pass 1 (fused single scan/side): {' '.join(scan)}")
         keyed = []
