@@ -720,6 +720,8 @@ class ValidationRunner:
                         getattr(tgt_profile, "rule_checked", {}).get(key, 0),
                         getattr(tgt_profile, "rule_violations", {}).get(key, 0),
                         rule.tolerance,
+                        getattr(src_profile, "rule_samples", {}).get(key),
+                        getattr(tgt_profile, "rule_samples", {}).get(key),
                     )
                 )
         if uniqueness_enabled:

@@ -29,6 +29,17 @@ import ray.data
 
 from ..sketches import HyperLogLog, TDigest, TopKCounter, hash_columns_u64
 
+_RULE_SAMPLE_CAP = 20  # distinct violating values kept per rule/side
+
+
+def _top_samples(d: dict, cap: int = _RULE_SAMPLE_CAP) -> dict:
+    """Deterministic prune: keep the cap most frequent violating values
+    (ties by string form) so merges stay bounded at any scale."""
+    if len(d) <= cap:
+        return d
+    items = sorted(d.items(), key=lambda kv: (-kv[1], str(kv[0])))[:cap]
+    return dict(items)
+
 
 @dataclass
 class ProfileSpec:
@@ -62,6 +73,9 @@ class ProfileResult:
     # "enum:<col>" | "pattern:<col>"
     rule_checked: dict[str, int] = field(default_factory=dict)
     rule_violations: dict[str, int] = field(default_factory=dict)
+    # capped evidence: per rule, violating value -> occurrence count
+    # (top values by count; bounded at _RULE_SAMPLE_CAP after merges)
+    rule_samples: dict[str, dict] = field(default_factory=dict)
 
     def agg_value(self, column: str, agg: str) -> float | None:
         """SQL aggregate semantics: SUM/AVG NULL over zero non-null rows;
@@ -155,20 +169,31 @@ class ProfileActor:
                 d = TDigest()
                 d.add(lens.to_numpy(zero_copy_only=False).astype(np.float64))
                 out.digests[f"len:{col}"] = d
-        for col, allowed in spec.enum_columns.items():
-            arr = batch.column(col)
-            ok = pc.is_in(arr, value_set=pa.array(allowed, type=arr.type))
-            viol = pc.and_(pc.is_valid(arr), pc.invert(pc.fill_null(ok, False)))
-            key = f"enum:{col}"
-            out.rule_checked[key] = batch.num_rows - arr.null_count
-            out.rule_violations[key] = int(pc.sum(viol).as_py() or 0)
-        for col, regex in spec.pattern_columns.items():
-            arr = pc.cast(batch.column(col), pa.string())
-            ok = pc.match_substring_regex(arr, f"^(?:{regex})$")
-            viol = pc.and_(pc.is_valid(arr), pc.invert(pc.fill_null(ok, False)))
-            key = f"pattern:{col}"
-            out.rule_checked[key] = batch.num_rows - arr.null_count
-            out.rule_violations[key] = int(pc.sum(viol).as_py() or 0)
+        for kind, cols in (("enum", spec.enum_columns), ("pattern", spec.pattern_columns)):
+            for col, rule in cols.items():
+                if kind == "enum":
+                    arr = batch.column(col)
+                    ok = pc.is_in(arr, value_set=pa.array(rule, type=arr.type))
+                else:
+                    arr = pc.cast(batch.column(col), pa.string())
+                    ok = pc.match_substring_regex(arr, f"^(?:{rule})$")
+                viol = pc.and_(
+                    pc.is_valid(arr), pc.invert(pc.fill_null(ok, False))
+                )
+                key = f"{kind}:{col}"
+                out.rule_checked[key] = batch.num_rows - arr.null_count
+                nviol = int(pc.sum(viol).as_py() or 0)
+                out.rule_violations[key] = nviol
+                if nviol:
+                    vc = (
+                        arr.filter(viol)
+                        .cast(pa.string())
+                        .to_pandas()
+                        .value_counts()
+                    )
+                    out.rule_samples[key] = _top_samples(
+                        {str(v): int(c) for v, c in vc.items()}
+                    )
         df = None
         for keyset in spec.hll_key_sets:
             if df is None:
@@ -229,6 +254,11 @@ def merge_profiles(partials: list[ProfileResult]) -> ProfileResult:
             out.rule_checked[key] = out.rule_checked.get(key, 0) + n
         for key, n in getattr(p, "rule_violations", {}).items():
             out.rule_violations[key] = out.rule_violations.get(key, 0) + n
+        for key, smp in getattr(p, "rule_samples", {}).items():
+            cur = out.rule_samples.setdefault(key, {})
+            for v, c in smp.items():
+                cur[v] = cur.get(v, 0) + c
+            out.rule_samples[key] = _top_samples(cur)
     for col, parts in sums.items():
         if all(isinstance(s, int) for s in parts):
             out.aggs[col]["sum"] = sum(parts)  # exact big-int path

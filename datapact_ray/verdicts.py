@@ -274,6 +274,13 @@ def ordering_verdict(
     )
 
 
+def _fmt_samples(samples: dict | None, k: int = 5) -> str:
+    if not samples:
+        return ""
+    items = sorted(samples.items(), key=lambda kv: (-kv[1], str(kv[0])))[:k]
+    return ", ".join(f"{v} (x{c})" for v, c in items)
+
+
 def value_rule_verdict(
     kind: str,  # "enum" | "pattern"
     column: str,
@@ -282,9 +289,13 @@ def value_rule_verdict(
     tgt_checked: int,
     tgt_violations: int,
     tolerance: float,
+    src_samples: dict | None = None,
+    tgt_samples: dict | None = None,
 ) -> CheckVerdict:
     """Accepted-values / format-regex rule: per-side violating share of
-    non-null rows; FAIL when EITHER side exceeds ``tolerance``."""
+    non-null rows; FAIL when EITHER side exceeds ``tolerance``. The
+    payload carries the top violating VALUES with occurrence counts —
+    the evidence a fix starts from."""
     s_rel = src_violations / src_checked if src_checked else 0.0
     t_rel = tgt_violations / tgt_checked if tgt_checked else 0.0
     ok = s_rel <= tolerance and t_rel <= tolerance
@@ -295,9 +306,11 @@ def value_rule_verdict(
             "source_checked_rows": fmt_number(src_checked, 0),
             "source_violations": fmt_number(src_violations, 0),
             "source_violation_percent": fmt_percent(s_rel),
+            "source_sample_violations": _fmt_samples(src_samples),
             "target_checked_rows": fmt_number(tgt_checked, 0),
             "target_violations": fmt_number(tgt_violations, 0),
             "target_violation_percent": fmt_percent(t_rel),
+            "target_sample_violations": _fmt_samples(tgt_samples),
             "tolerance_percent": fmt_percent(tolerance),
             "status": _status(ok),
         },

@@ -125,3 +125,27 @@ def test_config_validation():
         PatternValidation(column="c", regex="([unclosed")
     with pytest.raises(ValueError):
         EnumValidation(column="c", allowed=["x"], tolerance=1.5)
+
+
+def test_violation_samples_in_payload(tmp_path):
+    sp, tp = str(tmp_path / "s.parquet"), str(tmp_path / "t.parquet")
+    _write(sp, roles=["user"] * 4, ids=["conv-1"] * 4, nums=[1] * 4)
+    _write(
+        tp,
+        roles=["bot", "bot", "system", "user"],
+        ids=["conv-1"] * 4,
+        nums=[1] * 4,
+    )
+    task = ValidationTask(
+        task_key="t",
+        source_path=sp,
+        target_path=tp,
+        enum_validations=[
+            EnumValidation(column="role", allowed=["user", "assistant"])
+        ],
+    )
+    res = _run(tmp_path, task)
+    v = res.payload["enum_validation_role"]
+    # most frequent violating value first, with its occurrence count
+    assert v["target_sample_violations"] == "bot (x2), system (x1)"
+    assert v["source_sample_violations"] == ""
