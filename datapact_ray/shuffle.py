@@ -51,10 +51,24 @@ def _split_by_bucket(table: pa.Table, num_buckets: int) -> list[pa.Table]:
     ]
 
 
+def _flatten_shards(shards) -> list:
+    """Unwrap Ray's num_returns=1 semantics: with a single bucket, the
+    map task's one-element LIST of tables arrives as the return value
+    itself, so a shard may be a list rather than a table."""
+    out = []
+    for s in shards:
+        if isinstance(s, list):
+            out.extend(s)
+        else:
+            out.append(s)
+    return out
+
+
 def _reduce_bucket(checker_fn: Callable, *shards: pa.Table) -> bytes | None:
     """Concatenate a bucket's shards (staying Arrow — the checker only
     converts fixed-width helper columns) and run the verification
     callable. Returns the pickled metrics blob (None for empty)."""
+    shards = _flatten_shards(shards)
     tables = [s for s in shards if s is not None and s.num_rows]
     if not tables:
         return None
@@ -69,6 +83,7 @@ def _reduce_bucket_table(checker_fn: Callable, bucket_idx: int, *shards):
     and return the output frame ITSELF — it stays in the object store as
     the task's return; the driver only ever holds the ObjectRef. None
     for an empty bucket."""
+    shards = _flatten_shards(shards)
     tables = [s for s in shards if s is not None and s.num_rows]
     if not tables:
         return None

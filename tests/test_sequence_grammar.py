@@ -255,8 +255,7 @@ def test_bucket_count_invariance(tmp_path):
     ]
     f = _write(str(tmp_path / "src" / "part-0.parquet"), rows)
     outs = []
-    # nb >= 2: every production sizing path floors at the CPU count
-    for nb in (2, 8, 32):
+    for nb in (1, 8, 32):  # nb=1 exercises Ray's num_returns=1 unwrap
         m = run_keyed_pass(
             None, None, _grammar_spec(num_buckets=nb), "g",
             source_files=[f], columns=["conv_id", "turn_idx", "role", "tool"],
