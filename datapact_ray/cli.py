@@ -137,6 +137,10 @@ def main(argv: list[str] | None = None) -> int:
     p_run.add_argument("--resume", action="store_true",
                        help="skip partitions with completed checkpoints")
     p_run.add_argument("--num-cpus", type=int, default=None)
+    p_run.add_argument("--max-parallel-tasks", type=int, default=1,
+                       help="run up to N validation tasks concurrently "
+                            "(reference parity: parallel job tasks); "
+                            "ignored with fail-fast semantics")
     p_run.add_argument("--dry-run", action="store_true")
 
     p_plan = sub.add_parser("plan", help="validate config and print the plan")
@@ -203,6 +207,7 @@ def main(argv: list[str] | None = None) -> int:
                 run_id=args.run_id,
                 job_name=args.job_name,
                 resume=args.resume,
+                max_parallel_tasks=args.max_parallel_tasks,
             ),
         )
         for r in summary.results:

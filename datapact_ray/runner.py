@@ -101,6 +101,14 @@ class RunConfig:
     profile_concurrency: tuple[int, int] | int | None = None
     resume: bool = False
     fail_fast: bool = False  # stop at first failing task
+    # reference parity: the Databricks orchestrator launches validation
+    # tasks as PARALLEL job tasks (its rollups even report peak parallel
+    # tasks). >1 runs up to that many tasks concurrently as driver
+    # threads — each task is orchestration over Ray tasks, so threads
+    # compose; per-task checkpoint dirs never collide. Ignored (forced
+    # sequential) when fail_fast is set, so "stop at first failure"
+    # keeps its exact meaning.
+    max_parallel_tasks: int = 1
     # incremental profile: merge the cited prior run's checkpointed
     # profile monoids with a profile of ONLY the input files added since
     # — exact for every scan-shaped check (count/null/agg; sketches are
@@ -859,12 +867,25 @@ class ValidationRunner:
         summary = RunSummary(
             run_id=cfg.run_id, job_name=cfg.job_name, job_start_ts=_now()
         )
-        for task in self.suite.validations:
-            result = self.run_task(task)
-            summary.results.append(result)
-            summary.rows.append(self._result_row(task, result, summary))
-            if cfg.fail_fast and not result.passed:
-                break
+        tasks = self.suite.validations
+        if cfg.max_parallel_tasks > 1 and not cfg.fail_fast and len(tasks) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(len(tasks), cfg.max_parallel_tasks)
+            ) as pool:
+                futures = [pool.submit(self.run_task, t) for t in tasks]
+                results = [f.result() for f in futures]  # suite order kept
+            for task, result in zip(tasks, results):
+                summary.results.append(result)
+                summary.rows.append(self._result_row(task, result, summary))
+        else:
+            for task in tasks:
+                result = self.run_task(task)
+                summary.results.append(result)
+                summary.rows.append(self._result_row(task, result, summary))
+                if cfg.fail_fast and not result.passed:
+                    break
         self._write_results(summary)
         return summary
 
