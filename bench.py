@@ -531,6 +531,9 @@ def run_bench() -> dict:
         SF_DIR,
     )
     timed("base64_hygiene_documents", multimodal.base64_hygiene_documents, SF_DIR)
+    timed(
+        "encoding_weight_documents", multimodal.encoding_weight_documents, SF_DIR
+    )
     # jaccard_pairs_documents / embedding_exact_pairs are the EXACT
     # quadratic baselines that oracle-check the approximate dedup paths;
     # they run in the correctness gate but stay out of the timed headline

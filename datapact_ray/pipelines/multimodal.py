@@ -906,11 +906,98 @@ _BASE64_SQL = """
 """
 
 
+def encoding_weight_documents(sf_dir: str) -> "pd.DataFrame":
+    """UTF-8 encoding weight per language: octets-per-character of the
+    text payload — the number that sizes storage and token budgets for a
+    multilingual corpus (ASCII languages sit at 1.0, CJK near 3.0; a
+    ratio that MOVES between ingests means the encoder or the content
+    mix changed). Exact integer octet and character tallies per lang;
+    the ratio is one CAST/CAST divide, 6-dp pinned.
+
+    One scan: ``binary_length`` + ``utf8_length`` straight off the Arrow
+    buffers, ≤ |langs| integer partials per task."""
+    import pandas as pd
+
+    from ..shuffle import map_partials
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        import pyarrow.compute as pc
+
+        mask = pc.and_(
+            pc.is_valid(batch.column("text")), pc.is_valid(batch.column("lang"))
+        )
+        tbl = batch.filter(mask)
+        if tbl.num_rows == 0:
+            return pd.DataFrame(
+                {
+                    "lang": pd.Series([], dtype="object"),
+                    "n": pd.Series([], dtype="int64"),
+                    "octets": pd.Series([], dtype="int64"),
+                    "chars": pd.Series([], dtype="int64"),
+                }
+            )
+        octets = pc.binary_length(
+            pc.cast(tbl.column("text"), pa.binary())
+        ).to_numpy().astype("int64")
+        chars = pc.utf8_length(tbl.column("text")).to_numpy().astype("int64")
+        return (
+            pd.DataFrame(
+                {"lang": tbl.column("lang").to_pandas(), "o": octets, "c": chars}
+            )
+            .groupby("lang", as_index=False)
+            .agg(n=("o", "size"), octets=("o", "sum"), chars=("c", "sum"))
+            .astype({"n": "int64", "octets": "int64", "chars": "int64"})
+        )
+
+    parts = map_partials(
+        f"{sf_dir}/documents.parquet", ["lang", "text"], None, partial
+    )
+    empty = pd.DataFrame(
+        {
+            "lang": pd.Series([], dtype="object"),
+            "n_docs": pd.Series([], dtype="int64"),
+            "total_octets": pd.Series([], dtype="int64"),
+            "total_chars": pd.Series([], dtype="int64"),
+            "octets_per_char": pd.Series([], dtype="float64"),
+        }
+    )
+    if not len(parts):
+        return empty
+    g = parts.groupby("lang", as_index=False).agg(
+        n_docs=("n", "sum"), total_octets=("octets", "sum"),
+        total_chars=("chars", "sum"),
+    )
+    g["octets_per_char"] = [
+        round(float(int(o)) / float(int(c)), 6) if int(c) else None
+        for o, c in zip(g["total_octets"], g["total_chars"])
+    ]
+    for col in ("n_docs", "total_octets", "total_chars"):
+        g[col] = g[col].astype("int64")
+    return g.sort_values("lang").reset_index(drop=True)
+
+
+_ENCODING_WEIGHT_SQL = """
+    WITH d AS (
+        SELECT lang, octet_length(encode(text)) AS o, LENGTH(text) AS c
+        FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(o) AS BIGINT) AS total_octets,
+           CAST(SUM(c) AS BIGINT) AS total_chars,
+           CASE WHEN SUM(c) > 0 THEN
+               ROUND(CAST(SUM(o) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+           END AS octets_per_char
+    FROM d GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES = {
     "binary_payload_stats_documents": binary_payload_stats_documents,
     "payload_entropy_documents": payload_entropy_documents,
     "chunk_dedup_multimodal": chunk_dedup_multimodal,
     "base64_hygiene_documents": base64_hygiene_documents,
+    "encoding_weight_documents": encoding_weight_documents,
     "payload_chunking_documents": payload_chunking_documents,
     "payload_magic_census_documents": payload_magic_census_documents,
     "payload_dedup_multimodal": payload_dedup_multimodal,
@@ -920,6 +1007,7 @@ ORACLE_SQL = {
     "payload_entropy_documents": _PAYLOAD_ENTROPY_SQL,
     "chunk_dedup_multimodal": _CHUNK_DEDUP_SQL,
     "base64_hygiene_documents": _BASE64_SQL,
+    "encoding_weight_documents": _ENCODING_WEIGHT_SQL,
     "payload_dedup_multimodal": """
         WITH p AS (
             SELECT text, octet_length(encode(text)) AS b

@@ -433,3 +433,36 @@ def test_base64_detects_planted_blob(tmp_path):
     assert int(out.loc["bad", "n_base64ish"]) == 1
     assert int(out.loc["good", "n_base64ish"]) == 0
     _exact(base64_hygiene_documents(d), _BASE64_SQL, d)
+
+
+# ---- UTF-8 encoding weight ----
+
+from datapact_ray.pipelines.multimodal import (  # noqa: E402
+    _ENCODING_WEIGHT_SQL,
+    encoding_weight_documents,
+)
+
+
+def test_encoding_weight_oracle_exact_testdata():
+    _exact(encoding_weight_documents(SF), _ENCODING_WEIGHT_SQL, SF)
+
+
+def test_encoding_weight_separates_scripts(tmp_path):
+    # CJK chars are 3 octets each; ASCII is 1; 'é' is 2
+    d = tmp_path / "sf"
+    d.mkdir(parents=True)
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["数据质量检查", "plain ascii text", "café café"]),
+            "lang": pa.array(["zh", "en", "fr"]),
+            "source": pa.array(["s"] * 3),
+            "n_chars": pa.array([6, 16, 9], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(d / "documents.parquet"))
+    out = encoding_weight_documents(str(d)).set_index("lang")
+    assert float(out.loc["zh", "octets_per_char"]) == 3.0
+    assert float(out.loc["en", "octets_per_char"]) == 1.0
+    assert 1.0 < float(out.loc["fr", "octets_per_char"]) < 2.0
+    _exact(encoding_weight_documents(str(d)), _ENCODING_WEIGHT_SQL, str(d))
