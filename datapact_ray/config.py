@@ -157,12 +157,16 @@ class PatternValidation(BaseModel):
     @field_validator("regex")
     @classmethod
     def validate_regex(cls, v: str) -> str:
-        import re as _re
+        # validate with the ENGINE's regex library (Arrow RE2), not
+        # Python's re — lookarounds/backreferences pass re.compile but
+        # would crash every scan task mid-run under RE2
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
 
-        try:  # syntax check at config time, not mid-scan
-            _re.compile(v)
-        except _re.error as exc:
-            raise ValueError(f"invalid regex: {exc}") from exc
+        try:
+            _pc.match_substring_regex(_pa.array(["x"]), f"^(?:{v})$")
+        except Exception as exc:  # ArrowInvalid carries RE2's message
+            raise ValueError(f"invalid RE2 regex: {exc}") from exc
         return v
 
 
@@ -347,6 +351,22 @@ class ValidationTask(BaseModel):
         if value is not None and value < 0:
             raise ValueError("value must be greater than or equal to 0")
         return value
+
+    @model_validator(mode="after")
+    def validate_value_rules(self) -> "ValidationTask":
+        for kind, rules in (
+            ("enum_validations", self.enum_validations or []),
+            ("pattern_validations", self.pattern_validations or []),
+        ):
+            seen: set[str] = set()
+            for r in rules:
+                if r.column in seen:
+                    raise ValueError(
+                        f"duplicate column '{r.column}' in {kind}: one rule "
+                        "per column (the profile scan keys results by column)"
+                    )
+                seen.add(r.column)
+        return self
 
     @model_validator(mode="after")
     def validate_custom_checks(self) -> "ValidationTask":

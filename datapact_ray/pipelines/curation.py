@@ -33,6 +33,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ._util import round_duck
+
 __all__ = [
     "split_assign_documents",
     "shuffle_order_documents",
@@ -805,7 +807,7 @@ def mixture_window_audit_documents(
             {
                 "window_id": pv.index.to_numpy().astype("int64"),
                 "n_docs": nw.to_numpy().astype("int64"),
-                "max_abs_dev": dev.round(6).to_numpy(),
+                "max_abs_dev": round_duck(dev.to_numpy(), 6),
             }
         )
         return out.sort_values(

@@ -25,6 +25,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
+from ._util import round_duck
+
 MEDIA_SCHEMA = pa.schema(
     [
         ("media_id", pa.int64()),
@@ -656,7 +658,7 @@ def payload_entropy_documents(sf_dir: str) -> "pd.DataFrame":
                 "source": s,
                 "total_bytes": total,
                 "n_distinct_bytes": int(len(grp)),
-                "entropy_nats": round(math.fsum(terms), 6),
+                "entropy_nats": float(round_duck(math.fsum(terms), 6)),
             }
         )
     out = pd.DataFrame(rows)
@@ -794,7 +796,7 @@ def chunk_dedup_multimodal(sf_dir: str, chunk: int = 64) -> "pd.DataFrame":
             "distinct_chunks": pd.Series([d], dtype="int64"),
             "dup_chunks": pd.Series([n - d], dtype="int64"),
             "dedup_ratio": pd.Series(
-                [round(float(d) / float(n), 6) if n else None],
+                [float(round_duck(float(d) / float(n), 6)) if n else None],
                 dtype="float64",
             ),
         }
@@ -881,7 +883,7 @@ def base64_hygiene_documents(sf_dir: str) -> "pd.DataFrame":
         n_payloads=("n", "sum"), n_base64ish=("b64", "sum")
     )
     g["share"] = [
-        round(float(int(b)) / float(int(n)), 6)
+        float(round_duck(float(int(b)) / float(int(n)), 6))
         for b, n in zip(g["n_base64ish"], g["n_payloads"])
     ]
     for c in ("n_payloads", "n_base64ish"):
@@ -968,7 +970,7 @@ def encoding_weight_documents(sf_dir: str) -> "pd.DataFrame":
         total_chars=("chars", "sum"),
     )
     g["octets_per_char"] = [
-        round(float(int(o)) / float(int(c)), 6) if int(c) else None
+        float(round_duck(float(int(o)) / float(int(c)), 6)) if int(c) else None
         for o, c in zip(g["total_octets"], g["total_chars"])
     ]
     for col in ("n_docs", "total_octets", "total_chars"):

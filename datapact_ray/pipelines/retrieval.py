@@ -645,22 +645,15 @@ def _pmi_sql(vocab: int = 30, k_pairs: int = 20) -> str:
     """
 
 
-def postings_histogram_documents(sf_dir: str) -> pd.DataFrame:
-    """Inverted-index sizing census: how many terms have a postings list
-    (document frequency) in each power-of-two band — the distribution
-    that decides skip-list thresholds, stop-lists and per-term
-    compression choices before building a search index over the corpus.
-
-    One scan emits per-task doc-distinct (token, cnt) partials into the
-    token-hash bucket exchange (a token's every partial lands in one
-    bucket, so per-bucket sums are the EXACT global df); each bucket
-    folds its terms to ≤ ladder-width (band, n_terms, postings) rows via
-    the same frexp-exact ⌊log₂⌋ as the length census, so the driver
-    merge is ladder×buckets-sized regardless of vocabulary."""
-    from .dedup import _dedup_buckets, _fused_grouped_frames
+def _doc_df_projector(nb: int):
+    """Shared scan-task projector for document-frequency exchanges: each
+    task dedups (doc, token) inside the batch (documents never span
+    batches, so per-batch doc-distinct counts sum exactly) and emits
+    (token, cnt, __bucket) partials into the token-hash exchange —
+    a token's every partial lands in one bucket, so per-bucket sums are
+    the EXACT global df. Used by postings_histogram / shard_balance /
+    stoplist_coverage."""
     from .text import _bucket_of_keys
-
-    nb = _dedup_buckets()
 
     def projector(batch: pa.Table) -> pd.DataFrame:
         df = batch.to_pandas().dropna(subset=["text"])
@@ -682,6 +675,28 @@ def postings_histogram_documents(sf_dir: str) -> pd.DataFrame:
         )
         out["__bucket"] = _bucket_of_keys(out["token"], nb)
         return out
+
+    return projector
+
+
+def postings_histogram_documents(sf_dir: str) -> pd.DataFrame:
+    """Inverted-index sizing census: how many terms have a postings list
+    (document frequency) in each power-of-two band — the distribution
+    that decides skip-list thresholds, stop-lists and per-term
+    compression choices before building a search index over the corpus.
+
+    One scan emits per-task doc-distinct (token, cnt) partials into the
+    token-hash bucket exchange (a token's every partial lands in one
+    bucket, so per-bucket sums are the EXACT global df); each bucket
+    folds its terms to ≤ ladder-width (band, n_terms, postings) rows via
+    the same frexp-exact ⌊log₂⌋ as the length census, so the driver
+    merge is ladder×buckets-sized regardless of vocabulary."""
+    from .dedup import _dedup_buckets, _fused_grouped_frames
+    from .text import _bucket_of_keys
+
+    nb = _dedup_buckets()
+
+    projector = _doc_df_projector(nb)
 
     def bucket_hist(df: pd.DataFrame) -> pd.DataFrame:
         dfreq = df.groupby("token")["cnt"].sum().to_numpy().astype("int64")
@@ -759,26 +774,7 @@ def shard_balance_documents(sf_dir: str, n_shards: int = 16) -> pd.DataFrame:
 
     nb = _dedup_buckets()
 
-    def projector(batch: pa.Table) -> pd.DataFrame:
-        df = batch.to_pandas().dropna(subset=["text"])
-        toks = df["text"].astype(str).str.split(" ")
-        flat = pd.DataFrame(
-            {
-                "d": np.repeat(
-                    df["doc_id"].to_numpy(), toks.str.len().to_numpy()
-                ),
-                "token": toks.explode().to_numpy().astype(str),
-            }
-        ).drop_duplicates()
-        vc = flat["token"].value_counts()
-        out = pd.DataFrame(
-            {
-                "token": vc.index.to_numpy().astype(str),
-                "cnt": vc.to_numpy().astype("int64"),
-            }
-        )
-        out["__bucket"] = _bucket_of_keys(out["token"], nb)
-        return out
+    projector = _doc_df_projector(nb)
 
     def bucket_fold(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("token", as_index=False)["cnt"].sum()
@@ -948,34 +944,14 @@ def stoplist_coverage_documents(
     in one bucket; the subtotal rows make the denominator exact without
     shipping the vocabulary). Boundary ties break by term ASC on both
     engines."""
-    import hashlib  # noqa: F401  (parallel to shard_balance's imports)
-
+    from ._util import round_duck
     from .dedup import _dedup_buckets, _fused_grouped_frames
     from .text import _bucket_of_keys
 
     kmax = max(ks)
     nb = _dedup_buckets()
 
-    def projector(batch: pa.Table) -> pd.DataFrame:
-        df = batch.to_pandas().dropna(subset=["text"])
-        toks = df["text"].astype(str).str.split(" ")
-        flat = pd.DataFrame(
-            {
-                "d": np.repeat(
-                    df["doc_id"].to_numpy(), toks.str.len().to_numpy()
-                ),
-                "token": toks.explode().to_numpy().astype(str),
-            }
-        ).drop_duplicates()
-        vc = flat["token"].value_counts()
-        out = pd.DataFrame(
-            {
-                "token": vc.index.to_numpy().astype(str),
-                "cnt": vc.to_numpy().astype("int64"),
-            }
-        )
-        out["__bucket"] = _bucket_of_keys(out["token"], nb)
-        return out
+    projector = _doc_df_projector(nb)
 
     def bucket_fold(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("token", as_index=False)["cnt"].sum()
@@ -1020,7 +996,7 @@ def stoplist_coverage_documents(
                 "k": k,
                 "topk_postings": tk,
                 "total_postings": total,
-                "share": round(float(tk) / float(total), 6),
+                "share": float(round_duck(float(tk) / float(total), 6)),
             }
         )
     out = pd.DataFrame(rows)

@@ -258,6 +258,35 @@ class ValidationRunner:
         for pv in task.pattern_validations or []:
             spec.pattern_columns[pv.column] = pv.regex
             profile_cols.add(pv.column)
+        # pre-flight type checks: a misconfigured rule fails HERE with a
+        # clear message, not as an ArrowInvalid inside a distributed scan
+        if spec.enum_columns or spec.len_sketch_columns:
+            tgt_schema = table_schema(task.target_path)
+            for schema, side in ((src_schema, "source"), (tgt_schema, "target")):
+                for col, allowed in spec.enum_columns.items():
+                    if col not in schema.names:
+                        raise ValueError(
+                            f"enum_validations: column '{col}' missing from "
+                            f"the {side} table"
+                        )
+                    try:
+                        pa.array(allowed, type=schema.field(col).type)
+                    except Exception as exc:
+                        raise ValueError(
+                            f"enum_validations: allowed values for '{col}' do "
+                            f"not fit the {side} column type "
+                            f"{schema.field(col).type}: {exc}"
+                        ) from exc
+                for col in spec.len_sketch_columns:
+                    if col in schema.names and not (
+                        pa.types.is_string(schema.field(col).type)
+                        or pa.types.is_large_string(schema.field(col).type)
+                    ):
+                        raise ValueError(
+                            f"drift derived=str_len: column '{col}' on the "
+                            f"{side} side is {schema.field(col).type}, not a "
+                            "string column"
+                        )
         if (
             task.ordering or want_turn_count_drift or task.sequence_grammar
         ) and not all_parquet:
@@ -414,12 +443,27 @@ class ValidationRunner:
             new_tgt = [f for f in tgt_files if f not in prev_tgt]
             return (sp0, tp0), new_src, new_tgt
 
+        # spec signature: a resumed run may only reuse profile pickles
+        # produced under the IDENTICAL profile spec + filter — otherwise a
+        # check added between runs (enum/pattern/str_len) would read
+        # missing counters as 0/0 and silently PASS
+        profile_sig = json.dumps(
+            {"spec": lineage["profile_spec"], "filter": task.filter},
+            sort_keys=True,
+        )
+
         def run_profiles() -> tuple:
             columns = sorted(profile_cols | filter_cols) or None
             src_path = os.path.join(ckpt, "profile_source.pkl")
             tgt_path = os.path.join(ckpt, "profile_target.pkl")
+            sig_path = os.path.join(ckpt, "profile_spec.sig")
+            sig_ok = (
+                os.path.exists(sig_path)
+                and open(sig_path, encoding="utf-8").read() == profile_sig
+            )
             if (
                 cfg.resume
+                and sig_ok
                 and os.path.exists(src_path + ".done")
                 and os.path.exists(tgt_path + ".done")
             ):
@@ -469,6 +513,7 @@ class ValidationRunner:
             for path, prof in ((src_path, sp), (tgt_path, tp)):
                 _atomic_write(path, pickle.dumps(prof))
                 _atomic_write(path + ".done", b"")
+            _atomic_write(sig_path, profile_sig.encode())
             return sp, tp
 
         if profile_wanted:
@@ -538,7 +583,10 @@ class ValidationRunner:
             )
         conv_group = o.group_column if o else "conv_id"
         conv_index = o.index_column if o else "turn_idx"
-        conv_ts = o.ts_column if o else "ts"
+        # ts participates only in the ordering check's monotonicity rule:
+        # a grammar-only or turn-count-only conv pass must not read (or
+        # require the existence of) a timestamp column
+        conv_ts = o.ts_column if o else None
         hot = {}
         if conv_needed:
             if all_parquet:

@@ -320,7 +320,7 @@ def parquet_bucket_shuffle(
     out = ray.get(blobs)
     if _timing:
         print(
-            f"[timing] pq_shuffle maps={len(shard_lists)} buckets="
+            f"[timing] pq_shuffle sides={len(shard_lists)} buckets="
             f"{num_buckets}: submit_maps {_t_submit_maps - _t0:.2f}s"
             f" submit_reduces {_t_submit_reduces - _t_submit_maps:.2f}s"
             f" exec {_time.perf_counter() - _t_submit_reduces:.2f}s",

@@ -764,6 +764,46 @@ def _stitch_hot(metrics: KeyedMetrics, spec: KeyedSpec) -> list[dict]:
     return violations
 
 
+def _spec_signature(spec: KeyedSpec) -> str:
+    """Stable fingerprint of every check-semantics field. A resumed run
+    may only reuse bucket checkpoints produced under the IDENTICAL spec
+    — otherwise a check added between runs (e.g. sequence grammar) would
+    merge pre-upgrade metrics whose missing counters read as zero and
+    silently PASS."""
+    import dataclasses
+    import hashlib
+
+    d = dataclasses.asdict(spec)
+    d.pop("checkpoint_dir", None)
+    d.pop("resume", None)
+    d["hot_keys"] = sorted(
+        (str(k), int(v)) for k, v in (spec.hot_keys or {}).items()
+    )
+    blob = json.dumps(d, sort_keys=True, default=str)
+    return hashlib.md5(blob.encode("utf-8")).hexdigest()
+
+
+def _guard_checkpoint_spec(spec: KeyedSpec) -> None:
+    """Wipe the bucket-checkpoint dir when its recorded spec signature is
+    missing or different (pre-upgrade checkpoints have no signature —
+    recomputing beats a silent wrong PASS); record this run's."""
+    if not spec.checkpoint_dir:
+        return
+    import shutil
+
+    sig = _spec_signature(spec)
+    sig_path = os.path.join(spec.checkpoint_dir, "spec.sig")
+    if spec.resume and os.path.isdir(spec.checkpoint_dir):
+        old = None
+        if os.path.exists(sig_path):
+            with open(sig_path, encoding="utf-8") as fh:
+                old = fh.read()
+        if old != sig:
+            shutil.rmtree(spec.checkpoint_dir, ignore_errors=True)
+    os.makedirs(spec.checkpoint_dir, exist_ok=True)
+    _atomic_write(sig_path, sig.encode("utf-8"))
+
+
 def completed_buckets(checkpoint_dir: str | None) -> frozenset[int]:
     if not checkpoint_dir or not os.path.isdir(checkpoint_dir):
         return frozenset()
@@ -801,6 +841,7 @@ def run_keyed_pass(
     ``target=None``/``target_files=None`` runs a single-side pass
     (uniqueness only).
     """
+    _guard_checkpoint_spec(spec)
     done = completed_buckets(spec.checkpoint_dir) if spec.resume else frozenset()
     checker = _BucketChecker(spec, task_key)
     merged = KeyedMetrics()

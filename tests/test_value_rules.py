@@ -149,3 +149,78 @@ def test_violation_samples_in_payload(tmp_path):
     # most frequent violating value first, with its occurrence count
     assert v["target_sample_violations"] == "bot (x2), system (x1)"
     assert v["source_sample_violations"] == ""
+
+
+def test_resume_recomputes_when_rule_added(tmp_path):
+    """Adding a rule between runs + --resume must NOT silently PASS off
+    pre-rule checkpoints: the spec signature forces a profile recompute."""
+    sp, tp = str(tmp_path / "s.parquet"), str(tmp_path / "t.parquet")
+    _write(sp, roles=["user"] * 8, ids=["conv-1"] * 8, nums=[1] * 8)
+    _write(tp, roles=["user"] * 8, ids=["BAD!"] * 8, nums=[1] * 8)
+    base = dict(
+        task_key="t", source_path=sp, target_path=tp,
+        count_tolerance=0.0,
+    )
+    out = str(tmp_path / "out")
+    run_suite(
+        ValidationSuite(validations=[ValidationTask(**base)]),
+        RunConfig(results_dir=out, run_id=1),
+    )
+    # second run adds the pattern rule and resumes the same run_id
+    task2 = ValidationTask(
+        **base,
+        pattern_validations=[PatternValidation(column="conv_id", regex=r"conv-\d+")],
+    )
+    s2 = run_suite(
+        ValidationSuite(validations=[task2]),
+        RunConfig(results_dir=out, run_id=1, resume=True),
+    )
+    v = s2.results[0].payload["pattern_validation_conv_id"]
+    assert v["status"] == "FAIL"  # would be a 0/0 false PASS without the guard
+    assert v["target_violations"] == "8"
+
+
+def test_resume_recomputes_when_grammar_added(tmp_path):
+    """Same guard for the keyed/conv bucket checkpoints."""
+    from datapact_ray.config import SequenceGrammarCheck
+
+    sp = str(tmp_path / "s.parquet")
+    _write(sp, roles=["bot", "bot"], ids=["c1", "c1"], nums=[1, 2])
+    base = dict(
+        task_key="t", source_path=sp, target_path=sp,
+        primary_keys=["conv_id", "turn_idx"], pk_row_hash_check=True,
+    )
+    out = str(tmp_path / "out")
+    run_suite(
+        ValidationSuite(validations=[ValidationTask(**base)]),
+        RunConfig(results_dir=out, run_id=1),
+    )
+    task2 = ValidationTask(
+        **base,
+        sequence_grammar=SequenceGrammarCheck(
+            role_column="role", allowed_roles=["user", "assistant"]
+        ),
+    )
+    s2 = run_suite(
+        ValidationSuite(validations=[task2]),
+        RunConfig(results_dir=out, run_id=1, resume=True),
+    )
+    v = s2.results[0].payload["sequence_grammar_validation_conv_id"]
+    assert v["status"] == "FAIL"
+    assert int(v["unknown_role_rows"].replace(",", "")) == 4  # both sides
+
+
+def test_enum_type_mismatch_fails_preflight(tmp_path):
+    sp = str(tmp_path / "s.parquet")
+    _write(sp, roles=["user"], ids=["conv-1"], nums=[1])
+    import pytest
+
+    task = ValidationTask(
+        task_key="t", source_path=sp, target_path=sp,
+        enum_validations=[EnumValidation(column="num", allowed=["user"])],
+    )
+    with pytest.raises(ValueError, match="do not fit"):
+        run_suite(
+            ValidationSuite(validations=[task]),
+            RunConfig(results_dir=str(tmp_path / "out"), run_id=1),
+        )

@@ -466,3 +466,18 @@ def test_encoding_weight_separates_scripts(tmp_path):
     assert float(out.loc["en", "octets_per_char"]) == 1.0
     assert 1.0 < float(out.loc["fr", "octets_per_char"]) < 2.0
     _exact(encoding_weight_documents(str(d)), _ENCODING_WEIGHT_SQL, str(d))
+
+
+def test_stoplist_share_rounds_half_away_like_duckdb(tmp_path):
+    # 128 docs, one unique term each: share at k=1 is exactly 1/128 =
+    # 0.0078125 — a 6-dp HALF boundary. Python's round() gives 0.007812
+    # (half-even); DuckDB ROUND gives 0.007813. round_duck must agree.
+    rows = [(i, f"uniq{i}", "s") for i in range(128)]
+    d = _docs_dir(tmp_path, rows)
+    out = stoplist_coverage_documents(d, ks=(1,))
+    assert float(out["share"].iloc[0]) == 0.007813
+    want = _duck(_stoplist_sql(ks=(1,)), d)
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), want.reset_index(drop=True),
+        check_dtype=False, check_exact=True,
+    )
