@@ -38,6 +38,8 @@ validations:
       - {column: role, allowed: [user, assistant, tool]}
     pattern_validations:             # full-match format regex
       - {column: conv_id, regex: 'conv-\\d+'}
+    conditional_validations:         # cross-column implication rules
+      - {name: tool_turns_have_tool, when: "role = 'tool'", then: "tool IS NOT NULL"}
     ordering:
       group_column: conv_id
       index_column: turn_idx
@@ -85,6 +87,8 @@ def _plan_lines(suite) -> list[str]:
             scan.append(f"enum({ev.column})")
         for pv in t.pattern_validations or []:
             scan.append(f"pattern({pv.column})")
+        for cv in t.conditional_validations or []:
+            scan.append(f"cond({cv.name})")
         if scan:
             lines.append(f"  pass 1 (fused single scan/side): {' '.join(scan)}")
         keyed = []

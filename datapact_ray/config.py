@@ -170,6 +170,50 @@ class PatternValidation(BaseModel):
         return v
 
 
+class ConditionalValidation(BaseModel):
+    """Cross-column implication rule: on rows where ``when`` holds,
+    ``then`` must hold too (the CHECK-constraint shape single-column
+    enum/range rules cannot express). Both predicates use the engine's
+    filter mini-language (``expr.py`` — comparisons, IN, BETWEEN, LIKE,
+    IS NULL, AND/OR/NOT) and are validated at config time. Evaluation
+    rides the fused profile scan: two vectorized filters per batch,
+    counters merged as integers. A NULL ``then`` outcome is NOT a
+    violation (SQL ``when AND NOT then`` filter semantics — indeterminate
+    rows are the null check's business)."""
+
+    name: str
+    when: str
+    then: str
+    tolerance: float = 0.0  # violating rows / rows where `when` holds
+
+    @field_validator("tolerance")
+    @classmethod
+    def validate_tolerance(cls, v: float) -> float:
+        if not 0.0 <= v <= 1.0:
+            raise ValueError("Tolerance must be a float between 0.0 and 1.0")
+        return v
+
+    @field_validator("name")
+    @classmethod
+    def validate_name(cls, v: str) -> str:
+        if not v.strip():
+            raise ValueError("name must be non-empty")
+        return v
+
+    @field_validator("when", "then")
+    @classmethod
+    def validate_predicates(cls, v: str, info) -> str:
+        from .expr import parse_filter
+
+        try:
+            parse_filter(v)
+        except Exception as exc:
+            raise ValueError(
+                f"invalid {info.field_name} predicate {v!r}: {exc}"
+            ) from exc
+        return v
+
+
 class SequenceGrammarCheck(BaseModel):
     """Role-grammar validation per conversation (new vs reference;
     transcript north star): the role column must stay inside a closed
@@ -290,6 +334,7 @@ class ValidationTask(BaseModel):
     agg_validations: list[AggValidation] | None = None
     enum_validations: list[EnumValidation] | None = None
     pattern_validations: list[PatternValidation] | None = None
+    conditional_validations: list[ConditionalValidation] | None = None
     uniqueness_columns: list[str] | None = None
     uniqueness_tolerance: float | None = None
     # Transcript-engine checks (new vs reference; BASELINE.json north star)
@@ -366,6 +411,15 @@ class ValidationTask(BaseModel):
                         "per column (the profile scan keys results by column)"
                     )
                 seen.add(r.column)
+        names: set[str] = set()
+        for cr in self.conditional_validations or []:
+            key = cr.name.strip().lower()
+            if key in names:
+                raise ValueError(
+                    f"duplicate name '{cr.name}' in conditional_validations: "
+                    "names key the rule's counters and payload alias"
+                )
+            names.add(key)
         return self
 
     @model_validator(mode="after")
@@ -401,6 +455,7 @@ class ValidationTask(BaseModel):
             or self.agg_validations
             or self.enum_validations
             or self.pattern_validations
+            or self.conditional_validations
             or (self.uniqueness_columns and self.uniqueness_tolerance is not None)
             or self.custom_checks
             or (self.compare_columns and self.primary_keys)

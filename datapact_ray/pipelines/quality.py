@@ -500,6 +500,86 @@ def domain_conformance_lineitem(sf_dir: str) -> pd.DataFrame:
     return g.sort_values("rule").reset_index(drop=True)
 
 
+# conditional (implication) rule table: (name, when, then). The
+# predicate strings are the engine's filter mini-language (expr.py),
+# whose subset used here is ALSO valid DuckDB SQL — the oracle below is
+# GENERATED from the same tuples so the two sides cannot drift. Shared
+# with the suite-level `conditional_validations` check (config.py),
+# which evaluates the same semantics on the fused profile scan.
+_COND_RULES_ORDERS: tuple[tuple[str, str, str], ...] = (
+    ("f_price_positive", "o_orderstatus = 'F'", "o_totalprice > 0"),
+    ("p_price_capped", "o_orderstatus = 'P'", "o_totalprice < 300000"),
+    (
+        "urgent_price_capped",
+        "o_orderpriority = '1-URGENT'",
+        "o_totalprice < 400000",
+    ),
+)
+
+
+def conditional_rules_orders(sf_dir: str) -> pd.DataFrame:
+    """Cross-column implication audit (WHEN p THEN q): for each rule,
+    rows matched by ``when`` and rows among them violating ``then``
+    (``when AND NOT then`` — a NULL ``then`` outcome is not a violation,
+    matching SQL filter semantics). All rules evaluate in ONE scan as
+    two vectorized Arrow filters per rule per batch; each task emits one
+    3-integer row per rule, the driver merges exact ints and derives the
+    rate with one division. The CHECK-constraint shape that single-column
+    range/enum gates (``domain_conformance_lineitem``) cannot express."""
+    from ..expr import compile_to_arrow, parse_filter
+    from ..shuffle import map_partials
+    from ._util import round_duck
+
+    compiled = [
+        (
+            name,
+            compile_to_arrow(parse_filter(when)),
+            compile_to_arrow(parse_filter(f"({when}) AND NOT ({then})")),
+        )
+        for name, when, then in _COND_RULES_ORDERS
+    ]
+    cols = ["o_orderstatus", "o_orderpriority", "o_totalprice"]
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        rows = [
+            (name, batch.filter(w).num_rows, batch.filter(v).num_rows)
+            for name, w, v in compiled
+        ]
+        return pd.DataFrame(
+            rows, columns=["rule", "matched_rows", "violations"]
+        )
+
+    parts = map_partials(f"{sf_dir}/orders.parquet", cols, None, partial)
+    g = parts.groupby("rule", as_index=False).agg(
+        matched_rows=("matched_rows", "sum"), violations=("violations", "sum")
+    )
+    g["matched_rows"] = g["matched_rows"].astype("int64")
+    g["violations"] = g["violations"].astype("int64")
+    g["violation_rate"] = [
+        float(round_duck(v * 1.0 / m, 6)) if m else None
+        for m, v in zip(g["matched_rows"], g["violations"])
+    ]
+    return g.sort_values("rule").reset_index(drop=True)
+
+
+def _cond_rules_oracle() -> str:
+    arms = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS rule,"
+        f" COUNT(*) FILTER (WHERE {when}) AS matched_rows,"
+        f" COUNT(*) FILTER (WHERE ({when}) AND NOT ({then})) AS violations"
+        " FROM orders"
+        for name, when, then in _COND_RULES_ORDERS
+    )
+    return f"""
+SELECT rule, matched_rows, violations,
+       CASE WHEN matched_rows = 0 THEN NULL
+            ELSE ROUND(violations * 1.0 / matched_rows, 6) END
+         AS violation_rate
+FROM ({arms})
+ORDER BY rule
+"""
+
+
 def freshness_events(sf_dir: str) -> pd.DataFrame:
     """Freshness / staleness SLA audit anchored on the table's own
     watermark (max ts — deterministic, no wall clock): event counts in
@@ -973,6 +1053,7 @@ def _boilerplate_sql(n: int = 3, k: int = 20) -> str:
 
 ORACLE_SQL: dict[str, str] = {
     "charclass_census_documents": _CHARCLASS_SQL,
+    "conditional_rules_orders": _cond_rules_oracle(),
     "boilerplate_ngrams_documents": _boilerplate_sql(),
     "label_balance_embeddings": _LABEL_BALANCE_SQL,
     "fd_audit_part_brand_type": """
@@ -1158,6 +1239,7 @@ QUERIES = {
     "selfjoin_size_partkey": selfjoin_size_partkey,
     "key_set_ops_orders_customer": key_set_ops_orders_customer,
     "domain_conformance_lineitem": domain_conformance_lineitem,
+    "conditional_rules_orders": conditional_rules_orders,
     "freshness_events": freshness_events,
     "benford_first_digit_totalprice": benford_first_digit_totalprice,
 }

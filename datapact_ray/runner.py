@@ -238,6 +238,7 @@ class ValidationRunner:
             or len_drift_cols
             or task.enum_validations
             or task.pattern_validations
+            or task.conditional_validations
         )
         profile_cols: set[str] = set()
         spec = ProfileSpec()
@@ -258,11 +259,29 @@ class ValidationRunner:
         for pv in task.pattern_validations or []:
             spec.pattern_columns[pv.column] = pv.regex
             profile_cols.add(pv.column)
+        cond_cols: dict[str, set[str]] = {}
+        for cv in task.conditional_validations or []:
+            from .expr import parse_filter, referenced_columns
+
+            spec.cond_rules[cv.name] = (cv.when, cv.then)
+            cols = referenced_columns(parse_filter(cv.when)) | referenced_columns(
+                parse_filter(cv.then)
+            )
+            cond_cols[cv.name] = cols
+            profile_cols.update(cols)
         # pre-flight type checks: a misconfigured rule fails HERE with a
         # clear message, not as an ArrowInvalid inside a distributed scan
-        if spec.enum_columns or spec.len_sketch_columns:
+        if spec.enum_columns or spec.len_sketch_columns or spec.cond_rules:
             tgt_schema = table_schema(task.target_path)
             for schema, side in ((src_schema, "source"), (tgt_schema, "target")):
+                for rule_name, cols in cond_cols.items():
+                    missing = sorted(c for c in cols if c not in schema.names)
+                    if missing:
+                        raise ValueError(
+                            f"conditional_validations: rule '{rule_name}' "
+                            f"references column(s) {missing} missing from "
+                            f"the {side} table"
+                        )
                 for col, allowed in spec.enum_columns.items():
                     if col not in schema.names:
                         raise ValueError(
@@ -366,6 +385,9 @@ class ValidationRunner:
                 for c, vals in sorted(spec.enum_columns.items())
             },
             "pattern_columns": dict(sorted(spec.pattern_columns.items())),
+            "cond_rules": {
+                n: list(r) for n, r in sorted(spec.cond_rules.items())
+            },
             "heavy_hitter_column": spec.heavy_hitter_column,
         }
         _atomic_write(lineage_path, json.dumps(lineage, indent=1).encode())
@@ -780,6 +802,22 @@ class ValidationRunner:
                         getattr(tgt_profile, "rule_samples", {}).get(key),
                     )
                 )
+        for rule in task.conditional_validations or []:
+            key = f"cond:{rule.name}"
+            verdict_list.append(
+                V.conditional_rule_verdict(
+                    rule.name,
+                    rule.when,
+                    rule.then,
+                    getattr(src_profile, "rule_checked", {}).get(key, 0),
+                    getattr(src_profile, "rule_violations", {}).get(key, 0),
+                    getattr(tgt_profile, "rule_checked", {}).get(key, 0),
+                    getattr(tgt_profile, "rule_violations", {}).get(key, 0),
+                    rule.tolerance,
+                    getattr(src_profile, "rule_samples", {}).get(key),
+                    getattr(tgt_profile, "rule_samples", {}).get(key),
+                )
+            )
         if uniqueness_enabled:
             verdict_list.append(
                 V.uniqueness_verdict(

@@ -55,6 +55,10 @@ class ProfileSpec:
     # (results keyed "enum:<col>" / "pattern:<col>" in ProfileResult)
     enum_columns: dict[str, list] = field(default_factory=dict)
     pattern_columns: dict[str, str] = field(default_factory=dict)
+    # conditional (implication) rules: name -> (when_sql, then_sql);
+    # results keyed "cond:<name>" — checked = rows where `when` holds,
+    # violations = rows where `when AND NOT then` (NULL `then` excluded)
+    cond_rules: dict[str, tuple[str, str]] = field(default_factory=dict)
     hll_key_sets: list[tuple[str, ...]] = field(default_factory=list)
     heavy_hitter_column: str | None = None
     heavy_hitter_k: int = 64
@@ -127,6 +131,22 @@ class ProfileActor:
     def __init__(self, spec: ProfileSpec, side: int = 0):
         self.spec = spec
         self.side = side
+        self._cond = None  # name -> (when expr, viol expr, sample cols); lazy
+
+    def _cond_compiled(self):
+        """Compile conditional-rule predicates once per worker (the
+        instance is pickled to tasks; expressions compile from SQL on
+        first use so the pickle stays plain data)."""
+        if self._cond is None:
+            from ..expr import compile_to_arrow, parse_filter, referenced_columns
+
+            compiled = {}
+            for name, (when_sql, then_sql) in self.spec.cond_rules.items():
+                w_ast, t_ast = parse_filter(when_sql), parse_filter(then_sql)
+                w, t = compile_to_arrow(w_ast), compile_to_arrow(t_ast)
+                compiled[name] = (w, w & ~t, sorted(referenced_columns(t_ast)))
+            self._cond = compiled
+        return self._cond
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         spec = self.spec
@@ -191,6 +211,31 @@ class ProfileActor:
                         .to_pandas()
                         .value_counts()
                     )
+                    out.rule_samples[key] = _top_samples(
+                        {str(v): int(c) for v, c in vc.items()}
+                    )
+        for name, (when_expr, viol_expr, sample_cols) in (
+            self._cond_compiled().items() if spec.cond_rules else ()
+        ):
+            key = f"cond:{name}"
+            out.rule_checked[key] = batch.filter(when_expr).num_rows
+            viol_tbl = batch.filter(viol_expr)
+            out.rule_violations[key] = viol_tbl.num_rows
+            if viol_tbl.num_rows:
+                cols = [c for c in sample_cols if c in viol_tbl.column_names]
+                if cols:
+                    parts = [
+                        pc.cast(viol_tbl.column(c), pa.string()) for c in cols
+                    ]
+                    joined = (
+                        pc.fill_null(parts[0], "NULL")
+                        if len(parts) == 1
+                        else pc.binary_join_element_wise(
+                            *parts, ", ", null_handling="replace",
+                            null_replacement="NULL",
+                        )
+                    )
+                    vc = joined.to_pandas().value_counts()
                     out.rule_samples[key] = _top_samples(
                         {str(v): int(c) for v, c in vc.items()}
                     )

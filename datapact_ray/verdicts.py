@@ -21,7 +21,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Any
 
-from .identifiers import fmt_number, fmt_percent
+from .identifiers import fmt_number, fmt_percent, make_identifier
 
 PASS = "PASS"
 FAIL = "FAIL"
@@ -308,6 +308,45 @@ def value_rule_verdict(
             "source_violation_percent": fmt_percent(s_rel),
             "source_sample_violations": _fmt_samples(src_samples),
             "target_checked_rows": fmt_number(tgt_checked, 0),
+            "target_violations": fmt_number(tgt_violations, 0),
+            "target_violation_percent": fmt_percent(t_rel),
+            "target_sample_violations": _fmt_samples(tgt_samples),
+            "tolerance_percent": fmt_percent(tolerance),
+            "status": _status(ok),
+        },
+    )
+
+
+def conditional_rule_verdict(
+    name: str,
+    when: str,
+    then: str,
+    src_checked: int,
+    src_violations: int,
+    tgt_checked: int,
+    tgt_violations: int,
+    tolerance: float,
+    src_samples: dict | None = None,
+    tgt_samples: dict | None = None,
+) -> CheckVerdict:
+    """Cross-column implication rule (WHEN p THEN q): per-side violating
+    share of the rows where ``when`` holds; FAIL when EITHER side exceeds
+    ``tolerance``. Samples carry the top violating ``then``-column value
+    tuples with occurrence counts."""
+    s_rel = src_violations / src_checked if src_checked else 0.0
+    t_rel = tgt_violations / tgt_checked if tgt_checked else 0.0
+    ok = s_rel <= tolerance and t_rel <= tolerance
+    return CheckVerdict(
+        alias=f"conditional_validation_{make_identifier(name)}",
+        passed=ok,
+        payload={
+            "when": when,
+            "then": then,
+            "source_matched_rows": fmt_number(src_checked, 0),
+            "source_violations": fmt_number(src_violations, 0),
+            "source_violation_percent": fmt_percent(s_rel),
+            "source_sample_violations": _fmt_samples(src_samples),
+            "target_matched_rows": fmt_number(tgt_checked, 0),
             "target_violations": fmt_number(tgt_violations, 0),
             "target_violation_percent": fmt_percent(t_rel),
             "target_sample_violations": _fmt_samples(tgt_samples),
