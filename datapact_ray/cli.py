@@ -160,7 +160,22 @@ def main(argv: list[str] | None = None) -> int:
     p_rep.add_argument("--results-dir", required=True)
     p_rep.add_argument("--run-id", type=int, default=1)
 
+    p_dash = sub.add_parser(
+        "dashboard",
+        help="(re)build the dashboard datasets (ds_*) from run history",
+    )
+    p_dash.add_argument("--results-dir", required=True)
+    p_dash.add_argument("--job-name", default=None)
+
     args = parser.parse_args(argv)
+
+    if args.command == "dashboard":
+        from .dashboard import write_dashboard
+
+        frames = write_dashboard(args.results_dir, args.job_name)
+        for name, df in frames.items():
+            print(f"{name}: {len(df)} row(s)")
+        return 0
 
     if args.command == "report":
         from .report import write_report

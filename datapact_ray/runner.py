@@ -1026,6 +1026,11 @@ class ValidationRunner:
             from .rollup import write_trend_tables
 
             write_trend_tables(self.config.results_dir, self.config.job_name)
+            # dashboard-as-code data layer (reference ds_* datasets,
+            # client.py:780-1810) — parquet + manifest, idempotent
+            from .dashboard import write_dashboard
+
+            write_dashboard(self.config.results_dir, self.config.job_name)
             # static run report (dashboard analog): report.md + report.html
             from .report import write_report
 
