@@ -534,6 +534,15 @@ def run_bench() -> dict:
     timed(
         "encoding_weight_documents", multimodal.encoding_weight_documents, SF_DIR
     )
+    timed("conditional_rules_orders", quality.conditional_rules_orders, SF_DIR)
+    timed(
+        "curriculum_stages_documents", curation.curriculum_stages_documents, SF_DIR
+    )
+    timed("prefix_dup_documents", dedup.prefix_dup_documents, SF_DIR)
+    timed(
+        "query_coverage_documents", retrieval.query_coverage_documents, SF_DIR
+    )
+    timed("header_census_multimodal", multimodal.header_census_multimodal, SF_DIR)
     # jaccard_pairs_documents / embedding_exact_pairs are the EXACT
     # quadratic baselines that oracle-check the approximate dedup paths;
     # they run in the correctness gate but stay out of the timed headline

@@ -978,6 +978,157 @@ def _quota_cap_sql(cap: int = 10) -> str:
     """
 
 
+def curriculum_stages_documents(sf_dir: str, k: int = 4) -> pd.DataFrame:
+    """Curriculum-ordered staging: rank every document by a difficulty
+    proxy (``n_chars``, tie-broken by ``doc_id`` into a TOTAL order) and
+    split the ranking into ``k`` equal-population stages — the
+    easy-to-hard schedule decision table (docs + char budget per stage)
+    a curriculum-training run is provisioned from.
+
+    SQL's ``NTILE(k) OVER (ORDER BY n_chars, doc_id)`` is rank-based, so
+    a naive distributed version needs a global sort. Instead the total
+    order is embedded into ONE exactly-representable float64 key
+    (``n_chars · 2⁴⁰ + doc_id`` — exact while n_chars < 2¹³ and
+    doc_id < 2⁴⁰; both hold here and the multiplier is a documented
+    domain assumption at larger ids), the k−1 NTILE boundary KEYS are
+    found by the repo's distributed order-statistic selection
+    (``selection._rank_values`` — histogram refinement, ≤ B-row partials
+    per pass, no sort), and ONE final scan assigns each row its stage by
+    ``searchsorted`` against the broadcast boundaries and folds
+    per-stage (count, Σchars, min, max) integer partials. NTILE's
+    remainder rule (first N mod k stages get the extra row) is applied
+    closed-form to pick the boundary ranks, so stage populations match
+    the window function exactly; keys are unique (doc_id ties broken),
+    so boundary equality is unambiguous."""
+    from .selection import _rank_values
+    from ..shuffle import map_partials
+
+    path = f"{sf_dir}/documents.parquet"
+    mult = float(2**40)
+
+    def add_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=["n_chars", "doc_id"])
+        out = pd.DataFrame(
+            {
+                "g": "all",
+                "key": df["n_chars"].to_numpy(np.float64) * mult
+                + df["doc_id"].to_numpy(np.float64),
+            }
+        )
+        return out
+
+    def boundary_ranks(counts: dict) -> dict:
+        # NTILE sizes: first (n mod k) stages get ⌈n/k⌉, rest ⌊n/k⌋;
+        # boundaries = 0-indexed rank of each stage's LAST row
+        out = {}
+        for grp, n in counts.items():
+            q, r = divmod(n, k)
+            sizes = [q + 1] * r + [q] * (k - r)
+            cum, ranks = 0, []
+            for s in sizes[:-1]:
+                cum += s
+                ranks.append(max(0, cum - 1))
+            out[grp] = sorted(set(ranks))
+        return out
+
+    empty = pd.DataFrame(
+        {
+            "stage": pd.Series([], dtype="int64"),
+            "n_docs": pd.Series([], dtype="int64"),
+            "sum_chars": pd.Series([], dtype="int64"),
+            "min_chars": pd.Series([], dtype="int64"),
+            "max_chars": pd.Series([], dtype="int64"),
+        }
+    )
+    try:
+        vals, counts = _rank_values(
+            path,
+            "g",
+            "key",
+            boundary_ranks,
+            read_cols=["n_chars", "doc_id"],
+            transform=add_key,
+        )
+    except KeyError:
+        return empty
+    if not counts or counts.get("all", 0) == 0:
+        return empty
+    n = counts["all"]
+    q, r = divmod(n, k)
+    sizes = [q + 1] * r + [q] * (k - r)
+    cum, bounds = 0, []
+    for s in sizes[:-1]:
+        cum += s
+        bounds.append(vals["all"][max(0, cum - 1)])
+    boundaries = np.asarray(bounds, dtype=np.float64)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["n_chars", "doc_id"])
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "stage": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                    "s": pd.Series([], dtype="int64"),
+                    "mn": pd.Series([], dtype="int64"),
+                    "mx": pd.Series([], dtype="int64"),
+                }
+            )
+        nc = df["n_chars"].to_numpy(np.int64)
+        key = nc.astype(np.float64) * mult + df["doc_id"].to_numpy(np.float64)
+        stage = np.searchsorted(boundaries, key, side="left") + 1
+        g = pd.DataFrame({"stage": stage, "nc": nc}).groupby(
+            "stage", as_index=False
+        )["nc"]
+        agg = g.agg(["count", "sum", "min", "max"])
+        return pd.DataFrame(
+            {
+                "stage": agg["stage"].astype("int64"),
+                "n": agg["count"].astype("int64"),
+                "s": agg["sum"].astype("int64"),
+                "mn": agg["min"].astype("int64"),
+                "mx": agg["max"].astype("int64"),
+            }
+        )
+
+    parts = map_partials(path, ["n_chars", "doc_id"], None, partial)
+    if not len(parts):
+        return empty
+    g = parts.groupby("stage", as_index=False).agg(
+        n_docs=("n", "sum"),
+        sum_chars=("s", "sum"),
+        min_chars=("mn", "min"),
+        max_chars=("mx", "max"),
+    )
+    g = g.astype(
+        {
+            "stage": "int64",
+            "n_docs": "int64",
+            "sum_chars": "int64",
+            "min_chars": "int64",
+            "max_chars": "int64",
+        }
+    )
+    return g.sort_values("stage").reset_index(drop=True)
+
+
+def _curriculum_sql(k: int = 4) -> str:
+    return f"""
+        WITH ranked AS (
+            SELECT n_chars,
+                   NTILE({k}) OVER (ORDER BY n_chars, doc_id) AS stage
+            FROM documents
+            WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL
+        )
+        SELECT stage,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+               CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        FROM ranked GROUP BY stage ORDER BY stage
+    """
+
+
 QUERIES = {
     "mixture_window_audit_documents": mixture_window_audit_documents,
     "quota_cap_documents": quota_cap_documents,
@@ -989,9 +1140,11 @@ QUERIES = {
     "curation_funnel_documents": curation_funnel_documents,
     "block_packing_documents": block_packing_documents,
     "mixture_weights_documents": mixture_weights_documents,
+    "curriculum_stages_documents": curriculum_stages_documents,
 }
 
 ORACLE_SQL = {
+    "curriculum_stages_documents": _curriculum_sql(),
     "mixture_window_audit_documents": _mixture_window_sql(),
     "quota_cap_documents": _quota_cap_sql(),
     "length_bucket_census_documents": _length_bucket_sql(),

@@ -1926,8 +1926,134 @@ _SUBSTRING_CONTAMINATION_SQL = """
 """
 
 
+def prefix_dup_documents(
+    sf_dir: str, prefix_chars: int = 64, num_buckets: int | None = None
+) -> pd.DataFrame:
+    """Per-source PREFIX-dup census — exact dedup on the first
+    ``prefix_chars`` codepoints of each document: the templated-content
+    detector (boilerplate headers, mirrored articles with differing
+    tails, scraper re-crawls that only appended) that whole-document
+    hashing misses because one trailing byte differs. Reported per
+    provenance source so a single bad feed is directly attributable.
+
+    Same shape as ``dedup_exact_documents``: each scan task slices the
+    prefix with one vectorized ``utf8_slice_codepoints`` (codepoints,
+    matching SQL ``substr`` semantics — multi-byte text cannot split a
+    character) and ships only (source, 8-byte prefix-hash) rows through
+    the hash-bucket exchange; equal prefixes land in one bucket, so
+    per-bucket (source, hash) group sizes sum exactly. Text never rides
+    the wire. 64-bit-collision caveat as the other content-hash ops."""
+    num_buckets = num_buckets or _dedup_buckets()
+
+    def hash_batch(batch: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc2
+
+        mask = pc2.and_(
+            pc2.is_valid(batch.column("text")),
+            pc2.is_valid(batch.column("source")),
+        )
+        tbl = batch.filter(mask)
+        if tbl.num_rows == 0:
+            return pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype="object"),
+                    "h": pd.Series([], dtype="uint64"),
+                    "__bucket": pd.Series([], dtype="int32"),
+                }
+            )
+        # Arrow's "codeunits" for the utf8 type are CODEPOINTS — this
+        # matches SQL substr semantics (a multi-byte char never splits)
+        pref = pc2.utf8_slice_codeunits(
+            tbl.column("text"), start=0, stop=prefix_chars
+        )
+        from ..sketches import hash_columns_u64
+
+        df = pd.DataFrame(
+            {
+                "source": tbl.column("source").to_pandas(),
+                "p": pref.to_pandas(),
+            }
+        )
+        h = hash_columns_u64(df[["p"]], ["p"])
+        return pd.DataFrame(
+            {
+                "source": df["source"],
+                "h": h,
+                "__bucket": (h % np.uint64(num_buckets)).astype(np.int32),
+            }
+        )
+
+    def bucket_groups(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype="object"),
+                    "docs": pd.Series([], dtype="int64"),
+                    "prefixes": pd.Series([], dtype="int64"),
+                    "dups": pd.Series([], dtype="int64"),
+                }
+            )
+        g = df.groupby(["source", "h"], as_index=False).size()
+        out = g.groupby("source", as_index=False).agg(
+            docs=("size", "sum"),
+            prefixes=("size", "count"),
+            dups=("size", lambda s: int((s > 1).sum())),
+        )
+        return out.astype({"docs": "int64", "prefixes": "int64", "dups": "int64"})
+
+    parts = _fused_grouped_frames(
+        [(f"{sf_dir}/documents.parquet", ["text", "source"], None, hash_batch)],
+        num_buckets,
+        bucket_groups,
+    )
+    if not len(parts):
+        return pd.DataFrame(
+            {
+                "source": pd.Series([], dtype="object"),
+                "n_docs": pd.Series([], dtype="int64"),
+                "n_prefixes": pd.Series([], dtype="int64"),
+                "dup_groups": pd.Series([], dtype="int64"),
+                "excess_docs": pd.Series([], dtype="int64"),
+            }
+        )
+    g = parts.groupby("source", as_index=False).agg(
+        n_docs=("docs", "sum"),
+        n_prefixes=("prefixes", "sum"),
+        dup_groups=("dups", "sum"),
+    )
+    g["excess_docs"] = g["n_docs"] - g["n_prefixes"]
+    g = g.astype(
+        {
+            "n_docs": "int64",
+            "n_prefixes": "int64",
+            "dup_groups": "int64",
+            "excess_docs": "int64",
+        }
+    )
+    return g.sort_values("source").reset_index(drop=True)
+
+
+def _prefix_dup_sql(prefix_chars: int = 64) -> str:
+    return f"""
+        WITH g AS (
+            SELECT source, substr(text, 1, {prefix_chars}) AS p,
+                   COUNT(*) AS c
+            FROM documents
+            WHERE text IS NOT NULL AND source IS NOT NULL
+            GROUP BY source, p
+        )
+        SELECT source,
+               CAST(SUM(c) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_prefixes,
+               CAST(COUNT(*) FILTER (WHERE c > 1) AS BIGINT) AS dup_groups,
+               CAST(SUM(c) - COUNT(*) AS BIGINT) AS excess_docs
+        FROM g GROUP BY source ORDER BY source
+    """
+
+
 QUERIES = {
     "dedup_exact_documents": dedup_exact_documents,
+    "prefix_dup_documents": prefix_dup_documents,
     "substring_contamination_documents": substring_contamination_documents,
     "dup_group_sizes_documents": dup_group_sizes_documents,
     "dup_source_matrix_documents": dup_source_matrix_documents,
@@ -1944,6 +2070,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "prefix_dup_documents": _prefix_dup_sql(),
     "substring_contamination_documents": _SUBSTRING_CONTAMINATION_SQL,
     "decontaminate_ngram_documents": """
         WITH docs AS (

@@ -823,6 +823,147 @@ _CHUNK_DEDUP_SQL = """
 """
 
 
+def header_census_multimodal(sf_dir: str, header: int = 16) -> "pd.DataFrame":
+    """Per-source payload HEADER collision census — group payloads by
+    their first ``header`` octets: in a media lake the leading bytes are
+    the container signature + codec parameters, so the distinct-header
+    count per source tells you how many encoder configurations feed that
+    source (1 = homogeneous pipeline, thousands = a mixed scrape), and a
+    dominant header shared by most payloads is the fixed-template /
+    watermark stamp that a dedup or decode stage can exploit. Complement
+    of the 1-byte magic census (``magic_census``): 16 octets separate
+    same-magic-different-parameters files.
+
+    Payload = the document's UTF-8 octets (this module's stand-in blob).
+    Each scan task gathers the first min(len, 16) octets per payload
+    with pure index arithmetic on the Arrow binary buffers (zero-padded
+    rows × 16 matrix — no per-row Python), hashes them as 2 uint64 words
+    PLUS the capped length (so 'AB' cannot collide with 'AB\\x00' — the
+    same short-tail guard as ``chunk_dedup_multimodal``, fixture-proven
+    there), pre-groups per (source, hash) in-task and ships 16-byte
+    rows into the hash-bucket exchange; per-bucket group sizes sum
+    exactly. Equivalence with the oracle's ``substr(hex(payload),1,32)``
+    key: equal iff the capped octet prefixes AND capped lengths are
+    equal — hex of a shorter payload is a shorter string, never a padded
+    one."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..sketches import combine_hashes_u64
+    from .dedup import _dedup_buckets, _fused_grouped_frames
+
+    assert header % 8 == 0 and header <= 255
+    nb = _dedup_buckets()
+
+    def projector(batch: pa.Table) -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {
+                "source": pd.Series([], dtype="object"),
+                "h": pd.Series([], dtype="uint64"),
+                "cnt": pd.Series([], dtype="int64"),
+                "__bucket": pd.Series([], dtype="int32"),
+            }
+        )
+        mask = pc.and_(
+            pc.is_valid(batch.column("text")),
+            pc.is_valid(batch.column("source")),
+        )
+        tbl = batch.filter(mask)
+        if tbl.num_rows == 0:
+            return empty
+        pay = pc.cast(tbl.column("text"), pa.binary())
+        hashes = []
+        for ch in pay.chunks if hasattr(pay, "chunks") else [pay]:
+            if len(ch) == 0:
+                continue
+            offs = np.frombuffer(ch.buffers()[1], dtype=np.int32)[
+                ch.offset : ch.offset + len(ch) + 1
+            ].astype(np.int64)
+            data = np.frombuffer(ch.buffers()[2], dtype=np.uint8)
+            plens = np.diff(offs)
+            clens = np.minimum(plens, header)
+            n = len(plens)
+            mat = np.zeros((n, header), dtype=np.uint8)
+            rows = np.repeat(np.arange(n), clens)
+            cols = np.arange(int(clens.sum())) - np.repeat(
+                np.cumsum(clens) - clens, clens
+            )
+            mat[rows, cols] = data[np.repeat(offs[:-1], clens) + cols]
+            words = [
+                np.ascontiguousarray(mat[:, 8 * i : 8 * (i + 1)])
+                .view(np.uint64)
+                .ravel()
+                for i in range(header // 8)
+            ]
+            hashes.append(combine_hashes_u64(words + [clens.astype(np.uint64)]))
+        h = np.concatenate(hashes)
+        df = pd.DataFrame(
+            {"source": tbl.column("source").to_pandas(), "h": h}
+        )
+        g = df.groupby(["source", "h"], as_index=False).size()
+        return pd.DataFrame(
+            {
+                "source": g["source"],
+                "h": g["h"].astype("uint64"),
+                "cnt": g["size"].astype("int64"),
+                "__bucket": (
+                    g["h"].to_numpy().astype(np.uint64) % np.uint64(nb)
+                ).astype(np.int32),
+            }
+        )
+
+    def fold(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby(["source", "h"], as_index=False)["cnt"].sum()
+        out = g.groupby("source", as_index=False).agg(
+            payloads=("cnt", "sum"),
+            headers=("cnt", "count"),
+            mx=("cnt", "max"),
+        )
+        return out.astype({"payloads": "int64", "headers": "int64", "mx": "int64"})
+
+    parts = _fused_grouped_frames(
+        [(f"{sf_dir}/documents.parquet", ["text", "source"], None, projector)],
+        nb,
+        fold,
+    )
+    if not len(parts):
+        return pd.DataFrame(
+            {
+                "source": pd.Series([], dtype="object"),
+                "n_payloads": pd.Series([], dtype="int64"),
+                "n_headers": pd.Series([], dtype="int64"),
+                "max_header_count": pd.Series([], dtype="int64"),
+            }
+        )
+    g = parts.groupby("source", as_index=False).agg(
+        n_payloads=("payloads", "sum"),
+        n_headers=("headers", "sum"),
+        max_header_count=("mx", "max"),
+    )
+    g = g.astype(
+        {"n_payloads": "int64", "n_headers": "int64", "max_header_count": "int64"}
+    )
+    return g.sort_values("source").reset_index(drop=True)
+
+
+def _header_census_sql(header: int = 16) -> str:
+    return f"""
+        WITH g AS (
+            SELECT source,
+                   substr(hex(encode(text)), 1, {2 * header}) AS hdr,
+                   COUNT(*) AS c
+            FROM documents
+            WHERE text IS NOT NULL AND source IS NOT NULL
+            GROUP BY source, hdr
+        )
+        SELECT source,
+               CAST(SUM(c) AS BIGINT) AS n_payloads,
+               CAST(COUNT(*) AS BIGINT) AS n_headers,
+               CAST(MAX(c) AS BIGINT) AS max_header_count
+        FROM g GROUP BY source ORDER BY source
+    """
+
+
 def base64_hygiene_documents(sf_dir: str) -> "pd.DataFrame":
     """Double-encoding screen: payloads whose text is shaped like base64
     (charset ``[A-Za-z0-9+/]`` with ``=``-padding, length ≡ 0 mod 4,
@@ -1003,9 +1144,11 @@ QUERIES = {
     "payload_chunking_documents": payload_chunking_documents,
     "payload_magic_census_documents": payload_magic_census_documents,
     "payload_dedup_multimodal": payload_dedup_multimodal,
+    "header_census_multimodal": header_census_multimodal,
 }
 
 ORACLE_SQL = {
+    "header_census_multimodal": _header_census_sql(),
     "payload_entropy_documents": _PAYLOAD_ENTROPY_SQL,
     "chunk_dedup_multimodal": _CHUNK_DEDUP_SQL,
     "base64_hygiene_documents": _BASE64_SQL,

@@ -1035,8 +1035,91 @@ def _stoplist_sql(ks: tuple = (5, 10, 20, 50)) -> str:
     """
 
 
+# broadcast query terms for the coverage audit — substring semantics
+# (LIKE '%t%'), chosen from the corpus vocabulary so coverage varies;
+# the oracle SQL is GENERATED from this tuple so the sides cannot drift
+_COVERAGE_TERMS: tuple[str, ...] = ("data", "spark", "vector", "the")
+
+
+def query_coverage_documents(sf_dir: str) -> pd.DataFrame:
+    """Query-term coverage histogram — for a broadcast set of k query
+    terms, how many documents contain 0, 1, …, k of them (substring
+    containment): the AND-vs-OR retrieval feasibility audit. A corpus
+    where few docs reach full coverage forces OR semantics or query
+    relaxation; near-total coverage means the terms are stopwords for
+    this corpus and should leave the query plan.
+
+    One vectorized ``match_substring`` per term per batch (compiled C
+    scans — no tokenization, matching the oracle's LIKE), summed into a
+    per-doc coverage count, folded to a ≤ (k+1)-row ``bincount``
+    histogram per task; the driver merges integer partials. Exchange is
+    k+1 integers per task regardless of corpus size."""
+    import pyarrow.compute as pc
+
+    from ..shuffle import map_partials
+
+    k = len(_COVERAGE_TERMS)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        tbl = batch.filter(pc.is_valid(batch.column("text")))
+        if tbl.num_rows == 0:
+            return pd.DataFrame(
+                {
+                    "n_matched": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        col = tbl.column("text")
+        cov = np.zeros(tbl.num_rows, dtype=np.int64)
+        for t in _COVERAGE_TERMS:
+            cov += (
+                pc.match_substring(col, t)
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+        hist = np.bincount(cov, minlength=k + 1)
+        return pd.DataFrame(
+            {
+                "n_matched": np.arange(k + 1, dtype=np.int64),
+                "n": hist.astype(np.int64),
+            }
+        )
+
+    parts = map_partials(
+        f"{sf_dir}/documents.parquet", ["text"], None, partial
+    )
+    if not len(parts):
+        return pd.DataFrame(
+            {
+                "n_matched": pd.Series([], dtype="int64"),
+                "n_docs": pd.Series([], dtype="int64"),
+            }
+        )
+    g = parts.groupby("n_matched", as_index=False).agg(n_docs=("n", "sum"))
+    g = g[g["n_docs"] > 0]  # SQL GROUP BY has no zero-count groups
+    g = g.astype({"n_matched": "int64", "n_docs": "int64"})
+    return g.sort_values("n_matched").reset_index(drop=True)
+
+
+def _query_coverage_sql() -> str:
+    arms = " + ".join(
+        f"(CASE WHEN text LIKE '%{t}%' THEN 1 ELSE 0 END)"
+        for t in _COVERAGE_TERMS
+    )
+    return f"""
+        SELECT n_matched, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM (
+            SELECT CAST({arms} AS BIGINT) AS n_matched
+            FROM documents WHERE text IS NOT NULL
+        )
+        GROUP BY n_matched ORDER BY n_matched
+    """
+
+
 QUERIES = {
     "bm25_topk_documents": bm25_topk_documents,
+    "query_coverage_documents": query_coverage_documents,
     "stoplist_coverage_documents": stoplist_coverage_documents,
     "snippet_extraction_documents": snippet_extraction_documents,
     "shard_balance_documents": shard_balance_documents,
@@ -1047,6 +1130,7 @@ QUERIES = {
     "postings_histogram_documents": postings_histogram_documents,
 }
 ORACLE_SQL = {
+    "query_coverage_documents": _query_coverage_sql(),
     "bm25_topk_documents": _bm25_sql(),
     "snippet_extraction_documents": _snippet_sql(),
     "stoplist_coverage_documents": _stoplist_sql(),
