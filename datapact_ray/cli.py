@@ -60,6 +60,7 @@ validations:
       - {column: ts, metric: psi, threshold: 0.2}
       - {column: ts, metric: ks, threshold: 0.1}
       - {column: text, metric: ks, derived: str_len, threshold: 0.2}
+      - {column: ts, metric: ks, derived: ts_gap, threshold: 0.2}
     business_domain: AI Platform
     business_owner: Data Quality
     business_priority: Critical
@@ -82,6 +83,8 @@ def _plan_lines(suite) -> list[str]:
         for av in t.agg_validations or []:
             scan.append(f"agg({av.column}:{','.join(v.agg for v in av.validations)})")
         for d in t.drift or []:
+            if d.derived in ("turn_count", "ts_gap"):
+                continue  # conversation-level digests ride pass 3
             scan.append(f"sketch({d.column}:{d.metric})")
         for ev in t.enum_validations or []:
             scan.append(f"enum({ev.column})")
@@ -105,10 +108,15 @@ def _plan_lines(suite) -> list[str]:
             lines.append(
                 f"  pass 2 (hash shuffle on {key}): {' '.join(keyed)}"
             )
-        if t.ordering or t.sequence_grammar:
+        conv_drift = [
+            d for d in t.drift or [] if d.derived in ("turn_count", "ts_gap")
+        ]
+        if t.ordering or t.sequence_grammar or conv_drift:
             conv_checks = []
             if t.ordering:
                 conv_checks.append("ordering/contiguity")
+            for d in conv_drift:
+                conv_checks.append(f"drift({d.derived}:{d.metric})")
             if t.sequence_grammar:
                 conv_checks.append(
                     f"role-grammar({t.sequence_grammar.role_column})"

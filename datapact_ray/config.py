@@ -306,14 +306,23 @@ class DriftCheck(BaseModel):
     per-conversation turn-count distribution instead of a raw column;
     ``derived: str_len`` checks the per-row character-length distribution
     of a string column (truncation / empty-text detector — the row-hash
-    check says WHICH turns differ, the length drift says HOW).
+    check says WHICH turns differ, the length drift says HOW);
+    ``derived: ts_gap`` checks the INTER-TURN time-gap distribution (ts
+    deltas between consecutive turns in turn order, seconds) — the
+    conversation-pacing drift a re-ingest with collapsed or re-stamped
+    timestamps shifts even when counts and values all still match.
+    ``ts_gap`` requires an ``ordering`` block with a ``ts_column``; the
+    gaps ride the conversation shuffle (hot conversations contribute
+    shard-interior gaps in the vectorized pass and boundary gaps in the
+    driver stitch, so the digest covers every consecutive pair exactly
+    once).
     """
 
     column: str
     metric: Literal["psi", "ks"] = "psi"
     threshold: float = 0.2
     bins: int = Field(default=10, ge=2, le=1000)
-    derived: Literal["value", "turn_count", "str_len"] = "value"
+    derived: Literal["value", "turn_count", "str_len", "ts_gap"] = "value"
 
 
 class ValidationTask(BaseModel):
@@ -420,6 +429,17 @@ class ValidationTask(BaseModel):
                     "names key the rule's counters and payload alias"
                 )
             names.add(key)
+        return self
+
+    @model_validator(mode="after")
+    def validate_ts_gap_drift(self) -> "ValidationTask":
+        if any(d.derived == "ts_gap" for d in self.drift or []):
+            if not (self.ordering and self.ordering.ts_column):
+                raise ValueError(
+                    "drift derived=ts_gap requires an ordering block with "
+                    "a ts_column (gaps are per-conversation ts deltas in "
+                    "turn order)"
+                )
         return self
 
     @model_validator(mode="after")

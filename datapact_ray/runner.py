@@ -211,6 +211,7 @@ class ValidationRunner:
         value_drift_cols = [d.column for d in drift_checks if d.derived == "value"]
         len_drift_cols = [d.column for d in drift_checks if d.derived == "str_len"]
         want_turn_count_drift = any(d.derived == "turn_count" for d in drift_checks)
+        want_ts_gap_drift = any(d.derived == "ts_gap" for d in drift_checks)
 
         all_parquet = all(
             f.endswith(".parquet") for f in src_files + tgt_files
@@ -659,6 +660,7 @@ class ValidationRunner:
                     o.require_monotonic_ts if (conv_folded and o) else False
                 ),
                 turn_count_digest=conv_folded and want_turn_count_drift,
+                ts_gap_digest=conv_folded and want_ts_gap_drift,
                 hot_keys=hot if conv_folded else {},
                 max_violations_per_bucket=task.max_violations_per_partition,
                 num_buckets=num_buckets,
@@ -705,6 +707,7 @@ class ValidationRunner:
                 require_contiguous=o.require_contiguous if o else False,
                 require_monotonic_ts=o.require_monotonic_ts if o else False,
                 turn_count_digest=want_turn_count_drift,
+                ts_gap_digest=want_ts_gap_drift,
                 hot_keys=hot,
                 max_violations_per_bucket=task.max_violations_per_partition,
                 num_buckets=num_buckets,
@@ -896,6 +899,11 @@ class ValidationRunner:
         for d in drift_checks:
             if d.derived == "turn_count":
                 s_dig, t_dig = conv_metrics.digests
+            elif d.derived == "ts_gap":
+                # getattr: metrics.pkl checkpoints predating the field
+                s_dig, t_dig = getattr(
+                    conv_metrics, "gap_digests", [None, None]
+                )
             elif d.derived == "str_len":
                 s_dig = src_profile.digests.get(f"len:{d.column}")
                 t_dig = tgt_profile.digests.get(f"len:{d.column}")

@@ -144,9 +144,16 @@ class TDigest:
         # piecewise-linear CDF through (min,0), (centroid mids), (max,1)
         pts_x = np.concatenate([[self._min], m, [self._max]])
         pts_y = np.concatenate([[0.0], cum / total, [1.0]])
-        # ensure monotone x (duplicates collapse)
-        keep = np.concatenate([[True], np.diff(pts_x) > 0])
-        return np.interp(xs, pts_x[keep], pts_y[keep])
+        # collapse duplicate x keeping the LAST (upper) y: a point mass
+        # must step to its full cumulative weight AT the point, and
+        # cdf(max) must reach 1 even when max == the last centroid mean
+        # (keeping the first y made a CONSTANT column's cdf identically
+        # 0, so KS between two different constants read 0.0 — no drift)
+        keep = np.concatenate([np.diff(pts_x) > 0, [True]])
+        pts_x, pts_y = pts_x[keep], pts_y[keep]
+        if pts_x.size == 1:  # zero-variance digest: pure step function
+            return np.where(xs >= pts_x[0], 1.0, 0.0)
+        return np.interp(xs, pts_x, pts_y, left=0.0, right=1.0)
 
     def quantile(self, qs: np.ndarray) -> np.ndarray:
         self._compress()

@@ -70,6 +70,10 @@ class KeyedSpec:
     require_contiguous: bool = False
     require_monotonic_ts: bool = False
     turn_count_digest: bool = False
+    # inter-turn ts-gap digest (seconds): consecutive-turn deltas in
+    # turn order; hot shards add interior gaps in the vectorized pass
+    # and boundary gaps in the driver stitch — each pair counted once
+    ts_gap_digest: bool = False
     # role-grammar sequence checks (same exchange; roles ship as int8
     # vocabulary codes — 1 byte/row — never as strings)
     grammar_role_column: str | None = None
@@ -122,6 +126,7 @@ class KeyedSpec:
                 self.require_contiguous
                 or self.require_monotonic_ts
                 or self.turn_count_digest
+                or self.ts_gap_digest
                 or self.grammar_checks
             )
         )
@@ -146,6 +151,8 @@ class KeyedMetrics:
     grammar_bad_transition_groups: list[int] = field(default_factory=lambda: [0, 0])
     grammar_bad_first_groups: list[int] = field(default_factory=lambda: [0, 0])
     digests: list[TDigest | None] = field(default_factory=lambda: [None, None])
+    # inter-turn ts-gap digests (seconds), per side
+    gap_digests: list[TDigest | None] = field(default_factory=lambda: [None, None])
     hot_partials: dict = field(default_factory=dict)  # (side, group) -> [shard dicts]
     violations: int = 0
 
@@ -188,6 +195,19 @@ class KeyedMetrics:
                     other.digests[i]
                     if self.digests[i] is None
                     else self.digests[i].merge(other.digests[i])
+                )
+            # getattr default: metrics.pkl checkpoints written before the
+            # gap-digest field existed stay resumable (the spec-signature
+            # guard wipes them when ts_gap is newly CONFIGURED, so a
+            # missing digest here always truly means "not collected")
+            other_gap = getattr(other, "gap_digests", [None, None])[i]
+            if other_gap is not None:
+                if not hasattr(self, "gap_digests"):
+                    self.gap_digests = [None, None]
+                self.gap_digests[i] = (
+                    other_gap
+                    if self.gap_digests[i] is None
+                    else self.gap_digests[i].merge(other_gap)
                 )
         for k, shards in other.hot_partials.items():
             self.hot_partials.setdefault(k, []).extend(shards)
@@ -496,6 +516,19 @@ class _BucketChecker:
                     .groupby([part["__gh"], part["__shard"]], sort=False)
                     .any()
                 )
+                if spec.ts_gap_digest and len(part) > 1:
+                    # consecutive-turn gaps within each (group, shard) —
+                    # hot shards contribute their INTERIOR gaps here;
+                    # cross-shard boundary gaps are added by _stitch_hot
+                    gmask = ~new_grp[1:]
+                    if gmask.any():
+                        gaps = (
+                            (tv[1:] - tv[:-1])[gmask].astype(np.float64)
+                            / 1e6
+                        )
+                        d = m.gap_digests[side] or TDigest()
+                        d.add(gaps)
+                        m.gap_digests[side] = d
             else:
                 summary["ts_sorted"] = True
             if has_gram:
@@ -760,6 +793,20 @@ def _stitch_hot(metrics: KeyedMetrics, spec: KeyedSpec) -> list[dict]:
             d = metrics.digests[side] or TDigest()
             d.add(np.array([float(n)]))
             metrics.digests[side] = d
+        if spec.ts_gap_digest:
+            # cross-shard boundary gaps: shards hold contiguous turn
+            # ranges sorted by shard id, so (last of a, first of b) are
+            # consecutive turns — interior gaps were already digested in
+            # the vectorized pass, so each pair is counted exactly once
+            bg = [
+                float(b["tfirst"] - a["tlast"])
+                for a, b in zip(shards, shards[1:])
+                if a.get("tlast") is not None and b.get("tfirst") is not None
+            ]
+            if bg:
+                d = metrics.gap_digests[side] or TDigest()
+                d.add(np.asarray(bg, dtype=np.float64) / 1e6)
+                metrics.gap_digests[side] = d
     metrics.hot_partials = {}
     return violations
 
