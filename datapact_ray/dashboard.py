@@ -531,6 +531,45 @@ def priority_profile(results_dir: str, hist: pd.DataFrame) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def status_flips(hist: pd.DataFrame, limit: int = 20) -> pd.DataFrame:
+    """Flaky-validation detector (ENGINE EXTENSION — no reference
+    analog): per task, how often its status FLIPPED between consecutive
+    runs. A task that alternates PASS/FAIL nightly is not a data-quality
+    signal — it's a borderline tolerance, a nondeterministic upstream
+    pipeline, or clock-skewed ingest, and it trains operators to ignore
+    the dashboard. flip_rate = flips / (runs − 1); tasks with one run
+    can't flip and are excluded. Ordered by flip count then task_key."""
+    cols = ["task_key", "runs", "flips", "flip_rate", "current_status"]
+    if not len(hist):
+        return pd.DataFrame({c: pd.Series(dtype="object") for c in cols})
+    latest = _latest_per_task(hist).sort_values(
+        ["task_key", "run_id"], kind="stable"
+    )
+    rows = []
+    for task_key, g in latest.groupby("task_key", sort=True):
+        st = g["status"].tolist()
+        if len(st) < 2:
+            continue
+        flips = sum(1 for a, b in zip(st, st[1:]) if a != b)
+        rows.append(
+            {
+                "task_key": task_key,
+                "runs": len(st),
+                "flips": flips,
+                "flip_rate": round(flips / (len(st) - 1), 4),
+                "current_status": st[-1],
+            }
+        )
+    if not rows:
+        return pd.DataFrame({c: pd.Series(dtype="object") for c in cols})
+    out = pd.DataFrame(rows)
+    return (
+        out.sort_values(["flips", "task_key"], ascending=[False, True])
+        .head(limit)
+        .reset_index(drop=True)
+    )
+
+
 def parallel_kpi(hist: pd.DataFrame) -> pd.DataFrame:
     """Parallelism KPI snapshot of the most recent run
     (client.py:1675-1744): run window, tasks/minute, avg + p95 task
@@ -602,6 +641,7 @@ _DATASET_DISPLAY = {
     "ds_owner_accountability": "Owner Accountability Overview",
     "ds_priority_profile": "Priority Risk Profile",
     "ds_parallel_kpi": "Parallelism KPI Snapshot",
+    "ds_status_flips": "Flaky Validation Detector",
     "ds_cost_history": "Job Cost History",
 }
 
@@ -625,6 +665,7 @@ def build_dashboard(
         "ds_owner_accountability": owner_accountability(results_dir, hist),
         "ds_priority_profile": priority_profile(results_dir, hist),
         "ds_parallel_kpi": parallel_kpi(hist),
+        "ds_status_flips": status_flips(hist),
         "ds_cost_history": cost_history(hist),
     }
 

@@ -200,7 +200,7 @@ def test_write_dashboard_artifacts(two_run_history):
     with open(os.path.join(base, "dashboard.json")) as fh:
         manifest = json.load(fh)
     names = {d["name"] for d in manifest["datasets"]}
-    assert len(names) == 12
+    assert len(names) == 13
     for d in manifest["datasets"]:
         assert os.path.exists(d["path"]), d["name"]
         t = pq.read_table(d["path"]).to_pandas()
@@ -226,3 +226,41 @@ def test_empty_history_frames(tmp_path):
     assert len(D.priority_profile(str(tmp_path), hist)) == 0
     assert len(D.parallel_kpi(hist)) == 0
     assert len(D.cost_history(hist)) == 0
+
+
+def test_status_flips_detector(tmp_path, fixture_pair):
+    """Engine extension: a task alternating FAIL/PASS/FAIL across three
+    runs scores 2 flips (rate 1.0); a stable task never appears with
+    fewer than 2 runs."""
+    import ray  # noqa: F401
+
+    from datapact_ray.config import ValidationSuite, ValidationTask
+    from datapact_ray.dashboard import status_flips
+    from datapact_ray.rollup import load_run_history
+    from datapact_ray.runner import RunConfig, run_suite
+
+    rdir = str(tmp_path)
+
+    def t(target):
+        return ValidationTask(
+            task_key="flappy", source_path=fixture_pair["source"],
+            target_path=target, count_tolerance=0.0,
+        )
+
+    # FAIL (corrupted), PASS (self), FAIL (corrupted)
+    for rid, tgt in (
+        (1, fixture_pair["target"]),
+        (2, fixture_pair["source"]),
+        (3, fixture_pair["target"]),
+    ):
+        run_suite(
+            ValidationSuite(validations=[t(tgt)]),
+            RunConfig(results_dir=rdir, run_id=rid),
+        )
+    sf = status_flips(load_run_history(rdir))
+    r = sf[sf["task_key"] == "flappy"].iloc[0]
+    assert r["runs"] == 3 and r["flips"] == 2
+    assert r["flip_rate"] == 1.0
+    assert r["current_status"] == "FAILURE"
+    # single-run tasks are excluded
+    assert status_flips(load_run_history(rdir)[lambda d: d["run_id"] == 1]).empty
