@@ -153,6 +153,9 @@ def main(argv: list[str] | None = None) -> int:
                        help="run up to N validation tasks concurrently "
                             "(reference parity: parallel job tasks); "
                             "ignored with fail-fast semantics")
+    p_run.add_argument("--fail-fast", action="store_true",
+                       help="stop at the first failing task (forces "
+                            "sequential execution)")
     p_run.add_argument("--dry-run", action="store_true")
 
     p_plan = sub.add_parser("plan", help="validate config and print the plan")
@@ -235,6 +238,7 @@ def main(argv: list[str] | None = None) -> int:
                 job_name=args.job_name,
                 resume=args.resume,
                 max_parallel_tasks=args.max_parallel_tasks,
+                fail_fast=args.fail_fast,
             ),
         )
         for r in summary.results:

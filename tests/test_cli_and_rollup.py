@@ -52,6 +52,17 @@ validations:
     assert "[SUCCESS] passing" in out.out
     assert "validation tasks failed: 1 of 2" in out.err
 
+    # --fail-fast stops at the first failing task: the passing task
+    # after it never runs
+    rc = cli_main(
+        ["run", "--config", str(cfg), "--results-dir", str(tmp_path / "out2"),
+         "--run-id", "4", "--fail-fast"]
+    )
+    assert rc == 1
+    out = capsys.readouterr()
+    assert "[FAILURE] failing" in out.out
+    assert "[SUCCESS] passing" not in out.out
+
 
 def test_exec_rollups_written(tmp_path, fixture_pair):
     from datapact_ray.config import ValidationSuite, ValidationTask
