@@ -2305,8 +2305,135 @@ def missing_hours_events(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def funnel_latency_events(
+    sf_dir: str,
+    first: str = "view",
+    then: str = "click",
+    num_buckets: int | None = None,
+) -> pd.DataFrame:
+    """Conversion LATENCY — time from a user's first ``first`` event to
+    their first ``then`` event strictly after it: the funnel op above
+    says how many users convert; this says how long conversion takes
+    (the SLA/abandonment metric product analytics pairs with every
+    funnel). One row: step-1 users, converted users, mean/min/max
+    latency in seconds.
+
+    Same shape as ``funnel_events``: users hash-bucket whole, the
+    exchange carries (user_id, ts, step) rows only for the two event
+    types (filter pushed to the scan), and each bucket folds to FIVE
+    integers — n_step1, n_converted, Σlatency_µs, min_µs, max_µs — so
+    the driver merge is exact integer arithmetic regardless of user
+    count. The mean divides once at the end with the oracle's exact
+    expression tree (CAST(SUM AS DOUBLE)/COUNT/1e6); per-bucket Σµs is
+    int64 (overflow bound ~9.2e18 µs·users ≈ 292k user-years per
+    bucket; the driver merge is Python big-int)."""
+    path = f"{sf_dir}/events.parquet"
+    n_buckets = num_buckets or scaled_num_buckets(count_rows(path))
+    step_ord = {first: 0, then: 1}
+
+    def add_bucket(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["user_id", "event_type"])
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "ts": df["ts"].astype("datetime64[us]").astype("int64"),
+                "step": df["event_type"].map(step_ord).astype("int8"),
+                "__bucket": _bucket_of(
+                    df["user_id"].to_numpy(dtype=np.int64), n_buckets
+                ),
+            }
+        )
+
+    def latency_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        t0 = g[g["step"] == 0].groupby("user_id")["ts"].min()
+        rows = g[g["step"] == 1].merge(
+            t0.rename("t0").reset_index(), on="user_id"
+        )
+        t1 = rows[rows["ts"] > rows["t0"]].groupby("user_id")["ts"].min()
+        lat = (t1 - t0.reindex(t1.index)).to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "n1": [len(t0)],
+                "nc": [len(t1)],
+                "s": [int(lat.sum()) if len(lat) else 0],
+                "mn": [int(lat.min()) if len(lat) else 0],
+                "mx": [int(lat.max()) if len(lat) else 0],
+                "has": [len(lat) > 0],
+            }
+        )
+
+    from ._util import round_duck
+    from .dedup import _fused_grouped_frames
+
+    quoted = ", ".join(f"'{s}'" for s in (first, then))
+    parts = _fused_grouped_frames(
+        [
+            (
+                path,
+                ["user_id", "ts", "event_type"],
+                f"event_type IN ({quoted})",
+                add_bucket,
+            )
+        ],
+        n_buckets,
+        latency_in_bucket,
+    )
+    if not len(parts):
+        parts = pd.DataFrame(
+            {"n1": [0], "nc": [0], "s": [0], "mn": [0], "mx": [0], "has": [False]}
+        )
+    n1 = int(parts["n1"].sum())
+    nc = int(parts["nc"].sum())
+    live = parts[parts["has"]]
+    total_us = sum(int(v) for v in live["s"])  # Python big-int merge
+    return pd.DataFrame(
+        {
+            "n_step1": pd.Series([n1], dtype="int64"),
+            "n_converted": pd.Series([nc], dtype="int64"),
+            "mean_latency_sec": [
+                float(round_duck(float(total_us) / float(nc) / 1e6, 6))
+                if nc
+                else None
+            ],
+            "min_latency_sec": [
+                float(round_duck(float(live["mn"].min()) / 1e6, 6)) if nc else None
+            ],
+            "max_latency_sec": [
+                float(round_duck(float(live["mx"].max()) / 1e6, 6)) if nc else None
+            ],
+        }
+    )
+
+
+def _funnel_latency_sql(first: str = "view", then: str = "click") -> str:
+    return f"""
+        WITH s0 AS (
+            SELECT user_id, MIN(ts) AS t0 FROM events
+            WHERE event_type = '{first}' AND user_id IS NOT NULL
+            GROUP BY user_id
+        ),
+        s1 AS (
+            SELECT e.user_id, MIN(epoch_us(e.ts)) AS t1,
+                   MIN(epoch_us(s0.t0)) AS t0
+            FROM events e JOIN s0 USING (user_id)
+            WHERE e.event_type = '{then}' AND e.ts > s0.t0
+            GROUP BY e.user_id
+        )
+        SELECT CAST((SELECT COUNT(*) FROM s0) AS BIGINT) AS n_step1,
+               CAST(COUNT(*) AS BIGINT) AS n_converted,
+               ROUND(CAST(SUM(t1 - t0) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+                   AS mean_latency_sec,
+               ROUND(CAST(MIN(t1 - t0) AS DOUBLE) / 1000000.0, 6)
+                   AS min_latency_sec,
+               ROUND(CAST(MAX(t1 - t0) AS DOUBLE) / 1000000.0, 6)
+                   AS max_latency_sec
+        FROM s1
+    """
+
+
 QUERIES = {
     "max_drawdown_daily_revenue": max_drawdown_daily_revenue,
+    "funnel_latency_events": funnel_latency_events,
     "windowed_events_daily": windowed_events_daily,
     "sliding_events_weekly": sliding_events_weekly,
     "sessionize_events": sessionize_events,
@@ -2338,6 +2465,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "funnel_latency_events": _funnel_latency_sql(),
     "rolling_avg_events": """
         WITH w AS (
             SELECT event_type,
