@@ -156,6 +156,10 @@ def main(argv: list[str] | None = None) -> int:
     p_run.add_argument("--fail-fast", action="store_true",
                        help="stop at the first failing task (forces "
                             "sequential execution)")
+    p_run.add_argument("--temporal-baseline-run", type=int, default=None,
+                       help="compare this run's source profiles against "
+                            "run N's checkpointed profiles for tasks with "
+                            "temporal_drift (omit on the bootstrap run)")
     p_run.add_argument("--dry-run", action="store_true")
 
     p_plan = sub.add_parser("plan", help="validate config and print the plan")
@@ -239,6 +243,7 @@ def main(argv: list[str] | None = None) -> int:
                 resume=args.resume,
                 max_parallel_tasks=args.max_parallel_tasks,
                 fail_fast=args.fail_fast,
+                temporal_baseline_run=args.temporal_baseline_run,
             ),
         )
         for r in summary.results:

@@ -353,6 +353,13 @@ class ValidationTask(BaseModel):
     sequence_grammar: SequenceGrammarCheck | None = None
     referential: list[ReferentialCheck] | None = None
     drift: list[DriftCheck] | None = None
+    # TEMPORAL drift (engine extension): this run's SOURCE profile vs
+    # the checkpointed source profile of RunConfig.temporal_baseline_run
+    # (same task_key) — the nightly "did my source shift since the
+    # last run" check. Only profile-owned derivations (value,
+    # str_len); digests are mergeable t-digests, so the comparison
+    # costs no extra scan in either run.
+    temporal_drift: list[DriftCheck] | None = None
     # Business metadata (executive rollups)
     business_domain: str | None = None
     business_owner: str | None = None
@@ -432,6 +439,17 @@ class ValidationTask(BaseModel):
         return self
 
     @model_validator(mode="after")
+    def validate_temporal_drift(self) -> "ValidationTask":
+        for d in self.temporal_drift or []:
+            if d.derived not in ("value", "str_len"):
+                raise ValueError(
+                    "temporal_drift supports derived=value|str_len only "
+                    "(profile-owned digests; conversation-level digests "
+                    "are not checkpointed whole)"
+                )
+        return self
+
+    @model_validator(mode="after")
     def validate_ts_gap_drift(self) -> "ValidationTask":
         if any(d.derived == "ts_gap" for d in self.drift or []):
             if not (self.ordering and self.ordering.ts_column):
@@ -483,6 +501,7 @@ class ValidationTask(BaseModel):
             or self.sequence_grammar
             or self.referential
             or self.drift
+            or self.temporal_drift
         )
 
 

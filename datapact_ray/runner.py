@@ -117,6 +117,10 @@ class RunConfig:
     # carried forward without the full key set). Falls back to a full
     # profile when lineage/spec/filter changed or files were REMOVED.
     incremental_from: int | None = None
+    # temporal drift baseline: compare this run's SOURCE profile digests
+    # against run N's checkpointed source profile for every task that
+    # configures `temporal_drift` (nightly source-shift detection)
+    temporal_baseline_run: int | None = None
 
 
 @dataclass
@@ -208,8 +212,17 @@ class ValidationRunner:
         )
         nulls_use_pk = nulls_enabled and bool(pk)
         drift_checks = task.drift or []
-        value_drift_cols = [d.column for d in drift_checks if d.derived == "value"]
-        len_drift_cols = [d.column for d in drift_checks if d.derived == "str_len"]
+        temporal_checks = task.temporal_drift or []
+        value_drift_cols = [
+            d.column
+            for d in list(drift_checks) + list(temporal_checks)
+            if d.derived == "value"
+        ]
+        len_drift_cols = [
+            d.column
+            for d in list(drift_checks) + list(temporal_checks)
+            if d.derived == "str_len"
+        ]
         want_turn_count_drift = any(d.derived == "turn_count" for d in drift_checks)
         want_ts_gap_drift = any(d.derived == "ts_gap" for d in drift_checks)
 
@@ -240,6 +253,7 @@ class ValidationRunner:
             or task.enum_validations
             or task.pattern_validations
             or task.conditional_validations
+            or temporal_checks
         )
         profile_cols: set[str] = set()
         spec = ProfileSpec()
@@ -919,6 +933,46 @@ class ValidationRunner:
             verdict_list.append(
                 V.drift_verdict(d.column, d.metric, stat, d.threshold, d.derived)
             )
+        if temporal_checks and cfg.temporal_baseline_run is not None:
+            # temporal drift: this run's SOURCE digests vs the baseline
+            # run's checkpointed source profile. A baseline that is SET
+            # but unusable fails LOUDLY — a silently-skipped nightly
+            # drift check is exactly the false confidence this feature
+            # exists to remove. (baseline_run=None is the BOOTSTRAP run:
+            # the columns are still sketched into this run's profile so
+            # the next run can cite it — no verdict is emitted.)
+            base_run = cfg.temporal_baseline_run
+            bpath = os.path.join(
+                self._task_ckpt(task.task_key, base_run), "profile_source.pkl"
+            )
+            if not os.path.exists(bpath + ".done"):
+                raise ValueError(
+                    f"temporal_drift baseline run {base_run}: no "
+                    f"checkpointed source profile at {bpath}"
+                )
+            with open(bpath, "rb") as fh:
+                baseline_profile = pickle.load(fh)
+            for d in temporal_checks:
+                key = d.column if d.derived == "value" else f"len:{d.column}"
+                cur = src_profile.digests.get(key)
+                prev = getattr(baseline_profile, "digests", {}).get(key)
+                if cur is None or prev is None:
+                    raise ValueError(
+                        f"temporal_drift: run {base_run} has no '{key}' "
+                        "digest — the baseline run must have configured "
+                        "the same drift column"
+                    )
+                stat = (
+                    ks_statistic(prev, cur)
+                    if d.metric == "ks"
+                    else psi_statistic(prev, cur, bins=d.bins)
+                )
+                verdict_list.append(
+                    V.temporal_drift_verdict(
+                        d.column, d.metric, stat, d.threshold, d.derived,
+                        base_run,
+                    )
+                )
 
         payload, passed = V.assemble_payload(
             task.task_key, task.filter, task.primary_keys, verdict_list

@@ -412,6 +412,36 @@ def referential_verdict(
     )
 
 
+def temporal_drift_verdict(
+    column: str,
+    metric: str,
+    statistic: float,
+    threshold: float,
+    derived: str,
+    baseline_run: int,
+) -> CheckVerdict:
+    """Cross-RUN drift (engine extension): this run's source digest vs
+    the baseline run's checkpointed source profile — nightly
+    source-shift detection, not source-vs-target."""
+    ok = statistic <= threshold
+    suffix = (
+        f"{column}_{metric}"
+        if derived == "value"
+        else f"{column}_{derived}_{metric}"
+    )
+    return CheckVerdict(
+        alias=f"temporal_drift_validation_{suffix}",
+        passed=ok,
+        payload={
+            "metric": metric.upper(),
+            "baseline_run": baseline_run,
+            "statistic": f"{statistic:.6f}",
+            "threshold": f"{threshold:.6f}",
+            "status": _status(ok),
+        },
+    )
+
+
 def drift_verdict(
     column: str,
     metric: str,

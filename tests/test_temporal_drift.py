@@ -1,0 +1,129 @@
+"""Temporal (cross-run) drift: this run's SOURCE profile digests vs a
+baseline run's checkpointed source profile — the nightly source-shift
+check. A stable source PASSes with statistic 0 against its own prior
+run; a shifted re-ingest FAILs; misconfiguration fails loudly."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from datapact_ray.config import (
+    DriftCheck,
+    ValidationSuite,
+    ValidationTask,
+)
+from datapact_ray.runner import RunConfig, run_suite
+
+
+def _write(dirpath, values, lens=None):
+    import os
+
+    os.makedirs(dirpath, exist_ok=True)
+    n = len(values)
+    t = pa.table(
+        {
+            "conv_id": pa.array([f"c{i}" for i in range(n)], pa.string()),
+            "turn_idx": pa.array(np.zeros(n, np.int64)),
+            "text": pa.array(
+                ["x" * int(v) for v in (lens if lens is not None else values)],
+                pa.string(),
+            ),
+            "value": pa.array(np.asarray(values, np.float64)),
+        }
+    )
+    pq.write_table(t, f"{dirpath}/part-0.parquet")
+
+
+def _task(src, drift, key="t"):
+    return ValidationTask(
+        task_key=key, source_path=src, target_path=src,
+        count_tolerance=0.0, temporal_drift=drift,
+    )
+
+
+def test_temporal_drift_pass_and_fail(tmp_path, ray_session):
+    rng = np.random.RandomState(0)
+    v1 = rng.normal(100, 5, 4000)
+    src1 = str(tmp_path / "day1")
+    _write(src1, v1)
+    rdir = str(tmp_path / "out")
+    drift = [
+        DriftCheck(column="value", metric="ks", threshold=0.1),
+        DriftCheck(column="text", metric="ks", threshold=0.1,
+                   derived="str_len"),
+    ]
+    # run 1: bootstrap — baseline_run=None sketches the columns into
+    # this run's profile without emitting temporal verdicts
+    run_suite(
+        ValidationSuite(validations=[_task(src1, drift)]),
+        RunConfig(results_dir=rdir, run_id=1),
+    )
+    # run 2 on an IDENTICAL re-ingest → statistic 0, PASS
+    s2 = run_suite(
+        ValidationSuite(validations=[_task(src1, drift)]),
+        RunConfig(results_dir=rdir, run_id=2, temporal_baseline_run=1),
+    )
+    p = s2.results[0].payload
+    assert p["temporal_drift_validation_value_ks"]["status"] == "PASS"
+    assert float(p["temporal_drift_validation_value_ks"]["statistic"]) == 0.0
+    assert p["temporal_drift_validation_value_ks"]["baseline_run"] == 1
+    assert p["temporal_drift_validation_text_str_len_ks"]["status"] == "PASS"
+
+    # run 3 on a SHIFTED source (mean +50, texts doubled) → FAIL both
+    src3 = str(tmp_path / "day3")
+    _write(src3, v1 + 50, lens=(v1 * 2).astype(int))
+    s3 = run_suite(
+        ValidationSuite(validations=[_task(src3, drift)]),
+        RunConfig(results_dir=rdir, run_id=3, temporal_baseline_run=1),
+    )
+    p3 = s3.results[0].payload
+    assert p3["temporal_drift_validation_value_ks"]["status"] == "FAIL"
+    assert float(p3["temporal_drift_validation_value_ks"]["statistic"]) > 0.9
+    assert p3["temporal_drift_validation_text_str_len_ks"]["status"] == "FAIL"
+    assert s3.results[0].status == "FAILURE"
+
+
+def test_temporal_drift_misconfig_loud(tmp_path, ray_session):
+    src = str(tmp_path / "src")
+    _write(src, np.arange(100, dtype=float))
+    drift = [DriftCheck(column="value", metric="ks", threshold=0.1)]
+    # baseline run has no checkpointed profile
+    with pytest.raises(ValueError, match="no\\s+checkpointed source profile"):
+        run_suite(
+            ValidationSuite(validations=[_task(src, drift)]),
+            RunConfig(results_dir=str(tmp_path / "o2"), run_id=2,
+                      temporal_baseline_run=1),
+        )
+
+
+def test_temporal_drift_baseline_missing_digest(tmp_path, ray_session):
+    """Baseline run exists but never sketched the column → loud error,
+    not a silent PASS."""
+    src = str(tmp_path / "src")
+    _write(src, np.arange(100, dtype=float))
+    rdir = str(tmp_path / "out")
+    # run 1 WITHOUT any drift config → no 'value' digest in its profile
+    run_suite(
+        ValidationSuite(validations=[
+            ValidationTask(task_key="t", source_path=src, target_path=src,
+                           count_tolerance=0.0)
+        ]),
+        RunConfig(results_dir=rdir, run_id=1),
+    )
+    drift = [DriftCheck(column="value", metric="ks", threshold=0.1)]
+    with pytest.raises(ValueError, match="has no 'value' digest"):
+        run_suite(
+            ValidationSuite(validations=[_task(src, drift)]),
+            RunConfig(results_dir=rdir, run_id=2, temporal_baseline_run=1),
+        )
+
+
+def test_temporal_drift_requires_profile_derivation():
+    with pytest.raises(ValueError, match="value|str_len"):
+        ValidationTask(
+            task_key="t", source_path="a", target_path="b",
+            count_tolerance=0.0,
+            temporal_drift=[DriftCheck(column="x", derived="turn_count")],
+        )
