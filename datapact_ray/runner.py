@@ -986,7 +986,41 @@ class ValidationRunner:
         )
         result.begin_ts = begin  # type: ignore[attr-defined]
         result.complete_ts = _now()  # type: ignore[attr-defined]
+        self._consolidate_keyed_violations(task.task_key, ckpt)
         return result
+
+    def _consolidate_keyed_violations(self, task_key: str, ckpt: str) -> None:
+        """Surface the keyed/uniq/conv passes' per-bucket violation rows
+        (capped at max_violations_per_partition per bucket — bounded by
+        construction) into the user-facing violations tree, one parquet
+        per pass, alongside the referential files. The per-bucket files
+        under checkpoint/ remain the resumable source of truth; this is
+        the consolidated read surface a user or BI layer queries."""
+        import glob
+
+        vdir = os.path.join(
+            self.config.results_dir,
+            "violations",
+            f"run_id={self.config.run_id}",
+            f"task={task_key}",
+        )
+        for pass_name in ("keyed", "uniq", "conv"):
+            pat = os.path.join(ckpt, pass_name, "*", "violations.parquet")
+            frames = []
+            for f in sorted(glob.glob(pat)):
+                t = pq.read_table(f)
+                if t.num_rows:
+                    frames.append(t.to_pandas())
+            if not frames:
+                continue
+            df = pd.concat(frames, ignore_index=True).sort_values(
+                ["check_alias", "side", "key"], kind="stable"
+            )
+            os.makedirs(vdir, exist_ok=True)
+            pq.write_table(
+                pa.Table.from_pandas(df, preserve_index=False),
+                os.path.join(vdir, f"{pass_name}.parquet"),
+            )
 
     def _write_referential_violations(self, task_key, ref, side, rm) -> None:
         vdir = os.path.join(
