@@ -429,11 +429,16 @@ class ValidationTask(BaseModel):
                 seen.add(r.column)
         names: set[str] = set()
         for cr in self.conditional_validations or []:
-            key = cr.name.strip().lower()
+            # dedup on the SLUGGED name: the payload alias is
+            # conditional_validation_<make_identifier(name)>, so 'tool
+            # turns' and 'tool-turns' would silently overwrite each
+            # other in the payload even though the raw strings differ
+            key = make_identifier(cr.name)
             if key in names:
                 raise ValueError(
-                    f"duplicate name '{cr.name}' in conditional_validations: "
-                    "names key the rule's counters and payload alias"
+                    f"duplicate name '{cr.name}' in conditional_validations "
+                    f"(slug '{key}'): names key the rule's counters and "
+                    "payload alias"
                 )
             names.add(key)
         return self

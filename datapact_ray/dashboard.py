@@ -624,7 +624,11 @@ def cost_history(
             }
         )
     out = pd.DataFrame(rows)
-    return out.sort_values("run_start_time", ascending=False).reset_index(drop=True)
+    # run_id tie-break: coincident run_start_times must not leave row
+    # order to groupby iteration (module invariant: deterministic output)
+    return out.sort_values(
+        ["run_start_time", "run_id"], ascending=[False, True]
+    ).reset_index(drop=True)
 
 
 # ---- assembly ----

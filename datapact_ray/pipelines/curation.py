@@ -1006,16 +1006,30 @@ def curriculum_stages_documents(sf_dir: str, k: int = 4) -> pd.DataFrame:
     path = f"{sf_dir}/documents.parquet"
     mult = float(2**40)
 
+    def _checked_key(nc: np.ndarray, did: np.ndarray) -> np.ndarray:
+        # LOUD domain guard: the composite key is exact in float64 only
+        # while n_chars < 2¹³ and doc_id < 2⁴⁰ (key < 2⁵³). Beyond that,
+        # float spacing quantizes the doc_id tie-break and stage
+        # boundaries silently diverge from NTILE — refuse instead.
+        if len(nc) and (int(nc.max()) >= 2**13 or int(did.max()) >= 2**40):
+            raise ValueError(
+                "curriculum_stages_documents: n_chars >= 2^13 or doc_id "
+                ">= 2^40 breaks the exact float64 order key; widen the "
+                "key encoding before using this operator on such data"
+            )
+        return nc.astype(np.float64) * mult + did.astype(np.float64)
+
     def add_key(df: pd.DataFrame) -> pd.DataFrame:
         df = df.dropna(subset=["n_chars", "doc_id"])
-        out = pd.DataFrame(
+        return pd.DataFrame(
             {
                 "g": "all",
-                "key": df["n_chars"].to_numpy(np.float64) * mult
-                + df["doc_id"].to_numpy(np.float64),
+                "key": _checked_key(
+                    df["n_chars"].to_numpy(np.int64),
+                    df["doc_id"].to_numpy(np.int64),
+                ),
             }
         )
-        return out
 
     def boundary_ranks(counts: dict) -> dict:
         # NTILE sizes: first (n mod k) stages get ⌈n/k⌉, rest ⌊n/k⌋;
@@ -1075,7 +1089,7 @@ def curriculum_stages_documents(sf_dir: str, k: int = 4) -> pd.DataFrame:
                 }
             )
         nc = df["n_chars"].to_numpy(np.int64)
-        key = nc.astype(np.float64) * mult + df["doc_id"].to_numpy(np.float64)
+        key = _checked_key(nc, df["doc_id"].to_numpy(np.int64))
         stage = np.searchsorted(boundaries, key, side="left") + 1
         g = pd.DataFrame({"stage": stage, "nc": nc}).groupby(
             "stage", as_index=False

@@ -694,6 +694,30 @@ def cumsum_crossing_events(sf_dir: str, fraction: float = 0.5) -> pd.DataFrame:
     )
 
 
+def _funnel_projector(steps: tuple[str, ...], n_buckets: int):
+    """Shared (user_id, ts→int64 µs, step-ordinal, __bucket) projector
+    for the funnel ops. Drops NULL ts too: pandas silently casts NaT to
+    int64 −2⁶³, which would poison a user's first-step MIN and convert
+    every later event with a ~2⁶³ µs latency — SQL MIN ignores NULLs and
+    ``ts > NULL`` is false, so the oracle never sees those rows."""
+    step_ord = {s: i for i, s in enumerate(steps)}
+
+    def add_bucket(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().dropna(subset=["user_id", "event_type", "ts"])
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "ts": df["ts"].astype("datetime64[us]").astype("int64"),
+                "step": df["event_type"].map(step_ord).astype("int8"),
+                "__bucket": _bucket_of(
+                    df["user_id"].to_numpy(dtype=np.int64), n_buckets
+                ),
+            }
+        )
+
+    return add_bucket
+
+
 def funnel_events(
     sf_dir: str,
     steps: tuple[str, ...] = ("view", "click", "purchase"),
@@ -716,20 +740,7 @@ def funnel_events(
     path = f"{sf_dir}/events.parquet"
     quoted = ", ".join(f"'{s}'" for s in steps)
     n_buckets = num_buckets or scaled_num_buckets(count_rows(path))
-    step_ord = {s: i for i, s in enumerate(steps)}
-
-    def add_bucket(batch: pa.Table) -> pd.DataFrame:
-        df = batch.to_pandas().dropna(subset=["user_id", "event_type"])
-        return pd.DataFrame(
-            {
-                "user_id": df["user_id"].astype("int64"),
-                "ts": df["ts"].astype("datetime64[us]").astype("int64"),
-                "step": df["event_type"].map(step_ord).astype("int8"),
-                "__bucket": _bucket_of(
-                    df["user_id"].to_numpy(dtype=np.int64), n_buckets
-                ),
-            }
-        )
+    add_bucket = _funnel_projector(steps, n_buckets)
 
     def funnel_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         # chained vectorized min+filter: step i's completion time is the
@@ -2329,20 +2340,7 @@ def funnel_latency_events(
     bucket; the driver merge is Python big-int)."""
     path = f"{sf_dir}/events.parquet"
     n_buckets = num_buckets or scaled_num_buckets(count_rows(path))
-    step_ord = {first: 0, then: 1}
-
-    def add_bucket(batch: pa.Table) -> pd.DataFrame:
-        df = batch.to_pandas().dropna(subset=["user_id", "event_type"])
-        return pd.DataFrame(
-            {
-                "user_id": df["user_id"].astype("int64"),
-                "ts": df["ts"].astype("datetime64[us]").astype("int64"),
-                "step": df["event_type"].map(step_ord).astype("int8"),
-                "__bucket": _bucket_of(
-                    df["user_id"].to_numpy(dtype=np.int64), n_buckets
-                ),
-            }
-        )
+    add_bucket = _funnel_projector((first, then), n_buckets)
 
     def latency_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         t0 = g[g["step"] == 0].groupby("user_id")["ts"].min()
@@ -2410,6 +2408,7 @@ def _funnel_latency_sql(first: str = "view", then: str = "click") -> str:
         WITH s0 AS (
             SELECT user_id, MIN(ts) AS t0 FROM events
             WHERE event_type = '{first}' AND user_id IS NOT NULL
+              AND ts IS NOT NULL
             GROUP BY user_id
         ),
         s1 AS (
@@ -2937,6 +2936,7 @@ ORACLE_SQL = {
         WITH s0 AS (
             SELECT user_id, MIN(ts) AS t FROM events
             WHERE event_type = 'view' AND user_id IS NOT NULL
+              AND ts IS NOT NULL
             GROUP BY user_id
         ),
         s1 AS (

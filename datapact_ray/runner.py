@@ -297,6 +297,30 @@ class ValidationRunner:
                             f"references column(s) {missing} missing from "
                             f"the {side} table"
                         )
+                if spec.cond_rules:
+                    # TYPE-bind each rule's predicates against the actual
+                    # schema by filtering an empty table — the same kernel
+                    # resolution the scan tasks will do, so a string
+                    # column compared to an int fails HERE with a clear
+                    # message, not as ArrowNotImplementedError inside a
+                    # distributed batch
+                    from .expr import compile_to_arrow as _c2a
+                    from .expr import parse_filter as _pf
+
+                    empty_tbl = pa.Table.from_pylist([], schema=schema)
+                    for rule_name, (when_sql, then_sql) in sorted(
+                        spec.cond_rules.items()
+                    ):
+                        for label, sql in (("when", when_sql), ("then", then_sql)):
+                            try:
+                                empty_tbl.filter(_c2a(_pf(sql)))
+                            except Exception as exc:
+                                raise ValueError(
+                                    f"conditional_validations: rule "
+                                    f"'{rule_name}' {label} predicate "
+                                    f"{sql!r} does not type-check against "
+                                    f"the {side} schema: {exc}"
+                                ) from exc
                 for col, allowed in spec.enum_columns.items():
                     if col not in schema.names:
                         raise ValueError(
@@ -924,8 +948,17 @@ class ValidationRunner:
             else:
                 s_dig = src_profile.digests.get(d.column)
                 t_dig = tgt_profile.digests.get(d.column)
-            if s_dig is None or t_dig is None:
-                stat = 0.0
+            if s_dig is None and t_dig is None:
+                stat = 0.0  # neither side produced the distribution
+            elif s_dig is None or t_dig is None:
+                # a digest exists iff its pass saw qualifying values:
+                # ONE side having none (every target conversation
+                # collapsed to a single turn → no gaps; a column gone
+                # all-NULL → no values) is MAXIMAL drift, not a silent
+                # PASS — that disappearance is exactly what the check
+                # watches. KS is bounded by 1, so 1.0 fails any sane
+                # threshold on either metric.
+                stat = 1.0
             elif d.metric == "ks":
                 stat = ks_statistic(s_dig, t_dig)
             else:
@@ -1011,15 +1044,20 @@ class ValidationRunner:
                 t = pq.read_table(f)
                 if t.num_rows:
                     frames.append(t.to_pandas())
+            out_path = os.path.join(vdir, f"{pass_name}.parquet")
             if not frames:
+                # a CLEAN recompute must retract a previous same-run_id
+                # attempt's file — a stale violations parquet next to a
+                # SUCCESS results row misreports the run
+                if os.path.exists(out_path):
+                    os.remove(out_path)
                 continue
             df = pd.concat(frames, ignore_index=True).sort_values(
                 ["check_alias", "side", "key"], kind="stable"
             )
             os.makedirs(vdir, exist_ok=True)
             pq.write_table(
-                pa.Table.from_pandas(df, preserve_index=False),
-                os.path.join(vdir, f"{pass_name}.parquet"),
+                pa.Table.from_pandas(df, preserve_index=False), out_path
             )
 
     def _write_referential_violations(self, task_key, ref, side, rm) -> None:

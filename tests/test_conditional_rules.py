@@ -208,3 +208,54 @@ def test_resume_recomputes_on_late_added_rule(tmp_path):
     v = res.payload["conditional_validation_r"]
     assert v["target_matched_rows"] == "4" and v["target_violations"] == "4"
     assert res.status == "FAILURE"
+
+
+def test_conditional_slug_collision_rejected():
+    """Names that differ as strings but collide after make_identifier
+    would overwrite each other's payload entry — rejected at config."""
+    import pytest
+
+    from datapact_ray.config import ConditionalValidation, ValidationTask
+
+    with pytest.raises(ValueError, match="slug"):
+        ValidationTask(
+            task_key="t", source_path="a", target_path="b",
+            conditional_validations=[
+                ConditionalValidation(name="tool turns", when="a = 1",
+                                      then="b = 1"),
+                ConditionalValidation(name="tool-turns", when="a = 2",
+                                      then="b = 2"),
+            ],
+        )
+
+
+def test_conditional_type_mismatch_preflight(tmp_path, ray_session):
+    """A predicate comparing a STRING column to an int must fail the
+    driver pre-flight with a clear message, not ArrowNotImplementedError
+    inside a distributed scan batch."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from datapact_ray.config import ConditionalValidation, ValidationSuite, ValidationTask
+    from datapact_ray.runner import RunConfig, run_suite
+
+    src = tmp_path / "t.parquet"
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame({"price": ["10", "20"], "status": ["F", "P"]}),
+            preserve_index=False,
+        ),
+        str(src),
+    )
+    task = ValidationTask(
+        task_key="t", source_path=str(src), target_path=str(src),
+        conditional_validations=[
+            ConditionalValidation(name="r", when="status = 'F'",
+                                  then="price > 0")
+        ],
+    )
+    with pytest.raises(ValueError, match="does not type-check"):
+        run_suite(ValidationSuite(validations=[task]),
+                  RunConfig(results_dir=str(tmp_path / "o"), run_id=1))

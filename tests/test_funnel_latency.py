@@ -98,3 +98,22 @@ def test_funnel_latency_empty(tmp_path):
     assert r["n_step1"] == 0 and r["n_converted"] == 0
     assert pd.isna(r["mean_latency_sec"])
     _exact(got, d)
+
+
+def test_funnel_latency_null_ts_excluded(tmp_path):
+    """A NULL-ts 'view' must NOT poison a user's first-step MIN (pandas
+    would cast NaT to -2^63 and convert every later click with a ~2^63
+    µs latency); SQL MIN ignores NULLs, so both engines must."""
+    base = 1_700_000_000_000_000
+    rows = [
+        (1, "view", None),                  # poison row if not dropped
+        (1, "click", base),                 # no non-null view before it
+        (2, "view", base), (2, "click", base + 10_000_000),
+    ]
+    d = _events_dir(tmp_path, rows)
+    got = funnel_latency_events(d)
+    r = got.iloc[0]
+    assert r["n_step1"] == 1      # only u2 has a (non-null) view
+    assert r["n_converted"] == 1
+    assert r["max_latency_sec"] == 10.0
+    _exact(got, d)

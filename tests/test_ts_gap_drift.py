@@ -158,3 +158,35 @@ def test_ts_gap_requires_ordering_ts():
             count_tolerance=0.0,
             drift=[DriftCheck(column="ts", derived="ts_gap")],
         )
+
+
+def test_ts_gap_one_side_collapsed_is_maximal_drift(tmp_path, ray_session):
+    """Every target conversation collapsed to ONE turn → no gaps on that
+    side → the disappearance itself is maximal drift (statistic 1.0),
+    not a silent PASS."""
+    from datapact_ray.config import (
+        DriftCheck,
+        OrderingCheck,
+        ValidationSuite,
+        ValidationTask,
+    )
+    from datapact_ray.runner import RunConfig, run_suite
+
+    base = 1_700_000_000_000_000
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    _write_conv(src, {f"c{i}": [base, base + 60_000_000] for i in range(20)})
+    _write_conv(tgt, {f"c{i}": [base] for i in range(20)})  # single turns
+    task = ValidationTask(
+        task_key="t", source_path=src, target_path=tgt,
+        count_tolerance=1.0,
+        ordering=OrderingCheck(require_contiguous=False,
+                               require_monotonic_ts=False),
+        drift=[DriftCheck(column="ts", metric="ks", threshold=0.2,
+                          derived="ts_gap")],
+    )
+    s = run_suite(ValidationSuite(validations=[task]),
+                  RunConfig(results_dir=str(tmp_path / "o"), run_id=1))
+    p = s.results[0].payload["drift_validation_ts_ts_gap_ks"]
+    assert p["status"] == "FAIL"
+    assert float(p["statistic"]) == 1.0

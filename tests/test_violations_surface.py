@@ -61,3 +61,30 @@ def test_clean_pair_writes_no_consolidated_file(tmp_path, fixture_pair, ray_sess
     assert not os.path.exists(
         os.path.join(rdir, "violations", "run_id=1", "task=clean", "keyed.parquet")
     )
+
+
+def test_stale_consolidated_file_retracted(tmp_path, fixture_pair, ray_session):
+    """A same-run_id rerun whose recompute is CLEAN must remove the
+    previous attempt's consolidated violations file — a stale violations
+    parquet next to a SUCCESS results row misreports the run."""
+    from datapact_ray.config import ValidationSuite, ValidationTask
+    from datapact_ray.runner import RunConfig, run_suite
+
+    rdir = str(tmp_path)
+
+    def t(target):
+        return ValidationTask(
+            task_key="t", source_path=fixture_pair["source"],
+            target_path=target, primary_keys=["conv_id", "turn_idx"],
+            count_tolerance=0.001, pk_row_hash_check=True,
+        )
+
+    run_suite(ValidationSuite(validations=[t(fixture_pair["target"])]),
+              RunConfig(results_dir=rdir, run_id=1))
+    vpath = os.path.join(rdir, "violations", "run_id=1", "task=t", "keyed.parquet")
+    assert os.path.exists(vpath)
+    # rerun the SAME run_id against the clean self-pair
+    s = run_suite(ValidationSuite(validations=[t(fixture_pair["source"])]),
+                  RunConfig(results_dir=rdir, run_id=1))
+    assert s.results[0].status == "SUCCESS"
+    assert not os.path.exists(vpath)

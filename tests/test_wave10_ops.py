@@ -194,3 +194,14 @@ def test_header_census_short_tail_guard(tmp_path):
     assert r["n_payloads"] == 5 and r["n_headers"] == 4
     assert r["max_header_count"] == 2
     _exact(got, _header_census_sql(), d)
+
+
+def test_curriculum_key_domain_guard(tmp_path):
+    """n_chars beyond 2^13 breaks the exact float64 order key — the
+    operator must refuse loudly, not drift silently from NTILE."""
+    import pytest
+
+    rows = [(i, "z" * 9000, "s") for i in range(4)]
+    d = _docs_dir(tmp_path, rows)
+    with pytest.raises(Exception, match="float64 order key"):
+        curriculum_stages_documents(d)
