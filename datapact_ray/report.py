@@ -160,6 +160,19 @@ def build_report_md(
             "",
             _md_table(task_performance_trend(history)),
         ]
+        from .dashboard import failures_by_type, status_flips, top_failures
+
+        tf = top_failures(history)
+        bt = failures_by_type(history)
+        fl = status_flips(history)
+        if len(tf) or len(bt) or len(fl):
+            md += ["## Failure analysis (dashboard datasets)", ""]
+            if len(tf):
+                md += ["### Top failing tasks", "", _md_table(tf)]
+            if len(bt):
+                md += ["### Failures by check type", "", _md_table(bt)]
+            if len(fl):
+                md += ["### Flaky validations (status flips)", "", _md_table(fl)]
     return "\n".join(md)
 
 

@@ -264,3 +264,17 @@ def test_status_flips_detector(tmp_path, fixture_pair):
     assert r["current_status"] == "FAILURE"
     # single-run tasks are excluded
     assert status_flips(load_run_history(rdir)[lambda d: d["run_id"] == 1]).empty
+
+
+def test_report_failure_analysis_section(two_run_history):
+    """report.md renders the dashboard failure-analysis tables."""
+    import pyarrow.parquet as pq  # noqa: F401
+
+    from datapact_ray.report import write_report
+
+    paths = write_report(two_run_history, 2)
+    with open(paths["md"]) as fh:
+        md = fh.read()
+    assert "## Failure analysis (dashboard datasets)" in md
+    assert "### Top failing tasks" in md
+    assert "corrupted" in md
