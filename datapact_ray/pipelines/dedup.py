@@ -2033,6 +2033,150 @@ def prefix_dup_documents(
     return g.sort_values("source").reset_index(drop=True)
 
 
+def dedup_savings_documents(
+    sf_dir: str, num_buckets: int | None = None
+) -> pd.DataFrame:
+    """The dedup BILL: per source, how many documents and TOKENS exact
+    dedup would remove — each duplicate beyond a group's keeper (lowest
+    doc_id, the deterministic survivor a dedup pass keeps) billed to the
+    duplicate's OWN source. ``dedup_exact_documents`` says how much
+    duplication exists; this prices it in the unit training budgets are
+    written in and names which feed pays.
+
+    Each scan task ships (text-hash, doc_id, source, whitespace-token
+    count) rows — ~24 B/row, text never rides the wire — through the
+    hash-bucket exchange; a group's every occurrence lands in one
+    bucket, so the per-bucket keeper choice (min doc_id) is globally
+    correct and per-source sums add exactly."""
+    num_buckets = num_buckets or _dedup_buckets()
+
+    def hash_batch(batch: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc2
+
+        mask = pc2.and_(
+            pc2.and_(
+                pc2.is_valid(batch.column("text")),
+                pc2.is_valid(batch.column("source")),
+            ),
+            pc2.is_valid(batch.column("doc_id")),
+        )
+        tbl = batch.filter(mask)
+        if tbl.num_rows == 0:
+            return pd.DataFrame(
+                {
+                    "h": pd.Series([], dtype="uint64"),
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "source": pd.Series([], dtype="object"),
+                    "t": pd.Series([], dtype="int64"),
+                    "__bucket": pd.Series([], dtype="int32"),
+                }
+            )
+        df = tbl.to_pandas()
+        from ..sketches import hash_columns_u64
+
+        h = hash_columns_u64(df[["text"]], ["text"])
+        # whitespace token count with the oracle's exact identity:
+        # LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1
+        toks = (
+            df["text"].str.len() - df["text"].str.replace(" ", "").str.len() + 1
+        )
+        return pd.DataFrame(
+            {
+                "h": h,
+                "doc_id": df["doc_id"].astype("int64"),
+                "source": df["source"],
+                "t": toks.astype("int64"),
+                "__bucket": (h % np.uint64(num_buckets)).astype(np.int32),
+            }
+        )
+
+    def bucket_bill(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "source": pd.Series([], dtype="object"),
+                "docs": pd.Series([], dtype="int64"),
+                "toks": pd.Series([], dtype="int64"),
+                "dup_docs": pd.Series([], dtype="int64"),
+                "dup_toks": pd.Series([], dtype="int64"),
+            }
+        )
+        if len(df) == 0:
+            return empty
+        keeper = df.groupby("h")["doc_id"].transform("min")
+        df = df.assign(_dup=(df["doc_id"] != keeper).astype(int))
+        g = df.groupby("source", as_index=False).agg(
+            docs=("doc_id", "size"),
+            toks=("t", "sum"),
+            dup_docs=("_dup", "sum"),
+            dup_toks=("t", lambda s: int(s[df.loc[s.index, "_dup"] == 1].sum())),
+        )
+        return g.astype(
+            {"docs": "int64", "toks": "int64", "dup_docs": "int64",
+             "dup_toks": "int64"}
+        )
+
+    parts = _fused_grouped_frames(
+        [
+            (
+                f"{sf_dir}/documents.parquet",
+                ["text", "source", "doc_id"],
+                None,
+                hash_batch,
+            )
+        ],
+        num_buckets,
+        bucket_bill,
+    )
+    cols = {
+        "source": pd.Series([], dtype="object"),
+        "n_docs": pd.Series([], dtype="int64"),
+        "total_tokens": pd.Series([], dtype="int64"),
+        "dup_docs": pd.Series([], dtype="int64"),
+        "dup_tokens": pd.Series([], dtype="int64"),
+    }
+    if not len(parts):
+        return pd.DataFrame(cols)
+    g = parts.groupby("source", as_index=False).agg(
+        n_docs=("docs", "sum"),
+        total_tokens=("toks", "sum"),
+        dup_docs=("dup_docs", "sum"),
+        dup_toks=("dup_toks", "sum"),
+    )
+    # SQL SUM(...) FILTER over zero rows is NULL, not 0 (and a BIGINT
+    # column with NULLs round-trips as float64 through pandas)
+    g["dup_tokens"] = pd.Series(
+        [float(t) if d else None for d, t in zip(g["dup_docs"], g["dup_toks"])],
+        dtype="float64",
+        index=g.index,
+    )
+    g = g.drop(columns=["dup_toks"]).astype(
+        {"n_docs": "int64", "total_tokens": "int64", "dup_docs": "int64"}
+    )
+    return g.sort_values("source").reset_index(drop=True)
+
+
+_DEDUP_SAVINGS_SQL = """
+    WITH d AS (
+        SELECT source, doc_id, text,
+               LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS t
+        FROM documents
+        WHERE text IS NOT NULL AND source IS NOT NULL
+          AND doc_id IS NOT NULL
+    ),
+    r AS (
+        SELECT source, t,
+               ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM d
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(t) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) FILTER (WHERE rn > 1) AS BIGINT) AS dup_docs,
+           CAST(SUM(t) FILTER (WHERE rn > 1) AS BIGINT) AS dup_tokens
+    FROM r GROUP BY source ORDER BY source
+"""
+
+
 def _prefix_dup_sql(prefix_chars: int = 64) -> str:
     return f"""
         WITH g AS (
@@ -2054,6 +2198,7 @@ def _prefix_dup_sql(prefix_chars: int = 64) -> str:
 QUERIES = {
     "dedup_exact_documents": dedup_exact_documents,
     "prefix_dup_documents": prefix_dup_documents,
+    "dedup_savings_documents": dedup_savings_documents,
     "substring_contamination_documents": substring_contamination_documents,
     "dup_group_sizes_documents": dup_group_sizes_documents,
     "dup_source_matrix_documents": dup_source_matrix_documents,
@@ -2070,6 +2215,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "dedup_savings_documents": _DEDUP_SAVINGS_SQL,
     "prefix_dup_documents": _prefix_dup_sql(),
     "substring_contamination_documents": _SUBSTRING_CONTAMINATION_SQL,
     "decontaminate_ngram_documents": """

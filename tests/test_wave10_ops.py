@@ -205,3 +205,34 @@ def test_curriculum_key_domain_guard(tmp_path):
     d = _docs_dir(tmp_path, rows)
     with pytest.raises(Exception, match="float64 order key"):
         curriculum_stages_documents(d)
+
+
+def test_dedup_savings_bill(tmp_path):
+    """Keeper = lowest doc_id; each duplicate billed to ITS OWN source
+    (a cross-source duplicate charges the copying feed, not the origin);
+    a dup-free source gets NULL dup_tokens (SQL SUM FILTER semantics)."""
+    from datapact_ray.pipelines.dedup import (
+        _DEDUP_SAVINGS_SQL,
+        dedup_savings_documents,
+    )
+
+    rows = [
+        (1, "alpha beta gamma", "origin"),      # keeper (3 tokens)
+        (2, "alpha beta gamma", "copier"),      # dup → billed to copier
+        (3, "alpha beta gamma", "copier"),      # dup → billed to copier
+        (4, "unique one", "copier"),
+        (5, "clean doc here", "clean_feed"),    # dup-free source
+    ]
+    d = _docs_dir(tmp_path, rows)
+    got = dedup_savings_documents(d)
+    by = {r["source"]: r for _, r in got.iterrows()}
+    assert by["origin"]["dup_docs"] == 0
+    assert pd.isna(by["origin"]["dup_tokens"])
+    assert by["copier"]["dup_docs"] == 2
+    assert by["copier"]["dup_tokens"] == 6.0  # 2 × 3 tokens
+    assert pd.isna(by["clean_feed"]["dup_tokens"])
+    _exact(got, _DEDUP_SAVINGS_SQL, d)
+    # bucket invariance
+    pd.testing.assert_frame_equal(
+        got, dedup_savings_documents(d, num_buckets=5), check_exact=True
+    )
