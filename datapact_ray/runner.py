@@ -644,6 +644,11 @@ class ValidationRunner:
             )
         conv_group = o.group_column if o else "conv_id"
         conv_index = o.index_column if o else "turn_idx"
+        ordering_sides = (
+            {"source": (0,), "target": (1,), "both": (0, 1)}[o.sides]
+            if o
+            else (0, 1)
+        )
         # ts participates only in the ordering check's monotonicity rule:
         # a grammar-only or turn-count-only conv pass must not read (or
         # require the existence of) a timestamp column
@@ -697,6 +702,7 @@ class ValidationRunner:
                 require_monotonic_ts=(
                     o.require_monotonic_ts if (conv_folded and o) else False
                 ),
+                ordering_sides=ordering_sides,
                 turn_count_digest=conv_folded and want_turn_count_drift,
                 ts_gap_digest=conv_folded and want_ts_gap_drift,
                 hot_keys=hot if conv_folded else {},
@@ -744,6 +750,7 @@ class ValidationRunner:
                 ts_column=conv_ts,
                 require_contiguous=o.require_contiguous if o else False,
                 require_monotonic_ts=o.require_monotonic_ts if o else False,
+                ordering_sides=ordering_sides,
                 turn_count_digest=want_turn_count_drift,
                 ts_gap_digest=want_ts_gap_drift,
                 hot_keys=hot,
@@ -901,12 +908,15 @@ class ValidationRunner:
                     )
                 )
         if task.ordering:
+            o_sides = {"source": (0,), "target": (1,), "both": (0, 1)}[
+                task.ordering.sides
+            ]
             verdict_list.append(
                 V.ordering_verdict(
                     task.ordering.group_column,
-                    sum(conv_metrics.groups_checked),
-                    sum(conv_metrics.contiguity_violations),
-                    sum(conv_metrics.monotonicity_violations),
+                    sum(conv_metrics.groups_checked[i] for i in o_sides),
+                    sum(conv_metrics.contiguity_violations[i] for i in o_sides),
+                    sum(conv_metrics.monotonicity_violations[i] for i in o_sides),
                 )
             )
         if task.sequence_grammar:

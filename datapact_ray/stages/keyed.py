@@ -69,6 +69,11 @@ class KeyedSpec:
     ts_column: str | None = None
     require_contiguous: bool = False
     require_monotonic_ts: bool = False
+    # which sides the ORDERING rules (contiguity/monotonicity) apply to:
+    # (0,)=source, (1,)=target, (0,1)=both (OrderingCheck.sides). Other
+    # group checks (grammar, turn-count/ts-gap digests) always run both
+    # sides — they feed side-symmetric checks.
+    ordering_sides: tuple = (0, 1)
     turn_count_digest: bool = False
     # inter-turn ts-gap digest (seconds): consecutive-turn deltas in
     # turn order; hot shards add interior gaps in the vectorized pass
@@ -622,12 +627,16 @@ class _BucketChecker:
                             }
                         )
 
-                if spec.require_contiguous:
+                if spec.require_contiguous and side in spec.ordering_sides:
                     bad_c = cold[~contiguous]
                     m.contiguity_violations[side] += len(bad_c)
                     if len(bad_c):
                         emit_groups(bad_c, "non_contiguous_turn_idx")
-                if spec.require_monotonic_ts and has_ts:
+                if (
+                    spec.require_monotonic_ts
+                    and has_ts
+                    and side in spec.ordering_sides
+                ):
                     # same rule as the hot path (_stitch_hot): a group
                     # counts one violation — contiguity first when that
                     # check is enforced, else monotonicity on its own
@@ -751,12 +760,13 @@ def _stitch_hot(metrics: KeyedMetrics, spec: KeyedSpec) -> list[dict]:
                 ):
                     mono = False
                     break
-        if spec.require_contiguous and not contiguous:
-            metrics.contiguity_violations[side] += 1
-            emit(side, g, "non_contiguous_turn_idx")
-        elif spec.require_monotonic_ts and not mono:
-            metrics.monotonicity_violations[side] += 1
-            emit(side, g, "non_monotonic_ts")
+        if side in spec.ordering_sides:
+            if spec.require_contiguous and not contiguous:
+                metrics.contiguity_violations[side] += 1
+                emit(side, g, "non_contiguous_turn_idx")
+            elif spec.require_monotonic_ts and not mono:
+                metrics.monotonicity_violations[side] += 1
+                emit(side, g, "non_monotonic_ts")
         if spec.grammar_checks:
             galias = f"sequence_grammar_validation_{g_col}"
             reasons: list[str] = []

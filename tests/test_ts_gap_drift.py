@@ -190,3 +190,54 @@ def test_ts_gap_one_side_collapsed_is_maximal_drift(tmp_path, ray_session):
     p = s.results[0].payload["drift_validation_ts_ts_gap_ks"]
     assert p["status"] == "FAIL"
     assert float(p["statistic"]) == 1.0
+
+
+def test_ordering_sides_honored(tmp_path, ray_session):
+    """OrderingCheck(sides=...) must scope the contiguity/monotonicity
+    rules: with sides='source', a target-side ordering hole neither
+    fails the verdict nor emits target violation rows; sides='target'
+    flips it."""
+    from datapact_ray.config import (
+        OrderingCheck,
+        ValidationSuite,
+        ValidationTask,
+    )
+    from datapact_ray.runner import RunConfig, run_suite
+
+    base = 1_700_000_000_000_000
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    _write_conv(src, {f"c{i}": [base, base + 1_000_000] for i in range(10)})
+    # target: c0 loses turn 0 → contiguity hole on the TARGET side only
+    convs = {f"c{i}": [base, base + 1_000_000] for i in range(10)}
+    _write_conv(tgt, convs)
+    import pyarrow.parquet as pq2
+
+    t = pq2.read_table(f"{tgt}/part-0.parquet")
+    import pyarrow.compute as pc2
+
+    mask = pc2.invert(
+        pc2.and_(
+            pc2.equal(t.column("conv_id"), "c0"),
+            pc2.equal(t.column("turn_idx"), 0),
+        )
+    )
+    pq2.write_table(t.filter(mask), f"{tgt}/part-0.parquet")
+
+    def run(sides, key):
+        task = ValidationTask(
+            task_key=key, source_path=src, target_path=tgt,
+            count_tolerance=1.0,
+            ordering=OrderingCheck(sides=sides, require_monotonic_ts=False),
+        )
+        return run_suite(
+            ValidationSuite(validations=[task]),
+            RunConfig(results_dir=str(tmp_path / f"o_{key}"), run_id=1),
+        ).results[0]
+
+    r_src = run("source", "srconly")
+    assert r_src.payload["ordering_validation_conv_id"]["status"] == "PASS"
+    r_tgt = run("target", "tgtonly")
+    assert r_tgt.payload["ordering_validation_conv_id"]["status"] == "FAIL"
+    r_both = run("both", "both")
+    assert r_both.payload["ordering_validation_conv_id"]["status"] == "FAIL"
