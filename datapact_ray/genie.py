@@ -56,6 +56,27 @@ def _issue_type(status: str, payload: dict) -> str:
         if key.startswith("agg_validation") and isinstance(val, dict):
             if val.get("status") == "FAIL":
                 return "Business rule violation"
+    # engine-extension families, after the reference's precedence chain
+    # (client.py:466-474 knows only the five above — anything else was
+    # 'Unknown issue'; these labels keep the NL surface useful for the
+    # transcript checks)
+    _ext = (
+        ("custom_sql_validation", "Custom SQL mismatch"),
+        ("referential_validation", "Referential integrity violation"),
+        ("compare_validation", "Column value mismatch"),
+        ("ordering_validation", "Sequence ordering violation"),
+        ("sequence_grammar_validation", "Role grammar violation"),
+        ("enum_validation", "Value outside accepted set"),
+        ("pattern_validation", "Format rule violation"),
+        ("conditional_validation", "Conditional rule violation"),
+        ("temporal_drift_validation", "Source shifted since baseline"),
+        ("drift_validation", "Distribution drift detected"),
+    )
+    for prefix, label in _ext:
+        for key, val in payload.items():
+            if key.startswith(prefix) and isinstance(val, dict):
+                if val.get("status") == "FAIL":
+                    return label
     if status == "SUCCESS":
         return "All checks passed"
     return "Unknown issue"

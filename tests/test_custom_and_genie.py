@@ -166,3 +166,42 @@ def test_unknown_template_variable_fails_loudly():
     # to '' and surface as an unrelated DuckDB syntax error
     with pytest.raises(ValueError, match="source_fq"):
         render_custom_sql("SELECT * FROM {{ source_fq }}", "source")
+
+
+def test_issue_type_extension_families():
+    """Engine-extension check families classify after the reference's
+    five-step precedence chain instead of falling to 'Unknown issue'."""
+    from datapact_ray.genie import _issue_type
+
+    assert _issue_type(
+        "FAILURE", {"ordering_validation_conv_id": {"status": "FAIL"}}
+    ) == "Sequence ordering violation"
+    assert _issue_type(
+        "FAILURE",
+        {"sequence_grammar_validation_conv_id": {"status": "FAIL"}},
+    ) == "Role grammar violation"
+    assert _issue_type(
+        "FAILURE", {"conditional_validation_r": {"status": "FAIL"}}
+    ) == "Conditional rule violation"
+    assert _issue_type(
+        "FAILURE", {"temporal_drift_validation_v_ks": {"status": "FAIL"}}
+    ) == "Source shifted since baseline"
+    assert _issue_type(
+        "FAILURE", {"drift_validation_ts_ts_gap_ks": {"status": "FAIL"}}
+    ) == "Distribution drift detected"
+    # reference precedence still wins when both are present
+    assert _issue_type(
+        "FAILURE",
+        {
+            "count_validation": {"status": "FAIL"},
+            "ordering_validation_conv_id": {"status": "FAIL"},
+        },
+    ) == "Row count mismatch"
+    # temporal outranks plain drift (more specific signal)
+    assert _issue_type(
+        "FAILURE",
+        {
+            "temporal_drift_validation_v_ks": {"status": "FAIL"},
+            "drift_validation_v_ks": {"status": "FAIL"},
+        },
+    ) == "Source shifted since baseline"
