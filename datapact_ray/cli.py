@@ -56,6 +56,9 @@ validations:
     referential:
       - columns: [conv_id]
         ref_path: /data/conversations_dim
+    temporal_drift:                  # vs a prior run's source profile
+      - {column: ts, metric: ks, threshold: 0.2}
+      # run with --temporal-baseline-run N (omit on the bootstrap run)
     drift:
       - {column: ts, metric: psi, threshold: 0.2}
       - {column: ts, metric: ks, threshold: 0.1}
