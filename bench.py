@@ -545,6 +545,11 @@ def run_bench() -> dict:
     timed("header_census_multimodal", multimodal.header_census_multimodal, SF_DIR)
     timed("funnel_latency_events", windows.funnel_latency_events, SF_DIR)
     timed("dedup_savings_documents", dedup.dedup_savings_documents, SF_DIR)
+    timed(
+        "payload_size_percentiles_multimodal",
+        multimodal.payload_size_percentiles_multimodal,
+        SF_DIR,
+    )
     # jaccard_pairs_documents / embedding_exact_pairs are the EXACT
     # quadratic baselines that oracle-check the approximate dedup paths;
     # they run in the correctness gate but stay out of the timed headline

@@ -946,6 +946,89 @@ def header_census_multimodal(sf_dir: str, header: int = 16) -> "pd.DataFrame":
     return g.sort_values("source").reset_index(drop=True)
 
 
+def payload_size_percentiles_multimodal(sf_dir: str) -> "pd.DataFrame":
+    """Per-source payload-size percentiles (p50 / p95 octets) — the
+    storage-tiering and batch-sizing decision table: a media stage's
+    ``batch_size`` must be provisioned against the TAIL payload size per
+    feed, not the mean (one 4K-video feed among thumbnails OOMs a worker
+    sized on the average). Exact, not sketched: the distributed
+    k-th-order-statistic selection (``selection._rank_values`` —
+    histogram refinement, ≤ (groups×1024)-row partials per pass, no
+    sort) finds the two interpolation neighbors per group and applies
+    SQL ``quantile_cont``'s rank arithmetic. Payload = the document's
+    UTF-8 octets (this module's stand-in blob); octet length is computed
+    per batch with one vectorized UTF-8 encode."""
+    import math
+
+    import pandas as pd
+
+    from .selection import _rank_values
+    from ._util import round_duck
+
+    path = f"{sf_dir}/documents.parquet"
+    qs = (0.5, 0.95)
+
+    def add_octets(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.dropna(subset=["text", "source"])
+        return pd.DataFrame(
+            {
+                "source": df["source"],
+                "octets": df["text"]
+                .str.encode("utf-8")
+                .str.len()
+                .astype(float),
+            }
+        )
+
+    def quantile_ranks(counts: dict) -> dict:
+        out = {}
+        for grp, n in counts.items():
+            ranks = set()
+            for q in qs:
+                h = (n - 1) * q
+                ranks.add(math.floor(h))
+                ranks.add(math.ceil(h))
+            out[grp] = sorted(ranks)
+        return out
+
+    vals, counts = _rank_values(
+        path,
+        "source",
+        "octets",
+        quantile_ranks,
+        read_cols=["text", "source"],
+        transform=add_octets,
+    )
+    rows = []
+    for grp in sorted(vals):
+        n = counts[grp]
+        rec = [grp, int(n)]
+        for q in qs:
+            h = (n - 1) * q
+            j0, j1 = math.floor(h), math.ceil(h)
+            v0, v1 = vals[grp][j0], vals[grp][j1]
+            rec.append(float(round_duck(v0 + (v1 - v0) * (h - j0), 4)))
+        rows.append(rec)
+    return pd.DataFrame(
+        rows, columns=["source", "n_payloads", "p50_octets", "p95_octets"]
+    ).astype({"n_payloads": "int64"})
+
+
+_PAYLOAD_SIZE_PCTL_SQL = """
+    WITH p AS (
+        SELECT source,
+               CAST(octet_length(encode(text)) AS DOUBLE) AS b
+        FROM documents
+        WHERE text IS NOT NULL AND source IS NOT NULL
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_payloads,
+           ROUND(quantile_cont(b, 0.5), 4) AS p50_octets,
+           ROUND(quantile_cont(b, 0.95), 4) AS p95_octets
+    FROM p GROUP BY source ORDER BY source
+"""
+
+
 def _header_census_sql(header: int = 16) -> str:
     return f"""
         WITH g AS (
@@ -1145,9 +1228,11 @@ QUERIES = {
     "payload_magic_census_documents": payload_magic_census_documents,
     "payload_dedup_multimodal": payload_dedup_multimodal,
     "header_census_multimodal": header_census_multimodal,
+    "payload_size_percentiles_multimodal": payload_size_percentiles_multimodal,
 }
 
 ORACLE_SQL = {
+    "payload_size_percentiles_multimodal": _PAYLOAD_SIZE_PCTL_SQL,
     "header_census_multimodal": _header_census_sql(),
     "payload_entropy_documents": _PAYLOAD_ENTROPY_SQL,
     "chunk_dedup_multimodal": _CHUNK_DEDUP_SQL,

@@ -236,3 +236,28 @@ def test_dedup_savings_bill(tmp_path):
     pd.testing.assert_frame_equal(
         got, dedup_savings_documents(d, num_buckets=5), check_exact=True
     )
+
+
+def test_payload_size_percentiles(tmp_path):
+    """Percentiles are over OCTETS, not codepoints (a CJK doc of 4 chars
+    is 12 octets); interpolation matches quantile_cont exactly."""
+    from datapact_ray.pipelines.multimodal import (
+        _PAYLOAD_SIZE_PCTL_SQL,
+        payload_size_percentiles_multimodal,
+    )
+
+    rows = [
+        (1, "aaaa", "ascii"),        # 4 octets
+        (2, "aaaaaaaa", "ascii"),    # 8
+        (3, "aaaaaaaaaaaa", "ascii"),  # 12
+        (4, "漢字漢字", "cjk"),       # 4 chars = 12 octets
+        (5, "漢", "cjk"),            # 3 octets
+    ]
+    d = _docs_dir(tmp_path, rows)
+    got = payload_size_percentiles_multimodal(d)
+    a = got[got["source"] == "ascii"].iloc[0]
+    assert a["p50_octets"] == 8.0
+    assert a["p95_octets"] == 11.6  # 4,8,12 → rank 1.9 → 8 + 0.9*4
+    c = got[got["source"] == "cjk"].iloc[0]
+    assert c["p50_octets"] == 7.5  # (3+12)/2
+    _exact(got, _PAYLOAD_SIZE_PCTL_SQL, d)
