@@ -134,8 +134,52 @@ def _plan_lines(suite) -> list[str]:
                 f"  referential: {ref.columns} ⊆ {ref.ref_path} (broadcast keyset/Bloom)"
             )
         for c in t.custom_checks or []:
-            lines.append(f"  custom check: {c.name} (DuckDB both sides, multiset diff)")
+            lines.append(
+                f"  custom check: {c.name} (multiset diff; "
+                f"{_custom_locus(c.sql, t.source_path, t.target_path)})"
+            )
     return lines
+
+
+def _custom_locus(sql: str, source_path: str, target_path: str) -> str:
+    """Label a custom check's execution locus for the plan printer:
+    decomposable aggregate shapes shard per scan unit as Ray tasks;
+    everything else is a LOUD warning — a driver-side full scan of both
+    sides, single-node at 100-TB scale."""
+    import duckdb
+
+    from .io import list_parquet_files
+    from .stages.custom import plan_sharded, render_custom_sql
+
+    try:
+        src_files = list_parquet_files(source_path)
+        tgt_files = list_parquet_files(target_path)
+        con = duckdb.connect()
+        try:
+            for view, files in (("src", src_files), ("tgt", tgt_files)):
+                file_list = ", ".join(f"'{f}'" for f in files)
+                con.execute(
+                    f"CREATE VIEW {view} AS SELECT * FROM read_parquet([{file_list}])"
+                )
+            loci = []
+            for side in ("source", "target"):
+                rendered = render_custom_sql(sql, side, src_files, tgt_files)
+                schema = [
+                    (r[0], r[1])
+                    for r in con.execute(f"DESCRIBE {rendered}").fetchall()
+                ]
+                loci.append(plan_sharded(rendered, schema) is not None)
+        finally:
+            con.close()
+    except Exception:
+        return "locus undetermined before run (inputs unreadable at plan time)"
+    if all(loci):
+        return "SHARDED: decomposed per scan unit, DuckDB-on-fragment Ray tasks"
+    return (
+        "WARNING — DRIVER-SIDE DuckDB FULL SCAN (query not decomposable: "
+        "joins both sides, subquery, window, LIMIT or DISTINCT agg); "
+        "single-node at scale"
+    )
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -10,10 +10,28 @@ source and the target table, then the two result sets are compared with
 * an order-insensitive hash: sha256 over the sorted list of per-row md5s
   of canonical JSON, ``'EMPTY'`` for empty results (``:267-292``).
 
-Execution engine: DuckDB on the driver, with BOTH sides' parquet files
-registered in ONE connection (views ``src`` and ``tgt``). Custom SQL
-results are aggregates by construction in the reference's usage, so they
-are small; the heavy scan work stays inside DuckDB's vectorized reader.
+Execution engine — two loci:
+
+* **Sharded (default when decomposable):** the reference's documented
+  custom-SQL convention is aggregate-shaped queries
+  (``/root/reference/README.md:287-305`` — COUNT/SUM/GROUP BY). Those
+  decompose: the query's AST (DuckDB ``json_serialize_sql``) is checked
+  for the decomposable shape (single SELECT over one side's view, no
+  subqueries/windows/HAVING/LIMIT/DISTINCT-aggs), rewritten into a
+  *partial* query (AVG split into SUM+COUNT, every item aliased
+  positionally via ``json_deserialize_sql``), executed per
+  ``_scan_units`` fragment inside Ray map tasks (DuckDB-on-fragment,
+  columns pruned to the AST's references), and the fragment partials are
+  merged with a driver-side re-aggregation (SUM-of-counts,
+  MIN-of-mins, …, cast back to the original output types). At 100 TB
+  the scan work is distributed across the cluster; the driver only sees
+  group-sized partials.
+* **Driver DuckDB (fallback):** queries that resist decomposition
+  (joins across both sides, subqueries, windows, LIMIT, …) run on the
+  driver with BOTH sides' parquet files registered in ONE connection
+  (views ``src`` and ``tgt``) — correct but single-node; the plan
+  printer (`cli.py plan`) labels the execution locus per custom check
+  so the cost is visible before the run.
 
 Template rendering mirrors the reference's dual render contexts
 (``/root/reference/datapact/sql_generator.py:56-84``): each custom query
@@ -46,6 +64,23 @@ class CustomCheckMetrics:
     target_hash: str
     rendered_source_sql: str
     rendered_target_sql: str
+    # execution locus per side: "sharded" (scan-unit Ray tasks) or
+    # "driver" (single-node DuckDB full scan — the 100-TB-weak path)
+    source_locus: str = "driver"
+    target_locus: str = "driver"
+
+
+@dataclass
+class ShardPlan:
+    """A decomposed custom query: ``partial_sql`` runs per scan-unit
+    fragment (against a view named ``table_name``), ``merge_sql``
+    re-aggregates the unioned partials (view ``partials``) into the
+    original result shape."""
+
+    table_name: str  # which side's view the query scans (src | tgt)
+    partial_sql: str
+    merge_sql: str
+    columns: list[str] | None  # referenced columns (pruned fragment read)
 
 
 SOURCE_VIEW = "src"
@@ -112,6 +147,247 @@ def render_custom_sql(
             f"custom SQL references an unknown template variable: {exc}. "
             f"Available: {sorted({**common, **per_side})}"
         ) from None
+
+
+# ---------------------------------------------------------------------------
+# Sharded execution: AST decomposition + scan-unit Ray tasks
+# ---------------------------------------------------------------------------
+
+_MERGE_FN = {"count_star": "SUM", "count": "SUM", "sum": "SUM", "min": "MIN", "max": "MAX"}
+_AGG_FNS = set(_MERGE_FN) | {"avg"}
+
+
+def _walk(node):
+    """Yield every dict node in a parsed-AST JSON tree."""
+    if isinstance(node, dict):
+        yield node
+        for v in node.values():
+            yield from _walk(v)
+    elif isinstance(node, list):
+        for v in node:
+            yield from _walk(v)
+
+
+def _normalized(node) -> str:
+    """Structural identity of an expression node: JSON with aliases and
+    source locations stripped (so ``o_orderstatus`` in the select list
+    matches the same ref in GROUP BY regardless of position)."""
+    import copy
+
+    n = copy.deepcopy(node)
+    for d in _walk(n):
+        d.pop("query_location", None)
+        d.pop("alias", None)
+    return json.dumps(n, sort_keys=True)
+
+
+def _is_plain_agg(item: dict) -> bool:
+    """A top-level aggregate we know how to re-aggregate: no DISTINCT,
+    no FILTER, no ORDER BY (string_agg-style), no nested aggregate."""
+    if item.get("class") != "FUNCTION":
+        return False
+    if item.get("function_name") not in _AGG_FNS:
+        return False
+    if item.get("distinct") or item.get("filter") is not None:
+        return False
+    if (item.get("order_bys") or {}).get("orders"):
+        return False
+    for child in item.get("children") or []:
+        for d in _walk(child):
+            if d.get("class") == "FUNCTION" and d.get("function_name") in _AGG_FNS:
+                return False
+    return True
+
+
+def _quote_ident(name: str) -> str:
+    return '"' + name.replace('"', '""') + '"'
+
+
+def plan_sharded(rendered_sql: str, output_schema: list[tuple]) -> ShardPlan | None:
+    """Decide whether ``rendered_sql`` is decomposable and, if so, build
+    the (partial, merge) query pair. ``output_schema`` is the original
+    query's [(name, type_str)] from ``DESCRIBE`` (footer-only binding —
+    no scan). Returns None when the query must run on the driver."""
+    import copy
+
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        raw = con.execute(
+            "SELECT json_serialize_sql(?::VARCHAR)", [rendered_sql]
+        ).fetchone()[0]
+    except duckdb.Error:
+        return None
+    finally:
+        con.close()
+    doc = json.loads(raw)
+    if doc.get("error") or len(doc.get("statements") or []) != 1:
+        return None
+    n = doc["statements"][0]["node"]
+    ft = n.get("from_table") or {}
+    if (
+        n.get("type") != "SELECT_NODE"
+        or n.get("modifiers")  # ORDER BY / LIMIT / DISTINCT
+        or (n.get("cte_map") or {}).get("map")
+        or n.get("having") is not None
+        or n.get("qualify") is not None
+        or n.get("sample") is not None
+        or n.get("aggregate_handling") != "STANDARD_HANDLING"
+        or ft.get("type") != "BASE_TABLE"
+        or ft.get("sample") is not None
+        or ft.get("table_name") not in (SOURCE_VIEW, TARGET_VIEW)
+    ):
+        return None
+    # ROLLUP/CUBE/GROUPING SETS → more than one grouping set
+    group_exprs = n.get("group_expressions") or []
+    group_sets = n.get("group_sets") or []
+    if group_exprs and group_sets != [list(range(len(group_exprs)))]:
+        return None
+    # no subqueries / window functions anywhere; no aggregates in WHERE
+    # or GROUP BY
+    for d in _walk(n):
+        if d.get("class") in ("SUBQUERY", "WINDOW") or d.get("type") == "SUBQUERY":
+            return None
+    for scope in (n.get("where_clause"), group_exprs):
+        for d in _walk(scope):
+            if d.get("class") == "FUNCTION" and d.get("function_name") in _AGG_FNS:
+                return None
+
+    group_norms = [_normalized(g) for g in group_exprs]
+    select_list = n.get("select_list") or []
+    if len(output_schema) != len(select_list):
+        return None  # STAR expansion or binder surprises — not our shape
+
+    partial = copy.deepcopy(n)
+    new_select: list[dict] = []
+    merge_items: list[str] = []  # one per original select item, in order
+    group_keys: list[str] = []  # partial-alias idents the merge groups by
+    matched_groups: set[int] = set()
+    for i, item in enumerate(select_list):
+        if _is_plain_agg(item):
+            fn = item["function_name"]
+            if fn == "avg":
+                # AVG decomposes to (SUM, COUNT); merged as the guarded
+                # quotient so an all-NULL column still yields NULL
+                s = copy.deepcopy(item)
+                s["function_name"] = "sum"
+                s["alias"] = f"__p{i}_s"
+                c = copy.deepcopy(item)
+                c["function_name"] = "count"
+                c["alias"] = f"__p{i}_c"
+                new_select += [s, c]
+                merge_items.append(
+                    f'CASE WHEN COALESCE(SUM("__p{i}_c"), 0) = 0 THEN NULL '
+                    f'ELSE CAST(SUM("__p{i}_s") AS DOUBLE)'
+                    f' / CAST(SUM("__p{i}_c") AS DOUBLE) END'
+                )
+            else:
+                it = copy.deepcopy(item)
+                it["alias"] = f"__p{i}"
+                new_select.append(it)
+                merge_items.append(f'{_MERGE_FN[fn]}("__p{i}")')
+        else:
+            # non-aggregate select item: must be exactly one of the
+            # GROUP BY expressions (else the query isn't aggregate-shaped
+            # and per-fragment execution would change its semantics)
+            norm = _normalized(item)
+            hit = next((gi for gi, g in enumerate(group_norms) if g == norm), None)
+            if hit is None:
+                return None
+            matched_groups.add(hit)
+            it = copy.deepcopy(item)
+            it["alias"] = f"__p{i}"
+            new_select.append(it)
+            group_keys.append(f'"__p{i}"')
+            merge_items.append(f'"__p{i}"')
+    # GROUP BY expressions not in the select list still partition the
+    # partials — select them under hidden aliases so the merge can group
+    for gi, g in enumerate(group_exprs):
+        if gi not in matched_groups:
+            it = copy.deepcopy(g)
+            it["alias"] = f"__g{gi}"
+            new_select.append(it)
+            group_keys.append(f'"__g{gi}"')
+    partial["select_list"] = new_select
+
+    con = duckdb.connect()
+    try:
+        partial_sql = con.execute(
+            "SELECT json_deserialize_sql(?::JSON)",
+            [json.dumps({"error": False, "statements": [{"node": partial}]})],
+        ).fetchone()[0]
+    except duckdb.Error:
+        return None
+    finally:
+        con.close()
+
+    merge_select = ", ".join(
+        f"CAST({expr} AS {typ}) AS {_quote_ident(name)}"
+        for expr, (name, typ) in zip(merge_items, output_schema)
+    )
+    merge_sql = f"SELECT {merge_select} FROM partials"
+    if group_keys:
+        merge_sql += f" GROUP BY {', '.join(group_keys)}"
+
+    # referenced columns (superset): every COLUMN_REF's terminal name;
+    # intersected with the parquet schema later so alias refs drop out
+    columns: list[str] = []
+    seen = set()
+    for d in _walk(n):
+        if d.get("class") == "COLUMN_REF" and d.get("column_names"):
+            name = d["column_names"][-1]
+            if name not in seen:
+                seen.add(name)
+                columns.append(name)
+        elif d.get("class") == "STAR":
+            return ShardPlan(ft["table_name"], partial_sql, merge_sql, None)
+    return ShardPlan(ft["table_name"], partial_sql, merge_sql, columns)
+
+
+def _custom_partial_unit(unit: list[tuple], view: str, columns, partial_sql: str):
+    """One scan-unit fragment → DuckDB partial result (Arrow). Runs as a
+    Ray task; returns a group-sized table, never the fragment itself."""
+    import duckdb
+
+    from ..shuffle import read_unit
+
+    frag = read_unit(unit, columns)
+    con = duckdb.connect()
+    try:
+        con.register("__frag", frag)
+        con.execute(f"CREATE VIEW {view} AS SELECT * FROM __frag")
+        return con.execute(partial_sql).arrow()
+    finally:
+        con.close()
+
+
+def _run_side_sharded(plan: ShardPlan, files: list[str]) -> pd.DataFrame:
+    """Execute one side's decomposed query: fragments fan out as Ray
+    tasks (DuckDB-on-fragment), partials merge on the driver."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..shuffle import _scan_units, _shuffle_target_bytes
+
+    units = _scan_units(files, _shuffle_target_bytes([files]))
+    if not units:
+        raise ValueError("no scan units (empty file list)")
+    columns = plan.columns
+    if columns is not None:
+        in_schema = set(pq.ParquetFile(files[0]).schema_arrow.names)
+        columns = [c for c in columns if c in in_schema] or None
+    remote = ray.remote(num_cpus=1)(_custom_partial_unit)
+    refs = [remote.remote(u, plan.table_name, columns, plan.partial_sql) for u in units]
+    partials = pa.concat_tables(ray.get(refs), promote_options="permissive")
+    con = duckdb.connect()
+    try:
+        con.register("partials", partials)
+        return con.execute(plan.merge_sql).fetchdf()
+    finally:
+        con.close()
 
 
 def _canonical_row_md5(df: pd.DataFrame) -> list[str]:
@@ -189,11 +465,23 @@ def multiset_diff(
     )
 
 
+def _ray_available() -> bool:
+    try:
+        import ray
+
+        return ray.is_initialized()
+    except ImportError:
+        return False
+
+
 def run_custom_check(
     sql: str,
     source_files: list[str],
     target_files: list[str],
+    distribute: bool = True,
 ) -> CustomCheckMetrics:
+    import logging
+
     import duckdb
 
     rendered_src = render_custom_sql(sql, "source", source_files, target_files)
@@ -202,14 +490,43 @@ def run_custom_check(
     con = duckdb.connect()
     try:
         # BOTH sides live in one connection so a single query can
-        # reference {{ source_fqn }} and {{ target_fqn }} together
+        # reference {{ source_fqn }} and {{ target_fqn }} together;
+        # sharded sides only use it for footer-only DESCRIBE binding
         for view, files in ((SOURCE_VIEW, source_files), (TARGET_VIEW, target_files)):
             file_list = ", ".join(f"'{f}'" for f in files)
             con.execute(
                 f"CREATE VIEW {view} AS SELECT * FROM read_parquet([{file_list}])"
             )
-        sdf = con.execute(rendered_src).fetchdf()
-        tdf = con.execute(rendered_tgt).fetchdf()
+        frames: dict[str, pd.DataFrame] = {}
+        loci: dict[str, str] = {}
+        for side, rendered in (("source", rendered_src), ("target", rendered_tgt)):
+            df, locus = None, "driver"
+            if distribute and _ray_available():
+                try:
+                    out_schema = [
+                        (r[0], r[1])
+                        for r in con.execute(f"DESCRIBE {rendered}").fetchall()
+                    ]
+                    plan = plan_sharded(rendered, out_schema)
+                    if plan is not None:
+                        files = (
+                            source_files
+                            if plan.table_name == SOURCE_VIEW
+                            else target_files
+                        )
+                        df, locus = _run_side_sharded(plan, files), "sharded"
+                except Exception as exc:  # fall back — never fail the check
+                    logging.getLogger(__name__).warning(
+                        "custom check %s side: sharded execution failed (%s); "
+                        "falling back to driver DuckDB",
+                        side,
+                        exc,
+                    )
+                    df, locus = None, "driver"
+            if df is None:
+                df = con.execute(rendered).fetchdf()
+            frames[side], loci[side] = df, locus
+        sdf, tdf = frames["source"], frames["target"]
     finally:
         con.close()
     mt, ms, sample_t, sample_s = multiset_diff(sdf, tdf)
@@ -224,4 +541,6 @@ def run_custom_check(
         target_hash=orderless_hash(tdf),
         rendered_source_sql=rendered_src,
         rendered_target_sql=rendered_tgt,
+        source_locus=loci["source"],
+        target_locus=loci["target"],
     )

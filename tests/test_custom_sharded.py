@@ -1,0 +1,201 @@
+"""Sharded custom-SQL execution: the decomposed scan-unit path must
+produce exactly the driver-DuckDB result (values, names, multiset), and
+non-decomposable shapes must be detected and refused (→ driver
+fallback). Addresses the round-3 'custom SQL executes on the driver'
+scale-locus finding."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from datapact_ray.stages.custom import (
+    SOURCE_VIEW,
+    plan_sharded,
+    render_custom_sql,
+    run_custom_check,
+)
+
+
+@pytest.fixture(scope="module")
+def orders_pair(tmp_path_factory):
+    """A multi-file, multi-row-group pair so _scan_units actually fans
+    out; target diverges from source in one group."""
+    rng = np.random.default_rng(7)
+    out = tmp_path_factory.mktemp("custom_sharded")
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n, dtype=np.int64),
+            "o_orderstatus": rng.choice(["O", "F", "P"], size=n),
+            "o_totalprice": np.round(rng.uniform(10, 1000, size=n), 2),
+            "o_comment": [f"c{i}" for i in range(n)],
+        }
+    )
+    src_files, tgt_files = [], []
+    for part in range(3):
+        chunk = df.iloc[part * (n // 3) : (part + 1) * (n // 3) if part < 2 else n]
+        sp = str(out / f"src_{part}.parquet")
+        pq.write_table(pa.Table.from_pandas(chunk, preserve_index=False), sp, row_group_size=500)
+        src_files.append(sp)
+        tchunk = chunk.copy()
+        if part == 1:  # corrupt one shard: drop 17 'F' rows
+            drop = tchunk.index[tchunk["o_orderstatus"] == "F"][:17]
+            tchunk = tchunk.drop(drop)
+        tp = str(out / f"tgt_{part}.parquet")
+        pq.write_table(pa.Table.from_pandas(tchunk, preserve_index=False), tp, row_group_size=500)
+        tgt_files.append(tp)
+    return src_files, tgt_files
+
+
+def _driver_result(sql: str, files: list[str]) -> pd.DataFrame:
+    con = duckdb.connect()
+    try:
+        file_list = ", ".join(f"'{f}'" for f in files)
+        con.execute(f"CREATE VIEW src AS SELECT * FROM read_parquet([{file_list}])")
+        return con.execute(sql).fetchdf()
+    finally:
+        con.close()
+
+
+def _plan(sql: str, files: list[str]):
+    con = duckdb.connect()
+    try:
+        file_list = ", ".join(f"'{f}'" for f in files)
+        con.execute(f"CREATE VIEW src AS SELECT * FROM read_parquet([{file_list}])")
+        con.execute(f"CREATE VIEW tgt AS SELECT * FROM read_parquet([{file_list}])")
+        schema = [(r[0], r[1]) for r in con.execute(f"DESCRIBE {sql}").fetchall()]
+    finally:
+        con.close()
+    return plan_sharded(sql, schema)
+
+
+DECOMPOSABLE = [
+    "SELECT count(*) AS n FROM src",
+    "SELECT o_orderstatus, count(*) AS n FROM src GROUP BY o_orderstatus",
+    # AVG decomposition + ungrouped multi-agg
+    "SELECT sum(o_totalprice) AS s, avg(o_totalprice) AS a, "
+    "min(o_totalprice) AS lo, max(o_comment) AS hi, count(o_orderkey) AS c FROM src",
+    # WHERE pushdown per fragment + expression group key
+    "SELECT o_orderkey % 7 AS bucket, sum(o_totalprice) AS s FROM src "
+    "WHERE o_orderkey > 100 GROUP BY o_orderkey % 7",
+    # GROUP BY column not in the select list
+    "SELECT count(*) AS n FROM src GROUP BY o_orderstatus",
+]
+
+NOT_DECOMPOSABLE = [
+    "SELECT DISTINCT o_orderstatus FROM src",  # DISTINCT modifier
+    "SELECT o_orderstatus, count(*) AS n FROM src GROUP BY o_orderstatus LIMIT 2",
+    "SELECT count(DISTINCT o_orderstatus) AS n FROM src",
+    "SELECT o_orderstatus FROM src",  # bare projection, not aggregate-shaped
+    "SELECT s.o_orderkey FROM src s JOIN tgt t ON s.o_orderkey = t.o_orderkey",
+    "SELECT o_orderstatus, count(*) AS n FROM src GROUP BY o_orderstatus "
+    "HAVING count(*) > 5",
+    "SELECT (SELECT max(o_orderkey) FROM tgt) AS m FROM src",
+    "SELECT row_number() OVER (ORDER BY o_orderkey) AS rn FROM src",
+    "SELECT o_orderstatus, count(*) AS n FROM src GROUP BY ROLLUP (o_orderstatus)",
+]
+
+
+@pytest.mark.parametrize("sql", DECOMPOSABLE)
+def test_sharded_equals_driver(orders_pair, sql):
+    src_files, _ = orders_pair
+    plan = _plan(sql, src_files)
+    assert plan is not None, f"expected decomposable: {sql}"
+    assert plan.table_name == SOURCE_VIEW
+    from datapact_ray.stages.custom import _run_side_sharded
+
+    got = _run_side_sharded(plan, src_files)
+    want = _driver_result(sql, src_files)
+    assert list(got.columns) == list(want.columns)
+    key = [c for c in got.columns if got[c].dtype == object] or list(got.columns[:1])
+    got_s = got.sort_values(key).reset_index(drop=True)
+    want_s = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s, want_s, check_dtype=False, atol=1e-9, rtol=1e-12)
+
+
+@pytest.mark.parametrize("sql", NOT_DECOMPOSABLE)
+def test_non_decomposable_refused(orders_pair, sql):
+    src_files, _ = orders_pair
+    assert _plan(sql, src_files) is None, f"must NOT shard: {sql}"
+
+
+def test_column_pruning_in_plan(orders_pair):
+    src_files, _ = orders_pair
+    plan = _plan(
+        "SELECT o_orderstatus, sum(o_totalprice) AS s FROM src GROUP BY o_orderstatus",
+        src_files,
+    )
+    assert plan is not None
+    assert set(plan.columns) == {"o_orderstatus", "o_totalprice"}
+
+
+def test_run_custom_check_sharded_end_to_end(orders_pair):
+    """Full check through the sharded path: detects the 17 dropped 'F'
+    rows in the corrupted target and records the locus."""
+    src_files, tgt_files = orders_pair
+    m = run_custom_check(
+        "SELECT o_orderstatus, COUNT(*) AS n FROM {{ table_fqn }} "
+        "GROUP BY o_orderstatus",
+        src_files,
+        tgt_files,
+    )
+    assert m.source_locus == "sharded" and m.target_locus == "sharded"
+    assert m.source_row_count == 3 and m.target_row_count == 3
+    # the F group count differs → one row excess on each side
+    assert m.rows_missing_in_target == 1 and m.rows_missing_in_source == 1
+    assert m.source_hash != m.target_hash
+
+    # identical result vs forced-driver execution
+    d = run_custom_check(
+        "SELECT o_orderstatus, COUNT(*) AS n FROM {{ table_fqn }} "
+        "GROUP BY o_orderstatus",
+        src_files,
+        tgt_files,
+        distribute=False,
+    )
+    assert d.source_locus == "driver" and d.target_locus == "driver"
+    assert (m.source_hash, m.target_hash) == (d.source_hash, d.target_hash)
+    assert m.rows_missing_in_target == d.rows_missing_in_target
+
+
+def test_run_custom_check_non_decomposable_falls_back(orders_pair):
+    """Cross-side join query → driver locus, still correct."""
+    src_files, tgt_files = orders_pair
+    sql = (
+        "SELECT count(*) AS matched FROM {{ source_fqn }} s "
+        "JOIN {{ target_fqn }} t ON s.o_orderkey = t.o_orderkey"
+    )
+    m = run_custom_check(sql, src_files, tgt_files)
+    assert m.source_locus == "driver" and m.target_locus == "driver"
+    # both renders produce the same join → identical results
+    assert m.source_hash == m.target_hash
+    assert m.rows_missing_in_target == 0 and m.rows_missing_in_source == 0
+
+
+def test_plan_printer_labels_locus(orders_pair, tmp_path):
+    src_files, tgt_files = orders_pair
+    import os
+
+    from datapact_ray.cli import _custom_locus
+
+    src_dir, tgt_dir = os.path.dirname(src_files[0]), os.path.dirname(tgt_files[0])
+    # directories mix src_*/tgt_* files — point at single files instead
+    lab = _custom_locus(
+        "SELECT count(*) AS n FROM {{ table_fqn }}", src_files[0], tgt_files[0]
+    )
+    assert "SHARDED" in lab
+    lab2 = _custom_locus(
+        "SELECT DISTINCT o_orderstatus FROM {{ table_fqn }}",
+        src_files[0],
+        tgt_files[0],
+    )
+    assert "WARNING" in lab2 and "DRIVER" in lab2
+    lab3 = _custom_locus(
+        "SELECT count(*) AS n FROM {{ table_fqn }}",
+        str(tmp_path / "nope"),
+        str(tmp_path / "nope2"),
+    )
+    assert "undetermined" in lab3
