@@ -1,0 +1,238 @@
+"""Vendored pure-Python media codecs (stdlib + numpy only).
+
+The container ships no Pillow/cv2/ffmpeg, so ``decoder="real"`` in
+`multimodal.py` was a documented ``NotImplementedError`` through round 3.
+This module closes that gap for two formats whose containers are simple
+enough to implement from their public specifications:
+
+* **WAV** (RIFF PCM) via the stdlib ``wave`` module — decode (params +
+  sample statistics), encode (test fixtures), and real frame-sampling
+  (fixed-duration windows re-encoded as standalone WAV clips).
+* **BMP** (Windows ``BITMAPINFOHEADER``, uncompressed 24-bit BI_RGB) via
+  ``struct`` — decode (dimensions + channel statistics), encode, and a
+  real nearest-neighbor resize.
+
+These are real decoders: they parse the actual container bytes, reject
+malformed payloads, and their outputs are verified against closed-form
+oracles in tests. Formats beyond WAV/BMP still raise
+``NotImplementedError`` with an injection hint — honest about what the
+container can and cannot decode.
+
+All decode work happens inside actor-pool ``map_batches`` stages (see
+`multimodal.py`); payload bytes never enter a shuffle.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import numpy as np
+
+# uniform feature schema across media kinds so a mixed-type dataset
+# still produces one stable Arrow schema (audio rows fill image fields
+# with 0 and vice versa)
+_FEATURE_KEYS = (
+    "n_bytes",
+    "sample_rate",
+    "n_samples",
+    "duration_ms",
+    "width",
+    "height",
+    "n_pixels",
+    "mean_value",
+    "rms",
+)
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF PCM) — stdlib `wave`
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(
+    samples: np.ndarray | bytes, sample_rate: int = 1000, sampwidth: int = 1
+) -> bytes:
+    """PCM mono WAV. ``sampwidth=1`` expects uint8 samples (bytes are
+    taken verbatim as 8-bit unsigned PCM), ``sampwidth=2`` int16."""
+    if isinstance(samples, np.ndarray):
+        want = np.uint8 if sampwidth == 1 else np.int16
+        raw = np.ascontiguousarray(samples.astype(want, copy=False)).tobytes()
+    else:
+        raw = bytes(samples)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(sampwidth)
+        w.setframerate(sample_rate)
+        w.writeframes(raw)
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Parse a PCM WAV container and return decoded-signal features.
+
+    ``duration_ms`` is exact integer math scaled by 1000 before the
+    divide; ``rms``/``mean_value`` are computed over the decoded samples
+    (uint8 PCM is centered at 128 per the format's unsigned convention)."""
+    with wave.open(io.BytesIO(payload)) as w:
+        n_channels = w.getnchannels()
+        sampwidth = w.getsampwidth()
+        rate = w.getframerate()
+        n_frames = w.getnframes()
+        raw = w.readframes(n_frames)
+    if sampwidth == 1:
+        arr = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+    elif sampwidth == 2:
+        arr = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+    else:
+        raise NotImplementedError(f"PCM sample width {sampwidth} not supported")
+    n_samples = n_frames * n_channels
+    out = dict.fromkeys(_FEATURE_KEYS, 0.0)
+    out.update(
+        n_bytes=len(payload),
+        sample_rate=rate,
+        n_samples=int(n_samples),
+        duration_ms=int(n_frames * 1000 // rate) if rate else 0,
+        mean_value=float(arr.mean()) if arr.size else 0.0,
+        rms=float(np.sqrt(np.mean(arr * arr))) if arr.size else 0.0,
+    )
+    return out
+
+
+def sample_wav_windows(payload: bytes, every_ms: int) -> list[bytes]:
+    """Real frame-sampling for audio: cut the decoded PCM stream into
+    ``every_ms`` windows and re-encode each as a standalone WAV clip —
+    the audio analog of keyframe extraction."""
+    with wave.open(io.BytesIO(payload)) as w:
+        n_channels = w.getnchannels()
+        sampwidth = w.getsampwidth()
+        rate = w.getframerate()
+        raw = w.readframes(w.getnframes())
+    frame_bytes = n_channels * sampwidth
+    window_frames = max(1, rate * every_ms // 1000)
+    step = window_frames * frame_bytes
+    clips = []
+    for off in range(0, len(raw), step):
+        chunk = raw[off : off + step]
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as out:
+            out.setnchannels(n_channels)
+            out.setsampwidth(sampwidth)
+            out.setframerate(rate)
+            out.writeframes(chunk)
+        clips.append(buf.getvalue())
+    return clips
+
+
+# ---------------------------------------------------------------------------
+# BMP (uncompressed 24-bit BI_RGB) — `struct`
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """RGB HxWx3 uint8 array → 24-bit bottom-up BI_RGB BMP."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError("encode_bmp expects an HxWx3 array")
+    h, w, _ = pixels.shape
+    row_bytes = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    img_size = row_bytes * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    rows[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    return header + info + rows.tobytes()
+
+
+def _parse_bmp(payload: bytes) -> np.ndarray:
+    """BMP container → HxWx3 uint8 RGB array (top-down)."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    header_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    if header_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMPs not supported")
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP supported (got bpp={bpp}, "
+            f"compression={compression})"
+        )
+    top_down = h < 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    need = offset + row_bytes * h
+    if len(payload) < need:
+        raise ValueError("truncated BMP payload")
+    rows = np.frombuffer(payload, dtype=np.uint8, count=row_bytes * h, offset=offset)
+    rows = rows.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1]  # BGR → RGB
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Parse a BMP container and return decoded-pixel features."""
+    px = _parse_bmp(payload)
+    h, w, _ = px.shape
+    flat = px.astype(np.float64)
+    out = dict.fromkeys(_FEATURE_KEYS, 0.0)
+    out.update(
+        n_bytes=len(payload),
+        sample_rate=0,
+        n_samples=0,
+        duration_ms=0,
+        width=int(w),
+        height=int(h),
+        n_pixels=int(w * h),
+        mean_value=float(flat.mean()) if flat.size else 0.0,
+        rms=float(np.sqrt(np.mean(flat * flat))) if flat.size else 0.0,
+    )
+    return out
+
+
+def resize_bmp(payload: bytes, width: int, height: int) -> bytes:
+    """Real nearest-neighbor BMP resize: decode → index-map → re-encode."""
+    px = _parse_bmp(payload)
+    h, w, _ = px.shape
+    yi = (np.arange(height) * h // height).clip(0, h - 1)
+    xi = (np.arange(width) * w // width).clip(0, w - 1)
+    return encode_bmp(px[yi][:, xi])
+
+
+# ---------------------------------------------------------------------------
+# dispatch (the `decoder="real"` entry points used by multimodal.py)
+# ---------------------------------------------------------------------------
+
+_WAV_TYPES = {"audio/wav", "audio/x-wav", "audio/wave"}
+_BMP_TYPES = {"image/bmp", "image/x-bmp"}
+
+
+def real_decode(payload: bytes, media_type: str) -> dict:
+    if media_type in _WAV_TYPES:
+        return decode_wav(payload)
+    if media_type in _BMP_TYPES:
+        return decode_bmp(payload)
+    raise NotImplementedError(
+        f"no vendored codec for {media_type!r} (WAV and 24-bit BMP are "
+        "built in; pass decode_fn for other formats)"
+    )
+
+
+def real_resize(payload: bytes, media_type: str, width: int, height: int) -> bytes:
+    if media_type in _BMP_TYPES:
+        return resize_bmp(payload, width, height)
+    raise NotImplementedError(
+        f"no vendored resizer for {media_type!r} (24-bit BMP is built in; "
+        "pass resize_fn for other formats)"
+    )
+
+
+def real_sample(payload: bytes, media_type: str, every_ms: int) -> list[bytes]:
+    if media_type in _WAV_TYPES:
+        return sample_wav_windows(payload, every_ms)
+    raise NotImplementedError(
+        f"no vendored frame sampler for {media_type!r} (WAV windowing is "
+        "built in; pass sample_fn for other formats)"
+    )
