@@ -146,6 +146,15 @@ def _probe_unit(
     return _ProbeActor(broadcast, columns, columns, cap)(table)
 
 
+def _hash_partitions(h: np.ndarray, num_partitions: int) -> list[np.ndarray]:
+    """Sorted-unique uint64 hashes → P hash-partitioned arrays."""
+    part = (h % np.uint64(num_partitions)).astype(np.int64)
+    order = np.argsort(part, kind="stable")
+    h, part = h[order], part[order]
+    bounds = np.searchsorted(part, np.arange(num_partitions + 1))
+    return [h[bounds[p] : bounds[p + 1]] for p in range(num_partitions)]
+
+
 def _dim_chunk_partitions(
     unit: tuple, columns: list[str], num_partitions: int
 ) -> list[np.ndarray]:
@@ -154,12 +163,17 @@ def _dim_chunk_partitions(
     from ..shuffle import read_unit
 
     table = read_unit(unit, columns)
-    h = np.unique(hash_arrow_u64(table, columns))
-    part = (h % np.uint64(num_partitions)).astype(np.int64)
-    order = np.argsort(part, kind="stable")
-    h, part = h[order], part[order]
-    bounds = np.searchsorted(part, np.arange(num_partitions + 1))
-    return [h[bounds[p] : bounds[p + 1]] for p in range(num_partitions)]
+    return _hash_partitions(np.unique(hash_arrow_u64(table, columns)), num_partitions)
+
+
+def _dim_block_partitions(
+    block: pa.Table, columns: list[str], num_partitions: int
+) -> list[np.ndarray]:
+    """Dim map task over a Dataset BLOCK (non-parquet dims: CSV/JSONL —
+    no footers to route by): same P-way key-hash partitioning as the
+    parquet chunk task; the block ships object-store → task, never
+    through the driver."""
+    return _hash_partitions(np.unique(hash_arrow_u64(block, columns)), num_partitions)
 
 
 def _dim_partition_build(capacity: int, fpp: float, *chunks: np.ndarray):
@@ -360,6 +374,67 @@ def _fp_sample_unit(
     ]
 
 
+def _num_partitions_for(est_ref_rows: int) -> int:
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(cpus, min(512, est_ref_rows // 16_000_000 + 1))
+
+
+def _build_dim_partitions(chunk_refs: list, P: int, est_ref_rows: int, fpp: float):
+    """Reduce the map wave's P-way chunk splits into per-partition
+    (sorted key array, Bloom) pairs. Returns (key_refs, blooms_ref):
+    the key arrays STAY in the object store as ObjectRefs; the driver
+    only ever holds the P Bloom byte strings."""
+    if P == 1:
+        chunk_refs = [[r] for r in chunk_refs]
+    build_task = ray.remote(num_returns=2)(_dim_partition_build)
+    per_part_capacity = max(1024, est_ref_rows // P)
+    key_refs, bloom_refs = [], []
+    for p in range(P):
+        kref, bref = build_task.remote(
+            per_part_capacity, fpp, *[c[p] for c in chunk_refs]
+        )
+        key_refs.append(kref)
+        bloom_refs.append(bref)
+    blooms_ref = ray.put(ray.get(bloom_refs))  # P bloom byte strings
+    return key_refs, blooms_ref
+
+
+def _dim_partitions_from_units(
+    ref_files: list[str], ref_columns: list[str], P: int, est_ref_rows: int, fpp: float
+):
+    """Parquet dim → P object-store partitions, routed by footers."""
+    from ..shuffle import _scan_units
+
+    dim_task = ray.remote(num_returns=P)(_dim_chunk_partitions)
+    chunk_refs = [dim_task.remote(u, ref_columns, P) for u in _scan_units(ref_files)]
+    return _build_dim_partitions(chunk_refs, P, est_ref_rows, fpp)
+
+
+def _dim_partitions_from_dataset(
+    ref_table: ray.data.Dataset, ref_columns: list[str], fpp: float,
+    bloom_threshold: int,
+):
+    """NON-parquet dim (CSV/JSONL/…) → P object-store partitions.
+
+    The dim Dataset executes once; its blocks are taken as ObjectRefs
+    (``iter_internal_ref_bundles`` — blocks live in the object store and
+    may spill, the driver holds refs only) and each block fans out
+    through the same P-way key-hash partition task as the parquet path.
+    Returns ``None`` when the materialized row count is under
+    ``bloom_threshold`` (caller falls back to the small-dim broadcast),
+    else ``(key_refs, blooms_ref, P)``."""
+    bundles = list(ref_table.iter_internal_ref_bundles())
+    block_refs = [r for b in bundles for r in b.block_refs]
+    est_rows = sum(b.num_rows() or 0 for b in bundles)
+    if est_rows <= bloom_threshold:
+        return None
+    P = _num_partitions_for(est_rows)
+    dim_task = ray.remote(num_returns=P)(_dim_block_partitions)
+    chunk_refs = [dim_task.remote(bref, ref_columns, P) for bref in block_refs]
+    key_refs, blooms_ref = _build_dim_partitions(chunk_refs, P, est_rows, fpp)
+    return key_refs, blooms_ref, P
+
+
 def _run_partitioned_referential(
     probe_files: list[str],
     ref_files: list[str],
@@ -375,31 +450,36 @@ def _run_partitioned_referential(
 ) -> ReferentialMetrics:
     """North-star scale path: partitioned Bloom filters + exact recheck,
     nothing key-sized on the driver (only P Bloom byte strings)."""
+    P = (
+        num_partitions
+        if num_partitions is not None
+        else _num_partitions_for(est_ref_rows)
+    )
+    key_refs, blooms_ref = _dim_partitions_from_units(
+        ref_files, ref_columns, P, est_ref_rows, bloom_fpp
+    )
+    return _probe_partitioned_units(
+        probe_files, probe_columns, key_refs, blooms_ref, P,
+        cap=cap, filter_expr=filter_expr, filter_columns=filter_columns,
+    )
+
+
+def _probe_partitioned_units(
+    probe_files: list[str],
+    probe_columns: list[str],
+    key_refs: list,
+    blooms_ref,
+    P: int,
+    *,
+    cap: int,
+    filter_expr,
+    filter_columns: set[str] | None,
+) -> ReferentialMetrics:
+    """Parquet-probe half of the partitioned path: scan-unit probe wave →
+    per-partition exact recheck → optional FP display-sample wave."""
     import pickle as _pickle
 
     from ..shuffle import _scan_units
-
-    if num_partitions is None:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        num_partitions = max(cpus, min(512, est_ref_rows // 16_000_000 + 1))
-    P = num_partitions
-
-    dim_task = ray.remote(num_returns=P)(_dim_chunk_partitions)
-    dim_units = _scan_units(ref_files)
-    chunk_refs = [dim_task.remote(u, ref_columns, P) for u in dim_units]
-    if P == 1:
-        chunk_refs = [[r] for r in chunk_refs]
-
-    build_task = ray.remote(num_returns=2)(_dim_partition_build)
-    per_part_capacity = max(1024, est_ref_rows // P)
-    key_refs, bloom_refs = [], []
-    for p in range(P):
-        kref, bref = build_task.remote(
-            per_part_capacity, bloom_fpp, *[c[p] for c in chunk_refs]
-        )
-        key_refs.append(kref)
-        bloom_refs.append(bref)
-    blooms_ref = ray.put(ray.get(bloom_refs))  # P bloom byte strings
 
     probe_task = ray.remote(num_returns=P + 1)(_probe_chunk_partitioned)
     expr_pickle = _pickle.dumps(filter_expr) if filter_expr is not None else None
@@ -464,36 +544,21 @@ def _run_partitioned_referential(
 
 def _dataset_probe_partitioned_bloom(
     probe: ray.data.Dataset,
-    keys: np.ndarray,
+    key_refs: list,
+    blooms_ref,
+    P: int,
     probe_columns: list[str],
     cap: int,
-    fpp: float,
 ) -> ReferentialMetrics:
     """Big dim + NON-parquet probe: same partitioned-Bloom + row-exact
     recheck contract as the parquet scale path, driven from a Dataset.
-    Workers hold only the P Bloom filters; the full key array exists
-    transiently on the driver (a non-parquet dim cannot be partition-
-    scanned by footers — documented limitation of this input class) and
-    is split into P object-store partitions for the recheck. Bloom-FP
-    orphan keys are counted row-exactly but not display-sampled (that
-    would need a second probe scan); definite-orphan samples still fill
-    the violation cap."""
+    The dim partitions arrive prebuilt as object-store refs (built by
+    ``_dim_partitions_from_units`` / ``_dim_partitions_from_dataset`` —
+    the driver never holds a key array, only P Bloom byte strings).
+    Bloom-FP orphan keys are counted row-exactly but not display-sampled
+    (that would need a second probe scan); definite-orphan samples still
+    fill the violation cap."""
     import pickle as _pickle
-
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    P = max(cpus, min(512, len(keys) // 16_000_000 + 1))
-    part = (keys % np.uint64(P)).astype(np.int64)
-    order = np.argsort(part, kind="stable")
-    ks, ps = keys[order], part[order]
-    bounds = np.searchsorted(ps, np.arange(P + 1))
-    key_refs, bloom_bytes = [], []
-    for p in range(P):
-        kp = np.sort(ks[bounds[p] : bounds[p + 1]])
-        key_refs.append(ray.put(kp))
-        bloom = BloomFilter(max(len(kp), 1024), fpp)
-        bloom.add_hashes(kp)
-        bloom_bytes.append(bloom.to_bytes())
-    blooms_ref = ray.put(bloom_bytes)
 
     rows = probe.map_batches(
         _DatasetBloomProber(blooms_ref, probe_columns, P, cap),
@@ -558,38 +623,64 @@ def run_referential_pass(
         # route by footer row count BEFORE any key materialization: the
         # scale path must never build the full key set on the driver
         est_ref_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in ref_files)
-        if est_ref_rows > bloom_threshold and probe_parquet:
-            return _run_partitioned_referential(
-                probe_files,
-                ref_files,
-                probe_columns,
-                ref_columns,
-                est_ref_rows,
-                cap=cap,
-                bloom_fpp=bloom_fpp,
-                filter_expr=filter_expr,
-                filter_columns=filter_columns,
-                num_partitions=num_partitions,
+        if est_ref_rows > bloom_threshold:
+            if probe_parquet:
+                return _run_partitioned_referential(
+                    probe_files,
+                    ref_files,
+                    probe_columns,
+                    ref_columns,
+                    est_ref_rows,
+                    cap=cap,
+                    bloom_fpp=bloom_fpp,
+                    filter_expr=filter_expr,
+                    filter_columns=filter_columns,
+                    num_partitions=num_partitions,
+                )
+            # big parquet dim + non-parquet probe: footer-routed build,
+            # Dataset-driven probe — still nothing key-sized on driver
+            P = (
+                num_partitions
+                if num_partitions is not None
+                else _num_partitions_for(est_ref_rows)
+            )
+            key_refs, blooms_ref = _dim_partitions_from_units(
+                ref_files, ref_columns, P, est_ref_rows, bloom_fpp
+            )
+            return _dataset_probe_partitioned_bloom(
+                probe, key_refs, blooms_ref, P, probe_columns, cap
+            )
+    elif ref_table is not None and (
+        ref_files is None
+        or sum(os.path.getsize(f) for f in ref_files) > small_dim_bytes
+    ):
+        # NON-parquet dim (CSV/JSONL) too big to assume small: execute
+        # the dim Dataset once into object-store blocks and partition
+        # the key hashes distributedly — the driver never materializes
+        # a key array (round-3 finding: this path used to argsort the
+        # full distinct key set on the driver)
+        built = _dim_partitions_from_dataset(
+            ref_table, ref_columns, bloom_fpp, bloom_threshold
+        )
+        if built is not None:
+            key_refs, blooms_ref, P = built
+            if probe_parquet:
+                return _probe_partitioned_units(
+                    probe_files, probe_columns, key_refs, blooms_ref, P,
+                    cap=cap, filter_expr=filter_expr,
+                    filter_columns=filter_columns,
+                )
+            return _dataset_probe_partitioned_bloom(
+                probe, key_refs, blooms_ref, P, probe_columns, cap
             )
 
-    # exact broadcast path: small dim (or non-parquet inputs)
+    # exact broadcast path: small dim
     if ref_files is not None and ref_parquet and (
         sum(os.path.getsize(f) for f in ref_files) <= small_dim_bytes
     ):
         keys = _distinct_key_hashes_local(ref_files, ref_columns)
     else:
         keys = _distinct_key_hashes(ref_table, ref_columns)
-    if not probe_parquet and probe is not None and len(keys) > bloom_threshold:
-        # big dim + non-parquet probe: broadcasting the full sorted key
-        # array would pin len(keys)*8 bytes in every node's object store
-        # — use the partitioned-Bloom + exact-recheck contract instead.
-        # (A parquet probe with a big NON-parquet ref keeps the sorted-
-        # array broadcast below: numpy ray.get is zero-copy from plasma,
-        # one copy per node, and that combo cannot reuse the footer-
-        # partitioned scan.)
-        return _dataset_probe_partitioned_bloom(
-            probe, keys, probe_columns, cap, bloom_fpp
-        )
     broadcast = ray.put(np.sort(keys))
 
     if probe_parquet:
