@@ -783,6 +783,91 @@ def dim_moments_embeddings(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def pca_gram_band_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Oracle-exact companion to ``pca_power_embeddings``: the diagonal
+    plus first off-diagonal band of the centered covariance matrix
+    Σxxᵀ/n − μμᵀ — the exact entries of the matrix the PCA power
+    iteration consumes, computed with the SAME distributed Gram fold
+    (each map task reduces its batch to dims × (n, Σx, Σx², Σx·x₊₁)
+    partials; vectors never shuffle). DuckDB verifies every band entry
+    from unnested lists at the 6-dp pin, so the driver's correctness
+    window gets an exact oracle row proving the Gram machinery before
+    the adjacent rows-only eigenvector row."""
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df = df[df["embedding"].notna()]
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "i": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                    "s": pd.Series([], dtype="float64"),
+                    "s2": pd.Series([], dtype="float64"),
+                    "sx": pd.Series([], dtype="float64"),
+                }
+            )
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        d = m.shape[1]
+        cross = np.concatenate([(m[:, :-1] * m[:, 1:]).sum(axis=0), [np.nan]])
+        return pd.DataFrame(
+            {
+                "i": np.arange(1, d + 1, dtype=np.int64),
+                "n": np.full(d, len(m), dtype=np.int64),
+                "s": m.sum(axis=0),
+                "s2": (m * m).sum(axis=0),
+                "sx": cross,
+            }
+        )
+
+    from ..shuffle import map_partials
+
+    parts = (
+        map_partials(f"{sf_dir}/embeddings.parquet", ["embedding"], None, partial)
+        .groupby("i", as_index=False)
+        .agg(n=("n", "sum"), s=("s", "sum"), s2=("s2", "sum"), sx=("sx", "sum"))
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    n = parts["n"].to_numpy(np.float64)
+    s = parts["s"].to_numpy(np.float64)
+    s2 = parts["s2"].to_numpy(np.float64)
+    sx = parts["sx"].to_numpy(np.float64)
+    s_next = np.concatenate([s[1:], [np.nan]])
+    with np.errstate(invalid="ignore", divide="ignore"):
+        var = (s2 - s * s / n) / n
+        cov_next = (sx - s * s_next / n) / n
+    return pd.DataFrame(
+        {
+            "i": parts["i"].astype("int64").to_numpy(),
+            "n": parts["n"].astype("int64").to_numpy(),
+            "var_i": round_duck(var, 6),
+            "cov_next": round_duck(cov_next, 6),
+        }
+    )
+
+
+_PCA_GRAM_BAND_SQL = """
+    WITH u AS (
+        SELECT CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i,
+               CAST(list_extract(
+                   embedding, generate_subscripts(embedding, 1) + 1
+               ) AS DOUBLE) AS xn
+        FROM embeddings WHERE embedding IS NOT NULL
+    )
+    SELECT i,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND((SUM(x * x) - SUM(x) * SUM(x) / COUNT(*)) / COUNT(*), 6)
+               AS var_i,
+           CASE WHEN COUNT(xn) = 0 THEN NULL
+                ELSE ROUND((SUM(x * xn) - SUM(x) * SUM(xn) / COUNT(*))
+                           / COUNT(*), 6)
+           END AS cov_next
+    FROM u GROUP BY i ORDER BY i
+"""
+
+
 def dim_anova_embeddings(sf_dir: str) -> pd.DataFrame:
     """Per-dimension one-way ANOVA of embedding values across labels —
     the feature-discriminability audit (Fisher-style): which dimensions
@@ -1075,6 +1160,7 @@ def pca_power_embeddings(sf_dir: str, max_iter: int = 100) -> pd.DataFrame:
 
 QUERIES = {
     "embedding_drift_cohorts": embedding_drift_cohorts,
+    "pca_gram_band_embeddings": pca_gram_band_embeddings,
     "pca_power_embeddings": pca_power_embeddings,
     "ann_topk_embeddings": ann_topk_embeddings,
     "ann_lsh_embeddings": ann_lsh_embeddings,
@@ -1092,6 +1178,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "embedding_drift_cohorts": _DRIFT_COHORTS_SQL,
+    "pca_gram_band_embeddings": _PCA_GRAM_BAND_SQL,
     "ann_range_embeddings": """
         WITH q AS (
             SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
