@@ -149,12 +149,15 @@ def failures_by_type(hist: pd.DataFrame) -> pd.DataFrame:
 
 def failure_rate_trend(hist: pd.DataFrame, limit: int = 30) -> pd.DataFrame:
     """Per-day failure/success rates, last ``limit`` dates descending
-    (client.py:861-871)."""
+    (client.py:861-871). Rows with NULL ``validation_begin_ts`` stay as
+    a NaT ``run_date`` group, matching the reference's
+    ``date(validation_begin_ts)`` which keeps NULLs as a NULL group;
+    the group sorts last (SQL DESC NULLS LAST)."""
     if not len(hist):
         return pd.DataFrame()
-    h = hist[hist["validation_begin_ts"].notna()].copy()
+    h = hist.copy()
     h["run_date"] = pd.to_datetime(h["validation_begin_ts"]).dt.date
-    g = h.groupby("run_date")["status"]
+    g = h.groupby("run_date", dropna=False)["status"]
     out = pd.DataFrame(
         {
             "run_date": g.size().index,
@@ -168,7 +171,7 @@ def failure_rate_trend(hist: pd.DataFrame, limit: int = 30) -> pd.DataFrame:
         }
     )
     return (
-        out.sort_values("run_date", ascending=False)
+        out.sort_values("run_date", ascending=False, na_position="last")
         .head(limit)
         .reset_index(drop=True)
     )

@@ -1008,14 +1008,23 @@ def curriculum_stages_documents(sf_dir: str, k: int = 4) -> pd.DataFrame:
 
     def _checked_key(nc: np.ndarray, did: np.ndarray) -> np.ndarray:
         # LOUD domain guard: the composite key is exact in float64 only
-        # while n_chars < 2¹³ and doc_id < 2⁴⁰ (key < 2⁵³). Beyond that,
-        # float spacing quantizes the doc_id tie-break and stage
-        # boundaries silently diverge from NTILE — refuse instead.
-        if len(nc) and (int(nc.max()) >= 2**13 or int(did.max()) >= 2**40):
+        # while 0 <= n_chars < 2¹³ and 0 <= doc_id < 2⁴⁰ (key < 2⁵³).
+        # Beyond that, float spacing quantizes the doc_id tie-break and
+        # stage boundaries silently diverge from NTILE — refuse instead.
+        # Negative values break the encoding too (a negative doc_id
+        # flips the tie-break sign; a negative n_chars inverts the major
+        # order), so the guard checks BOTH ends of the domain.
+        if len(nc) and (
+            int(nc.max()) >= 2**13
+            or int(did.max()) >= 2**40
+            or int(nc.min()) < 0
+            or int(did.min()) < 0
+        ):
             raise ValueError(
-                "curriculum_stages_documents: n_chars >= 2^13 or doc_id "
-                ">= 2^40 breaks the exact float64 order key; widen the "
-                "key encoding before using this operator on such data"
+                "curriculum_stages_documents: n_chars outside [0, 2^13) "
+                "or doc_id outside [0, 2^40) breaks the exact float64 "
+                "order key; widen the key encoding before using this "
+                "operator on such data"
             )
         return nc.astype(np.float64) * mult + did.astype(np.float64)
 

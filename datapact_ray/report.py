@@ -76,10 +76,14 @@ def build_report_md(
     rows: pd.DataFrame,
     records_processed: int = 0,
     history: pd.DataFrame | None = None,
+    dashboard_frames: dict | None = None,
 ) -> str:
     """Render the run report as markdown from the results frame.
     ``history`` (all runs' result rows) adds the cross-run trend
-    section mirroring the reference dashboards' 30/60-run datasets."""
+    section mirroring the reference dashboards' 30/60-run datasets.
+    ``dashboard_frames`` (the dict ``write_dashboard`` just computed in
+    the same post-run hook) supplies the failure-analysis frames so they
+    aren't recomputed O(history) a second time per run."""
     summary = run_summary_frame(rows).iloc[0]
     qm = _quality_metrics(rows, records_processed)
     total_runtime = qm.avg_runtime_seconds * max(qm.total_validations, 1)
@@ -160,11 +164,16 @@ def build_report_md(
             "",
             _md_table(task_performance_trend(history)),
         ]
-        from .dashboard import failures_by_type, status_flips, top_failures
+        if dashboard_frames is not None:
+            tf = dashboard_frames["ds_top_failures"]
+            bt = dashboard_frames["ds_failures_by_type"]
+            fl = dashboard_frames["ds_status_flips"]
+        else:
+            from .dashboard import failures_by_type, status_flips, top_failures
 
-        tf = top_failures(history)
-        bt = failures_by_type(history)
-        fl = status_flips(history)
+            tf = top_failures(history)
+            bt = failures_by_type(history)
+            fl = status_flips(history)
         if len(tf) or len(bt) or len(fl):
             md += ["## Failure analysis (dashboard datasets)", ""]
             if len(tf):
@@ -226,7 +235,10 @@ def _md_to_html(md: str) -> str:
 
 
 def write_report(
-    results_dir: str, run_id: int, records_processed: int = 0
+    results_dir: str,
+    run_id: int,
+    records_processed: int = 0,
+    dashboard_frames: dict | None = None,
 ) -> dict[str, str]:
     """Render report.md + report.html next to the run's results parquet."""
     rdir = os.path.join(results_dir, "results", f"run_id={run_id}")
@@ -242,7 +254,10 @@ def write_report(
     from .rollup import load_run_history
 
     md = build_report_md(
-        rows, records_processed, history=load_run_history(results_dir)
+        rows,
+        records_processed,
+        history=load_run_history(results_dir),
+        dashboard_frames=dashboard_frames,
     )
     paths = {
         "md": os.path.join(rdir, "report.md"),

@@ -999,17 +999,28 @@ class ValidationRunner:
                 key = d.column if d.derived == "value" else f"len:{d.column}"
                 cur = src_profile.digests.get(key)
                 prev = getattr(baseline_profile, "digests", {}).get(key)
-                if cur is None or prev is None:
+                if prev is None:
+                    # genuinely a config error: the BASELINE run never
+                    # sketched this column
                     raise ValueError(
                         f"temporal_drift: run {base_run} has no '{key}' "
                         "digest — the baseline run must have configured "
                         "the same drift column"
                     )
-                stat = (
-                    ks_statistic(prev, cur)
-                    if d.metric == "ks"
-                    else psi_statistic(prev, cur, bins=d.bins)
-                )
+                if cur is None:
+                    # the CURRENT run's source produced no digest (e.g.
+                    # the column went all-NULL since the baseline): that
+                    # disappearance is maximal drift — FAIL with
+                    # statistic 1.0, same semantics as regular drift's
+                    # one-sided-missing case above, not a task error
+                    # misattributed to the baseline run
+                    stat = 1.0
+                else:
+                    stat = (
+                        ks_statistic(prev, cur)
+                        if d.metric == "ks"
+                        else psi_statistic(prev, cur, bins=d.bins)
+                    )
                 verdict_list.append(
                     V.temporal_drift_verdict(
                         d.column, d.metric, stat, d.threshold, d.derived,
@@ -1174,11 +1185,17 @@ class ValidationRunner:
             # client.py:780-1810) — parquet + manifest, idempotent
             from .dashboard import write_dashboard
 
-            write_dashboard(self.config.results_dir, self.config.job_name)
+            frames = write_dashboard(self.config.results_dir, self.config.job_name)
             # static run report (dashboard analog): report.md + report.html
+            # — reuses the failure-analysis frames the dashboard hook
+            # just computed instead of rebuilding them from history
             from .report import write_report
 
-            write_report(self.config.results_dir, self.config.run_id)
+            write_report(
+                self.config.results_dir,
+                self.config.run_id,
+                dashboard_frames=frames,
+            )
 
 
 def run_suite(

@@ -182,7 +182,14 @@ class ProfileActor:
             if vals is not None:
                 d = TDigest()
                 d.add(vals)
-                out.digests[col] = d
+                # only store non-empty digests: "a digest exists iff its
+                # pass saw qualifying values" must hold for numeric
+                # columns too (an all-NULL column used to store an EMPTY
+                # digest, which KS-compared as zero drift — the
+                # disappearance silently PASSed instead of hitting the
+                # one-sided-missing maximal-drift rule)
+                if d.count:
+                    out.digests[col] = d
         for col in spec.len_sketch_columns:
             lens = pc.utf8_length(batch.column(col)).drop_null()
             if len(lens):

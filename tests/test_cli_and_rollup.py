@@ -138,8 +138,12 @@ def test_multimodal_plumbing(tmp_path):
     f1 = fake_decode(b"abc123", "image/png")
     f2 = fake_decode(b"abc123", "image/png")
     assert f1 == f2 and f1["n_bytes"] == 6
+    # decoder="real" now resolves to the vendored WAV/BMP codecs; an
+    # unknown decoder name fails loudly, unsupported formats per payload
+    with pytest.raises(ValueError):
+        MediaFeaturizer(decoder="webp")
     with pytest.raises(NotImplementedError):
-        MediaFeaturizer(decoder="real")
+        MediaFeaturizer(decoder="real").decode(b"\x89PNG", "image/png")
 
 
 def test_multimodal_resize_and_frame_sample(tmp_path):
@@ -172,10 +176,16 @@ def test_multimodal_resize_and_frame_sample(tmp_path):
     f1 = FrameSampler()._fake_sample(b"x" * 2048, "video/mp4", 1000)
     f2 = FrameSampler()._fake_sample(b"x" * 2048, "video/mp4", 1000)
     assert f1 == f2 and len(f1) == 2  # 8 frames / stride 4
+    with pytest.raises(ValueError):
+        MediaResizer(2, 2, decoder="webp")
+    with pytest.raises(ValueError):
+        FrameSampler(decoder="webp")
+    # real codecs exist for BMP resize / WAV sampling; other formats
+    # raise per payload
     with pytest.raises(NotImplementedError):
-        MediaResizer(2, 2, decoder="real")
+        MediaResizer(2, 2, decoder="real").resize(b"....", "image/png", 2, 2)
     with pytest.raises(NotImplementedError):
-        FrameSampler(decoder="real")
+        FrameSampler(decoder="real").sample(b"....", "video/mp4", 1000)
 
 
 def test_roi_throughput_grading():

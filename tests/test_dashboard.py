@@ -106,6 +106,26 @@ def test_trend_rates(two_run_history):
     assert ((st["success_rate"] >= 0) & (st["success_rate"] <= 100)).all()
 
 
+def test_failure_rate_trend_keeps_null_ts_group(two_run_history):
+    """NULL validation_begin_ts rows group under a NaT run_date (the
+    reference's date(validation_begin_ts) keeps NULLs as a NULL group),
+    sorted last — they are no longer silently dropped (round-3 advice)."""
+    import pandas as pd
+
+    from datapact_ray.dashboard import failure_rate_trend
+
+    hist = _hist(two_run_history).copy()
+    hist.loc[hist.index[0], "validation_begin_ts"] = None
+    fr = failure_rate_trend(hist)
+    # every row is still counted somewhere
+    assert fr["validations_run"].sum() == len(hist)
+    null_group = fr[pd.isna(fr["run_date"])]
+    assert len(null_group) == 1
+    assert int(null_group["validations_run"].iloc[0]) == 1
+    # the NaT group sorts last (SQL DESC NULLS LAST)
+    assert pd.isna(fr["run_date"].iloc[-1])
+
+
 def test_history_and_latest_run_details(two_run_history):
     from datapact_ray.dashboard import history_details, latest_run_details
 

@@ -120,6 +120,46 @@ def test_temporal_drift_baseline_missing_digest(tmp_path, ray_session):
         )
 
 
+def test_temporal_drift_current_digest_missing_is_maximal_fail(
+    tmp_path, ray_session
+):
+    """The CURRENT run's source column going all-NULL (no digest) is
+    maximal drift — a statistic-1.0 FAIL verdict matching the regular
+    drift one-sided-missing semantics, NOT an error misattributed to
+    the baseline run (round-3 advice)."""
+    import os
+
+    src1 = str(tmp_path / "day1")
+    _write(src1, np.arange(500, dtype=float))
+    rdir = str(tmp_path / "out")
+    drift = [DriftCheck(column="value", metric="ks", threshold=0.1)]
+    run_suite(
+        ValidationSuite(validations=[_task(src1, drift)]),
+        RunConfig(results_dir=rdir, run_id=1),
+    )
+    # day 2: the value column is entirely NULL → no digest this run
+    src2 = str(tmp_path / "day2")
+    os.makedirs(src2, exist_ok=True)
+    n = 500
+    t = pa.table(
+        {
+            "conv_id": pa.array([f"c{i}" for i in range(n)], pa.string()),
+            "turn_idx": pa.array(np.zeros(n, np.int64)),
+            "text": pa.array(["x"] * n, pa.string()),
+            "value": pa.array([None] * n, pa.float64()),
+        }
+    )
+    pq.write_table(t, f"{src2}/part-0.parquet")
+    s2 = run_suite(
+        ValidationSuite(validations=[_task(src2, drift)]),
+        RunConfig(results_dir=rdir, run_id=2, temporal_baseline_run=1),
+    )
+    v = s2.results[0].payload["temporal_drift_validation_value_ks"]
+    assert v["status"] == "FAIL"
+    assert float(v["statistic"]) == 1.0
+    assert s2.results[0].status == "FAILURE"
+
+
 def test_temporal_drift_requires_profile_derivation():
     with pytest.raises(ValueError, match="value|str_len"):
         ValidationTask(

@@ -12,6 +12,7 @@ import duckdb
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
+import pytest
 
 from datapact_ray.pipelines.curation import (
     _curriculum_sql,
@@ -124,6 +125,16 @@ def test_curriculum_fewer_docs_than_stages(tmp_path):
     assert got["stage"].tolist() == [1, 2, 3]
     assert got["n_docs"].tolist() == [1, 1, 1]
     _exact(got, _curriculum_sql(4), d)
+
+
+def test_curriculum_negative_doc_id_refused(tmp_path):
+    """The float64 order-key domain guard checks BOTH ends: a negative
+    doc_id flips the tie-break sign (round-3 advice) — refuse loudly
+    instead of silently diverging from NTILE."""
+    rows = [(-5, "hello", "s"), (1, "world", "s"), (2, "zz", "s")]
+    d = _docs_dir(tmp_path, rows)
+    with pytest.raises(ValueError, match="doc_id outside"):
+        curriculum_stages_documents(d)
 
 
 def test_prefix_dup_catches_what_whole_doc_dedup_misses(tmp_path):
