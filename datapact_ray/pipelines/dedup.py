@@ -82,6 +82,22 @@ class _BucketGroups:
         return pd.DataFrame({"bucket": [0], "blob": [pickle.dumps(out)]})
 
 
+class _BucketGroupsArrow:
+    """Arrow-native per-bucket reduce: ``fn`` receives the bucket's
+    ``pa.Table`` directly (fixed-width columns only — the
+    ``stages/keyed.py`` pattern), skipping the pandas materialization
+    between the exchange and the reduce."""
+
+    def __init__(self, fn):
+        self.fn = fn
+
+    def __call__(self, table: pa.Table) -> pd.DataFrame:
+        out = self.fn(table)
+        if out is None or len(out) == 0:
+            return pd.DataFrame({"bucket": [], "blob": []})
+        return pd.DataFrame({"bucket": [0], "blob": [pickle.dumps(out)]})
+
+
 def _grouped_frames(ds, num_buckets: int, fn) -> pd.DataFrame:
     """Ray ``groupby().map_groups`` costs a sort shuffle plus a Python
     call per group — catastrophic for thousands of tiny LSH collision
@@ -101,7 +117,9 @@ def _grouped_frames(ds, num_buckets: int, fn) -> pd.DataFrame:
     return pd.concat(frames, ignore_index=True)
 
 
-def _fused_grouped_frames(specs, num_buckets: int, fn) -> pd.DataFrame:
+def _fused_grouped_frames(
+    specs, num_buckets: int, fn, arrow_reduce: bool = False
+) -> pd.DataFrame:
     """Whole-bucket reduce over parquet inputs via the FUSED explicit
     shuffle: each map task reads its file/row-group fragments, runs the
     side's projector (which must emit ``__bucket``) and splits — no
@@ -113,7 +131,11 @@ def _fused_grouped_frames(specs, num_buckets: int, fn) -> pd.DataFrame:
 
     ``specs``: list of ``(path, columns, filter_sql | None, projector)``
     sides. Falls back to the streaming ``bucket_shuffle`` path when any
-    side is not parquet (CSV/JSONL inputs)."""
+    side is not parquet (CSV/JSONL inputs).
+
+    ``arrow_reduce=True``: ``fn`` receives each bucket as a ``pa.Table``
+    (and the projectors should return ``pa.Table`` so the map side skips
+    pandas entirely); default keeps the pandas contract."""
     from ..expr import compile_to_arrow, parse_filter
     from ..io import list_parquet_files, read_table
     from ..shuffle import bucket_shuffle, parquet_bucket_shuffle
@@ -125,10 +147,9 @@ def _fused_grouped_frames(specs, num_buckets: int, fn) -> pd.DataFrame:
             all_parquet = False
         expr = compile_to_arrow(parse_filter(fsql)) if fsql else None
         sides.append((files, proj, cols, expr))
+    reducer = _BucketGroupsArrow(fn) if arrow_reduce else _BucketGroups(fn)
     if all_parquet:
-        blobs = parquet_bucket_shuffle(
-            sides, None, None, num_buckets, _BucketGroups(fn)
-        )
+        blobs = parquet_bucket_shuffle(sides, None, None, num_buckets, reducer)
     else:
         parts = [
             read_table(path, columns=cols, filter_sql=fsql).map_batches(
@@ -136,7 +157,7 @@ def _fused_grouped_frames(specs, num_buckets: int, fn) -> pd.DataFrame:
             )
             for path, cols, fsql, proj in specs
         ]
-        blobs = bucket_shuffle(parts, num_buckets, _BucketGroups(fn))
+        blobs = bucket_shuffle(parts, num_buckets, reducer)
     frames = [pickle.loads(b) for b in blobs]
     if frames:
         return pd.concat(frames, ignore_index=True)
@@ -156,14 +177,21 @@ def _fused_grouped_frames(specs, num_buckets: int, fn) -> pd.DataFrame:
                 [schema.field(c) for c in cols if c in schema.names]
             )
         pf = projector(schema.empty_table())
-        if isinstance(pf, pa.Table):
+        if arrow_reduce and not isinstance(pf, pa.Table):
+            pf = pa.Table.from_pandas(pf, preserve_index=False)
+        elif not arrow_reduce and isinstance(pf, pa.Table):
             pf = pf.to_pandas()
         proj_frames.append(pf)
-    empty_in = (
-        pd.concat(proj_frames, ignore_index=True)
-        if proj_frames
-        else pd.DataFrame()
-    )
+    if arrow_reduce:
+        empty_in = (
+            pa.concat_tables(proj_frames) if proj_frames else pa.table({})
+        )
+    else:
+        empty_in = (
+            pd.concat(proj_frames, ignore_index=True)
+            if proj_frames
+            else pd.DataFrame()
+        )
     out = fn(empty_in)
     return out if out is not None else pd.DataFrame()
 

@@ -51,6 +51,22 @@ def _bucket_of(ids: np.ndarray, num_buckets: int) -> np.ndarray:
     return ((h >> np.uint64(32)) % np.uint64(num_buckets)).astype(np.int32)
 
 
+def _ts_us_np(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Timestamp column → int64 epoch-µs numpy view (normalized to µs
+    regardless of the file's ts resolution). Null-free input only —
+    callers ``drop_null``/``filter`` first (the keyed fixed-width-only
+    pattern: no pandas materialization on the map side)."""
+    arr = pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return arr.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+
+
+def _int64_np(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return arr.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+
+
 _US_PER_DAY = np.int64(86_400_000_000)
 _SLICE_MIX = np.int64(1_000_003)  # combines (key, time_slice) into one
 # shuffle id; prime ≫ any realistic slice count so combos never collide
@@ -187,28 +203,40 @@ def sessionize_events(
     input row count (footer metadata) — per-bucket frames stay bounded at
     any scale; the per-bucket work is one vectorized sort + diff. The
     result is bucket-count-invariant (each user lands wholly in one
-    bucket), which ``tests/test_windows_scaling.py`` asserts at two B."""
+    bucket), which ``tests/test_windows_scaling.py`` asserts at two B.
+
+    Arrow-native end to end (round-3 item #5): the map projector emits a
+    fixed-width ``pa.Table`` straight from Arrow casts (no pandas
+    round-trip per batch), and the bucket reduce is one ``np.lexsort`` +
+    diff over the zero-copy column views. NULL user/ts rows drop in the
+    scan task."""
     path = f"{sf_dir}/events.parquet"
     gap_us = gap_minutes * 60 * 1_000_000
     n_buckets = num_buckets or scaled_num_buckets(count_rows(path))
 
-    def add_bucket(batch: pa.Table) -> pd.DataFrame:
-        df = batch.to_pandas()
-        return pd.DataFrame(
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        t = batch.select(["user_id", "ts"]).drop_null()
+        uid = _int64_np(t.column("user_id"))
+        return pa.table(
             {
-                "user_id": df["user_id"],
-                "ts": df["ts"].astype("int64"),
-                "__bucket": _bucket_of(df["user_id"].to_numpy(), n_buckets),
+                "user_id": uid,
+                "ts": _ts_us_np(t.column("ts")),
+                "__bucket": _bucket_of(uid, n_buckets),
             }
         )
 
-    def sessions_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "ts"], kind="stable")
-        new_user = g["user_id"] != g["user_id"].shift()
-        gap = g["ts"].diff() > gap_us
-        starts = (new_user | gap).astype(int)
-        n_sessions = int(starts.sum())
-        return pd.DataFrame({"sessions": [n_sessions], "events": [len(g)]})
+    def sessions_per_bucket(t: pa.Table) -> pd.DataFrame:
+        if t.num_rows == 0:
+            return pd.DataFrame({"sessions": [0], "events": [0]}).astype("int64")
+        uid, ts = _int64_np(t.column("user_id")), _int64_np(t.column("ts"))
+        order = np.lexsort((ts, uid))
+        uid, ts = uid[order], ts[order]
+        starts = np.empty(len(uid), dtype=bool)
+        starts[0] = True
+        starts[1:] = (uid[1:] != uid[:-1]) | (np.diff(ts) > gap_us)
+        return pd.DataFrame(
+            {"sessions": [int(starts.sum())], "events": [len(uid)]}
+        ).astype("int64")
 
     from .dedup import _fused_grouped_frames
 
@@ -216,6 +244,7 @@ def sessionize_events(
         [(path, ["user_id", "ts"], None, add_bucket)],
         n_buckets,
         sessions_per_bucket,
+        arrow_reduce=True,
     )
     total_sessions = int(parts["sessions"].sum())
     total_events = int(parts["events"].sum())
@@ -540,24 +569,31 @@ def event_gaps_events(sf_dir: str, num_buckets: int | None = None) -> pd.DataFra
     path = f"{sf_dir}/events.parquet"
     n_buckets = num_buckets or scaled_num_buckets(count_rows(path))
 
-    def add_bucket(batch: pa.Table) -> pd.DataFrame:
-        df = batch.to_pandas().dropna(subset=["user_id"])
-        return pd.DataFrame(
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        # Arrow-native map side: fixed-width columns only, no pandas
+        # round-trip (round-3 item #5)
+        t = batch.select(["user_id", "ts", "event_id"]).drop_null()
+        uid = _int64_np(t.column("user_id"))
+        return pa.table(
             {
-                "user_id": df["user_id"].astype("int64"),
+                "user_id": uid,
                 # normalize to µs regardless of the file's ts resolution
-                "ts": df["ts"].astype("datetime64[us]").astype("int64"),
-                "event_id": df["event_id"].astype("int64"),
-                "__bucket": _bucket_of(
-                    df["user_id"].to_numpy(dtype=np.int64), n_buckets
-                ),
+                "ts": _ts_us_np(t.column("ts")),
+                "event_id": _int64_np(t.column("event_id")),
+                "__bucket": _bucket_of(uid, n_buckets),
             }
         )
 
-    def gaps_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
-        same_user = g["user_id"].to_numpy()[1:] == g["user_id"].to_numpy()[:-1]
-        deltas = np.diff(g["ts"].to_numpy())[same_user]
+    def gaps_per_bucket(t: pa.Table) -> pd.DataFrame:
+        if t.num_rows == 0:
+            return pd.DataFrame({"n": [0], "s": [0], "mx": [0]}).astype("int64")
+        uid = _int64_np(t.column("user_id"))
+        ts = _int64_np(t.column("ts"))
+        eid = _int64_np(t.column("event_id"))
+        order = np.lexsort((eid, ts, uid))
+        uid, ts = uid[order], ts[order]
+        same_user = uid[1:] == uid[:-1]
+        deltas = np.diff(ts)[same_user]
         if len(deltas) == 0:
             return pd.DataFrame({"n": [0], "s": [0], "mx": [0]}).astype("int64")
         return pd.DataFrame(
@@ -574,6 +610,7 @@ def event_gaps_events(sf_dir: str, num_buckets: int | None = None) -> pd.DataFra
         [(path, ["user_id", "ts", "event_id"], None, add_bucket)],
         n_buckets,
         gaps_per_bucket,
+        arrow_reduce=True,
     )
     n = int(parts["n"].sum())
     s = int(parts["s"].sum())
@@ -1565,43 +1602,70 @@ def rolling_wau_events(
     path = f"{sf_dir}/events.parquet"
     n_buckets = num_buckets or scaled_num_buckets(count_rows(path))
 
-    def add_bucket(batch: pa.Table) -> pd.DataFrame:
-        df = batch.to_pandas().dropna(subset=["user_id", "ts"])
-        ts_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        inc = pd.DataFrame(
-            {
-                "user_id": df["user_id"].astype("int64"),
-                "day": (ts_us // _DAY_US) * _DAY_US,
-            }
-        ).drop_duplicates()
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        # Arrow-native map side (round-3 item #5): dedup to (user, day)
+        # incidence via lexsort + neighbor-diff on zero-copy int64 views
+        t = batch.select(["user_id", "ts"]).drop_null()
+        uid = _int64_np(t.column("user_id"))
+        day = (_ts_us_np(t.column("ts")) // _DAY_US) * _DAY_US
+        if len(uid):
+            order = np.lexsort((day, uid))
+            uid, day = uid[order], day[order]
+            keep = np.empty(len(uid), dtype=bool)
+            keep[0] = True
+            keep[1:] = (uid[1:] != uid[:-1]) | (day[1:] != day[:-1])
+            uid, day = uid[keep], day[keep]
         k = window_days
-        exp = pd.DataFrame(
+        user_rep = np.repeat(uid, k)
+        wday = np.repeat(day, k) + np.tile(
+            np.arange(k, dtype=np.int64) * _DAY_US, len(uid)
+        )
+        # real activity day rides along so the driver can keep only
+        # windows anchored at observed days
+        is_anchor = np.tile(
+            np.r_[np.int8(1), np.zeros(k - 1, dtype=np.int8)], len(uid)
+        )
+        return pa.table(
             {
-                "user_id": np.repeat(inc["user_id"].to_numpy(), k),
-                "wday": np.repeat(inc["day"].to_numpy(), k)
-                + np.tile(np.arange(k) * _DAY_US, len(inc)),
-                # real activity day rides along so the driver can keep
-                # only windows anchored at observed days
-                "is_anchor": np.tile(
-                    np.r_[np.int8(1), np.zeros(k - 1, dtype=np.int8)], len(inc)
-                ),
+                "user_id": user_rep,
+                "wday": wday,
+                "is_anchor": is_anchor,
+                "__bucket": _bucket_of(user_rep, n_buckets),
             }
         )
-        exp["__bucket"] = _bucket_of(exp["user_id"].to_numpy(), n_buckets)
-        return exp
 
-    def wau_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        dedup = g.drop_duplicates(["user_id", "wday"])
-        out = dedup.groupby("wday", as_index=False).size()
-        out = out.rename(columns={"size": "n"})
-        anchors = g.loc[g["is_anchor"] == 1, "wday"].drop_duplicates()
-        out["anchored"] = out["wday"].isin(set(anchors)).astype("int8")
-        return out
+    def wau_per_bucket(t: pa.Table) -> pd.DataFrame:
+        if t.num_rows == 0:
+            return pd.DataFrame(
+                {
+                    "wday": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                    "anchored": pd.Series([], dtype="int8"),
+                }
+            )
+        uid = _int64_np(t.column("user_id"))
+        wday = _int64_np(t.column("wday"))
+        anc = t.column("is_anchor").combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((wday, uid))
+        u, w = uid[order], wday[order]
+        keep = np.empty(len(u), dtype=bool)
+        keep[0] = True
+        keep[1:] = (u[1:] != u[:-1]) | (w[1:] != w[:-1])
+        days, counts = np.unique(w[keep], return_counts=True)
+        anchored_days = np.unique(wday[anc == 1])
+        return pd.DataFrame(
+            {
+                "wday": days,
+                "n": counts.astype("int64"),
+                "anchored": np.isin(days, anchored_days).astype("int8"),
+            }
+        )
 
     parts = _fused_grouped_frames(
         [(path, ["user_id", "ts"], None, add_bucket)],
         n_buckets,
         wau_per_bucket,
+        arrow_reduce=True,
     )
     observed = set(parts.loc[parts["anchored"] == 1, "wday"])
     out = (
