@@ -634,9 +634,52 @@ def cost_history(
     ).reset_index(drop=True)
 
 
+def kpi_snapshot(hist: pd.DataFrame) -> pd.DataFrame:
+    """Executive KPI single-row dataset (``client.py:784-830`` ds_kpi):
+    the LATEST run's task rows (scoped by max job_start_ts) reduced to
+    the counter fields the dashboard's top row renders — total/passed/
+    failed tasks, 2-dp success rate, 4-dp data-quality score, critical
+    failures, potential/realized impact USD, avg SLA hours."""
+    if not len(hist):
+        return pd.DataFrame()
+    scoped = hist[hist["job_start_ts"] == hist["job_start_ts"].max()]
+    total = len(scoped)
+    if not total:
+        return pd.DataFrame()
+    passed = int((scoped["status"] == "SUCCESS").sum())
+    failed = int((scoped["status"] == "FAILURE").sum())
+    crit = int(
+        (
+            (scoped["status"] == "FAILURE")
+            & (scoped["business_priority"].astype(str).str.upper() == "CRITICAL")
+        ).sum()
+    )
+    imp = pd.to_numeric(scoped["estimated_impact_usd"], errors="coerce")
+    sla = pd.to_numeric(scoped["expected_sla_hours"], errors="coerce")
+    return pd.DataFrame(
+        {
+            "total_tasks": [total],
+            "passed_tasks": [passed],
+            "failed_tasks": [failed],
+            "success_rate_percent": [round(passed * 100.0 / total, 2)],
+            "data_quality_score": [round(passed * 1.0 / total, 4)],
+            "critical_failures": [crit],
+            "potential_impact_usd": [float(imp.fillna(0).sum())],
+            "realized_impact_usd": [
+                float(imp[scoped["status"] == "FAILURE"].fillna(0).sum())
+            ],
+            "avg_expected_sla_hours": [
+                float(sla.mean()) if sla.notna().any() else None
+            ],
+            "tables_validated": [total],
+        }
+    )
+
+
 # ---- assembly ----
 
 _DATASET_DISPLAY = {
+    "ds_kpi": "Executive KPI Dashboard",
     "ds_top_failures": "Top Failing Tasks",
     "ds_failures_by_type": "Issue Classification & Impact Analysis",
     "ds_failure_rate": "Data Quality Trend Analysis",
@@ -661,6 +704,7 @@ def build_dashboard(
 
     hist = load_run_history(results_dir, job_name)
     return {
+        "ds_kpi": kpi_snapshot(hist),
         "ds_top_failures": top_failures(hist),
         "ds_failures_by_type": failures_by_type(hist),
         "ds_failure_rate": failure_rate_trend(hist),
@@ -677,13 +721,107 @@ def build_dashboard(
     }
 
 
+def _w(ds: str, wtype: str, title: str, pos: dict, **fields) -> dict:
+    return {"dataset": ds, "type": wtype, "title": title, "position": pos, **fields}
+
+
+def layout_pages() -> list[dict]:
+    """Static Lakeview-shape page/widget layout over the ds_* datasets —
+    the visual-spec mirror of the reference's three-page dashboard
+    (``client.py:1874-1977`` widget definitions; page list
+    ``client.py:2892-3269``: main_page 'Executive Data Quality
+    Dashboard', details_page 'Historical Validation Runs',
+    performance_page 'Performance Metrics'). Every widget references a
+    dataset written by ``write_dashboard`` and only fields that exist in
+    that dataset's frame (validated at write time and in tests). There
+    is no Lakeview service here, so this is the renderer-agnostic layout
+    contract a BI tool consumes alongside the parquet datasets."""
+    return [
+        {
+            "name": "main_page",
+            "displayName": "Executive Data Quality Dashboard",
+            "pageType": "PAGE_TYPE_CANVAS",
+            "layout": [
+                _w("ds_kpi", "SUCCESS_RATE_COUNTER", "Data Quality Score",
+                   {"x": 0, "y": 0, "width": 2, "height": 3},
+                   value_field="data_quality_score"),
+                _w("ds_kpi", "COUNTER", "Critical Issues",
+                   {"x": 2, "y": 0, "width": 1, "height": 3},
+                   value_field="failed_tasks"),
+                _w("ds_kpi", "COUNTER", "Total Validations",
+                   {"x": 3, "y": 0, "width": 1, "height": 3},
+                   value_field="tables_validated"),
+                _w("ds_parallel_kpi", "COUNTER", "Peak Parallelism",
+                   {"x": 4, "y": 0, "width": 1, "height": 3},
+                   value_field="peak_parallelism"),
+                _w("ds_parallel_kpi", "COUNTER", "Throughput (tasks/min)",
+                   {"x": 5, "y": 0, "width": 1, "height": 3},
+                   value_field="tasks_per_minute"),
+                _w("ds_latest_run_details", "DONUT",
+                   "Validation Status Distribution",
+                   {"x": 0, "y": 3, "width": 3, "height": 6},
+                   category_field="status"),
+                _w("ds_failure_rate", "LINE", "Quality Trend (30 Days)",
+                   {"x": 3, "y": 3, "width": 3, "height": 6},
+                   x_field="run_date", y_field="failure_rate"),
+                _w("ds_failures_by_type", "BAR", "Issue Classification",
+                   {"x": 0, "y": 9, "width": 6, "height": 5},
+                   x_field="validation_type", y_field="failure_count"),
+                _w("ds_latest_run_details", "TABLE",
+                   "Validation Results with Check Details",
+                   {"x": 0, "y": 15, "width": 6, "height": 8}),
+                _w("ds_business_impact", "TABLE",
+                   "Business Domain Quality Summary",
+                   {"x": 0, "y": 23, "width": 3, "height": 5}),
+                _w("ds_owner_accountability", "TABLE", "Owner Accountability",
+                   {"x": 3, "y": 23, "width": 3, "height": 5}),
+                _w("ds_top_failures", "BAR", "Top Failing Validations",
+                   {"x": 0, "y": 28, "width": 3, "height": 5},
+                   x_field="task_key", y_field="failure_count"),
+                _w("ds_priority_profile", "BAR", "Priority Risk Profile",
+                   {"x": 3, "y": 28, "width": 3, "height": 5},
+                   x_field="business_priority", y_field="failed_validations"),
+                _w("ds_exploded_checks", "TABLE", "Check Details",
+                   {"x": 0, "y": 33, "width": 6, "height": 9}),
+            ],
+        },
+        {
+            "name": "details_page",
+            "displayName": "Historical Validation Runs",
+            "pageType": "PAGE_TYPE_CANVAS",
+            "layout": [
+                _w("ds_history", "TABLE", "Detailed Run History",
+                   {"x": 0, "y": 0, "width": 6, "height": 10}),
+                _w("ds_status_flips", "TABLE", "Flaky Validation Detector",
+                   {"x": 0, "y": 10, "width": 6, "height": 6}),
+            ],
+        },
+        {
+            "name": "performance_page",
+            "displayName": "Performance Metrics",
+            "pageType": "PAGE_TYPE_CANVAS",
+            "layout": [
+                _w("ds_parallel_kpi", "TABLE", "Job Run Performance",
+                   {"x": 0, "y": 0, "width": 6, "height": 6}),
+                _w("ds_success_trend", "LINE", "Success Rate Over Time",
+                   {"x": 0, "y": 6, "width": 3, "height": 6},
+                   x_field="run_date", y_field="success_rate"),
+                _w("ds_cost_history", "BAR", "Job Cost History",
+                   {"x": 3, "y": 6, "width": 3, "height": 6},
+                   x_field="run_id", y_field="estimated_cost_usd"),
+            ],
+        },
+    ]
+
+
 def write_dashboard(results_dir: str, job_name: str | None = None) -> dict:
     """(Over)write every dashboard dataset as parquet under
     ``<results_dir>/dashboard/`` plus a ``dashboard.json`` manifest
-    (dataset name → displayName, row count, parquet path — the
-    dashboard-as-code contract a BI layer renders). Recomputed after
-    every run, like the reference's idempotent delete-and-recreate
-    (client.py ``ensure_dashboard_exists``)."""
+    (dataset name → displayName, row count, parquet path, AND the
+    three-page widget layout — the dashboard-as-code contract a BI
+    layer renders). Recomputed after every run, like the reference's
+    idempotent delete-and-recreate (client.py
+    ``ensure_dashboard_exists``)."""
     frames = build_dashboard(results_dir, job_name)
     base = os.path.join(results_dir, "dashboard")
     os.makedirs(base, exist_ok=True)
@@ -699,6 +837,14 @@ def write_dashboard(results_dir: str, job_name: str | None = None) -> dict:
                 "path": path,
             }
         )
+    pages = layout_pages()
+    for page in pages:  # every widget must reference a written dataset
+        for w in page["layout"]:
+            if w["dataset"] not in frames:
+                raise ValueError(
+                    f"dashboard layout references unknown dataset {w['dataset']}"
+                )
+    manifest["pages"] = pages
     with open(os.path.join(base, "dashboard.json"), "w") as f:
         json.dump(manifest, f, indent=1, default=str)
     return frames

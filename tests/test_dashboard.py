@@ -220,7 +220,7 @@ def test_write_dashboard_artifacts(two_run_history):
     with open(os.path.join(base, "dashboard.json")) as fh:
         manifest = json.load(fh)
     names = {d["name"] for d in manifest["datasets"]}
-    assert len(names) == 13
+    assert len(names) == 14  # 13 round-3 datasets + ds_kpi
     for d in manifest["datasets"]:
         assert os.path.exists(d["path"]), d["name"]
         t = pq.read_table(d["path"]).to_pandas()
@@ -298,3 +298,33 @@ def test_report_failure_analysis_section(two_run_history):
     assert "## Failure analysis (dashboard datasets)" in md
     assert "### Top failing tasks" in md
     assert "corrupted" in md
+
+
+def test_manifest_pages_and_widget_fields(two_run_history):
+    """dashboard.json carries the three-page widget layout; every widget
+    references a written dataset and only fields that exist in that
+    dataset's frame (round-3 item #7)."""
+    import json
+    import os
+
+    from datapact_ray.dashboard import write_dashboard
+
+    frames = write_dashboard(two_run_history)
+    manifest = json.load(
+        open(os.path.join(two_run_history, "dashboard", "dashboard.json"))
+    )
+    assert [p["name"] for p in manifest["pages"]] == [
+        "main_page", "details_page", "performance_page",
+    ]
+    names = {d["name"] for d in manifest["datasets"]}
+    assert "ds_kpi" in names
+    for page in manifest["pages"]:
+        for w in page["layout"]:
+            assert w["dataset"] in names
+            cols = set(frames[w["dataset"]].columns)
+            for fk in ("value_field", "x_field", "y_field", "category_field"):
+                if fk in w:
+                    assert w[fk] in cols, (
+                        f"{page['name']}/{w['title']}: {w[fk]} missing "
+                        f"from {w['dataset']}"
+                    )
