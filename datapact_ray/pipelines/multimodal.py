@@ -1340,8 +1340,109 @@ _WAV_DECODE_SQL = """
 """
 
 
+def png_decode_stats_documents(sf_dir: str) -> "pd.DataFrame":
+    """REAL compressed-container decode end-to-end: each document's
+    UTF-8 bytes are packed into a genuine PNG (8-bit greyscale, width
+    64, zero-padded final row, Sub-filtered scanlines, DEFLATE IDAT —
+    the vendored `codecs.py` encoder) inside the scan task; the payloads
+    flow through the actor-pool ``featurize_media(decoder="real")``
+    stage whose PNG parser verifies chunk CRCs, inflates and UNFILTERS
+    the scanlines; the DECODED geometry aggregates per source feed.
+
+    Oracle-exact by construction: at width 64 the decoded ``height`` is
+    ``ceil(max(octets,1)/64)`` and ``n_pixels`` is ``64*height`` — the
+    SQL oracle checks the real decode path (CRC → inflate → unfilter →
+    geometry) in closed form. Payload bytes never enter a shuffle."""
+    import pandas as pd
+
+    from ..io import read_table
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from .codecs import encode_png
+
+        texts = batch.column("text").to_pylist()
+        payloads = []
+        for t in texts:
+            raw = (t or "").encode("utf-8") or b"\x00"
+            h = -(-len(raw) // 64)
+            px = np.zeros(h * 64, dtype=np.uint8)
+            px[: len(raw)] = np.frombuffer(raw, dtype=np.uint8)
+            payloads.append(encode_png(px.reshape(h, 64), filter_type=1))
+        return pa.table(
+            {
+                "media_id": batch.column("doc_id"),
+                "media_type": pa.array(["image/png"] * len(texts)),
+                "payload": pa.array(payloads, type=pa.binary()),
+                "source": batch.column("source"),
+            }
+        )
+
+    media = ds.map_batches(to_media, batch_format="pyarrow", zero_copy_batch=True)
+    feats = featurize_media(media, decoder="real", batch_size=64, concurrency=(1, 4))
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        df = pd.DataFrame(
+            {
+                "source": batch.column("source").to_pandas(),
+                "n_pixels": batch.column("n_pixels").to_pandas().astype("int64"),
+                "height": batch.column("height").to_pandas().astype("int64"),
+            }
+        )
+        return (
+            df.groupby("source", sort=False)
+            .agg(
+                n_media=("n_pixels", "size"),
+                total_pixels=("n_pixels", "sum"),
+                max_height=("height", "max"),
+            )
+            .reset_index()
+            .astype(
+                {"n_media": "int64", "total_pixels": "int64", "max_height": "int64"}
+            )
+        )
+
+    parts = feats.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame(
+            {
+                "source": pd.Series([], dtype="object"),
+                "n_media": pd.Series([], dtype="int64"),
+                "total_pixels": pd.Series([], dtype="int64"),
+                "max_height": pd.Series([], dtype="int64"),
+            }
+        )
+    out = parts.groupby("source", as_index=False).agg(
+        n_media=("n_media", "sum"),
+        total_pixels=("total_pixels", "sum"),
+        max_height=("max_height", "max"),
+    )
+    for c in ("n_media", "total_pixels", "max_height"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+_PNG_DECODE_SQL = """
+    WITH p AS (
+        SELECT source,
+               CAST(CEIL(GREATEST(octet_length(encode(COALESCE(text, ''))), 1)
+                         / 64.0) AS BIGINT) AS h
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_media,
+           CAST(SUM(h * 64) AS BIGINT) AS total_pixels,
+           CAST(MAX(h) AS BIGINT) AS max_height
+    FROM p GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "wav_decode_stats_documents": wav_decode_stats_documents,
+    "png_decode_stats_documents": png_decode_stats_documents,
     "binary_payload_stats_documents": binary_payload_stats_documents,
     "payload_entropy_documents": payload_entropy_documents,
     "chunk_dedup_multimodal": chunk_dedup_multimodal,
@@ -1356,6 +1457,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "wav_decode_stats_documents": _WAV_DECODE_SQL,
+    "png_decode_stats_documents": _PNG_DECODE_SQL,
     "payload_size_percentiles_multimodal": _PAYLOAD_SIZE_PCTL_SQL,
     "header_census_multimodal": _header_census_sql(),
     "payload_entropy_documents": _PAYLOAD_ENTROPY_SQL,

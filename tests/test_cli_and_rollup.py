@@ -138,12 +138,12 @@ def test_multimodal_plumbing(tmp_path):
     f1 = fake_decode(b"abc123", "image/png")
     f2 = fake_decode(b"abc123", "image/png")
     assert f1 == f2 and f1["n_bytes"] == 6
-    # decoder="real" now resolves to the vendored WAV/BMP codecs; an
+    # decoder="real" now resolves to the vendored WAV/BMP/PNG codecs; an
     # unknown decoder name fails loudly, unsupported formats per payload
     with pytest.raises(ValueError):
         MediaFeaturizer(decoder="webp")
     with pytest.raises(NotImplementedError):
-        MediaFeaturizer(decoder="real").decode(b"\x89PNG", "image/png")
+        MediaFeaturizer(decoder="real").decode(b"GIF89a..", "image/gif")
 
 
 def test_multimodal_resize_and_frame_sample(tmp_path):
@@ -180,10 +180,10 @@ def test_multimodal_resize_and_frame_sample(tmp_path):
         MediaResizer(2, 2, decoder="webp")
     with pytest.raises(ValueError):
         FrameSampler(decoder="webp")
-    # real codecs exist for BMP resize / WAV sampling; other formats
+    # real codecs exist for BMP/PNG resize / WAV sampling; other formats
     # raise per payload
     with pytest.raises(NotImplementedError):
-        MediaResizer(2, 2, decoder="real").resize(b"....", "image/png", 2, 2)
+        MediaResizer(2, 2, decoder="real").resize(b"....", "image/gif", 2, 2)
     with pytest.raises(NotImplementedError):
         FrameSampler(decoder="real").sample(b"....", "video/mp4", 1000)
 

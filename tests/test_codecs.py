@@ -188,3 +188,189 @@ def test_wav_decode_stats_oracle_sf0001():
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
     )
+
+
+# ---------------------------------------------------------------------------
+# PNG (zlib-compressed container, scanline filters)
+# ---------------------------------------------------------------------------
+
+
+def _ref_filter_rows(raw: np.ndarray, ftype: int) -> bytes:
+    """Scalar reference implementation of the PNG spec's filter step
+    (encode direction) — used to hand-build PNGs with Average/Paeth
+    scanlines, which encode_png never emits."""
+    h, w, c = raw.shape
+    flat = raw.reshape(h, w * c).astype(int)
+    out = bytearray()
+    prev = np.zeros(w * c, dtype=int)
+    for y in range(h):
+        row = flat[y]
+        out.append(ftype)
+        for x in range(w * c):
+            a = row[x - c] if x >= c else 0
+            b = prev[x]
+            cc = prev[x - c] if x >= c else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:  # Paeth
+                p = a + b - cc
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else cc)
+            out.append((row[x] - pred) % 256)
+        prev = row
+    return bytes(out)
+
+
+def _png_with_filter(raw: np.ndarray, ftype: int) -> bytes:
+    import struct
+    import zlib
+
+    from datapact_ray.pipelines.codecs import _PNG_SIG, _png_chunk
+
+    h, w, c = raw.shape
+    color_type = {1: 0, 3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(_ref_filter_rows(raw, ftype)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("channels", [1, 3, 4])
+@pytest.mark.parametrize("enc_filter", [0, 1, 2])
+def test_png_roundtrip_encoder_filters(channels, enc_filter):
+    from datapact_ray.pipelines.codecs import _parse_png, encode_png
+
+    rng = np.random.default_rng(channels * 10 + enc_filter)
+    px = rng.integers(0, 256, (7, 5, channels), dtype=np.uint8)
+    payload = encode_png(px if channels > 1 else px[:, :, 0], filter_type=enc_filter)
+    assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+    np.testing.assert_array_equal(_parse_png(payload), px)
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("channels", [1, 3])
+def test_png_unfilters_all_spec_filter_types(ftype, channels):
+    """Hand-filtered scanlines (scalar spec reference) decode back to
+    the exact pixels — covers Average and Paeth, which our encoder
+    never emits but third-party PNGs do."""
+    from datapact_ray.pipelines.codecs import _parse_png
+
+    rng = np.random.default_rng(ftype * 7 + channels)
+    px = rng.integers(0, 256, (6, 9, channels), dtype=np.uint8)
+    np.testing.assert_array_equal(_parse_png(_png_with_filter(px, ftype)), px)
+
+
+def test_png_decode_features_and_mixed_filter_rows():
+    from datapact_ray.pipelines.codecs import decode_png, encode_png
+
+    px = np.arange(64, dtype=np.uint8).reshape(4, 16)
+    f = decode_png(encode_png(px, filter_type=1))
+    assert (f["width"], f["height"], f["n_pixels"]) == (16, 4, 64)
+    assert f["mean_value"] == pytest.approx(31.5)
+    assert f["rms"] == pytest.approx(float(np.sqrt(np.mean(np.arange(64.0) ** 2))))
+
+
+def test_png_rejects_malformed():
+    from datapact_ray.pipelines.codecs import decode_png, encode_png
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"NOTAPNG" * 4)
+    good = encode_png(np.zeros((4, 4), dtype=np.uint8))
+    # flip one IDAT byte: CRC must catch it
+    bad = bytearray(good)
+    bad[41] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+    # cut mid-IDAT: chunk framing must catch it
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(good[:45])
+    # no IDAT at all
+    with pytest.raises(ValueError, match="missing"):
+        decode_png(good[:33])
+
+
+def test_png_rejects_unsupported_shapes():
+    import struct
+    import zlib
+
+    from datapact_ray.pipelines.codecs import _PNG_SIG, _png_chunk, decode_png
+
+    # 16-bit depth
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    p = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 10)) + _png_chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        decode_png(p)
+    # interlaced
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
+    p = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 10)) + _png_chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_png(p)
+
+
+def test_png_resize_nearest_neighbor():
+    from datapact_ray.pipelines.codecs import _parse_png, encode_png, resize_png
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    px[2:, 2:] = 200
+    small = _parse_png(resize_png(encode_png(px), 2, 2))
+    assert small.shape == (2, 2, 3)
+    assert small[0, 0, 0] == 0 and small[1, 1, 0] == 200
+
+
+def test_featurize_real_png_actor_pool():
+    from datapact_ray.pipelines.codecs import encode_png
+
+    n = 12
+    payloads = [
+        encode_png(
+            np.full((i + 1, 8), i * 3 % 256, dtype=np.uint8), filter_type=2
+        )
+        for i in range(n)
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array(range(n), type=pa.int64()),
+                "media_type": pa.array(["image/png"] * n),
+                "payload": pa.array(payloads, type=pa.binary()),
+            }
+        )
+    )
+    out = featurize_media(ds, decoder="real", batch_size=4).to_pandas()
+    assert len(out) == n
+    out = out.sort_values("media_id")
+    assert (out.height.to_numpy() == np.arange(n) + 1).all()
+    assert (out.n_pixels.to_numpy() == (np.arange(n) + 1) * 8).all()
+    assert out.mean_value.to_numpy() == pytest.approx(np.arange(n) * 3 % 256)
+
+
+def test_png_decode_stats_oracle_sf0001():
+    """The PNG real-decoder queries() entry matches its DuckDB oracle."""
+    import duckdb
+    import pandas as pd
+
+    from datapact_ray.pipelines.multimodal import (
+        _PNG_DECODE_SQL,
+        png_decode_stats_documents,
+    )
+
+    got = png_decode_stats_documents("/root/testdata/sf0.001")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    want = con.execute(_PNG_DECODE_SQL).fetchdf()
+    con.close()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
