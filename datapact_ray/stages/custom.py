@@ -17,8 +17,11 @@ Execution engine — two loci:
   (``/root/reference/README.md:287-305`` — COUNT/SUM/GROUP BY). Those
   decompose: the query's AST (DuckDB ``json_serialize_sql``) is checked
   for the decomposable shape (single SELECT over one side's view, no
-  subqueries/windows/HAVING/LIMIT/DISTINCT-aggs), rewritten into a
-  *partial* query (AVG split into SUM+COUNT, every item aliased
+  subqueries/windows/LIMIT/SELECT-DISTINCT; HAVING moves onto the merge
+  with its aggregates re-expressed over partials; DISTINCT aggregates
+  two-phase through a shared per-fragment dedup key; a result ORDER BY
+  is dropped — every downstream metric is order-insensitive), rewritten
+  into a *partial* query (AVG split into SUM+COUNT, every item aliased
   positionally via ``json_deserialize_sql``), executed per
   ``_scan_units`` fragment inside Ray map tasks (DuckDB-on-fragment,
   columns pruned to the AST's references), and the fragment partials are
@@ -48,6 +51,7 @@ import hashlib
 import json
 import os
 from dataclasses import dataclass
+from typing import Any
 
 import pandas as pd
 
@@ -181,22 +185,33 @@ def _normalized(node) -> str:
     return json.dumps(n, sort_keys=True)
 
 
-def _is_plain_agg(item: dict) -> bool:
-    """A top-level aggregate we know how to re-aggregate: no DISTINCT,
-    no FILTER, no ORDER BY (string_agg-style), no nested aggregate."""
+def _agg_kind(item: dict) -> str | None:
+    """Classify a top-level aggregate we know how to re-aggregate:
+    ``"plain"`` (COUNT/SUM/MIN/MAX/AVG), ``"distinct"`` (the same with
+    DISTINCT — two-phase: per-fragment dedup on the argument, final
+    DISTINCT-agg in the merge), or None (FILTER, ordered aggs, nested
+    aggregates — not decomposable here)."""
     if item.get("class") != "FUNCTION":
-        return False
+        return None
     if item.get("function_name") not in _AGG_FNS:
-        return False
-    if item.get("distinct") or item.get("filter") is not None:
-        return False
+        return None
+    if item.get("filter") is not None:
+        return None
     if (item.get("order_bys") or {}).get("orders"):
-        return False
+        return None
     for child in item.get("children") or []:
         for d in _walk(child):
             if d.get("class") == "FUNCTION" and d.get("function_name") in _AGG_FNS:
-                return False
-    return True
+                return None
+    if item.get("distinct"):
+        # single-argument DISTINCT only (COUNT(DISTINCT a, b) resists
+        # the shared-dedup-key rewrite)
+        return "distinct" if len(item.get("children") or []) == 1 else None
+    return "plain"
+
+
+class _Undecomposable(Exception):
+    """Internal: the HAVING rewrite hit a shape we can't re-aggregate."""
 
 
 def _quote_ident(name: str) -> str:
@@ -228,9 +243,7 @@ def plan_sharded(rendered_sql: str, output_schema: list[tuple]) -> ShardPlan | N
     ft = n.get("from_table") or {}
     if (
         n.get("type") != "SELECT_NODE"
-        or n.get("modifiers")  # ORDER BY / LIMIT / DISTINCT
         or (n.get("cte_map") or {}).get("map")
-        or n.get("having") is not None
         or n.get("qualify") is not None
         or n.get("sample") is not None
         or n.get("aggregate_handling") != "STANDARD_HANDLING"
@@ -238,6 +251,12 @@ def plan_sharded(rendered_sql: str, output_schema: list[tuple]) -> ShardPlan | N
         or ft.get("sample") is not None
         or ft.get("table_name") not in (SOURCE_VIEW, TARGET_VIEW)
     ):
+        return None
+    # modifiers: a result-set ORDER BY is droppable (every downstream
+    # metric — EXCEPT ALL counts, orderless hash, sorted-md5 samples —
+    # is order-insensitive), but LIMIT / SELECT DISTINCT change the
+    # result multiset and stay on the driver
+    if any(m.get("type") != "ORDER_MODIFIER" for m in n.get("modifiers") or []):
         return None
     # ROLLUP/CUBE/GROUPING SETS → more than one grouping set
     group_exprs = n.get("group_expressions") or []
@@ -264,29 +283,58 @@ def plan_sharded(rendered_sql: str, output_schema: list[tuple]) -> ShardPlan | N
     merge_items: list[str] = []  # one per original select item, in order
     group_keys: list[str] = []  # partial-alias idents the merge groups by
     matched_groups: set[int] = set()
+    group_alias: dict[str, str] = {}  # group-expr norm → partial alias
+    # single shared dedup key for DISTINCT aggregates: every DISTINCT
+    # agg in the query must take the same argument expression; the
+    # partial then groups by it (per-fragment dedup) and the merge runs
+    # the real DISTINCT agg over the deduped rows
+    distinct_state: dict[str, Any] = {"norm": None, "expr": None}
+
+    def _agg_merge(item: dict, tag: str) -> str | None:
+        """Register partial columns for one aggregate node; return its
+        merge-side expression (or None → not decomposable)."""
+        kind = _agg_kind(item)
+        if kind is None:
+            return None
+        fn = item["function_name"]
+        if kind == "distinct":
+            child = item["children"][0]
+            norm = _normalized(child)
+            if distinct_state["norm"] is None:
+                distinct_state["norm"] = norm
+                distinct_state["expr"] = copy.deepcopy(child)
+            elif distinct_state["norm"] != norm:
+                return None
+            up = {"count": "COUNT", "sum": "SUM", "min": "MIN", "max": "MAX", "avg": "AVG"}
+            return f'{up[fn]}(DISTINCT "__d")'
+        if fn == "avg":
+            # AVG decomposes to (SUM, COUNT); merged as the guarded
+            # quotient so an all-NULL column still yields NULL
+            s = copy.deepcopy(item)
+            s["function_name"] = "sum"
+            s["alias"] = f"__{tag}_s"
+            c = copy.deepcopy(item)
+            c["function_name"] = "count"
+            c["alias"] = f"__{tag}_c"
+            new_select.extend([s, c])
+            return (
+                f'CASE WHEN COALESCE(SUM("__{tag}_c"), 0) = 0 THEN NULL '
+                f'ELSE CAST(SUM("__{tag}_s") AS DOUBLE)'
+                f' / CAST(SUM("__{tag}_c") AS DOUBLE) END'
+            )
+        it = copy.deepcopy(item)
+        it["alias"] = f"__{tag}"
+        new_select.append(it)
+        return f'{_MERGE_FN[fn]}("__{tag}")'
+
     for i, item in enumerate(select_list):
-        if _is_plain_agg(item):
-            fn = item["function_name"]
-            if fn == "avg":
-                # AVG decomposes to (SUM, COUNT); merged as the guarded
-                # quotient so an all-NULL column still yields NULL
-                s = copy.deepcopy(item)
-                s["function_name"] = "sum"
-                s["alias"] = f"__p{i}_s"
-                c = copy.deepcopy(item)
-                c["function_name"] = "count"
-                c["alias"] = f"__p{i}_c"
-                new_select += [s, c]
-                merge_items.append(
-                    f'CASE WHEN COALESCE(SUM("__p{i}_c"), 0) = 0 THEN NULL '
-                    f'ELSE CAST(SUM("__p{i}_s") AS DOUBLE)'
-                    f' / CAST(SUM("__p{i}_c") AS DOUBLE) END'
-                )
-            else:
-                it = copy.deepcopy(item)
-                it["alias"] = f"__p{i}"
-                new_select.append(it)
-                merge_items.append(f'{_MERGE_FN[fn]}("__p{i}")')
+        if _agg_kind(item) is not None:
+            expr = _agg_merge(item, f"p{i}")
+            if expr is None:
+                return None
+            merge_items.append(expr)
+        elif item.get("class") == "FUNCTION" and item.get("function_name") in _AGG_FNS:
+            return None  # aggregate with FILTER/ORDER/nested — not our shape
         else:
             # non-aggregate select item: must be exactly one of the
             # GROUP BY expressions (else the query isn't aggregate-shaped
@@ -300,6 +348,7 @@ def plan_sharded(rendered_sql: str, output_schema: list[tuple]) -> ShardPlan | N
             it["alias"] = f"__p{i}"
             new_select.append(it)
             group_keys.append(f'"__p{i}"')
+            group_alias[norm] = f'"__p{i}"'
             merge_items.append(f'"__p{i}"')
     # GROUP BY expressions not in the select list still partition the
     # partials — select them under hidden aliases so the merge can group
@@ -309,7 +358,101 @@ def plan_sharded(rendered_sql: str, output_schema: list[tuple]) -> ShardPlan | N
             it["alias"] = f"__g{gi}"
             new_select.append(it)
             group_keys.append(f'"__g{gi}"')
+            group_alias[group_norms[gi]] = f'"__g{gi}"'
+
+    # HAVING: a post-aggregation filter — it moves verbatim onto the
+    # MERGE query, with each aggregate node re-expressed as its merged
+    # partial expression and each group-key reference as its partial
+    # alias. Any other bare column reference is not valid HAVING shape →
+    # driver fallback.
+    having_sql: str | None = None
+    having = n.get("having")
+    if having is not None:
+        replacements: dict[str, str] = {}
+        alias_merge = {
+            name: f"({merge_items[i]})"
+            for i, (name, _t) in enumerate(output_schema)
+        }
+
+        def _placeholder(expr: str) -> dict:
+            key = f"__DPMERGE{len(replacements)}__"
+            replacements[key] = expr
+            return {
+                "class": "COLUMN_REF",
+                "type": "COLUMN_REF",
+                "alias": "",
+                "column_names": [key],
+            }
+
+        def _rewrite(node):
+            if isinstance(node, dict):
+                if node.get("class"):  # an expression node
+                    norm = _normalized(node)
+                    if norm in group_alias:
+                        return _placeholder(group_alias[norm])
+                    if (
+                        node.get("class") == "FUNCTION"
+                        and node.get("function_name") in _AGG_FNS
+                    ):
+                        expr = _agg_merge(node, f"h{len(replacements)}")
+                        if expr is None:
+                            raise _Undecomposable()
+                        return _placeholder(f"({expr})")
+                    if node.get("class") == "COLUMN_REF":
+                        # select-item alias reference (HAVING c > 5)
+                        names = node.get("column_names") or []
+                        if len(names) == 1 and names[0] in alias_merge:
+                            return _placeholder(alias_merge[names[0]])
+                        raise _Undecomposable()
+                return {k: _rewrite(v) for k, v in node.items()}
+            if isinstance(node, list):
+                return [_rewrite(v) for v in node]
+            return node
+
+        try:
+            rewritten = _rewrite(copy.deepcopy(having))
+        except _Undecomposable:
+            return None
+        rewritten["alias"] = "__dp_h__"
+        dummy = copy.deepcopy(n)
+        dummy["select_list"] = [rewritten]
+        dummy["group_expressions"] = []
+        dummy["group_sets"] = []
+        dummy["where_clause"] = None
+        dummy["having"] = None
+        dummy["modifiers"] = []
+        con = duckdb.connect()
+        try:
+            text = con.execute(
+                "SELECT json_deserialize_sql(?::JSON)",
+                [json.dumps({"error": False, "statements": [{"node": dummy}]})],
+            ).fetchone()[0]
+        except duckdb.Error:
+            return None
+        finally:
+            con.close()
+        marker = ' AS __dp_h__ FROM '
+        if not text.startswith("SELECT ") or marker not in text:
+            return None
+        having_sql = text[len("SELECT "):].rsplit(marker, 1)[0]
+        for key, repl in replacements.items():
+            having_sql = having_sql.replace(f'"{key}"', repl).replace(key, repl)
+
+    # DISTINCT aggregates: the partial dedups per fragment by grouping
+    # on (group keys, argument); the merge's DISTINCT agg collapses
+    # cross-fragment repeats
+    if distinct_state["norm"] is not None:
+        d = copy.deepcopy(distinct_state["expr"])
+        d["alias"] = "__d"
+        new_select.append(d)
+        partial["group_expressions"] = [
+            *copy.deepcopy(group_exprs),
+            copy.deepcopy(distinct_state["expr"]),
+        ]
+        partial["group_sets"] = [list(range(len(group_exprs) + 1))]
     partial["select_list"] = new_select
+    partial["having"] = None
+    partial["modifiers"] = []
 
     con = duckdb.connect()
     try:
@@ -329,6 +472,8 @@ def plan_sharded(rendered_sql: str, output_schema: list[tuple]) -> ShardPlan | N
     merge_sql = f"SELECT {merge_select} FROM partials"
     if group_keys:
         merge_sql += f" GROUP BY {', '.join(group_keys)}"
+    if having_sql is not None:
+        merge_sql += f" HAVING {having_sql}"
 
     # referenced columns (superset): every COLUMN_REF's terminal name;
     # intersected with the parquet schema later so alias refs drop out

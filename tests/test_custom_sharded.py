@@ -83,19 +83,46 @@ DECOMPOSABLE = [
     "WHERE o_orderkey > 100 GROUP BY o_orderkey % 7",
     # GROUP BY column not in the select list
     "SELECT count(*) AS n FROM src GROUP BY o_orderstatus",
+    # result ORDER BY: dropped (metrics are order-insensitive)
+    "SELECT o_orderstatus, count(*) AS n FROM src GROUP BY o_orderstatus "
+    "ORDER BY n DESC",
+    # HAVING: aggregate + group-key reference move onto the merge
+    "SELECT o_orderstatus, count(*) AS n FROM src GROUP BY o_orderstatus "
+    "HAVING count(*) > 5 AND o_orderstatus <> 'X'",
+    # HAVING over an aggregate NOT in the select list (hidden partial)
+    "SELECT o_orderstatus, count(*) AS n FROM src GROUP BY o_orderstatus "
+    "HAVING avg(o_totalprice) > 400",
+    # HAVING via a select-item alias
+    "SELECT o_orderstatus, count(*) AS n FROM src GROUP BY o_orderstatus "
+    "HAVING n > 1200",
+    # DISTINCT aggregates: global, grouped+mixed, and multiple DISTINCT
+    # aggs over the SAME argument
+    "SELECT count(DISTINCT o_orderstatus) AS n FROM src",
+    "SELECT o_orderstatus, count(DISTINCT o_orderkey % 10) AS d, "
+    "sum(o_totalprice) AS s, count(*) AS n FROM src GROUP BY o_orderstatus",
+    "SELECT sum(DISTINCT o_orderkey % 100) AS s, "
+    "avg(DISTINCT o_orderkey % 100) AS a FROM src",
 ]
 
 NOT_DECOMPOSABLE = [
     "SELECT DISTINCT o_orderstatus FROM src",  # DISTINCT modifier
     "SELECT o_orderstatus, count(*) AS n FROM src GROUP BY o_orderstatus LIMIT 2",
-    "SELECT count(DISTINCT o_orderstatus) AS n FROM src",
     "SELECT o_orderstatus FROM src",  # bare projection, not aggregate-shaped
     "SELECT s.o_orderkey FROM src s JOIN tgt t ON s.o_orderkey = t.o_orderkey",
-    "SELECT o_orderstatus, count(*) AS n FROM src GROUP BY o_orderstatus "
-    "HAVING count(*) > 5",
     "SELECT (SELECT max(o_orderkey) FROM tgt) AS m FROM src",
     "SELECT row_number() OVER (ORDER BY o_orderkey) AS rn FROM src",
     "SELECT o_orderstatus, count(*) AS n FROM src GROUP BY ROLLUP (o_orderstatus)",
+    # two DISTINCT aggs over DIFFERENT arguments (no shared dedup key)
+    "SELECT count(DISTINCT o_orderstatus) AS a, count(DISTINCT o_comment) AS b "
+    "FROM src",
+    # FILTER clause
+    "SELECT count(*) FILTER (WHERE o_orderstatus = 'F') AS n FROM src",
+    # HAVING over an aggregate we can't re-aggregate
+    "SELECT o_orderstatus, count(*) AS n FROM src GROUP BY o_orderstatus "
+    "HAVING median(o_totalprice) > 400",
+    # ORDER BY + LIMIT changes the result multiset → stays on the driver
+    "SELECT o_orderstatus, count(*) AS n FROM src GROUP BY o_orderstatus "
+    "ORDER BY n DESC LIMIT 1",
 ]
 
 
