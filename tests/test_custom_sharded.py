@@ -226,3 +226,73 @@ def test_plan_printer_labels_locus(orders_pair, tmp_path):
         str(tmp_path / "nope2"),
     )
     assert "undetermined" in lab3
+
+
+# ---------------------------------------------------------------------------
+# property fuzz: any composition of supported shapes must shard and
+# match driver DuckDB exactly
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_GROUPS = [None, "o_orderstatus", "o_orderkey % 5"]
+_AGGS = [
+    "count(*)",
+    "sum(o_totalprice)",
+    "avg(o_totalprice)",
+    "min(o_comment)",
+    "max(o_totalprice)",
+    "count(o_orderkey)",
+    # DISTINCT aggs share one argument expression by design
+    "count(DISTINCT o_orderkey % 10)",
+    "sum(DISTINCT o_orderkey % 10)",
+]
+_WHERES = [None, "o_orderkey > 500", "o_orderstatus <> 'P' AND o_totalprice < 900"]
+_HAVINGS = [None, "count(*) > 300", "avg(o_totalprice) > 350", "a0 IS NOT NULL"]
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    group_i=st.integers(0, len(_GROUPS) - 1),
+    agg_idx=st.lists(
+        st.integers(0, len(_AGGS) - 1), min_size=1, max_size=4, unique=True
+    ),
+    where_i=st.integers(0, len(_WHERES) - 1),
+    having_i=st.integers(0, len(_HAVINGS) - 1),
+    order=st.booleans(),
+)
+def test_sharded_equals_driver_fuzz(
+    orders_pair, group_i, agg_idx, where_i, having_i, order
+):
+    src_files, _ = orders_pair
+    group = _GROUPS[group_i]
+    items = [f"{_AGGS[i]} AS a{k}" for k, i in enumerate(agg_idx)]
+    if group:
+        items.insert(0, group + " AS g")
+    sql = "SELECT " + ", ".join(items) + " FROM src"
+    if _WHERES[where_i]:
+        sql += f" WHERE {_WHERES[where_i]}"
+    if group:
+        sql += f" GROUP BY {group}"
+        if _HAVINGS[having_i]:
+            sql += f" HAVING {_HAVINGS[having_i]}"
+    if order:
+        sql += " ORDER BY 1"
+    plan = _plan(sql, src_files)
+    assert plan is not None, f"expected decomposable: {sql}"
+    from datapact_ray.stages.custom import _run_side_sharded
+
+    got = _run_side_sharded(plan, src_files)
+    want = _driver_result(sql, src_files)
+    assert list(got.columns) == list(want.columns)
+    key = list(got.columns)
+    got_s = got.sort_values(key).reset_index(drop=True)
+    want_s = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got_s, want_s, check_dtype=False, atol=1e-9, rtol=1e-12
+    )
