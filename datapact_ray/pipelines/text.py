@@ -1575,6 +1575,172 @@ def tfidf_top_terms_documents(sf_dir: str, k: int = 20) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def nfc_census_documents(sf_dir: str) -> pd.DataFrame:
+    """Unicode NFC normalization census — the canonicalization gate a
+    multilingual corpus passes before dedup/tokenization (decomposed
+    sequences like ``e`` + U+0301 read as distinct strings from their
+    composed forms, splitting vocabularies and defeating exact dedup).
+
+    The synthetic corpus is pure ASCII, so the op derives a
+    deterministically non-NFC view IN the scan task (even doc_ids get
+    every ``e`` replaced by ``e`` + COMBINING ACUTE -- mirrored verbatim
+    in the SQL oracle), then runs a REAL normalization kernel per
+    document. Arrow 16's ``utf8_normalize(form="NFC")`` performs no
+    canonical composition (verified: an NFD round-trip stays
+    decomposed), so the kernel is CPython's ``unicodedata.normalize``
+    (UCD-conformant, C-implemented per string) -- the same composition
+    DuckDB's utf8proc ``nfc_normalize`` applies. Per source: docs
+    scanned, docs whose text is not NFC-canonical, and the total
+    codepoint shrinkage under NFC. Per-task partials are source-sized;
+    text never shuffles."""
+    from ..shuffle import map_partials
+
+    comb = "e" + chr(0x301)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        import unicodedata
+
+        t = batch.column("text").to_pandas()
+        even = (batch.column("doc_id").to_numpy(zero_copy_only=False) % 2) == 0
+        derived = t.where(~even, t.str.replace("e", comb, regex=False))
+        nfc = derived.map(
+            lambda s: unicodedata.normalize("NFC", s) if isinstance(s, str) else s
+        )
+        changed = derived.notna() & (derived != nfc)
+        delta = (
+            (derived.str.len() - nfc.str.len()).fillna(0).astype("int64")
+        )
+        df = pd.DataFrame(
+            {
+                "source": batch.column("source").to_pandas(),
+                "scanned": t.notna().astype("int64"),
+                "changed": changed.astype("int64"),
+                "delta": delta,
+            }
+        )
+        return (
+            df.groupby("source", sort=False)
+            .agg(
+                n_docs=("scanned", "sum"),
+                nonnfc_docs=("changed", "sum"),
+                codepoint_delta=("delta", "sum"),
+            )
+            .reset_index()
+        )
+
+    parts = map_partials(
+        f"{sf_dir}/documents.parquet", ["doc_id", "text", "source"], None, partial
+    )
+    out = (
+        parts.groupby("source", as_index=False)[
+            ["n_docs", "nonnfc_docs", "codepoint_delta"]
+        ]
+        .sum()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    return out.astype(
+        {"n_docs": "int64", "nonnfc_docs": "int64", "codepoint_delta": "int64"}
+    )
+
+
+_NFC_CENSUS_SQL = """
+    WITH p AS (
+        SELECT source,
+               CASE WHEN doc_id % 2 = 0
+                    THEN replace(text, 'e', 'e' || chr(769)) ELSE text
+               END AS t
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(t) AS BIGINT) AS n_docs,
+           CAST(COALESCE(SUM(CASE WHEN t <> nfc_normalize(t) THEN 1 ELSE 0 END),
+                         0) AS BIGINT) AS nonnfc_docs,
+           CAST(COALESCE(SUM(length(t) - length(nfc_normalize(t))), 0)
+                AS BIGINT) AS codepoint_delta
+    FROM p GROUP BY source ORDER BY source
+"""
+
+
+_URL_RE = r"https?://[^\s]+"
+_HTTPS_RE = r"https://[^\s]+"
+
+
+def url_census_documents(sf_dir: str) -> pd.DataFrame:
+    """URL census — the link-density / scheme-mix profile used for web
+    corpus filtering. Both engines run RE2 (Arrow
+    ``count_substring_regex`` vs DuckDB ``regexp_extract_all``) with the
+    identical pattern, so leftmost non-overlapping counting matches
+    exactly. The ASCII corpus carries no URLs, so the scan task derives
+    a deterministic linkful view (two fixed token→URL rewrites, mirrored
+    verbatim in the oracle) and censuses THAT — the regex machinery is
+    exercised on data-dependent counts. Per source: docs containing a
+    URL, total URLs, https URLs."""
+    from ..shuffle import map_partials
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        txt = pc.replace_substring(
+            batch.column("text"), pattern="spark", replacement="https://spark.example.org/x"
+        )
+        txt = pc.replace_substring(
+            txt, pattern="window", replacement="http://window.example.net/y?a=1"
+        )
+        n_urls = pc.fill_null(pc.count_substring_regex(txt, pattern=_URL_RE), 0)
+        n_https = pc.fill_null(pc.count_substring_regex(txt, pattern=_HTTPS_RE), 0)
+        df = pd.DataFrame(
+            {
+                "source": batch.column("source").to_pandas(),
+                "with_url": (n_urls.to_pandas() > 0).astype("int64"),
+                "urls": n_urls.to_pandas().astype("int64"),
+                "https": n_https.to_pandas().astype("int64"),
+            }
+        )
+        return (
+            df.groupby("source", sort=False)
+            .agg(
+                docs_with_url=("with_url", "sum"),
+                total_urls=("urls", "sum"),
+                https_urls=("https", "sum"),
+            )
+            .reset_index()
+        )
+
+    parts = map_partials(
+        f"{sf_dir}/documents.parquet", ["text", "source"], None, partial
+    )
+    out = (
+        parts.groupby("source", as_index=False)[
+            ["docs_with_url", "total_urls", "https_urls"]
+        ]
+        .sum()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    return out.astype(
+        {"docs_with_url": "int64", "total_urls": "int64", "https_urls": "int64"}
+    )
+
+
+_URL_CENSUS_SQL = r"""
+    WITH p AS (
+        SELECT source,
+               replace(replace(text, 'spark', 'https://spark.example.org/x'),
+                       'window', 'http://window.example.net/y?a=1') AS t
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT source,
+           CAST(SUM(CASE WHEN len(regexp_extract_all(t, 'https?://[^\s]+')) > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_url,
+           CAST(SUM(len(regexp_extract_all(t, 'https?://[^\s]+')))
+                AS BIGINT) AS total_urls,
+           CAST(SUM(len(regexp_extract_all(t, 'https://[^\s]+')))
+                AS BIGINT) AS https_urls
+    FROM p GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "pii_census_documents": pii_census_documents,
     "text_stats_documents": text_stats_documents,
@@ -1600,9 +1766,13 @@ QUERIES = {
     "dup_lines_documents": dup_lines_documents,
     "dup_paragraphs_documents": dup_paragraphs_documents,
     "tfidf_top_terms_documents": tfidf_top_terms_documents,
+    "nfc_census_documents": nfc_census_documents,
+    "url_census_documents": url_census_documents,
 }
 
 ORACLE_SQL = {
+    "nfc_census_documents": _NFC_CENSUS_SQL,
+    "url_census_documents": _URL_CENSUS_SQL,
     "tfidf_top_terms_documents": """
         WITH nd AS (
             SELECT COUNT(*) AS n FROM documents WHERE text IS NOT NULL
