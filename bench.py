@@ -550,6 +550,14 @@ def run_bench() -> dict:
         multimodal.payload_size_percentiles_multimodal,
         SF_DIR,
     )
+    timed(
+        "wav_decode_stats_documents", multimodal.wav_decode_stats_documents, SF_DIR
+    )
+    timed(
+        "png_decode_stats_documents", multimodal.png_decode_stats_documents, SF_DIR
+    )
+    timed("nfc_census_documents", text.nfc_census_documents, SF_DIR)
+    timed("url_census_documents", text.url_census_documents, SF_DIR)
     # jaccard_pairs_documents / embedding_exact_pairs are the EXACT
     # quadratic baselines that oracle-check the approximate dedup paths;
     # they run in the correctness gate but stay out of the timed headline

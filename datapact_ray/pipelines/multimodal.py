@@ -1275,7 +1275,7 @@ def wav_decode_stats_documents(sf_dir: str) -> "pd.DataFrame":
         )
 
     media = ds.map_batches(to_media, batch_format="pyarrow", zero_copy_batch=True)
-    feats = featurize_media(media, decoder="real", batch_size=64, concurrency=(1, 4))
+    feats = featurize_media(media, decoder="real", batch_size=256, concurrency=(2, 16))
 
     def partial(batch: pa.Table) -> "pd.DataFrame":
         df = pd.DataFrame(
@@ -1382,7 +1382,7 @@ def png_decode_stats_documents(sf_dir: str) -> "pd.DataFrame":
         )
 
     media = ds.map_batches(to_media, batch_format="pyarrow", zero_copy_batch=True)
-    feats = featurize_media(media, decoder="real", batch_size=64, concurrency=(1, 4))
+    feats = featurize_media(media, decoder="real", batch_size=256, concurrency=(2, 16))
 
     def partial(batch: pa.Table) -> "pd.DataFrame":
         df = pd.DataFrame(
