@@ -556,6 +556,9 @@ def run_bench() -> dict:
     timed(
         "png_decode_stats_documents", multimodal.png_decode_stats_documents, SF_DIR
     )
+    timed(
+        "mp4_decode_stats_documents", multimodal.mp4_decode_stats_documents, SF_DIR
+    )
     timed("nfc_census_documents", text.nfc_census_documents, SF_DIR)
     timed("url_census_documents", text.url_census_documents, SF_DIR)
     # jaccard_pairs_documents / embedding_exact_pairs are the EXACT

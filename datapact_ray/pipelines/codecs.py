@@ -15,10 +15,16 @@ enough to implement from their public specifications:
   ``struct`` — a genuinely compressed container: chunk CRC verification,
   IDAT inflate, and full scanline unfiltering (all five spec filter
   types), plus encode and nearest-neighbor resize.
+* **MP4 / ISO BMFF** (MPEG-4 Part 12) via ``struct`` — box-tree walk,
+  mvhd/tkhd/hdlr metadata, full sample-table resolution
+  (stts/stsz/stsc/stco|co64 → absolute byte ranges), and codec-copy
+  frame extraction (the encoded samples sliced out of mdat, exactly
+  what ``ffmpeg -c copy`` ships — no codec decode exists or is needed
+  to cut samples), plus a structurally valid one-track encoder.
 
 These are real decoders: they parse the actual container bytes, reject
 malformed payloads, and their outputs are verified against closed-form
-oracles in tests. Formats beyond WAV/BMP/PNG still raise
+oracles in tests. Formats beyond WAV/BMP/PNG/MP4 still raise
 ``NotImplementedError`` with an injection hint — honest about what the
 container can and cannot decode.
 
@@ -392,12 +398,268 @@ def resize_png(payload: bytes, width: int, height: int) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# MP4 / ISO BMFF (MPEG-4 Part 12) — `struct`
+# ---------------------------------------------------------------------------
+#
+# A real container parser for the video path: walks the box tree
+# (size+fourcc framing, container recursion through moov/trak/mdia/
+# minf/stbl), reads mvhd (timescale/duration, versions 0 and 1), tkhd
+# (16.16 fixed-point track dimensions), hdlr (track kind) and the
+# sample tables (stts/stsz/stsc/stco|co64), and resolves every sample's
+# absolute byte range in mdat. Frame "sampling" is codec-copy exactly
+# like `ffmpeg -c copy`: the encoded sample payloads are sliced out of
+# mdat by the table-resolved ranges — real extraction with no codec
+# decode (none exists in this container, and none is needed to cut
+# samples). The encoder synthesizes a structurally valid one-track file
+# (ftyp + mdat + moov) for fixtures and the derived-media ops.
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"dinf"}
+
+
+def _mp4_box(fourcc: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + fourcc + payload
+
+
+def _mp4_full(fourcc: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _mp4_box(fourcc, struct.pack(">B3s", version, flags.to_bytes(3, "big")) + payload)
+
+
+def encode_mp4(
+    samples: list[bytes],
+    width: int = 16,
+    height: int = 16,
+    sample_duration_ms: int = 100,
+) -> bytes:
+    """Encoded sample payloads → a structurally valid one-video-track
+    MP4 (timescale 1000, uniform sample duration). The sample bytes are
+    stored verbatim in mdat with full stts/stsz/stsc/stco tables."""
+    if not samples:
+        raise ValueError("encode_mp4 needs at least one sample")
+    n = len(samples)
+    dur = n * sample_duration_ms
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mdat_payload = b"".join(samples)
+    mdat = _mp4_box(b"mdat", mdat_payload)
+    chunk_offset = len(ftyp) + 8  # absolute offset of the first sample
+    mvhd = _mp4_full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, 1000, dur)
+        + struct.pack(">IH", 0x00010000, 0x0100)
+        + b"\x00" * 10
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    tkhd = _mp4_full(
+        b"tkhd", 0, 7,
+        struct.pack(">IIIII", 0, 0, 1, 0, dur)
+        + b"\x00" * 16
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mdhd = _mp4_full(
+        b"mdhd", 0, 0, struct.pack(">IIIIHH", 0, 0, 1000, dur, 0x55C4, 0)
+    )
+    hdlr = _mp4_full(
+        b"hdlr", 0, 0, struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"v\x00"
+    )
+    stsd = _mp4_full(
+        b"stsd", 0, 0,
+        struct.pack(">I", 1)
+        + _mp4_box(
+            b"mp4v",
+            b"\x00" * 6
+            + struct.pack(">H", 1)
+            + b"\x00" * 16
+            + struct.pack(">HH", width, height)
+            + struct.pack(">IIIH", 0x00480000, 0x00480000, 0, 1)
+            + b"\x00" * 32
+            + struct.pack(">Hh", 0x18, -1),
+        ),
+    )
+    stts = _mp4_full(
+        b"stts", 0, 0, struct.pack(">III", 1, n, sample_duration_ms)
+    )
+    stsc = _mp4_full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+    stsz = _mp4_full(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, n) + b"".join(struct.pack(">I", len(s)) for s in samples),
+    )
+    stco = _mp4_full(b"stco", 0, 0, struct.pack(">II", 1, chunk_offset))
+    vmhd = _mp4_full(b"vmhd", 0, 1, b"\x00" * 8)
+    dref = _mp4_full(
+        b"dref", 0, 0, struct.pack(">I", 1) + _mp4_full(b"url ", 0, 1, b"")
+    )
+    stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _mp4_box(b"minf", vmhd + _mp4_box(b"dinf", dref) + stbl)
+    mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+    trak = _mp4_box(b"trak", tkhd + mdia)
+    moov = _mp4_box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def _mp4_walk(payload: bytes, start: int, end: int, found: dict) -> None:
+    pos = start
+    while pos + 8 <= end:
+        size, fourcc = struct.unpack_from(">I4s", payload, pos)
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                raise ValueError("truncated MP4 largesize box")
+            (size,) = struct.unpack_from(">Q", payload, pos + 8)
+            body = pos + 16
+        elif size == 0:  # box extends to EOF
+            size = end - pos
+            body = pos + 8
+        else:
+            body = pos + 8
+        if size < body - pos or pos + size > end:
+            raise ValueError(f"truncated MP4 box {fourcc!r}")
+        if fourcc in _MP4_CONTAINERS:
+            _mp4_walk(payload, body, pos + size, found)
+        else:
+            found.setdefault(fourcc, []).append((body, pos + size))
+        pos += size
+
+
+def _parse_mp4(payload: bytes) -> dict:
+    """MP4 container → structural metadata + resolved sample byte
+    ranges. Supports version-0/1 mvhd, 32/64-bit chunk offsets, and the
+    one-video-track layout; multi-stts-entry (variable frame duration)
+    files resolve ranges but report uniform timing as unsupported for
+    time-indexed sampling."""
+    if len(payload) < 8:
+        raise ValueError("not an MP4 payload")
+    size, fourcc = struct.unpack_from(">I4s", payload, 0)
+    if fourcc != b"ftyp":
+        raise ValueError("not an MP4 payload (missing ftyp)")
+    found: dict = {}
+    _mp4_walk(payload, 0, len(payload), found)
+    if b"mvhd" not in found or b"stsz" not in found:
+        raise ValueError("MP4 missing moov sample tables")
+
+    def one(cc: bytes) -> tuple[int, int]:
+        return found[cc][0]
+
+    b, e = one(b"mvhd")
+    version = payload[b]
+    if version == 1:
+        timescale, duration = struct.unpack_from(">IQ", payload, b + 4 + 16)
+    else:
+        _, _, timescale, duration = struct.unpack_from(">IIII", payload, b + 4)
+    width = height = 0
+    if b"tkhd" in found:
+        tb, te = one(b"tkhd")
+        w16, h16 = struct.unpack_from(">II", payload, te - 8)
+        width, height = w16 >> 16, h16 >> 16
+    # stsz: sample sizes
+    sb, se = one(b"stsz")
+    fixed, count = struct.unpack_from(">II", payload, sb + 4)
+    if fixed:
+        sizes = [fixed] * count
+    else:
+        sizes = list(struct.unpack_from(f">{count}I", payload, sb + 12))
+    # stts: (count, delta) runs — per-sample durations
+    tb2, _ = one(b"stts")
+    (nruns,) = struct.unpack_from(">I", payload, tb2 + 4)
+    runs = [
+        struct.unpack_from(">II", payload, tb2 + 8 + 8 * i) for i in range(nruns)
+    ]
+    # stsc: chunk → samples-per-chunk map; stco/co64: chunk offsets
+    cb, _ = one(b"stsc")
+    (nmap,) = struct.unpack_from(">I", payload, cb + 4)
+    smap = [
+        struct.unpack_from(">III", payload, cb + 8 + 12 * i) for i in range(nmap)
+    ]
+    if b"stco" in found:
+        ob, _ = one(b"stco")
+        (nch,) = struct.unpack_from(">I", payload, ob + 4)
+        offsets = list(struct.unpack_from(f">{nch}I", payload, ob + 8))
+    else:
+        ob, _ = one(b"co64")
+        (nch,) = struct.unpack_from(">I", payload, ob + 4)
+        offsets = list(struct.unpack_from(f">{nch}Q", payload, ob + 8))
+    # resolve each sample's absolute (offset, size)
+    ranges: list[tuple[int, int]] = []
+    si = 0
+    for ci, chunk_off in enumerate(offsets, start=1):
+        per = next(
+            (s for first, s, _d in reversed(smap) if first <= ci), None
+        )
+        if per is None:
+            raise ValueError("MP4 stsc does not cover chunk")
+        off = chunk_off
+        for _ in range(per):
+            if si >= len(sizes):
+                break
+            ranges.append((off, sizes[si]))
+            off += sizes[si]
+            si += 1
+    if si != len(sizes):
+        raise ValueError("MP4 sample tables inconsistent")
+    return {
+        "timescale": timescale,
+        "duration": duration,
+        "width": width,
+        "height": height,
+        "sizes": sizes,
+        "ranges": ranges,
+        "stts_runs": runs,
+    }
+
+
+def decode_mp4(payload: bytes) -> dict:
+    """Parse an MP4 container and return structural decode features."""
+    meta = _parse_mp4(payload)
+    out = dict.fromkeys(_FEATURE_KEYS, 0.0)
+    ts = meta["timescale"]
+    out.update(
+        n_bytes=len(payload),
+        sample_rate=int(ts),
+        n_samples=len(meta["sizes"]),
+        duration_ms=int(meta["duration"] * 1000 // ts) if ts else 0,
+        width=int(meta["width"]),
+        height=int(meta["height"]),
+        n_pixels=int(meta["width"] * meta["height"]),
+        mean_value=0.0,
+        rms=0.0,
+    )
+    return out
+
+
+def sample_mp4_frames(payload: bytes, every_ms: int) -> list[bytes]:
+    """Codec-copy frame extraction: slice the encoded sample nearest
+    each ``every_ms`` boundary out of mdat via the resolved sample
+    table. Uniform-duration files only (single stts run) — variable
+    timing would need edit-list awareness and raises honestly."""
+    meta = _parse_mp4(payload)
+    runs = meta["stts_runs"]
+    if len(runs) != 1:
+        raise NotImplementedError(
+            "time-indexed sampling supports uniform sample durations only"
+        )
+    _count, delta = runs[0]
+    ts = meta["timescale"]
+    n = len(meta["ranges"])
+    if n == 0 or delta == 0 or ts == 0:
+        return []
+    out, t = [], 0
+    total = n * delta
+    while t < total:
+        idx = min(t // delta, n - 1)
+        off, size = meta["ranges"][idx]
+        out.append(payload[off : off + size])
+        t += max(1, every_ms * ts // 1000)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # dispatch (the `decoder="real"` entry points used by multimodal.py)
 # ---------------------------------------------------------------------------
 
 _WAV_TYPES = {"audio/wav", "audio/x-wav", "audio/wave"}
 _BMP_TYPES = {"image/bmp", "image/x-bmp"}
 _PNG_TYPES = {"image/png", "image/x-png"}
+_MP4_TYPES = {"video/mp4", "video/mp4v-es", "audio/mp4"}
 
 
 def real_decode(payload: bytes, media_type: str) -> dict:
@@ -407,9 +669,11 @@ def real_decode(payload: bytes, media_type: str) -> dict:
         return decode_bmp(payload)
     if media_type in _PNG_TYPES:
         return decode_png(payload)
+    if media_type in _MP4_TYPES:
+        return decode_mp4(payload)
     raise NotImplementedError(
-        f"no vendored codec for {media_type!r} (WAV, 24-bit BMP and 8-bit "
-        "PNG are built in; pass decode_fn for other formats)"
+        f"no vendored codec for {media_type!r} (WAV, 24-bit BMP, 8-bit PNG "
+        "and MP4/ISO-BMFF are built in; pass decode_fn for other formats)"
     )
 
 
@@ -427,7 +691,10 @@ def real_resize(payload: bytes, media_type: str, width: int, height: int) -> byt
 def real_sample(payload: bytes, media_type: str, every_ms: int) -> list[bytes]:
     if media_type in _WAV_TYPES:
         return sample_wav_windows(payload, every_ms)
+    if media_type in _MP4_TYPES:
+        return sample_mp4_frames(payload, every_ms)
     raise NotImplementedError(
-        f"no vendored frame sampler for {media_type!r} (WAV windowing is "
-        "built in; pass sample_fn for other formats)"
+        f"no vendored frame sampler for {media_type!r} (WAV windowing and "
+        "MP4 codec-copy extraction are built in; pass sample_fn for other "
+        "formats)"
     )

@@ -6,11 +6,13 @@ metadata columns alongside (``media_type``, ``width``, ``height``,
 actor-pool stages, output layout — is real and tested. Decoders:
 ``decoder="fake"`` is a deterministic byte-statistics featurizer;
 ``decoder="real"`` uses the vendored pure-Python codecs in `codecs.py`
-(WAV via stdlib ``wave``, uncompressed 24-bit BMP via ``struct``) —
-real container parsing, verified against closed-form oracles. Formats
-the container has no library for (PNG/JPEG/MP4 — no Pillow/cv2/ffmpeg
-here) raise ``NotImplementedError`` per payload unless an explicit
-``decode_fn`` is injected.
+(WAV via stdlib ``wave``, uncompressed 24-bit BMP via ``struct``,
+8-bit PNG via ``zlib``+``struct`` with full scanline unfiltering, and
+MP4/ISO-BMFF box-tree + sample-table parsing with codec-copy frame
+extraction) — real container parsing, verified against closed-form
+oracles. Formats with no vendored codec (JPEG/GIF/WebM — no
+Pillow/cv2/ffmpeg here) raise ``NotImplementedError`` per payload
+unless an explicit ``decode_fn`` is injected.
 
 Scale notes: binary payloads dominate block size — stages use small
 ``batch_size`` (default 64) so ``batch × concurrency`` fits worker
@@ -76,9 +78,9 @@ class MediaFeaturizer:
         elif decoder == "fake":
             self.decode = fake_decode
         elif decoder == "real":
-            # vendored pure-Python codecs (WAV via stdlib wave, 24-bit
-            # BMP via struct) — real container parsing; formats beyond
-            # those raise NotImplementedError per payload
+            # vendored pure-Python codecs (WAV/BMP/PNG/MP4) — real
+            # container parsing; formats beyond those raise
+            # NotImplementedError per payload
             from .codecs import real_decode
 
             self.decode = real_decode
@@ -1440,9 +1442,117 @@ _PNG_DECODE_SQL = """
 """
 
 
+def mp4_decode_stats_documents(sf_dir: str) -> "pd.DataFrame":
+    """REAL video-container decode end-to-end: each document's UTF-8
+    bytes are packed as 256-byte encoded samples into a structurally
+    valid one-track MP4 (ftyp + mdat + full moov sample tables — the
+    vendored `codecs.py` ISO-BMFF encoder) inside the scan task; the
+    payloads flow through the actor-pool
+    ``featurize_media(decoder="real")`` stage whose parser walks the box
+    tree and resolves stts/stsz/stsc/stco; the DECODED sample counts and
+    durations aggregate per source feed.
+
+    Oracle-exact by construction: at 256 B/sample and 100 ms/sample the
+    decoded ``n_samples`` is ``ceil(max(octets,1)/256)`` and
+    ``duration_ms`` is ``100*n_samples`` — the SQL oracle checks the
+    real parse path in closed form. Payload bytes never enter a
+    shuffle."""
+    import pandas as pd
+
+    from ..io import read_table
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        from .codecs import encode_mp4
+
+        texts = batch.column("text").to_pylist()
+        payloads = []
+        for t in texts:
+            raw = (t or "").encode("utf-8") or b"\x00"
+            samples = [raw[i : i + 256] for i in range(0, len(raw), 256)]
+            payloads.append(encode_mp4(samples, width=16, height=16))
+        return pa.table(
+            {
+                "media_id": batch.column("doc_id"),
+                "media_type": pa.array(["video/mp4"] * len(texts)),
+                "payload": pa.array(payloads, type=pa.binary()),
+                "source": batch.column("source"),
+            }
+        )
+
+    media = ds.map_batches(to_media, batch_format="pyarrow", zero_copy_batch=True)
+    feats = featurize_media(media, decoder="real", batch_size=256, concurrency=(2, 16))
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        df = pd.DataFrame(
+            {
+                "source": batch.column("source").to_pandas(),
+                "n_samples": batch.column("n_samples").to_pandas().astype("int64"),
+                "duration_ms": batch.column("duration_ms").to_pandas().astype("int64"),
+            }
+        )
+        return (
+            df.groupby("source", sort=False)
+            .agg(
+                n_media=("n_samples", "size"),
+                total_samples=("n_samples", "sum"),
+                total_duration_ms=("duration_ms", "sum"),
+                max_samples=("n_samples", "max"),
+            )
+            .reset_index()
+            .astype(
+                {
+                    "n_media": "int64",
+                    "total_samples": "int64",
+                    "total_duration_ms": "int64",
+                    "max_samples": "int64",
+                }
+            )
+        )
+
+    parts = feats.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame(
+            {
+                "source": pd.Series([], dtype="object"),
+                "n_media": pd.Series([], dtype="int64"),
+                "total_samples": pd.Series([], dtype="int64"),
+                "total_duration_ms": pd.Series([], dtype="int64"),
+                "max_samples": pd.Series([], dtype="int64"),
+            }
+        )
+    out = parts.groupby("source", as_index=False).agg(
+        n_media=("n_media", "sum"),
+        total_samples=("total_samples", "sum"),
+        total_duration_ms=("total_duration_ms", "sum"),
+        max_samples=("max_samples", "max"),
+    )
+    for c in ("n_media", "total_samples", "total_duration_ms", "max_samples"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+_MP4_DECODE_SQL = """
+    WITH p AS (
+        SELECT source,
+               CAST(CEIL(GREATEST(octet_length(encode(COALESCE(text, ''))), 1)
+                         / 256.0) AS BIGINT) AS s
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_media,
+           CAST(SUM(s) AS BIGINT) AS total_samples,
+           CAST(SUM(s * 100) AS BIGINT) AS total_duration_ms,
+           CAST(MAX(s) AS BIGINT) AS max_samples
+    FROM p GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "wav_decode_stats_documents": wav_decode_stats_documents,
     "png_decode_stats_documents": png_decode_stats_documents,
+    "mp4_decode_stats_documents": mp4_decode_stats_documents,
     "binary_payload_stats_documents": binary_payload_stats_documents,
     "payload_entropy_documents": payload_entropy_documents,
     "chunk_dedup_multimodal": chunk_dedup_multimodal,
@@ -1458,6 +1568,7 @@ QUERIES = {
 ORACLE_SQL = {
     "wav_decode_stats_documents": _WAV_DECODE_SQL,
     "png_decode_stats_documents": _PNG_DECODE_SQL,
+    "mp4_decode_stats_documents": _MP4_DECODE_SQL,
     "payload_size_percentiles_multimodal": _PAYLOAD_SIZE_PCTL_SQL,
     "header_census_multimodal": _header_census_sql(),
     "payload_entropy_documents": _PAYLOAD_ENTROPY_SQL,

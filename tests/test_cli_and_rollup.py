@@ -185,7 +185,7 @@ def test_multimodal_resize_and_frame_sample(tmp_path):
     with pytest.raises(NotImplementedError):
         MediaResizer(2, 2, decoder="real").resize(b"....", "image/gif", 2, 2)
     with pytest.raises(NotImplementedError):
-        FrameSampler(decoder="real").sample(b"....", "video/mp4", 1000)
+        FrameSampler(decoder="real").sample(b"....", "video/webm", 1000)
 
 
 def test_roi_throughput_grading():

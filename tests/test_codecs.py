@@ -91,8 +91,8 @@ def test_bmp_rejects_malformed():
 
 
 def test_real_decode_unknown_format_raises():
-    with pytest.raises(NotImplementedError, match="video/mp4"):
-        real_decode(b"\x00\x00\x00\x18ftypmp42", "video/mp4")
+    with pytest.raises(NotImplementedError, match="image/gif"):
+        real_decode(b"GIF89a....", "image/gif")
 
 
 def _media_ds(n=40):
@@ -374,3 +374,75 @@ def test_png_decode_stats_oracle_sf0001():
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
     )
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO BMFF (box tree, sample tables, codec-copy extraction)
+# ---------------------------------------------------------------------------
+
+
+def test_mp4_roundtrip_structural():
+    from datapact_ray.pipelines.codecs import _parse_mp4, decode_mp4, encode_mp4
+
+    samples = [bytes([i]) * (10 + i) for i in range(7)]
+    payload = encode_mp4(samples, width=32, height=24, sample_duration_ms=100)
+    assert payload[4:8] == b"ftyp"
+    f = decode_mp4(payload)
+    assert f["n_samples"] == 7
+    assert f["duration_ms"] == 700
+    assert (f["width"], f["height"], f["n_pixels"]) == (32, 24, 768)
+    # the resolved sample ranges slice mdat back into the exact inputs
+    meta = _parse_mp4(payload)
+    got = [payload[o : o + s] for o, s in meta["ranges"]]
+    assert got == samples
+
+
+def test_mp4_codec_copy_frame_sampling():
+    from datapact_ray.pipelines.codecs import encode_mp4, sample_mp4_frames
+
+    samples = [bytes([i]) * 8 for i in range(10)]  # 10 x 100ms = 1s
+    payload = encode_mp4(samples, sample_duration_ms=100)
+    frames = sample_mp4_frames(payload, every_ms=300)
+    # t = 0, 300, 600, 900 → samples 0, 3, 6, 9
+    assert frames == [samples[0], samples[3], samples[6], samples[9]]
+    # sub-sample-rate request degrades to every sample
+    assert len(sample_mp4_frames(payload, every_ms=100)) == 10
+
+
+def test_mp4_rejects_malformed():
+    from datapact_ray.pipelines.codecs import decode_mp4, encode_mp4
+
+    with pytest.raises(ValueError, match="not an MP4"):
+        decode_mp4(b"\x00\x00\x00\x08free")
+    good = encode_mp4([b"abc"] * 3)
+    with pytest.raises(ValueError, match="truncated|missing"):
+        decode_mp4(good[:-20])
+
+
+def test_featurize_and_sample_real_mp4_stage():
+    from datapact_ray.pipelines.codecs import encode_mp4
+
+    n = 6
+    payloads = [
+        encode_mp4([b"x" * 16] * (i + 1), width=8, height=8) for i in range(n)
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array(range(n), type=pa.int64()),
+                "media_type": pa.array(["video/mp4"] * n),
+                "payload": pa.array(payloads, type=pa.binary()),
+            }
+        )
+    )
+    out = featurize_media(ds, decoder="real", batch_size=2).to_pandas()
+    out = out.sort_values("media_id")
+    assert (out.n_samples.to_numpy() == np.arange(n) + 1).all()
+    assert (out.duration_ms.to_numpy() == (np.arange(n) + 1) * 100).all()
+    assert (out.width == 8).all()
+    frames = sample_frames(ds, every_ms=100, decoder="real").to_pandas()
+    # every sample of every item is extracted at the native cadence
+    assert frames.groupby("media_id").size().to_numpy().tolist() == list(
+        range(1, n + 1)
+    )
+    assert (frames["payload"].map(len) == 16).all()
