@@ -1158,8 +1158,149 @@ def pca_power_embeddings(sf_dir: str, max_iter: int = 100) -> pd.DataFrame:
     )
 
 
+def matryoshka_cosine_embeddings(
+    sf_dir: str, prefixes: tuple = (8, 16, 32), tau: float = 0.05
+) -> pd.DataFrame:
+    """Matryoshka truncation-fidelity audit: how much does the cosine
+    score move when the embedding is truncated to its first d dims —
+    the measurement behind MRL-style dimension-adaptive retrieval
+    (can this corpus serve ANN from a prefix?). Per (label, prefix d):
+    vectors audited, vectors whose cosine-to-probe shifts by more than
+    ``tau``, and the worst shift.
+
+    Exactness design: embeddings quantize to integers
+    (``round_duck(1000·e)`` — DuckDB's half-away ``round``) against a
+    deterministic integer probe ``((k·2654435761) mod 2001) − 1000``;
+    prefix dots and norms are then EXACT int64 sums (order-free), and
+    each cosine is the identical two-operand float64 expression
+    ``dot / sqrt(n·m)`` on both engines — correctly-rounded sqrt/divide
+    on identical integers is bit-identical, so the per-row degradation
+    flags and the per-group MAX are exact, not tolerance-matched.
+    Per-task partials are (labels × prefixes) rows; vectors never
+    shuffle."""
+    from ._util import round_duck
+    from ..shuffle import map_partials
+
+    prefixes = tuple(int(d) for d in prefixes)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df = df[df["label"].notna() & df["embedding"].notna()]
+        cols = ["label", "prefix_dim", "n_vecs", "n_degraded", "max_absdiff"]
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "label": pd.Series([], dtype="int64"),
+                    "prefix_dim": pd.Series([], dtype="int64"),
+                    "n_vecs": pd.Series([], dtype="int64"),
+                    "n_degraded": pd.Series([], dtype="int64"),
+                    "max_absdiff": pd.Series([], dtype="float64"),
+                }
+            )
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        dim = m.shape[1]
+        vq = round_duck(m * 1000.0, 0).astype(np.int64)
+        k = np.arange(1, dim + 1, dtype=np.int64)
+        q = (k * 2654435761) % 2001 - 1000
+
+        def cos_at(d: int) -> np.ndarray:
+            dot = vq[:, :d] @ q[:d]
+            n1 = (vq[:, :d] * vq[:, :d]).sum(axis=1)
+            m1 = int((q[:d] * q[:d]).sum())
+            denom = np.sqrt((n1 * m1).astype(np.float64))
+            return np.where(n1 == 0, 0.0, dot / np.where(denom == 0, 1.0, denom))
+
+        full = cos_at(dim)
+        labels = df["label"].astype("int64").to_numpy()
+        codes, uniq = pd.factorize(labels, sort=True)
+        rows = []
+        for d in prefixes:
+            diff = np.abs(cos_at(d) - full)
+            for gk, lab in enumerate(uniq):
+                sel = codes == gk
+                rows.append(
+                    (
+                        int(lab),
+                        d,
+                        int(sel.sum()),
+                        int((diff[sel] > tau).sum()),
+                        float(diff[sel].max()) if sel.any() else 0.0,
+                    )
+                )
+        return pd.DataFrame(rows, columns=cols)
+
+    parts = map_partials(
+        f"{sf_dir}/embeddings.parquet", ["label", "embedding"], None, partial
+    )
+    if len(parts) == 0:
+        return pd.DataFrame(
+            {
+                "label": pd.Series([], dtype="int64"),
+                "prefix_dim": pd.Series([], dtype="int64"),
+                "n_vecs": pd.Series([], dtype="int64"),
+                "n_degraded": pd.Series([], dtype="int64"),
+                "max_absdiff": pd.Series([], dtype="float64"),
+            }
+        )
+    out = (
+        parts.groupby(["label", "prefix_dim"], as_index=False)
+        .agg(
+            n_vecs=("n_vecs", "sum"),
+            n_degraded=("n_degraded", "sum"),
+            max_absdiff=("max_absdiff", "max"),
+        )
+        .sort_values(["label", "prefix_dim"])
+        .reset_index(drop=True)
+    )
+    out["max_absdiff"] = round_duck(out["max_absdiff"].to_numpy(np.float64), 6)
+    return out.astype(
+        {"label": "int64", "prefix_dim": "int64", "n_vecs": "int64", "n_degraded": "int64"}
+    )
+
+
+def _matryoshka_sql() -> str:
+    legs = []
+    for d in (8, 16, 32):
+        legs.append(
+            f"""
+        SELECT label, {d} AS prefix_dim,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(SUM(CASE WHEN abs(c{d} - cfull) > 0.05 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_degraded,
+               round(MAX(abs(c{d} - cfull)), 6) AS max_absdiff
+        FROM c GROUP BY label"""
+        )
+    cos_exprs = []
+    for d in (8, 16, 32, None):
+        tag = "full" if d is None else str(d)
+        cond = "" if d is None else f" FILTER (WHERE k <= {d})"
+        cos_exprs.append(
+            f"CASE WHEN COALESCE(SUM(v*v){cond}, 0) = 0 THEN 0.0 "
+            f"ELSE CAST(SUM(v*q){cond} AS DOUBLE) / "
+            f"sqrt(CAST(SUM(v*v){cond} * SUM(q*q){cond} AS DOUBLE)) "
+            f"END AS c{tag}"
+        )
+    return f"""
+    WITH u AS (
+        SELECT vec_id, label,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS v,
+               generate_subscripts(embedding, 1) AS k
+        FROM embeddings
+        WHERE label IS NOT NULL AND embedding IS NOT NULL
+    ), p AS (
+        SELECT vec_id, label, v, k, (k * 2654435761) % 2001 - 1000 AS q FROM u
+    ), c AS (
+        SELECT vec_id, label, {", ".join(cos_exprs)}
+        FROM p GROUP BY vec_id, label
+    )
+    {" UNION ALL ".join(legs)}
+    ORDER BY label, prefix_dim
+    """
+
+
 QUERIES = {
     "embedding_drift_cohorts": embedding_drift_cohorts,
+    "matryoshka_cosine_embeddings": matryoshka_cosine_embeddings,
     "pca_gram_band_embeddings": pca_gram_band_embeddings,
     "pca_power_embeddings": pca_power_embeddings,
     "ann_topk_embeddings": ann_topk_embeddings,
@@ -1178,6 +1319,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "embedding_drift_cohorts": _DRIFT_COHORTS_SQL,
+    "matryoshka_cosine_embeddings": _matryoshka_sql(),
     "pca_gram_band_embeddings": _PCA_GRAM_BAND_SQL,
     "ann_range_embeddings": """
         WITH q AS (
