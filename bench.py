@@ -606,6 +606,16 @@ def run_scaling() -> dict:
     )
     rounds = int(os.environ.get("SCALING_ROUNDS", "3"))
 
+    # size the input to the pair width: a leg must run long enough to
+    # amortize the ~1.2 s fixed per-process bring-up or the ratio
+    # measures Amdahl on boot cost, not the exchange (measured: 8->32 at
+    # 16M turns reads 0.55 with 2.7 s wide legs, 0.79 — the hardware
+    # ceiling — at 64M with 10 s legs; see BASELINE.md round-4 record).
+    # Target >= ~10 s on the wide leg at healthy-host throughput.
+    scaling_turns = os.environ.get("GRAFT_TURNS")
+    if scaling_turns is None and n_hi >= 32:
+        scaling_turns = str(64_000_000)
+
     def run_once(ncpu: int) -> dict:
         env = dict(
             os.environ,
@@ -613,6 +623,8 @@ def run_scaling() -> dict:
             PYTHONPATH=REPO,
             GRAFT_SUITE_ONLY="1",
         )
+        if scaling_turns is not None:
+            env["GRAFT_TURNS"] = scaling_turns
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env,
