@@ -67,6 +67,7 @@ def _ensure_transcripts(sf: float) -> dict[str, str]:
 
 def _transcript_suite(paths: dict[str, str], results_dir: str):
     from datapact_ray.config import (
+        ConvDedupCheck,
         DriftCheck,
         OrderingCheck,
         ReferentialCheck,
@@ -91,6 +92,9 @@ def _transcript_suite(paths: dict[str, str], results_dir: str):
                 uniqueness_tolerance=1.0,
                 compare_columns=["text"],
                 ordering=OrderingCheck(),
+                conv_dedup=ConvDedupCheck(
+                    content_columns=["role", "text"], tolerance=1.0
+                ),
                 referential=[
                     ReferentialCheck(columns=["conv_id"], ref_path=paths["dim"],
                                      tolerance=1.0)
@@ -237,6 +241,11 @@ def run_bench() -> dict:
     timed("profile_orders", relational.profile_orders, SF_DIR)
     timed("agg_lineitem", relational.agg_lineitem, SF_DIR)
     timed("uniqueness_lineitem", relational.uniqueness_lineitem, SF_DIR)
+    timed(
+        "dup_part_sequences_lineitem",
+        relational.dup_part_sequences_lineitem,
+        SF_DIR,
+    )
     timed("referential_lineitem_orders", relational.referential_lineitem_orders, SF_DIR)
     timed("groupby_lineitem_returnflag", relational.groupby_lineitem_returnflag, SF_DIR)
     timed("topk_orders", relational.topk_orders, SF_DIR)

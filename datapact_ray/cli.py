@@ -53,6 +53,9 @@ validations:
         - [assistant, tool]
         - [tool, assistant]
       tool_column: tool              # non-null exactly on tool turns
+    conv_dedup:                      # duplicate conversations per side
+      content_columns: [role, text]
+      tolerance: 0.0
     referential:
       - columns: [conv_id]
         ref_path: /data/conversations_dim
@@ -114,7 +117,7 @@ def _plan_lines(suite) -> list[str]:
         conv_drift = [
             d for d in t.drift or [] if d.derived in ("turn_count", "ts_gap")
         ]
-        if t.ordering or t.sequence_grammar or conv_drift:
+        if t.ordering or t.sequence_grammar or conv_drift or t.conv_dedup:
             conv_checks = []
             if t.ordering:
                 conv_checks.append("ordering/contiguity")
@@ -124,7 +127,19 @@ def _plan_lines(suite) -> list[str]:
                 conv_checks.append(
                     f"role-grammar({t.sequence_grammar.role_column})"
                 )
-            g_col = t.ordering.group_column if t.ordering else "conv_id"
+            if t.conv_dedup:
+                conv_checks.append(
+                    "conv-dedup("
+                    + ",".join(t.conv_dedup.content_columns)
+                    + "; chained fingerprint exchange)"
+                )
+            g_col = (
+                t.ordering.group_column
+                if t.ordering
+                else (
+                    t.conv_dedup.group_column if t.conv_dedup else "conv_id"
+                )
+            )
             lines.append(
                 f"  pass 3 (conv shuffle on {g_col}, salted hot keys): "
                 + " ".join(conv_checks)

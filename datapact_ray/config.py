@@ -277,6 +277,45 @@ class SequenceGrammarCheck(BaseModel):
         return list(dict.fromkeys(out))
 
 
+class ConvDedupCheck(BaseModel):
+    """Duplicate-conversation detection within each side (engine
+    extension; the training-data dedup check a transcripts user needs
+    as a first-class suite verdict). Two conversations on the same side
+    are duplicates when their ordered sequences of ``content_columns``
+    values are identical turn for turn. Rides the same keyed exchange
+    as the ordering/grammar checks: each conversation reduces to a
+    128-bit order-sensitive polynomial fingerprint of its per-turn
+    content hashes inside the bucket reduce, and only the fingerprints
+    (~40 B/conversation) flow through a chained object-store exchange
+    keyed by fingerprint — conversation text never re-shuffles and the
+    fingerprint set never lands on the driver."""
+
+    group_column: str = "conv_id"
+    index_column: str = "turn_idx"
+    content_columns: list[str] = ["role", "text"]
+    tolerance: float = 0.0  # duplicate conversations / conversations, per side
+    sides: Literal["source", "target", "both"] = "both"
+
+    @field_validator("tolerance")
+    @classmethod
+    def validate_tolerance(cls, v: float) -> float:
+        if not 0.0 <= v <= 1.0:
+            raise ValueError("Tolerance must be a float between 0.0 and 1.0")
+        return v
+
+    @model_validator(mode="after")
+    def validate_columns(self) -> "ConvDedupCheck":
+        if not self.content_columns:
+            raise ValueError("content_columns must be a non-empty list")
+        if self.group_column in self.content_columns:
+            raise ValueError(
+                "group_column cannot be a content column: every "
+                "conversation would hash unique and the check could "
+                "never fire"
+            )
+        return self
+
+
 class ReferentialCheck(BaseModel):
     """Key containment: every value of ``columns`` in the fact side must
     exist in ``ref_columns`` of the table at ``ref_path`` (anti-join
@@ -351,6 +390,7 @@ class ValidationTask(BaseModel):
     compare_tolerance: float = 0.0
     ordering: OrderingCheck | None = None
     sequence_grammar: SequenceGrammarCheck | None = None
+    conv_dedup: ConvDedupCheck | None = None
     referential: list[ReferentialCheck] | None = None
     drift: list[DriftCheck] | None = None
     # TEMPORAL drift (engine extension): this run's SOURCE profile vs
@@ -444,6 +484,27 @@ class ValidationTask(BaseModel):
         return self
 
     @model_validator(mode="after")
+    def validate_conv_dedup(self) -> "ValidationTask":
+        # the conversation checks share ONE exchange with ONE
+        # (group, index) partitioning key — a conv_dedup block naming
+        # different columns than the ordering block would need a second
+        # all-to-all, which this engine refuses by design
+        if self.ordering and self.conv_dedup:
+            o, d = self.ordering, self.conv_dedup
+            if (o.group_column, o.index_column) != (
+                d.group_column,
+                d.index_column,
+            ):
+                raise ValueError(
+                    "conv_dedup and ordering must agree on "
+                    "group_column/index_column (the conversation checks "
+                    "share one exchange partitioned by that key): "
+                    f"ordering=({o.group_column}, {o.index_column}) vs "
+                    f"conv_dedup=({d.group_column}, {d.index_column})"
+                )
+        return self
+
+    @model_validator(mode="after")
     def validate_temporal_drift(self) -> "ValidationTask":
         for d in self.temporal_drift or []:
             if d.derived not in ("value", "str_len"):
@@ -504,6 +565,7 @@ class ValidationTask(BaseModel):
             or (self.compare_columns and self.primary_keys)
             or self.ordering
             or self.sequence_grammar
+            or self.conv_dedup
             or self.referential
             or self.drift
             or self.temporal_drift

@@ -119,6 +119,43 @@ def uniqueness_lineitem(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def dup_part_sequences_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Conversation-level exact dedup machinery (ConvDedupCheck) on a
+    relational payload: orders whose ORDERED part sequence (l_partkey by
+    l_linenumber) is identical to another order's. Each order reduces to
+    a 128-bit order-sensitive polynomial fingerprint inside the bucket
+    reduce; only fingerprints (~40 B/group) flow through the chained
+    fingerprint exchange — the duplicate census at any scale without the
+    sequences themselves ever re-shuffling. Oracle: DuckDB string_agg
+    sequence comparison (exact — integer part keys are comma-separator
+    unambiguous)."""
+    cols = ["l_orderkey", "l_linenumber", "l_partkey"]
+    spec = KeyedSpec(
+        key_columns=["l_orderkey", "l_linenumber"],
+        group_column="l_orderkey",
+        index_column="l_linenumber",
+        conv_dedup_columns=["l_partkey"],
+        conv_dedup_sides=(0,),
+        num_buckets=32,
+    )
+    m = run_keyed_pass(
+        None,
+        None,
+        spec,
+        task_key="dup_part_sequences_lineitem",
+        source_files=[f"{sf_dir}/lineitem.parquet"],
+        columns=cols,
+    )
+    checked = m.conv_distinct[0] + m.conv_dup_convs[0]
+    return pd.DataFrame(
+        {
+            "orders_checked": [checked],
+            "distinct_sequences": [m.conv_distinct[0]],
+            "duplicate_orders": [m.conv_dup_convs[0]],
+        }
+    )
+
+
 def referential_orders_customer(sf_dir: str) -> pd.DataFrame:
     """J2/A2 referential: every o_custkey must exist in customer."""
     m = run_referential_pass(
@@ -2092,6 +2129,18 @@ ORACLE_SQL: dict[str, str] = {
                COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS duplicate_rows
         FROM lineitem
     """,
+    "dup_part_sequences_lineitem": """
+        WITH seq AS (
+            SELECT l_orderkey,
+                   string_agg(CAST(l_partkey AS VARCHAR), ','
+                              ORDER BY l_linenumber, l_partkey) AS s
+            FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT COUNT(*) AS orders_checked,
+               COUNT(DISTINCT s) AS distinct_sequences,
+               COUNT(*) - COUNT(DISTINCT s) AS duplicate_orders
+        FROM seq
+    """,
     "referential_orders_customer": """
         SELECT (SELECT COUNT(*) FROM orders) AS probed_rows,
                (SELECT COUNT(*) FROM orders o
@@ -2562,6 +2611,7 @@ QUERIES = {
     "profile_orders": profile_orders,
     "agg_lineitem": agg_lineitem,
     "uniqueness_lineitem": uniqueness_lineitem,
+    "dup_part_sequences_lineitem": dup_part_sequences_lineitem,
     "referential_orders_customer": referential_orders_customer,
     "referential_lineitem_orders": referential_lineitem_orders,
     "filter_events_agg": filter_events_agg,

@@ -346,11 +346,20 @@ class ValidationRunner:
                             "string column"
                         )
         if (
-            task.ordering or want_turn_count_drift or task.sequence_grammar
+            task.ordering
+            or want_turn_count_drift
+            or task.sequence_grammar
+            or task.conv_dedup
         ) and not all_parquet:
             # parquet inputs get hot keys from footer statistics instead
             # (detect_hot_keys_from_footers) — no scan on the critical path
-            group_col = (task.ordering.group_column if task.ordering else "conv_id")
+            group_col = (
+                task.ordering.group_column
+                if task.ordering
+                else (
+                    task.conv_dedup.group_column if task.conv_dedup else "conv_id"
+                )
+            )
             spec.heavy_hitter_column = group_col
             profile_cols.add(group_col)
 
@@ -622,10 +631,14 @@ class ValidationRunner:
             )
 
         conv_needed = bool(
-            task.ordering or want_turn_count_drift or task.sequence_grammar
+            task.ordering
+            or want_turn_count_drift
+            or task.sequence_grammar
+            or task.conv_dedup
         )
         o = task.ordering
         gram = task.sequence_grammar
+        cdd = task.conv_dedup
         # grammar fields for a KeyedSpec; roles cross the shuffle as codes
         grammar_kw: dict = {}
         if gram:
@@ -642,8 +655,18 @@ class ValidationRunner:
                 grammar_tool_column=gram.tool_column,
                 grammar_tool_roles=list(gram.tool_roles) if gram.tool_column else [],
             )
-        conv_group = o.group_column if o else "conv_id"
-        conv_index = o.index_column if o else "turn_idx"
+        conv_group = o.group_column if o else (cdd.group_column if cdd else "conv_id")
+        conv_index = o.index_column if o else (cdd.index_column if cdd else "turn_idx")
+        conv_dedup_kw: dict = {}
+        if cdd:
+            conv_dedup_kw = dict(
+                conv_dedup_columns=list(cdd.content_columns),
+                conv_dedup_sides={
+                    "source": (0,),
+                    "target": (1,),
+                    "both": (0, 1),
+                }[cdd.sides],
+            )
         ordering_sides = (
             {"source": (0,), "target": (1,), "both": (0, 1)}[o.sides]
             if o
@@ -711,6 +734,7 @@ class ValidationRunner:
                 checkpoint_dir=os.path.join(ckpt, "keyed"),
                 resume=cfg.resume,
                 **(grammar_kw if conv_folded else {}),
+                **(conv_dedup_kw if conv_folded else {}),
             )
             need_cols = set(kspec.key_columns) | set(kspec.null_join_columns) | set(
                 kspec.compare_columns
@@ -725,6 +749,8 @@ class ValidationRunner:
                 need_cols.add(gram.role_column)
                 if gram.tool_column:
                     need_cols.add(gram.tool_column)
+            if conv_folded and cdd:
+                need_cols |= set(cdd.content_columns)
             cols = sorted(need_cols)
             jobs["keyed"] = keyed_job(kspec, cols)
 
@@ -759,12 +785,15 @@ class ValidationRunner:
                 checkpoint_dir=os.path.join(ckpt, "conv"),
                 resume=cfg.resume,
                 **grammar_kw,
+                **conv_dedup_kw,
             )
             ccols = [conv_group, conv_index] + ([conv_ts] if conv_ts else [])
             if gram:
                 ccols.append(gram.role_column)
                 if gram.tool_column:
                     ccols.append(gram.tool_column)
+            if cdd:
+                ccols.extend(cdd.content_columns)
             jobs["conv"] = keyed_job(cspec, list(dict.fromkeys(ccols)), batch_mult=2)
 
 
@@ -931,6 +960,22 @@ class ValidationRunner:
                     sum(conv_metrics.grammar_bad_transition_groups),
                     sum(conv_metrics.grammar_bad_first_groups),
                     gram.tolerance,
+                )
+            )
+        if task.conv_dedup:
+            cd_sides = {"source": (0,), "target": (1,), "both": (0, 1)}[
+                task.conv_dedup.sides
+            ]
+            verdict_list.append(
+                V.conv_dedup_verdict(
+                    conv_group,
+                    task.conv_dedup.content_columns,
+                    conv_metrics.conv_distinct[0] + conv_metrics.conv_dup_convs[0],
+                    conv_metrics.conv_dup_convs[0],
+                    conv_metrics.conv_distinct[1] + conv_metrics.conv_dup_convs[1],
+                    conv_metrics.conv_dup_convs[1],
+                    task.conv_dedup.tolerance,
+                    cd_sides,
                 )
             )
         for ri, ref in enumerate(task.referential or []):

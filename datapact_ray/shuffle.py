@@ -64,6 +64,17 @@ def _flatten_shards(shards) -> list:
     return out
 
 
+def _checker_blob(out) -> bytes | None:
+    """Extract the pickled metrics blob from a checker result — either
+    the legacy 1-row frame contract or the dict contract ``{"blob":
+    bytes, ...}`` used by checkers with side outputs."""
+    if out is None or len(out) == 0:
+        return None
+    if isinstance(out, dict):
+        return out["blob"]
+    return out["blob"].iloc[0]
+
+
 def _reduce_bucket(checker_fn: Callable, *shards: pa.Table) -> bytes | None:
     """Concatenate a bucket's shards (staying Arrow — the checker only
     converts fixed-width helper columns) and run the verification
@@ -72,10 +83,24 @@ def _reduce_bucket(checker_fn: Callable, *shards: pa.Table) -> bytes | None:
     tables = [s for s in shards if s is not None and s.num_rows]
     if not tables:
         return None
+    return _checker_blob(checker_fn(pa.concat_tables(tables)))
+
+
+def _reduce_bucket_dual(checker_fn: Callable, *shards: pa.Table):
+    """Like :func:`_reduce_bucket` but with ``num_returns=2``: returns
+    ``(blob, side_table)``. The checker must use the dict contract
+    ``{"blob": bytes, "convfp": pa.Table | None}``. Ray stores the two
+    returns as SEPARATE objects, so the driver can ``ray.get`` the small
+    blob while the (possibly large) side table stays object-store-
+    resident behind its own ObjectRef."""
+    shards = _flatten_shards(shards)
+    tables = [s for s in shards if s is not None and s.num_rows]
+    if not tables:
+        return None, None
     out = checker_fn(pa.concat_tables(tables))
-    if len(out) == 0:
-        return None
-    return out["blob"].iloc[0]
+    if out is None or len(out) == 0:
+        return None, None
+    return out["blob"], out.get("convfp")
 
 
 def _reduce_bucket_table(checker_fn: Callable, bucket_idx: int, *shards):
@@ -369,6 +394,101 @@ def parquet_bucket_shuffle_refs(
         reduce_task.remote(checker_ref, b, *[shards[b] for shards in shard_lists])
         for b in range(num_buckets)
     ]
+
+
+def _submit_parquet_shards(
+    sides: list[tuple],
+    columns: list[str] | None,
+    filter_expr,
+    num_buckets: int,
+    map_task,
+) -> list:
+    """Submit the fused read+project+split map wave for every side;
+    returns one per-bucket shard list per scan unit."""
+    import pickle
+
+    target_bytes = _shuffle_target_bytes([side[0] for side in sides])
+    shard_lists: list = []
+    for side in sides:
+        if len(side) == 2:
+            files, projector = side
+            s_cols, s_expr = columns, filter_expr
+        else:
+            files, projector, s_cols, s_expr = side
+        expr_pickle = pickle.dumps(s_expr) if s_expr is not None else None
+        proj_ref = ray.put(projector)
+        for unit in _scan_units(files, target_bytes):
+            result = map_task.remote(
+                unit, s_cols, expr_pickle, proj_ref, num_buckets
+            )
+            if num_buckets == 1:
+                result = [result]
+            shard_lists.append(result)
+    return shard_lists
+
+
+def parquet_bucket_shuffle_dual(
+    sides: list[tuple],
+    columns: list[str] | None,
+    filter_expr,
+    num_buckets: int,
+    checker_fn: Callable,
+) -> tuple[list[bytes], list]:
+    """Parquet exchange whose reduce has TWO outputs per bucket: the
+    pickled metrics blob (fetched to the driver — small) and a side
+    table that stays OBJECT-STORE-RESIDENT as its own ObjectRef (the
+    conversation-fingerprint rows feeding the chained dedup exchange).
+    Returns ``(blobs, side_refs)``; empty buckets contribute to
+    neither."""
+    map_task = ray.remote(num_returns=num_buckets)(_map_project_split)
+    reduce_task = ray.remote(num_returns=2)(_reduce_bucket_dual)
+    checker_ref = ray.put(checker_fn)
+    shard_lists = _submit_parquet_shards(
+        sides, columns, filter_expr, num_buckets, map_task
+    )
+    blob_refs, side_refs = [], []
+    for b in range(num_buckets):
+        blob_ref, side_ref = reduce_task.remote(
+            checker_ref, *[shards[b] for shards in shard_lists]
+        )
+        blob_refs.append(blob_ref)
+        side_refs.append(side_ref)
+    blobs = [blob for blob in ray.get(blob_refs) if blob is not None]
+    return blobs, side_refs
+
+
+def bucket_shuffle_dual(
+    parts: list[ray.data.Dataset], num_buckets: int, checker_fn: Callable
+) -> tuple[list[bytes], list]:
+    """Dataset-input variant of :func:`parquet_bucket_shuffle_dual` (the
+    CSV/JSONL path): projected blocks through the explicit exchange,
+    dual-output reduces."""
+    split_task = ray.remote(num_returns=num_buckets)(_split_by_bucket)
+    reduce_task = ray.remote(num_returns=2)(_reduce_bucket_dual)
+    checker_ref = ray.put(checker_fn)
+    if len(parts) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(parts)) as pool:
+            ref_lists = list(pool.map(arrow_block_refs, parts))
+    else:
+        ref_lists = [arrow_block_refs(parts[0])]
+    shard_lists: list = []
+    for block_refs in ref_lists:
+        for block_ref in block_refs:
+            result = split_task.remote(block_ref, num_buckets)
+            if num_buckets == 1:
+                result = [result]
+            shard_lists.append(result)
+    blob_refs, side_refs = [], []
+    for b in range(num_buckets):
+        blob_ref, side_ref = reduce_task.remote(
+            checker_ref, *[shards[b] for shards in shard_lists]
+        )
+        blob_refs.append(blob_ref)
+        side_refs.append(side_ref)
+    blobs = [blob for blob in ray.get(blob_refs) if blob is not None]
+    return blobs, side_refs
 
 
 def ref_bucket_shuffle_refs(

@@ -88,6 +88,15 @@ class KeyedSpec:
     grammar_transitions: list[tuple[str, str]] | None = None  # allowed (prev, curr)
     grammar_tool_column: str | None = None  # non-null iff role in tool_roles
     grammar_tool_roles: list[str] = field(default_factory=list)
+    # conversation-level exact dedup (same exchange): two conversations
+    # on the SAME side are duplicates when their ordered sequences of
+    # conv_dedup_columns values are identical. Each conversation reduces
+    # to a 128-bit order-sensitive polynomial fingerprint of its per-row
+    # content hashes; fingerprints (~40 B/conversation) flow through a
+    # chained object-store exchange keyed by fingerprint — conversation
+    # text never re-shuffles and the driver never holds the set.
+    conv_dedup_columns: list[str] | None = None
+    conv_dedup_sides: tuple = (0, 1)
     hot_keys: dict = field(default_factory=dict)  # group key -> approx count
     hot_shard_span: int = 8192
     max_violations_per_bucket: int = 100
@@ -133,6 +142,7 @@ class KeyedSpec:
                 or self.turn_count_digest
                 or self.ts_gap_digest
                 or self.grammar_checks
+                or self.conv_dedup_columns
             )
         )
 
@@ -159,6 +169,10 @@ class KeyedMetrics:
     # inter-turn ts-gap digests (seconds), per side
     gap_digests: list[TDigest | None] = field(default_factory=lambda: [None, None])
     hot_partials: dict = field(default_factory=dict)  # (side, group) -> [shard dicts]
+    # conversation-dedup results, filled by the driver AFTER the chained
+    # fingerprint exchange (per-bucket partials never set them)
+    conv_distinct: list[int] = field(default_factory=lambda: [0, 0])
+    conv_dup_convs: list[int] = field(default_factory=lambda: [0, 0])
     violations: int = 0
 
     def merge(self, other: "KeyedMetrics") -> "KeyedMetrics":
@@ -216,6 +230,14 @@ class KeyedMetrics:
                 )
         for k, shards in other.hot_partials.items():
             self.hot_partials.setdefault(k, []).extend(shards)
+        for i in (0, 1):
+            # getattr defaults: pre-conv-dedup metrics.pkl checkpoints
+            # (the spec-signature guard wipes them when the check is
+            # newly configured, so zero here always truly means zero)
+            if not hasattr(self, "conv_distinct"):
+                self.conv_distinct, self.conv_dup_convs = [0, 0], [0, 0]
+            self.conv_distinct[i] += getattr(other, "conv_distinct", [0, 0])[i]
+            self.conv_dup_convs[i] += getattr(other, "conv_dup_convs", [0, 0])[i]
         self.violations += other.violations
         return self
 
@@ -227,6 +249,165 @@ def _atomic_write(path: str, data: bytes) -> None:
     with os.fdopen(fd, "wb") as fh:
         fh.write(data)
     os.replace(tmp, path)
+
+
+# ---------------------------------------------------------------------------
+# conversation fingerprints (conv-dedup): order-sensitive polynomial
+# hashes over the per-turn content hashes, mod 2^64.
+#
+#   fp(c_0..c_{k-1}) = sum_j c_j * R^j  (mod 2^64)
+#
+# Two independent lanes (R1 over h, R2 over a bijective remix of h) give
+# an effective 128-bit fingerprint: at 1e11 conversations the expected
+# birthday collisions are ~(1e11)^2 / 2^129 ≈ 1e-17. The polynomial is
+# SHARD-SPLITTABLE: a hot conversation salted into contiguous shards
+# combines exactly as fp = Σ_s fp_s · R^{offset_s} where offset_s is the
+# turn count before shard s — the same stitch contract the ordering
+# checks already rely on. R is odd, hence invertible mod 2^64, which
+# lets the per-segment powers be computed with two global cumulative
+# products instead of a per-group loop.
+_FP_R1 = np.uint64(0x9E3779B97F4A7C15)  # odd multipliers
+_FP_R2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_FP_X2 = np.uint64(0x94D049BB133111EB)  # lane-2 remix of the row hash
+_FP_R1_INV = np.uint64(pow(int(_FP_R1), -1, 1 << 64))
+_FP_R2_INV = np.uint64(pow(int(_FP_R2), -1, 1 << 64))
+_U64 = (1 << 64) - 1
+
+
+def _poly_fps(h: np.ndarray, starts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-segment polynomial fingerprints of a uint64 hash stream.
+
+    ``starts`` are the segment start indices (starts[0] == 0); rows
+    within a segment are already in turn order. Fully vectorized:
+    R^(i - seg_start) = R^i * R^(-seg_start) via two global cumulative
+    products (uint64 ufuncs wrap mod 2^64 by definition). Returns the
+    two fingerprint lanes, one value per segment."""
+    n = len(h)
+    seg_id = np.zeros(n, dtype=np.int64)
+    seg_id[starts[1:]] = 1
+    seg_id = np.cumsum(seg_id)
+    with np.errstate(over="ignore"):
+        out = []
+        for R, Rinv, hs in (
+            (_FP_R1, _FP_R1_INV, h),
+            (_FP_R2, _FP_R2_INV, h ^ _FP_X2),
+        ):
+            pows = np.full(n, R, dtype=np.uint64)
+            pows[0] = np.uint64(1)
+            pows = np.multiply.accumulate(pows)  # R^i
+            inv = np.full(n, Rinv, dtype=np.uint64)
+            inv[0] = np.uint64(1)
+            inv = np.multiply.accumulate(inv)  # R^-i
+            r_pow = pows * inv[starts][seg_id]  # R^(i - seg_start)
+            out.append(np.add.reduceat(hs * r_pow, starts))
+    return out[0], out[1]
+
+
+def _fp_shift(fp: int, offset: int, lane: int) -> int:
+    """Driver-side exact shift of a shard fingerprint by ``offset``
+    turns: fp · R^offset mod 2^64 (hot-conversation stitch)."""
+    R = int(_FP_R1) if lane == 0 else int(_FP_R2)
+    return (fp * pow(R, offset, 1 << 64)) & _U64
+
+
+def _fp_bucket(fp1: np.ndarray, fp2: np.ndarray, num_buckets: int) -> np.ndarray:
+    """Deterministic fingerprint-space bucket id for the chained dedup
+    exchange — identical fingerprints land in one bucket regardless of
+    which conversation bucket produced them."""
+    with np.errstate(over="ignore"):
+        mixed = (fp1 ^ (fp2 * _FP_X2)) % np.uint64(num_buckets)
+    return mixed.astype(np.int32)
+
+
+_FP_SCHEMA = pa.schema(
+    [
+        ("__side", pa.int8()),
+        ("n", pa.int64()),
+        ("fp1", pa.uint64()),
+        ("fp2", pa.uint64()),
+        ("key", pa.string()),
+        ("__bucket", pa.int32()),
+    ]
+)
+
+
+def _empty_fp_table() -> pa.Table:
+    return _FP_SCHEMA.empty_table()
+
+
+def _load_convfp(path: str) -> pa.Table:
+    """Remote loader for a completed bucket's checkpointed fingerprints
+    — runs as a Ray task so resumed fingerprints go straight into the
+    object store without transiting the driver."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(path)
+
+
+class _DupCounter:
+    """Reduce of the chained fingerprint exchange: within one
+    fingerprint bucket, count duplicate conversations PER SIDE (two
+    conversations are duplicates when (turn count, fp1, fp2) match) and
+    emit capped, deterministic violation rows — keeper is the group's
+    lexicographically smallest conversation key, every other member is
+    one violation row billed against it."""
+
+    def __init__(self, group_column: str, cap: int):
+        self.group_column = group_column
+        self.cap = cap
+
+    def __call__(self, table: pa.Table, bucket_idx: int):
+        if table.num_rows == 0:
+            return None
+        df = table.select(["__side", "n", "fp1", "fp2", "key"]).to_pandas()
+        stats: dict[int, tuple[int, int]] = {}
+        violations: list[dict] = []
+        for side, sub in df.groupby("__side", sort=True):
+            sizes = sub.groupby(["n", "fp1", "fp2"], sort=False).size()
+            distinct = int(len(sizes))
+            dups = int(len(sub) - distinct)
+            stats[int(side)] = (distinct, dups)
+            if not dups:
+                continue
+            dd = sub[
+                sub.duplicated(subset=["n", "fp1", "fp2"], keep=False)
+            ].sort_values(["n", "fp1", "fp2", "key"], kind="stable")
+            # group boundaries via numpy — pandas .shift() on uint64
+            # coerces to float64 and silently drops low fingerprint bits
+            nv = dd["n"].to_numpy()
+            f1v = dd["fp1"].to_numpy()
+            f2v = dd["fp2"].to_numpy()
+            first = np.ones(len(dd), dtype=bool)
+            first[1:] = (
+                (nv[1:] != nv[:-1])
+                | (f1v[1:] != f1v[:-1])
+                | (f2v[1:] != f2v[:-1])
+            )
+            keeper = dd["key"].where(first).ffill()
+            group_size = dd.groupby(["n", "fp1", "fp2"], sort=False)[
+                "key"
+            ].transform("size")
+            emit = dd[~first].head(self.cap)
+            for key, keep, size in zip(
+                emit["key"], keeper[~first].head(self.cap), group_size[~first]
+            ):
+                violations.append(
+                    {
+                        "check_alias": (
+                            f"conv_dedup_validation_{self.group_column}"
+                        ),
+                        "key": json.dumps({self.group_column: str(key)}),
+                        "side": SIDE_NAMES[int(side)],
+                        "detail": json.dumps(
+                            {
+                                "reason": "duplicate_conversation",
+                                "duplicate_of": str(keep),
+                                "group_size": int(size),
+                            }
+                        ),
+                    }
+                )
+        return {"stats": stats, "violations": violations}
 
 
 class _Projector:
@@ -276,6 +457,15 @@ class _Projector:
                 ts.cast(pa.int64())
                 if pa.types.is_timestamp(ts.type)
                 else ts.cast(pa.float64())
+            )
+        if spec.conv_dedup_columns:
+            # one order-sensitive content hash per turn (8 B through the
+            # exchange); per-column hashes come from the shared cache so
+            # text is hashed once even when it also feeds the row hash
+            cols["__cd"] = pa.array(
+                combine_hashes_u64(
+                    [col_hash(c) for c in spec.conv_dedup_columns]
+                )
             )
         if spec.grammar_checks:
             # vocabulary code per row (1 byte through the exchange);
@@ -399,13 +589,17 @@ class _BucketChecker:
             for c in spec.null_join_columns:
                 m.null_join.setdefault(c, [0, 0])
 
+        fp_tables: list[pa.Table] = []
         if spec.group_checks:
-            self._group_checks(m, violations, src, tgt, cap, table)
+            self._group_checks(m, violations, src, tgt, cap, table, fp_tables)
 
         m.violations = len(violations)
+        convfp = None
+        if spec.conv_dedup_columns:
+            convfp = pa.concat_tables(fp_tables) if fp_tables else _empty_fp_table()
         if spec.checkpoint_dir:
-            self._checkpoint(bucket, m, violations)
-        return pd.DataFrame({"bucket": [bucket], "blob": [pickle.dumps(m)]})
+            self._checkpoint(bucket, m, violations, convfp)
+        return {"bucket": bucket, "blob": pickle.dumps(m), "convfp": convfp}
 
     # ---- check groups ----
 
@@ -467,7 +661,9 @@ class _BucketChecker:
             cur[0] += int(joined[f"__nl_{c}_s"].sum())
             cur[1] += int(joined[f"__nl_{c}_t"].sum())
 
-    def _group_checks(self, m, violations, src, tgt, cap, table) -> None:
+    def _group_checks(
+        self, m, violations, src, tgt, cap, table, fp_tables=None
+    ) -> None:
         """Ordering / contiguity / turn-count over (group-hash, index[, ts]).
 
         Vectorized pandas groupby on the numeric group hash; hot
@@ -485,12 +681,24 @@ class _BucketChecker:
                 continue
             has_ts = "__ts" in part.columns
             has_gram = spec.grammar_checks and "__role" in part.columns
+            has_cd = bool(spec.conv_dedup_columns) and "__cd" in part.columns
             cols = ["__gh", i_col, "__shard", "__pos"] + (["__ts"] if has_ts else [])
             if has_gram:
                 cols.append("__role")
                 if "__tooln" in part.columns:
                     cols.append("__tooln")
-            part = part[cols].sort_values(["__gh", "__shard", i_col], kind="stable")
+            if has_cd:
+                cols.append("__cd")
+            # conv-dedup tie-break: duplicate index values (corrupt data;
+            # contiguity flags them separately) would otherwise leave the
+            # fingerprint dependent on arrival order. Sorting ties by the
+            # content hash canonicalizes them — two conversations compare
+            # equal iff every tie-group is multiset-equal, the same
+            # relation as a value-ordered canonicalization (an oracle's
+            # ORDER BY index, value), since equal hashes ⇒ equal fp
+            # contributions
+            sort_cols = ["__gh", "__shard", i_col] + (["__cd"] if has_cd else [])
+            part = part[cols].sort_values(sort_cols, kind="stable")
             gb = part.groupby(["__gh", "__shard"], sort=False)
             agg_kw = {
                 "n": (i_col, "size"),
@@ -506,6 +714,21 @@ class _BucketChecker:
                     {"rfirst": ("__role", "first"), "rlast": ("__role", "last")}
                 )
             summary = gb.agg(**agg_kw)
+            if has_cd:
+                # per-(group, shard) polynomial fingerprints — rows are
+                # already in turn order after the stable sort above, and
+                # groupby(sort=False) preserves first-appearance order,
+                # so segment k of the fp arrays IS summary row k
+                gh_v = part["__gh"].to_numpy()
+                sh_v = part["__shard"].to_numpy()
+                seg_start = np.ones(len(part), dtype=bool)
+                seg_start[1:] = (gh_v[1:] != gh_v[:-1]) | (sh_v[1:] != sh_v[:-1])
+                starts = np.flatnonzero(seg_start)
+                fp1, fp2 = _poly_fps(
+                    part["__cd"].to_numpy().astype(np.uint64, copy=False), starts
+                )
+                summary["fp1"] = fp1
+                summary["fp2"] = fp2
             if has_ts:
                 tv = part["__ts"].to_numpy()
                 new_grp = (
@@ -582,6 +805,8 @@ class _BucketChecker:
                 for c in ("rfirst", "rlast", "g_unknown", "g_toolbad", "g_badtrans")
                 if c in summary.columns
             ]
+            if has_cd:
+                gram_cols = gram_cols + ["fp1", "fp2"]
             for rec in summary.loc[is_hot, hot_cols + gram_cols].to_dict("records"):
                 shard_rec = {
                     "shard": int(rec["__shard"]),
@@ -600,6 +825,39 @@ class _BucketChecker:
                     shard_rec
                 )
             cold = summary[~is_hot]
+            if (
+                has_cd
+                and side in spec.conv_dedup_sides
+                and len(cold)
+                and fp_tables is not None
+            ):
+                pos = cold["pos"].to_numpy()
+                keys = (
+                    table.select([g_col])
+                    .take(pa.array(pos))
+                    .column(0)
+                    .cast(pa.string())
+                )
+                f1 = cold["fp1"].to_numpy().astype(np.uint64, copy=False)
+                f2 = cold["fp2"].to_numpy().astype(np.uint64, copy=False)
+                fp_tables.append(
+                    pa.table(
+                        {
+                            "__side": pa.array(
+                                np.full(len(cold), side, dtype=np.int8)
+                            ),
+                            "n": pa.array(cold["n"].to_numpy().astype(np.int64)),
+                            "fp1": pa.array(f1),
+                            "fp2": pa.array(f2),
+                            "key": keys.combine_chunks()
+                            if isinstance(keys, pa.ChunkedArray)
+                            else keys,
+                            "__bucket": pa.array(
+                                _fp_bucket(f1, f2, spec.num_buckets)
+                            ),
+                        }
+                    )
+                )
             if len(cold):
                 m.groups_checked[side] += len(cold)
                 contiguous = (
@@ -682,7 +940,9 @@ class _BucketChecker:
                             emit_groups(cold[bad], "bad_first_role", galias)
                     m.grammar_groups_flagged[side] += int(flagged.sum())
 
-    def _checkpoint(self, bucket: int, m: KeyedMetrics, violations: list) -> None:
+    def _checkpoint(
+        self, bucket: int, m: KeyedMetrics, violations: list, convfp=None
+    ) -> None:
         import pyarrow.parquet as pq
 
         bdir = os.path.join(self.spec.checkpoint_dir, f"bucket={bucket}")
@@ -693,19 +953,34 @@ class _BucketChecker:
         os.close(fd)
         pq.write_table(pa.Table.from_pandas(vdf, preserve_index=False), tmp)
         os.replace(tmp, os.path.join(bdir, "violations.parquet"))
+        if convfp is not None:
+            # the bucket's conversation fingerprints, so a resumed run
+            # can feed the chained dedup exchange without recomputing
+            # this bucket (the spec-signature guard wipes pre-conv-dedup
+            # checkpoints, so absence always means "not configured")
+            fd, tmp = tempfile.mkstemp(dir=bdir, suffix=".parquet")
+            os.close(fd)
+            pq.write_table(convfp, tmp)
+            os.replace(tmp, os.path.join(bdir, "convfp.parquet"))
         _atomic_write(os.path.join(bdir, "metrics.pkl"), pickle.dumps(m))
         _atomic_write(os.path.join(bdir, "_SUCCESS"), b"")
 
 
-def _stitch_hot(metrics: KeyedMetrics, spec: KeyedSpec) -> list[dict]:
+def _stitch_hot(
+    metrics: KeyedMetrics, spec: KeyedSpec
+) -> tuple[list[dict], list[dict]]:
     """Fold hot-conversation shard partials into whole-conversation
     verdicts. Shards hold disjoint contiguous index ranges, so the merge
     (counts, min/max, uniqueness, boundary ts comparisons) is exact.
 
-    Returns violation rows (same shape as the cold path's) so flagged
-    hot conversations appear in the violations table, not just in the
-    counts. Hot partials are keyed by group hash; map back to the
-    configured key string when one exists, else report the hash."""
+    Returns ``(violation rows, hot fingerprint rows)``: violations have
+    the same shape as the cold path's so flagged hot conversations
+    appear in the violations table, not just in the counts; fingerprint
+    rows (conv-dedup only) carry each hot conversation's whole-sequence
+    fingerprint, stitched exactly from per-shard polynomial partials
+    (fp = Σ_s fp_s · R^offset_s). Hot partials are keyed by group hash;
+    map back to the configured key string when one exists, else report
+    the hash."""
     from ..sketches import hash_arrow_column_u64
 
     g_col = spec.group_column or "group"
@@ -715,6 +990,7 @@ def _stitch_hot(metrics: KeyedMetrics, spec: KeyedSpec) -> list[dict]:
         hashes = hash_arrow_column_u64(pa.array(str_keys))
         label_of = {int(h): k for h, k in zip(hashes.tolist(), str_keys)}
     violations: list[dict] = []
+    fp_rows: list[dict] = []
 
     def emit(side: int, g: int, reason: str, alias: str | None = None) -> None:
         violations.append(
@@ -817,8 +1093,31 @@ def _stitch_hot(metrics: KeyedMetrics, spec: KeyedSpec) -> list[dict]:
                 d = metrics.gap_digests[side] or TDigest()
                 d.add(np.asarray(bg, dtype=np.float64) / 1e6)
                 metrics.gap_digests[side] = d
+        if (
+            spec.conv_dedup_columns
+            and side in spec.conv_dedup_sides
+            and all("fp1" in s for s in shards)
+        ):
+            # exact polynomial stitch: shard s's fingerprint covers its
+            # contiguous turn range starting at offset_s, so the whole
+            # conversation's fingerprint is Σ_s fp_s · R^offset_s
+            f1 = f2 = 0
+            offset = 0
+            for s in shards:
+                f1 = (f1 + _fp_shift(s["fp1"], offset, 0)) & _U64
+                f2 = (f2 + _fp_shift(s["fp2"], offset, 1)) & _U64
+                offset += s["n"]
+            fp_rows.append(
+                {
+                    "side": side,
+                    "n": n,
+                    "fp1": f1,
+                    "fp2": f2,
+                    "key": label_of.get(int(g), str(int(g))),
+                }
+            )
     metrics.hot_partials = {}
-    return violations
+    return violations, fp_rows
 
 
 def _spec_signature(spec: KeyedSpec) -> str:
@@ -906,19 +1205,26 @@ def run_keyed_pass(
     use_files = source_files is not None and all(
         f.endswith(".parquet") for f in source_files + (target_files or [])
     )
+    dual = bool(spec.conv_dedup_columns)
+    fp_refs: list = []
     if use_files:
-        from ..shuffle import parquet_bucket_shuffle
+        from ..shuffle import parquet_bucket_shuffle, parquet_bucket_shuffle_dual
 
         sides = [(source_files, _Projector(spec, SIDE_SOURCE, columns or [], done))]
         if target_files is not None:
             sides.append(
                 (target_files, _Projector(spec, SIDE_TARGET, columns or [], done))
             )
-        blobs = parquet_bucket_shuffle(
-            sides, columns, filter_expr, spec.num_buckets, checker
-        )
+        if dual:
+            blobs, fp_refs = parquet_bucket_shuffle_dual(
+                sides, columns, filter_expr, spec.num_buckets, checker
+            )
+        else:
+            blobs = parquet_bucket_shuffle(
+                sides, columns, filter_expr, spec.num_buckets, checker
+            )
     else:
-        from ..shuffle import bucket_shuffle
+        from ..shuffle import bucket_shuffle, bucket_shuffle_dual
 
         src_cols = list(source.schema().names)
         parts = [
@@ -939,7 +1245,10 @@ def run_keyed_pass(
                     zero_copy_batch=True,
                 )
             )
-        blobs = bucket_shuffle(parts, spec.num_buckets, checker)
+        if dual:
+            blobs, fp_refs = bucket_shuffle_dual(parts, spec.num_buckets, checker)
+        else:
+            blobs = bucket_shuffle(parts, spec.num_buckets, checker)
 
     for blob in blobs:
         merged.merge(pickle.loads(blob))
@@ -949,8 +1258,9 @@ def run_keyed_pass(
             os.path.join(spec.checkpoint_dir, f"bucket={b}", "metrics.pkl"), "rb"
         ) as fh:
             merged.merge(pickle.load(fh))
+    hot_fp_rows: list[dict] = []
     if spec.group_checks:
-        hot_violations = _stitch_hot(merged, spec)
+        hot_violations, hot_fp_rows = _stitch_hot(merged, spec)
         if spec.checkpoint_dir and not hot_violations:
             # a previous run's hot violations must not survive a run that
             # produced none — the file is this run's output, not a
@@ -974,4 +1284,81 @@ def run_keyed_pass(
             os.close(fd)
             pq.write_table(pa.Table.from_pandas(vdf, preserve_index=False), tmp)
             os.replace(tmp, os.path.join(hdir, "violations.parquet"))
+    if dual:
+        _run_conv_dedup(merged, spec, task_key, fp_refs, hot_fp_rows, done)
     return merged
+
+
+def _run_conv_dedup(
+    merged: KeyedMetrics,
+    spec: KeyedSpec,
+    task_key: str,
+    fp_refs: list,
+    hot_fp_rows: list[dict],
+    done: frozenset[int],
+) -> None:
+    """Chained fingerprint exchange: the keyed reduces' per-bucket
+    fingerprint tables (object-store-resident ObjectRefs) plus resumed
+    buckets' checkpointed fingerprints plus the driver-stitched hot
+    conversations re-bucket BY FINGERPRINT, and one small reduce per
+    fingerprint bucket counts duplicates. The driver only ever holds
+    refs, per-bucket (distinct, dup) pairs and capped violation rows."""
+    from ..shuffle import ref_bucket_shuffle_refs
+
+    refs = [r for r in fp_refs if r is not None]
+    for b in sorted(done):
+        path = os.path.join(spec.checkpoint_dir, f"bucket={b}", "convfp.parquet")
+        if os.path.exists(path):
+            refs.append(ray.remote(_load_convfp).remote(path))
+    if hot_fp_rows:
+        f1 = np.array([r["fp1"] for r in hot_fp_rows], dtype=np.uint64)
+        f2 = np.array([r["fp2"] for r in hot_fp_rows], dtype=np.uint64)
+        hot_table = pa.table(
+            {
+                "__side": pa.array(
+                    np.array([r["side"] for r in hot_fp_rows], dtype=np.int8)
+                ),
+                "n": pa.array(
+                    np.array([r["n"] for r in hot_fp_rows], dtype=np.int64)
+                ),
+                "fp1": pa.array(f1),
+                "fp2": pa.array(f2),
+                "key": pa.array([r["key"] for r in hot_fp_rows], type=pa.string()),
+                "__bucket": pa.array(_fp_bucket(f1, f2, spec.num_buckets)),
+            }
+        )
+        refs.append(ray.put(hot_table))
+    dup_violations: list[dict] = []
+    if refs:
+        counter = _DupCounter(
+            spec.group_column or "group", spec.max_violations_per_bucket
+        )
+        out_refs = ref_bucket_shuffle_refs(refs, spec.num_buckets, counter)
+        for res in ray.get(out_refs):
+            if not res:
+                continue
+            for side, (distinct, dups) in res["stats"].items():
+                merged.conv_distinct[side] += distinct
+                merged.conv_dup_convs[side] += dups
+            dup_violations.extend(res["violations"])
+    if spec.checkpoint_dir:
+        # like hot/: this run's output, rewritten every run (NOT a
+        # resumable bucket checkpoint); a clean run retracts stale files
+        ddir = os.path.join(spec.checkpoint_dir, "convdup")
+        stale = os.path.join(ddir, "violations.parquet")
+        if not dup_violations:
+            if os.path.exists(stale):
+                os.remove(stale)
+        else:
+            import pyarrow.parquet as pq
+
+            dup_violations.sort(key=lambda r: (r["side"], r["key"]))
+            os.makedirs(ddir, exist_ok=True)
+            vdf = pd.DataFrame(
+                dup_violations, columns=["check_alias", "key", "side", "detail"]
+            )
+            vdf.insert(0, "task_key", task_key)
+            fd, tmp = tempfile.mkstemp(dir=ddir, suffix=".parquet")
+            os.close(fd)
+            pq.write_table(pa.Table.from_pandas(vdf, preserve_index=False), tmp)
+            os.replace(tmp, stale)

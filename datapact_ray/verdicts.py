@@ -390,6 +390,53 @@ def sequence_grammar_verdict(
     )
 
 
+def conv_dedup_verdict(
+    group_column: str,
+    content_columns: list[str],
+    src_convs: int,
+    src_dups: int,
+    tgt_convs: int,
+    tgt_dups: int,
+    tolerance: float,
+    sides: tuple = (0, 1),
+) -> CheckVerdict:
+    """Duplicate-conversation rate per side: duplicates (conversations
+    whose ordered content sequence already occurred under another key on
+    the same side) over conversations checked; FAIL when ANY configured
+    side exceeds ``tolerance``."""
+    s_rel = src_dups / src_convs if src_convs else 0.0
+    t_rel = tgt_dups / tgt_convs if tgt_convs else 0.0
+    ok = (0 not in sides or s_rel <= tolerance) and (
+        1 not in sides or t_rel <= tolerance
+    )
+    payload = {
+        "content_columns": ", ".join(content_columns),
+        "tolerance_percent": fmt_percent(tolerance),
+        "status": _status(ok),
+    }
+    if 0 in sides:
+        payload.update(
+            {
+                "source_conversations": fmt_number(src_convs, 0),
+                "source_duplicates": fmt_number(src_dups, 0),
+                "source_duplicate_percent": fmt_percent(s_rel),
+            }
+        )
+    if 1 in sides:
+        payload.update(
+            {
+                "target_conversations": fmt_number(tgt_convs, 0),
+                "target_duplicates": fmt_number(tgt_dups, 0),
+                "target_duplicate_percent": fmt_percent(t_rel),
+            }
+        )
+    return CheckVerdict(
+        alias=f"conv_dedup_validation_{group_column}",
+        passed=ok,
+        payload=payload,
+    )
+
+
 def referential_verdict(
     columns: list[str],
     side: str,

@@ -1,0 +1,272 @@
+"""Conversation-level exact dedup (ConvDedupCheck): polynomial
+fingerprint math vs a naive oracle, e2e verdicts over planted duplicate
+conversations, order sensitivity, bucket invariance, hot-key salting
+equivalence, and checkpoint resume."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from datapact_ray.config import (
+    ConvDedupCheck,
+    OrderingCheck,
+    ValidationSuite,
+    ValidationTask,
+)
+from datapact_ray.runner import RunConfig, run_suite
+from datapact_ray.stages.keyed import (
+    _FP_R1,
+    _FP_R2,
+    _FP_X2,
+    _fp_shift,
+    _poly_fps,
+    KeyedSpec,
+    run_keyed_pass,
+)
+
+U64 = 1 << 64
+
+
+def _naive_fp(hashes, R):
+    acc = 0
+    for j, h in enumerate(hashes):
+        acc = (acc + int(h) * pow(int(R), j, U64)) % U64
+    return acc
+
+
+def test_poly_fps_matches_naive():
+    rng = np.random.default_rng(7)
+    n = 500
+    h = rng.integers(0, U64, size=n, dtype=np.uint64)
+    # random segmentation incl. length-1 segments
+    starts = np.unique(
+        np.concatenate([[0], rng.integers(1, n, size=40)])
+    ).astype(np.int64)
+    fp1, fp2 = _poly_fps(h, starts)
+    bounds = list(starts) + [n]
+    for k in range(len(starts)):
+        seg = h[bounds[k] : bounds[k + 1]]
+        assert int(fp1[k]) == _naive_fp(seg, _FP_R1)
+        assert int(fp2[k]) == _naive_fp(seg ^ _FP_X2, _FP_R2)
+
+
+def test_fp_shift_stitches_shards():
+    """fp(concat(a, b)) == fp(a) + fp(b)·R^len(a) — the hot-shard
+    stitch identity, for both lanes."""
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, U64, size=37, dtype=np.uint64)
+    b = rng.integers(0, U64, size=53, dtype=np.uint64)
+    whole = np.concatenate([a, b])
+    for lane, (R, remix) in enumerate(
+        [(_FP_R1, np.uint64(0)), (_FP_R2, _FP_X2)]
+    ):
+        fa = _naive_fp(a ^ remix, R)
+        fb = _naive_fp(b ^ remix, R)
+        fw = _naive_fp(whole ^ remix, R)
+        assert (fa + _fp_shift(fb, len(a), lane)) % U64 == fw
+
+
+def _conv(conv_id, texts, roles=None):
+    n = len(texts)
+    return pd.DataFrame(
+        {
+            "conv_id": [conv_id] * n,
+            "turn_idx": np.arange(n, dtype=np.int64),
+            "role": roles or (["user", "assistant"] * n)[:n],
+            "text": texts,
+            "ts": pd.to_datetime("2026-01-01") + pd.to_timedelta(range(n), "s"),
+        }
+    )
+
+
+def _write_side(path, frames, n_files=2):
+    os.makedirs(path, exist_ok=True)
+    df = pd.concat(frames, ignore_index=True)
+    parts = np.array_split(df, n_files)
+    for i, part in enumerate(parts):
+        pq.write_table(
+            pa.Table.from_pandas(part, preserve_index=False),
+            os.path.join(path, f"part-{i}.parquet"),
+        )
+
+
+@pytest.fixture(scope="module")
+def dup_pair(tmp_path_factory):
+    """Source side plants: a 3-way duplicate group (2 dup convs), a
+    2-way group (1 dup), a near-dup differing in ONE turn, a REORDERED
+    copy, and a prefix-extended copy — only the first two groups count.
+    Target side is clean."""
+    root = tmp_path_factory.mktemp("convdup")
+    base = [
+        _conv(f"base-{i:03d}", [f"q {i} {j}" for j in range(4)])
+        for i in range(40)
+    ]
+    trip = [
+        _conv(cid, ["hello", "world", "again", "done"])
+        for cid in ("dup-a1", "dup-a2", "dup-a3")
+    ]
+    pair = [_conv(cid, ["foo", "bar"]) for cid in ("dup-b1", "dup-b2")]
+    near = _conv("near-1", ["hello", "world", "AGAIN", "done"])
+    reordered = _conv("reord-1", ["world", "hello", "again", "done"])
+    extended = _conv("ext-1", ["hello", "world", "again", "done", "extra"])
+    src = base + trip + pair + [near, reordered, extended]
+    tgt = base + [
+        _conv(cid, [f"t {cid} {j}" for j in range(4)])
+        for cid in ("dup-a1", "dup-a2", "dup-a3", "dup-b1", "dup-b2")
+    ] + [near, reordered, extended]
+    _write_side(str(root / "source"), src)
+    _write_side(str(root / "target"), tgt)
+    return {"source": str(root / "source"), "target": str(root / "target")}
+
+
+def _run(dup_pair, tmp_path, tolerance=0.0, with_pk=True, num_buckets=4,
+         sides="both"):
+    task = ValidationTask(
+        task_key="convdup",
+        source_path=dup_pair["source"],
+        target_path=dup_pair["target"],
+        primary_keys=["conv_id", "turn_idx"] if with_pk else None,
+        pk_row_hash_check=with_pk,
+        ordering=OrderingCheck(ts_column="ts"),
+        conv_dedup=ConvDedupCheck(
+            content_columns=["role", "text"], tolerance=tolerance, sides=sides
+        ),
+    )
+    cfg = RunConfig(results_dir=str(tmp_path), run_id=1, num_buckets=num_buckets)
+    summary = run_suite(ValidationSuite(validations=[task]), cfg)
+    res = summary.results[0]
+    v = next(
+        x for x in res.verdicts if x.alias == "conv_dedup_validation_conv_id"
+    )
+    return res, v
+
+
+def test_conv_dedup_e2e_counts(dup_pair, tmp_path):
+    res, v = _run(dup_pair, tmp_path)
+    p = v.payload
+    # 48 source convs, 3 duplicates (dup-a2, dup-a3, dup-b2)
+    assert p["source_conversations"] == "48"
+    assert p["source_duplicates"] == "3"
+    assert p["target_conversations"] == "48"
+    assert p["target_duplicates"] == "0"
+    assert not v.passed
+    assert res.status == "FAILURE"
+
+
+def test_conv_dedup_violation_rows(dup_pair, tmp_path):
+    _run(dup_pair, tmp_path)
+    files = glob.glob(
+        str(tmp_path / "violations" / "run_id=1" / "task=convdup" / "*.parquet")
+    )
+    rows = pd.concat([pq.read_table(f).to_pandas() for f in files])
+    dd = rows[rows["check_alias"] == "conv_dedup_validation_conv_id"]
+    keys = sorted(json.loads(k)["conv_id"] for k in dd["key"])
+    assert keys == ["dup-a2", "dup-a3", "dup-b2"]
+    details = [json.loads(d) for d in dd.sort_values("key")["detail"]]
+    assert {d["duplicate_of"] for d in details} == {"dup-a1", "dup-b1"}
+    assert all(d["reason"] == "duplicate_conversation" for d in details)
+    sizes = sorted(d["group_size"] for d in details)
+    assert sizes == [2, 3, 3]
+    assert set(dd["side"]) == {"source"}
+
+
+def test_conv_dedup_tolerance_and_sides(dup_pair, tmp_path):
+    _, v = _run(dup_pair, tmp_path / "tol", tolerance=0.1)
+    assert v.passed  # 3/48 = 6.25% <= 10%
+    _, v = _run(dup_pair, tmp_path / "tgt", sides="target")
+    assert v.passed  # target side is clean
+    assert "source_conversations" not in v.payload
+
+
+def test_conv_dedup_bucket_invariance(dup_pair, tmp_path):
+    _, v1 = _run(dup_pair, tmp_path / "b1", num_buckets=1)
+    _, v7 = _run(dup_pair, tmp_path / "b7", num_buckets=7)
+    for k in ("source_duplicates", "source_conversations", "target_duplicates"):
+        assert v1.payload[k] == v7.payload[k]
+
+
+def test_conv_dedup_standalone_conv_pass(dup_pair, tmp_path):
+    """Without PK checks the conv-dedup rides the standalone conv
+    shuffle — same counts."""
+    _, v = _run(dup_pair, tmp_path, with_pk=False)
+    assert v.payload["source_duplicates"] == "3"
+    assert v.payload["target_duplicates"] == "0"
+
+
+def _spec(tmp_path, hot_keys=None, num_buckets=5, resume=False):
+    return KeyedSpec(
+        key_columns=["conv_id", "turn_idx"],
+        group_column="conv_id",
+        index_column="turn_idx",
+        conv_dedup_columns=["role", "text"],
+        hot_keys=hot_keys or {},
+        hot_shard_span=4,
+        num_buckets=num_buckets,
+        checkpoint_dir=str(tmp_path) if tmp_path else None,
+        resume=resume,
+    )
+
+
+def test_conv_dedup_hot_salting_equivalence(tmp_path):
+    """A duplicated pair of LONG conversations detected identically
+    whether whole (cold) or salted into shards (hot): the polynomial
+    stitch is exact."""
+    import ray.data
+
+    long_a = _conv("hot-1", [f"line {j % 7}" for j in range(40)])
+    long_b = _conv("hot-2", [f"line {j % 7}" for j in range(40)])
+    other = _conv("cold-1", ["x", "y"])
+    df = pd.concat([long_a, long_b, other], ignore_index=True)
+    ds = ray.data.from_pandas(df)
+
+    m_cold = run_keyed_pass(
+        ds, None, _spec(None), "t", batch_size=16
+    )
+    m_hot = run_keyed_pass(
+        ds,
+        None,
+        _spec(None, hot_keys={"hot-1": 40, "hot-2": 40}),
+        "t",
+        batch_size=16,
+    )
+    assert m_cold.conv_dup_convs[0] == 1
+    assert m_hot.conv_dup_convs[0] == 1
+    assert m_cold.conv_distinct[0] == m_hot.conv_distinct[0] == 2
+
+
+def test_conv_dedup_resume_from_checkpoint(dup_pair, tmp_path):
+    """Second run with resume=True reuses every bucket checkpoint —
+    fingerprints reload from convfp.parquet through Ray tasks and the
+    dup counts are identical."""
+    import ray.data
+
+    src = ray.data.read_parquet(sorted(glob.glob(dup_pair["source"] + "/*.parquet")))
+    ck = str(tmp_path / "ck")
+    m1 = run_keyed_pass(src, None, _spec(ck), "t")
+    # all buckets checkpointed with fingerprints
+    fps = glob.glob(os.path.join(ck, "bucket=*", "convfp.parquet"))
+    assert fps
+    m2 = run_keyed_pass(src, None, _spec(ck, resume=True), "t")
+    assert m1.conv_dup_convs == m2.conv_dup_convs
+    assert m1.conv_distinct == m2.conv_distinct
+
+
+def test_config_validators():
+    with pytest.raises(ValueError, match="must agree"):
+        ValidationTask(
+            task_key="x",
+            source_path="a",
+            target_path="b",
+            ordering=OrderingCheck(group_column="conv_id"),
+            conv_dedup=ConvDedupCheck(group_column="session_id"),
+        )
+    with pytest.raises(ValueError, match="content column"):
+        ConvDedupCheck(content_columns=["conv_id", "text"])
+    with pytest.raises(ValueError, match="non-empty"):
+        ConvDedupCheck(content_columns=[])
