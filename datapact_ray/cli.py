@@ -26,6 +26,12 @@ validations:
     source_path: /data/transcripts/source
     target_path: /data/transcripts/target
     primary_keys: [conv_id, turn_idx]
+    schema_check:                    # footer-only, fails before any scan
+      columns:
+        conv_id: string
+        turn_idx: int32
+        ts: timestamp[us]
+      allow_extra: true
     count_tolerance: 0.001
     pk_row_hash_check: true
     hash_columns: [role, text, tool]
@@ -81,6 +87,11 @@ def _plan_lines(suite) -> list[str]:
         lines.append(f"task {t.task_key}: {t.source_path} vs {t.target_path}")
         if t.filter:
             lines.append(f"  filter: {t.filter} (pushed to parquet row groups)")
+        if t.schema_check:
+            lines.append(
+                f"  pre-flight: schema contract ({len(t.schema_check.columns)}"
+                " columns, footer metadata only — no scan)"
+            )
         scan = []
         if t.count_tolerance is not None:
             scan.append("count")

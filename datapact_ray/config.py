@@ -277,6 +277,36 @@ class SequenceGrammarCheck(BaseModel):
         return list(dict.fromkeys(out))
 
 
+class SchemaCheck(BaseModel):
+    """Declarative schema contract (engine extension): required columns
+    with expected Arrow types, an extra-column policy, and an optional
+    side-identity rule. Checked on the DRIVER from parquet footers /
+    dataset schemas before any pass runs — no data scan, so a renamed
+    or re-typed column fails in milliseconds, not after a 100-TB read.
+
+    ``columns`` maps column name → expected type, written as an Arrow
+    type alias or rendered type string (``int64``, ``double``,
+    ``string``, ``bool``, ``timestamp[us]``, ``decimal128(12, 2)``,
+    ``list<item: float>``). ``allow_extra=False`` flags columns outside
+    the contract; ``require_same=True`` demands the two sides' (name,
+    type) sets be identical regardless of the contract."""
+
+    columns: dict[str, str] = {}
+    allow_extra: bool = True
+    require_same: bool = False
+    sides: Literal["source", "target", "both"] = "both"
+
+    @model_validator(mode="after")
+    def validate_not_noop(self) -> "SchemaCheck":
+        if not self.columns and self.allow_extra and not self.require_same:
+            raise ValueError(
+                "SchemaCheck with no columns, allow_extra=True and "
+                "require_same=False can never fail — configure at least "
+                "one constraint"
+            )
+        return self
+
+
 class ConvDedupCheck(BaseModel):
     """Duplicate-conversation detection within each side (engine
     extension; the training-data dedup check a transcripts user needs
@@ -391,6 +421,7 @@ class ValidationTask(BaseModel):
     ordering: OrderingCheck | None = None
     sequence_grammar: SequenceGrammarCheck | None = None
     conv_dedup: ConvDedupCheck | None = None
+    schema_check: SchemaCheck | None = None
     referential: list[ReferentialCheck] | None = None
     drift: list[DriftCheck] | None = None
     # TEMPORAL drift (engine extension): this run's SOURCE profile vs
@@ -566,6 +597,7 @@ class ValidationTask(BaseModel):
             or self.ordering
             or self.sequence_grammar
             or self.conv_dedup
+            or self.schema_check
             or self.referential
             or self.drift
             or self.temporal_drift

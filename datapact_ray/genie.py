@@ -67,6 +67,7 @@ def _issue_type(status: str, payload: dict) -> str:
         ("ordering_validation", "Sequence ordering violation"),
         ("sequence_grammar_validation", "Role grammar violation"),
         ("conv_dedup_validation", "Duplicate conversations"),
+        ("schema_validation", "Schema contract violation"),
         ("enum_validation", "Value outside accepted set"),
         ("pattern_validation", "Format rule violation"),
         ("conditional_validation", "Conditional rule violation"),

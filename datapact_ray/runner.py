@@ -204,6 +204,16 @@ class ValidationRunner:
         }
 
         verdict_list: list[V.CheckVerdict] = []
+        if task.schema_check:
+            # footer metadata only — fails a renamed/re-typed column in
+            # milliseconds, before any distributed pass is submitted
+            verdict_list.append(
+                V.schema_verdict(
+                    task.schema_check,
+                    src_schema,
+                    table_schema(task.target_path),
+                )
+            )
         pk = task.primary_keys or []
         uniq_cols = task.uniqueness_columns or []
         uniqueness_enabled = bool(uniq_cols) and task.uniqueness_tolerance is not None

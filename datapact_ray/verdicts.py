@@ -390,6 +390,77 @@ def sequence_grammar_verdict(
     )
 
 
+def _norm_type(expected: str) -> str:
+    """Normalize a user-written type to Arrow's rendered form: simple
+    aliases (``float`` → ``float``, ``str`` → ``string``) resolve via
+    pyarrow's alias table; parameterized forms (``timestamp[us]``,
+    ``decimal128(12, 2)``) pass through and compare as written."""
+    import pyarrow as pa
+
+    try:
+        return str(pa.type_for_alias(expected.strip()))
+    except (ValueError, KeyError):
+        return expected.strip()
+
+
+def _fmt_problems(items: list[str], k: int = 10) -> str:
+    items = sorted(items)
+    tail = f", … +{len(items) - k} more" if len(items) > k else ""
+    return ", ".join(items[:k]) + tail
+
+
+def schema_verdict(check, src_schema, tgt_schema) -> CheckVerdict:
+    """Schema-contract validation (driver-side, footer metadata only):
+    per configured side, required columns must exist with the declared
+    Arrow type; extra columns flag when ``allow_extra`` is off; with
+    ``require_same`` the two sides' (name, type) sets must be identical."""
+    sides = {"source": (0,), "target": (1,), "both": (0, 1)}[check.sides]
+    schemas = (src_schema, tgt_schema)
+    payload: dict = {
+        "checked_columns": fmt_number(len(check.columns), 0),
+        "allow_extra": str(check.allow_extra).lower(),
+        "require_same": str(check.require_same).lower(),
+    }
+    problems = 0
+    expected = {c: _norm_type(t) for c, t in check.columns.items()}
+    for side_idx in sides:
+        side = ("source", "target")[side_idx]
+        schema = schemas[side_idx]
+        actual = {f.name: str(f.type) for f in schema}
+        missing = [c for c in expected if c not in actual]
+        mismatched = [
+            f"{c} (expected {t}, got {actual[c]})"
+            for c, t in expected.items()
+            if c in actual and actual[c] != t
+        ]
+        extra = (
+            [c for c in actual if c not in expected]
+            if not check.allow_extra
+            else []
+        )
+        problems += len(missing) + len(mismatched) + len(extra)
+        if missing:
+            payload[f"{side}_missing_columns"] = _fmt_problems(missing)
+        if mismatched:
+            payload[f"{side}_type_mismatches"] = _fmt_problems(mismatched)
+        if extra:
+            payload[f"{side}_unexpected_columns"] = _fmt_problems(extra)
+    if check.require_same:
+        s = {(f.name, str(f.type)) for f in src_schema}
+        t = {(f.name, str(f.type)) for f in tgt_schema}
+        only_s = [f"{n}: {ty}" for n, ty in s - t]
+        only_t = [f"{n}: {ty}" for n, ty in t - s]
+        problems += len(only_s) + len(only_t)
+        if only_s:
+            payload["only_in_source"] = _fmt_problems(only_s)
+        if only_t:
+            payload["only_in_target"] = _fmt_problems(only_t)
+    ok = problems == 0
+    payload["schema_problems"] = fmt_number(problems, 0)
+    payload["status"] = _status(ok)
+    return CheckVerdict(alias="schema_validation", passed=ok, payload=payload)
+
+
 def conv_dedup_verdict(
     group_column: str,
     content_columns: list[str],
