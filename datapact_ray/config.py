@@ -222,8 +222,8 @@ class SequenceGrammarCheck(BaseModel):
     the tool column must be non-null exactly on ``tool_roles`` turns.
     Rides the same keyed/conversation exchange as the ordering check
     (group/index columns come from the task's ``ordering`` when set,
-    else ``conv_id``/``turn_idx``); roles cross the shuffle as 1-byte
-    vocabulary codes, never as strings."""
+    else from ``conv_dedup``, else ``conv_id``/``turn_idx``); roles
+    cross the shuffle as 1-byte vocabulary codes, never as strings."""
 
     role_column: str = "role"
     allowed_roles: list[str] | None = None  # closed vocabulary when set
@@ -533,6 +533,25 @@ class ValidationTask(BaseModel):
                     f"ordering=({o.group_column}, {o.index_column}) vs "
                     f"conv_dedup=({d.group_column}, {d.index_column})"
                 )
+        if (
+            self.sequence_grammar
+            and self.conv_dedup
+            and not self.ordering
+            and (self.conv_dedup.group_column, self.conv_dedup.index_column)
+            != ("conv_id", "turn_idx")
+        ):
+            # grammar's documented grouping default is conv_id/turn_idx;
+            # a conv_dedup block naming other columns would silently
+            # re-group the grammar check too (one shared exchange) —
+            # demand an explicit ordering block to pin the shared key
+            raise ValueError(
+                "sequence_grammar with a conv_dedup block that re-groups "
+                f"by ({self.conv_dedup.group_column}, "
+                f"{self.conv_dedup.index_column}) changes the grammar "
+                "check's grouping as well (the conversation checks share "
+                "one exchange) — add an explicit ordering block with the "
+                "intended group/index columns to confirm"
+            )
         return self
 
     @model_validator(mode="after")

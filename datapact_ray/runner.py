@@ -189,6 +189,7 @@ class ValidationRunner:
         src_files = list_parquet_files(task.source_path)
         tgt_files = list_parquet_files(task.target_path)
         src_schema = table_schema(task.source_path)
+        tgt_schema = table_schema(task.target_path)
         lineage = {
             "task_key": task.task_key,
             "source_files": src_files,
@@ -205,15 +206,27 @@ class ValidationRunner:
 
         verdict_list: list[V.CheckVerdict] = []
         if task.schema_check:
-            # footer metadata only — fails a renamed/re-typed column in
-            # milliseconds, before any distributed pass is submitted
-            verdict_list.append(
-                V.schema_verdict(
-                    task.schema_check,
-                    src_schema,
-                    table_schema(task.target_path),
+            # footer metadata only — and a broken contract SHORT-CIRCUITS
+            # the task: a renamed/re-typed column fails in milliseconds
+            # with the schema verdict as the result, instead of
+            # submitting a doomed 100-TB scan that dies on a KeyError
+            # inside a map task
+            sv = V.schema_verdict(task.schema_check, src_schema, tgt_schema)
+            verdict_list.append(sv)
+            if not sv.passed:
+                payload, passed = V.assemble_payload(
+                    task.task_key, task.filter, task.primary_keys, verdict_list
                 )
-            )
+                result = V.TaskResult(
+                    task_key=task.task_key,
+                    status="FAILURE",
+                    payload=payload,
+                    passed=False,
+                    verdicts=verdict_list,
+                )
+                result.begin_ts = begin  # type: ignore[attr-defined]
+                result.complete_ts = _now()  # type: ignore[attr-defined]
+                return result
         pk = task.primary_keys or []
         uniq_cols = task.uniqueness_columns or []
         uniqueness_enabled = bool(uniq_cols) and task.uniqueness_tolerance is not None
@@ -297,7 +310,6 @@ class ValidationRunner:
         # pre-flight type checks: a misconfigured rule fails HERE with a
         # clear message, not as an ArrowInvalid inside a distributed scan
         if spec.enum_columns or spec.len_sketch_columns or spec.cond_rules:
-            tgt_schema = table_schema(task.target_path)
             for schema, side in ((src_schema, "source"), (tgt_schema, "target")):
                 for rule_name, cols in cond_cols.items():
                     missing = sorted(c for c in cols if c not in schema.names)

@@ -303,12 +303,9 @@ def parquet_bucket_shuffle(
     under the shared ``filter_expr`` — or a 4-tuple ``(files, projector,
     side_columns, side_filter_expr)`` for multi-table exchanges whose
     sides project different schemas."""
-    import pickle
-
     map_task = ray.remote(num_returns=num_buckets)(_map_project_split)
     reduce_task = ray.remote(_reduce_bucket)
     checker_ref = ray.put(checker_fn)
-    target_bytes = _shuffle_target_bytes([side[0] for side in sides])
 
     import os as _os
     import sys as _sys
@@ -317,22 +314,9 @@ def parquet_bucket_shuffle(
     _timing = _os.environ.get("DATAPACT_TIMING")
     _t0 = _time.perf_counter()
 
-    shard_lists: list = []
-    for side in sides:
-        if len(side) == 2:
-            files, projector = side
-            s_cols, s_expr = columns, filter_expr
-        else:
-            files, projector, s_cols, s_expr = side
-        expr_pickle = pickle.dumps(s_expr) if s_expr is not None else None
-        proj_ref = ray.put(projector)
-        for unit in _scan_units(files, target_bytes):
-            result = map_task.remote(
-                unit, s_cols, expr_pickle, proj_ref, num_buckets
-            )
-            if num_buckets == 1:
-                result = [result]
-            shard_lists.append(result)
+    shard_lists = _submit_parquet_shards(
+        sides, columns, filter_expr, num_buckets, map_task
+    )
 
     _t_submit_maps = _time.perf_counter()
 
@@ -366,30 +350,12 @@ def parquet_bucket_shuffle_refs(
     to a frame, or None for an empty bucket) — the driver never holds
     the data. ``checker_fn(table, bucket_idx)`` may use the bucket index
     for resumable per-bucket side outputs."""
-    import pickle
-
     map_task = ray.remote(num_returns=num_buckets)(_map_project_split)
     reduce_task = ray.remote(_reduce_bucket_table)
     checker_ref = ray.put(checker_fn)
-    target_bytes = _shuffle_target_bytes([side[0] for side in sides])
-
-    shard_lists: list = []
-    for side in sides:
-        if len(side) == 2:
-            files, projector = side
-            s_cols, s_expr = columns, filter_expr
-        else:
-            files, projector, s_cols, s_expr = side
-        expr_pickle = pickle.dumps(s_expr) if s_expr is not None else None
-        proj_ref = ray.put(projector)
-        for unit in _scan_units(files, target_bytes):
-            result = map_task.remote(
-                unit, s_cols, expr_pickle, proj_ref, num_buckets
-            )
-            if num_buckets == 1:
-                result = [result]
-            shard_lists.append(result)
-
+    shard_lists = _submit_parquet_shards(
+        sides, columns, filter_expr, num_buckets, map_task
+    )
     return [
         reduce_task.remote(checker_ref, b, *[shards[b] for shards in shard_lists])
         for b in range(num_buckets)
@@ -457,15 +423,11 @@ def parquet_bucket_shuffle_dual(
     return blobs, side_refs
 
 
-def bucket_shuffle_dual(
-    parts: list[ray.data.Dataset], num_buckets: int, checker_fn: Callable
-) -> tuple[list[bytes], list]:
-    """Dataset-input variant of :func:`parquet_bucket_shuffle_dual` (the
-    CSV/JSONL path): projected blocks through the explicit exchange,
-    dual-output reduces."""
+def _submit_block_shards(parts: list[ray.data.Dataset], num_buckets: int) -> list:
+    """Materialize the projected datasets' blocks (concurrently — each
+    ``arrow_block_refs`` is a blocking Ray Data execution) and submit one
+    split task per block; returns per-block per-bucket shard lists."""
     split_task = ray.remote(num_returns=num_buckets)(_split_by_bucket)
-    reduce_task = ray.remote(num_returns=2)(_reduce_bucket_dual)
-    checker_ref = ray.put(checker_fn)
     if len(parts) > 1:
         from concurrent.futures import ThreadPoolExecutor
 
@@ -480,6 +442,18 @@ def bucket_shuffle_dual(
             if num_buckets == 1:
                 result = [result]
             shard_lists.append(result)
+    return shard_lists
+
+
+def bucket_shuffle_dual(
+    parts: list[ray.data.Dataset], num_buckets: int, checker_fn: Callable
+) -> tuple[list[bytes], list]:
+    """Dataset-input variant of :func:`parquet_bucket_shuffle_dual` (the
+    CSV/JSONL path): projected blocks through the explicit exchange,
+    dual-output reduces."""
+    reduce_task = ray.remote(num_returns=2)(_reduce_bucket_dual)
+    checker_ref = ray.put(checker_fn)
+    shard_lists = _submit_block_shards(parts, num_buckets)
     blob_refs, side_refs = [], []
     for b in range(num_buckets):
         blob_ref, side_ref = reduce_task.remote(
@@ -545,29 +519,9 @@ def bucket_shuffle(
     object store (they are the compact hash/key representation, a small
     fraction of the raw input) and never touch the driver.
     """
-    split_task = ray.remote(num_returns=num_buckets)(_split_by_bucket)
     reduce_task = ray.remote(_reduce_bucket)
     checker_ref = ray.put(checker_fn)
-
-    # materialize all projected parts CONCURRENTLY (each arrow_block_refs
-    # is a blocking Ray Data execution; serializing them doubles the
-    # fixed per-execution overhead)
-    if len(parts) > 1:
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=len(parts)) as pool:
-            ref_lists = list(pool.map(arrow_block_refs, parts))
-    else:
-        ref_lists = [arrow_block_refs(parts[0])]
-
-    shard_lists: list = []
-    for block_refs in ref_lists:
-        for block_ref in block_refs:
-            result = split_task.remote(block_ref, num_buckets)
-            if num_buckets == 1:
-                result = [result]
-            shard_lists.append(result)
-
+    shard_lists = _submit_block_shards(parts, num_buckets)
     blobs = []
     for b in range(num_buckets):
         blobs.append(

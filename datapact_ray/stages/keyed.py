@@ -231,11 +231,9 @@ class KeyedMetrics:
         for k, shards in other.hot_partials.items():
             self.hot_partials.setdefault(k, []).extend(shards)
         for i in (0, 1):
-            # getattr defaults: pre-conv-dedup metrics.pkl checkpoints
-            # (the spec-signature guard wipes them when the check is
-            # newly configured, so zero here always truly means zero)
-            if not hasattr(self, "conv_distinct"):
-                self.conv_distinct, self.conv_dup_convs = [0, 0], [0, 0]
+            # getattr defaults on OTHER: pre-conv-dedup metrics.pkl
+            # checkpoints (the spec-signature guard wipes them when the
+            # check is newly configured, so zero here truly means zero)
             self.conv_distinct[i] += getattr(other, "conv_distinct", [0, 0])[i]
             self.conv_dup_convs[i] += getattr(other, "conv_dup_convs", [0, 0])[i]
         self.violations += other.violations
@@ -797,7 +795,10 @@ class _BucketChecker:
                 if hot_hashes
                 else pd.Series(False, index=summary.index)
             )
-            hot_cols = ["__gh", "__shard", "n", "imin", "imax", "inuniq", "ts_sorted"]
+            hot_cols = [
+                "__gh", "__shard", "n", "imin", "imax", "inuniq",
+                "ts_sorted", "pos",
+            ]
             if has_ts:
                 hot_cols += ["tfirst", "tlast"]
             gram_cols = [
@@ -817,6 +818,15 @@ class _BucketChecker:
                     "tfirst": int(rec["tfirst"]) if has_ts else None,
                     "tlast": int(rec["tlast"]) if has_ts else None,
                     "ts_sorted": bool(rec["ts_sorted"]),
+                    # the group's DISPLAY key, so driver-stitched verdicts
+                    # and dedup fingerprints cite the real id even when
+                    # hot keys were detected as raw hashes (footer path)
+                    "gkey": str(
+                        table.select([g_col])
+                        .take(pa.array([int(rec["pos"])]))
+                        .column(0)[0]
+                        .as_py()
+                    ),
                 }
                 for c in gram_cols:
                     v = rec[c]
@@ -992,11 +1002,11 @@ def _stitch_hot(
     violations: list[dict] = []
     fp_rows: list[dict] = []
 
-    def emit(side: int, g: int, reason: str, alias: str | None = None) -> None:
+    def emit(side: int, label: str, reason: str, alias: str | None = None) -> None:
         violations.append(
             {
                 "check_alias": alias or f"ordering_validation_{g_col}",
-                "key": json.dumps({g_col: label_of.get(int(g), str(int(g)))}),
+                "key": json.dumps({g_col: label}),
                 "side": SIDE_NAMES[side],
                 "detail": json.dumps({"reason": reason, "hot": True}),
             }
@@ -1020,6 +1030,13 @@ def _stitch_hot(
         metrics.hot_partials.items(), key=lambda kv: (kv[0][0], str(kv[0][1]))
     ):
         shards = sorted(shards, key=lambda s: s["shard"])
+        # display label: the real key captured in the bucket reduce
+        # (gkey); pre-gkey checkpoints fall back to the string-key map
+        # or, last resort, the hash
+        glabel = next(
+            (s["gkey"] for s in shards if s.get("gkey") is not None),
+            label_of.get(int(g), str(int(g))),
+        )
         metrics.groups_checked[side] += 1
         n = sum(s["n"] for s in shards)
         imin = min(s["imin"] for s in shards)
@@ -1039,10 +1056,10 @@ def _stitch_hot(
         if side in spec.ordering_sides:
             if spec.require_contiguous and not contiguous:
                 metrics.contiguity_violations[side] += 1
-                emit(side, g, "non_contiguous_turn_idx")
+                emit(side, glabel, "non_contiguous_turn_idx")
             elif spec.require_monotonic_ts and not mono:
                 metrics.monotonicity_violations[side] += 1
-                emit(side, g, "non_monotonic_ts")
+                emit(side, glabel, "non_monotonic_ts")
         if spec.grammar_checks:
             galias = f"sequence_grammar_validation_{g_col}"
             reasons: list[str] = []
@@ -1074,7 +1091,7 @@ def _stitch_hot(
             if reasons:
                 metrics.grammar_groups_flagged[side] += 1
                 for reason in reasons:
-                    emit(side, g, reason, galias)
+                    emit(side, glabel, reason, galias)
         if spec.turn_count_digest:
             d = metrics.digests[side] or TDigest()
             d.add(np.array([float(n)]))
@@ -1113,7 +1130,7 @@ def _stitch_hot(
                     "n": n,
                     "fp1": f1,
                     "fp2": f2,
-                    "key": label_of.get(int(g), str(int(g))),
+                    "key": glabel,
                 }
             )
     metrics.hot_partials = {}

@@ -270,3 +270,32 @@ def test_config_validators():
         ConvDedupCheck(content_columns=["conv_id", "text"])
     with pytest.raises(ValueError, match="non-empty"):
         ConvDedupCheck(content_columns=[])
+
+
+def test_hot_dedup_violations_cite_real_keys(tmp_path):
+    """Hot keys detected as raw hashes (the footer path) must still
+    yield violation rows citing the real conversation id — the display
+    key rides the shard partials (gkey), not the hash."""
+    import ray.data
+
+    from datapact_ray.sketches import hash_arrow_column_u64
+
+    long_a = _conv("hot-b", [f"line {j % 7}" for j in range(40)])
+    long_b = _conv("hot-a", [f"line {j % 7}" for j in range(40)])
+    df = pd.concat([long_a, long_b], ignore_index=True)
+    hashes = hash_arrow_column_u64(pa.array(["hot-a", "hot-b"]))
+    hot = {int(h): 40 for h in hashes.tolist()}
+    ck = str(tmp_path / "ck")
+    m = run_keyed_pass(
+        ray.data.from_pandas(df),
+        None,
+        _spec(ck, hot_keys=hot),
+        "t",
+        batch_size=16,
+    )
+    assert m.conv_dup_convs[0] == 1
+    rows = pq.read_table(
+        os.path.join(ck, "convdup", "violations.parquet")
+    ).to_pandas()
+    assert json.loads(rows["key"].iloc[0])["conv_id"] == "hot-b"
+    assert json.loads(rows["detail"].iloc[0])["duplicate_of"] == "hot-a"

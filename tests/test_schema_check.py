@@ -104,3 +104,24 @@ def test_schema_sides_and_noop_rejected(tables, tmp_path):
     assert v.passed  # only the conforming side is checked
     with pytest.raises(ValueError, match="never fail"):
         SchemaCheck()
+
+
+def test_schema_failure_short_circuits(tables, tmp_path):
+    """A broken contract returns the schema verdict WITHOUT submitting
+    any distributed pass — previously a renamed PK column crashed with a
+    raw KeyError inside a map task before any verdict was written."""
+    task = ValidationTask(
+        task_key="s",
+        source_path=tables["good"],
+        target_path=tables["drifted"],
+        primary_keys=["conv_id", "text"],  # 'text' renamed on target
+        pk_row_hash_check=True,
+        schema_check=SchemaCheck(columns=CONTRACT),
+    )
+    s = run_suite(
+        ValidationSuite(validations=[task]),
+        RunConfig(results_dir=str(tmp_path / "sc"), run_id=1),
+    )
+    res = s.results[0]
+    assert res.status == "FAILURE"
+    assert [v.alias for v in res.verdicts] == ["schema_validation"]
