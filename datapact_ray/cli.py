@@ -139,10 +139,17 @@ def _plan_lines(suite) -> list[str]:
                     f"role-grammar({t.sequence_grammar.role_column})"
                 )
             if t.conv_dedup:
+                d = t.conv_dedup
+                detail = (
+                    f"minhash {d.num_perm}x{d.bands}-band"
+                    if d.mode == "near"
+                    else "exact fingerprint"
+                )
                 conv_checks.append(
                     "conv-dedup("
-                    + ",".join(t.conv_dedup.content_columns)
-                    + "; chained fingerprint exchange)"
+                    + ",".join(d.content_columns)
+                    + ("+normalize" if d.normalize else "")
+                    + f"; {detail}, chained exchange)"
                 )
             g_col = (
                 t.ordering.group_column

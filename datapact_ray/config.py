@@ -325,6 +325,20 @@ class ConvDedupCheck(BaseModel):
     content_columns: list[str] = ["role", "text"]
     tolerance: float = 0.0  # duplicate conversations / conversations, per side
     sides: Literal["source", "target", "both"] = "both"
+    # "exact": identical ordered content sequences (order-sensitive
+    # polynomial fingerprint). "near": MinHash-LSH over the SET of a
+    # conversation's turn content hashes — flags conversations sharing
+    # at least one of ``bands`` signature bands (``num_perm // bands``
+    # lane minima each) with another conversation on the same side; the
+    # implied Jaccard S-curve is P(flag) = 1 - (1 - J^(num_perm/bands))
+    # ^ bands. Candidates, not proven duplicates — the dedup pipelines
+    # carry the exact-verify tooling for investigation.
+    mode: Literal["exact", "near"] = "exact"
+    num_perm: int = 16  # near mode: MinHash lanes
+    bands: int = 4  # near mode: LSH bands (num_perm must divide evenly)
+    # lowercase + collapse runs of whitespace in STRING content columns
+    # before hashing (both modes) — catches reformatted copies
+    normalize: bool = False
 
     @field_validator("tolerance")
     @classmethod
@@ -343,6 +357,13 @@ class ConvDedupCheck(BaseModel):
                 "conversation would hash unique and the check could "
                 "never fire"
             )
+        if not 1 <= self.bands <= self.num_perm or self.num_perm % self.bands:
+            raise ValueError(
+                "bands must divide num_perm (rows-per-band = "
+                "num_perm / bands must be a whole number)"
+            )
+        if self.num_perm > 64:
+            raise ValueError("num_perm is limited to 64 lanes")
         return self
 
 

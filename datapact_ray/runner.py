@@ -688,6 +688,10 @@ class ValidationRunner:
                     "target": (1,),
                     "both": (0, 1),
                 }[cdd.sides],
+                conv_dedup_mode=cdd.mode,
+                conv_dedup_num_perm=cdd.num_perm,
+                conv_dedup_bands=cdd.bands,
+                conv_dedup_normalize=cdd.normalize,
             )
         ordering_sides = (
             {"source": (0,), "target": (1,), "both": (0, 1)}[o.sides]
@@ -988,16 +992,29 @@ class ValidationRunner:
             cd_sides = {"source": (0,), "target": (1,), "both": (0, 1)}[
                 task.conv_dedup.sides
             ]
+            if task.conv_dedup.mode == "near":
+                # near mode counts FLAGGED conversations (>=1 shared LSH
+                # band); the denominator is all conversations checked
+                totals = list(conv_metrics.groups_checked)
+            else:
+                totals = [
+                    conv_metrics.conv_distinct[i] + conv_metrics.conv_dup_convs[i]
+                    for i in (0, 1)
+                ]
             verdict_list.append(
                 V.conv_dedup_verdict(
                     conv_group,
                     task.conv_dedup.content_columns,
-                    conv_metrics.conv_distinct[0] + conv_metrics.conv_dup_convs[0],
+                    totals[0],
                     conv_metrics.conv_dup_convs[0],
-                    conv_metrics.conv_distinct[1] + conv_metrics.conv_dup_convs[1],
+                    totals[1],
                     conv_metrics.conv_dup_convs[1],
                     task.conv_dedup.tolerance,
                     cd_sides,
+                    mode=task.conv_dedup.mode,
+                    num_perm=task.conv_dedup.num_perm,
+                    bands=task.conv_dedup.bands,
+                    normalize=task.conv_dedup.normalize,
                 )
             )
         for ri, ref in enumerate(task.referential or []):

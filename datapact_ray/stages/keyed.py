@@ -97,6 +97,16 @@ class KeyedSpec:
     # text never re-shuffles and the driver never holds the set.
     conv_dedup_columns: list[str] | None = None
     conv_dedup_sides: tuple = (0, 1)
+    # "exact" (ordered polynomial fingerprint) or "near" (MinHash-LSH
+    # over the conversation's turn-hash SET: per-shard lane minima merge
+    # by elementwise min, band rows flow through the chained exchange,
+    # and a second chained hop dedups multi-band flags per conversation)
+    conv_dedup_mode: str = "exact"
+    conv_dedup_num_perm: int = 16
+    conv_dedup_bands: int = 4
+    # lowercase + collapse whitespace in string content columns before
+    # hashing (reformatted copies compare equal)
+    conv_dedup_normalize: bool = False
     hot_keys: dict = field(default_factory=dict)  # group key -> approx count
     hot_shard_span: int = 8192
     max_violations_per_bucket: int = 100
@@ -328,9 +338,71 @@ _FP_SCHEMA = pa.schema(
     ]
 )
 
+# near mode: one row per (conversation, band)
+_BAND_SCHEMA = pa.schema(
+    [
+        ("__side", pa.int8()),
+        ("band", pa.int8()),
+        ("bkey", pa.uint64()),
+        ("key", pa.string()),
+        ("__bucket", pa.int32()),
+    ]
+)
 
-def _empty_fp_table() -> pa.Table:
-    return _FP_SCHEMA.empty_table()
+_MINHASH_SEED = 20260820  # pinned lane constants (resume/determinism)
+
+
+def _empty_fp_table(mode: str = "exact") -> pa.Table:
+    return (_BAND_SCHEMA if mode == "near" else _FP_SCHEMA).empty_table()
+
+
+def _minhash_lanes(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(_MINHASH_SEED)
+    a = rng.integers(1, 1 << 64, size=num_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, 1 << 64, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def _minhash_mins(
+    h: np.ndarray, starts: np.ndarray, num_perm: int
+) -> np.ndarray:
+    """Per-segment MinHash signature: for each segment (one conversation
+    shard, rows already grouped), the minimum of ``h·a_j + b_j`` (mod
+    2^64) per lane j — a min over the turn-hash SET, so duplicate turns
+    and turn order are irrelevant, and shard partials merge exactly by
+    elementwise min. Returns (n_segments, num_perm) uint64."""
+    a, b = _minhash_lanes(num_perm)
+    out = np.empty((len(starts), num_perm), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(num_perm):
+            out[:, j] = np.minimum.reduceat(h * a[j] + b[j], starts)
+    return out
+
+
+def _band_bucket(
+    bkeys: np.ndarray, band_ids: np.ndarray, num_buckets: int
+) -> np.ndarray:
+    """Chained-exchange bucket for (band, band_key) rows — identical
+    pairs co-locate regardless of the conversation bucket they came
+    from."""
+    with np.errstate(over="ignore"):
+        mixed = combine_hashes_u64(
+            [bkeys, band_ids.astype(np.uint64)]
+        ) % np.uint64(num_buckets)
+    return mixed.astype(np.int32)
+
+
+def _band_keys(mins: np.ndarray, bands: int) -> np.ndarray:
+    """(n_segments, bands) LSH band keys: order-sensitive mix of each
+    band's ``num_perm // bands`` lane minima."""
+    n, num_perm = mins.shape
+    rows = num_perm // bands
+    out = np.empty((n, bands), dtype=np.uint64)
+    for b in range(bands):
+        out[:, b] = combine_hashes_u64(
+            [np.ascontiguousarray(mins[:, b * rows + i]) for i in range(rows)]
+        )
+    return out
 
 
 def _load_convfp(path: str) -> pa.Table:
@@ -340,6 +412,110 @@ def _load_convfp(path: str) -> pa.Table:
     import pyarrow.parquet as pq
 
     return pq.read_table(path)
+
+
+class _BandFlagger:
+    """Hop-1 reduce of the near-dup chain: within one band bucket, a
+    conversation is FLAGGED when any of its (side, band, band_key)
+    groups holds another conversation. Emits one row per flagged
+    conversation per bucket — deduped within the bucket, partner = the
+    lexicographically smallest OTHER key in a shared group — re-bucketed
+    by key hash for the hop-2 cross-bucket dedup."""
+
+    def __init__(self, num_buckets: int):
+        self.num_buckets = num_buckets
+
+    def __call__(self, table: pa.Table, bucket_idx: int):
+        if table.num_rows == 0:
+            return None
+        df = table.select(["__side", "band", "bkey", "key"]).to_pandas()
+        df = df.sort_values(["__side", "band", "bkey", "key"], kind="stable")
+        sv = df["__side"].to_numpy()
+        bv = df["band"].to_numpy()
+        kv = df["bkey"].to_numpy()
+        first = np.ones(len(df), dtype=bool)
+        first[1:] = (
+            (sv[1:] != sv[:-1]) | (bv[1:] != bv[:-1]) | (kv[1:] != kv[:-1])
+        )
+        gid = np.cumsum(first) - 1
+        sizes = np.bincount(gid)
+        in_dup = sizes[gid] > 1
+        if not in_dup.any():
+            return None
+        dd = df[in_dup]
+        gkeys = dd["key"].to_numpy()
+        gfirst = first[in_dup]
+        # partner: group's min key, except the min itself partners with
+        # the group's SECOND member (a conversation can't partner itself)
+        dgid = np.cumsum(gfirst) - 1
+        min_key = pd.Series(gkeys).groupby(dgid).transform("min").to_numpy()
+        second = np.roll(gkeys, -1)  # within sorted groups: member after min
+        partner = np.where(gkeys == min_key, second, min_key)
+        out = pd.DataFrame(
+            {"__side": dd["__side"].to_numpy(), "key": gkeys, "partner": partner}
+        )
+        # dedup flags within this bucket (a conversation may collide in
+        # several bands of the same bucket): keep the smallest partner
+        out = (
+            out.sort_values(["__side", "key", "partner"], kind="stable")
+            .drop_duplicates(["__side", "key"])
+        )
+        from ..sketches import hash_arrow_column_u64
+
+        kh = hash_arrow_column_u64(pa.array(out["key"].tolist(), type=pa.string()))
+        return pa.table(
+            {
+                "__side": pa.array(out["__side"].to_numpy().astype(np.int8)),
+                "key": pa.array(out["key"].tolist(), type=pa.string()),
+                "partner": pa.array(out["partner"].tolist(), type=pa.string()),
+                "__bucket": pa.array(
+                    (kh % np.uint64(self.num_buckets)).astype(np.int32)
+                ),
+            }
+        )
+
+
+class _FlagDeduper:
+    """Hop-2 reduce of the near-dup chain: conversations arrive bucketed
+    by key hash, so each flagged conversation's rows (one per bucket
+    that flagged it) co-locate here — count it ONCE per side and emit
+    one capped violation row with its smallest partner."""
+
+    def __init__(self, group_column: str, cap: int):
+        self.group_column = group_column
+        self.cap = cap
+
+    def __call__(self, table: pa.Table, bucket_idx: int):
+        if table.num_rows == 0:
+            return None
+        df = (
+            table.select(["__side", "key", "partner"])
+            .to_pandas()
+            .sort_values(["__side", "key", "partner"], kind="stable")
+            .drop_duplicates(["__side", "key"])
+        )
+        stats = {
+            int(side): int(n)
+            for side, n in df.groupby("__side", sort=True).size().items()
+        }
+        head = df.head(self.cap)
+        violations = [
+            {
+                "check_alias": f"conv_dedup_validation_{self.group_column}",
+                "key": json.dumps({self.group_column: str(key)}),
+                "side": SIDE_NAMES[int(side)],
+                "detail": json.dumps(
+                    {
+                        "reason": "near_duplicate_candidate",
+                        "similar_to": str(partner),
+                    }
+                ),
+            }
+            for side, key, partner in zip(
+                head["__side"], head["key"], head["partner"]
+            )
+        ]
+        return {"stats": stats, "violations": violations}
 
 
 class _DupCounter:
@@ -457,12 +633,29 @@ class _Projector:
                 else ts.cast(pa.float64())
             )
         if spec.conv_dedup_columns:
-            # one order-sensitive content hash per turn (8 B through the
-            # exchange); per-column hashes come from the shared cache so
-            # text is hashed once even when it also feeds the row hash
+            # one content hash per turn (8 B through the exchange);
+            # per-column hashes come from the shared cache so text is
+            # hashed once even when it also feeds the row hash —
+            # unless normalization is on, which hashes a lowercased /
+            # whitespace-collapsed copy of string columns instead
+            def cd_hash(c: str) -> np.ndarray:
+                if not spec.conv_dedup_normalize:
+                    return col_hash(c)
+                col = batch.column(c)
+                if pa.types.is_string(col.type) or pa.types.is_large_string(
+                    col.type
+                ):
+                    col = pc.utf8_trim_whitespace(
+                        pc.replace_substring_regex(
+                            pc.utf8_lower(col), r"\s+", " "
+                        )
+                    )
+                    return hash_arrow_column_u64(col)
+                return col_hash(c)
+
             cols["__cd"] = pa.array(
                 combine_hashes_u64(
-                    [col_hash(c) for c in spec.conv_dedup_columns]
+                    [cd_hash(c) for c in spec.conv_dedup_columns]
                 )
             )
         if spec.grammar_checks:
@@ -594,7 +787,11 @@ class _BucketChecker:
         m.violations = len(violations)
         convfp = None
         if spec.conv_dedup_columns:
-            convfp = pa.concat_tables(fp_tables) if fp_tables else _empty_fp_table()
+            convfp = (
+                pa.concat_tables(fp_tables)
+                if fp_tables
+                else _empty_fp_table(spec.conv_dedup_mode)
+            )
         if spec.checkpoint_dir:
             self._checkpoint(bucket, m, violations, convfp)
         return {"bucket": bucket, "blob": pickle.dumps(m), "convfp": convfp}
@@ -712,21 +909,24 @@ class _BucketChecker:
                     {"rfirst": ("__role", "first"), "rlast": ("__role", "last")}
                 )
             summary = gb.agg(**agg_kw)
+            mins = None
             if has_cd:
-                # per-(group, shard) polynomial fingerprints — rows are
-                # already in turn order after the stable sort above, and
+                # per-(group, shard) fingerprints — rows are already in
+                # turn order after the stable sort above, and
                 # groupby(sort=False) preserves first-appearance order,
-                # so segment k of the fp arrays IS summary row k
+                # so segment k of the fingerprint arrays IS summary row k
                 gh_v = part["__gh"].to_numpy()
                 sh_v = part["__shard"].to_numpy()
                 seg_start = np.ones(len(part), dtype=bool)
                 seg_start[1:] = (gh_v[1:] != gh_v[:-1]) | (sh_v[1:] != sh_v[:-1])
                 starts = np.flatnonzero(seg_start)
-                fp1, fp2 = _poly_fps(
-                    part["__cd"].to_numpy().astype(np.uint64, copy=False), starts
-                )
-                summary["fp1"] = fp1
-                summary["fp2"] = fp2
+                cdv = part["__cd"].to_numpy().astype(np.uint64, copy=False)
+                if spec.conv_dedup_mode == "near":
+                    mins = _minhash_mins(cdv, starts, spec.conv_dedup_num_perm)
+                else:
+                    fp1, fp2 = _poly_fps(cdv, starts)
+                    summary["fp1"] = fp1
+                    summary["fp2"] = fp2
             if has_ts:
                 tv = part["__ts"].to_numpy()
                 new_grp = (
@@ -806,9 +1006,14 @@ class _BucketChecker:
                 for c in ("rfirst", "rlast", "g_unknown", "g_toolbad", "g_badtrans")
                 if c in summary.columns
             ]
-            if has_cd:
+            if has_cd and spec.conv_dedup_mode == "exact":
                 gram_cols = gram_cols + ["fp1", "fp2"]
-            for rec in summary.loc[is_hot, hot_cols + gram_cols].to_dict("records"):
+            hot_pos = (
+                np.flatnonzero(is_hot.to_numpy()) if mins is not None else None
+            )
+            for hi, rec in enumerate(
+                summary.loc[is_hot, hot_cols + gram_cols].to_dict("records")
+            ):
                 shard_rec = {
                     "shard": int(rec["__shard"]),
                     "n": int(rec["n"]),
@@ -831,6 +1036,10 @@ class _BucketChecker:
                 for c in gram_cols:
                     v = rec[c]
                     shard_rec[c] = bool(v) if c == "g_badtrans" else int(v)
+                if mins is not None:
+                    # the shard's lane minima — stitched by elementwise
+                    # min on the driver
+                    shard_rec["mins"] = mins[hot_pos[hi]].tolist()
                 m.hot_partials.setdefault((side, int(rec["__gh"])), []).append(
                     shard_rec
                 )
@@ -848,26 +1057,51 @@ class _BucketChecker:
                     .column(0)
                     .cast(pa.string())
                 )
-                f1 = cold["fp1"].to_numpy().astype(np.uint64, copy=False)
-                f2 = cold["fp2"].to_numpy().astype(np.uint64, copy=False)
-                fp_tables.append(
-                    pa.table(
-                        {
-                            "__side": pa.array(
-                                np.full(len(cold), side, dtype=np.int8)
-                            ),
-                            "n": pa.array(cold["n"].to_numpy().astype(np.int64)),
-                            "fp1": pa.array(f1),
-                            "fp2": pa.array(f2),
-                            "key": keys.combine_chunks()
-                            if isinstance(keys, pa.ChunkedArray)
-                            else keys,
-                            "__bucket": pa.array(
-                                _fp_bucket(f1, f2, spec.num_buckets)
-                            ),
-                        }
+                if isinstance(keys, pa.ChunkedArray):
+                    keys = keys.combine_chunks()
+                if spec.conv_dedup_mode == "near":
+                    nb = spec.conv_dedup_bands
+                    nc = len(cold)
+                    cold_pos = np.flatnonzero(~is_hot.to_numpy())
+                    bk = _band_keys(mins[cold_pos], nb).reshape(-1)
+                    band_ids = np.tile(np.arange(nb, dtype=np.int8), nc)
+                    rep = np.repeat(np.arange(nc, dtype=np.int64), nb)
+                    fp_tables.append(
+                        pa.table(
+                            {
+                                "__side": pa.array(
+                                    np.full(nc * nb, side, dtype=np.int8)
+                                ),
+                                "band": pa.array(band_ids),
+                                "bkey": pa.array(bk),
+                                "key": keys.take(pa.array(rep)),
+                                "__bucket": pa.array(
+                                    _band_bucket(bk, band_ids, spec.num_buckets)
+                                ),
+                            }
+                        )
                     )
-                )
+                else:
+                    f1 = cold["fp1"].to_numpy().astype(np.uint64, copy=False)
+                    f2 = cold["fp2"].to_numpy().astype(np.uint64, copy=False)
+                    fp_tables.append(
+                        pa.table(
+                            {
+                                "__side": pa.array(
+                                    np.full(len(cold), side, dtype=np.int8)
+                                ),
+                                "n": pa.array(
+                                    cold["n"].to_numpy().astype(np.int64)
+                                ),
+                                "fp1": pa.array(f1),
+                                "fp2": pa.array(f2),
+                                "key": keys,
+                                "__bucket": pa.array(
+                                    _fp_bucket(f1, f2, spec.num_buckets)
+                                ),
+                            }
+                        )
+                    )
             if len(cold):
                 m.groups_checked[side] += len(cold)
                 contiguous = (
@@ -1110,29 +1344,41 @@ def _stitch_hot(
                 d = metrics.gap_digests[side] or TDigest()
                 d.add(np.asarray(bg, dtype=np.float64) / 1e6)
                 metrics.gap_digests[side] = d
-        if (
-            spec.conv_dedup_columns
-            and side in spec.conv_dedup_sides
-            and all("fp1" in s for s in shards)
-        ):
-            # exact polynomial stitch: shard s's fingerprint covers its
-            # contiguous turn range starting at offset_s, so the whole
-            # conversation's fingerprint is Σ_s fp_s · R^offset_s
-            f1 = f2 = 0
-            offset = 0
-            for s in shards:
-                f1 = (f1 + _fp_shift(s["fp1"], offset, 0)) & _U64
-                f2 = (f2 + _fp_shift(s["fp2"], offset, 1)) & _U64
-                offset += s["n"]
-            fp_rows.append(
-                {
-                    "side": side,
-                    "n": n,
-                    "fp1": f1,
-                    "fp2": f2,
-                    "key": glabel,
-                }
-            )
+        if spec.conv_dedup_columns and side in spec.conv_dedup_sides:
+            if spec.conv_dedup_mode == "near" and all(
+                "mins" in s for s in shards
+            ):
+                # MinHash stitch: the whole conversation's lane minima
+                # are the elementwise min of its shard minima
+                mm = np.minimum.reduce(
+                    [np.array(s["mins"], dtype=np.uint64) for s in shards]
+                )
+                bk = _band_keys(mm[None, :], spec.conv_dedup_bands)[0]
+                for bi, k in enumerate(bk):
+                    fp_rows.append(
+                        {"side": side, "band": bi, "bkey": int(k), "key": glabel}
+                    )
+            elif spec.conv_dedup_mode == "exact" and all(
+                "fp1" in s for s in shards
+            ):
+                # exact polynomial stitch: shard s's fingerprint covers
+                # its contiguous turn range starting at offset_s, so the
+                # whole conversation's fingerprint is Σ_s fp_s · R^offset_s
+                f1 = f2 = 0
+                offset = 0
+                for s in shards:
+                    f1 = (f1 + _fp_shift(s["fp1"], offset, 0)) & _U64
+                    f2 = (f2 + _fp_shift(s["fp2"], offset, 1)) & _U64
+                    offset += s["n"]
+                fp_rows.append(
+                    {
+                        "side": side,
+                        "n": n,
+                        "fp1": f1,
+                        "fp2": f2,
+                        "key": glabel,
+                    }
+                )
     metrics.hot_partials = {}
     return violations, fp_rows
 
@@ -1327,29 +1573,69 @@ def _run_conv_dedup(
         path = os.path.join(spec.checkpoint_dir, f"bucket={b}", "convfp.parquet")
         if os.path.exists(path):
             refs.append(ray.remote(_load_convfp).remote(path))
+    near = spec.conv_dedup_mode == "near"
     if hot_fp_rows:
-        f1 = np.array([r["fp1"] for r in hot_fp_rows], dtype=np.uint64)
-        f2 = np.array([r["fp2"] for r in hot_fp_rows], dtype=np.uint64)
-        hot_table = pa.table(
-            {
-                "__side": pa.array(
-                    np.array([r["side"] for r in hot_fp_rows], dtype=np.int8)
-                ),
-                "n": pa.array(
-                    np.array([r["n"] for r in hot_fp_rows], dtype=np.int64)
-                ),
-                "fp1": pa.array(f1),
-                "fp2": pa.array(f2),
-                "key": pa.array([r["key"] for r in hot_fp_rows], type=pa.string()),
-                "__bucket": pa.array(_fp_bucket(f1, f2, spec.num_buckets)),
-            }
-        )
+        if near:
+            bk = np.array([r["bkey"] for r in hot_fp_rows], dtype=np.uint64)
+            bands = np.array([r["band"] for r in hot_fp_rows], dtype=np.int8)
+            hot_table = pa.table(
+                {
+                    "__side": pa.array(
+                        np.array([r["side"] for r in hot_fp_rows], dtype=np.int8)
+                    ),
+                    "band": pa.array(bands),
+                    "bkey": pa.array(bk),
+                    "key": pa.array(
+                        [r["key"] for r in hot_fp_rows], type=pa.string()
+                    ),
+                    "__bucket": pa.array(
+                        _band_bucket(bk, bands, spec.num_buckets)
+                    ),
+                }
+            )
+        else:
+            f1 = np.array([r["fp1"] for r in hot_fp_rows], dtype=np.uint64)
+            f2 = np.array([r["fp2"] for r in hot_fp_rows], dtype=np.uint64)
+            hot_table = pa.table(
+                {
+                    "__side": pa.array(
+                        np.array([r["side"] for r in hot_fp_rows], dtype=np.int8)
+                    ),
+                    "n": pa.array(
+                        np.array([r["n"] for r in hot_fp_rows], dtype=np.int64)
+                    ),
+                    "fp1": pa.array(f1),
+                    "fp2": pa.array(f2),
+                    "key": pa.array(
+                        [r["key"] for r in hot_fp_rows], type=pa.string()
+                    ),
+                    "__bucket": pa.array(_fp_bucket(f1, f2, spec.num_buckets)),
+                }
+            )
         refs.append(ray.put(hot_table))
     dup_violations: list[dict] = []
-    if refs:
-        counter = _DupCounter(
-            spec.group_column or "group", spec.max_violations_per_bucket
+    g_name = spec.group_column or "group"
+    if refs and near:
+        # hop 1: co-locate (band, band_key) rows, flag conversations
+        # sharing a band with another conversation on the same side —
+        # output stays object-store-resident, re-bucketed by key hash
+        flag_refs = ref_bucket_shuffle_refs(
+            refs, spec.num_buckets, _BandFlagger(spec.num_buckets)
         )
+        # hop 2: dedup multi-band flags per conversation, count + sample
+        out_refs = ref_bucket_shuffle_refs(
+            flag_refs,
+            spec.num_buckets,
+            _FlagDeduper(g_name, spec.max_violations_per_bucket),
+        )
+        for res in ray.get(out_refs):
+            if not res:
+                continue
+            for side, flagged in res["stats"].items():
+                merged.conv_dup_convs[side] += flagged
+            dup_violations.extend(res["violations"])
+    elif refs:
+        counter = _DupCounter(g_name, spec.max_violations_per_bucket)
         out_refs = ref_bucket_shuffle_refs(refs, spec.num_buckets, counter)
         for res in ray.get(out_refs):
             if not res:

@@ -470,11 +470,17 @@ def conv_dedup_verdict(
     tgt_dups: int,
     tolerance: float,
     sides: tuple = (0, 1),
+    mode: str = "exact",
+    num_perm: int = 16,
+    bands: int = 4,
+    normalize: bool = False,
 ) -> CheckVerdict:
-    """Duplicate-conversation rate per side: duplicates (conversations
+    """Duplicate-conversation rate per side — exact mode: conversations
     whose ordered content sequence already occurred under another key on
-    the same side) over conversations checked; FAIL when ANY configured
-    side exceeds ``tolerance``."""
+    the same side; near mode: conversations sharing >=1 MinHash-LSH band
+    with another (candidates, not proven duplicates) — over
+    conversations checked; FAIL when ANY configured side exceeds
+    ``tolerance``."""
     s_rel = src_dups / src_convs if src_convs else 0.0
     t_rel = tgt_dups / tgt_convs if tgt_convs else 0.0
     ok = (0 not in sides or s_rel <= tolerance) and (
@@ -482,9 +488,15 @@ def conv_dedup_verdict(
     )
     payload = {
         "content_columns": ", ".join(content_columns),
+        "mode": mode,
         "tolerance_percent": fmt_percent(tolerance),
         "status": _status(ok),
     }
+    if normalize:
+        payload["normalize"] = "true"
+    if mode == "near":
+        payload["num_perm"] = fmt_number(num_perm, 0)
+        payload["bands"] = fmt_number(bands, 0)
     if 0 in sides:
         payload.update(
             {

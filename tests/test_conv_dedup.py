@@ -299,3 +299,88 @@ def test_hot_dedup_violations_cite_real_keys(tmp_path):
     ).to_pandas()
     assert json.loads(rows["key"].iloc[0])["conv_id"] == "hot-b"
     assert json.loads(rows["detail"].iloc[0])["duplicate_of"] == "hot-a"
+
+
+def test_near_mode_flags_reordered_and_subset_free(dup_pair, tmp_path):
+    """mode=near treats a conversation as the SET of its turn hashes:
+    the REORDERED copy (identical set, Jaccard 1.0 — flagged with
+    probability 1 at any band width) now flags alongside the exact
+    groups; a content-disjoint conversation never flags."""
+    task = ValidationTask(
+        task_key="near",
+        source_path=dup_pair["source"],
+        target_path=dup_pair["target"],
+        ordering=OrderingCheck(ts_column="ts"),
+        conv_dedup=ConvDedupCheck(
+            content_columns=["role", "text"], mode="near", tolerance=1.0
+        ),
+    )
+    s = run_suite(
+        ValidationSuite(validations=[task]),
+        RunConfig(results_dir=str(tmp_path), run_id=1, num_buckets=4),
+    )
+    res = s.results[0]
+    v = next(
+        x for x in res.verdicts if x.alias == "conv_dedup_validation_conv_id"
+    )
+    assert v.payload["mode"] == "near"
+    # J=1 (identical (role, text) SETS): {dup-a1,a2,a3} + {dup-b1,b2} —
+    # five certain flags. reord-1 pairs roles with DIFFERENT texts
+    # (positional roles), so its set differs (J=1/3 vs dup-a); it,
+    # near-1 (J=3/5) and ext-1 (J=4/5) may or may not band-collide under
+    # the pinned lane constants — assert the certain flags as a lower
+    # bound and that the 40 content-disjoint base conversations never
+    # flag
+    flagged = int(v.payload["source_duplicates"].replace(",", ""))
+    assert 5 <= flagged <= 8
+    assert int(v.payload["target_duplicates"]) <= 3  # near/reord/ext only
+    import glob as _g
+
+    files = _g.glob(
+        str(tmp_path / "violations" / "run_id=1" / "task=near" / "*.parquet")
+    )
+    rows = pd.concat([pq.read_table(f).to_pandas() for f in files])
+    dd = rows[rows["check_alias"] == "conv_dedup_validation_conv_id"]
+    src_keys = {
+        json.loads(k)["conv_id"]
+        for k, sd in zip(dd["key"], dd["side"])
+        if sd == "source"
+    }
+    assert {"dup-a1", "dup-a2", "dup-a3", "dup-b1", "dup-b2"} <= src_keys
+    assert not any(k.startswith("base-") for k in src_keys)
+    details = [json.loads(d) for d in dd["detail"]]
+    assert all(d["reason"] == "near_duplicate_candidate" for d in details)
+
+
+def test_near_mode_hot_stitch_flags(tmp_path):
+    """A hot (salted) conversation whose turn SET matches a cold one is
+    flagged: shard lane minima stitch by elementwise min."""
+    import ray.data
+
+    long_a = _conv("hotn-1", [f"line {j}" for j in range(40)], roles=["user"] * 40)
+    # same SET of (role, text) turns in reverse order — and hotn-1 hot
+    long_b = _conv(
+        "coldn-1", [f"line {39 - j}" for j in range(40)], roles=["user"] * 40
+    )
+    df = pd.concat([long_a, long_b], ignore_index=True)
+    spec = _spec(str(tmp_path / "ck"), hot_keys={"hotn-1": 40})
+    spec.conv_dedup_mode = "near"
+    m = run_keyed_pass(ray.data.from_pandas(df), None, spec, "t", batch_size=16)
+    assert m.conv_dup_convs[0] == 2  # both members of the J=1 pair
+
+
+def test_normalize_mode_catches_reformatted_copy(tmp_path):
+    """normalize=True lowercases and collapses whitespace before
+    hashing, so a reformatted copy is an EXACT duplicate."""
+    import ray.data
+
+    a = _conv("n-1", ["Hello   World", "How  are you?"])
+    b = _conv("n-2", ["hello world", "how are You?"])
+    df = pd.concat([a, b], ignore_index=True)
+    spec = _spec(None)
+    m0 = run_keyed_pass(ray.data.from_pandas(df), None, spec, "t")
+    assert m0.conv_dup_convs[0] == 0  # raw text differs
+    spec2 = _spec(None)
+    spec2.conv_dedup_normalize = True
+    m1 = run_keyed_pass(ray.data.from_pandas(df), None, spec2, "t")
+    assert m1.conv_dup_convs[0] == 1
