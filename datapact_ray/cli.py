@@ -46,6 +46,8 @@ validations:
       - {column: conv_id, regex: 'conv-\\d+'}
     conditional_validations:         # cross-column implication rules
       - {name: tool_turns_have_tool, when: "role = 'tool'", then: "tool IS NOT NULL"}
+    segment_counts:                  # per-segment row-count reconciliation
+      - {column: role, tolerance: 0.001}
     ordering:
       group_column: conv_id
       index_column: turn_idx
@@ -109,6 +111,8 @@ def _plan_lines(suite) -> list[str]:
             scan.append(f"pattern({pv.column})")
         for cv in t.conditional_validations or []:
             scan.append(f"cond({cv.name})")
+        for sc in t.segment_counts or []:
+            scan.append(f"segment-counts({sc.column})")
         if scan:
             lines.append(f"  pass 1 (fused single scan/side): {' '.join(scan)}")
         keyed = []

@@ -277,6 +277,36 @@ class SequenceGrammarCheck(BaseModel):
         return list(dict.fromkeys(out))
 
 
+class SegmentCountCheck(BaseModel):
+    """Per-segment row-count reconciliation (engine extension): row
+    counts per distinct value of ``column`` (a low-cardinality segment
+    key — day bucket, source feed, role, status) compared between the
+    sides; a segment whose relative difference ``|s - t| / max(s, t)``
+    exceeds ``tolerance`` fails, and a segment PRESENT on one side but
+    ABSENT on the other scores 1.0 — the missing-partition case the
+    global count check averages away. Rides the fused profile scan as a
+    bounded value-counts monoid; ``max_segments`` guards loudly against
+    accidentally pointing it at a high-cardinality column."""
+
+    column: str
+    tolerance: float = 0.0
+    max_segments: int = 100_000
+
+    @field_validator("tolerance")
+    @classmethod
+    def validate_tolerance(cls, v: float) -> float:
+        if not 0.0 <= v <= 1.0:
+            raise ValueError("Tolerance must be a float between 0.0 and 1.0")
+        return v
+
+    @field_validator("max_segments")
+    @classmethod
+    def validate_max_segments(cls, v: int) -> int:
+        if not 1 <= v <= 10_000_000:
+            raise ValueError("max_segments must be in [1, 10_000_000]")
+        return v
+
+
 class SchemaCheck(BaseModel):
     """Declarative schema contract (engine extension): required columns
     with expected Arrow types, an extra-column policy, and an optional
@@ -443,6 +473,7 @@ class ValidationTask(BaseModel):
     sequence_grammar: SequenceGrammarCheck | None = None
     conv_dedup: ConvDedupCheck | None = None
     schema_check: SchemaCheck | None = None
+    segment_counts: list[SegmentCountCheck] | None = None
     referential: list[ReferentialCheck] | None = None
     drift: list[DriftCheck] | None = None
     # TEMPORAL drift (engine extension): this run's SOURCE profile vs
@@ -510,6 +541,7 @@ class ValidationTask(BaseModel):
         for kind, rules in (
             ("enum_validations", self.enum_validations or []),
             ("pattern_validations", self.pattern_validations or []),
+            ("segment_counts", self.segment_counts or []),
         ):
             seen: set[str] = set()
             for r in rules:
@@ -638,6 +670,7 @@ class ValidationTask(BaseModel):
             or self.sequence_grammar
             or self.conv_dedup
             or self.schema_check
+            or self.segment_counts
             or self.referential
             or self.drift
             or self.temporal_drift

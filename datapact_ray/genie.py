@@ -68,6 +68,7 @@ def _issue_type(status: str, payload: dict) -> str:
         ("sequence_grammar_validation", "Role grammar violation"),
         ("conv_dedup_validation", "Duplicate conversations"),
         ("schema_validation", "Schema contract violation"),
+        ("segment_count_validation", "Segment volume mismatch"),
         ("enum_validation", "Value outside accepted set"),
         ("pattern_validation", "Format rule violation"),
         ("conditional_validation", "Conditional rule violation"),

@@ -276,6 +276,7 @@ class ValidationRunner:
             or task.enum_validations
             or task.pattern_validations
             or task.conditional_validations
+            or task.segment_counts
             or temporal_checks
         )
         profile_cols: set[str] = set()
@@ -297,6 +298,21 @@ class ValidationRunner:
         for pv in task.pattern_validations or []:
             spec.pattern_columns[pv.column] = pv.regex
             profile_cols.add(pv.column)
+        for sc in task.segment_counts or []:
+            for schema, side in ((src_schema, "source"), (tgt_schema, "target")):
+                if sc.column not in schema.names:
+                    raise ValueError(
+                        f"segment_counts: column '{sc.column}' missing "
+                        f"from the {side} table"
+                    )
+                if pa.types.is_nested(schema.field(sc.column).type):
+                    raise ValueError(
+                        f"segment_counts: column '{sc.column}' has nested "
+                        f"type {schema.field(sc.column).type} — segment "
+                        "keys must be primitive values"
+                    )
+            spec.segment_count_columns[sc.column] = sc.max_segments
+            profile_cols.add(sc.column)
         cond_cols: dict[str, set[str]] = {}
         for cv in task.conditional_validations or []:
             from .expr import parse_filter, referenced_columns
@@ -905,6 +921,15 @@ class ValidationRunner:
                         getattr(tgt_profile, "rule_samples", {}).get(key),
                     )
                 )
+        for sc in task.segment_counts or []:
+            verdict_list.append(
+                V.segment_count_verdict(
+                    sc.column,
+                    getattr(src_profile, "segment_counts", {}).get(sc.column, {}),
+                    getattr(tgt_profile, "segment_counts", {}).get(sc.column, {}),
+                    sc.tolerance,
+                )
+            )
         for rule in task.conditional_validations or []:
             key = f"cond:{rule.name}"
             verdict_list.append(

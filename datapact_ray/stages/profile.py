@@ -60,6 +60,9 @@ class ProfileSpec:
     # violations = rows where `when AND NOT then` (NULL `then` excluded)
     cond_rules: dict[str, tuple[str, str]] = field(default_factory=dict)
     hll_key_sets: list[tuple[str, ...]] = field(default_factory=list)
+    # per-segment row counts: column -> max_segments (loud cardinality
+    # guard); results in ProfileResult.segment_counts[col][value]
+    segment_count_columns: dict[str, int] = field(default_factory=dict)
     heavy_hitter_column: str | None = None
     heavy_hitter_k: int = 64
 
@@ -80,6 +83,10 @@ class ProfileResult:
     # capped evidence: per rule, violating value -> occurrence count
     # (top values by count; bounded at _RULE_SAMPLE_CAP after merges)
     rule_samples: dict[str, dict] = field(default_factory=dict)
+    # per-segment row counts (bounded dict monoid): col -> {value: n};
+    # NULL segments count under key None
+    segment_counts: dict[str, dict] = field(default_factory=dict)
+    segment_caps: dict[str, int] = field(default_factory=dict)
 
     def agg_value(self, column: str, agg: str) -> float | None:
         """SQL aggregate semantics: SUM/AVG NULL over zero non-null rows;
@@ -196,6 +203,18 @@ class ProfileActor:
                 d = TDigest()
                 d.add(lens.to_numpy(zero_copy_only=False).astype(np.float64))
                 out.digests[f"len:{col}"] = d
+        for col, cap in spec.segment_count_columns.items():
+            vc = pc.value_counts(batch.column(col))
+            if len(vc) > cap:
+                raise ValueError(
+                    f"segment_counts: column '{col}' produced {len(vc)} "
+                    f"distinct values in one batch (max_segments={cap}) — "
+                    "this is a high-cardinality column, not a segment key"
+                )
+            out.segment_counts[col] = dict(
+                zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist())
+            )
+            out.segment_caps[col] = cap
         for kind, cols in (("enum", spec.enum_columns), ("pattern", spec.pattern_columns)):
             for col, rule in cols.items():
                 if kind == "enum":
@@ -311,6 +330,20 @@ def merge_profiles(partials: list[ProfileResult]) -> ProfileResult:
             for v, c in smp.items():
                 cur[v] = cur.get(v, 0) + c
             out.rule_samples[key] = _top_samples(cur)
+        for col, counts in getattr(p, "segment_counts", {}).items():
+            cur = out.segment_counts.setdefault(col, {})
+            for v, c in counts.items():
+                cur[v] = cur.get(v, 0) + c
+            cap = p.segment_caps.get(col)
+            if cap is not None:
+                out.segment_caps[col] = cap
+                if len(cur) > cap:
+                    raise ValueError(
+                        f"segment_counts: column '{col}' exceeded "
+                        f"max_segments={cap} distinct values across the "
+                        "table — this is a high-cardinality column, not "
+                        "a segment key"
+                    )
     for col, parts in sums.items():
         if all(isinstance(s, int) for s in parts):
             out.aggs[col]["sum"] = sum(parts)  # exact big-int path

@@ -390,6 +390,47 @@ def sequence_grammar_verdict(
     )
 
 
+def segment_count_verdict(
+    column: str,
+    src_counts: dict,
+    tgt_counts: dict,
+    tolerance: float,
+    sample_cap: int = 10,
+) -> CheckVerdict:
+    """Per-segment row-count reconciliation: for every distinct value of
+    ``column`` on either side, rel diff = |s - t| / max(s, t); a segment
+    missing on one side scores 1.0. FAIL when any segment exceeds
+    ``tolerance``. Payload carries the worst offending segments."""
+    keys = set(src_counts) | set(tgt_counts)
+    failed: list[tuple[float, str, int, int]] = []
+    worst = 0.0
+    for k in keys:
+        s = src_counts.get(k, 0)
+        t = tgt_counts.get(k, 0)
+        rel = abs(s - t) / max(s, t) if max(s, t) else 0.0
+        worst = max(worst, rel)
+        if rel > tolerance:
+            failed.append((rel, "NULL" if k is None else str(k), s, t))
+    ok = not failed
+    failed.sort(key=lambda r: (-r[0], r[1]))
+    payload = {
+        "column": column,
+        "segments_checked": fmt_number(len(keys), 0),
+        "segments_failed": fmt_number(len(failed), 0),
+        "max_rel_diff_percent": fmt_percent(worst),
+        "tolerance_percent": fmt_percent(tolerance),
+        "status": _status(ok),
+    }
+    if failed:
+        payload["worst_segments"] = "; ".join(
+            f"{name} (src {fmt_number(s, 0)} vs tgt {fmt_number(t, 0)})"
+            for _, name, s, t in failed[:sample_cap]
+        )
+    return CheckVerdict(
+        alias=f"segment_count_validation_{column}", passed=ok, payload=payload
+    )
+
+
 def _norm_type(expected: str) -> str:
     """Normalize a user-written type to Arrow's rendered form: simple
     aliases (``float`` → ``float``, ``str`` → ``string``) resolve via

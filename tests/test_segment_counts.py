@@ -1,0 +1,136 @@
+"""SegmentCountCheck: per-segment row-count reconciliation — the
+missing-partition detector the global count check averages away."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from datapact_ray.config import SegmentCountCheck, ValidationSuite, ValidationTask
+from datapact_ray.runner import RunConfig, run_suite
+
+
+def _write(path, df):
+    os.makedirs(path, exist_ok=True)
+    half = len(df) // 2
+    for i, part in enumerate((df.iloc[:half], df.iloc[half:])):
+        pq.write_table(
+            pa.Table.from_pandas(part, preserve_index=False),
+            os.path.join(path, f"part-{i}.parquet"),
+        )
+    return path
+
+
+@pytest.fixture(scope="module")
+def seg_pair(tmp_path_factory):
+    """Source: 5 days x 100 rows + 7 NULL-day rows. Target: day
+    2026-01-03 entirely MISSING, day 2026-01-05 off by 2 rows, NULL
+    segment intact."""
+    root = tmp_path_factory.mktemp("segcnt")
+    rng = np.random.default_rng(3)
+
+    def day_frame(day, n):
+        return pd.DataFrame(
+            {
+                "day": [day] * n,
+                "val": rng.integers(0, 100, size=n),
+            }
+        )
+
+    days = [f"2026-01-0{d}" for d in range(1, 6)]
+    src = pd.concat(
+        [day_frame(d, 100) for d in days] + [day_frame(None, 7)],
+        ignore_index=True,
+    )
+    tgt = pd.concat(
+        [day_frame(d, 100) for d in days if d != "2026-01-03"]
+        + [day_frame("2026-01-05", 2), day_frame(None, 7)],
+        ignore_index=True,
+    )
+    return {
+        "source": _write(str(root / "source"), src),
+        "target": _write(str(root / "target"), tgt),
+    }
+
+
+def _verdict(seg_pair, tmp_path, tolerance=0.0, max_segments=100_000):
+    task = ValidationTask(
+        task_key="seg",
+        source_path=seg_pair["source"],
+        target_path=seg_pair["target"],
+        segment_counts=[
+            SegmentCountCheck(
+                column="day", tolerance=tolerance, max_segments=max_segments
+            )
+        ],
+    )
+    s = run_suite(
+        ValidationSuite(validations=[task]),
+        RunConfig(results_dir=str(tmp_path), run_id=1),
+    )
+    res = s.results[0]
+    return res, next(
+        v for v in res.verdicts if v.alias == "segment_count_validation_day"
+    )
+
+
+def test_missing_and_skewed_segments_fail(seg_pair, tmp_path):
+    res, v = _verdict(seg_pair, tmp_path)
+    assert not v.passed and res.status == "FAILURE"
+    p = v.payload
+    assert p["segments_checked"] == "6"  # 5 days + NULL
+    assert p["segments_failed"] == "2"
+    assert p["max_rel_diff_percent"] == "100.00%"  # the missing day
+    # worst first: the absent day (rel 1.0), then the skewed one (2/102)
+    assert p["worst_segments"].startswith("2026-01-03 (src 100 vs tgt 0)")
+    assert "2026-01-05 (src 100 vs tgt 102)" in p["worst_segments"]
+
+
+def test_tolerance_passes_skew_not_absence(seg_pair, tmp_path):
+    _, v = _verdict(seg_pair, tmp_path / "tol", tolerance=0.05)
+    # 2/102 = 1.96% passes at 5%; the missing day still scores 1.0
+    assert not v.passed
+    assert v.payload["segments_failed"] == "1"
+    _, v = _verdict(seg_pair, tmp_path / "tol1", tolerance=1.0)
+    assert v.passed
+
+
+def test_cardinality_guard_raises(seg_pair, tmp_path):
+    task = ValidationTask(
+        task_key="seg",
+        source_path=seg_pair["source"],
+        target_path=seg_pair["target"],
+        segment_counts=[SegmentCountCheck(column="val", max_segments=3)],
+    )
+    with pytest.raises(Exception, match="max_segments|distinct values"):
+        run_suite(
+            ValidationSuite(validations=[task]),
+            RunConfig(results_dir=str(tmp_path / "cap"), run_id=1),
+        )
+
+
+def test_preflight_rejects_missing_and_nested(seg_pair, tmp_path):
+    task = ValidationTask(
+        task_key="seg",
+        source_path=seg_pair["source"],
+        target_path=seg_pair["target"],
+        segment_counts=[SegmentCountCheck(column="nope")],
+    )
+    with pytest.raises(ValueError, match="missing from the source"):
+        run_suite(
+            ValidationSuite(validations=[task]),
+            RunConfig(results_dir=str(tmp_path / "mf"), run_id=1),
+        )
+    with pytest.raises(ValueError, match="duplicate column"):
+        ValidationTask(
+            task_key="x",
+            source_path="a",
+            target_path="b",
+            segment_counts=[
+                SegmentCountCheck(column="day"),
+                SegmentCountCheck(column="day"),
+            ],
+        )
