@@ -48,6 +48,9 @@ validations:
       - {name: tool_turns_have_tool, when: "role = 'tool'", then: "tool IS NOT NULL"}
     segment_counts:                  # per-segment row-count reconciliation
       - {column: role, tolerance: 0.001}
+    freshness:                       # replica lag: max(ts) source vs target
+      ts_column: ts
+      max_lag_seconds: 3600
     ordering:
       group_column: conv_id
       index_column: turn_idx
@@ -113,6 +116,11 @@ def _plan_lines(suite) -> list[str]:
             scan.append(f"cond({cv.name})")
         for sc in t.segment_counts or []:
             scan.append(f"segment-counts({sc.column})")
+        if t.freshness:
+            scan.append(
+                f"freshness({t.freshness.ts_column}"
+                f"<={t.freshness.max_lag_seconds}s)"
+            )
         if scan:
             lines.append(f"  pass 1 (fused single scan/side): {' '.join(scan)}")
         keyed = []

@@ -277,6 +277,27 @@ class SequenceGrammarCheck(BaseModel):
         return list(dict.fromkeys(out))
 
 
+class FreshnessCheck(BaseModel):
+    """Replication-lag check (engine extension): ``max(ts_column)`` on
+    the TARGET must be within ``max_lag_seconds`` of the SOURCE's max —
+    "did the replica fall behind". Compares the two sides' maxima (no
+    wall-clock involved, so the check is deterministic and testable);
+    the target being AHEAD of the source is not a lag. Rides the fused
+    profile scan as a MAX aggregate. A side whose column is all-NULL
+    (or empty) while the other side has timestamps FAILs loudly — a
+    vanished timestamp column is exactly the staleness signal."""
+
+    ts_column: str = "ts"
+    max_lag_seconds: float = 0.0
+
+    @field_validator("max_lag_seconds")
+    @classmethod
+    def validate_lag(cls, v: float) -> float:
+        if v < 0:
+            raise ValueError("max_lag_seconds must be >= 0")
+        return v
+
+
 class SegmentCountCheck(BaseModel):
     """Per-segment row-count reconciliation (engine extension): row
     counts per distinct value of ``column`` (a low-cardinality segment
@@ -474,6 +495,7 @@ class ValidationTask(BaseModel):
     conv_dedup: ConvDedupCheck | None = None
     schema_check: SchemaCheck | None = None
     segment_counts: list[SegmentCountCheck] | None = None
+    freshness: FreshnessCheck | None = None
     referential: list[ReferentialCheck] | None = None
     drift: list[DriftCheck] | None = None
     # TEMPORAL drift (engine extension): this run's SOURCE profile vs
@@ -671,6 +693,7 @@ class ValidationTask(BaseModel):
             or self.conv_dedup
             or self.schema_check
             or self.segment_counts
+            or self.freshness
             or self.referential
             or self.drift
             or self.temporal_drift

@@ -69,6 +69,7 @@ def _issue_type(status: str, payload: dict) -> str:
         ("conv_dedup_validation", "Duplicate conversations"),
         ("schema_validation", "Schema contract violation"),
         ("segment_count_validation", "Segment volume mismatch"),
+        ("freshness_validation", "Data freshness lag"),
         ("enum_validation", "Value outside accepted set"),
         ("pattern_validation", "Format rule violation"),
         ("conditional_validation", "Conditional rule violation"),

@@ -277,6 +277,7 @@ class ValidationRunner:
             or task.pattern_validations
             or task.conditional_validations
             or task.segment_counts
+            or task.freshness
             or temporal_checks
         )
         profile_cols: set[str] = set()
@@ -313,6 +314,16 @@ class ValidationRunner:
                     )
             spec.segment_count_columns[sc.column] = sc.max_segments
             profile_cols.add(sc.column)
+        if task.freshness:
+            fcol = task.freshness.ts_column
+            for schema, side in ((src_schema, "source"), (tgt_schema, "target")):
+                if fcol not in schema.names:
+                    raise ValueError(
+                        f"freshness: column '{fcol}' missing from the "
+                        f"{side} table"
+                    )
+            spec.agg_columns.setdefault(fcol, set()).add("MAX")
+            profile_cols.add(fcol)
         cond_cols: dict[str, set[str]] = {}
         for cv in task.conditional_validations or []:
             from .expr import parse_filter, referenced_columns
@@ -921,6 +932,16 @@ class ValidationRunner:
                         getattr(tgt_profile, "rule_samples", {}).get(key),
                     )
                 )
+        if task.freshness:
+            fcol = task.freshness.ts_column
+            verdict_list.append(
+                V.freshness_verdict(
+                    fcol,
+                    src_profile.agg_value(fcol, "MAX"),
+                    tgt_profile.agg_value(fcol, "MAX"),
+                    task.freshness.max_lag_seconds,
+                )
+            )
         for sc in task.segment_counts or []:
             verdict_list.append(
                 V.segment_count_verdict(

@@ -390,6 +390,48 @@ def sequence_grammar_verdict(
     )
 
 
+def freshness_verdict(
+    ts_column: str,
+    src_max,
+    tgt_max,
+    max_lag_seconds: float,
+) -> CheckVerdict:
+    """Replication lag: ``max(src.ts) - max(tgt.ts)`` in seconds (the
+    target being ahead counts as 0). One side having a max while the
+    other has none (all-NULL / empty) FAILs; both sides empty PASSes
+    (nothing to replicate, nothing stale)."""
+    payload: dict = {
+        "ts_column": ts_column,
+        "max_lag_seconds": fmt_number(max_lag_seconds, 2),
+    }
+    if src_max is None and tgt_max is None:
+        ok = True
+        payload["note"] = "both sides empty"
+    elif src_max is None or tgt_max is None:
+        ok = False
+        payload["source_max_ts"] = str(src_max)
+        payload["target_max_ts"] = str(tgt_max)
+        payload["note"] = "one side has no timestamps"
+    else:
+        delta = src_max - tgt_max
+        # timestamp columns subtract to a timedelta; numeric epoch
+        # columns subtract to a float already in the column's unit
+        lag = (
+            delta.total_seconds()
+            if hasattr(delta, "total_seconds")
+            else float(delta)
+        )
+        lag = max(0.0, lag)
+        ok = lag <= max_lag_seconds
+        payload["source_max_ts"] = str(src_max)
+        payload["target_max_ts"] = str(tgt_max)
+        payload["lag_seconds"] = fmt_number(lag, 2)
+    payload["status"] = _status(ok)
+    return CheckVerdict(
+        alias=f"freshness_validation_{ts_column}", passed=ok, payload=payload
+    )
+
+
 def segment_count_verdict(
     column: str,
     src_counts: dict,
