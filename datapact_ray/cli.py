@@ -78,6 +78,7 @@ validations:
       - {column: ts, metric: ks, threshold: 0.1}
       - {column: text, metric: ks, derived: str_len, threshold: 0.2}
       - {column: ts, metric: ks, derived: ts_gap, threshold: 0.2}
+      - {column: role, metric: tvd, derived: categorical, threshold: 0.05}
     business_domain: AI Platform
     business_owner: Data Quality
     business_priority: Critical
@@ -107,7 +108,10 @@ def _plan_lines(suite) -> list[str]:
         for d in t.drift or []:
             if d.derived in ("turn_count", "ts_gap"):
                 continue  # conversation-level digests ride pass 3
-            scan.append(f"sketch({d.column}:{d.metric})")
+            if d.derived == "categorical":
+                scan.append(f"tvd({d.column})")
+            else:
+                scan.append(f"sketch({d.column}:{d.metric})")
         for ev in t.enum_validations or []:
             scan.append(f"enum({ev.column})")
         for pv in t.pattern_validations or []:

@@ -456,14 +456,31 @@ class DriftCheck(BaseModel):
     gaps ride the conversation shuffle (hot conversations contribute
     shard-interior gaps in the vectorized pass and boundary gaps in the
     driver stitch, so the digest covers every consecutive pair exactly
-    once).
+    once). ``derived: categorical`` checks a CATEGORICAL column's value
+    distribution with total variation distance (``metric: tvd`` —
+    0.5·Σ|p_v − q_v| over the union of values, NULL as its own
+    category); computed from the same bounded value-counts monoid as
+    segment_counts, guarded by ``max_categories``.
     """
 
     column: str
-    metric: Literal["psi", "ks"] = "psi"
+    metric: Literal["psi", "ks", "tvd"] = "psi"
     threshold: float = 0.2
     bins: int = Field(default=10, ge=2, le=1000)
-    derived: Literal["value", "turn_count", "str_len", "ts_gap"] = "value"
+    derived: Literal["value", "turn_count", "str_len", "ts_gap", "categorical"] = (
+        "value"
+    )
+    max_categories: int = 100_000  # categorical only: loud cardinality guard
+
+    @model_validator(mode="after")
+    def validate_metric_for_derivation(self) -> "DriftCheck":
+        if (self.derived == "categorical") != (self.metric == "tvd"):
+            raise ValueError(
+                "metric 'tvd' and derived 'categorical' go together: "
+                "tvd compares value frequencies, psi/ks compare numeric "
+                "distributions"
+            )
+        return self
 
 
 class ValidationTask(BaseModel):

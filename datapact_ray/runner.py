@@ -52,7 +52,7 @@ from .io import (
     read_table,
     table_schema,
 )
-from .sketches import ks_statistic, psi_statistic
+from .sketches import ks_statistic, psi_statistic, tvd_statistic
 from .stages.custom import run_custom_check
 from .stages.keyed import KeyedSpec, _atomic_write, run_keyed_pass
 from .stages.profile import (
@@ -246,6 +246,11 @@ class ValidationRunner:
             for d in list(drift_checks) + list(temporal_checks)
             if d.derived == "str_len"
         ]
+        cat_drift_cols = [
+            (d.column, d.max_categories)
+            for d in drift_checks
+            if d.derived == "categorical"
+        ]
         want_turn_count_drift = any(d.derived == "turn_count" for d in drift_checks)
         want_ts_gap_drift = any(d.derived == "ts_gap" for d in drift_checks)
 
@@ -273,6 +278,7 @@ class ValidationRunner:
             or (nulls_enabled and not pk)
             or value_drift_cols
             or len_drift_cols
+            or cat_drift_cols
             or task.enum_validations
             or task.pattern_validations
             or task.conditional_validations
@@ -314,6 +320,10 @@ class ValidationRunner:
                     )
             spec.segment_count_columns[sc.column] = sc.max_segments
             profile_cols.add(sc.column)
+        for col, cap in cat_drift_cols:
+            cur = spec.segment_count_columns.get(col)
+            spec.segment_count_columns[col] = min(cur, cap) if cur else cap
+            profile_cols.add(col)
         if task.freshness:
             fcol = task.freshness.ts_column
             for schema, side in ((src_schema, "source"), (tgt_schema, "target")):
@@ -1075,6 +1085,19 @@ class ValidationRunner:
                 if rm.violations:
                     self._write_referential_violations(task.task_key, ref, side, rm)
         for d in drift_checks:
+            if d.derived == "categorical":
+                # value-frequency drift from the bounded value-counts
+                # monoid; tvd handles one-sided-empty as 1.0 internally
+                stat = tvd_statistic(
+                    getattr(src_profile, "segment_counts", {}).get(d.column, {}),
+                    getattr(tgt_profile, "segment_counts", {}).get(d.column, {}),
+                )
+                verdict_list.append(
+                    V.drift_verdict(
+                        d.column, d.metric, stat, d.threshold, d.derived
+                    )
+                )
+                continue
             if d.derived == "turn_count":
                 s_dig, t_dig = conv_metrics.digests
             elif d.derived == "ts_gap":

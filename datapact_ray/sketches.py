@@ -226,6 +226,24 @@ def psi_statistic(source: TDigest, target: TDigest, bins: int = 10) -> float:
     return float(np.sum((p_s - p_t) * np.log(p_s / p_t)))
 
 
+def tvd_statistic(p_counts: dict, q_counts: dict) -> float:
+    """Total variation distance between two categorical frequency
+    tables: 0.5·Σ |p_v − q_v| over the union of values (NULL is its own
+    category). Both empty → 0.0; exactly one empty → 1.0 (maximal — a
+    disappeared distribution, matching the drift checks'
+    one-sided-missing semantics)."""
+    ps = sum(p_counts.values())
+    qs = sum(q_counts.values())
+    if ps == 0 and qs == 0:
+        return 0.0
+    if ps == 0 or qs == 0:
+        return 1.0
+    total = 0.0
+    for v in set(p_counts) | set(q_counts):
+        total += abs(p_counts.get(v, 0) / ps - q_counts.get(v, 0) / qs)
+    return 0.5 * total
+
+
 # ---------------------------------------------------------------------------
 # HyperLogLog
 # ---------------------------------------------------------------------------

@@ -134,3 +134,53 @@ def test_preflight_rejects_missing_and_nested(seg_pair, tmp_path):
                 SegmentCountCheck(column="day"),
             ],
         )
+
+
+# ---- categorical drift (tvd) — shares the value-counts monoid ----
+
+from datapact_ray.config import DriftCheck
+from datapact_ray.sketches import tvd_statistic
+
+
+def test_tvd_statistic_closed_form():
+    assert tvd_statistic({}, {}) == 0.0
+    assert tvd_statistic({"a": 5}, {}) == 1.0
+    assert tvd_statistic({"a": 1, "b": 1}, {"a": 1, "b": 1}) == 0.0
+    # p = (0.5, 0.5), q = (0.9, 0.1): tvd = 0.5*(0.4+0.4) = 0.4
+    assert abs(tvd_statistic({"a": 5, "b": 5}, {"a": 9, "b": 1}) - 0.4) < 1e-12
+    # disjoint supports -> 1.0
+    assert tvd_statistic({"a": 3}, {"b": 7}) == 1.0
+
+
+def test_categorical_drift_e2e(tmp_path):
+    src = pd.DataFrame({"cat": ["x"] * 80 + ["y"] * 20, "v": range(100)})
+    tgt = pd.DataFrame({"cat": ["x"] * 50 + ["y"] * 30 + [None] * 20,
+                        "v": range(100)})
+    s_dir = _write(str(tmp_path / "src"), src)
+    t_dir = _write(str(tmp_path / "tgt"), tgt)
+    task = ValidationTask(
+        task_key="cat",
+        source_path=s_dir,
+        target_path=t_dir,
+        drift=[DriftCheck(column="cat", metric="tvd", derived="categorical",
+                          threshold=0.2)],
+    )
+    s = run_suite(
+        ValidationSuite(validations=[task]),
+        RunConfig(results_dir=str(tmp_path / "out"), run_id=1),
+    )
+    v = next(
+        x
+        for x in s.results[0].verdicts
+        if x.alias == "drift_validation_cat_categorical_tvd"
+    )
+    # p=(.8,.2,0) q=(.5,.3,.2): tvd = .5*(.3+.1+.2) = 0.3 > 0.2
+    assert not v.passed
+    assert v.payload["statistic"] == "0.300000"
+
+
+def test_categorical_metric_pairing_enforced():
+    with pytest.raises(ValueError, match="go together"):
+        DriftCheck(column="c", metric="ks", derived="categorical")
+    with pytest.raises(ValueError, match="go together"):
+        DriftCheck(column="c", metric="tvd", derived="value")
