@@ -69,8 +69,10 @@ def _transcript_suite(paths: dict[str, str], results_dir: str):
     from datapact_ray.config import (
         ConvDedupCheck,
         DriftCheck,
+        FreshnessCheck,
         OrderingCheck,
         ReferentialCheck,
+        SegmentCountCheck,
         ValidationSuite,
         ValidationTask,
     )
@@ -95,6 +97,12 @@ def _transcript_suite(paths: dict[str, str], results_dir: str):
                 conv_dedup=ConvDedupCheck(
                     content_columns=["role", "text"], tolerance=1.0
                 ),
+                segment_counts=[
+                    SegmentCountCheck(column="role", tolerance=1.0)
+                ],
+                freshness=FreshnessCheck(
+                    ts_column="ts", max_lag_seconds=1e12
+                ),
                 referential=[
                     ReferentialCheck(columns=["conv_id"], ref_path=paths["dim"],
                                      tolerance=1.0)
@@ -102,6 +110,12 @@ def _transcript_suite(paths: dict[str, str], results_dir: str):
                 drift=[
                     DriftCheck(column="ts", metric="psi", threshold=1.0),
                     DriftCheck(column="ts", metric="ks", threshold=1.0),
+                    DriftCheck(
+                        column="role",
+                        metric="tvd",
+                        derived="categorical",
+                        threshold=1.0,
+                    ),
                 ],
             )
         ]

@@ -649,11 +649,12 @@ class ValidationTask(BaseModel):
     @model_validator(mode="after")
     def validate_temporal_drift(self) -> "ValidationTask":
         for d in self.temporal_drift or []:
-            if d.derived not in ("value", "str_len"):
+            if d.derived not in ("value", "str_len", "categorical"):
                 raise ValueError(
-                    "temporal_drift supports derived=value|str_len only "
-                    "(profile-owned digests; conversation-level digests "
-                    "are not checkpointed whole)"
+                    "temporal_drift supports derived=value|str_len|"
+                    "categorical only (profile-owned digests/counts; "
+                    "conversation-level digests are not checkpointed "
+                    "whole)"
                 )
         return self
 

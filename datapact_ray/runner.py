@@ -248,7 +248,7 @@ class ValidationRunner:
         ]
         cat_drift_cols = [
             (d.column, d.max_categories)
-            for d in drift_checks
+            for d in list(drift_checks) + list(temporal_checks)
             if d.derived == "categorical"
         ]
         want_turn_count_drift = any(d.derived == "turn_count" for d in drift_checks)
@@ -1149,6 +1149,34 @@ class ValidationRunner:
             with open(bpath, "rb") as fh:
                 baseline_profile = pickle.load(fh)
             for d in temporal_checks:
+                if d.derived == "categorical":
+                    # value-frequency shift vs the baseline run's
+                    # checkpointed source counts (the monoid is stored
+                    # whole in the profile pickle, so this costs no
+                    # extra scan in either run)
+                    prev_counts = getattr(
+                        baseline_profile, "segment_counts", {}
+                    ).get(d.column)
+                    if prev_counts is None:
+                        raise ValueError(
+                            f"temporal_drift: run {base_run} has no "
+                            f"'{d.column}' value counts — the baseline "
+                            "run must have configured the same "
+                            "categorical drift column"
+                        )
+                    stat = tvd_statistic(
+                        prev_counts,
+                        getattr(src_profile, "segment_counts", {}).get(
+                            d.column, {}
+                        ),
+                    )
+                    verdict_list.append(
+                        V.temporal_drift_verdict(
+                            d.column, d.metric, stat, d.threshold, d.derived,
+                            base_run,
+                        )
+                    )
+                    continue
                 key = d.column if d.derived == "value" else f"len:{d.column}"
                 cur = src_profile.digests.get(key)
                 prev = getattr(baseline_profile, "digests", {}).get(key)

@@ -167,3 +167,67 @@ def test_temporal_drift_requires_profile_derivation():
             count_tolerance=0.0,
             temporal_drift=[DriftCheck(column="x", derived="turn_count")],
         )
+
+
+def test_temporal_categorical_drift(tmp_path, ray_session):
+    """Cross-run categorical shift: the baseline run checkpoints its
+    value-counts monoid whole, so run 2 compares frequencies with TVD
+    at no extra scan cost. Identical re-ingest scores exactly 0; a
+    shifted mix FAILs with the closed-form statistic."""
+    import os
+
+    def write_cat(dirpath, cats):
+        os.makedirs(dirpath, exist_ok=True)
+        t = pa.table(
+            {
+                "conv_id": pa.array([f"c{i}" for i in range(len(cats))]),
+                "cat": pa.array(cats, pa.string()),
+            }
+        )
+        pq.write_table(t, f"{dirpath}/part-0.parquet")
+
+    src1 = str(tmp_path / "day1")
+    write_cat(src1, ["a"] * 80 + ["b"] * 20)
+    rdir = str(tmp_path / "out")
+    drift = [
+        DriftCheck(column="cat", metric="tvd", derived="categorical",
+                   threshold=0.1)
+    ]
+    run_suite(
+        ValidationSuite(validations=[_task(src1, drift)]),
+        RunConfig(results_dir=rdir, run_id=1),
+    )
+    # identical re-ingest -> statistic exactly 0
+    s = run_suite(
+        ValidationSuite(validations=[_task(src1, drift)]),
+        RunConfig(results_dir=rdir, run_id=2, temporal_baseline_run=1),
+    )
+    v = next(
+        x
+        for x in s.results[0].verdicts
+        if x.alias.startswith("temporal_drift_validation_cat")
+    )
+    assert v.passed and v.payload["statistic"] == "0.000000"
+    # shifted mix: p=(.8,.2) -> q=(.5,.5): tvd = 0.3 > 0.1
+    src2 = str(tmp_path / "day2")
+    write_cat(src2, ["a"] * 50 + ["b"] * 50)
+    s = run_suite(
+        ValidationSuite(validations=[_task(src2, drift)]),
+        RunConfig(results_dir=rdir, run_id=3, temporal_baseline_run=1),
+    )
+    v = next(
+        x
+        for x in s.results[0].verdicts
+        if x.alias.startswith("temporal_drift_validation_cat")
+    )
+    assert not v.passed and v.payload["statistic"] == "0.300000"
+    # baseline that never counted the column fails loudly
+    drift_other = [
+        DriftCheck(column="conv_id", metric="tvd", derived="categorical",
+                   threshold=0.1)
+    ]
+    with pytest.raises(ValueError, match="value counts"):
+        run_suite(
+            ValidationSuite(validations=[_task(src1, drift_other)]),
+            RunConfig(results_dir=rdir, run_id=4, temporal_baseline_run=1),
+        )
