@@ -470,7 +470,9 @@ class DriftCheck(BaseModel):
     derived: Literal["value", "turn_count", "str_len", "ts_gap", "categorical"] = (
         "value"
     )
-    max_categories: int = 100_000  # categorical only: loud cardinality guard
+    max_categories: int = Field(  # categorical only: loud cardinality guard
+        default=100_000, ge=1, le=10_000_000
+    )
 
     @model_validator(mode="after")
     def validate_metric_for_derivation(self) -> "DriftCheck":

@@ -140,6 +140,22 @@ class RunSummary:
         return [r.task_key for r in self.results if not r.passed]
 
 
+def _guard_categories(
+    kind: str, column: str, cap: int, src_counts: dict, tgt_counts: dict
+) -> None:
+    """Per-check cardinality enforcement at verdict time: the SCAN runs
+    under the loosest configured cap for a shared column, so each check
+    re-applies its OWN cap here with a message naming the check that
+    configured it."""
+    n = max(len(src_counts), len(tgt_counts))
+    if n > cap:
+        raise ValueError(
+            f"{kind}: column '{column}' has {n} distinct values "
+            f"(configured cap {cap}) — this is a high-cardinality "
+            "column, not a segment/category key"
+        )
+
+
 def _now() -> datetime:
     return datetime.now(timezone.utc).replace(tzinfo=None)
 
@@ -305,24 +321,29 @@ class ValidationRunner:
         for pv in task.pattern_validations or []:
             spec.pattern_columns[pv.column] = pv.regex
             profile_cols.add(pv.column)
-        for sc in task.segment_counts or []:
+        # both value-counts consumers (segment_counts + categorical
+        # drift) share one preflight and one monoid; the SCAN guard is
+        # the LOOSEST configured cap (each check re-enforces its own cap
+        # at verdict time, so a strict segment guard never kills a
+        # categorical check the user sized larger, or vice versa)
+        for kind, col, cap in [
+            ("segment_counts", sc.column, sc.max_segments)
+            for sc in task.segment_counts or []
+        ] + [("drift derived=categorical", c, m) for c, m in cat_drift_cols]:
             for schema, side in ((src_schema, "source"), (tgt_schema, "target")):
-                if sc.column not in schema.names:
+                if col not in schema.names:
                     raise ValueError(
-                        f"segment_counts: column '{sc.column}' missing "
-                        f"from the {side} table"
+                        f"{kind}: column '{col}' missing from the "
+                        f"{side} table"
                     )
-                if pa.types.is_nested(schema.field(sc.column).type):
+                if pa.types.is_nested(schema.field(col).type):
                     raise ValueError(
-                        f"segment_counts: column '{sc.column}' has nested "
-                        f"type {schema.field(sc.column).type} — segment "
+                        f"{kind}: column '{col}' has nested type "
+                        f"{schema.field(col).type} — segment/category "
                         "keys must be primitive values"
                     )
-            spec.segment_count_columns[sc.column] = sc.max_segments
-            profile_cols.add(sc.column)
-        for col, cap in cat_drift_cols:
             cur = spec.segment_count_columns.get(col)
-            spec.segment_count_columns[col] = min(cur, cap) if cur else cap
+            spec.segment_count_columns[col] = max(cur or 0, cap)
             profile_cols.add(col)
         if task.freshness:
             fcol = task.freshness.ts_column
@@ -331,6 +352,18 @@ class ValidationRunner:
                     raise ValueError(
                         f"freshness: column '{fcol}' missing from the "
                         f"{side} table"
+                    )
+                ftyp = schema.field(fcol).type
+                if not (
+                    pa.types.is_timestamp(ftyp)
+                    or pa.types.is_date(ftyp)
+                    or pa.types.is_integer(ftyp)
+                    or pa.types.is_floating(ftyp)
+                ):
+                    raise ValueError(
+                        f"freshness: column '{fcol}' on the {side} side "
+                        f"is {ftyp} — lag needs a timestamp, date or "
+                        "numeric-epoch column"
                     )
             spec.agg_columns.setdefault(fcol, set()).add("MAX")
             profile_cols.add(fcol)
@@ -953,13 +986,13 @@ class ValidationRunner:
                 )
             )
         for sc in task.segment_counts or []:
+            sc_src = getattr(src_profile, "segment_counts", {}).get(sc.column, {})
+            sc_tgt = getattr(tgt_profile, "segment_counts", {}).get(sc.column, {})
+            _guard_categories(
+                "segment_counts", sc.column, sc.max_segments, sc_src, sc_tgt
+            )
             verdict_list.append(
-                V.segment_count_verdict(
-                    sc.column,
-                    getattr(src_profile, "segment_counts", {}).get(sc.column, {}),
-                    getattr(tgt_profile, "segment_counts", {}).get(sc.column, {}),
-                    sc.tolerance,
-                )
+                V.segment_count_verdict(sc.column, sc_src, sc_tgt, sc.tolerance)
             )
         for rule in task.conditional_validations or []:
             key = f"cond:{rule.name}"
@@ -1088,10 +1121,20 @@ class ValidationRunner:
             if d.derived == "categorical":
                 # value-frequency drift from the bounded value-counts
                 # monoid; tvd handles one-sided-empty as 1.0 internally
-                stat = tvd_statistic(
-                    getattr(src_profile, "segment_counts", {}).get(d.column, {}),
-                    getattr(tgt_profile, "segment_counts", {}).get(d.column, {}),
+                cd_src = getattr(src_profile, "segment_counts", {}).get(
+                    d.column, {}
                 )
+                cd_tgt = getattr(tgt_profile, "segment_counts", {}).get(
+                    d.column, {}
+                )
+                _guard_categories(
+                    "drift derived=categorical",
+                    d.column,
+                    d.max_categories,
+                    cd_src,
+                    cd_tgt,
+                )
+                stat = tvd_statistic(cd_src, cd_tgt)
                 verdict_list.append(
                     V.drift_verdict(
                         d.column, d.metric, stat, d.threshold, d.derived
@@ -1164,12 +1207,17 @@ class ValidationRunner:
                             "run must have configured the same "
                             "categorical drift column"
                         )
-                    stat = tvd_statistic(
-                        prev_counts,
-                        getattr(src_profile, "segment_counts", {}).get(
-                            d.column, {}
-                        ),
+                    cur_counts = getattr(src_profile, "segment_counts", {}).get(
+                        d.column, {}
                     )
+                    _guard_categories(
+                        "temporal_drift derived=categorical",
+                        d.column,
+                        d.max_categories,
+                        prev_counts,
+                        cur_counts,
+                    )
+                    stat = tvd_statistic(prev_counts, cur_counts)
                     verdict_list.append(
                         V.temporal_drift_verdict(
                             d.column, d.metric, stat, d.threshold, d.derived,

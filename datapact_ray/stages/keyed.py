@@ -1062,8 +1062,9 @@ class _BucketChecker:
                 if spec.conv_dedup_mode == "near":
                     nb = spec.conv_dedup_bands
                     nc = len(cold)
-                    cold_pos = np.flatnonzero(~is_hot.to_numpy())
-                    bk = _band_keys(mins[cold_pos], nb).reshape(-1)
+                    # summary was reset_index'd, so cold's index IS the
+                    # positional index into the per-segment mins rows
+                    bk = _band_keys(mins[cold.index.to_numpy()], nb).reshape(-1)
                     band_ids = np.tile(np.arange(nb, dtype=np.int8), nc)
                     rep = np.repeat(np.arange(nc, dtype=np.int64), nb)
                     fp_tables.append(

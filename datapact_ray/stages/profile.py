@@ -125,6 +125,14 @@ def _scalar(value: pa.Scalar):
     if v is None:
         return None
     if hasattr(v, "timestamp"):  # datetime -> epoch seconds float for comparisons
+        # naive datetimes convert AS UTC: datetime.timestamp() would
+        # interpret them in the machine's LOCAL zone, where two maxima
+        # straddling a DST boundary pick up different offsets and a
+        # freshness lag reads ±3600 s wrong
+        if getattr(v, "tzinfo", None) is None:
+            from datetime import timezone
+
+            v = v.replace(tzinfo=timezone.utc)
         return v.timestamp()
     return float(v) if isinstance(v, (int, float, bool)) else v
 
@@ -211,9 +219,18 @@ class ProfileActor:
                     f"distinct values in one batch (max_segments={cap}) — "
                     "this is a high-cardinality column, not a segment key"
                 )
-            out.segment_counts[col] = dict(
-                zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist())
-            )
+            d: dict = {}
+            for v, c in zip(
+                vc.field("values").to_pylist(), vc.field("counts").to_pylist()
+            ):
+                # NaN keys collapse to None: nan != nan, so distinct NaN
+                # dict keys would FRAGMENT across merge partials —
+                # identical distributions would TVD-compare as maximal
+                # drift and NaN segments would always read one-side-missing
+                if isinstance(v, float) and v != v:
+                    v = None
+                d[v] = d.get(v, 0) + c
+            out.segment_counts[col] = d
             out.segment_caps[col] = cap
         for kind, cols in (("enum", spec.enum_columns), ("pattern", spec.pattern_columns)):
             for col, rule in cols.items():

@@ -101,3 +101,23 @@ def test_preflight_missing_column(tmp_path):
         )
     with pytest.raises(ValueError, match=">= 0"):
         FreshnessCheck(max_lag_seconds=-1)
+
+
+def test_preflight_rejects_string_ts(tmp_path):
+    os.makedirs(str(tmp_path / "s"), exist_ok=True)
+    df = pd.DataFrame({"ts": ["2026-01-01T00:00:00"], "x": [1]})
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False),
+        os.path.join(str(tmp_path / "s"), "part-0.parquet"),
+    )
+    task = ValidationTask(
+        task_key="f",
+        source_path=str(tmp_path / "s"),
+        target_path=str(tmp_path / "s"),
+        freshness=FreshnessCheck(),
+    )
+    with pytest.raises(ValueError, match="timestamp, date or numeric"):
+        run_suite(
+            ValidationSuite(validations=[task]),
+            RunConfig(results_dir=str(tmp_path / "out"), run_id=1),
+        )

@@ -184,3 +184,81 @@ def test_categorical_metric_pairing_enforced():
         DriftCheck(column="c", metric="ks", derived="categorical")
     with pytest.raises(ValueError, match="go together"):
         DriftCheck(column="c", metric="tvd", derived="value")
+
+
+# ---- review-fix regressions ----
+
+
+def test_nan_segment_keys_collapse_to_null(tmp_path):
+    """NaN float keys collapse to the NULL segment: identical sides
+    must PASS (fragmented nan dict keys used to read as maximal
+    drift / one-side-missing)."""
+    df = pd.DataFrame({"seg": [1.0, 2.0, float("nan"), float("nan")] * 25})
+    s_dir = _write(str(tmp_path / "src"), df)
+    task = ValidationTask(
+        task_key="nan",
+        source_path=s_dir,
+        target_path=s_dir,
+        segment_counts=[SegmentCountCheck(column="seg")],
+        drift=[DriftCheck(column="seg", metric="tvd", derived="categorical",
+                          threshold=0.0)],
+    )
+    s = run_suite(
+        ValidationSuite(validations=[task]),
+        RunConfig(results_dir=str(tmp_path / "out"), run_id=1),
+    )
+    res = s.results[0]
+    assert res.status == "SUCCESS"
+    v = next(
+        x for x in res.verdicts if x.alias == "segment_count_validation_seg"
+    )
+    assert v.payload["segments_checked"] == "3"  # 1.0, 2.0, NULL(=nan)
+
+
+def test_categorical_preflight_parity(tmp_path):
+    src = _write(str(tmp_path / "src"), pd.DataFrame({"a": [1, 2]}))
+    task = ValidationTask(
+        task_key="c",
+        source_path=src,
+        target_path=src,
+        drift=[DriftCheck(column="nope", metric="tvd", derived="categorical")],
+    )
+    with pytest.raises(ValueError, match="missing from the source"):
+        run_suite(
+            ValidationSuite(validations=[task]),
+            RunConfig(results_dir=str(tmp_path / "out"), run_id=1),
+        )
+    with pytest.raises(Exception, match="max_categories"):
+        DriftCheck(column="c", metric="tvd", derived="categorical",
+                   max_categories=0)
+
+
+def test_shared_column_caps_enforced_per_check(tmp_path):
+    """segment max_segments=3 + categorical max_categories=100 on one
+    column with 5 distinct values: the scan runs under the loose cap,
+    then the SEGMENT check's own cap fails with a message naming it."""
+    df = pd.DataFrame({"seg": list("abcde") * 20})
+    s_dir = _write(str(tmp_path / "src"), df)
+    task = ValidationTask(
+        task_key="caps",
+        source_path=s_dir,
+        target_path=s_dir,
+        segment_counts=[SegmentCountCheck(column="seg", max_segments=3)],
+        drift=[DriftCheck(column="seg", metric="tvd", derived="categorical",
+                          max_categories=100, threshold=1.0)],
+    )
+    with pytest.raises(ValueError, match="segment_counts: column 'seg' has 5"):
+        run_suite(
+            ValidationSuite(validations=[task]),
+            RunConfig(results_dir=str(tmp_path / "out"), run_id=1),
+        )
+
+
+def test_scalar_naive_datetime_is_utc_epoch():
+    from datetime import datetime, timezone
+
+    from datapact_ray.stages.profile import _scalar
+
+    naive = datetime(2026, 3, 8, 12, 0, 0)
+    want = naive.replace(tzinfo=timezone.utc).timestamp()
+    assert _scalar(pa.scalar(naive)) == want
