@@ -384,3 +384,68 @@ def test_normalize_mode_catches_reformatted_copy(tmp_path):
     spec2.conv_dedup_normalize = True
     m1 = run_keyed_pass(ray.data.from_pandas(df), None, spec2, "t")
     assert m1.conv_dup_convs[0] == 1
+
+
+# ---- property fuzz: fingerprint algebra under random shard splits ----
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    data=st.lists(
+        st.integers(min_value=0, max_value=(1 << 64) - 1),
+        min_size=1,
+        max_size=120,
+    ),
+    cut_seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_poly_fp_shard_split_invariance_fuzz(data, cut_seed):
+    """fp(whole) == Σ fp(shard_i)·R^offset_i for EVERY way of cutting
+    the sequence into contiguous shards — the exactness contract the
+    hot-conversation stitch relies on, fuzzed over random hash streams
+    and random cut sets (both lanes)."""
+    h = np.array(data, dtype=np.uint64)
+    rng = np.random.default_rng(cut_seed)
+    n_cuts = int(rng.integers(0, min(5, len(h))))
+    cuts = sorted(set(rng.integers(1, len(h), size=n_cuts).tolist())) if n_cuts else []
+    bounds = [0] + cuts + [len(h)]
+    whole1, whole2 = _poly_fps(h, np.array([0]))
+    acc1 = acc2 = 0
+    offset = 0
+    for a, b in zip(bounds, bounds[1:]):
+        f1, f2 = _poly_fps(h[a:b], np.array([0]))
+        acc1 = (acc1 + _fp_shift(int(f1[0]), offset, 0)) % U64
+        acc2 = (acc2 + _fp_shift(int(f2[0]), offset, 1)) % U64
+        offset += b - a
+    assert acc1 == int(whole1[0])
+    assert acc2 == int(whole2[0])
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    data=st.lists(
+        st.integers(min_value=0, max_value=(1 << 64) - 1),
+        min_size=1,
+        max_size=80,
+    ),
+    cut=st.integers(min_value=0, max_value=2**31 - 1),
+    perm_seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_minhash_shard_and_order_invariance_fuzz(data, cut, perm_seed):
+    """Near-mode lane minima are (a) exactly mergeable by elementwise
+    min across any contiguous split and (b) invariant under permutation
+    and duplication of the turn stream (set semantics)."""
+    from datapact_ray.stages.keyed import _minhash_mins
+
+    h = np.array(data, dtype=np.uint64)
+    whole = _minhash_mins(h, np.array([0]), 8)[0]
+    k = cut % len(h)
+    if k:
+        a = _minhash_mins(h[:k], np.array([0]), 8)[0]
+        b = _minhash_mins(h[k:], np.array([0]), 8)[0]
+        assert np.array_equal(np.minimum(a, b), whole)
+    rng = np.random.default_rng(perm_seed)
+    shuffled = np.concatenate([h, h[rng.permutation(len(h))]])  # dup + perm
+    assert np.array_equal(_minhash_mins(shuffled, np.array([0]), 8)[0], whole)
