@@ -36,7 +36,11 @@ def entry() -> Any:
     from datapact_ray.config import (
         AggValidation,
         AggValidationDetail,
+        DriftCheck,
+        FreshnessCheck,
         ReferentialCheck,
+        SchemaCheck,
+        SegmentCountCheck,
         ValidationSuite,
         ValidationTask,
     )
@@ -69,6 +73,30 @@ def entry() -> Any:
                     uniqueness_tolerance=0.0,
                     business_domain="Retail",
                     business_priority="High",
+                ),
+                ValidationTask(
+                    task_key="events_quality",
+                    source_path=f"{sf_dir}/events.parquet",
+                    target_path=f"{sf_dir}/events.parquet",
+                    schema_check=SchemaCheck(
+                        columns={
+                            "event_id": "int64",
+                            "ts": "timestamp[us]",
+                            "event_type": "string",
+                        }
+                    ),
+                    segment_counts=[
+                        SegmentCountCheck(column="event_type", tolerance=0.0)
+                    ],
+                    freshness=FreshnessCheck(ts_column="ts", max_lag_seconds=0),
+                    drift=[
+                        DriftCheck(
+                            column="event_type",
+                            metric="tvd",
+                            derived="categorical",
+                            threshold=0.0,
+                        )
+                    ],
                 ),
                 ValidationTask(
                     task_key="lineitem_keys_and_refs",
