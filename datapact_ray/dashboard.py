@@ -67,6 +67,25 @@ _FAILURE_TYPE_RULES: tuple[tuple[str, str], ...] = (
     ("uniqueness_validation_", "Duplicate Records"),
     ("agg_validation_", "Business Rule Violation"),
     ("custom_sql_validation_", "Custom SQL Mismatch"),
+    # INTENTIONAL EXTENSION beyond the reference's six families
+    # (client.py:901-922 only knows the above): the engine's transcript
+    # and data-quality checks classify under their own labels (matching
+    # genie._issue_type) instead of vanishing from the by-type widget.
+    # temporal_drift_ sits before drift_ but prefix-matching is exact
+    # per key, so the order is cosmetic.
+    ("referential_validation_", "Referential Integrity Violation"),
+    ("compare_validation_", "Column Value Mismatch"),
+    ("ordering_validation_", "Sequence Ordering Violation"),
+    ("sequence_grammar_validation_", "Role Grammar Violation"),
+    ("conv_dedup_validation_", "Duplicate Conversations"),
+    ("schema_validation", "Schema Contract Violation"),
+    ("segment_count_validation_", "Segment Volume Mismatch"),
+    ("freshness_validation_", "Data Freshness Lag"),
+    ("enum_validation_", "Value Outside Accepted Set"),
+    ("pattern_validation_", "Format Rule Violation"),
+    ("conditional_validation_", "Conditional Rule Violation"),
+    ("temporal_drift_validation_", "Source Shifted Since Baseline"),
+    ("drift_validation_", "Distribution Drift Detected"),
 )
 
 

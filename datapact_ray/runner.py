@@ -994,6 +994,10 @@ class ValidationRunner:
             verdict_list.append(
                 V.segment_count_verdict(sc.column, sc_src, sc_tgt, sc.tolerance)
             )
+            self._write_segment_violations(
+                task, sc.column,
+                V.segment_count_failures(sc_src, sc_tgt, sc.tolerance),
+            )
         for rule in task.conditional_validations or []:
             key = f"cond:{rule.name}"
             verdict_list.append(
@@ -1309,6 +1313,40 @@ class ValidationRunner:
             pq.write_table(
                 pa.Table.from_pandas(df, preserve_index=False), out_path
             )
+
+    def _write_segment_violations(self, task, column, failed) -> None:
+        """One violation row per failing segment (worst first, capped at
+        max_violations_per_partition) into the user-facing violations
+        tree — like the hot/convdup files, this run's output: a clean
+        rerun retracts a previous attempt's file."""
+        vdir = os.path.join(
+            self.config.results_dir,
+            "violations",
+            f"run_id={self.config.run_id}",
+            f"task={task.task_key}",
+        )
+        out_path = os.path.join(vdir, f"segment_{column}.parquet")
+        if not failed:
+            if os.path.exists(out_path):
+                os.remove(out_path)
+            return
+        cap = task.max_violations_per_partition
+        df = pd.DataFrame(
+            [
+                {
+                    "task_key": task.task_key,
+                    "check_alias": f"segment_count_validation_{column}",
+                    "key": json.dumps({column: name}),
+                    "side": "both",
+                    "detail": json.dumps(
+                        {"source_rows": s, "target_rows": t, "rel_diff": rel}
+                    ),
+                }
+                for rel, name, s, t in failed[:cap]
+            ]
+        )
+        os.makedirs(vdir, exist_ok=True)
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), out_path)
 
     def _write_referential_violations(self, task_key, ref, side, rm) -> None:
         vdir = os.path.join(

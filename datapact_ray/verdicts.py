@@ -432,6 +432,23 @@ def freshness_verdict(
     )
 
 
+def segment_count_failures(
+    src_counts: dict, tgt_counts: dict, tolerance: float
+) -> list[tuple[float, str, int, int]]:
+    """Failing segments as ``(rel, display_key, src, tgt)``, worst
+    first with a deterministic key tie-break — shared by the verdict
+    payload and the violations-tree writer."""
+    failed: list[tuple[float, str, int, int]] = []
+    for k in set(src_counts) | set(tgt_counts):
+        s = src_counts.get(k, 0)
+        t = tgt_counts.get(k, 0)
+        rel = abs(s - t) / max(s, t) if max(s, t) else 0.0
+        if rel > tolerance:
+            failed.append((rel, "NULL" if k is None else str(k), s, t))
+    failed.sort(key=lambda r: (-r[0], r[1]))
+    return failed
+
+
 def segment_count_verdict(
     column: str,
     src_counts: dict,
@@ -444,17 +461,14 @@ def segment_count_verdict(
     missing on one side scores 1.0. FAIL when any segment exceeds
     ``tolerance``. Payload carries the worst offending segments."""
     keys = set(src_counts) | set(tgt_counts)
-    failed: list[tuple[float, str, int, int]] = []
+    failed = segment_count_failures(src_counts, tgt_counts, tolerance)
     worst = 0.0
     for k in keys:
         s = src_counts.get(k, 0)
         t = tgt_counts.get(k, 0)
         rel = abs(s - t) / max(s, t) if max(s, t) else 0.0
         worst = max(worst, rel)
-        if rel > tolerance:
-            failed.append((rel, "NULL" if k is None else str(k), s, t))
     ok = not failed
-    failed.sort(key=lambda r: (-r[0], r[1]))
     payload = {
         "column": column,
         "segments_checked": fmt_number(len(keys), 0),

@@ -262,3 +262,22 @@ def test_scalar_naive_datetime_is_utc_epoch():
     naive = datetime(2026, 3, 8, 12, 0, 0)
     want = naive.replace(tzinfo=timezone.utc).timestamp()
     assert _scalar(pa.scalar(naive)) == want
+
+
+def test_segment_violation_rows_written_and_retracted(seg_pair, tmp_path):
+    """Failing segments surface as violation rows; a clean rerun (same
+    run_id, tolerance 1.0) retracts the file."""
+    import glob as _g
+    import json as _json
+
+    _verdict(seg_pair, tmp_path)
+    f = str(tmp_path / "violations" / "run_id=1" / "task=seg" /
+            "segment_day.parquet")
+    rows = pq.read_table(f).to_pandas()
+    assert list(rows["check_alias"].unique()) == ["segment_count_validation_day"]
+    keys = [_json.loads(k)["day"] for k in rows["key"]]
+    assert keys[0] == "2026-01-03"  # worst (missing day) first
+    d0 = _json.loads(rows["detail"].iloc[0])
+    assert d0 == {"source_rows": 100, "target_rows": 0, "rel_diff": 1.0}
+    _verdict(seg_pair, tmp_path, tolerance=1.0)
+    assert not os.path.exists(f)
