@@ -449,3 +449,49 @@ def test_minhash_shard_and_order_invariance_fuzz(data, cut, perm_seed):
     rng = np.random.default_rng(perm_seed)
     shuffled = np.concatenate([h, h[rng.permutation(len(h))]])  # dup + perm
     assert np.array_equal(_minhash_mins(shuffled, np.array([0]), 8)[0], whole)
+
+
+def test_conv_dedup_interrupted_run_resumes_exactly(dup_pair, tmp_path):
+    """Simulated interruption mid-suite: two keyed bucket checkpoints
+    lost, resume with the same run_id → identical dedup verdict; the
+    surviving bucket's fingerprints are REUSED (convfp.parquet
+    untouched), not recomputed."""
+    import time as _time
+
+    task = ValidationTask(
+        task_key="cd",
+        source_path=dup_pair["source"],
+        target_path=dup_pair["target"],
+        primary_keys=["conv_id", "turn_idx"],
+        pk_row_hash_check=True,
+        ordering=OrderingCheck(ts_column="ts"),
+        conv_dedup=ConvDedupCheck(content_columns=["role", "text"]),
+    )
+    suite = ValidationSuite(validations=[task])
+    out = str(tmp_path / "res")
+    s1 = run_suite(suite, RunConfig(results_dir=out, run_id=5, num_buckets=6))
+    p1 = s1.results[0].payload["conv_dedup_validation_conv_id"]
+    assert p1["source_duplicates"] == "3"
+
+    ck = f"{out}/checkpoint/run_id=5/task=cd/keyed"
+    markers = sorted(glob.glob(f"{ck}/bucket=*/_SUCCESS"))
+    assert len(markers) >= 3
+    os.remove(markers[0])
+    os.remove(markers[-1])
+    kept_fp = os.path.join(os.path.dirname(markers[1]), "convfp.parquet")
+    kept_mtime = os.path.getmtime(kept_fp)
+    _time.sleep(0.05)
+
+    s2 = run_suite(
+        suite, RunConfig(results_dir=out, run_id=5, num_buckets=6, resume=True)
+    )
+    p2 = s2.results[0].payload["conv_dedup_validation_conv_id"]
+    assert p1 == p2
+    assert os.path.getmtime(kept_fp) == kept_mtime  # fingerprints reused
+    # violation rows identical after resume
+    vf = glob.glob(f"{out}/violations/run_id=5/task=cd/keyed.parquet")
+    rows = pq.read_table(vf[0]).to_pandas()
+    dd = rows[rows["check_alias"] == "conv_dedup_validation_conv_id"]
+    assert sorted(json.loads(k)["conv_id"] for k in dd["key"]) == [
+        "dup-a2", "dup-a3", "dup-b2",
+    ]
