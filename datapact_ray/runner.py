@@ -1108,6 +1108,20 @@ class ValidationRunner:
                     num_perm=task.conv_dedup.num_perm,
                     bands=task.conv_dedup.bands,
                     normalize=task.conv_dedup.normalize,
+                    # re-keyed census needs both sides' fingerprints in
+                    # the exchange and exact-mode grouping
+                    src_rekeyed=(
+                        conv_metrics.conv_rekeyed[0]
+                        if task.conv_dedup.mode == "exact"
+                        and cd_sides == (0, 1)
+                        else None
+                    ),
+                    tgt_rekeyed=(
+                        conv_metrics.conv_rekeyed[1]
+                        if task.conv_dedup.mode == "exact"
+                        and cd_sides == (0, 1)
+                        else None
+                    ),
                 )
             )
         for ri, ref in enumerate(task.referential or []):

@@ -183,6 +183,9 @@ class KeyedMetrics:
     # fingerprint exchange (per-bucket partials never set them)
     conv_distinct: list[int] = field(default_factory=lambda: [0, 0])
     conv_dup_convs: list[int] = field(default_factory=lambda: [0, 0])
+    # keys whose content exists on the OTHER side only under different
+    # keys (exact conv-dedup mode; informational migration signal)
+    conv_rekeyed: list[int] = field(default_factory=lambda: [0, 0])
     violations: int = 0
 
     def merge(self, other: "KeyedMetrics") -> "KeyedMetrics":
@@ -246,6 +249,7 @@ class KeyedMetrics:
             # check is newly configured, so zero here truly means zero)
             self.conv_distinct[i] += getattr(other, "conv_distinct", [0, 0])[i]
             self.conv_dup_convs[i] += getattr(other, "conv_dup_convs", [0, 0])[i]
+            self.conv_rekeyed[i] += getattr(other, "conv_rekeyed", [0, 0])[i]
         self.violations += other.violations
         return self
 
@@ -524,17 +528,51 @@ class _DupCounter:
     conversations are duplicates when (turn count, fp1, fp2) match) and
     emit capped, deterministic violation rows — keeper is the group's
     lexicographically smallest conversation key, every other member is
-    one violation row billed against it."""
+    one violation row billed against it.
+
+    Also counts RE-KEYED conversations per side: a key whose content
+    fingerprint exists on the other side but never under that key there
+    — the migration signal the PK join cannot see (it only compares
+    same-key rows; a conversation re-ingested under a fresh id reads as
+    one missing + one unmatched, not as the same content moving keys).
+    Content co-located by fingerprint makes the census exact and
+    bucket-local."""
 
     def __init__(self, group_column: str, cap: int):
         self.group_column = group_column
         self.cap = cap
+
+    @staticmethod
+    def _rekeyed(df: pd.DataFrame) -> dict[int, int]:
+        """Per side: #keys whose (n, fp) group exists on the other side
+        but never contains this key there. Fully vectorized: per
+        (group, key) side-presence flags, then per-group any-side
+        flags broadcast back."""
+        kg = (
+            df.assign(
+                is_src=(df["__side"] == SIDE_SOURCE),
+                is_tgt=(df["__side"] == SIDE_TARGET),
+            )
+            .groupby(["n", "fp1", "fp2", "key"], sort=False)[
+                ["is_src", "is_tgt"]
+            ]
+            .any()
+            .reset_index()
+        )
+        grp = kg.groupby(["n", "fp1", "fp2"], sort=False)
+        any_src = grp["is_src"].transform("any")
+        any_tgt = grp["is_tgt"].transform("any")
+        return {
+            SIDE_SOURCE: int((kg["is_src"] & ~kg["is_tgt"] & any_tgt).sum()),
+            SIDE_TARGET: int((kg["is_tgt"] & ~kg["is_src"] & any_src).sum()),
+        }
 
     def __call__(self, table: pa.Table, bucket_idx: int):
         if table.num_rows == 0:
             return None
         df = table.select(["__side", "n", "fp1", "fp2", "key"]).to_pandas()
         stats: dict[int, tuple[int, int]] = {}
+        rekeyed = self._rekeyed(df)
         violations: list[dict] = []
         for side, sub in df.groupby("__side", sort=True):
             sizes = sub.groupby(["n", "fp1", "fp2"], sort=False).size()
@@ -581,7 +619,7 @@ class _DupCounter:
                         ),
                     }
                 )
-        return {"stats": stats, "violations": violations}
+        return {"stats": stats, "violations": violations, "rekeyed": rekeyed}
 
 
 class _Projector:
@@ -1644,6 +1682,8 @@ def _run_conv_dedup(
             for side, (distinct, dups) in res["stats"].items():
                 merged.conv_distinct[side] += distinct
                 merged.conv_dup_convs[side] += dups
+            for side, n in res.get("rekeyed", {}).items():
+                merged.conv_rekeyed[side] += n
             dup_violations.extend(res["violations"])
     if spec.checkpoint_dir:
         # like hot/: this run's output, rewritten every run (NOT a

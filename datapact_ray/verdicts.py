@@ -571,6 +571,8 @@ def conv_dedup_verdict(
     num_perm: int = 16,
     bands: int = 4,
     normalize: bool = False,
+    src_rekeyed: int | None = None,
+    tgt_rekeyed: int | None = None,
 ) -> CheckVerdict:
     """Duplicate-conversation rate per side — exact mode: conversations
     whose ordered content sequence already occurred under another key on
@@ -594,6 +596,13 @@ def conv_dedup_verdict(
     if mode == "near":
         payload["num_perm"] = fmt_number(num_perm, 0)
         payload["bands"] = fmt_number(bands, 0)
+    if src_rekeyed is not None:
+        # informational migration signal (exact mode, both sides): keys
+        # whose content exists on the other side only under other keys
+        payload["source_rekeyed_conversations"] = fmt_number(src_rekeyed, 0)
+        payload["target_rekeyed_conversations"] = fmt_number(
+            tgt_rekeyed or 0, 0
+        )
     if 0 in sides:
         payload.update(
             {
