@@ -140,6 +140,9 @@ class RunSummary:
         return [r.task_key for r in self.results if not r.passed]
 
 
+_SIDES = {"source": (0,), "target": (1,), "both": (0, 1)}
+
+
 def _guard_categories(
     kind: str, column: str, cap: int, src_counts: dict, tgt_counts: dict
 ) -> None:
@@ -753,20 +756,14 @@ class ValidationRunner:
         if cdd:
             conv_dedup_kw = dict(
                 conv_dedup_columns=list(cdd.content_columns),
-                conv_dedup_sides={
-                    "source": (0,),
-                    "target": (1,),
-                    "both": (0, 1),
-                }[cdd.sides],
+                conv_dedup_sides=_SIDES[cdd.sides],
                 conv_dedup_mode=cdd.mode,
                 conv_dedup_num_perm=cdd.num_perm,
                 conv_dedup_bands=cdd.bands,
                 conv_dedup_normalize=cdd.normalize,
             )
         ordering_sides = (
-            {"source": (0,), "target": (1,), "both": (0, 1)}[o.sides]
-            if o
-            else (0, 1)
+            _SIDES[o.sides] if o else (0, 1)
         )
         # ts participates only in the ordering check's monotonicity rule:
         # a grammar-only or turn-count-only conv pass must not read (or
@@ -996,7 +993,7 @@ class ValidationRunner:
             )
             self._write_segment_violations(
                 task, sc.column,
-                V.segment_count_failures(sc_src, sc_tgt, sc.tolerance),
+                V.segment_count_failures(sc_src, sc_tgt, sc.tolerance)[0],
             )
         for rule in task.conditional_validations or []:
             key = f"cond:{rule.name}"
@@ -1056,9 +1053,7 @@ class ValidationRunner:
                     )
                 )
         if task.ordering:
-            o_sides = {"source": (0,), "target": (1,), "both": (0, 1)}[
-                task.ordering.sides
-            ]
+            o_sides = _SIDES[task.ordering.sides]
             verdict_list.append(
                 V.ordering_verdict(
                     task.ordering.group_column,
@@ -1082,9 +1077,7 @@ class ValidationRunner:
                 )
             )
         if task.conv_dedup:
-            cd_sides = {"source": (0,), "target": (1,), "both": (0, 1)}[
-                task.conv_dedup.sides
-            ]
+            cd_sides = _SIDES[task.conv_dedup.sides]
             if task.conv_dedup.mode == "near":
                 # near mode counts FLAGGED conversations (>=1 shared LSH
                 # band); the denominator is all conversations checked

@@ -35,6 +35,7 @@ Replaces the reference's PK joins and COUNT(DISTINCT) scans
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import pickle
@@ -360,6 +361,49 @@ def _empty_fp_table(mode: str = "exact") -> pa.Table:
     return (_BAND_SCHEMA if mode == "near" else _FP_SCHEMA).empty_table()
 
 
+def _fp_table(
+    sides: np.ndarray,
+    ns: np.ndarray,
+    f1: np.ndarray,
+    f2: np.ndarray,
+    keys: pa.Array,
+    num_buckets: int,
+) -> pa.Table:
+    """Exact-mode fingerprint rows (shared by the bucket reduce's cold
+    path and the driver's hot stitch) — bucketed BY FINGERPRINT for the
+    chained exchange."""
+    return pa.table(
+        {
+            "__side": pa.array(sides),
+            "n": pa.array(ns),
+            "fp1": pa.array(f1),
+            "fp2": pa.array(f2),
+            "key": keys,
+            "__bucket": pa.array(_fp_bucket(f1, f2, num_buckets)),
+        }
+    )
+
+
+def _band_table(
+    sides: np.ndarray,
+    band_ids: np.ndarray,
+    bkeys: np.ndarray,
+    keys: pa.Array,
+    num_buckets: int,
+) -> pa.Table:
+    """Near-mode (band, band_key) rows — bucketed by band identity."""
+    return pa.table(
+        {
+            "__side": pa.array(sides),
+            "band": pa.array(band_ids),
+            "bkey": pa.array(bkeys),
+            "key": keys,
+            "__bucket": pa.array(_band_bucket(bkeys, band_ids, num_buckets)),
+        }
+    )
+
+
+@functools.lru_cache(maxsize=8)
 def _minhash_lanes(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(_MINHASH_SEED)
     a = rng.integers(1, 1 << 64, size=num_perm, dtype=np.uint64) | np.uint64(1)
@@ -1103,42 +1147,26 @@ class _BucketChecker:
                     # summary was reset_index'd, so cold's index IS the
                     # positional index into the per-segment mins rows
                     bk = _band_keys(mins[cold.index.to_numpy()], nb).reshape(-1)
-                    band_ids = np.tile(np.arange(nb, dtype=np.int8), nc)
-                    rep = np.repeat(np.arange(nc, dtype=np.int64), nb)
                     fp_tables.append(
-                        pa.table(
-                            {
-                                "__side": pa.array(
-                                    np.full(nc * nb, side, dtype=np.int8)
-                                ),
-                                "band": pa.array(band_ids),
-                                "bkey": pa.array(bk),
-                                "key": keys.take(pa.array(rep)),
-                                "__bucket": pa.array(
-                                    _band_bucket(bk, band_ids, spec.num_buckets)
-                                ),
-                            }
+                        _band_table(
+                            np.full(nc * nb, side, dtype=np.int8),
+                            np.tile(np.arange(nb, dtype=np.int8), nc),
+                            bk,
+                            keys.take(
+                                pa.array(np.repeat(np.arange(nc, dtype=np.int64), nb))
+                            ),
+                            spec.num_buckets,
                         )
                     )
                 else:
-                    f1 = cold["fp1"].to_numpy().astype(np.uint64, copy=False)
-                    f2 = cold["fp2"].to_numpy().astype(np.uint64, copy=False)
                     fp_tables.append(
-                        pa.table(
-                            {
-                                "__side": pa.array(
-                                    np.full(len(cold), side, dtype=np.int8)
-                                ),
-                                "n": pa.array(
-                                    cold["n"].to_numpy().astype(np.int64)
-                                ),
-                                "fp1": pa.array(f1),
-                                "fp2": pa.array(f2),
-                                "key": keys,
-                                "__bucket": pa.array(
-                                    _fp_bucket(f1, f2, spec.num_buckets)
-                                ),
-                            }
+                        _fp_table(
+                            np.full(len(cold), side, dtype=np.int8),
+                            cold["n"].to_numpy().astype(np.int64),
+                            cold["fp1"].to_numpy().astype(np.uint64, copy=False),
+                            cold["fp2"].to_numpy().astype(np.uint64, copy=False),
+                            keys,
+                            spec.num_buckets,
                         )
                     )
             if len(cold):
@@ -1614,42 +1642,24 @@ def _run_conv_dedup(
             refs.append(ray.remote(_load_convfp).remote(path))
     near = spec.conv_dedup_mode == "near"
     if hot_fp_rows:
+        sides_arr = np.array([r["side"] for r in hot_fp_rows], dtype=np.int8)
+        keys_arr = pa.array([r["key"] for r in hot_fp_rows], type=pa.string())
         if near:
-            bk = np.array([r["bkey"] for r in hot_fp_rows], dtype=np.uint64)
-            bands = np.array([r["band"] for r in hot_fp_rows], dtype=np.int8)
-            hot_table = pa.table(
-                {
-                    "__side": pa.array(
-                        np.array([r["side"] for r in hot_fp_rows], dtype=np.int8)
-                    ),
-                    "band": pa.array(bands),
-                    "bkey": pa.array(bk),
-                    "key": pa.array(
-                        [r["key"] for r in hot_fp_rows], type=pa.string()
-                    ),
-                    "__bucket": pa.array(
-                        _band_bucket(bk, bands, spec.num_buckets)
-                    ),
-                }
+            hot_table = _band_table(
+                sides_arr,
+                np.array([r["band"] for r in hot_fp_rows], dtype=np.int8),
+                np.array([r["bkey"] for r in hot_fp_rows], dtype=np.uint64),
+                keys_arr,
+                spec.num_buckets,
             )
         else:
-            f1 = np.array([r["fp1"] for r in hot_fp_rows], dtype=np.uint64)
-            f2 = np.array([r["fp2"] for r in hot_fp_rows], dtype=np.uint64)
-            hot_table = pa.table(
-                {
-                    "__side": pa.array(
-                        np.array([r["side"] for r in hot_fp_rows], dtype=np.int8)
-                    ),
-                    "n": pa.array(
-                        np.array([r["n"] for r in hot_fp_rows], dtype=np.int64)
-                    ),
-                    "fp1": pa.array(f1),
-                    "fp2": pa.array(f2),
-                    "key": pa.array(
-                        [r["key"] for r in hot_fp_rows], type=pa.string()
-                    ),
-                    "__bucket": pa.array(_fp_bucket(f1, f2, spec.num_buckets)),
-                }
+            hot_table = _fp_table(
+                sides_arr,
+                np.array([r["n"] for r in hot_fp_rows], dtype=np.int64),
+                np.array([r["fp1"] for r in hot_fp_rows], dtype=np.uint64),
+                np.array([r["fp2"] for r in hot_fp_rows], dtype=np.uint64),
+                keys_arr,
+                spec.num_buckets,
             )
         refs.append(ray.put(hot_table))
     dup_violations: list[dict] = []

@@ -434,19 +434,22 @@ def freshness_verdict(
 
 def segment_count_failures(
     src_counts: dict, tgt_counts: dict, tolerance: float
-) -> list[tuple[float, str, int, int]]:
-    """Failing segments as ``(rel, display_key, src, tgt)``, worst
-    first with a deterministic key tie-break — shared by the verdict
-    payload and the violations-tree writer."""
+) -> tuple[list[tuple[float, str, int, int]], float]:
+    """``(failing segments, worst rel-diff over ALL segments)``; failing
+    segments as ``(rel, display_key, src, tgt)``, worst first with a
+    deterministic key tie-break — shared by the verdict payload and the
+    violations-tree writer."""
     failed: list[tuple[float, str, int, int]] = []
+    worst = 0.0
     for k in set(src_counts) | set(tgt_counts):
         s = src_counts.get(k, 0)
         t = tgt_counts.get(k, 0)
         rel = abs(s - t) / max(s, t) if max(s, t) else 0.0
+        worst = max(worst, rel)
         if rel > tolerance:
             failed.append((rel, "NULL" if k is None else str(k), s, t))
     failed.sort(key=lambda r: (-r[0], r[1]))
-    return failed
+    return failed, worst
 
 
 def segment_count_verdict(
@@ -461,13 +464,7 @@ def segment_count_verdict(
     missing on one side scores 1.0. FAIL when any segment exceeds
     ``tolerance``. Payload carries the worst offending segments."""
     keys = set(src_counts) | set(tgt_counts)
-    failed = segment_count_failures(src_counts, tgt_counts, tolerance)
-    worst = 0.0
-    for k in keys:
-        s = src_counts.get(k, 0)
-        t = tgt_counts.get(k, 0)
-        rel = abs(s - t) / max(s, t) if max(s, t) else 0.0
-        worst = max(worst, rel)
+    failed, worst = segment_count_failures(src_counts, tgt_counts, tolerance)
     ok = not failed
     payload = {
         "column": column,
