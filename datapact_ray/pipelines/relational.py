@@ -156,6 +156,40 @@ def dup_part_sequences_lineitem(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def dup_part_multisets_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Order-INSENSITIVE variant of the sequence census: orders whose
+    part MULTISET (duplicates counted, line order ignored) matches
+    another order's. Uses the conv-dedup machinery's canonical
+    tie-break: with a constant index column every turn ties, so rows
+    sort by content hash — any canonical total order makes sequence
+    equality coincide with multiset equality, the same relation as the
+    oracle's value-ordered string_agg."""
+    spec = KeyedSpec(
+        key_columns=["l_orderkey"],
+        group_column="l_orderkey",
+        index_column="l_orderkey",  # constant within group -> hash order
+        conv_dedup_columns=["l_partkey"],
+        conv_dedup_sides=(0,),
+        num_buckets=32,
+    )
+    m = run_keyed_pass(
+        None,
+        None,
+        spec,
+        task_key="dup_part_multisets_lineitem",
+        source_files=[f"{sf_dir}/lineitem.parquet"],
+        columns=["l_orderkey", "l_partkey"],
+    )
+    checked = m.conv_distinct[0] + m.conv_dup_convs[0]
+    return pd.DataFrame(
+        {
+            "orders_checked": [checked],
+            "distinct_multisets": [m.conv_distinct[0]],
+            "duplicate_orders": [m.conv_dup_convs[0]],
+        }
+    )
+
+
 def referential_orders_customer(sf_dir: str) -> pd.DataFrame:
     """J2/A2 referential: every o_custkey must exist in customer."""
     m = run_referential_pass(
@@ -2129,6 +2163,18 @@ ORACLE_SQL: dict[str, str] = {
                COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS duplicate_rows
         FROM lineitem
     """,
+    "dup_part_multisets_lineitem": """
+        WITH seq AS (
+            SELECT l_orderkey,
+                   string_agg(CAST(l_partkey AS VARCHAR), ','
+                              ORDER BY l_partkey) AS s
+            FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT COUNT(*) AS orders_checked,
+               COUNT(DISTINCT s) AS distinct_multisets,
+               COUNT(*) - COUNT(DISTINCT s) AS duplicate_orders
+        FROM seq
+    """,
     "dup_part_sequences_lineitem": """
         WITH seq AS (
             SELECT l_orderkey,
@@ -2612,6 +2658,7 @@ QUERIES = {
     "agg_lineitem": agg_lineitem,
     "uniqueness_lineitem": uniqueness_lineitem,
     "dup_part_sequences_lineitem": dup_part_sequences_lineitem,
+    "dup_part_multisets_lineitem": dup_part_multisets_lineitem,
     "referential_orders_customer": referential_orders_customer,
     "referential_lineitem_orders": referential_lineitem_orders,
     "filter_events_agg": filter_events_agg,

@@ -552,3 +552,30 @@ def test_rekeyed_conversation_census(tmp_path):
         if x.alias == "conv_dedup_validation_conv_id"
     )
     assert "source_rekeyed_conversations" not in v2.payload
+
+
+def test_multiset_vs_sequence_census_semantics(tmp_path):
+    """Constant-index canonicalization: same parts in DIFFERENT line
+    order count as duplicate MULTISETS but distinct SEQUENCES."""
+    df = pd.DataFrame(
+        {
+            "l_orderkey": [1, 1, 1, 2, 2, 2, 3, 3, 3],
+            "l_linenumber": [1, 2, 3, 1, 2, 3, 1, 2, 3],
+            "l_partkey": [10, 20, 30, 30, 10, 20, 10, 20, 99],
+        }
+    )
+    os.makedirs(str(tmp_path / "d"), exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False),
+        str(tmp_path / "d" / "lineitem.parquet"),
+    )
+    from datapact_ray.pipelines.relational import (
+        dup_part_multisets_lineitem,
+        dup_part_sequences_lineitem,
+    )
+
+    ms = dup_part_multisets_lineitem(str(tmp_path / "d"))
+    assert ms["duplicate_orders"].iloc[0] == 1  # orders 1 and 2
+    assert ms["distinct_multisets"].iloc[0] == 2
+    sq = dup_part_sequences_lineitem(str(tmp_path / "d"))
+    assert sq["duplicate_orders"].iloc[0] == 0  # different line order
