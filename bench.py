@@ -260,6 +260,11 @@ def run_bench() -> dict:
         relational.dup_part_sequences_lineitem,
         SF_DIR,
     )
+    timed(
+        "dup_part_multisets_lineitem",
+        relational.dup_part_multisets_lineitem,
+        SF_DIR,
+    )
     timed("referential_lineitem_orders", relational.referential_lineitem_orders, SF_DIR)
     timed("groupby_lineitem_returnflag", relational.groupby_lineitem_returnflag, SF_DIR)
     timed("topk_orders", relational.topk_orders, SF_DIR)
