@@ -210,6 +210,10 @@ def _custom_locus(sql: str, source_path: str, target_path: str) -> str:
                 con.execute(
                     f"CREATE VIEW {view} AS SELECT * FROM read_parquet([{file_list}])"
                 )
+            input_cols = {
+                view: {r[0] for r in con.execute(f"DESCRIBE {view}").fetchall()}
+                for view in ("src", "tgt")
+            }
             loci = []
             for side in ("source", "target"):
                 rendered = render_custom_sql(sql, side, src_files, tgt_files)
@@ -217,7 +221,7 @@ def _custom_locus(sql: str, source_path: str, target_path: str) -> str:
                     (r[0], r[1])
                     for r in con.execute(f"DESCRIBE {rendered}").fetchall()
                 ]
-                loci.append(plan_sharded(rendered, schema) is not None)
+                loci.append(plan_sharded(rendered, schema, input_cols) is not None)
         finally:
             con.close()
     except Exception:
@@ -226,8 +230,8 @@ def _custom_locus(sql: str, source_path: str, target_path: str) -> str:
         return "SHARDED: decomposed per scan unit, DuckDB-on-fragment Ray tasks"
     return (
         "WARNING — DRIVER-SIDE DuckDB FULL SCAN (query not decomposable: "
-        "joins both sides, subquery, window, LIMIT or DISTINCT agg); "
-        "single-node at scale"
+        "joins both sides, subquery, window, LIMIT, SELECT DISTINCT or "
+        "non-mergeable aggregate); single-node at scale"
     )
 
 

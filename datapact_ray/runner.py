@@ -1040,6 +1040,8 @@ class ValidationRunner:
                     cm.sample_missing_in_source,
                     cm.source_hash,
                     cm.target_hash,
+                    cm.source_locus,
+                    cm.target_locus,
                 )
             )
         if compare_enabled:

@@ -218,11 +218,27 @@ def _quote_ident(name: str) -> str:
     return '"' + name.replace('"', '""') + '"'
 
 
-def plan_sharded(rendered_sql: str, output_schema: list[tuple]) -> ShardPlan | None:
+_INT_TYPE_IDS = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+}
+
+
+def plan_sharded(
+    rendered_sql: str,
+    output_schema: list[tuple],
+    input_columns: dict[str, set[str]] | set[str] | None = None,
+) -> ShardPlan | None:
     """Decide whether ``rendered_sql`` is decomposable and, if so, build
     the (partial, merge) query pair. ``output_schema`` is the original
     query's [(name, type_str)] from ``DESCRIBE`` (footer-only binding —
-    no scan). Returns None when the query must run on the driver."""
+    no scan). ``input_columns`` (the scanned view's column names, also
+    footer-only) lets GROUP BY references to select-item ALIASES resolve
+    to their expressions — DuckDB binds a bare GROUP BY name to the base
+    column first, the alias otherwise, and we mirror that; when
+    ``input_columns`` is None, alias resolution is skipped (conservative
+    → driver fallback). Returns None when the query must run on the
+    driver."""
     import copy
 
     import duckdb
@@ -263,24 +279,57 @@ def plan_sharded(rendered_sql: str, output_schema: list[tuple]) -> ShardPlan | N
     group_sets = n.get("group_sets") or []
     if group_exprs and group_sets != [list(range(len(group_exprs)))]:
         return None
-    # no subqueries / window functions anywhere; no aggregates in WHERE
-    # or GROUP BY
+    # no subqueries / window functions anywhere
     for d in _walk(n):
         if d.get("class") in ("SUBQUERY", "WINDOW") or d.get("type") == "SUBQUERY":
             return None
+
+    select_list = n.get("select_list") or []
+    if len(output_schema) != len(select_list):
+        return None  # STAR expansion or binder surprises — not our shape
+
+    if isinstance(input_columns, dict):
+        input_columns = input_columns.get(ft["table_name"])
+
+    # Resolve positional (GROUP BY 1) and select-alias (GROUP BY txn_day
+    # where txn_day is `DATE(ts) AS txn_day`) group keys to the select
+    # item's expression, so the partial can evaluate the key per fragment
+    # and structural matching against select items works. Mirrors DuckDB
+    # binding: an in-range integer literal is positional; a lone name
+    # binds the base column when one exists, the alias otherwise.
+    def _resolve_group(g: dict) -> dict:
+        if g.get("class") == "CONSTANT":
+            val = g.get("value") or {}
+            tid = (val.get("type") or {}).get("id")
+            k = val.get("value")
+            if (
+                tid in _INT_TYPE_IDS
+                and not val.get("is_null")
+                and isinstance(k, int)
+                and 1 <= k <= len(select_list)
+            ):
+                return copy.deepcopy(select_list[k - 1])
+        elif g.get("class") == "COLUMN_REF" and input_columns is not None:
+            names = g.get("column_names") or []
+            if len(names) == 1 and names[0] not in input_columns:
+                for i, (name, _t) in enumerate(output_schema):
+                    if name == names[0]:
+                        return copy.deepcopy(select_list[i])
+        return g
+
+    group_exprs = [_resolve_group(g) for g in group_exprs]
+    # no aggregates in WHERE or (resolved) GROUP BY
     for scope in (n.get("where_clause"), group_exprs):
         for d in _walk(scope):
             if d.get("class") == "FUNCTION" and d.get("function_name") in _AGG_FNS:
                 return None
 
     group_norms = [_normalized(g) for g in group_exprs]
-    select_list = n.get("select_list") or []
-    if len(output_schema) != len(select_list):
-        return None  # STAR expansion or binder surprises — not our shape
 
     partial = copy.deepcopy(n)
+    partial["group_expressions"] = copy.deepcopy(group_exprs)
     new_select: list[dict] = []
-    merge_items: list[str] = []  # one per original select item, in order
+    merge_items: list[str | None] = [None] * len(select_list)
     group_keys: list[str] = []  # partial-alias idents the merge groups by
     matched_groups: set[int] = set()
     group_alias: dict[str, str] = {}  # group-expr norm → partial alias
@@ -288,7 +337,7 @@ def plan_sharded(rendered_sql: str, output_schema: list[tuple]) -> ShardPlan | N
     # agg in the query must take the same argument expression; the
     # partial then groups by it (per-fragment dedup) and the merge runs
     # the real DISTINCT agg over the deduped rows
-    distinct_state: dict[str, Any] = {"norm": None, "expr": None}
+    distinct_state: dict[str, Any] = {"norm": None, "expr": None, "aggs": 0}
 
     def _agg_merge(item: dict, tag: str) -> str | None:
         """Register partial columns for one aggregate node; return its
@@ -296,6 +345,7 @@ def plan_sharded(rendered_sql: str, output_schema: list[tuple]) -> ShardPlan | N
         kind = _agg_kind(item)
         if kind is None:
             return None
+        distinct_state["aggs"] += 1
         fn = item["function_name"]
         if kind == "distinct":
             child = item["children"][0]
@@ -327,29 +377,21 @@ def plan_sharded(rendered_sql: str, output_schema: list[tuple]) -> ShardPlan | N
         new_select.append(it)
         return f'{_MERGE_FN[fn]}("__{tag}")'
 
+    # ---- pass 1: select items that ARE a group key, verbatim ----------
+    pending: list[int] = []
     for i, item in enumerate(select_list):
-        if _agg_kind(item) is not None:
-            expr = _agg_merge(item, f"p{i}")
-            if expr is None:
-                return None
-            merge_items.append(expr)
-        elif item.get("class") == "FUNCTION" and item.get("function_name") in _AGG_FNS:
-            return None  # aggregate with FILTER/ORDER/nested — not our shape
-        else:
-            # non-aggregate select item: must be exactly one of the
-            # GROUP BY expressions (else the query isn't aggregate-shaped
-            # and per-fragment execution would change its semantics)
-            norm = _normalized(item)
-            hit = next((gi for gi, g in enumerate(group_norms) if g == norm), None)
-            if hit is None:
-                return None
+        norm = _normalized(item)
+        hit = next((gi for gi, g in enumerate(group_norms) if g == norm), None)
+        if hit is not None:
             matched_groups.add(hit)
             it = copy.deepcopy(item)
             it["alias"] = f"__p{i}"
             new_select.append(it)
             group_keys.append(f'"__p{i}"')
             group_alias[norm] = f'"__p{i}"'
-            merge_items.append(f'"__p{i}"')
+            merge_items[i] = f'"__p{i}"'
+        else:
+            pending.append(i)
     # GROUP BY expressions not in the select list still partition the
     # partials — select them under hidden aliases so the merge can group
     for gi, g in enumerate(group_exprs):
@@ -360,62 +402,56 @@ def plan_sharded(rendered_sql: str, output_schema: list[tuple]) -> ShardPlan | N
             group_keys.append(f'"__g{gi}"')
             group_alias[group_norms[gi]] = f'"__g{gi}"'
 
-    # HAVING: a post-aggregation filter — it moves verbatim onto the
-    # MERGE query, with each aggregate node re-expressed as its merged
-    # partial expression and each group-key reference as its partial
-    # alias. Any other bare column reference is not valid HAVING shape →
-    # driver fallback.
-    having_sql: str | None = None
-    having = n.get("having")
-    if having is not None:
-        replacements: dict[str, str] = {}
-        alias_merge = {
-            name: f"({merge_items[i]})"
-            for i, (name, _t) in enumerate(output_schema)
+    # ---- shared rewrite machinery (composite select items + HAVING) ---
+    # A node rewrites when every fragment of it is a group-key
+    # expression (→ its partial alias), a re-aggregatable aggregate
+    # (→ its merged partial expression), a select-alias reference
+    # (HAVING only), or a constant/scalar function over those. Bare
+    # column refs outside aggregates fail → driver fallback.
+    replacements: dict[str, str] = {}
+
+    def _placeholder(expr: str) -> dict:
+        key = f"__DPMERGE{len(replacements)}__"
+        replacements[key] = expr
+        return {
+            "class": "COLUMN_REF",
+            "type": "COLUMN_REF",
+            "alias": "",
+            "column_names": [key],
         }
 
-        def _placeholder(expr: str) -> dict:
-            key = f"__DPMERGE{len(replacements)}__"
-            replacements[key] = expr
-            return {
-                "class": "COLUMN_REF",
-                "type": "COLUMN_REF",
-                "alias": "",
-                "column_names": [key],
-            }
-
-        def _rewrite(node):
-            if isinstance(node, dict):
-                if node.get("class"):  # an expression node
-                    norm = _normalized(node)
-                    if norm in group_alias:
-                        return _placeholder(group_alias[norm])
-                    if (
-                        node.get("class") == "FUNCTION"
-                        and node.get("function_name") in _AGG_FNS
-                    ):
-                        expr = _agg_merge(node, f"h{len(replacements)}")
-                        if expr is None:
-                            raise _Undecomposable()
-                        return _placeholder(f"({expr})")
-                    if node.get("class") == "COLUMN_REF":
-                        # select-item alias reference (HAVING c > 5)
-                        names = node.get("column_names") or []
-                        if len(names) == 1 and names[0] in alias_merge:
-                            return _placeholder(alias_merge[names[0]])
+    def _rewrite(node, alias_merge: dict[str, str], tag: str):
+        if isinstance(node, dict):
+            if node.get("class"):  # an expression node
+                norm = _normalized(node)
+                if norm in group_alias:
+                    return _placeholder(group_alias[norm])
+                if (
+                    node.get("class") == "FUNCTION"
+                    and node.get("function_name") in _AGG_FNS
+                ):
+                    expr = _agg_merge(node, f"{tag}{len(replacements)}")
+                    if expr is None:
                         raise _Undecomposable()
-                return {k: _rewrite(v) for k, v in node.items()}
-            if isinstance(node, list):
-                return [_rewrite(v) for v in node]
-            return node
+                    return _placeholder(f"({expr})")
+                if node.get("class") == "COLUMN_REF":
+                    # select-item alias reference (HAVING c > 5)
+                    names = node.get("column_names") or []
+                    if len(names) == 1 and names[0] in alias_merge:
+                        return _placeholder(alias_merge[names[0]])
+                    raise _Undecomposable()
+            return {k: _rewrite(v, alias_merge, tag) for k, v in node.items()}
+        if isinstance(node, list):
+            return [_rewrite(v, alias_merge, tag) for v in node]
+        return node
 
-        try:
-            rewritten = _rewrite(copy.deepcopy(having))
-        except _Undecomposable:
-            return None
-        rewritten["alias"] = "__dp_h__"
+    def _merge_expr_sql(expr_node: dict) -> str | None:
+        """Deserialize a rewritten expression node back to SQL text with
+        the placeholder idents substituted by their merge expressions."""
+        node = copy.deepcopy(expr_node)
+        node["alias"] = "__dp_x__"
         dummy = copy.deepcopy(n)
-        dummy["select_list"] = [rewritten]
+        dummy["select_list"] = [node]
         dummy["group_expressions"] = []
         dummy["group_sets"] = []
         dummy["where_clause"] = None
@@ -431,12 +467,63 @@ def plan_sharded(rendered_sql: str, output_schema: list[tuple]) -> ShardPlan | N
             return None
         finally:
             con.close()
-        marker = ' AS __dp_h__ FROM '
+        marker = ' AS __dp_x__ FROM '
         if not text.startswith("SELECT ") or marker not in text:
             return None
-        having_sql = text[len("SELECT "):].rsplit(marker, 1)[0]
+        sql = text[len("SELECT "):].rsplit(marker, 1)[0]
         for key, repl in replacements.items():
-            having_sql = having_sql.replace(f'"{key}"', repl).replace(key, repl)
+            sql = sql.replace(f'"{key}"', repl).replace(key, repl)
+        return sql
+
+    # ---- pass 2: aggregates and scalar expressions over them ----------
+    # A plain top-level aggregate merges directly; anything else (e.g.
+    # ROUND(AVG(x), 4), SUM(a)/NULLIF(SUM(b),0), UPPER(group_key)) is
+    # rewritten — aggregates shard as hidden partials, the scalar
+    # wrapper applies on the merge, where it sees the same finished
+    # aggregate values the driver would.
+    for i in pending:
+        item = select_list[i]
+        if _agg_kind(item) is not None:
+            expr = _agg_merge(item, f"p{i}")
+            if expr is None:
+                return None
+            merge_items[i] = expr
+            continue
+        try:
+            rewritten = _rewrite(copy.deepcopy(item), {}, "s")
+        except _Undecomposable:
+            return None
+        expr = _merge_expr_sql(rewritten)
+        if expr is None:
+            return None
+        merge_items[i] = expr
+
+    # HAVING: a post-aggregation filter — it moves verbatim onto the
+    # MERGE query, with each aggregate node re-expressed as its merged
+    # partial expression, each group-key reference as its partial alias,
+    # and each select-item alias as that item's merge expression. Any
+    # other bare column reference is not valid HAVING shape → driver
+    # fallback.
+    having_sql: str | None = None
+    having = n.get("having")
+    if having is not None:
+        alias_merge = {
+            name: f"({merge_items[i]})"
+            for i, (name, _t) in enumerate(output_schema)
+        }
+        try:
+            rewritten = _rewrite(copy.deepcopy(having), alias_merge, "h")
+        except _Undecomposable:
+            return None
+        having_sql = _merge_expr_sql(rewritten)
+        if having_sql is None:
+            return None
+
+    # an ungrouped query with no aggregates anywhere (constant-only
+    # select list) returns one row per INPUT row — per-fragment
+    # execution would change its cardinality, so it stays on the driver
+    if not group_exprs and distinct_state["aggs"] == 0:
+        return None
 
     # DISTINCT aggregates: the partial dedups per fragment by grouping
     # on (group keys, argument); the merge's DISTINCT agg collapses
@@ -644,6 +731,12 @@ def run_custom_check(
             )
         frames: dict[str, pd.DataFrame] = {}
         loci: dict[str, str] = {}
+        # per-view column names (footer-only) so GROUP BY select-alias
+        # references resolve in the sharding planner
+        input_cols = {
+            view: {r[0] for r in con.execute(f"DESCRIBE {view}").fetchall()}
+            for view in (SOURCE_VIEW, TARGET_VIEW)
+        }
         for side, rendered in (("source", rendered_src), ("target", rendered_tgt)):
             df, locus = None, "driver"
             if distribute and _ray_available():
@@ -652,7 +745,7 @@ def run_custom_check(
                         (r[0], r[1])
                         for r in con.execute(f"DESCRIBE {rendered}").fetchall()
                     ]
-                    plan = plan_sharded(rendered, out_schema)
+                    plan = plan_sharded(rendered, out_schema, input_cols)
                     if plan is not None:
                         files = (
                             source_files

@@ -201,8 +201,13 @@ def custom_check_verdict(
     sample_missing_in_source: str | None,
     source_hash: str,
     target_hash: str,
+    source_locus: str = "driver",
+    target_locus: str = "driver",
 ) -> CheckVerdict:
-    """``validation.sql.j2:414-433,471-476``."""
+    """``validation.sql.j2:414-433,471-476``. ``*_locus`` records where
+    each side executed — "sharded" (scan-unit Ray tasks) or "driver"
+    (single-node DuckDB full scan, the 100-TB-weak path) — so dashboards
+    can flag driver-bound custom checks."""
     ok = (
         rows_missing_in_target == 0
         and rows_missing_in_source == 0
@@ -223,6 +228,7 @@ def custom_check_verdict(
             "rows_missing_in_source": fmt_number(rows_missing_in_source, 0),
             "sample_missing_in_target": sample_missing_in_target,
             "sample_missing_in_source": sample_missing_in_source,
+            "execution_locus": {"source": source_locus, "target": target_locus},
             "status": _status(ok),
         },
     )

@@ -67,9 +67,13 @@ def _plan(sql: str, files: list[str]):
         con.execute(f"CREATE VIEW src AS SELECT * FROM read_parquet([{file_list}])")
         con.execute(f"CREATE VIEW tgt AS SELECT * FROM read_parquet([{file_list}])")
         schema = [(r[0], r[1]) for r in con.execute(f"DESCRIBE {sql}").fetchall()]
+        input_cols = {
+            view: {r[0] for r in con.execute(f"DESCRIBE {view}").fetchall()}
+            for view in ("src", "tgt")
+        }
     finally:
         con.close()
-    return plan_sharded(sql, schema)
+    return plan_sharded(sql, schema, input_cols)
 
 
 DECOMPOSABLE = [
@@ -102,6 +106,33 @@ DECOMPOSABLE = [
     "sum(o_totalprice) AS s, count(*) AS n FROM src GROUP BY o_orderstatus",
     "SELECT sum(DISTINCT o_orderkey % 100) AS s, "
     "avg(DISTINCT o_orderkey % 100) AS a FROM src",
+    # --- round-5 shapes: scalar wrappers over aggregates + alias /
+    # ordinal / expression group keys (the reference's own demo custom
+    # tests, /root/reference/demo/demo_config.yml:55-60,110-125) ---
+    # "Segment Satisfaction Bands": ROUND(AVG(COALESCE(..)),4)
+    "SELECT o_orderstatus, ROUND(AVG(COALESCE(o_totalprice, 0)), 4) AS a, "
+    "COUNT(*) AS population FROM src GROUP BY o_orderstatus",
+    # "Payment Method Mix Daily": scalar group-key expr referenced via
+    # its select alias + ROUND(SUM()) + SUM(CASE WHEN)
+    "SELECT o_orderkey % 7 AS bucket, o_orderstatus, "
+    "ROUND(SUM(o_totalprice), 2) AS gross, "
+    "SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS f_count, "
+    "COUNT(*) AS n FROM src GROUP BY bucket, o_orderstatus",
+    # ordinal group keys
+    "SELECT o_orderstatus, count(*) AS n FROM src GROUP BY 1",
+    # ratio of aggregates + wrapper over AVG-decomposition
+    "SELECT o_orderstatus, SUM(o_totalprice) / NULLIF(COUNT(*), 0) AS unit, "
+    "CAST(AVG(o_totalprice) AS INTEGER) AS avg_int FROM src "
+    "GROUP BY o_orderstatus",
+    # scalar expression over a group key only (no aggregate in the item)
+    "SELECT UPPER(o_orderstatus) AS u, COUNT(*) AS n FROM src "
+    "GROUP BY o_orderstatus",
+    # constant select item alongside aggregates
+    "SELECT 'orders' AS tbl, o_orderstatus, COUNT(*) AS n FROM src "
+    "GROUP BY o_orderstatus",
+    # alias group key whose name shadows nothing + HAVING over wrapper alias
+    "SELECT o_orderkey % 5 AS b5, ROUND(AVG(o_totalprice), 1) AS r "
+    "FROM src GROUP BY b5 HAVING r > 100",
 ]
 
 NOT_DECOMPOSABLE = [
@@ -123,6 +154,11 @@ NOT_DECOMPOSABLE = [
     # ORDER BY + LIMIT changes the result multiset → stays on the driver
     "SELECT o_orderstatus, count(*) AS n FROM src GROUP BY o_orderstatus "
     "ORDER BY n DESC LIMIT 1",
+    # ungrouped aggregate-free select — one row per INPUT row; sharding
+    # would change the cardinality
+    "SELECT 'x' AS lbl FROM src",
+    # wrapper over an aggregate we can't re-aggregate
+    "SELECT ROUND(median(o_totalprice), 2) AS m FROM src",
 ]
 
 
@@ -137,7 +173,11 @@ def test_sharded_equals_driver(orders_pair, sql):
     got = _run_side_sharded(plan, src_files)
     want = _driver_result(sql, src_files)
     assert list(got.columns) == list(want.columns)
-    key = [c for c in got.columns if got[c].dtype == object] or list(got.columns[:1])
+    # sort on every non-float column (the group keys) — float aggregates
+    # can differ in the last ulp and would misalign rows
+    key = [
+        c for c in got.columns if not pd.api.types.is_float_dtype(got[c])
+    ] or list(got.columns[:1])
     got_s = got.sort_values(key).reset_index(drop=True)
     want_s = want.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(got_s, want_s, check_dtype=False, atol=1e-9, rtol=1e-12)
@@ -228,6 +268,59 @@ def test_plan_printer_labels_locus(orders_pair, tmp_path):
     assert "undetermined" in lab3
 
 
+def test_verdict_payload_records_execution_locus(orders_pair, tmp_path):
+    """The custom-check verdict payload surfaces the per-side execution
+    locus so dashboards can flag driver-bound checks (round-4 item #7)."""
+    import os
+    import shutil
+
+    from datapact_ray.config import CustomCheck, ValidationSuite, ValidationTask
+    from datapact_ray.runner import RunConfig, run_suite
+
+    src_files, tgt_files = orders_pair
+    sdir, tdir = str(tmp_path / "src"), str(tmp_path / "tgt")
+    for d, files in ((sdir, src_files), (tdir, tgt_files)):
+        os.makedirs(d)
+        for f in files:
+            shutil.copy(f, d)
+    task = ValidationTask(
+        task_key="t",
+        source_path=sdir,
+        target_path=tdir,
+        custom_checks=[
+            CustomCheck(
+                name="status totals",
+                sql=(
+                    "SELECT o_orderstatus, ROUND(AVG(o_totalprice), 4) AS a, "
+                    "COUNT(*) AS n FROM {{ table_fqn }} GROUP BY o_orderstatus"
+                ),
+            ),
+            CustomCheck(
+                name="joined",
+                sql=(
+                    "SELECT count(*) AS m FROM {{ source_fqn }} s "
+                    "JOIN {{ target_fqn }} t ON s.o_orderkey = t.o_orderkey"
+                ),
+            ),
+        ],
+    )
+    s = run_suite(
+        ValidationSuite(validations=[task]),
+        RunConfig(results_dir=str(tmp_path / "res"), run_id=1),
+    )
+    verdicts = {v.alias: v for v in s.results[0].verdicts}
+    sharded = verdicts["custom_sql_validation_status_totals"]
+    assert sharded.payload["execution_locus"] == {
+        "source": "sharded",
+        "target": "sharded",
+    }
+    joined = verdicts["custom_sql_validation_joined"]
+    assert joined.payload["execution_locus"] == {
+        "source": "driver",
+        "target": "driver",
+    }
+
+
 # ---------------------------------------------------------------------------
 # property fuzz: any composition of supported shapes must shard and
 # match driver DuckDB exactly
@@ -236,7 +329,7 @@ def test_plan_printer_labels_locus(orders_pair, tmp_path):
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-_GROUPS = [None, "o_orderstatus", "o_orderkey % 5"]
+_GROUPS = [None, "o_orderstatus", "o_orderkey % 5", "upper(o_orderstatus)"]
 _AGGS = [
     "count(*)",
     "sum(o_totalprice)",
@@ -247,6 +340,12 @@ _AGGS = [
     # DISTINCT aggs share one argument expression by design
     "count(DISTINCT o_orderkey % 10)",
     "sum(DISTINCT o_orderkey % 10)",
+    # round-5 grammar: scalar wrappers over aggregates
+    "round(avg(o_totalprice), 3)",
+    "round(sum(o_totalprice), 2)",
+    "sum(o_totalprice) / nullif(count(*), 0)",
+    "sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)",
+    "cast(max(o_totalprice) AS INTEGER)",
 ]
 _WHERES = [None, "o_orderkey > 500", "o_orderstatus <> 'P' AND o_totalprice < 900"]
 _HAVINGS = [None, "count(*) > 300", "avg(o_totalprice) > 350", "a0 IS NOT NULL"]
@@ -265,9 +364,10 @@ _HAVINGS = [None, "count(*) > 300", "avg(o_totalprice) > 350", "a0 IS NOT NULL"]
     where_i=st.integers(0, len(_WHERES) - 1),
     having_i=st.integers(0, len(_HAVINGS) - 1),
     order=st.booleans(),
+    group_ref=st.integers(0, 2),  # how GROUP BY names the key: expr/alias/ordinal
 )
 def test_sharded_equals_driver_fuzz(
-    orders_pair, group_i, agg_idx, where_i, having_i, order
+    orders_pair, group_i, agg_idx, where_i, having_i, order, group_ref
 ):
     src_files, _ = orders_pair
     group = _GROUPS[group_i]
@@ -278,7 +378,7 @@ def test_sharded_equals_driver_fuzz(
     if _WHERES[where_i]:
         sql += f" WHERE {_WHERES[where_i]}"
     if group:
-        sql += f" GROUP BY {group}"
+        sql += " GROUP BY " + (group, "g", "1")[group_ref]
         if _HAVINGS[having_i]:
             sql += f" HAVING {_HAVINGS[having_i]}"
     if order:
