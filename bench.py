@@ -585,6 +585,9 @@ def run_bench() -> dict:
         "png_decode_stats_documents", multimodal.png_decode_stats_documents, SF_DIR
     )
     timed(
+        "jpeg_decode_stats_documents", multimodal.jpeg_decode_stats_documents, SF_DIR
+    )
+    timed(
         "mp4_decode_stats_documents", multimodal.mp4_decode_stats_documents, SF_DIR
     )
     timed("nfc_census_documents", text.nfc_census_documents, SF_DIR)

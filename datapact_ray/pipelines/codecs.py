@@ -22,9 +22,17 @@ enough to implement from their public specifications:
   what ``ffmpeg -c copy`` ships — no codec decode exists or is needed
   to cut samples), plus a structurally valid one-track encoder.
 
+* **JPEG** (baseline sequential, ITU-T T.81) via the sibling
+  `jpeg_codec.py` — full entropy decode (canonical Huffman, DC DPCM,
+  AC run-length, restart markers), dequantize and a batched IDCT
+  vectorized across every block of a component, 4:4:4/4:2:2/4:2:0
+  chroma upsampling and YCbCr→RGB; plus a baseline encoder (Annex K
+  tables) and nearest-neighbor resize. Progressive (SOF2) and
+  arithmetic-coded files raise ``NotImplementedError``.
+
 These are real decoders: they parse the actual container bytes, reject
 malformed payloads, and their outputs are verified against closed-form
-oracles in tests. Formats beyond WAV/BMP/PNG/MP4 still raise
+oracles in tests. Formats beyond WAV/BMP/PNG/JPEG/MP4 still raise
 ``NotImplementedError`` with an injection hint — honest about what the
 container can and cannot decode.
 
@@ -659,7 +667,32 @@ def sample_mp4_frames(payload: bytes, every_ms: int) -> list[bytes]:
 _WAV_TYPES = {"audio/wav", "audio/x-wav", "audio/wave"}
 _BMP_TYPES = {"image/bmp", "image/x-bmp"}
 _PNG_TYPES = {"image/png", "image/x-png"}
+_JPEG_TYPES = {"image/jpeg", "image/jpg", "image/pjpeg"}
 _MP4_TYPES = {"video/mp4", "video/mp4v-es", "audio/mp4"}
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """Full baseline JPEG decode (Huffman → dequant → batched IDCT →
+    color) and return decoded-pixel features. Pixel statistics average
+    across channels so grey and RGB files share one scale."""
+    from .jpeg_codec import decode_jpeg_pixels
+
+    px = decode_jpeg_pixels(payload)
+    h, w, _c = px.shape
+    flat = px.astype(np.float64)
+    out = dict.fromkeys(_FEATURE_KEYS, 0.0)
+    out.update(
+        n_bytes=len(payload),
+        sample_rate=0,
+        n_samples=0,
+        duration_ms=0,
+        width=int(w),
+        height=int(h),
+        n_pixels=int(w * h),
+        mean_value=float(flat.mean()) if flat.size else 0.0,
+        rms=float(np.sqrt(np.mean(flat * flat))) if flat.size else 0.0,
+    )
+    return out
 
 
 def real_decode(payload: bytes, media_type: str) -> dict:
@@ -669,11 +702,14 @@ def real_decode(payload: bytes, media_type: str) -> dict:
         return decode_bmp(payload)
     if media_type in _PNG_TYPES:
         return decode_png(payload)
+    if media_type in _JPEG_TYPES:
+        return decode_jpeg(payload)
     if media_type in _MP4_TYPES:
         return decode_mp4(payload)
     raise NotImplementedError(
-        f"no vendored codec for {media_type!r} (WAV, 24-bit BMP, 8-bit PNG "
-        "and MP4/ISO-BMFF are built in; pass decode_fn for other formats)"
+        f"no vendored codec for {media_type!r} (WAV, 24-bit BMP, 8-bit PNG, "
+        "baseline JPEG and MP4/ISO-BMFF are built in; pass decode_fn for "
+        "other formats)"
     )
 
 
@@ -682,9 +718,13 @@ def real_resize(payload: bytes, media_type: str, width: int, height: int) -> byt
         return resize_bmp(payload, width, height)
     if media_type in _PNG_TYPES:
         return resize_png(payload, width, height)
+    if media_type in _JPEG_TYPES:
+        from .jpeg_codec import resize_jpeg
+
+        return resize_jpeg(payload, width, height)
     raise NotImplementedError(
-        f"no vendored resizer for {media_type!r} (24-bit BMP and 8-bit PNG "
-        "are built in; pass resize_fn for other formats)"
+        f"no vendored resizer for {media_type!r} (24-bit BMP, 8-bit PNG and "
+        "baseline JPEG are built in; pass resize_fn for other formats)"
     )
 
 

@@ -1442,6 +1442,144 @@ _PNG_DECODE_SQL = """
 """
 
 
+def jpeg_decode_stats_documents(sf_dir: str) -> "pd.DataFrame":
+    """REAL lossy-container decode end-to-end: each document maps to a
+    genuine baseline JPEG (greyscale, 8 blocks across = width 64) built
+    inside the scan task by the vendored `jpeg_codec.py` encoder — one
+    constant-valued 8×8 block per text byte (capped at 32 blocks,
+    value ``28 + 2·((i·37 + octets) mod 101)`` for block index ``i``,
+    padding blocks 128); the payloads flow through the actor-pool
+    ``featurize_media(decoder="real")`` stage whose decoder runs the
+    full baseline pipeline (Huffman entropy decode → dequantize →
+    batched IDCT → level shift); the DECODED geometry and pixel sums
+    aggregate per source feed.
+
+    Oracle-exact by construction DESPITE the lossy codec: every block
+    is constant and even-valued, so its level-shifted DC is a multiple
+    of the Annex-K DC quantization step (16) and all AC coefficients
+    are analytically zero — the decode reproduces each block
+    bit-exactly, and the per-document luminance total
+    ``64·(Σ vᵢ + 128·(8·rows − blocks))`` is closed-form SQL. The
+    oracle therefore checks actual decoded PIXEL VALUES through the
+    Huffman+IDCT path, not just geometry. Payload bytes never enter a
+    shuffle."""
+    import pandas as pd
+
+    from ..io import read_table
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from .jpeg_codec import encode_jpeg
+
+        texts = batch.column("text").to_pylist()
+        payloads = []
+        for t in texts:
+            octets = len((t or "").encode("utf-8"))
+            db = min(max(octets, 1), 32)
+            rows = -(-db // 8)
+            vals = np.full(rows * 8, 128, dtype=np.uint8)
+            idx = np.arange(db, dtype=np.int64)
+            vals[:db] = (28 + 2 * ((idx * 37 + octets) % 101)).astype(np.uint8)
+            img = np.repeat(
+                np.repeat(vals.reshape(rows, 8), 8, axis=0), 8, axis=1
+            )
+            payloads.append(encode_jpeg(img))
+        return pa.table(
+            {
+                "media_id": batch.column("doc_id"),
+                "media_type": pa.array(["image/jpeg"] * len(texts)),
+                "payload": pa.array(payloads, type=pa.binary()),
+                "source": batch.column("source"),
+            }
+        )
+
+    media = ds.map_batches(to_media, batch_format="pyarrow", zero_copy_batch=True)
+    feats = featurize_media(media, decoder="real", batch_size=256, concurrency=(2, 16))
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        import numpy as np
+
+        n_pixels = batch.column("n_pixels").to_numpy().astype("int64")
+        mean = batch.column("mean_value").to_numpy()
+        df = pd.DataFrame(
+            {
+                "source": batch.column("source").to_pandas(),
+                "n_pixels": n_pixels,
+                "height": batch.column("height").to_numpy().astype("int64"),
+                # decoded blocks are bit-exact constants → the float mean
+                # recovers the integer pixel sum exactly under round()
+                "lum": np.round(mean * n_pixels).astype("int64"),
+            }
+        )
+        return (
+            df.groupby("source", sort=False)
+            .agg(
+                n_media=("n_pixels", "size"),
+                total_pixels=("n_pixels", "sum"),
+                max_height=("height", "max"),
+                total_lum=("lum", "sum"),
+            )
+            .reset_index()
+        )
+
+    parts = feats.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame(
+            {
+                "source": pd.Series([], dtype="object"),
+                "n_media": pd.Series([], dtype="int64"),
+                "total_pixels": pd.Series([], dtype="int64"),
+                "max_height": pd.Series([], dtype="int64"),
+                "total_lum": pd.Series([], dtype="int64"),
+            }
+        )
+    out = parts.groupby("source", as_index=False).agg(
+        n_media=("n_media", "sum"),
+        total_pixels=("total_pixels", "sum"),
+        max_height=("max_height", "max"),
+        total_lum=("total_lum", "sum"),
+    )
+    for c in ("n_media", "total_pixels", "max_height", "total_lum"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+_JPEG_DECODE_SQL = """
+    WITH p AS (
+        SELECT source,
+               octet_length(encode(COALESCE(text, ''))) AS octets,
+               LEAST(GREATEST(octet_length(encode(COALESCE(text, ''))), 1),
+                     32) AS db,
+               CAST(CEIL(LEAST(GREATEST(
+                   octet_length(encode(COALESCE(text, ''))), 1), 32) / 8.0)
+                   AS BIGINT) AS block_rows
+        FROM documents
+    ), dat AS (
+        -- per-source sum of data-block values: uncorrelated 0..31
+        -- series cross-joined, clipped to each doc's block count
+        SELECT p.source,
+               SUM(64 * (28 + 2 * ((t.i * 37 + p.octets) % 101))) AS data_lum
+        FROM p, generate_series(0, 31) AS t(i)
+        WHERE t.i < p.db
+        GROUP BY p.source
+    ), base AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_media,
+               CAST(SUM(512 * block_rows) AS BIGINT) AS total_pixels,
+               CAST(MAX(8 * block_rows) AS BIGINT) AS max_height,
+               SUM(64 * 128 * (8 * block_rows - db)) AS pad_lum
+        FROM p GROUP BY source
+    )
+    SELECT base.source, n_media, total_pixels, max_height,
+           CAST(pad_lum + COALESCE(data_lum, 0) AS BIGINT) AS total_lum
+    FROM base LEFT JOIN dat ON base.source = dat.source
+    ORDER BY base.source
+"""
+
+
 def mp4_decode_stats_documents(sf_dir: str) -> "pd.DataFrame":
     """REAL video-container decode end-to-end: each document's UTF-8
     bytes are packed as 256-byte encoded samples into a structurally
@@ -1552,6 +1690,7 @@ _MP4_DECODE_SQL = """
 QUERIES = {
     "wav_decode_stats_documents": wav_decode_stats_documents,
     "png_decode_stats_documents": png_decode_stats_documents,
+    "jpeg_decode_stats_documents": jpeg_decode_stats_documents,
     "mp4_decode_stats_documents": mp4_decode_stats_documents,
     "binary_payload_stats_documents": binary_payload_stats_documents,
     "payload_entropy_documents": payload_entropy_documents,
@@ -1568,6 +1707,7 @@ QUERIES = {
 ORACLE_SQL = {
     "wav_decode_stats_documents": _WAV_DECODE_SQL,
     "png_decode_stats_documents": _PNG_DECODE_SQL,
+    "jpeg_decode_stats_documents": _JPEG_DECODE_SQL,
     "mp4_decode_stats_documents": _MP4_DECODE_SQL,
     "payload_size_percentiles_multimodal": _PAYLOAD_SIZE_PCTL_SQL,
     "header_census_multimodal": _header_census_sql(),

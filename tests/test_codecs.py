@@ -446,3 +446,152 @@ def test_featurize_and_sample_real_mp4_stage():
         range(1, n + 1)
     )
     assert (frames["payload"].map(len) == 16).all()
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline sequential: Huffman entropy coding, batched IDCT,
+# subsampling, restart markers)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_constant_blocks_bit_exact():
+    """Even-valued constant 8×8 blocks have a DC that is a multiple of
+    the Annex-K DC quant step and analytically-zero AC → the lossy
+    codec round-trips them BIT-EXACTLY (the property the closed-form
+    SQL oracle relies on)."""
+    from datapact_ray.pipelines.jpeg_codec import decode_jpeg_pixels, encode_jpeg
+
+    vals = np.array([28 + 2 * ((i * 37 + 7) % 101) for i in range(24)], dtype=np.uint8)
+    img = np.repeat(np.repeat(vals.reshape(3, 8), 8, axis=0), 8, axis=1)
+    px = decode_jpeg_pixels(encode_jpeg(img))
+    assert px.shape == (24, 64, 1)
+    assert np.array_equal(px[..., 0], img)
+
+
+def test_jpeg_roundtrip_grey_and_rgb_within_quantization():
+    from datapact_ray.pipelines.jpeg_codec import decode_jpeg_pixels, encode_jpeg
+
+    rng = np.random.default_rng(11)
+    # smooth gradient: quantization error stays small
+    y, x = np.mgrid[0:37, 0:53]
+    grey = ((x * 2 + y) % 256).astype(np.uint8)
+    px = decode_jpeg_pixels(encode_jpeg(grey))
+    assert px.shape == (37, 53, 1)  # non-multiple-of-8 dims crop exactly
+    rgb = np.stack([(x * 3) % 256, (y * 2 + 30) % 256, ((x + y) * 2) % 256], axis=-1)
+    px3 = decode_jpeg_pixels(encode_jpeg(rgb.astype(np.uint8)))
+    assert px3.shape == (37, 53, 3)
+    assert np.abs(px3.astype(int) - rgb.astype(int)).max() <= 12
+    # noise round-trips decodably (larger error is inherent to Q50)
+    noise = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    assert decode_jpeg_pixels(encode_jpeg(noise)).shape == (16, 16, 1)
+
+
+@pytest.mark.parametrize("sub", ["444", "420"])
+@pytest.mark.parametrize("rst", [0, 2])
+def test_jpeg_subsampling_and_restart_markers(sub, rst):
+    """4:2:0 MCU interleave + chroma upsample and DRI/RSTn restart
+    handling decode correctly (grey-valued RGB keeps chroma at exactly
+    128, so even 4:2:0 is exact for constant images)."""
+    from datapact_ray.pipelines.jpeg_codec import decode_jpeg_pixels, encode_jpeg
+
+    const = np.full((32, 48, 3), 150, dtype=np.uint8)
+    px = decode_jpeg_pixels(
+        encode_jpeg(const, subsampling=sub, restart_interval=rst)
+    )
+    assert np.array_equal(px, const)
+    y, x = np.mgrid[0:41, 0:50]
+    img = np.stack(
+        [(x * 3) % 256, (y * 2 + 30) % 256, ((x + y) * 2) % 256], axis=-1
+    ).astype(np.uint8)
+    px2 = decode_jpeg_pixels(
+        encode_jpeg(img, subsampling=sub, restart_interval=rst)
+    )
+    assert px2.shape == (41, 50, 3)
+    assert np.abs(px2.astype(int) - img.astype(int)).max() <= 16
+
+
+def test_jpeg_rejects_malformed_and_progressive():
+    from datapact_ray.pipelines.jpeg_codec import decode_jpeg_pixels, encode_jpeg
+
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_pixels(b"\x00\x01\x02")
+    payload = encode_jpeg(np.full((8, 8), 100, dtype=np.uint8))
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(payload[:40])  # truncated mid-segments
+    # flip the SOF0 marker to SOF2 (progressive) → honest refusal
+    sof = payload.find(b"\xff\xc0")
+    prog = payload[:sof] + b"\xff\xc2" + payload[sof + 2 :]
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg_pixels(prog)
+    with pytest.raises(ValueError):
+        encode_jpeg(np.zeros((0, 4), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        encode_jpeg(np.zeros((4, 4), dtype=np.float64))
+
+
+def test_jpeg_resize_nearest_neighbor():
+    from datapact_ray.pipelines.jpeg_codec import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+        resize_jpeg,
+    )
+
+    vals = np.array([40, 80, 120, 160], dtype=np.uint8)
+    img = np.repeat(np.repeat(vals.reshape(1, 4), 16, axis=0), 16, axis=1)  # 16x64
+    out = resize_jpeg(encode_jpeg(img), 32, 8)
+    px = decode_jpeg_pixels(out)
+    assert px.shape == (8, 32, 1)
+    # 16-wide stripes halve to 8-wide → re-encoded blocks stay constant
+    # and even-valued, so the resized file is still bit-exact
+    want = np.repeat(np.repeat(vals.reshape(1, 4), 8, axis=0), 8, axis=1)
+    assert np.array_equal(px[..., 0], want)
+
+
+def test_featurize_real_jpeg_actor_pool():
+    from datapact_ray.pipelines.jpeg_codec import encode_jpeg
+
+    n = 10
+    payloads = [
+        encode_jpeg(np.full((8 * (i + 1), 16), (2 * i + 30) % 256, dtype=np.uint8))
+        for i in range(n)
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array(range(n), type=pa.int64()),
+                "media_type": pa.array(["image/jpeg"] * n),
+                "payload": pa.array(payloads, type=pa.binary()),
+            }
+        )
+    )
+    out = featurize_media(ds, decoder="real", batch_size=4).to_pandas()
+    assert len(out) == n
+    out = out.sort_values("media_id")
+    assert (out.height.to_numpy() == (np.arange(n) + 1) * 8).all()
+    assert (out.width.to_numpy() == 16).all()
+    # constant even values decode bit-exactly → means are exact
+    assert out.mean_value.to_numpy() == pytest.approx((2 * np.arange(n) + 30) % 256)
+
+
+def test_jpeg_decode_stats_oracle_sf0001():
+    """The JPEG real-decoder queries() entry matches its DuckDB oracle,
+    including the decoded-pixel luminance totals."""
+    import duckdb
+    import pandas as pd
+
+    from datapact_ray.pipelines.multimodal import (
+        _JPEG_DECODE_SQL,
+        jpeg_decode_stats_documents,
+    )
+
+    got = jpeg_decode_stats_documents("/root/testdata/sf0.001")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    want = con.execute(_JPEG_DECODE_SQL).fetchdf()
+    con.close()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
