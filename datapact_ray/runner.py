@@ -121,6 +121,15 @@ class RunConfig:
     # against run N's checkpointed source profile for every task that
     # configures `temporal_drift` (nightly source-shift detection)
     temporal_baseline_run: int | None = None
+    # keyed/conv incremental reuse: persist each keyed bucket's PROJECTED
+    # input (fixed-width exchange payload, never raw text) so the next
+    # run citing this one via `incremental_from` can scan only the
+    # newly-added files and union per bucket — verdicts stay identical
+    # to a full run because the checker sees the same multiset. Enabled
+    # automatically whenever `incremental_from` is set (chained nightly
+    # runs keep persisting); set it explicitly on the BASE run to make
+    # the first incremental run possible.
+    persist_keyed_inputs: bool = False
 
 
 @dataclass
@@ -703,17 +712,76 @@ class ValidationRunner:
         # keep the cluster busy instead of executing serially.
         jobs: dict[str, object] = {}
 
-        def keyed_job(spec_obj, cols_list, batch_mult=1):
+        persist_keyed = (
+            cfg.persist_keyed_inputs or cfg.incremental_from is not None
+        )
+        keyed_reuse: dict[str, dict] = {}
+
+        def _keyed_prior(sub: str, spec_obj) -> tuple | None:
+            """Cross-run keyed-input reuse preconditions: the cited prior
+            run completed this pass with persisted inputs, under the
+            IDENTICAL spec signature (same checks, buckets, hot keys)
+            and filter, and its file lists are a subset of the current
+            ones (append-only). Returns ``(prior_dir, new_src, new_tgt)``
+            or None → full scan."""
+            from .stages.keyed import _spec_signature
+
+            if cfg.incremental_from is None or not all_parquet:
+                return None
+            prior_ckpt = self._task_ckpt(task.task_key, cfg.incremental_from)
+            prior_dir = os.path.join(prior_ckpt, sub)
+            plineage_path = os.path.join(prior_ckpt, "lineage.json")
+            sig_path = os.path.join(prior_dir, "spec.sig")
+            if not (
+                os.path.exists(plineage_path)
+                and os.path.exists(sig_path)
+                and os.path.exists(os.path.join(prior_dir, "_INPUTS_COMPLETE"))
+            ):
+                return None
+            with open(plineage_path) as fh:
+                prior = json.load(fh)
+            if prior.get("filter") != task.filter:
+                return None
+            prev_src = set(prior.get("source_files") or [])
+            prev_tgt = set(prior.get("target_files") or [])
+            # removed files invalidate the union (cannot subtract rows)
+            if not (prev_src <= set(src_files) and prev_tgt <= set(tgt_files)):
+                return None
+            with open(sig_path, encoding="utf-8") as fh:
+                if fh.read() != _spec_signature(spec_obj):
+                    return None
+            new_src = [f for f in src_files if f not in prev_src]
+            new_tgt = [f for f in tgt_files if f not in prev_tgt]
+            return prior_dir, new_src, new_tgt
+
+        def keyed_job(spec_obj, cols_list, batch_mult=1, sub=None):
             """Pass runner: parquet inputs go through the fused
             read+project+split map tasks; other formats via Datasets."""
+            s_files, t_files = src_files, tgt_files
+            if all_parquet and sub is not None:
+                pr = _keyed_prior(sub, spec_obj)
+                if pr is not None:
+                    prior_dir, s_files, t_files = pr
+                    spec_obj.prior_input_dir = prior_dir
+                    # stashed, not written: the profile thread may be
+                    # serializing `lineage` right now — merged into it
+                    # (single-threaded again) after the passes finish
+                    keyed_reuse[sub] = {
+                        "from_run_id": cfg.incremental_from,
+                        "prior_input_dir": prior_dir,
+                        "new_source_files": len(s_files),
+                        "new_target_files": len(t_files),
+                        "reused_source_files": len(src_files) - len(s_files),
+                        "reused_target_files": len(tgt_files) - len(t_files),
+                    }
             if all_parquet:
                 return lambda: run_keyed_pass(
                     None,
                     None,
                     spec_obj,
                     task.task_key,
-                    source_files=src_files,
-                    target_files=tgt_files,
+                    source_files=s_files,
+                    target_files=t_files,
                     columns=sorted(set(cols_list) | filter_cols),
                     filter_expr=filter_expr,
                 )
@@ -826,6 +894,7 @@ class ValidationRunner:
                 num_buckets=num_buckets,
                 checkpoint_dir=os.path.join(ckpt, "keyed"),
                 resume=cfg.resume,
+                persist_input=persist_keyed,
                 **(grammar_kw if conv_folded else {}),
                 **(conv_dedup_kw if conv_folded else {}),
             )
@@ -845,7 +914,7 @@ class ValidationRunner:
             if conv_folded and cdd:
                 need_cols |= set(cdd.content_columns)
             cols = sorted(need_cols)
-            jobs["keyed"] = keyed_job(kspec, cols)
+            jobs["keyed"] = keyed_job(kspec, cols, sub="keyed")
 
         # separate uniqueness shuffle only when its key differs from the PK
         if uniqueness_enabled and not uniq_same_as_pk:
@@ -856,8 +925,9 @@ class ValidationRunner:
                 num_buckets=num_buckets,
                 checkpoint_dir=os.path.join(ckpt, "uniq"),
                 resume=cfg.resume,
+                persist_input=persist_keyed,
             )
-            jobs["uniq"] = keyed_job(uspec, uniq_cols)
+            jobs["uniq"] = keyed_job(uspec, uniq_cols, sub="uniq")
 
         # standalone conversation pass only when it cannot ride the keyed
         # shuffle (no PK checks, or a different group column)
@@ -877,6 +947,7 @@ class ValidationRunner:
                 num_buckets=num_buckets,
                 checkpoint_dir=os.path.join(ckpt, "conv"),
                 resume=cfg.resume,
+                persist_input=persist_keyed,
                 **grammar_kw,
                 **conv_dedup_kw,
             )
@@ -887,7 +958,7 @@ class ValidationRunner:
                     ccols.append(gram.tool_column)
             if cdd:
                 ccols.extend(cdd.content_columns)
-            jobs["conv"] = keyed_job(cspec, list(dict.fromkeys(ccols)), batch_mult=2)
+            jobs["conv"] = keyed_job(cspec, list(dict.fromkeys(ccols)), batch_mult=2, sub="conv")
 
 
         for name, fn in jobs.items():
@@ -906,6 +977,10 @@ class ValidationRunner:
                     )
         finally:
             pool.shutdown(wait=False)
+        if keyed_reuse:
+            # all pass threads are done — safe to serialize lineage again
+            lineage["incremental_keyed"] = keyed_reuse
+            _atomic_write(lineage_path, json.dumps(lineage, indent=1).encode())
         if "profile" in results:
             src_profile, tgt_profile = results["profile"]
 

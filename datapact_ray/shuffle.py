@@ -293,6 +293,7 @@ def parquet_bucket_shuffle(
     filter_expr,
     num_buckets: int,
     checker_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    prior_shards: list | None = None,
 ) -> list[bytes]:
     """Fully-explicit shuffle over parquet inputs: fused
     read+project+split map tasks at file/row-group granularity, then one
@@ -317,6 +318,10 @@ def parquet_bucket_shuffle(
     shard_lists = _submit_parquet_shards(
         sides, columns, filter_expr, num_buckets, map_task
     )
+    if prior_shards is not None:
+        # one extra shard side: a prior run's persisted bucket inputs
+        # (incremental reuse — entries are refs or None)
+        shard_lists.append(prior_shards)
 
     _t_submit_maps = _time.perf_counter()
 
@@ -399,6 +404,7 @@ def parquet_bucket_shuffle_dual(
     filter_expr,
     num_buckets: int,
     checker_fn: Callable,
+    prior_shards: list | None = None,
 ) -> tuple[list[bytes], list]:
     """Parquet exchange whose reduce has TWO outputs per bucket: the
     pickled metrics blob (fetched to the driver — small) and a side
@@ -412,6 +418,8 @@ def parquet_bucket_shuffle_dual(
     shard_lists = _submit_parquet_shards(
         sides, columns, filter_expr, num_buckets, map_task
     )
+    if prior_shards is not None:
+        shard_lists.append(prior_shards)
     blob_refs, side_refs = [], []
     for b in range(num_buckets):
         blob_ref, side_ref = reduce_task.remote(

@@ -117,6 +117,19 @@ class KeyedSpec:
     # a fresh run still writes them but never skips work based on stale
     # files from an earlier run (the runner clears the dir on non-resume)
     resume: bool = False
+    # cross-run incremental reuse: when set, each bucket's reduce ALSO
+    # persists the bucket's PROJECTED INPUT table (fixed-width hashes +
+    # key columns — the exchange payload, never the raw text) as
+    # ``bucket=<b>/input.parquet``, so the NEXT run over an append-only
+    # input can scan only the newly-added files and union per bucket
+    persist_input: bool = False
+    # a prior run's keyed checkpoint dir whose bucket input tables feed
+    # this run's reduces as one extra shard side. Set by the runner ONLY
+    # after validating: identical spec signature, identical filter, and
+    # prior file lists ⊆ current (append-only) — anything else falls
+    # back to a full scan. The union the checker sees is then the exact
+    # multiset a full scan would deliver, so verdicts are identical.
+    prior_input_dir: str | None = None
 
     def hot_hash_array(self) -> np.ndarray:
         """Hot-key identities as uint64 column hashes. Accepts either raw
@@ -875,7 +888,13 @@ class _BucketChecker:
                 else _empty_fp_table(spec.conv_dedup_mode)
             )
         if spec.checkpoint_dir:
-            self._checkpoint(bucket, m, violations, convfp)
+            self._checkpoint(
+                bucket,
+                m,
+                violations,
+                convfp,
+                table if spec.persist_input else None,
+            )
         return {"bucket": bucket, "blob": pickle.dumps(m), "convfp": convfp}
 
     # ---- check groups ----
@@ -1252,12 +1271,25 @@ class _BucketChecker:
                     m.grammar_groups_flagged[side] += int(flagged.sum())
 
     def _checkpoint(
-        self, bucket: int, m: KeyedMetrics, violations: list, convfp=None
+        self,
+        bucket: int,
+        m: KeyedMetrics,
+        violations: list,
+        convfp=None,
+        input_table: pa.Table | None = None,
     ) -> None:
         import pyarrow.parquet as pq
 
         bdir = os.path.join(self.spec.checkpoint_dir, f"bucket={bucket}")
         os.makedirs(bdir, exist_ok=True)
+        if input_table is not None:
+            # the bucket's full projected input (prior ∪ new), so the
+            # NEXT append-only run can union against it without
+            # re-scanning this run's files
+            fd, tmp = tempfile.mkstemp(dir=bdir, suffix=".parquet")
+            os.close(fd)
+            pq.write_table(input_table, tmp)
+            os.replace(tmp, os.path.join(bdir, "input.parquet"))
         vdf = pd.DataFrame(violations, columns=["check_alias", "key", "side", "detail"])
         vdf.insert(0, "task_key", self.task_key)
         fd, tmp = tempfile.mkstemp(dir=bdir, suffix=".parquet")
@@ -1462,6 +1494,10 @@ def _spec_signature(spec: KeyedSpec) -> str:
     d = dataclasses.asdict(spec)
     d.pop("checkpoint_dir", None)
     d.pop("resume", None)
+    # execution-locus details, not check semantics: a run that persists
+    # inputs (or consumes a prior run's) checks the same things
+    d.pop("persist_input", None)
+    d.pop("prior_input_dir", None)
     d["hot_keys"] = sorted(
         (str(k), int(v)) for k, v in (spec.hot_keys or {}).items()
     )
@@ -1488,6 +1524,18 @@ def _guard_checkpoint_spec(spec: KeyedSpec) -> None:
             shutil.rmtree(spec.checkpoint_dir, ignore_errors=True)
     os.makedirs(spec.checkpoint_dir, exist_ok=True)
     _atomic_write(sig_path, sig.encode("utf-8"))
+
+
+def _load_prior_bucket(prior_dir: str, bucket: int) -> pa.Table | None:
+    """Remote loader for a prior run's persisted bucket input (absence
+    = the bucket was empty in the prior run). Runs as a Ray task so the
+    table lands in the object store next to this run's new shards."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(prior_dir, f"bucket={bucket}", "input.parquet")
+    if not os.path.exists(path):
+        return None
+    return pq.read_table(path)
 
 
 def completed_buckets(checkpoint_dir: str | None) -> frozenset[int]:
@@ -1545,13 +1593,25 @@ def run_keyed_pass(
             sides.append(
                 (target_files, _Projector(spec, SIDE_TARGET, columns or [], done))
             )
+        prior_shards = None
+        if spec.prior_input_dir:
+            # the prior run's persisted bucket inputs join the exchange
+            # as one extra shard side (None for resume-done buckets —
+            # their checkpointed metrics already cover prior ∪ new)
+            loader = ray.remote(num_cpus=0.25)(_load_prior_bucket)
+            prior_shards = [
+                loader.remote(spec.prior_input_dir, b) if b not in done else None
+                for b in range(spec.num_buckets)
+            ]
         if dual:
             blobs, fp_refs = parquet_bucket_shuffle_dual(
-                sides, columns, filter_expr, spec.num_buckets, checker
+                sides, columns, filter_expr, spec.num_buckets, checker,
+                prior_shards=prior_shards,
             )
         else:
             blobs = parquet_bucket_shuffle(
-                sides, columns, filter_expr, spec.num_buckets, checker
+                sides, columns, filter_expr, spec.num_buckets, checker,
+                prior_shards=prior_shards,
             )
     else:
         from ..shuffle import bucket_shuffle, bucket_shuffle_dual
@@ -1616,6 +1676,12 @@ def run_keyed_pass(
             os.replace(tmp, os.path.join(hdir, "violations.parquet"))
     if dual:
         _run_conv_dedup(merged, spec, task_key, fp_refs, hot_fp_rows, done)
+    if spec.persist_input and spec.checkpoint_dir:
+        # every reduce (and its input.parquet) is durable by now — mark
+        # the input set complete so a later run can trust it as a prior
+        _atomic_write(
+            os.path.join(spec.checkpoint_dir, "_INPUTS_COMPLETE"), b""
+        )
     return merged
 
 

@@ -1,0 +1,205 @@
+"""Cross-run incremental reuse for the KEYED/CONV passes: run N+1 over
+an append-only input scans ONLY the files added since run N and unions
+each bucket's new rows with run N's persisted projected inputs —
+verdicts must be IDENTICAL to a full run over all files, including
+violations that only exist ACROSS the old/new file boundary (a new row
+colliding with an old primary key; a new conversation duplicating an
+old one). Fallback paths (changed filter, missing prior inputs) must
+silently run full and stay correct; lineage must record the reuse."""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from datapact_ray.config import ConvDedupCheck, OrderingCheck, ValidationSuite, ValidationTask
+from datapact_ray.runner import RunConfig, run_suite
+
+TURNS = 6
+
+
+def _conv_frame(conv_ids, seed=0):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for cid in conv_ids:
+        for t in range(TURNS):
+            rows.append(
+                {
+                    "conv_id": cid,
+                    "turn_idx": t,
+                    "role": "user" if t % 2 == 0 else "assistant",
+                    "text": f"{cid}-turn{t}-{rng.integers(0, 10 ** 6)}",
+                    "ts": np.datetime64("2026-01-01") + np.timedelta64(t, "m"),
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+def _write(df, path):
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path)
+
+
+def _task(src, tgt):
+    return ValidationTask(
+        task_key="t",
+        source_path=src,
+        target_path=tgt,
+        primary_keys=["conv_id", "turn_idx"],
+        count_tolerance=0.0,
+        pk_row_hash_check=True,
+        pk_hash_tolerance=0.0,
+        uniqueness_columns=["conv_id", "turn_idx"],
+        uniqueness_tolerance=0.0,
+        ordering=OrderingCheck(require_contiguous=True),
+        conv_dedup=ConvDedupCheck(mode="exact", tolerance=0.0),
+    )
+
+
+def _keyed_payload(summary):
+    """The keyed-check payload entries (everything timing-independent)."""
+    p = summary.results[0].payload
+    return {
+        k: p[k]
+        for k in p
+        if k.startswith(
+            ("row_hash", "uniqueness", "ordering", "conv_dedup", "count_")
+        )
+    }
+
+
+def _build_base(tmp_path):
+    src = tmp_path / "src"
+    tgt = tmp_path / "tgt"
+    src.mkdir()
+    tgt.mkdir()
+    base = _conv_frame([f"c{i:04d}" for i in range(120)], seed=1)
+    _write(base, str(src / "part-000.parquet"))
+    tgt_base = base.copy()
+    # one old-file row-hash mismatch, present in every run
+    tgt_base.loc[10, "text"] = "corrupted-old"
+    _write(tgt_base, str(tgt / "part-000.parquet"))
+    return src, tgt, base
+
+
+def _append_new(src, tgt, base):
+    """part-001: new conversations plus violations that span the
+    old/new file boundary."""
+    new = _conv_frame([f"c{i:04d}" for i in range(120, 150)], seed=2)
+    # cross-file PK collision: new row re-uses an OLD key (both sides so
+    # counts still match)
+    dup_pk = base[(base.conv_id == "c0005") & (base.turn_idx == 2)].copy()
+    # cross-file conversation duplicate: c0210 repeats OLD c0007's
+    # content turn-for-turn (same role/text sequence, new conv_id)
+    dup_conv = base[base.conv_id == "c0007"].copy()
+    dup_conv["conv_id"] = "c0210"
+    new = pd.concat([new, dup_pk, dup_conv], ignore_index=True)
+    _write(new, str(src / "part-001.parquet"))
+    tgt_new = new.copy()
+    tgt_new.loc[5, "text"] = "corrupted-new"  # new-file mismatch
+    _write(tgt_new, str(tgt / "part-001.parquet"))
+
+
+def test_incremental_keyed_matches_full(tmp_path):
+    src, tgt, base = _build_base(tmp_path)
+    suite = ValidationSuite(validations=[_task(str(src), str(tgt))])
+    rdir = str(tmp_path / "out")
+
+    s1 = run_suite(
+        suite, RunConfig(results_dir=rdir, run_id=1, persist_keyed_inputs=True)
+    )
+    assert s1.results[0].status == "FAILURE"  # the old corruption
+    keyed_dir = os.path.join(rdir, "checkpoint", "run_id=1", "task=t", "keyed")
+    assert os.path.exists(os.path.join(keyed_dir, "_INPUTS_COMPLETE"))
+    inputs = [
+        os.path.join(keyed_dir, d, "input.parquet")
+        for d in os.listdir(keyed_dir)
+        if d.startswith("bucket=")
+    ]
+    assert inputs and all(os.path.exists(p) for p in inputs)
+    # the persisted inputs are the PROJECTED exchange payload: key
+    # columns + fixed-width helpers, never the raw text column
+    sample = pq.read_table(inputs[0])
+    assert "text" not in sample.column_names
+    assert {"conv_id", "turn_idx", "__kh", "__side"} <= set(sample.column_names)
+
+    _append_new(src, tgt, base)
+
+    s2 = run_suite(
+        suite, RunConfig(results_dir=rdir, run_id=2, incremental_from=1)
+    )
+    lineage = json.load(
+        open(os.path.join(rdir, "checkpoint", "run_id=2", "task=t", "lineage.json"))
+    )
+    rk = lineage["incremental_keyed"]["keyed"]
+    assert rk["from_run_id"] == 1
+    assert rk["new_source_files"] == 1 and rk["reused_source_files"] == 1
+    assert rk["new_target_files"] == 1 and rk["reused_target_files"] == 1
+
+    # full run over the same (grown) inputs in a fresh results dir
+    s_full = run_suite(
+        ValidationSuite(validations=[_task(str(src), str(tgt))]),
+        RunConfig(results_dir=str(tmp_path / "out_full"), run_id=1),
+    )
+    assert _keyed_payload(s2) == _keyed_payload(s_full)
+
+    p = s2.results[0].payload
+    # cross-file violations were caught: the duplicated old PK (2
+    # occurrences of (c0005, 2) per side) ...
+    assert p["uniqueness_validation_conv_id_turn_idx"]["status"] == "FAIL"
+    # ... and the old/new conversation duplicate pair on each side
+    assert p["conv_dedup_validation_conv_id"]["status"] == "FAIL"
+    # both row-hash mismatches (one in the old file, one in the new)
+    assert p["row_hash_validation"]["mismatch_count"] == "2"
+    # run 2 also persisted its (union) inputs → run 3 can chain
+    assert os.path.exists(
+        os.path.join(
+            rdir, "checkpoint", "run_id=2", "task=t", "keyed", "_INPUTS_COMPLETE"
+        )
+    )
+
+
+def test_incremental_keyed_falls_back_when_filter_changes(tmp_path):
+    src, tgt, base = _build_base(tmp_path)
+    rdir = str(tmp_path / "out")
+    suite = ValidationSuite(validations=[_task(str(src), str(tgt))])
+    run_suite(suite, RunConfig(results_dir=rdir, run_id=1, persist_keyed_inputs=True))
+    _append_new(src, tgt, base)
+
+    # a different filter invalidates the prior inputs → silent full run
+    t2 = _task(str(src), str(tgt))
+    t2.filter = "turn_idx >= 0"
+    s2 = run_suite(
+        ValidationSuite(validations=[t2]),
+        RunConfig(results_dir=rdir, run_id=2, incremental_from=1),
+    )
+    lineage = json.load(
+        open(os.path.join(rdir, "checkpoint", "run_id=2", "task=t", "lineage.json"))
+    )
+    assert "incremental_keyed" not in lineage
+    # still correct: the full scan sees every violation
+    p = s2.results[0].payload
+    assert p["row_hash_validation"]["mismatch_count"] == "2"
+    assert p["uniqueness_validation_conv_id_turn_idx"]["status"] == "FAIL"
+
+
+def test_incremental_keyed_falls_back_when_file_removed(tmp_path):
+    src, tgt, base = _build_base(tmp_path)
+    rdir = str(tmp_path / "out")
+    suite = ValidationSuite(validations=[_task(str(src), str(tgt))])
+    run_suite(suite, RunConfig(results_dir=rdir, run_id=1, persist_keyed_inputs=True))
+    _append_new(src, tgt, base)
+    # replace (remove+add) the base file → prev ⊄ current → full scan
+    shutil.move(str(src / "part-000.parquet"), str(src / "part-002.parquet"))
+    shutil.move(str(tgt / "part-000.parquet"), str(tgt / "part-002.parquet"))
+    s2 = run_suite(
+        suite, RunConfig(results_dir=rdir, run_id=2, incremental_from=1)
+    )
+    lineage = json.load(
+        open(os.path.join(rdir, "checkpoint", "run_id=2", "task=t", "lineage.json"))
+    )
+    assert "incremental_keyed" not in lineage
+    assert s2.results[0].payload["row_hash_validation"]["mismatch_count"] == "2"
