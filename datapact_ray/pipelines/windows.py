@@ -67,6 +67,34 @@ def _int64_np(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return arr.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
 
 
+def _f64_np(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return arr.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+
+
+def _valid_subset(batch: pa.Table, cols: list[str], subset: list[str]) -> pa.Table:
+    """Arrow-native ``dropna(subset=...)``: project to ``cols``, drop
+    rows with a null in any ``subset`` column (nulls elsewhere stay)."""
+    t = batch.select(cols)
+    mask = None
+    for c in subset:
+        v = pc.is_valid(t.column(c))
+        mask = v if mask is None else pc.and_(mask, v)
+    return t.filter(mask) if mask is not None else t
+
+
+def _unique_pairs(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct (a, b) pairs (vectorized ``drop_duplicates`` for the
+    per-batch combiners; output order is sorted, downstream reduces
+    treat the rows as a set)."""
+    if len(a) == 0:
+        return a, b
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    keep = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+    return a[keep], b[keep]
+
+
 _US_PER_DAY = np.int64(86_400_000_000)
 _SLICE_MIX = np.int64(1_000_003)  # combines (key, time_slice) into one
 # shuffle id; prime ≫ any realistic slice count so combos never collide
@@ -297,43 +325,46 @@ def asof_value_per_order(
             return np.zeros(len(t), dtype=np.int64)
         return (t // _US_PER_DAY) // sd
 
-    def o_project(batch: pa.Table) -> pd.DataFrame:
-        df = batch.to_pandas()
-        key = (df["o_custkey"] % 100).astype("int64")
-        t = df["o_orderdate"].astype("int64")
-        sl = _slice_of(t.to_numpy())
-        return pd.DataFrame(
+    def o_project(batch: pa.Table) -> pa.Table:
+        key = _int64_np(batch.column("o_custkey")) % 100
+        t = _ts_us_np(batch.column("o_orderdate"))
+        sl = _slice_of(t)
+        return pa.table(
             {
-                "side": np.int8(0),
+                "side": np.full(len(key), 0, dtype=np.int8),
                 "key": key,
                 "slice": sl,
                 "t": t,
-                "value": np.zeros(len(df)),
-                "__bucket": _bucket_of(
-                    key.to_numpy() * _SLICE_MIX + sl, n_buckets
-                ),
+                "value": np.zeros(len(key)),
+                "__bucket": _bucket_of(key * _SLICE_MIX + sl, n_buckets),
             }
         )
 
-    def e_project(batch: pa.Table) -> pd.DataFrame:
-        df = batch.to_pandas()
-        part = pd.DataFrame(
+    def e_project(batch: pa.Table) -> pa.Table:
+        key = _int64_np(batch.column("user_id")) % 100
+        t = _ts_us_np(batch.column("ts"))
+        value = _f64_np(batch.column("value"))
+        # per-batch combiner: one row per distinct (key, t) enters the
+        # shuffle (MAX keeps tie-breaking deterministic + oracle-matching;
+        # NaN ordered first so the group max skips it like pandas did)
+        if len(key):
+            order = np.lexsort(
+                (np.where(np.isnan(value), -np.inf, value), t, key)
+            )
+            key, t, value = key[order], t[order], value[order]
+            last = np.r_[(key[1:] != key[:-1]) | (t[1:] != t[:-1]), True]
+            key, t, value = key[last], t[last], value[last]
+        sl = _slice_of(t)
+        return pa.table(
             {
-                "key": (df["user_id"] % 100).astype("int64"),
-                "t": df["ts"].astype("int64"),
-                "value": df["value"].astype("float64"),
+                "side": np.full(len(key), 1, dtype=np.int8),
+                "key": key,
+                "slice": sl,
+                "t": t,
+                "value": value,
+                "__bucket": _bucket_of(key * _SLICE_MIX + sl, n_buckets),
             }
         )
-        # per-batch combiner: one row per distinct (key, t) enters the
-        # shuffle (MAX keeps tie-breaking deterministic + oracle-matching)
-        part = part.groupby(["key", "t"], as_index=False)["value"].max()
-        part["slice"] = _slice_of(part["t"].to_numpy())
-        part.insert(0, "side", np.int8(1))
-        part["__bucket"] = _bucket_of(
-            part["key"].to_numpy() * _SLICE_MIX + part["slice"].to_numpy(),
-            n_buckets,
-        )
-        return part[["side", "key", "slice", "t", "value", "__bucket"]]
 
     _empty = pd.DataFrame(
         {
@@ -463,30 +494,28 @@ def range_join_orders_lineitem(
     sd = None if slice_days is None else np.int64(slice_days)
     window_us = np.int64(window_days) * _US_PER_DAY
 
-    def o_project(batch: pa.Table) -> pd.DataFrame:
-        df = batch.to_pandas()
-        key = (df["o_custkey"] % 100).astype("int64")
-        t = df["o_orderdate"].astype("int64")
+    def o_project(batch: pa.Table) -> pa.Table:
+        key = _int64_np(batch.column("o_custkey")) % 100
+        t = _ts_us_np(batch.column("o_orderdate"))
         if sd is None:
-            sl = np.zeros(len(df), dtype=np.int64)
+            sl = np.zeros(len(key), dtype=np.int64)
         else:
-            sl = (t.to_numpy() // _US_PER_DAY) // sd
-        ck = key.to_numpy() * _SLICE_MIX + sl
-        return pd.DataFrame(
+            sl = (t // _US_PER_DAY) // sd
+        ck = key * _SLICE_MIX + sl
+        return pa.table(
             {
-                "side": np.int8(0),
+                "side": np.full(len(key), 0, dtype=np.int8),
                 "ck": ck,
                 "t": t,
-                "value": np.zeros(len(df)),
+                "value": np.zeros(len(key)),
                 "__bucket": _bucket_of(ck, n_buckets),
             }
         )
 
-    def l_project(batch: pa.Table) -> pd.DataFrame:
-        df = batch.to_pandas()
-        key = (df["l_suppkey"] % 100).astype("int64").to_numpy()
-        t = df["l_shipdate"].astype("int64").to_numpy()
-        value = df["l_extendedprice"].astype("float64").to_numpy()
+    def l_project(batch: pa.Table) -> pa.Table:
+        key = _int64_np(batch.column("l_suppkey")) % 100
+        t = _ts_us_np(batch.column("l_shipdate"))
+        value = _f64_np(batch.column("l_extendedprice"))
         if sd is None:
             ck = key * _SLICE_MIX
         else:
@@ -497,9 +526,9 @@ def range_join_orders_lineitem(
             ck = np.concatenate([ck, key[halo] * _SLICE_MIX + sl[halo] - 1])
             t = np.concatenate([t, t[halo]])
             value = np.concatenate([value, value[halo]])
-        return pd.DataFrame(
+        return pa.table(
             {
-                "side": np.int8(1),
+                "side": np.full(len(ck), 1, dtype=np.int8),
                 "ck": ck,
                 "t": t,
                 "value": value,
@@ -661,11 +690,12 @@ def cumsum_crossing_events(sf_dir: str, fraction: float = 0.5) -> pd.DataFrame:
     def hour_partial(batch: pa.Table) -> pd.DataFrame:
         import math as _math
 
-        df = batch.to_pandas().dropna(subset=["ts"])
-        if len(df) == 0:
+        t = _valid_subset(batch, ["ts", "value"], ["ts"])
+        if t.num_rows == 0:
             return pd.DataFrame({"hour": [], "s": [], "mn": []})
-        v = df["value"].fillna(0.0).to_numpy(dtype=np.float64)
-        ts_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        v = _f64_np(t.column("value"))
+        v = np.where(np.isnan(v), 0.0, v)
+        ts_us = _ts_us_np(t.column("ts"))
         hours = (ts_us // hour_us) * hour_us
         order = np.argsort(hours, kind="stable")
         hs, vs = hours[order], v[order]
@@ -737,18 +767,21 @@ def _funnel_projector(steps: tuple[str, ...], n_buckets: int):
     int64 −2⁶³, which would poison a user's first-step MIN and convert
     every later event with a ~2⁶³ µs latency — SQL MIN ignores NULLs and
     ``ts > NULL`` is false, so the oracle never sees those rows."""
-    step_ord = {s: i for i, s in enumerate(steps)}
-
-    def add_bucket(batch: pa.Table) -> pd.DataFrame:
-        df = batch.to_pandas().dropna(subset=["user_id", "event_type", "ts"])
-        return pd.DataFrame(
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        t = _valid_subset(
+            batch, ["user_id", "event_type", "ts"], ["user_id", "event_type", "ts"]
+        )
+        uid = _int64_np(t.column("user_id"))
+        codes = pc.index_in(
+            pc.cast(t.column("event_type"), pa.string()),
+            value_set=pa.array(list(steps), type=pa.string()),
+        )
+        return pa.table(
             {
-                "user_id": df["user_id"].astype("int64"),
-                "ts": df["ts"].astype("datetime64[us]").astype("int64"),
-                "step": df["event_type"].map(step_ord).astype("int8"),
-                "__bucket": _bucket_of(
-                    df["user_id"].to_numpy(dtype=np.int64), n_buckets
-                ),
+                "user_id": uid,
+                "ts": _ts_us_np(t.column("ts")),
+                "step": pc.fill_null(codes, -1).cast(pa.int8()),
+                "__bucket": _bucket_of(uid, n_buckets),
             }
         )
 
@@ -849,16 +882,19 @@ def event_type_transitions_events(
     n_buckets = num_buckets or scaled_num_buckets(count_rows(path))
 
     def add_bucket(batch: pa.Table) -> pd.DataFrame:
-        df = batch.to_pandas().dropna(subset=["user_id", "event_type"])
-        return pd.DataFrame(
+        t = _valid_subset(
+            batch,
+            ["user_id", "ts", "event_id", "event_type"],
+            ["user_id", "event_type"],
+        )
+        uid = _int64_np(t.column("user_id"))
+        return pa.table(
             {
-                "user_id": df["user_id"].astype("int64"),
-                "ts": df["ts"].astype("datetime64[us]").astype("int64"),
-                "event_id": df["event_id"].astype("int64"),
-                "event_type": df["event_type"].astype(str),
-                "__bucket": _bucket_of(
-                    df["user_id"].to_numpy(dtype=np.int64), n_buckets
-                ),
+                "user_id": uid,
+                "ts": _ts_us_np(t.column("ts")),
+                "event_id": _int64_np(t.column("event_id")),
+                "event_type": pc.cast(t.column("event_type"), pa.string()),
+                "__bucket": _bucket_of(uid, n_buckets),
             }
         )
 
@@ -923,19 +959,23 @@ def rolling_avg_events(
     n_buckets = num_buckets or scaled_num_buckets(count_rows(path))
 
     def add_bucket(batch: pa.Table) -> pd.DataFrame:
-        df = batch.to_pandas().dropna(subset=["user_id", "ts", "event_type"])
-        return pd.DataFrame(
+        t = _valid_subset(
+            batch,
+            ["user_id", "ts", "event_id", "event_type", "value"],
+            ["user_id", "ts", "event_type"],
+        )
+        uid = _int64_np(t.column("user_id"))
+        v = _f64_np(t.column("value"))
+        return pa.table(
             {
-                "user_id": df["user_id"].astype("int64"),
-                "ts": df["ts"].astype("datetime64[us]").astype("int64"),
-                "event_id": df["event_id"].astype("int64"),
-                "event_type": df["event_type"].astype(str),
+                "user_id": uid,
+                "ts": _ts_us_np(t.column("ts")),
+                "event_id": _int64_np(t.column("event_id")),
+                "event_type": pc.cast(t.column("event_type"), pa.string()),
                 "cents": np.round(
-                    df["value"].fillna(0.0).to_numpy(np.float64) * 100.0
+                    np.where(np.isnan(v), 0.0, v) * 100.0
                 ).astype(np.int64),
-                "__bucket": _bucket_of(
-                    df["user_id"].to_numpy(dtype=np.int64), n_buckets
-                ),
+                "__bucket": _bucket_of(uid, n_buckets),
             }
         )
 
@@ -1022,15 +1062,13 @@ def retention_cohorts_events(
     n_buckets = num_buckets or scaled_num_buckets(count_rows(path))
 
     def add_bucket(batch: pa.Table) -> pd.DataFrame:
-        df = batch.to_pandas().dropna(subset=["user_id", "ts"])
-        ts_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        return pd.DataFrame(
+        t = _valid_subset(batch, ["user_id", "ts"], ["user_id", "ts"])
+        uid = _int64_np(t.column("user_id"))
+        return pa.table(
             {
-                "user_id": df["user_id"].astype("int64"),
-                "wk": _week_start_us(ts_us),
-                "__bucket": _bucket_of(
-                    df["user_id"].to_numpy(dtype=np.int64), n_buckets
-                ),
+                "user_id": uid,
+                "wk": _week_start_us(_ts_us_np(t.column("ts"))),
+                "__bucket": _bucket_of(uid, n_buckets),
             }
         )
 
@@ -1093,15 +1131,13 @@ def churn_weekly_events(
     n_buckets = num_buckets or scaled_num_buckets(count_rows(path))
 
     def add_bucket(batch: pa.Table) -> pd.DataFrame:
-        df = batch.to_pandas().dropna(subset=["user_id", "ts"])
-        ts_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        return pd.DataFrame(
+        t = _valid_subset(batch, ["user_id", "ts"], ["user_id", "ts"])
+        uid = _int64_np(t.column("user_id"))
+        return pa.table(
             {
-                "user_id": df["user_id"].astype("int64"),
-                "wk": _week_start_us(ts_us),
-                "__bucket": _bucket_of(
-                    df["user_id"].to_numpy(dtype=np.int64), n_buckets
-                ),
+                "user_id": uid,
+                "wk": _week_start_us(_ts_us_np(t.column("ts"))),
+                "__bucket": _bucket_of(uid, n_buckets),
             }
         )
 
@@ -1166,15 +1202,16 @@ def late_events_events(
     n_buckets = num_buckets or scaled_num_buckets(count_rows(path))
 
     def add_bucket(batch: pa.Table) -> pd.DataFrame:
-        df = batch.to_pandas().dropna(subset=["user_id", "ts"])
-        return pd.DataFrame(
+        t = _valid_subset(
+            batch, ["user_id", "ts", "event_id"], ["user_id", "ts"]
+        )
+        uid = _int64_np(t.column("user_id"))
+        return pa.table(
             {
-                "user_id": df["user_id"].astype("int64"),
-                "ts": df["ts"].astype("datetime64[us]").astype("int64"),
-                "event_id": df["event_id"].astype("int64"),
-                "__bucket": _bucket_of(
-                    df["user_id"].to_numpy(dtype=np.int64), n_buckets
-                ),
+                "user_id": uid,
+                "ts": _ts_us_np(t.column("ts")),
+                "event_id": _int64_np(t.column("event_id")),
+                "__bucket": _bucket_of(uid, n_buckets),
             }
         )
 
@@ -1254,17 +1291,23 @@ def peak_window_events(
     n_buckets = num_buckets or scaled_num_buckets(n_rows)
 
     def add_bucket(batch: pa.Table) -> pd.DataFrame:
-        df = batch.to_pandas().dropna(subset=["ts"])
-        t = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        tbl = _valid_subset(batch, ["ts"], ["ts"])
+        t = _ts_us_np(tbl.column("ts"))
         hour = t // hour_us
-        own = pd.DataFrame({"ts": t, "halo": np.int8(0), "hour": hour})
         tail = t % hour_us >= hour_us - win_us
-        halo = pd.DataFrame(
-            {"ts": t[tail], "halo": np.int8(1), "hour": hour[tail] + 1}
+        ts_all = np.concatenate([t, t[tail]])
+        halo = np.concatenate(
+            [np.zeros(len(t), dtype=np.int8), np.ones(int(tail.sum()), dtype=np.int8)]
         )
-        out = pd.concat([own, halo], ignore_index=True)
-        out["__bucket"] = _bucket_of(out["hour"].to_numpy(), n_buckets)
-        return out[["ts", "halo", "hour", "__bucket"]]
+        hours = np.concatenate([hour, hour[tail] + 1])
+        return pa.table(
+            {
+                "ts": ts_all,
+                "halo": halo,
+                "hour": hours,
+                "__bucket": _bucket_of(hours, n_buckets),
+            }
+        )
 
     def peak_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         best = 0
@@ -1307,14 +1350,13 @@ def burst_users_events(
     n_buckets = num_buckets or scaled_num_buckets(count_rows(path))
 
     def add_bucket(batch: pa.Table) -> pd.DataFrame:
-        df = batch.to_pandas().dropna(subset=["user_id", "ts"])
-        return pd.DataFrame(
+        t = _valid_subset(batch, ["user_id", "ts"], ["user_id", "ts"])
+        uid = _int64_np(t.column("user_id"))
+        return pa.table(
             {
-                "user_id": df["user_id"].astype("int64"),
-                "ts": df["ts"].astype("datetime64[us]").astype("int64"),
-                "__bucket": _bucket_of(
-                    df["user_id"].to_numpy(dtype=np.int64), n_buckets
-                ),
+                "user_id": uid,
+                "ts": _ts_us_np(t.column("ts")),
+                "__bucket": _bucket_of(uid, n_buckets),
             }
         )
 
@@ -1378,15 +1420,18 @@ def conversion_delay_events(
     n_buckets = num_buckets or scaled_num_buckets(count_rows(path))
 
     def add_bucket(batch: pa.Table) -> pd.DataFrame:
-        df = batch.to_pandas().dropna(subset=["user_id", "ts", "event_type"])
-        return pd.DataFrame(
+        t = _valid_subset(
+            batch, ["user_id", "ts", "event_type"], ["user_id", "ts", "event_type"]
+        )
+        uid = _int64_np(t.column("user_id"))
+        return pa.table(
             {
-                "user_id": df["user_id"].astype("int64"),
-                "ts": df["ts"].astype("datetime64[us]").astype("int64"),
-                "is_first": (df["event_type"] == first).to_numpy(),
-                "__bucket": _bucket_of(
-                    df["user_id"].to_numpy(dtype=np.int64), n_buckets
+                "user_id": uid,
+                "ts": _ts_us_np(t.column("ts")),
+                "is_first": pc.equal(
+                    pc.cast(t.column("event_type"), pa.string()), first
                 ),
+                "__bucket": _bucket_of(uid, n_buckets),
             }
         )
 
@@ -1467,18 +1512,18 @@ def order_gaps_orders(
     n_buckets = num_buckets or scaled_num_buckets(count_rows(path))
 
     def add_bucket(batch: pa.Table) -> pd.DataFrame:
-        df = batch.to_pandas().dropna(subset=["o_custkey", "o_orderdate"])
-        return pd.DataFrame(
+        t = _valid_subset(
+            batch,
+            ["o_custkey", "o_orderdate", "o_orderkey"],
+            ["o_custkey", "o_orderdate"],
+        )
+        c = _int64_np(t.column("o_custkey"))
+        return pa.table(
             {
-                "c": df["o_custkey"].astype("int64"),
-                "d": df["o_orderdate"]
-                .astype("datetime64[us]")
-                .astype("int64")
-                // _DAY_US,
-                "k": df["o_orderkey"].astype("int64"),
-                "__bucket": _bucket_of(
-                    df["o_custkey"].to_numpy(dtype=np.int64), n_buckets
-                ),
+                "c": c,
+                "d": _ts_us_np(t.column("o_orderdate")) // _DAY_US,
+                "k": _int64_np(t.column("o_orderkey")),
+                "__bucket": _bucket_of(c, n_buckets),
             }
         )
 
@@ -1542,16 +1587,18 @@ def dau_series_events(
     n_buckets = num_buckets or scaled_num_buckets(count_rows(path))
 
     def add_bucket(batch: pa.Table) -> pd.DataFrame:
-        df = batch.to_pandas().dropna(subset=["user_id", "ts"])
-        ts_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        inc = pd.DataFrame(
+        t = _valid_subset(batch, ["user_id", "ts"], ["user_id", "ts"])
+        uid, day = _unique_pairs(
+            _int64_np(t.column("user_id")),
+            (_ts_us_np(t.column("ts")) // _DAY_US) * _DAY_US,
+        )
+        return pa.table(
             {
-                "user_id": df["user_id"].astype("int64"),
-                "day": (ts_us // _DAY_US) * _DAY_US,
+                "user_id": uid,
+                "day": day,
+                "__bucket": _bucket_of(uid, n_buckets),
             }
-        ).drop_duplicates()
-        inc["__bucket"] = _bucket_of(inc["user_id"].to_numpy(), n_buckets)
-        return inc
+        )
 
     def dau_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         out = (
@@ -1705,16 +1752,18 @@ def streaks_events(
     n_buckets = num_buckets or scaled_num_buckets(count_rows(path))
 
     def add_bucket(batch: pa.Table) -> pd.DataFrame:
-        df = batch.to_pandas().dropna(subset=["user_id", "ts"])
-        ts_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        inc = pd.DataFrame(
+        t = _valid_subset(batch, ["user_id", "ts"], ["user_id", "ts"])
+        uid, day = _unique_pairs(
+            _int64_np(t.column("user_id")),
+            _ts_us_np(t.column("ts")) // _DAY_US,
+        )
+        return pa.table(
             {
-                "user_id": df["user_id"].astype("int64"),
-                "day": ts_us // _DAY_US,
+                "user_id": uid,
+                "day": day,
+                "__bucket": _bucket_of(uid, n_buckets),
             }
-        ).drop_duplicates()
-        inc["__bucket"] = _bucket_of(inc["user_id"].to_numpy(), n_buckets)
-        return inc
+        )
 
     def streaks_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         zero = pd.DataFrame(
@@ -1798,16 +1847,18 @@ def cumulative_users_events(
     n_buckets = num_buckets or scaled_num_buckets(count_rows(path))
 
     def add_bucket(batch: pa.Table) -> pd.DataFrame:
-        df = batch.to_pandas().dropna(subset=["user_id", "ts"])
-        ts_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        inc = pd.DataFrame(
+        t = _valid_subset(batch, ["user_id", "ts"], ["user_id", "ts"])
+        uid, day = _unique_pairs(
+            _int64_np(t.column("user_id")),
+            (_ts_us_np(t.column("ts")) // _DAY_US) * _DAY_US,
+        )
+        return pa.table(
             {
-                "user_id": df["user_id"].astype("int64"),
-                "day": (ts_us // _DAY_US) * _DAY_US,
+                "user_id": uid,
+                "day": day,
+                "__bucket": _bucket_of(uid, n_buckets),
             }
-        ).drop_duplicates()
-        inc["__bucket"] = _bucket_of(inc["user_id"].to_numpy(), n_buckets)
-        return inc
+        )
 
     def first_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         dd = g.drop_duplicates(["user_id", "day"])
@@ -1858,17 +1909,21 @@ def journey_paths_events(
     n_buckets = num_buckets or scaled_num_buckets(count_rows(path))
 
     def add_bucket(batch: pa.Table) -> pd.DataFrame:
-        df = batch.to_pandas().dropna(subset=["user_id", "ts", "event_type"])
-        out = pd.DataFrame(
+        tbl = _valid_subset(
+            batch,
+            ["user_id", "ts", "event_id", "event_type"],
+            ["user_id", "ts", "event_type"],
+        )
+        u = _int64_np(tbl.column("user_id"))
+        return pa.table(
             {
-                "u": df["user_id"].astype("int64"),
-                "ts": df["ts"].astype("datetime64[us]").astype("int64"),
-                "eid": df["event_id"].astype("int64"),
-                "t": df["event_type"],
+                "u": u,
+                "ts": _ts_us_np(tbl.column("ts")),
+                "eid": _int64_np(tbl.column("event_id")),
+                "t": pc.cast(tbl.column("event_type"), pa.string()),
+                "__bucket": _bucket_of(u, n_buckets),
             }
         )
-        out["__bucket"] = _bucket_of(out["u"].to_numpy(), n_buckets)
-        return out
 
     def paths_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0:
@@ -1935,20 +1990,20 @@ def new_vs_returning_orders(
     n_buckets = num_buckets or scaled_num_buckets(count_rows(path))
 
     def add_bucket(batch: pa.Table) -> pd.DataFrame:
-        df = batch.to_pandas().dropna(subset=["o_custkey", "o_orderdate"])
+        t = _valid_subset(
+            batch, ["o_custkey", "o_orderdate"], ["o_custkey", "o_orderdate"]
+        )
         month = (
-            df["o_orderdate"]
+            _ts_us_np(t.column("o_orderdate"))
             .astype("datetime64[us]")
-            .to_numpy()
             .astype("datetime64[M]")
             .astype("datetime64[us]")
             .astype("int64")
         )
-        out = pd.DataFrame(
-            {"c": df["o_custkey"].astype("int64"), "m": month}
-        ).drop_duplicates()
-        out["__bucket"] = _bucket_of(out["c"].to_numpy(), n_buckets)
-        return out
+        c, m = _unique_pairs(_int64_np(t.column("o_custkey")), month)
+        return pa.table(
+            {"c": c, "m": m, "__bucket": _bucket_of(c, n_buckets)}
+        )
 
     def split_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         a = g.drop_duplicates(["c", "m"])[["c", "m"]]
@@ -1999,8 +2054,7 @@ def traffic_heatmap_events(sf_dir: str) -> pd.DataFrame:
     from ..shuffle import map_partials
 
     def partial(batch: pa.Table) -> pd.DataFrame:
-        df = batch.to_pandas().dropna(subset=["ts"])
-        ts_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        ts_us = _ts_us_np(_valid_subset(batch, ["ts"], ["ts"]).column("ts"))
         day = ts_us // _DAY_US
         cell = ((day + 4) % 7) * 24 + (ts_us // 3_600_000_000) % 24
         cnt = np.bincount(cell, minlength=168)
@@ -2036,17 +2090,20 @@ def monthly_growth_orders(sf_dir: str) -> pd.DataFrame:
     from ._util import round_duck as _rd
 
     def partial(batch: pa.Table) -> pd.DataFrame:
-        df = batch.to_pandas().dropna(subset=["o_orderdate", "o_totalprice"])
+        t = _valid_subset(
+            batch,
+            ["o_orderdate", "o_totalprice"],
+            ["o_orderdate", "o_totalprice"],
+        )
         month = (
-            df["o_orderdate"]
+            _ts_us_np(t.column("o_orderdate"))
             .astype("datetime64[us]")
-            .to_numpy()
             .astype("datetime64[M]")
             .astype("datetime64[us]")
             .astype("int64")
         )
         cents = _rd(
-            df["o_totalprice"].to_numpy(np.float64) * 100.0, 0
+            _f64_np(t.column("o_totalprice")) * 100.0, 0
         ).astype(np.int64)
         part = pd.DataFrame({"m": month, "c": cents})
         return part.groupby("m", as_index=False)["c"].sum()
@@ -2096,16 +2153,15 @@ def max_drawdown_daily_revenue(sf_dir: str) -> pd.DataFrame:
     from ._util import round_duck as _rd
 
     def partial(batch: pa.Table) -> pd.DataFrame:
-        df = batch.to_pandas().dropna(subset=["o_orderdate", "o_totalprice"])
-        day = (
-            df["o_orderdate"]
-            .astype("datetime64[us]")
-            .astype("int64")
-            .to_numpy()
+        t = _valid_subset(
+            batch,
+            ["o_orderdate", "o_totalprice"],
+            ["o_orderdate", "o_totalprice"],
         )
+        day = _ts_us_np(t.column("o_orderdate"))
         day = (day // _DAY_US) * _DAY_US
         cents = _rd(
-            df["o_totalprice"].to_numpy(np.float64) * 100.0, 0
+            _f64_np(t.column("o_totalprice")) * 100.0, 0
         ).astype(np.int64)
         part = pd.DataFrame({"d": day, "c": cents})
         return part.groupby("d", as_index=False)["c"].sum()
@@ -2183,14 +2239,13 @@ def session_duration_stats_events(
     n_buckets = num_buckets or scaled_num_buckets(count_rows(path))
 
     def add_bucket(batch: pa.Table) -> pd.DataFrame:
-        df = batch.to_pandas().dropna(subset=["user_id", "ts"])
-        return pd.DataFrame(
+        t = _valid_subset(batch, ["user_id", "ts"], ["user_id", "ts"])
+        uid = _int64_np(t.column("user_id"))
+        return pa.table(
             {
-                "user_id": df["user_id"].astype("int64"),
-                "ts": df["ts"].astype("datetime64[us]").astype("int64"),
-                "__bucket": _bucket_of(
-                    df["user_id"].to_numpy(dtype=np.int64), n_buckets
-                ),
+                "user_id": uid,
+                "ts": _ts_us_np(t.column("ts")),
+                "__bucket": _bucket_of(uid, n_buckets),
             }
         )
 
@@ -2259,19 +2314,24 @@ def time_weighted_value_events(
     n_buckets = num_buckets or scaled_num_buckets(count_rows(path))
 
     def add_bucket(batch: pa.Table) -> pd.DataFrame:
-        df = batch.to_pandas().dropna(subset=["user_id", "ts"])
-        return pd.DataFrame(
+        t = _valid_subset(
+            batch,
+            ["user_id", "ts", "event_id", "event_type", "value"],
+            ["user_id", "ts"],
+        )
+        uid = _int64_np(t.column("user_id"))
+        v = _f64_np(t.column("value"))
+        return pa.table(
             {
-                "user_id": df["user_id"].astype("int64"),
-                "ts": df["ts"].astype("datetime64[us]").astype("int64"),
-                "event_id": df["event_id"].astype("int64"),
-                "event_type": df["event_type"],  # may be None
+                "user_id": uid,
+                "ts": _ts_us_np(t.column("ts")),
+                "event_id": _int64_np(t.column("event_id")),
+                # nulls survive the exchange (COALESCE happens downstream)
+                "event_type": pc.cast(t.column("event_type"), pa.string()),
                 "cents": np.round(
-                    df["value"].fillna(0.0).to_numpy(np.float64) * 100.0
+                    np.where(np.isnan(v), 0.0, v) * 100.0
                 ).astype(np.int64),
-                "__bucket": _bucket_of(
-                    df["user_id"].to_numpy(dtype=np.int64), n_buckets
-                ),
+                "__bucket": _bucket_of(uid, n_buckets),
             }
         )
 
@@ -2345,8 +2405,7 @@ def missing_hours_events(sf_dir: str) -> pd.DataFrame:
     path = f"{sf_dir}/events.parquet"
 
     def hour_set(batch: pa.Table) -> pd.DataFrame:
-        df = batch.to_pandas().dropna(subset=["ts"])
-        ts_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        ts_us = _ts_us_np(_valid_subset(batch, ["ts"], ["ts"]).column("ts"))
         return pd.DataFrame({"h": np.unique((ts_us // hour_us) * hour_us)})
 
     parts = map_partials(path, ["ts"], None, hour_set)
