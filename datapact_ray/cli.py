@@ -230,8 +230,8 @@ def _custom_locus(sql: str, source_path: str, target_path: str) -> str:
         return "SHARDED: decomposed per scan unit, DuckDB-on-fragment Ray tasks"
     return (
         "WARNING — DRIVER-SIDE DuckDB FULL SCAN (query not decomposable: "
-        "joins both sides, subquery, window, LIMIT, SELECT DISTINCT or "
-        "non-mergeable aggregate); single-node at scale"
+        "outer/non-equi/self join, subquery, window, LIMIT, SELECT "
+        "DISTINCT or non-mergeable aggregate); single-node at scale"
     )
 
 

@@ -75,9 +75,23 @@ class CustomCheckMetrics:
 
 
 @dataclass
+class JoinSpec:
+    """Two-table equi-join execution shape: each side hash-partitions by
+    its join-key column, so every joinable row pair lands in the same
+    bucket and the bucket-local join output is a disjoint partition of
+    the full join output — the partial/merge aggregate algebra then
+    applies unchanged. ``sides`` is ``[(view_name, key_column,
+    pruned_columns | None), ...]`` in (left, right) order."""
+
+    sides: list[tuple[str, str, list[str] | None]]
+
+
+@dataclass
 class ShardPlan:
     """A decomposed custom query: ``partial_sql`` runs per scan-unit
-    fragment (against a view named ``table_name``), ``merge_sql``
+    fragment (against a view named ``table_name``) — or, for join
+    shapes (``join`` set), per join-key bucket with both sides' bucket
+    fragments registered under their view names — and ``merge_sql``
     re-aggregates the unioned partials (view ``partials``) into the
     original result shape."""
 
@@ -85,6 +99,7 @@ class ShardPlan:
     partial_sql: str
     merge_sql: str
     columns: list[str] | None  # referenced columns (pruned fragment read)
+    join: JoinSpec | None = None
 
 
 SOURCE_VIEW = "src"
@@ -224,6 +239,90 @@ _INT_TYPE_IDS = {
 }
 
 
+def _parse_join(
+    ft: dict, input_cols: dict[str, set[str]] | None
+) -> list[tuple[str, str, str]] | None:
+    """Recognize a shardable two-table INNER equi-join FROM clause:
+    ``src [AS a] JOIN tgt [AS b] ON <conjuncts>`` where at least one
+    conjunct is a bare column-to-column equality between OPPOSITE sides
+    (the co-location key — extra conjuncts run verbatim per bucket), or
+    ``USING (k)``. Self-joins refuse (one view name cannot hold two
+    different bucket fragments). Returns ``[(view, alias, key_column)]``
+    in (left, right) order, or None."""
+    if (
+        ft.get("join_type") != "INNER"
+        or ft.get("ref_type") != "REGULAR"
+        or ft.get("sample") is not None
+    ):
+        return None
+    sides: list[tuple[str, str]] = []
+    for node in (ft.get("left") or {}, ft.get("right") or {}):
+        if (
+            node.get("type") != "BASE_TABLE"
+            or node.get("sample") is not None
+            or node.get("table_name") not in (SOURCE_VIEW, TARGET_VIEW)
+        ):
+            return None
+        sides.append((node["table_name"], node.get("alias") or node["table_name"]))
+    if sides[0][0] == sides[1][0]:
+        return None
+    using = ft.get("using_columns") or []
+    if using:
+        return [(v, a, using[0]) for v, a in sides]
+    cond = ft.get("condition")
+    if cond is None:
+        return None
+    conjuncts: list[dict] = []
+
+    def collect(node: dict) -> None:
+        if (
+            node.get("class") == "CONJUNCTION"
+            and node.get("type") == "CONJUNCTION_AND"
+        ):
+            for ch in node.get("children") or []:
+                collect(ch)
+        else:
+            conjuncts.append(node)
+
+    collect(cond)
+    alias_of = {a: i for i, (_v, a) in enumerate(sides)}
+    for eq in conjuncts:
+        if eq.get("class") != "COMPARISON" or eq.get("type") != "COMPARE_EQUAL":
+            continue
+        keys: list[str | None] = [None, None]
+        ok = True
+        for ref in (eq.get("left"), eq.get("right")):
+            if not isinstance(ref, dict) or ref.get("class") != "COLUMN_REF":
+                ok = False
+                break
+            names = ref.get("column_names") or []
+            if len(names) == 2 and names[0] in alias_of:
+                si = alias_of[names[0]]
+            elif len(names) == 1 and input_cols is not None:
+                member = [
+                    i
+                    for i, (v, _a) in enumerate(sides)
+                    if names[0] in (input_cols.get(v) or set())
+                ]
+                if len(member) != 1:
+                    ok = False
+                    break
+                si = member[0]
+            else:
+                ok = False
+                break
+            if keys[si] is not None:  # both refs on one side
+                ok = False
+                break
+            keys[si] = names[-1]
+        if ok and keys[0] is not None and keys[1] is not None:
+            return [
+                (sides[0][0], sides[0][1], keys[0]),
+                (sides[1][0], sides[1][1], keys[1]),
+            ]
+    return None
+
+
 def plan_sharded(
     rendered_sql: str,
     output_schema: list[tuple],
@@ -263,10 +362,21 @@ def plan_sharded(
         or n.get("qualify") is not None
         or n.get("sample") is not None
         or n.get("aggregate_handling") != "STANDARD_HANDLING"
-        or ft.get("type") != "BASE_TABLE"
-        or ft.get("sample") is not None
-        or ft.get("table_name") not in (SOURCE_VIEW, TARGET_VIEW)
     ):
+        return None
+    input_cols_by_view = input_columns if isinstance(input_columns, dict) else None
+    join_sides: list[tuple[str, str, str]] | None = None
+    if ft.get("type") == "BASE_TABLE":
+        if ft.get("sample") is not None or ft.get("table_name") not in (
+            SOURCE_VIEW,
+            TARGET_VIEW,
+        ):
+            return None
+    elif ft.get("type") == "JOIN":
+        join_sides = _parse_join(ft, input_cols_by_view)
+        if join_sides is None:
+            return None
+    else:
         return None
     # modifiers: a result-set ORDER BY is droppable (every downstream
     # metric — EXCEPT ALL counts, orderless hash, sorted-md5 samples —
@@ -288,8 +398,14 @@ def plan_sharded(
     if len(output_schema) != len(select_list):
         return None  # STAR expansion or binder surprises — not our shape
 
-    if isinstance(input_columns, dict):
-        input_columns = input_columns.get(ft["table_name"])
+    if input_cols_by_view is not None:
+        if join_sides is not None:
+            # alias resolution must not shadow a column of EITHER side
+            input_columns = set().union(
+                *(input_cols_by_view.get(v, set()) for v, _a, _k in join_sides)
+            )
+        else:
+            input_columns = input_cols_by_view.get(ft["table_name"])
 
     # Resolve positional (GROUP BY 1) and select-alias (GROUP BY txn_day
     # where txn_day is `DATE(ts) AS txn_day`) group keys to the select
@@ -566,6 +682,7 @@ def plan_sharded(
     # intersected with the parquet schema later so alias refs drop out
     columns: list[str] = []
     seen = set()
+    star = False
     for d in _walk(n):
         if d.get("class") == "COLUMN_REF" and d.get("column_names"):
             name = d["column_names"][-1]
@@ -573,7 +690,20 @@ def plan_sharded(
                 seen.add(name)
                 columns.append(name)
         elif d.get("class") == "STAR":
-            return ShardPlan(ft["table_name"], partial_sql, merge_sql, None)
+            star = True
+    if join_sides is not None:
+        if star:
+            return None  # STAR over a join: ambiguous per-side pruning
+        side_specs: list[tuple[str, str, list[str] | None]] = []
+        for view, _alias, key in join_sides:
+            schema_cols = (input_cols_by_view or {}).get(view)
+            cols = (
+                sorted((seen & set(schema_cols)) | {key}) if schema_cols else None
+            )
+            side_specs.append((view, key, cols))
+        return ShardPlan("", partial_sql, merge_sql, None, JoinSpec(side_specs))
+    if star:
+        return ShardPlan(ft["table_name"], partial_sql, merge_sql, None)
     return ShardPlan(ft["table_name"], partial_sql, merge_sql, columns)
 
 
@@ -617,6 +747,107 @@ def _run_side_sharded(plan: ShardPlan, files: list[str]) -> pd.DataFrame:
     con = duckdb.connect()
     try:
         con.register("partials", partials)
+        return con.execute(plan.merge_sql).fetchdf()
+    finally:
+        con.close()
+
+
+def _join_map_unit(unit: list[tuple], columns, key_col: str, num_buckets: int):
+    """One scan-unit fragment of one join side → per-bucket sub-tables
+    keyed by the side's join column hash. Runs as a Ray task."""
+    import numpy as np
+
+    from ..shuffle import _split_by_bucket, read_unit
+    from ..sketches import hash_arrow_column_u64
+
+    frag = read_unit(unit, columns)
+    h = hash_arrow_column_u64(frag.column(key_col))
+    bucket = (h % np.uint64(num_buckets)).astype(np.int32)
+    import pyarrow as pa
+
+    frag = frag.append_column("__bucket", pa.array(bucket))
+    return _split_by_bucket(frag, num_buckets)
+
+
+def _join_reduce_bucket(partial_sql: str, views: list[str], n_left: int, *shards):
+    """One join-key bucket: register both sides' bucket fragments under
+    their view names, run the partial query on the bucket-local join.
+    Every joinable row pair co-locates here (equal keys hash equally),
+    so the bucket outputs form a disjoint partition of the full join."""
+    import duckdb
+    import pyarrow as pa
+
+    from ..shuffle import _flatten_shards
+
+    groups = (
+        _flatten_shards(shards[:n_left]),
+        _flatten_shards(shards[n_left:]),
+    )
+    con = duckdb.connect()
+    try:
+        for view, tables in zip(views, groups):
+            tables = [t for t in tables if t is not None]
+            if not tables:
+                return None
+            frag = pa.concat_tables(tables, promote_options="permissive")
+            con.register(f"__frag_{view}", frag)
+            con.execute(f"CREATE VIEW {view} AS SELECT * FROM __frag_{view}")
+        return con.execute(partial_sql).arrow()
+    finally:
+        con.close()
+
+
+def _run_join_sharded(
+    plan: ShardPlan, source_files: list[str], target_files: list[str]
+) -> pd.DataFrame:
+    """Execute a decomposed join query: each side's scan units fan out
+    as Ray map tasks that hash-partition by the join key, per-bucket
+    reduces run DuckDB on the co-located join, and the group-sized
+    partials merge on the driver."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..shuffle import _scan_units, _shuffle_target_bytes
+
+    files_of = {SOURCE_VIEW: source_files, TARGET_VIEW: target_files}
+    sides = plan.join.sides
+    target_bytes = _shuffle_target_bytes([files_of[v] for v, _k, _c in sides])
+    units_per_side = [_scan_units(files_of[v], target_bytes) for v, _k, _c in sides]
+    total_units = sum(len(u) for u in units_per_side)
+    if total_units == 0:
+        raise ValueError("no scan units (empty file lists)")
+    num_buckets = max(4, min(64, total_units))
+    map_task = ray.remote(num_returns=num_buckets)(_join_map_unit)
+    shard_lists = []
+    n_left = None
+    for (view, key, cols), units in zip(sides, units_per_side):
+        if cols is not None:
+            in_schema = set(
+                pq.ParquetFile(files_of[view][0]).schema_arrow.names
+            )
+            cols = [c for c in cols if c in in_schema] or None
+        for unit in units:
+            shard_lists.append(map_task.remote(unit, cols, key, num_buckets))
+        if n_left is None:
+            n_left = len(shard_lists)
+    reduce_task = ray.remote(_join_reduce_bucket)
+    views = [v for v, _k, _c in sides]
+    refs = [
+        reduce_task.remote(
+            plan.partial_sql, views, n_left, *[shards[b] for shards in shard_lists]
+        )
+        for b in range(num_buckets)
+    ]
+    partials = [t for t in ray.get(refs) if t is not None]
+    if not partials:
+        raise ValueError("join exchange produced no partials")
+    con = duckdb.connect()
+    try:
+        con.register(
+            "partials", pa.concat_tables(partials, promote_options="permissive")
+        )
         return con.execute(plan.merge_sql).fetchdf()
     finally:
         con.close()
@@ -746,7 +977,10 @@ def run_custom_check(
                         for r in con.execute(f"DESCRIBE {rendered}").fetchall()
                     ]
                     plan = plan_sharded(rendered, out_schema, input_cols)
-                    if plan is not None:
+                    if plan is not None and plan.join is not None:
+                        df = _run_join_sharded(plan, source_files, target_files)
+                        locus = "sharded"
+                    elif plan is not None:
                         files = (
                             source_files
                             if plan.table_name == SOURCE_VIEW

@@ -141,6 +141,11 @@ NOT_DECOMPOSABLE = [
     "SELECT o_orderstatus FROM src",  # bare projection, not aggregate-shaped
     "SELECT s.o_orderkey FROM src s JOIN tgt t ON s.o_orderkey = t.o_orderkey",
     "SELECT (SELECT max(o_orderkey) FROM tgt) AS m FROM src",
+    # join shapes that resist the equi-join bucket shuffle
+    "SELECT count(*) AS n FROM src s LEFT JOIN tgt t "
+    "ON s.o_orderkey = t.o_orderkey",  # outer join: unmatched rows span buckets
+    "SELECT count(*) AS n FROM src s JOIN tgt t ON s.o_orderkey < t.o_orderkey",
+    "SELECT count(*) AS n FROM src a JOIN src b ON a.o_orderkey = b.o_orderkey",
     "SELECT row_number() OVER (ORDER BY o_orderkey) AS rn FROM src",
     "SELECT o_orderstatus, count(*) AS n FROM src GROUP BY ROLLUP (o_orderstatus)",
     # two DISTINCT aggs over DIFFERENT arguments (no shared dedup key)
@@ -229,17 +234,87 @@ def test_run_custom_check_sharded_end_to_end(orders_pair):
 
 
 def test_run_custom_check_non_decomposable_falls_back(orders_pair):
-    """Cross-side join query → driver locus, still correct."""
+    """Outer-join query → driver locus, still correct."""
     src_files, tgt_files = orders_pair
     sql = (
         "SELECT count(*) AS matched FROM {{ source_fqn }} s "
-        "JOIN {{ target_fqn }} t ON s.o_orderkey = t.o_orderkey"
+        "LEFT JOIN {{ target_fqn }} t ON s.o_orderkey = t.o_orderkey"
     )
     m = run_custom_check(sql, src_files, tgt_files)
     assert m.source_locus == "driver" and m.target_locus == "driver"
     # both renders produce the same join → identical results
     assert m.source_hash == m.target_hash
     assert m.rows_missing_in_target == 0 and m.rows_missing_in_source == 0
+
+
+# --- round-5 stretch: two-table equi-join aggregates ride the bucket
+# shuffle (both sides keyed by the join column, per-bucket DuckDB on
+# the co-located join, partial/merge algebra unchanged) ---
+
+JOIN_DECOMPOSABLE = [
+    # the cross-side reconciliation count a DataPact user writes first
+    "SELECT count(*) AS matched FROM src s "
+    "JOIN tgt t ON s.o_orderkey = t.o_orderkey",
+    # grouped + wrapped aggregates over the join
+    "SELECT s.o_orderstatus, count(*) AS n, "
+    "ROUND(SUM(t.o_totalprice), 2) AS v FROM src s "
+    "JOIN tgt t ON s.o_orderkey = t.o_orderkey GROUP BY s.o_orderstatus",
+    # value-drift pairs: AVG of the target-minus-source delta
+    "SELECT ROUND(AVG(t.o_totalprice - s.o_totalprice), 4) AS drift "
+    "FROM src s JOIN tgt t ON s.o_orderkey = t.o_orderkey",
+    # USING syntax
+    "SELECT count(*) AS n FROM src JOIN tgt USING (o_orderkey)",
+    # AND condition: one clean equality co-locates, the rest run per bucket
+    "SELECT count(*) AS n FROM src s JOIN tgt t "
+    "ON s.o_orderkey = t.o_orderkey AND s.o_totalprice <= t.o_totalprice",
+    # HAVING over the join aggregate
+    "SELECT s.o_orderstatus, count(*) AS n FROM src s "
+    "JOIN tgt t ON s.o_orderkey = t.o_orderkey "
+    "GROUP BY s.o_orderstatus HAVING count(*) > 100",
+]
+
+
+@pytest.mark.parametrize("sql", JOIN_DECOMPOSABLE)
+def test_join_sharded_equals_driver(orders_pair, sql):
+    src_files, tgt_files = orders_pair
+    plan = _plan(sql, src_files)
+    assert plan is not None and plan.join is not None, f"expected join shard: {sql}"
+    from datapact_ray.stages.custom import _run_join_sharded
+
+    got = _run_join_sharded(plan, src_files, tgt_files)
+    con = duckdb.connect()
+    try:
+        for view, files in (("src", src_files), ("tgt", tgt_files)):
+            fl = ", ".join(f"'{f}'" for f in files)
+            con.execute(f"CREATE VIEW {view} AS SELECT * FROM read_parquet([{fl}])")
+        want = con.execute(sql).fetchdf()
+    finally:
+        con.close()
+    assert list(got.columns) == list(want.columns)
+    key = [
+        c for c in got.columns if not pd.api.types.is_float_dtype(got[c])
+    ] or list(got.columns[:1])
+    got_s = got.sort_values(key).reset_index(drop=True)
+    want_s = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s, want_s, check_dtype=False, atol=1e-9, rtol=1e-12)
+
+
+def test_join_custom_check_end_to_end(orders_pair):
+    """Cross-side join reconciliation through run_custom_check: both
+    renders produce the same join (source_fqn/target_fqn are role-
+    independent), so the check passes — and both sides now execute on
+    the sharded locus instead of a driver full scan."""
+    src_files, tgt_files = orders_pair
+    sql = (
+        "SELECT count(*) AS matched FROM {{ source_fqn }} s "
+        "JOIN {{ target_fqn }} t ON s.o_orderkey = t.o_orderkey"
+    )
+    m = run_custom_check(sql, src_files, tgt_files)
+    assert m.source_locus == "sharded" and m.target_locus == "sharded"
+    assert m.source_hash == m.target_hash
+    # identical values vs forced-driver execution
+    d = run_custom_check(sql, src_files, tgt_files, distribute=False)
+    assert (m.source_hash, m.target_hash) == (d.source_hash, d.target_hash)
 
 
 def test_plan_printer_labels_locus(orders_pair, tmp_path):
@@ -299,7 +374,7 @@ def test_verdict_payload_records_execution_locus(orders_pair, tmp_path):
                 name="joined",
                 sql=(
                     "SELECT count(*) AS m FROM {{ source_fqn }} s "
-                    "JOIN {{ target_fqn }} t ON s.o_orderkey = t.o_orderkey"
+                    "LEFT JOIN {{ target_fqn }} t ON s.o_orderkey = t.o_orderkey"
                 ),
             ),
         ],
