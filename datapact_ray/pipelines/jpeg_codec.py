@@ -177,6 +177,15 @@ def _build_dec_codes(counts: list[int], vals: list[int]) -> dict:
     return table
 
 
+@__import__("functools").lru_cache(maxsize=64)
+def _dec_codes_cached(spec_bytes: bytes) -> dict:
+    """Decode-table memo keyed by the DHT payload bytes — a corpus of
+    same-encoder files (the common case) rebuilds each table once per
+    actor instead of once per payload."""
+    counts = list(spec_bytes[:16])
+    return _build_dec_codes(counts, list(spec_bytes[16:]))
+
+
 def _category(v: int) -> tuple[int, int]:
     """JPEG magnitude category: size (bit length of |v|) and the
     amplitude bits (one's-complement form for negatives)."""
@@ -219,6 +228,13 @@ class _BitWriter:
         if self.n:
             pad = 8 - self.n
             self.write((1 << pad) - 1, pad)
+
+
+# encoder codebooks are module constants (built once per process)
+_ENC_DC_LUM = _build_enc_codes(DC_LUM)
+_ENC_AC_LUM = _build_enc_codes(AC_LUM)
+_ENC_DC_CHROMA = _build_enc_codes(DC_CHROMA)
+_ENC_AC_CHROMA = _build_enc_codes(AC_CHROMA)
 
 
 # ---------------------------------------------------------------------------
@@ -389,8 +405,8 @@ def encode_jpeg(
     seg(0xFFDA, sos)
 
     writer = _BitWriter()
-    dc_l, ac_l = _build_enc_codes(DC_LUM), _build_enc_codes(AC_LUM)
-    dc_c, ac_c = _build_enc_codes(DC_CHROMA), _build_enc_codes(AC_CHROMA)
+    dc_l, ac_l = _ENC_DC_LUM, _ENC_AC_LUM
+    dc_c, ac_c = _ENC_DC_CHROMA, _ENC_AC_CHROMA
     preds = [0] * ncomp
     rst = 0
     total = mcux * mcuy
@@ -541,10 +557,10 @@ def _parse_jpeg(payload: bytes) -> np.ndarray:
             j = 0
             while j < len(seg):
                 tc, th = seg[j] >> 4, seg[j] & 0x0F
-                counts = list(seg[j + 1 : j + 17])
-                nv = sum(counts)
-                vals = list(seg[j + 17 : j + 17 + nv])
-                htables[(tc, th)] = _build_dec_codes(counts, vals)
+                nv = sum(seg[j + 1 : j + 17])
+                htables[(tc, th)] = _dec_codes_cached(
+                    bytes(seg[j + 1 : j + 17 + nv])
+                )
                 j += 17 + nv
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
