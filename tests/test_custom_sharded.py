@@ -426,6 +426,71 @@ _WHERES = [None, "o_orderkey > 500", "o_orderstatus <> 'P' AND o_totalprice < 90
 _HAVINGS = [None, "count(*) > 300", "avg(o_totalprice) > 350", "a0 IS NOT NULL"]
 
 
+_JOIN_AGGS = [
+    "count(*)",
+    "sum(t.o_totalprice)",
+    "round(avg(s.o_totalprice - t.o_totalprice), 4)",
+    "count(s.o_comment)",
+    "max(t.o_totalprice)",
+]
+_JOIN_GROUPS = [None, "s.o_orderstatus", "s.o_orderkey % 5"]
+_JOIN_ONS = [
+    "s.o_orderkey = t.o_orderkey",
+    "s.o_orderkey = t.o_orderkey AND s.o_totalprice <= t.o_totalprice",
+]
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    group_i=st.integers(0, len(_JOIN_GROUPS) - 1),
+    agg_idx=st.lists(
+        st.integers(0, len(_JOIN_AGGS) - 1), min_size=1, max_size=3, unique=True
+    ),
+    on_i=st.integers(0, len(_JOIN_ONS) - 1),
+    having=st.booleans(),
+)
+def test_join_sharded_equals_driver_fuzz(orders_pair, group_i, agg_idx, on_i, having):
+    src_files, tgt_files = orders_pair
+    group = _JOIN_GROUPS[group_i]
+    items = [f"{_JOIN_AGGS[i]} AS a{k}" for k, i in enumerate(agg_idx)]
+    if group:
+        items.insert(0, group + " AS g")
+    sql = (
+        "SELECT " + ", ".join(items) + " FROM src s JOIN tgt t ON "
+        + _JOIN_ONS[on_i]
+    )
+    if group:
+        sql += f" GROUP BY {group}"
+        if having:
+            sql += " HAVING count(*) > 50"
+    plan = _plan(sql, src_files)
+    assert plan is not None and plan.join is not None, f"expected join shard: {sql}"
+    from datapact_ray.stages.custom import _run_join_sharded
+
+    got = _run_join_sharded(plan, src_files, tgt_files)
+    con = duckdb.connect()
+    try:
+        for view, files in (("src", src_files), ("tgt", tgt_files)):
+            fl = ", ".join(f"'{f}'" for f in files)
+            con.execute(f"CREATE VIEW {view} AS SELECT * FROM read_parquet([{fl}])")
+        want = con.execute(sql).fetchdf()
+    finally:
+        con.close()
+    assert list(got.columns) == list(want.columns)
+    key = [
+        c for c in got.columns if not pd.api.types.is_float_dtype(got[c])
+    ] or list(got.columns[:1])
+    got_s = got.sort_values(key).reset_index(drop=True)
+    want_s = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got_s, want_s, check_dtype=False, atol=1e-9, rtol=1e-12
+    )
+
+
 @settings(
     max_examples=40,
     deadline=None,
