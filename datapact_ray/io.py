@@ -189,6 +189,7 @@ def read_table(
     columns: list[str] | None = None,
     filter_sql: str | None = None,
     files: list[str] | None = None,
+    override_num_blocks: int | None = None,
 ) -> ray.data.Dataset:
     """Read a logical table as a Ray Dataset with column pruning and
     filter pushdown.
@@ -231,6 +232,11 @@ def read_table(
             kwargs["columns"] = columns
         if expr is not None:
             kwargs["filter"] = expr
+        if override_num_blocks is not None:
+            # downstream-work-aware splitting: a single-row-group file
+            # otherwise yields ONE block, serializing any expensive
+            # fused per-row stage behind it (see payload_read_blocks)
+            kwargs["override_num_blocks"] = override_num_blocks
         return ray.data.read_parquet(paths, **kwargs)
     ds = (
         ray.data.read_csv(paths) if fmt == "csv" else ray.data.read_json(paths)

@@ -32,6 +32,33 @@ import ray.data
 
 from ._util import round_duck
 
+
+def payload_read_blocks(path: str, rows_per_block: int = 512) -> int | None:
+    """Read-split hint for per-payload codec stages: their downstream
+    work is milliseconds PER ROW, so the read must yield at least ~cpus
+    blocks or the fused encode/decode chain serializes behind a
+    single-row-group file. Returns an ``override_num_blocks`` only when
+    the table's native row-group granularity is coarser than the
+    desired split — at data scale (thousands of row groups) this is
+    None and the native granularity stands."""
+    import pyarrow.parquet as pq
+    import ray as _ray
+
+    from ..io import count_rows, list_parquet_files
+
+    cpus = (
+        int(_ray.cluster_resources().get("CPU", 8))
+        if _ray.is_initialized()
+        else 8
+    )
+    want = min(cpus, max(1, count_rows(path) // rows_per_block))
+    native = sum(
+        pq.ParquetFile(f).metadata.num_row_groups
+        for f in list_parquet_files(path)
+    )
+    return want if native < want else None
+
+
 MEDIA_SCHEMA = pa.schema(
     [
         ("media_id", pa.int64()),
@@ -1257,7 +1284,12 @@ def wav_decode_stats_documents(sf_dir: str) -> "pd.DataFrame":
 
     from ..io import read_table
 
-    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
+    path = f"{sf_dir}/documents.parquet"
+    ds = read_table(
+        path,
+        columns=["doc_id", "text", "source"],
+        override_num_blocks=payload_read_blocks(path),
+    )
 
     def to_media(batch: pa.Table) -> pa.Table:
         from .codecs import encode_wav
@@ -1359,7 +1391,12 @@ def png_decode_stats_documents(sf_dir: str) -> "pd.DataFrame":
 
     from ..io import read_table
 
-    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
+    path = f"{sf_dir}/documents.parquet"
+    ds = read_table(
+        path,
+        columns=["doc_id", "text", "source"],
+        override_num_blocks=payload_read_blocks(path),
+    )
 
     def to_media(batch: pa.Table) -> pa.Table:
         import numpy as np
@@ -1467,7 +1504,12 @@ def jpeg_decode_stats_documents(sf_dir: str) -> "pd.DataFrame":
 
     from ..io import read_table
 
-    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
+    path = f"{sf_dir}/documents.parquet"
+    ds = read_table(
+        path,
+        columns=["doc_id", "text", "source"],
+        override_num_blocks=payload_read_blocks(path),
+    )
 
     def to_media(batch: pa.Table) -> pa.Table:
         import numpy as np
@@ -1599,7 +1641,12 @@ def mp4_decode_stats_documents(sf_dir: str) -> "pd.DataFrame":
 
     from ..io import read_table
 
-    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
+    path = f"{sf_dir}/documents.parquet"
+    ds = read_table(
+        path,
+        columns=["doc_id", "text", "source"],
+        override_num_blocks=payload_read_blocks(path),
+    )
 
     def to_media(batch: pa.Table) -> pa.Table:
         from .codecs import encode_mp4
