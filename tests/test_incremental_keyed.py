@@ -162,6 +162,52 @@ def test_incremental_keyed_matches_full(tmp_path):
     )
 
 
+def test_incremental_keyed_chains_and_resumes(tmp_path):
+    """Run 3 reuses run 2's (union) inputs — nightly chaining — and an
+    interrupted incremental run resumed with the same run_id reproduces
+    identical verdicts (done buckets skip BOTH their new-file rows and
+    their prior-input shard; their checkpointed metrics already cover
+    the union)."""
+    src, tgt, base = _build_base(tmp_path)
+    suite = ValidationSuite(validations=[_task(str(src), str(tgt))])
+    rdir = str(tmp_path / "out")
+    run_suite(suite, RunConfig(results_dir=rdir, run_id=1, persist_keyed_inputs=True))
+    _append_new(src, tgt, base)
+    run_suite(suite, RunConfig(results_dir=rdir, run_id=2, incremental_from=1))
+
+    # third nightly batch: plain new conversations
+    extra = _conv_frame([f"c{i:04d}" for i in range(150, 170)], seed=3)
+    _write(extra, str(src / "part-002.parquet"))
+    _write(extra, str(tgt / "part-002.parquet"))
+    s3 = run_suite(
+        suite, RunConfig(results_dir=rdir, run_id=3, incremental_from=2)
+    )
+    lineage = json.load(
+        open(os.path.join(rdir, "checkpoint", "run_id=3", "task=t", "lineage.json"))
+    )
+    rk = lineage["incremental_keyed"]["keyed"]
+    assert rk["from_run_id"] == 2
+    assert rk["new_source_files"] == 1 and rk["reused_source_files"] == 2
+
+    # interrupted + resumed incremental run: knock out one bucket's
+    # _SUCCESS and re-run the same run_id with resume
+    keyed_dir = os.path.join(rdir, "checkpoint", "run_id=3", "task=t", "keyed")
+    buckets = sorted(d for d in os.listdir(keyed_dir) if d.startswith("bucket="))
+    os.remove(os.path.join(keyed_dir, buckets[0], "_SUCCESS"))
+    s3b = run_suite(
+        suite,
+        RunConfig(results_dir=rdir, run_id=3, incremental_from=2, resume=True),
+    )
+    assert _keyed_payload(s3b) == _keyed_payload(s3)
+
+    # and all of it equals a from-scratch full run
+    s_full = run_suite(
+        ValidationSuite(validations=[_task(str(src), str(tgt))]),
+        RunConfig(results_dir=str(tmp_path / "out_full"), run_id=1),
+    )
+    assert _keyed_payload(s3) == _keyed_payload(s_full)
+
+
 def test_incremental_keyed_falls_back_when_filter_changes(tmp_path):
     src, tgt, base = _build_base(tmp_path)
     rdir = str(tmp_path / "out")
