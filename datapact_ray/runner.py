@@ -574,9 +574,27 @@ class ValidationRunner:
                         filter_columns=filter_cols,
                     )
                 )
+        # custom-SQL incremental: sharded partials are fragmentation-
+        # independent monoids, so a prior run's cached partial tables
+        # cover their recorded files and only NEW files re-scan (the
+        # per-query file-subset guard lives in _run_side_sharded)
+        custom_cache = os.path.join(ckpt, "custom")
+        custom_prior = (
+            os.path.join(
+                self._task_ckpt(task.task_key, cfg.incremental_from), "custom"
+            )
+            if cfg.incremental_from is not None
+            else None
+        )
         for ci, custom in enumerate(task.custom_checks or []):
             futures[f"custom:{ci}"] = pool.submit(
-                lambda custom=custom: run_custom_check(custom.sql, src_files, tgt_files)
+                lambda custom=custom: run_custom_check(
+                    custom.sql,
+                    src_files,
+                    tgt_files,
+                    cache_dir=custom_cache,
+                    prior_cache_dir=custom_prior,
+                )
             )
 
         src_profile = tgt_profile = None
@@ -1117,6 +1135,8 @@ class ValidationRunner:
                     cm.target_hash,
                     cm.source_locus,
                     cm.target_locus,
+                    cm.source_files_reused,
+                    cm.target_files_reused,
                 )
             )
         if compare_enabled:

@@ -72,6 +72,10 @@ class CustomCheckMetrics:
     # "driver" (single-node DuckDB full scan — the 100-TB-weak path)
     source_locus: str = "driver"
     target_locus: str = "driver"
+    # incremental partial reuse per side: how many input files were
+    # covered by a prior run's cached partials instead of re-scanned
+    source_files_reused: int = 0
+    target_files_reused: int = 0
 
 
 @dataclass
@@ -724,9 +728,67 @@ def _custom_partial_unit(unit: list[tuple], view: str, columns, partial_sql: str
         con.close()
 
 
-def _run_side_sharded(plan: ShardPlan, files: list[str]) -> pd.DataFrame:
+def _cache_key(plan: ShardPlan) -> str:
+    return hashlib.md5(
+        (plan.partial_sql + "\n" + plan.merge_sql).encode()
+    ).hexdigest()[:20]
+
+
+def _load_prior_partials(prior_dir: str | None, key: str, files: list[str]):
+    """Prior run's cached partial table for this (rendered query, side)
+    when its recorded file set is a SUBSET of the current one (append-
+    only). Returns ``(partial_table | None, covered_files)``."""
+    if not prior_dir:
+        return None, set()
+    meta_p = os.path.join(prior_dir, f"custom_{key}.json")
+    data_p = os.path.join(prior_dir, f"custom_{key}.parquet")
+    if not (os.path.exists(meta_p) and os.path.exists(data_p)):
+        return None, set()
+    import pyarrow.parquet as pq
+
+    with open(meta_p, encoding="utf-8") as fh:
+        meta = json.load(fh)
+    prior_files = set(meta.get("files") or [])
+    if not prior_files or not prior_files <= set(files):
+        return None, set()
+    return pq.read_table(data_p), prior_files
+
+
+def _store_partials(cache_dir: str | None, key: str, partials, files: list[str]):
+    """Persist this run's (union) partials so the NEXT append-only run
+    can scan only its new files. Partials are group-sized Arrow rows —
+    fragmentation-independent monoids (the merge re-aggregates), so the
+    union of cached + new-file partials is exactly what a full scan
+    would have produced."""
+    if not cache_dir:
+        return
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(cache_dir, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=cache_dir, suffix=".parquet")
+    os.close(fd)
+    pq.write_table(partials, tmp)
+    os.replace(tmp, os.path.join(cache_dir, f"custom_{key}.parquet"))
+    fd, tmp = tempfile.mkstemp(dir=cache_dir, suffix=".json")
+    os.close(fd)
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump({"files": sorted(files)}, fh)
+    os.replace(tmp, os.path.join(cache_dir, f"custom_{key}.json"))
+
+
+def _run_side_sharded(
+    plan: ShardPlan,
+    files: list[str],
+    cache_dir: str | None = None,
+    prior_cache_dir: str | None = None,
+) -> tuple[pd.DataFrame, int]:
     """Execute one side's decomposed query: fragments fan out as Ray
-    tasks (DuckDB-on-fragment), partials merge on the driver."""
+    tasks (DuckDB-on-fragment), partials merge on the driver. With a
+    ``prior_cache_dir``, files already covered by the prior run's
+    cached partials are NOT re-scanned (append-only incremental);
+    returns ``(result, n_files_reused)``."""
     import duckdb
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -734,20 +796,27 @@ def _run_side_sharded(plan: ShardPlan, files: list[str]) -> pd.DataFrame:
 
     from ..shuffle import _scan_units, _shuffle_target_bytes
 
-    units = _scan_units(files, _shuffle_target_bytes([files]))
-    if not units:
+    key = _cache_key(plan)
+    prior, prior_files = _load_prior_partials(prior_cache_dir, key, files)
+    scan_files = [f for f in files if f not in prior_files]
+    units = _scan_units(scan_files, _shuffle_target_bytes([files]))
+    if not units and prior is None:
         raise ValueError("no scan units (empty file list)")
     columns = plan.columns
-    if columns is not None:
+    if columns is not None and files:
         in_schema = set(pq.ParquetFile(files[0]).schema_arrow.names)
         columns = [c for c in columns if c in in_schema] or None
     remote = ray.remote(num_cpus=1)(_custom_partial_unit)
     refs = [remote.remote(u, plan.table_name, columns, plan.partial_sql) for u in units]
-    partials = pa.concat_tables(ray.get(refs), promote_options="permissive")
+    tables = ray.get(refs)
+    if prior is not None:
+        tables.append(prior)
+    partials = pa.concat_tables(tables, promote_options="permissive")
+    _store_partials(cache_dir, key, partials, files)
     con = duckdb.connect()
     try:
         con.register("partials", partials)
-        return con.execute(plan.merge_sql).fetchdf()
+        return con.execute(plan.merge_sql).fetchdf(), len(prior_files)
     finally:
         con.close()
 
@@ -942,6 +1011,8 @@ def run_custom_check(
     source_files: list[str],
     target_files: list[str],
     distribute: bool = True,
+    cache_dir: str | None = None,
+    prior_cache_dir: str | None = None,
 ) -> CustomCheckMetrics:
     import logging
 
@@ -968,6 +1039,7 @@ def run_custom_check(
             view: {r[0] for r in con.execute(f"DESCRIBE {view}").fetchall()}
             for view in (SOURCE_VIEW, TARGET_VIEW)
         }
+        reused: dict[str, int] = {"source": 0, "target": 0}
         for side, rendered in (("source", rendered_src), ("target", rendered_tgt)):
             df, locus = None, "driver"
             if distribute and _ray_available():
@@ -986,7 +1058,10 @@ def run_custom_check(
                             if plan.table_name == SOURCE_VIEW
                             else target_files
                         )
-                        df, locus = _run_side_sharded(plan, files), "sharded"
+                        df, reused[side] = _run_side_sharded(
+                            plan, files, cache_dir, prior_cache_dir
+                        )
+                        locus = "sharded"
                 except Exception as exc:  # fall back — never fail the check
                     logging.getLogger(__name__).warning(
                         "custom check %s side: sharded execution failed (%s); "
@@ -1015,4 +1090,6 @@ def run_custom_check(
         rendered_target_sql=rendered_tgt,
         source_locus=loci["source"],
         target_locus=loci["target"],
+        source_files_reused=reused["source"],
+        target_files_reused=reused["target"],
     )

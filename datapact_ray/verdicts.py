@@ -203,6 +203,8 @@ def custom_check_verdict(
     target_hash: str,
     source_locus: str = "driver",
     target_locus: str = "driver",
+    source_files_reused: int = 0,
+    target_files_reused: int = 0,
 ) -> CheckVerdict:
     """``validation.sql.j2:414-433,471-476``. ``*_locus`` records where
     each side executed — "sharded" (scan-unit Ray tasks) or "driver"
@@ -229,6 +231,16 @@ def custom_check_verdict(
             "sample_missing_in_target": sample_missing_in_target,
             "sample_missing_in_source": sample_missing_in_source,
             "execution_locus": {"source": source_locus, "target": target_locus},
+            **(
+                {
+                    "partials_reused": {
+                        "source_files": fmt_number(source_files_reused, 0),
+                        "target_files": fmt_number(target_files_reused, 0),
+                    }
+                }
+                if source_files_reused or target_files_reused
+                else {}
+            ),
             "status": _status(ok),
         },
     )

@@ -175,7 +175,7 @@ def test_sharded_equals_driver(orders_pair, sql):
     assert plan.table_name == SOURCE_VIEW
     from datapact_ray.stages.custom import _run_side_sharded
 
-    got = _run_side_sharded(plan, src_files)
+    got, _reused = _run_side_sharded(plan, src_files)
     want = _driver_result(sql, src_files)
     assert list(got.columns) == list(want.columns)
     # sort on every non-float column (the group keys) — float aggregates
@@ -527,7 +527,7 @@ def test_sharded_equals_driver_fuzz(
     assert plan is not None, f"expected decomposable: {sql}"
     from datapact_ray.stages.custom import _run_side_sharded
 
-    got = _run_side_sharded(plan, src_files)
+    got, _reused = _run_side_sharded(plan, src_files)
     want = _driver_result(sql, src_files)
     assert list(got.columns) == list(want.columns)
     key = list(got.columns)

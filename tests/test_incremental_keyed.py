@@ -208,6 +208,75 @@ def test_incremental_keyed_chains_and_resumes(tmp_path):
     assert _keyed_payload(s3) == _keyed_payload(s_full)
 
 
+def test_incremental_custom_sql_reuses_partials(tmp_path):
+    """Sharded custom-SQL partials are fragmentation-independent
+    monoids: run 2 re-scans only the new file, unions its partials with
+    run 1's cached table, and the verdict equals a full run — with the
+    reuse surfaced in the payload."""
+    src, tgt, base = _build_base(tmp_path)
+    from datapact_ray.config import CustomCheck
+
+    def task():
+        t = _task(str(src), str(tgt))
+        t.custom_checks = [
+            CustomCheck(
+                name="turns per role",
+                sql=(
+                    "SELECT role, ROUND(AVG(turn_idx), 4) AS a, COUNT(*) AS n "
+                    "FROM {{ table_fqn }} GROUP BY role"
+                ),
+            )
+        ]
+        return t
+
+    rdir = str(tmp_path / "out")
+    run_suite(
+        ValidationSuite(validations=[task()]),
+        RunConfig(results_dir=rdir, run_id=1, persist_keyed_inputs=True),
+    )
+    cache = os.path.join(rdir, "checkpoint", "run_id=1", "task=t", "custom")
+    assert any(f.endswith(".parquet") for f in os.listdir(cache))
+
+    _append_new(src, tgt, base)
+    s2 = run_suite(
+        ValidationSuite(validations=[task()]),
+        RunConfig(results_dir=rdir, run_id=2, incremental_from=1),
+    )
+    v2 = next(
+        v
+        for v in s2.results[0].verdicts
+        if v.alias == "custom_sql_validation_turns_per_role"
+    )
+    assert v2.payload["execution_locus"] == {
+        "source": "sharded",
+        "target": "sharded",
+    }
+    assert v2.payload["partials_reused"] == {
+        "source_files": "1",
+        "target_files": "1",
+    }
+    s_full = run_suite(
+        ValidationSuite(validations=[task()]),
+        RunConfig(results_dir=str(tmp_path / "out_full"), run_id=1),
+    )
+    vf = next(
+        v
+        for v in s_full.results[0].verdicts
+        if v.alias == "custom_sql_validation_turns_per_role"
+    )
+    for k in (
+        "source_row_count",
+        "target_row_count",
+        "rows_missing_in_target",
+        "rows_missing_in_source",
+        "status",
+    ):
+        assert v2.payload[k] == vf.payload[k], k
+    # the corruption touches only text values, so per-role turn counts
+    # and averages match across sides → PASS (on both execution paths)
+    assert v2.payload["status"] == "PASS"
+
+
 def test_incremental_keyed_falls_back_when_filter_changes(tmp_path):
     src, tgt, base = _build_base(tmp_path)
     rdir = str(tmp_path / "out")
