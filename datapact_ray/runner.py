@@ -550,6 +550,91 @@ class ValidationRunner:
 
         pool = ThreadPoolExecutor(max_workers=6)
         futures: dict[str, object] = {}
+        # referential incremental: probed/orphan counts are additive over
+        # probe files, so an append-only run probes only NEW fact files
+        # and adds the prior run's recorded counts — valid only when the
+        # DIM file list, columns, cap and filter are all unchanged
+        ref_cache_dir = os.path.join(ckpt, "referential")
+        ref_prior_dir = (
+            os.path.join(
+                self._task_ckpt(task.task_key, cfg.incremental_from),
+                "referential",
+            )
+            if cfg.incremental_from is not None
+            else None
+        )
+
+        def run_ref_side(ri, ref, side, path, pfiles, upf):
+            from .stages.referential import ReferentialMetrics
+
+            ref_files = list_parquet_files(ref.ref_path)
+            cfg_sig = {
+                "filter": task.filter,
+                "ref_files": sorted(ref_files),
+                "probe_columns": list(ref.columns),
+                "ref_columns": list(ref.ref_columns or ref.columns),
+                "cap": task.max_violations_per_partition,
+            }
+            prior = None
+            if upf and ref_prior_dir:
+                rec_path = os.path.join(ref_prior_dir, f"ref_{ri}_{side}.json")
+                if os.path.exists(rec_path):
+                    with open(rec_path, encoding="utf-8") as fh:
+                        rec = json.load(fh)
+                    if rec.get("config") == cfg_sig and set(
+                        rec.get("probe_files") or []
+                    ) <= set(pfiles):
+                        prior = rec
+            probe_list = (
+                [f for f in pfiles if f not in set(prior["probe_files"])]
+                if prior is not None
+                else pfiles
+            )
+            if prior is not None and not probe_list:
+                m = ReferentialMetrics(
+                    prior["probed_rows"], prior["orphan_rows"], prior["violations"]
+                )
+            else:
+                m = run_referential_pass(
+                    None
+                    if upf
+                    else read_table(
+                        path, columns=ref.columns, filter_sql=task.filter
+                    ),
+                    read_table(
+                        ref.ref_path, columns=ref.ref_columns or ref.columns
+                    ),
+                    ref.columns,
+                    ref.ref_columns or ref.columns,
+                    cap=task.max_violations_per_partition,
+                    ref_files=ref_files,
+                    probe_files=probe_list if upf else None,
+                    filter_expr=filter_expr,
+                    filter_columns=filter_cols,
+                )
+                if prior is not None:
+                    m = ReferentialMetrics(
+                        m.probed_rows + prior["probed_rows"],
+                        m.orphan_rows + prior["orphan_rows"],
+                        (prior["violations"] or []) + (m.violations or []),
+                    )
+            if upf:
+                os.makedirs(ref_cache_dir, exist_ok=True)
+                _atomic_write(
+                    os.path.join(ref_cache_dir, f"ref_{ri}_{side}.json"),
+                    json.dumps(
+                        {
+                            "config": cfg_sig,
+                            "probe_files": sorted(pfiles),
+                            "probed_rows": int(m.probed_rows),
+                            "orphan_rows": int(m.orphan_rows),
+                            "violations": m.violations,
+                        },
+                        default=str,
+                    ).encode(),
+                )
+            return m
+
         for ri, ref in enumerate(task.referential or []):
             ref_sides = ["source", "target"] if ref.side == "both" else [ref.side]
             for side in ref_sides:
@@ -557,21 +642,9 @@ class ValidationRunner:
                 pfiles = list_parquet_files(path)
                 use_probe_files = all(f.endswith(".parquet") for f in pfiles)
                 futures[f"ref:{ri}:{side}"] = pool.submit(
-                    lambda path=path, ref=ref, pfiles=pfiles,
-                    upf=use_probe_files: run_referential_pass(
-                        None
-                        if upf
-                        else read_table(
-                            path, columns=ref.columns, filter_sql=task.filter
-                        ),
-                        read_table(ref.ref_path, columns=ref.ref_columns or ref.columns),
-                        ref.columns,
-                        ref.ref_columns or ref.columns,
-                        cap=task.max_violations_per_partition,
-                        ref_files=list_parquet_files(ref.ref_path),
-                        probe_files=pfiles if upf else None,
-                        filter_expr=filter_expr,
-                        filter_columns=filter_cols,
+                    lambda ri=ri, ref=ref, side=side, path=path, pfiles=pfiles,
+                    upf=use_probe_files: run_ref_side(
+                        ri, ref, side, path, pfiles, upf
                     )
                 )
         # custom-SQL incremental: sharded partials are fragmentation-

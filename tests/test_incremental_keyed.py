@@ -277,6 +277,68 @@ def test_incremental_custom_sql_reuses_partials(tmp_path):
     assert v2.payload["status"] == "PASS"
 
 
+def test_incremental_referential_adds_new_file_counts(tmp_path):
+    """Probed/orphan counts are additive over probe files: run 2 probes
+    only the new fact file against the unchanged dim and adds run 1's
+    recorded counts — orphans introduced by the NEW file are found, and
+    totals equal a full run."""
+    src, tgt, base = _build_base(tmp_path)
+    from datapact_ray.config import ReferentialCheck
+
+    dim_dir = tmp_path / "dim"
+    dim_dir.mkdir()
+    # dim covers every conversation EXCEPT c0210 (arrives in part-001)
+    known = sorted(set(base.conv_id)) + [f"c{i:04d}" for i in range(120, 150)]
+    _write(pd.DataFrame({"conv_id": known}), str(dim_dir / "dim.parquet"))
+
+    def task():
+        t = _task(str(src), str(tgt))
+        t.referential = [
+            ReferentialCheck(
+                columns=["conv_id"], ref_path=str(dim_dir), side="source"
+            )
+        ]
+        return t
+
+    rdir = str(tmp_path / "out")
+    run_suite(
+        ValidationSuite(validations=[task()]),
+        RunConfig(results_dir=rdir, run_id=1, persist_keyed_inputs=True),
+    )
+    rec = json.load(
+        open(
+            os.path.join(
+                rdir, "checkpoint", "run_id=1", "task=t", "referential",
+                "ref_0_source.json",
+            )
+        )
+    )
+    assert rec["orphan_rows"] == 0 and rec["probed_rows"] == len(base)
+
+    _append_new(src, tgt, base)
+    s2 = run_suite(
+        ValidationSuite(validations=[task()]),
+        RunConfig(results_dir=rdir, run_id=2, incremental_from=1),
+    )
+    s_full = run_suite(
+        ValidationSuite(validations=[task()]),
+        RunConfig(results_dir=str(tmp_path / "out_full"), run_id=1),
+    )
+
+    def ref_payload(s):
+        p = s.results[0].payload
+        return {
+            k: v for k, v in p.items() if k.startswith("referential_validation")
+        }
+
+    p2, pf = ref_payload(s2), ref_payload(s_full)
+    assert p2 == pf
+    # the new file's duplicated conversation c0210 is NOT in the dim →
+    # its TURNS rows are orphans, caught without re-probing old files
+    v = next(iter(p2.values()))
+    assert v["status"] == "FAIL" and v["orphan_rows"] == str(TURNS)
+
+
 def test_incremental_keyed_falls_back_when_filter_changes(tmp_path):
     src, tgt, base = _build_base(tmp_path)
     rdir = str(tmp_path / "out")
