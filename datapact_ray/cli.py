@@ -211,7 +211,7 @@ def _custom_locus(sql: str, source_path: str, target_path: str) -> str:
                     f"CREATE VIEW {view} AS SELECT * FROM read_parquet([{file_list}])"
                 )
             input_cols = {
-                view: {r[0] for r in con.execute(f"DESCRIBE {view}").fetchall()}
+                view: {r[0]: r[1] for r in con.execute(f"DESCRIBE {view}").fetchall()}
                 for view in ("src", "tgt")
             }
             loci = []

@@ -98,6 +98,31 @@ def table_schema(path: str) -> pa.Schema:
     ).schema
 
 
+def file_stats(files: list[str]) -> dict[str, list[int]]:
+    """Cheap per-file fingerprints ``{path: [size, mtime_ns]}`` guarding
+    incremental reuse against IN-PLACE rewrites: the reuse channels
+    validate coverage by file path, and a compaction/re-export that
+    rewrites a recorded file under its old name would otherwise be
+    silently served from stale state. One os.stat per file — no footer
+    read."""
+    out: dict[str, list[int]] = {}
+    for f in files:
+        st = os.stat(f)
+        out[f] = [st.st_size, st.st_mtime_ns]
+    return out
+
+
+def stats_match(
+    recorded: dict | None, current: dict[str, list[int]], files
+) -> bool:
+    """Every reused ``files`` entry must carry the same fingerprint the
+    prior run recorded (missing recorded stats → refuse: pre-upgrade
+    runs cannot prove their files are unchanged)."""
+    if not isinstance(recorded, dict):
+        return False
+    return all(recorded.get(f) == current.get(f) for f in files)
+
+
 def count_rows(path: str) -> int:
     """Exact row count from parquet footers (no data read); falls back
     to a metadata-free estimate of 0 for csv/json (callers only use this

@@ -515,6 +515,12 @@ def _parse_jpeg(payload: bytes) -> np.ndarray:
     while i < n:
         if payload[i] != 0xFF:
             raise ValueError("JPEG marker sync lost")
+        # T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+        # fill bytes — skip to the last 0xFF of the run
+        while i + 1 < n and payload[i + 1] == 0xFF:
+            i += 1
+        if i + 1 >= n:
+            raise ValueError("truncated JPEG segment")
         marker = payload[i + 1]
         if marker == 0xD9:  # EOI
             break

@@ -51,12 +51,16 @@ def payload_read_blocks(path: str, rows_per_block: int = 512) -> int | None:
         if _ray.is_initialized()
         else 8
     )
+    files = list_parquet_files(path)
+    if len(files) >= cpus:
+        return None  # one block per file already saturates the pool
     want = min(cpus, max(1, count_rows(path) // rows_per_block))
-    native = sum(
-        pq.ParquetFile(f).metadata.num_row_groups
-        for f in list_parquet_files(path)
-    )
-    return want if native < want else None
+    native = 0
+    for f in files:  # early exit: stop once native granularity suffices
+        native += pq.ParquetFile(f).metadata.num_row_groups
+        if native >= want:
+            return None
+    return want
 
 
 MEDIA_SCHEMA = pa.schema(

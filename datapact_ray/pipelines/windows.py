@@ -64,6 +64,17 @@ def _ts_us_np(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
 
 def _int64_np(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if arr.null_count:
+        # parity with the replaced pandas path, which raised
+        # IntCastingNaNError here: a null in an integer column the
+        # operator requires must fail LOUDLY — to_numpy would route
+        # through float64 and silently turn nulls into INT64_MIN (and
+        # shave low bits off ids above 2^53)
+        raise ValueError(
+            "null values in an integer column this operator requires; "
+            "add the column to the operator's null-drop subset or clean "
+            "the input"
+        )
     return arr.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
 
 

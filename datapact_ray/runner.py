@@ -48,8 +48,10 @@ from .expr import compile_filter
 from .io import (
     count_rows,
     detect_hot_keys_from_footers,
+    file_stats,
     list_parquet_files,
     read_table,
+    stats_match,
     table_schema,
 )
 from .sketches import ks_statistic, psi_statistic, tvd_statistic
@@ -222,6 +224,10 @@ class ValidationRunner:
             "task_key": task.task_key,
             "source_files": src_files,
             "target_files": tgt_files,
+            # (size, mtime_ns) per file: incremental reuse must prove a
+            # prior run's files are UNCHANGED, not merely still present
+            # (an in-place rewrite keeps the path but invalidates state)
+            "file_stats": file_stats(src_files + tgt_files),
             "filter": task.filter,
             "partitioning": {
                 # bucket ids come from polars' column hash (stable per
@@ -571,19 +577,27 @@ class ValidationRunner:
             cfg_sig = {
                 "filter": task.filter,
                 "ref_files": sorted(ref_files),
+                # dim fingerprints: an in-place dim rewrite must refuse
+                "ref_stats": file_stats(ref_files),
                 "probe_columns": list(ref.columns),
                 "ref_columns": list(ref.ref_columns or ref.columns),
                 "cap": task.max_violations_per_partition,
             }
+            probe_stats = file_stats(pfiles) if upf else {}
             prior = None
             if upf and ref_prior_dir:
                 rec_path = os.path.join(ref_prior_dir, f"ref_{ri}_{side}.json")
                 if os.path.exists(rec_path):
                     with open(rec_path, encoding="utf-8") as fh:
                         rec = json.load(fh)
-                    if rec.get("config") == cfg_sig and set(
-                        rec.get("probe_files") or []
-                    ) <= set(pfiles):
+                    covered = set(rec.get("probe_files") or [])
+                    if (
+                        rec.get("config") == cfg_sig
+                        and covered <= set(pfiles)
+                        and stats_match(
+                            rec.get("probe_stats"), probe_stats, covered
+                        )
+                    ):
                         prior = rec
             probe_list = (
                 [f for f in pfiles if f not in set(prior["probe_files"])]
@@ -626,6 +640,7 @@ class ValidationRunner:
                         {
                             "config": cfg_sig,
                             "probe_files": sorted(pfiles),
+                            "probe_stats": probe_stats,
                             "probed_rows": int(m.probed_rows),
                             "orphan_rows": int(m.orphan_rows),
                             "violations": m.violations,
@@ -699,6 +714,13 @@ class ValidationRunner:
             prev_tgt = set(prior.get("target_files") or [])
             # removed files invalidate the monoid (cannot subtract)
             if not (prev_src <= set(src_files) and prev_tgt <= set(tgt_files)):
+                return None
+            # in-place rewrites of a reused file invalidate it too
+            if not stats_match(
+                prior.get("file_stats"),
+                lineage["file_stats"],
+                prev_src | prev_tgt,
+            ):
                 return None
             with open(psrc, "rb") as fh:
                 sp0 = pickle.load(fh)
@@ -837,6 +859,13 @@ class ValidationRunner:
             prev_tgt = set(prior.get("target_files") or [])
             # removed files invalidate the union (cannot subtract rows)
             if not (prev_src <= set(src_files) and prev_tgt <= set(tgt_files)):
+                return None
+            # in-place rewrites of a reused file invalidate it too
+            if not stats_match(
+                prior.get("file_stats"),
+                lineage["file_stats"],
+                prev_src | prev_tgt,
+            ):
                 return None
             with open(sig_path, encoding="utf-8") as fh:
                 if fh.read() != _spec_signature(spec_obj):

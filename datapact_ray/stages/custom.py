@@ -243,16 +243,39 @@ _INT_TYPE_IDS = {
 }
 
 
+def _key_types_match(
+    input_cols, sides: list[tuple[str, str]], keys: list[str]
+) -> bool:
+    """The two join-key columns must have the SAME declared type: the
+    co-location hash is computed per side on the side's own column, and
+    e.g. BIGINT 5 and VARCHAR '5' hash differently — DuckDB's implicit
+    cast would join them on the driver, so a type mismatch must refuse
+    to the driver rather than silently under-join. Requires per-column
+    type info (dict values); name-only sets refuse."""
+    types = []
+    for (view, _alias), key in zip(sides, keys):
+        cols = (input_cols or {}).get(view)
+        if not isinstance(cols, dict):
+            return False
+        t = cols.get(key)
+        if t is None:
+            return False
+        types.append(t)
+    return types[0] == types[1]
+
+
 def _parse_join(
-    ft: dict, input_cols: dict[str, set[str]] | None
+    ft: dict, input_cols: dict[str, dict] | dict[str, set] | None
 ) -> list[tuple[str, str, str]] | None:
     """Recognize a shardable two-table INNER equi-join FROM clause:
     ``src [AS a] JOIN tgt [AS b] ON <conjuncts>`` where at least one
     conjunct is a bare column-to-column equality between OPPOSITE sides
     (the co-location key — extra conjuncts run verbatim per bucket), or
     ``USING (k)``. Self-joins refuse (one view name cannot hold two
-    different bucket fragments). Returns ``[(view, alias, key_column)]``
-    in (left, right) order, or None."""
+    different bucket fragments), as do key pairs with different
+    declared types (hash co-location requires identical hashing).
+    Returns ``[(view, alias, key_column)]`` in (left, right) order, or
+    None."""
     if (
         ft.get("join_type") != "INNER"
         or ft.get("ref_type") != "REGULAR"
@@ -272,6 +295,8 @@ def _parse_join(
         return None
     using = ft.get("using_columns") or []
     if using:
+        if not _key_types_match(input_cols, sides, [using[0], using[0]]):
+            return None
         return [(v, a, using[0]) for v, a in sides]
     cond = ft.get("condition")
     if cond is None:
@@ -320,6 +345,8 @@ def _parse_join(
                 break
             keys[si] = names[-1]
         if ok and keys[0] is not None and keys[1] is not None:
+            if not _key_types_match(input_cols, sides, [keys[0], keys[1]]):
+                continue
             return [
                 (sides[0][0], sides[0][1], keys[0]),
                 (sides[1][0], sides[1][1], keys[1]),
@@ -751,6 +778,13 @@ def _load_prior_partials(prior_dir: str | None, key: str, files: list[str]):
     prior_files = set(meta.get("files") or [])
     if not prior_files or not prior_files <= set(files):
         return None, set()
+    from ..io import file_stats, stats_match
+
+    # in-place rewrites of a covered file invalidate the cached partials
+    if not stats_match(
+        meta.get("file_stats"), file_stats(sorted(prior_files)), prior_files
+    ):
+        return None, set()
     return pq.read_table(data_p), prior_files
 
 
@@ -771,10 +805,15 @@ def _store_partials(cache_dir: str | None, key: str, partials, files: list[str])
     os.close(fd)
     pq.write_table(partials, tmp)
     os.replace(tmp, os.path.join(cache_dir, f"custom_{key}.parquet"))
+    from ..io import file_stats
+
     fd, tmp = tempfile.mkstemp(dir=cache_dir, suffix=".json")
     os.close(fd)
     with open(tmp, "w", encoding="utf-8") as fh:
-        json.dump({"files": sorted(files)}, fh)
+        json.dump(
+            {"files": sorted(files), "file_stats": file_stats(sorted(files))},
+            fh,
+        )
     os.replace(tmp, os.path.join(cache_dir, f"custom_{key}.json"))
 
 
@@ -1036,7 +1075,7 @@ def run_custom_check(
         # per-view column names (footer-only) so GROUP BY select-alias
         # references resolve in the sharding planner
         input_cols = {
-            view: {r[0] for r in con.execute(f"DESCRIBE {view}").fetchall()}
+            view: {r[0]: r[1] for r in con.execute(f"DESCRIBE {view}").fetchall()}
             for view in (SOURCE_VIEW, TARGET_VIEW)
         }
         reused: dict[str, int] = {"source": 0, "target": 0}

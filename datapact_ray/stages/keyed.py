@@ -1577,6 +1577,21 @@ def run_keyed_pass(
     """
     _guard_checkpoint_spec(spec)
     done = completed_buckets(spec.checkpoint_dir) if spec.resume else frozenset()
+    if spec.persist_input and done:
+        # a bucket checkpointed by an earlier attempt that did NOT
+        # persist inputs has valid metrics but no input.parquet —
+        # treating it as done would stamp _INPUTS_COMPLETE over a hole
+        # that a later incremental run reads as "bucket was empty".
+        # Recompute those buckets so the persisted input set is whole.
+        done = frozenset(
+            b
+            for b in done
+            if os.path.exists(
+                os.path.join(
+                    spec.checkpoint_dir, f"bucket={b}", "input.parquet"
+                )
+            )
+        )
     checker = _BucketChecker(spec, task_key)
     merged = KeyedMetrics()
 

@@ -595,3 +595,35 @@ def test_jpeg_decode_stats_oracle_sf0001():
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
     )
+
+
+def test_jpeg_accepts_fill_bytes_before_markers():
+    """T.81 B.1.1.2: markers may be preceded by 0xFF fill bytes — a
+    real-corpus file using them must decode, not raise."""
+    from datapact_ray.pipelines.jpeg_codec import decode_jpeg_pixels, encode_jpeg
+
+    img = np.full((16, 16), 150, dtype=np.uint8)
+    payload = encode_jpeg(img)
+    dqt = payload.find(b"\xff\xdb")
+    padded = payload[:dqt] + b"\xff\xff\xff" + payload[dqt:]
+    px = decode_jpeg_pixels(padded)
+    assert np.array_equal(px[..., 0], img)
+
+
+def test_payload_read_blocks_rule(tmp_path):
+    import pyarrow.parquet as pq
+
+    from datapact_ray.pipelines.multimodal import payload_read_blocks
+
+    # single-row-group small table → split hint
+    hint = payload_read_blocks("/root/testdata/sf0.001/documents.parquet")
+    assert hint is None or hint >= 1  # depends on cpu count; must not crash
+    # many-file table → None fast path (native granularity suffices)
+    import pandas as pd
+
+    for i in range(40):
+        pq.write_table(
+            pa.Table.from_pandas(pd.DataFrame({"x": [i]})),
+            str(tmp_path / f"p{i:02d}.parquet"),
+        )
+    assert payload_read_blocks(str(tmp_path)) is None

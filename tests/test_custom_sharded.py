@@ -68,7 +68,7 @@ def _plan(sql: str, files: list[str]):
         con.execute(f"CREATE VIEW tgt AS SELECT * FROM read_parquet([{file_list}])")
         schema = [(r[0], r[1]) for r in con.execute(f"DESCRIBE {sql}").fetchall()]
         input_cols = {
-            view: {r[0] for r in con.execute(f"DESCRIBE {view}").fetchall()}
+            view: {r[0]: r[1] for r in con.execute(f"DESCRIBE {view}").fetchall()}
             for view in ("src", "tgt")
         }
     finally:
@@ -536,3 +536,37 @@ def test_sharded_equals_driver_fuzz(
     pd.testing.assert_frame_equal(
         got_s, want_s, check_dtype=False, atol=1e-9, rtol=1e-12
     )
+
+
+def test_join_key_type_mismatch_refuses(tmp_path):
+    """BIGINT-vs-VARCHAR join keys hash differently per side, so the
+    bucket shuffle would silently under-join what DuckDB's implicit
+    cast joins on the driver — the planner must refuse to the driver."""
+    sp = str(tmp_path / "src.parquet")
+    tp = str(tmp_path / "tgt.parquet")
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2, 3], type=pa.int64()), "v": [1.0, 2.0, 3.0]}),
+        sp,
+    )
+    pq.write_table(
+        pa.table({"id": pa.array(["1", "2", "9"], type=pa.string()), "w": [5, 6, 7]}),
+        tp,
+    )
+    sql = "SELECT count(*) AS n FROM src s JOIN tgt t ON s.id = t.id"
+    assert _plan(sql, [sp]) is None or True  # _plan registers same files both views
+    con = duckdb.connect()
+    try:
+        con.execute(f"CREATE VIEW src AS SELECT * FROM read_parquet('{sp}')")
+        con.execute(f"CREATE VIEW tgt AS SELECT * FROM read_parquet('{tp}')")
+        schema = [(r[0], r[1]) for r in con.execute(f"DESCRIBE {sql}").fetchall()]
+        input_cols = {
+            view: {r[0]: r[1] for r in con.execute(f"DESCRIBE {view}").fetchall()}
+            for view in ("src", "tgt")
+        }
+    finally:
+        con.close()
+    assert plan_sharded(sql, schema, input_cols) is None
+    # and the full check still answers correctly via the driver
+    m = run_custom_check(sql, [sp], [tp])
+    assert m.source_locus == "driver" and m.target_locus == "driver"
+    assert m.source_row_count == 1

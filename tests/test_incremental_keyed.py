@@ -380,3 +380,69 @@ def test_incremental_keyed_falls_back_when_file_removed(tmp_path):
     )
     assert "incremental_keyed" not in lineage
     assert s2.results[0].payload["row_hash_validation"]["mismatch_count"] == "2"
+
+
+def test_incremental_refuses_inplace_rewrite(tmp_path):
+    """The reuse channels validate file CONTENT fingerprints, not just
+    path membership: rewriting a covered file in place (compaction,
+    corrected re-export) must silently fall back to a full scan."""
+    src, tgt, base = _build_base(tmp_path)
+    rdir = str(tmp_path / "out")
+    suite = ValidationSuite(validations=[_task(str(src), str(tgt))])
+    run_suite(suite, RunConfig(results_dir=rdir, run_id=1, persist_keyed_inputs=True))
+    _append_new(src, tgt, base)
+    # rewrite the base file IN PLACE on the source side: drop one row
+    rewritten = pd.concat(
+        [base.iloc[1:]], ignore_index=True
+    )
+    _write(rewritten, str(src / "part-000.parquet"))
+    s2 = run_suite(
+        suite, RunConfig(results_dir=rdir, run_id=2, incremental_from=1)
+    )
+    lineage = json.load(
+        open(os.path.join(rdir, "checkpoint", "run_id=2", "task=t", "lineage.json"))
+    )
+    assert "incremental_keyed" not in lineage
+    assert "incremental" not in lineage  # profile reuse refused too
+    # the full scan sees the dropped row: counts now differ by 1
+    assert s2.results[0].payload["count_validation"]["status"] == "FAIL"
+
+
+def test_persist_hole_from_earlier_attempt_recomputes(tmp_path):
+    """A bucket checkpointed by an attempt WITHOUT input persistence
+    must not satisfy a later persisting resume: the bucket recomputes
+    (so its input.parquet exists) before _INPUTS_COMPLETE is stamped,
+    and the follow-up incremental run sees the whole history."""
+    src, tgt, base = _build_base(tmp_path)
+    rdir = str(tmp_path / "out")
+    suite = ValidationSuite(validations=[_task(str(src), str(tgt))])
+    # attempt 1: no persistence
+    run_suite(suite, RunConfig(results_dir=rdir, run_id=1))
+    keyed_dir = os.path.join(rdir, "checkpoint", "run_id=1", "task=t", "keyed")
+    buckets = [d for d in os.listdir(keyed_dir) if d.startswith("bucket=")]
+    assert buckets and not any(
+        os.path.exists(os.path.join(keyed_dir, b, "input.parquet"))
+        for b in buckets
+    )
+    # attempt 2: resume the same run_id WITH persistence — the done
+    # buckets lack input.parquet and must recompute
+    run_suite(
+        suite,
+        RunConfig(
+            results_dir=rdir, run_id=1, resume=True, persist_keyed_inputs=True
+        ),
+    )
+    assert os.path.exists(os.path.join(keyed_dir, "_INPUTS_COMPLETE"))
+    for b in os.listdir(keyed_dir):
+        if b.startswith("bucket="):
+            assert os.path.exists(os.path.join(keyed_dir, b, "input.parquet")), b
+    # incremental run 2 then matches a full run (history intact)
+    _append_new(src, tgt, base)
+    s2 = run_suite(
+        suite, RunConfig(results_dir=rdir, run_id=2, incremental_from=1)
+    )
+    s_full = run_suite(
+        ValidationSuite(validations=[_task(str(src), str(tgt))]),
+        RunConfig(results_dir=str(tmp_path / "out_full"), run_id=1),
+    )
+    assert _keyed_payload(s2) == _keyed_payload(s_full)

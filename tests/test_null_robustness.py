@@ -2180,3 +2180,34 @@ def test_mutual_info_nulls_and_dependence(tmp_path):
             assert mi > 0.6  # ln(2) ~ 0.693 for a balanced bijection
         else:
             assert mi < 0.01
+
+
+def test_null_required_int_column_fails_loudly(tmp_path):
+    """A null in an integer column an operator requires but does not
+    null-drop (e.g. event_id in the transition census) must raise, not
+    silently become INT64_MIN garbage (pandas-path parity)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    n = 200
+    t = pa.table(
+        {
+            "event_id": pa.array(
+                [None if i == 7 else i for i in range(n)], type=pa.int64()
+            ),
+            "ts": pa.array(
+                np.datetime64("2024-01-01") + np.arange(n).astype("timedelta64[s]")
+            ),
+            "user_id": pa.array(np.arange(n) % 11),
+            "event_type": pa.array(["a", "b"] * (n // 2)),
+            "value": pa.array(np.ones(n)),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    pq.write_table(t, str(d / "events.parquet"))
+    from datapact_ray.pipelines.windows import event_type_transitions_events
+
+    with pytest.raises(Exception, match="null values in an integer column"):
+        event_type_transitions_events(str(d), num_buckets=3)
