@@ -256,6 +256,18 @@ def main(argv: list[str] | None = None) -> int:
     p_run.add_argument("--fail-fast", action="store_true",
                        help="stop at the first failing task (forces "
                             "sequential execution)")
+    p_run.add_argument("--incremental-from", type=int, default=None,
+                       help="prior run_id whose checkpointed state this "
+                       "run may reuse for append-only inputs: profile "
+                       "monoids, keyed bucket inputs, custom-SQL "
+                       "partials and referential counts — verdicts stay "
+                       "identical to a full run; any lineage/spec/"
+                       "fingerprint mismatch silently runs full")
+    p_run.add_argument("--persist-keyed-inputs", action="store_true",
+                       help="persist each keyed bucket's projected "
+                       "input so the NEXT run can cite this one via "
+                       "--incremental-from (implied when "
+                       "--incremental-from is set)")
     p_run.add_argument("--temporal-baseline-run", type=int, default=None,
                        help="compare this run's source profiles against "
                             "run N's checkpointed profiles for tasks with "
@@ -344,6 +356,8 @@ def main(argv: list[str] | None = None) -> int:
                 max_parallel_tasks=args.max_parallel_tasks,
                 fail_fast=args.fail_fast,
                 temporal_baseline_run=args.temporal_baseline_run,
+                incremental_from=args.incremental_from,
+                persist_keyed_inputs=args.persist_keyed_inputs,
             ),
         )
         for r in summary.results:

@@ -322,3 +322,61 @@ def test_cross_run_trend_tables(tmp_path):
         md = fh.read()
     assert "## Trends (cross-run history)" in md
     assert "Job runs (last 30)" in md
+
+
+def test_cli_incremental_flags(tmp_path, capsys):
+    """--persist-keyed-inputs / --incremental-from wire through to the
+    runner: run 2 reuses run 1's state and records it in lineage."""
+    import json as _json
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "data"
+    d.mkdir()
+    df = pd.DataFrame(
+        {
+            "conv_id": np.repeat([f"c{i}" for i in range(50)], 4),
+            "turn_idx": np.tile(np.arange(4), 50),
+            "text": [f"t{i}" for i in range(200)],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), str(d / "p0.parquet"))
+    cfg = tmp_path / "suite.yml"
+    cfg.write_text(
+        f"""
+validations:
+  - task_key: t
+    source_path: {d}
+    target_path: {d}
+    primary_keys: [conv_id, turn_idx]
+    count_tolerance: 0.0
+    pk_row_hash_check: true
+"""
+    )
+    out = str(tmp_path / "out")
+    rc = cli_main(
+        ["run", "--config", str(cfg), "--results-dir", out, "--run-id", "1",
+         "--persist-keyed-inputs"]
+    )
+    assert rc == 0
+    import os
+
+    assert os.path.exists(
+        os.path.join(out, "checkpoint", "run_id=1", "task=t", "keyed",
+                     "_INPUTS_COMPLETE")
+    )
+    df2 = df.copy()
+    df2["conv_id"] = df2["conv_id"] + "x"
+    pq.write_table(pa.Table.from_pandas(df2, preserve_index=False), str(d / "p1.parquet"))
+    rc = cli_main(
+        ["run", "--config", str(cfg), "--results-dir", out, "--run-id", "2",
+         "--incremental-from", "1"]
+    )
+    assert rc == 0
+    lineage = _json.load(
+        open(os.path.join(out, "checkpoint", "run_id=2", "task=t", "lineage.json"))
+    )
+    assert lineage["incremental_keyed"]["keyed"]["from_run_id"] == 1
