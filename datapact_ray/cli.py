@@ -214,19 +214,26 @@ def _custom_locus(sql: str, source_path: str, target_path: str) -> str:
                 view: {r[0]: r[1] for r in con.execute(f"DESCRIBE {view}").fetchall()}
                 for view in ("src", "tgt")
             }
-            loci = []
+            loci, joins = [], []
             for side in ("source", "target"):
                 rendered = render_custom_sql(sql, side, src_files, tgt_files)
                 schema = [
                     (r[0], r[1])
                     for r in con.execute(f"DESCRIBE {rendered}").fetchall()
                 ]
-                loci.append(plan_sharded(rendered, schema, input_cols) is not None)
+                plan = plan_sharded(rendered, schema, input_cols)
+                loci.append(plan is not None)
+                joins.append(plan is not None and plan.join is not None)
         finally:
             con.close()
     except Exception:
         return "locus undetermined before run (inputs unreadable at plan time)"
     if all(loci):
+        if any(joins):
+            return (
+                "SHARDED: equi-join bucket shuffle (both sides hash-"
+                "partitioned by join key), DuckDB-on-bucket Ray tasks"
+            )
         return "SHARDED: decomposed per scan unit, DuckDB-on-fragment Ray tasks"
     return (
         "WARNING — DRIVER-SIDE DuckDB FULL SCAN (query not decomposable: "

@@ -111,13 +111,16 @@ class RunConfig:
     # sequential) when fail_fast is set, so "stop at first failure"
     # keeps its exact meaning.
     max_parallel_tasks: int = 1
-    # incremental profile: merge the cited prior run's checkpointed
-    # profile monoids with a profile of ONLY the input files added since
-    # — exact for every scan-shaped check (count/null/agg; sketches are
-    # mergeable). Keyed/referential/custom checks always run full (new
-    # rows can collide with old keys, so key-shaped state cannot be
-    # carried forward without the full key set). Falls back to a full
-    # profile when lineage/spec/filter changed or files were REMOVED.
+    # incremental validation: reuse the cited prior run's checkpointed
+    # state for append-only inputs, scanning ONLY the files added since.
+    # Exact for EVERY pass: profile monoids merge; the keyed/conv
+    # exchange unions the prior run's persisted bucket inputs with the
+    # new files' rows (so cross-file key collisions ARE caught — the
+    # checker sees the same multiset a full scan would); sharded
+    # custom-SQL partials concatenate; referential counts add. Falls
+    # back to a full scan per channel when lineage/spec/filter changed,
+    # files were REMOVED, or any reused file's (size, mtime) fingerprint
+    # changed (in-place rewrite).
     incremental_from: int | None = None
     # temporal drift baseline: compare this run's SOURCE profile digests
     # against run N's checkpointed source profile for every task that

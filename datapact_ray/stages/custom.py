@@ -29,12 +29,19 @@ Execution engine — two loci:
   MIN-of-mins, …, cast back to the original output types). At 100 TB
   the scan work is distributed across the cluster; the driver only sees
   group-sized partials.
+* **Sharded joins:** two-table INNER equi-joins between the views
+  (``src JOIN tgt ON key``, ``USING``, AND-conjunct ONs with one clean
+  same-typed column equality) hash-partition both sides by their join
+  key so every joinable pair co-locates, run the partial query on each
+  bucket-local join, and merge with the same partial/merge algebra.
 * **Driver DuckDB (fallback):** queries that resist decomposition
-  (joins across both sides, subqueries, windows, LIMIT, …) run on the
-  driver with BOTH sides' parquet files registered in ONE connection
-  (views ``src`` and ``tgt``) — correct but single-node; the plan
-  printer (`cli.py plan`) labels the execution locus per custom check
-  so the cost is visible before the run.
+  (outer/non-equi/self joins, mismatched join-key types, subqueries,
+  windows, LIMIT, SELECT DISTINCT, non-mergeable aggregates) run on
+  the driver with BOTH sides' parquet files registered in ONE
+  connection (views ``src`` and ``tgt``) — correct but single-node;
+  the plan printer (`cli.py plan`) labels the execution locus per
+  custom check so the cost is visible before the run, and the verdict
+  payload records it as ``execution_locus``.
 
 Template rendering mirrors the reference's dual render contexts
 (``/root/reference/datapact/sql_generator.py:56-84``): each custom query
