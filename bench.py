@@ -573,6 +573,7 @@ def run_bench() -> dict:
     timed("header_census_multimodal", multimodal.header_census_multimodal, SF_DIR)
     timed("funnel_latency_events", windows.funnel_latency_events, SF_DIR)
     timed("dedup_savings_documents", dedup.dedup_savings_documents, SF_DIR)
+    timed("dup_span_census_documents", dedup.dup_span_census_documents, SF_DIR)
     timed(
         "payload_size_percentiles_multimodal",
         multimodal.payload_size_percentiles_multimodal,

@@ -2223,7 +2223,159 @@ def _prefix_dup_sql(prefix_chars: int = 64) -> str:
     """
 
 
+
+def dup_span_census_documents(
+    sf_dir: str, k: int = 32, stride: int = 4, num_buckets: int | None = None
+) -> pd.DataFrame:
+    """Exact duplicated-SPAN census — the "memorized span" metric of
+    exact-substring training-data dedup (char-window variant of Lee et
+    al. 2022's suffix-array method): the fraction of ``k``-codepoint
+    windows (anchored every ``stride`` positions) whose content occurs
+    MORE THAN ONCE anywhere in the corpus, attributed per provenance
+    source. Catches partial-overlap duplication (quoted paragraphs,
+    boilerplate spans, near-identical re-crawls) that whole-document
+    and prefix hashing both miss.
+
+    Shape: one scan projects every document to its window HASHES — the
+    text concatenates into one codepoint buffer per batch (utf-32 view,
+    docs padded to a stride multiple so anchors stay per-doc aligned;
+    windows crossing a document boundary are masked out), and a
+    32-term vectorized polynomial over the sliding-window view hashes
+    all windows at once. Only (8-byte hash, source) rows enter the
+    hash-bucket exchange; equal spans land in one bucket, so the
+    per-bucket global occurrence count is exact. 64-bit-collision
+    caveat as the other content-hash ops. Oracle: the same windows as
+    SQL ``substr`` (codepoint semantics) grouped by content."""
+    num_buckets = num_buckets or _dedup_buckets()
+    powers = np.uint64(1099511628211) ** np.arange(k, dtype=np.uint64)
+
+    def window_batch(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        mask = pc2.and_(
+            pc2.is_valid(batch.column("text")),
+            pc2.is_valid(batch.column("source")),
+        )
+        tbl = batch.filter(mask)
+        empty = pa.table(
+            {
+                "h": pa.array([], type=pa.uint64()),
+                "source": pa.array([], type=pa.string()),
+                "__bucket": pa.array([], type=pa.int32()),
+            }
+        )
+        if tbl.num_rows == 0:
+            return empty
+        texts = tbl.column("text").to_pylist()
+        lens = np.array([len(t) for t in texts], dtype=np.int64)
+        pad = (-lens) % stride
+        if int(lens.sum() + pad.sum()) == 0:
+            return empty
+        # one contiguous codepoint buffer; U+0000 padding keeps every
+        # document start aligned to the global stride grid
+        buf = np.zeros(int((lens + pad).sum()), dtype=np.uint32)
+        did = np.repeat(np.arange(len(texts), dtype=np.int64), lens + pad)
+        offs = np.concatenate([[0], np.cumsum(lens + pad)[:-1]])
+        for t, o, ln in zip(texts, offs, lens):
+            if ln:
+                buf[o : o + ln] = np.frombuffer(
+                    t.encode("utf-32-le"), dtype=np.uint32
+                )
+        if len(buf) < k:
+            return empty
+        win = np.lib.stride_tricks.sliding_window_view(buf, k)[::stride]
+        starts = np.arange(0, len(buf) - k + 1, stride)
+        # a window is real iff it lies wholly inside ONE document's
+        # unpadded span (padding sits at each document's tail)
+        end_ok = starts + k - 1 < offs[did[starts]] + lens[did[starts]]
+        valid = (did[starts] == did[starts + k - 1]) & end_ok
+        if not valid.any():
+            return empty
+        win = np.ascontiguousarray(win[valid]).astype(np.uint64)
+        h = np.zeros(len(win), dtype=np.uint64)
+        for j in range(k):
+            h += win[:, j] * powers[j]
+        src = np.asarray(tbl.column("source").to_pylist(), dtype=object)
+        return pa.table(
+            {
+                "h": h,
+                "source": pa.array(src[did[starts[valid]]]),
+                "__bucket": pa.array(
+                    (h % np.uint64(num_buckets)).astype(np.int32)
+                ),
+            }
+        )
+
+    def census(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype="object"),
+                    "n": pd.Series([], dtype="int64"),
+                    "dup": pd.Series([], dtype="int64"),
+                }
+            )
+        occurs = df.groupby("h")["h"].transform("size")
+        out = (
+            pd.DataFrame({"source": df["source"], "dup": occurs > 1})
+            .groupby("source", as_index=False)
+            .agg(n=("dup", "size"), dup=("dup", "sum"))
+        )
+        return out.astype({"n": "int64", "dup": "int64"})
+
+    parts = _fused_grouped_frames(
+        [(f"{sf_dir}/documents.parquet", ["text", "source"], None, window_batch)],
+        num_buckets,
+        census,
+    )
+    if not len(parts):
+        return pd.DataFrame(
+            {
+                "source": pd.Series([], dtype="object"),
+                "n_windows": pd.Series([], dtype="int64"),
+                "dup_windows": pd.Series([], dtype="int64"),
+                "dup_fraction": pd.Series([], dtype="float64"),
+            }
+        )
+    out = parts.groupby("source", as_index=False).agg(
+        n_windows=("n", "sum"), dup_windows=("dup", "sum")
+    )
+    from ._util import round_duck as _rd
+
+    out["dup_fraction"] = [
+        float(_rd(d / n, 6)) if n else 0.0
+        for d, n in zip(out["dup_windows"], out["n_windows"])
+    ]
+    out = out.astype({"n_windows": "int64", "dup_windows": "int64"})
+    return out.sort_values("source").reset_index(drop=True)
+
+
+_DUP_SPAN_SQL = """
+    WITH s AS (
+        SELECT unnest(range(0,
+            (SELECT CAST(CEIL(MAX(length(text)) / 4.0) AS BIGINT) + 1
+             FROM documents))) AS i
+    ), w AS (
+        SELECT d.source, substr(d.text, CAST(1 + 4 * s.i AS INTEGER), 32) AS win
+        FROM documents d, s
+        WHERE d.text IS NOT NULL AND d.source IS NOT NULL
+          AND 1 + 4 * s.i + 31 <= length(d.text)
+    ), c AS (
+        SELECT win, COUNT(*) AS n FROM w GROUP BY win
+    )
+    SELECT w.source,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dup_windows,
+           ROUND(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS dup_fraction
+    FROM w JOIN c USING (win)
+    GROUP BY w.source ORDER BY w.source
+"""
+
+
 QUERIES = {
+    "dup_span_census_documents": dup_span_census_documents,
     "dedup_exact_documents": dedup_exact_documents,
     "prefix_dup_documents": prefix_dup_documents,
     "dedup_savings_documents": dedup_savings_documents,
@@ -2243,6 +2395,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "dup_span_census_documents": _DUP_SPAN_SQL,
     "dedup_savings_documents": _DEDUP_SAVINGS_SQL,
     "prefix_dup_documents": _prefix_dup_sql(),
     "substring_contamination_documents": _SUBSTRING_CONTAMINATION_SQL,

@@ -105,3 +105,55 @@ def test_distributed_clusters_match_driver_on_duplicated_corpus(tmp_path):
         str(tmp_path), distributed=True, pairs_out_dir=str(tmp_path / "pairs")
     )
     assert [os.path.getmtime(f) for f in sorted(glob.glob(str(tmp_path / "pairs/*.parquet")))] == mtimes
+
+
+def test_dup_span_census_unicode_and_boundaries(tmp_path):
+    """Window semantics must equal SQL substr (codepoints, never split
+    a multi-byte char; windows never cross documents; stride anchors
+    per document); verified against DuckDB on a mixed-script fixture
+    with deliberate shared spans."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datapact_ray.pipelines.dedup import (
+        _DUP_SPAN_SQL,
+        dup_span_census_documents,
+    )
+
+    shared = "это общий абзац — shared span with ünïcode characters!!"
+    docs = []
+    for i in range(40):
+        body = f"doc {i:03d} unique text " + "x" * (i % 7)
+        if i % 3 == 0:
+            body += shared  # cross-doc duplicated span
+        if i % 11 == 0:
+            body = shared + body  # duplicated at position 0 too
+        docs.append((i, body, f"s{i % 4}"))
+    docs.append((100, "short", "s0"))  # < window size: zero windows
+    docs.append((101, None, "s1"))  # NULL text
+    df = pd.DataFrame(docs, columns=["doc_id", "text", "source"])
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False),
+        str(d / "documents.parquet"),
+    )
+    got = dup_span_census_documents(str(d), num_buckets=5)
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')"
+        )
+        want = con.execute(_DUP_SPAN_SQL).fetchdf()
+    finally:
+        con.close()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
+    assert got["dup_windows"].sum() > 0  # the shared spans were found
+    # bucket-count invariance (global dup decision is partition-safe)
+    alt = dup_span_census_documents(str(d), num_buckets=17)
+    pd.testing.assert_frame_equal(got, alt)
