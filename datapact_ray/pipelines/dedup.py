@@ -2283,7 +2283,6 @@ def dup_span_census_documents(
                 )
         if len(buf) < k:
             return empty
-        win = np.lib.stride_tricks.sliding_window_view(buf, k)[::stride]
         starts = np.arange(0, len(buf) - k + 1, stride)
         # a window is real iff it lies wholly inside ONE document's
         # unpadded span (padding sits at each document's tail)
@@ -2291,15 +2290,18 @@ def dup_span_census_documents(
         valid = (did[starts] == did[starts + k - 1]) & end_ok
         if not valid.any():
             return empty
-        win = np.ascontiguousarray(win[valid]).astype(np.uint64)
-        h = np.zeros(len(win), dtype=np.uint64)
+        vs = starts[valid]
+        # hash by k per-position gathers from the FLAT buffer — never
+        # materializing the (n, k) window matrix (a k× memory blowup
+        # per map task at scale)
+        h = np.zeros(len(vs), dtype=np.uint64)
         for j in range(k):
-            h += win[:, j] * powers[j]
+            h += buf[vs + j].astype(np.uint64) * powers[j]
         src = np.asarray(tbl.column("source").to_pylist(), dtype=object)
         return pa.table(
             {
                 "h": h,
-                "source": pa.array(src[did[starts[valid]]]),
+                "source": pa.array(src[did[vs]]),
                 "__bucket": pa.array(
                     (h % np.uint64(num_buckets)).astype(np.int32)
                 ),
@@ -2350,16 +2352,20 @@ def dup_span_census_documents(
     return out.sort_values("source").reset_index(drop=True)
 
 
-_DUP_SPAN_SQL = """
+def _dup_span_sql(k: int = 32, stride: int = 4) -> str:
+    """Oracle rendered from the same (k, stride) parameters as the Ray
+    operator (convention of ``_prefix_dup_sql``)."""
+    return f"""
     WITH s AS (
         SELECT unnest(range(0,
-            (SELECT CAST(CEIL(MAX(length(text)) / 4.0) AS BIGINT) + 1
+            (SELECT CAST(CEIL(MAX(length(text)) / {stride}.0) AS BIGINT) + 1
              FROM documents))) AS i
     ), w AS (
-        SELECT d.source, substr(d.text, CAST(1 + 4 * s.i AS INTEGER), 32) AS win
+        SELECT d.source,
+               substr(d.text, CAST(1 + {stride} * s.i AS INTEGER), {k}) AS win
         FROM documents d, s
         WHERE d.text IS NOT NULL AND d.source IS NOT NULL
-          AND 1 + 4 * s.i + 31 <= length(d.text)
+          AND 1 + {stride} * s.i + {k - 1} <= length(d.text)
     ), c AS (
         SELECT win, COUNT(*) AS n FROM w GROUP BY win
     )
@@ -2372,6 +2378,9 @@ _DUP_SPAN_SQL = """
     FROM w JOIN c USING (win)
     GROUP BY w.source ORDER BY w.source
 """
+
+
+_DUP_SPAN_SQL = _dup_span_sql()
 
 
 QUERIES = {

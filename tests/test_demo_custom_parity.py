@@ -79,7 +79,7 @@ def _col_type(name: str) -> str:
 
 
 @pytest.mark.parametrize(
-    "name,sql", _demo_custom_tests(), ids=lambda v: v if isinstance(v, str) and " " in v else None
+    "name,sql", _demo_custom_tests(), ids=[n for n, _s in _demo_custom_tests()]
 )
 def test_every_demo_custom_test_plans_sharded(name, sql):
     rendered = _adapt(sql.replace("{{ table_fqn }}", "src")).strip()
