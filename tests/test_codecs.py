@@ -627,3 +627,26 @@ def test_payload_read_blocks_rule(tmp_path):
             str(tmp_path / f"p{i:02d}.parquet"),
         )
     assert payload_read_blocks(str(tmp_path)) is None
+
+
+def test_resize_real_jpeg_stage():
+    """MediaResizer routes image/jpeg through the vendored codec."""
+    from datapact_ray.pipelines.jpeg_codec import decode_jpeg_pixels, encode_jpeg
+
+    img = np.full((32, 64), 90, dtype=np.uint8)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array([1], type=pa.int64()),
+                "media_type": pa.array(["image/jpeg"]),
+                "payload": pa.array([encode_jpeg(img)], type=pa.binary()),
+                "width": pa.array([64], type=pa.int32()),
+                "height": pa.array([32], type=pa.int32()),
+            }
+        )
+    )
+    row = resize_media(ds, 32, 16, decoder="real").take_all()[0]
+    px = decode_jpeg_pixels(row["payload"])
+    assert px.shape == (16, 32, 1)
+    assert np.array_equal(px[..., 0], np.full((16, 32), 90, dtype=np.uint8))
+    assert (row["width"], row["height"]) == (32, 16)

@@ -157,3 +157,69 @@ def test_dup_span_census_unicode_and_boundaries(tmp_path):
     # bucket-count invariance (global dup decision is partition-safe)
     alt = dup_span_census_documents(str(d), num_buckets=17)
     pd.testing.assert_frame_equal(got, alt)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.text(
+                alphabet="abакц日🙂 x", min_size=0, max_size=90
+            ),  # ascii + cyrillic + CJK + astral emoji + spaces
+            st.integers(0, 2),  # source bucket
+            st.integers(0, 3),  # duplication factor of a shared tail
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_dup_span_census_fuzz_matches_duckdb(tmp_path_factory, data):
+    """Random unicode corpora (with injected shared spans) must match
+    the DuckDB oracle exactly — positions, boundaries, scripts."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datapact_ray.pipelines.dedup import (
+        _dup_span_sql,
+        dup_span_census_documents,
+    )
+
+    shared = "общий shared 日本語 span — long enough to cover windows!"
+    rows = []
+    for i, (txt, sb, dup) in enumerate(data):
+        body = txt + (shared * dup)
+        rows.append((i, body if body else None, f"s{sb}"))
+    d = tmp_path_factory.mktemp("spanfuzz")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "text": pa.array([r[1] for r in rows], type=pa.string()),
+                "source": pa.array([r[2] for r in rows], type=pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    got = dup_span_census_documents(str(d), num_buckets=3)
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')"
+        )
+        want = con.execute(_dup_span_sql()).fetchdf()
+    finally:
+        con.close()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
